@@ -1,0 +1,34 @@
+"""Index build orchestration.
+
+``build_index_inmem`` assembles the uncompressed index as cached
+DataFrames — the unit-test / interactive path. The persisted,
+checkpoint-resumable multi-stage build (parquet segments + _build_state
+lineage) lives in ``build/checkpoint.py`` (SURVEY §7.1 M5).
+
+This replaces the reference's O(total-corpus) rebuild-on-every-add
+(``bm25_index.py:102-115``) with independent DataFrame stages whose
+partial aggregations Catalyst executes map-side; nothing here is
+per-document Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.scorer import Index
+from ..operators.stats import build_docs, corpus_stats, term_freqs, terms_with_idf
+
+
+def build_index_inmem(
+    spark: SparkSession, pages: DataFrame, cache: bool = True
+) -> Index:
+    docs = build_docs(pages)
+    if cache:
+        docs = docs.persist()
+    n, avgdl = corpus_stats(docs)
+    tf = term_freqs(docs)
+    terms = terms_with_idf(tf, n)
+    if cache:
+        tf = tf.persist()
+        terms = terms.persist()
+    return Index(spark=spark, docs=docs, tf=tf, terms=terms, n_docs=n, avgdl=avgdl)

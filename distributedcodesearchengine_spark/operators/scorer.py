@@ -1,0 +1,167 @@
+"""Exact BM25 scorer v1 — pure DataFrame plan (SURVEY §2.5 A3, §2.4 J5,
+§2.3 F4/F5, §2.6 T1).
+
+Query plan shape (the reference's stages c-f re-expressed lazily):
+
+    broadcast(query terms with idf)  INNER JOIN  tf on term
+      [inner is correct: missing query terms contribute 0 — J5]
+    -> per-(term,doc) contribution  qtf * idf * tf*(k1+1)/(tf + k1*(...))
+    -> groupBy(doc_id): sum contributions in canonical (term-sorted)
+       order via aggregate(array_sort(collect_list(...))) so tied docs
+       get bit-identical scores (SURVEY §7.3.1)
+    -> relative threshold score >= 0.01*max  (max over the UNFILTERED
+       scored set — reference applies the threshold before metadata
+       filters, bm25_index.py:149-164)
+    -> metadata equality filters (lang / site)
+    -> orderBy(score desc, doc_id asc).limit(k)  => TakeOrderedAndProject
+       (asc doc_id = the reference's stable-sort corpus-order tie-break)
+
+Degenerate branches replicated from the reference:
+- empty query tokens -> empty result (bm25_index.py:140-141)
+- no term matches at all -> all scores are 0, max=0 -> threshold -inf ->
+  ALL docs survive with score 0 (then filters, doc_id order, limit)
+- max score <= 0 (possible via the epsilon floor going negative on tiny
+  corpora) -> unmatched zero-score docs OUTRANK matched negative docs;
+  we union them in.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..oracle.tokenizer import tokenize
+from .stats import B, K1
+
+
+@dataclass
+class Index:
+    """Handle to a built index (DataFrames + global stats)."""
+
+    spark: SparkSession
+    docs: DataFrame  # (doc_id, url, site, lang, tokens, doc_len)
+    tf: DataFrame  # (term, doc_id, tf, doc_len, lang, site)
+    terms: DataFrame  # (term, df, idf)
+    n_docs: int
+    avgdl: float
+    postings: Optional[DataFrame] = None  # compressed segments (M3+)
+    path: Optional[str] = None
+    extras: dict = field(default_factory=dict)
+
+
+def query_term_weights(index: Index, query: str) -> List[tuple]:
+    """[(term, qtf, idf)] for the query's tokens (with multiplicity).
+
+    Collects idf for the |q| query terms only — a term-pruned lookup
+    against the terms table (parquet predicate pushdown on term), never a
+    full-vocab scan. Unknown terms get idf 0 and can be dropped (they
+    contribute 0 to every doc — J5 inner-join semantics).
+    """
+    toks = tokenize(query)
+    if not toks:
+        return []
+    counts = Counter(toks)
+    uniq = sorted(counts)
+    idf_rows = (
+        index.terms.where(F.col("term").isin(uniq)).select("term", "idf").collect()
+    )
+    idf = {r["term"]: float(r["idf"]) for r in idf_rows}
+    return [(t, counts[t], idf[t]) for t in uniq if t in idf]
+
+
+def contribution_col(k1: float = K1, b: float = B) -> F.Column:
+    """w(t,d) * qtf — expects columns tf, doc_len, idf, qtf, _avgdl."""
+    tf = F.col("tf").cast("double")
+    norm = tf + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("doc_len").cast("double") / F.col("_avgdl")
+    )
+    return F.col("qtf") * (F.col("idf") * (tf * F.lit(k1 + 1.0) / norm))
+
+
+def score_matched(index: Index, qweights: List[tuple]) -> DataFrame:
+    """-> (doc_id, lang, site, score) for docs matching >= 1 query term."""
+    spark = index.spark
+    qdf = spark.createDataFrame(
+        [(t, float(q), i) for t, q, i in qweights], "term string, qtf double, idf double"
+    )
+    uniq_terms = [t for t, _, _ in qweights]
+    matched = (
+        index.tf.where(F.col("term").isin(uniq_terms))  # pushed to the scan
+        .join(F.broadcast(qdf), "term")
+        .withColumn("_avgdl", F.lit(index.avgdl))
+        .withColumn("contrib", contribution_col())
+    )
+    # canonical term-sorted summation per doc -> deterministic doubles
+    return (
+        matched.groupBy("doc_id", "lang", "site")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ).alias("score")
+        )
+    )
+
+
+def _apply_filters(df: DataFrame, filters: Optional[Dict[str, str]]) -> DataFrame:
+    for key, want in (filters or {}).items():
+        df = df.where(F.col(key) == want)
+    return df
+
+
+def bm25_topk(
+    index: Index,
+    query: str,
+    k: int = 10,
+    filters: Optional[Dict[str, str]] = None,
+) -> DataFrame:
+    """Top-k search -> (rank, doc_id, url, score). Rank-identical to the
+    reference contract (oracle.bm25.BM25Oracle.search)."""
+    spark = index.spark
+    empty = spark.createDataFrame([], "rank int, doc_id long, url string, score double")
+    if not tokenize(query):
+        # empty-query guard (bm25_index.py:140-141)
+        return empty
+    qweights = query_term_weights(index, query)
+
+    if qweights:
+        scored = score_matched(index, qweights)
+        mx = scored.agg(F.max("score").alias("mx")).first()["mx"]
+    else:
+        # tokens exist but none are in the vocabulary: the reference still
+        # scores the whole corpus (all zeros) -> degenerate branch below
+        scored = spark.createDataFrame(
+            [], "doc_id long, lang string, site string, score double"
+        )
+        mx = None
+
+    if mx is not None and mx > 0:
+        res = scored.where(F.col("score") >= F.lit(0.01 * mx))
+    else:
+        # all-zero or all-non-positive: zero-score (unmatched) docs are in
+        # the reference's result array too
+        zeros = (
+            index.docs.join(scored.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id", "lang", "site", F.lit(0.0).alias("score"))
+        )
+        res = scored.select("doc_id", "lang", "site", "score").unionByName(zeros)
+
+    res = _apply_filters(res, filters)
+    top_small = res.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    # broadcast the k winners against the big docs table (never the
+    # reverse — docs is the 10^12-row side)
+    top = index.docs.select("doc_id", "url").join(
+        F.broadcast(top_small), "doc_id", "inner"
+    )
+    # rank over <= k collected-size rows; window is fine at this size
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "url", "score"
+    )

@@ -1,0 +1,96 @@
+"""Index statistics as DataFrame aggregations (SURVEY §2.5 A1-A2).
+
+- tf:  explode(tokens) -> groupBy(doc_id, term).count()   [hash agg,
+  partial+final map-side combine for free]
+- df:  groupBy(term).count() over the tf table (exact — approximate
+  distinct would break rank identity)
+- N, avgdl: one tiny agg over docs; empty-token docs COUNT in both
+  (rank_bm25 keeps them; SURVEY §7.3.5)
+- idf: ln(N - df + 0.5) - ln(df + 0.5) with the epsilon floor against the
+  global vocab-average idf (rank_bm25 _calc_idf; epsilon=0.25). The
+  vocab-average is the one global barrier in the build — a single cheap
+  pass over the terms table.
+
+doc_len / lang / site are denormalized into the tf rows so the query path
+never joins back to the corpus table.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.udfs import extract_text_udf, tokenize_udf
+from .doc_ids import assign_doc_ids
+
+K1, B, EPSILON = 1.5, 0.75, 0.25  # BM25Okapi defaults (requirements.txt:26)
+
+
+def build_docs(pages: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """pages -> docs(doc_id, url, site, lang, tokens, doc_len).
+
+    Text is re-derived from html via the extract UDF (the per-row
+    invariant extract(html) == text is asserted in tests, not assumed).
+    Dedup on url mirrors the reference's add-time identity dedup
+    (bm25_index.py:91-92). ``site`` is the repo_name analog
+    (url host, reference repo_indexer.py:272-277).
+    """
+    docs = (
+        pages.dropDuplicates(["url"])
+        .withColumn("text", extract_text_udf(F.col("html")))
+        .withColumn("tokens", tokenize_udf(F.col("text")))
+        .withColumn("doc_len", F.size("tokens").cast("int"))
+        .withColumn("site", F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1))
+    )
+    docs = assign_doc_ids(docs, "url", num_partitions)
+    return docs.select("doc_id", "url", "site", "lang", "tokens", "doc_len")
+
+
+def corpus_stats(docs: DataFrame) -> Tuple[int, float]:
+    row = docs.agg(
+        F.count("*").alias("n"), F.sum("doc_len").alias("total")
+    ).first()
+    n = int(row["n"])
+    return n, (float(row["total"]) / n if n else 0.0)
+
+
+def term_freqs(docs: DataFrame) -> DataFrame:
+    """tf(term, doc_id, tf, doc_len, lang, site) — the uncompressed index.
+
+    doc_len/lang/site ride along as grouping keys (functionally dependent
+    on doc_id) instead of a post-hoc join against the corpus.
+    """
+    return (
+        docs.select(
+            "doc_id", "doc_len", "lang", "site", F.explode("tokens").alias("term")
+        )
+        .groupBy("term", "doc_id", "doc_len", "lang", "site")
+        .agg(F.count("*").cast("int").alias("tf"))
+    )
+
+
+def terms_with_idf(tf: DataFrame, n_docs: int) -> DataFrame:
+    """terms(term, df, idf) with the epsilon floor (A2).
+
+    The floor needs avg(idf) over the FULL vocabulary including negative
+    idfs — computed as a 1-row agg and broadcast back as a literal via
+    crossJoin so the whole thing stays one lazy plan.
+    """
+    n = float(n_docs)
+    terms = tf.groupBy("term").agg(F.count("*").alias("df"))
+    terms = terms.withColumn(
+        "idf_raw", F.log(F.lit(n) - F.col("df") + 0.5) - F.log(F.col("df") + 0.5)
+    )
+    avg_idf = terms.agg(F.avg("idf_raw").alias("avg_idf"))
+    return (
+        terms.crossJoin(F.broadcast(avg_idf))
+        .withColumn(
+            "idf",
+            F.when(
+                F.col("idf_raw") < 0, F.lit(EPSILON) * F.col("avg_idf")
+            ).otherwise(F.col("idf_raw")),
+        )
+        .select("term", "df", "idf")
+    )

@@ -1,0 +1,35 @@
+"""Loaders for the driver-provided parquet testdata tables.
+
+Tables at ``/root/testdata/sf{0.001,0.01,0.1}/``:
+``region nation customer supplier part orders lineitem events documents
+embeddings`` (TESTDATA.md). ``documents(doc_id, text, lang, source,
+n_chars)`` doubles as a second corpus for the DuckDB-oracle operator
+checks in ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def documents_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapt the driver's ``documents`` table to the pages shape.
+
+    ``url`` := a deterministic per-doc key that preserves doc_id order
+    (zero-padded doc_id), so the engine's url-rank doc ids equal the
+    table's own doc_id — which keeps the DuckDB oracles simple.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        F.format_string("doc://%012d", F.col("doc_id")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(F.concat(F.lit("<html><head><title>doc</title></head><body><p>"),
+                          F.col("text"), F.lit("</p></body></html>")), "utf-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )

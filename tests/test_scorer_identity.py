@@ -1,0 +1,82 @@
+"""Rank-identity harness (SURVEY §5.2, BASELINE.md).
+
+The Spark engine's top-k (docIDs AND scores, abs diff < 1e-9, ties ->
+ascending doc_id) must match the pure-Python BM25Okapi-replica oracle on
+the reference query set over the synthetic corpus — including filters,
+the relative threshold, empty queries, unknown tokens, and query-token
+multiplicity.
+"""
+
+import numpy as np
+import pytest
+
+from distributedcodesearchengine_spark.build.indexer import build_index_inmem
+from distributedcodesearchengine_spark.operators.scorer import bm25_topk
+from distributedcodesearchengine_spark.oracle.bm25 import BM25Oracle
+from distributedcodesearchengine_spark.oracle.tokenizer import tokenize
+from distributedcodesearchengine_spark.sources.corpus import (
+    generate_pages,
+    generate_rows_local,
+)
+
+N_DOCS = 800
+
+# Reference query set (README.md:159-169, tests/test_search.py:44,61) +
+# adversarial cases from FIXTURES.md §2.
+QUERIES = [
+    ("JSON parsing", None),
+    ("parse json", None),
+    ("send HTTP request", None),
+    ("validate email address", None),
+    ("async database query", None),
+    ("json json parser", None),  # query-token multiplicity
+    ("zzzzunknowntoken", None),  # all-unknown -> degenerate all-zero path
+    ("a b c", None),  # all tokens < 2 chars -> empty result
+    ("", None),
+    ("parseJSON HTTPClient2", None),
+    ("table row scan", {"lang": "de"}),
+    ("JSON parsing", {"lang": "en"}),
+    ("parse json", {"site": "site1.example"}),
+]
+
+
+@pytest.fixture(scope="module")
+def oracle_and_index(spark):
+    pages = generate_pages(spark, N_DOCS, seed=42, parts=6)
+    index = build_index_inmem(spark, pages)
+
+    local = generate_rows_local(np.arange(N_DOCS), seed=42)
+    local = local.sort_values("url").reset_index(drop=True)  # doc_id = url rank
+    corpus = [tokenize(t) for t in local["text"]]
+    oracle = BM25Oracle(corpus)
+    meta = {
+        "lang": local["lang"].tolist(),
+        "site": [u.split("://")[1].split("/")[0] for u in local["url"]],
+    }
+    return oracle, meta, index, local
+
+
+@pytest.mark.parametrize("query,filters", QUERIES)
+def test_rank_identity(oracle_and_index, query, filters):
+    oracle, meta, index, local = oracle_and_index
+    want = oracle.search(query, limit=10, filters=filters, meta=meta)
+    got = bm25_topk(index, query, k=10, filters=filters).collect()
+
+    assert [r["doc_id"] for r in got] == [d for d, _ in want], query
+    for r, (_, s) in zip(got, want):
+        assert abs(r["score"] - s) < 1e-9, (query, r["doc_id"], r["score"], s)
+    # urls resolve to the same rows
+    for r in got:
+        assert r["url"] == local["url"].iloc[r["doc_id"]]
+
+
+def test_stats_match_oracle(oracle_and_index):
+    oracle, _, index, _ = oracle_and_index
+    assert index.n_docs == oracle.corpus_size
+    assert abs(index.avgdl - oracle.avgdl) < 1e-12
+    got_idf = {
+        r["term"]: r["idf"] for r in index.terms.collect()
+    }
+    assert len(got_idf) == len(oracle.idf)
+    for t, v in oracle.idf.items():
+        assert abs(got_idf[t] - v) < 1e-9, t
