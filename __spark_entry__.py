@@ -1,38 +1,59 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship BM25 top-k on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query key.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import partial
 
 from pyspark.sql import DataFrame, SparkSession
+
+from distributedcodesearchengine_spark import entry_queries as eq
+from distributedcodesearchengine_spark.functions import sql_oracle as oq
+
+# (key, spark_fn, sql) triples registered in one place so queries() and
+# oracle_sql() can never drift apart.
+_BM25_CASES = [
+    ("bm25_topk_single", dict(query="table")),
+    ("bm25_topk_multi", dict(query="spark query window sort")),
+    ("bm25_topk_rare", dict(query="customer vector stream")),
+    ("bm25_topk_multiplicity", dict(query="table table row")),
+    ("bm25_topk_camel", dict(query="sparkQuery windowSort")),
+    ("bm25_topk_lang_de", dict(query="row scan", lang="de")),
+    ("bm25_topk_source", dict(query="batch merge", source="src7")),
+    ("bm25_topk_unknown", dict(query="zzzznotaword")),
+]
+
+
+def _registry():
+    reg = {}
+    reg["doc_token_stats"] = (eq.doc_token_stats, oq.doc_token_stats_sql())
+    reg["corpus_stats"] = (eq.corpus_stats_q, oq.corpus_stats_sql())
+    reg["term_df_topk"] = (partial(eq.term_df_topk, k=50), oq.term_df_topk_sql(50))
+    reg["idf_sample"] = (eq.idf_sample, oq.idf_sample_sql(eq.IDF_SAMPLE_TERMS))
+    reg["lang_histogram"] = (eq.lang_histogram, oq.lang_histogram_sql())
+    for key, kw in _BM25_CASES:
+        reg[key] = (
+            partial(eq.bm25_query, **kw),
+            oq.bm25_topk_sql(
+                kw["query"], k=kw.get("k", 10), lang=kw.get("lang"), source=kw.get("source")
+            ),
+        )
+    return reg
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return eq.bm25_query(spark, "/root/testdata/sf0.001", "spark query window sort")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {k: fn for k, (fn, _) in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {k: sql for k, (_, sql) in _registry().items()}

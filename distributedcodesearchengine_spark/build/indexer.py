@@ -20,9 +20,9 @@ from ..operators.stats import build_docs, corpus_stats, term_freqs, terms_with_i
 
 
 def build_index_inmem(
-    spark: SparkSession, pages: DataFrame, cache: bool = True
+    spark: SparkSession, pages: DataFrame, cache: bool = True, meta_cols: tuple = ()
 ) -> Index:
-    docs = build_docs(pages)
+    docs = build_docs(pages, meta_cols=meta_cols)
     if cache:
         docs = docs.persist()
     n, avgdl = corpus_stats(docs)

@@ -1,0 +1,137 @@
+"""DuckDB ANSI-SQL builders mirroring the engine's semantics.
+
+Used by ``__spark_entry__.oracle_sql()``: for each registered Spark
+query, these emit the equivalent SQL the driver runs on the same parquet
+tables (views pre-registered: region nation customer supplier part
+orders lineitem events documents embeddings).
+
+The expressions are written to match the Spark plans' arithmetic
+operand-for-operand (same parenthesization), so double results agree to
+well under the 1e-6 rounding applied on both sides.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from ..oracle.tokenizer import tokenize
+
+K1, B, EPSILON = 1.5, 0.75, 0.25
+
+# DuckDB transcription of the reference tokenizer
+# (codesearch/storage/bm25_index.py:42-72): camel splits before lower,
+# then tokens = maximal [a-z0-9] runs of length >= 2 (equivalence
+# property-tested in tests/test_tokenizer.py).
+TOKENIZE_SQL = (
+    "list_filter(regexp_extract_all(lower(regexp_replace(regexp_replace("
+    "{col}, '([a-z])([A-Z])', '\\1 \\2', 'g'), "
+    "'([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g')), '[a-z0-9]+'), "
+    "t -> length(t) >= 2)"
+)
+
+
+def tokenize_col(col: str = "text") -> str:
+    return TOKENIZE_SQL.format(col=col)
+
+
+def _docs_cte(table: str = "documents") -> str:
+    return (
+        f"docs AS (SELECT doc_id, lang, source, {tokenize_col('text')} AS toks "
+        f"FROM {table}), "
+        "doclen AS (SELECT doc_id, lang, source, len(toks) AS doc_len FROM docs), "
+        "stats AS (SELECT count(*) AS n_docs, sum(doc_len) * 1.0 / count(*) AS avgdl FROM doclen), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM "
+        "(SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY doc_id, term), "
+        "dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+        "idf0 AS (SELECT term, df, ln((SELECT n_docs FROM stats) - df + 0.5) - ln(df + 0.5) AS idf_raw FROM dfreq), "
+        f"epsv AS (SELECT {EPSILON} * avg(idf_raw) AS eps FROM idf0), "
+        "idf AS (SELECT term, df, CASE WHEN idf_raw < 0 THEN (SELECT eps FROM epsv) "
+        "ELSE idf_raw END AS idf FROM idf0)"
+    )
+
+
+def doc_token_stats_sql() -> str:
+    """Per-doc token counts — tokenizer parity check."""
+    return (
+        f"WITH {_docs_cte()} "
+        "SELECT doc_id, doc_len AS n_tokens FROM doclen ORDER BY doc_id"
+    )
+
+
+def corpus_stats_sql() -> str:
+    return (
+        f"WITH {_docs_cte()} "
+        "SELECT (SELECT n_docs FROM stats) AS n_docs, "
+        "round((SELECT avgdl FROM stats), 6) AS avgdl, "
+        "(SELECT count(*) FROM dfreq) AS vocab_size, "
+        "(SELECT count(*) FROM idf0 WHERE idf_raw < 0) AS n_floored"
+    )
+
+
+def term_df_topk_sql(k: int = 50) -> str:
+    return (
+        f"WITH {_docs_cte()} "
+        "SELECT term, df, round(idf, 6) AS idf FROM idf "
+        f"ORDER BY df DESC, term ASC LIMIT {k}"
+    )
+
+
+def idf_sample_sql(terms: Sequence[str]) -> str:
+    lst = ", ".join(f"'{t}'" for t in terms)
+    return (
+        f"WITH {_docs_cte()} "
+        f"SELECT term, df, round(idf, 6) AS idf FROM idf WHERE term IN ({lst}) "
+        "ORDER BY term"
+    )
+
+
+def bm25_topk_sql(
+    query: str,
+    k: int = 10,
+    lang: Optional[str] = None,
+    source: Optional[str] = None,
+) -> str:
+    """Full BM25 top-k with the reference's threshold-before-filter,
+    degenerate all-zero handling, and doc-order tie-break."""
+    toks = tokenize(query)
+    if not toks:
+        return "SELECT 1 AS rank, 1::BIGINT AS doc_id, 0.0 AS score WHERE false"
+    from collections import Counter
+
+    counts = Counter(toks)
+    qvals = ", ".join(f"('{t}', {float(q)})" for t, q in sorted(counts.items()))
+    where = []
+    if lang:
+        where.append(f"lang = '{lang}'")
+    if source:
+        where.append(f"source = '{source}'")
+    fsql = (" WHERE " + " AND ".join(where)) if where else ""
+    return (
+        f"WITH {_docs_cte()}, "
+        f"qt(term, qtf) AS (VALUES {qvals}), "
+        "contrib AS ("
+        "  SELECT tf.doc_id, tf.term, "
+        f"    qt.qtf * (idf.idf * (tf.tf * {K1 + 1.0} / "
+        f"      (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM stats))))) AS c "
+        "  FROM tf JOIN qt USING (term) JOIN idf USING (term) "
+        "  JOIN doclen dl ON dl.doc_id = tf.doc_id), "
+        "scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id), "
+        "mx AS (SELECT max(score) AS m FROM scored), "
+        "kept AS ("
+        "  SELECT d.doc_id, d.lang, d.source, coalesce(s.score, 0.0) AS score "
+        "  FROM doclen d LEFT JOIN scored s USING (doc_id) "
+        "  WHERE ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
+        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))"
+        # matched-only fast path: when max>0, unmatched (NULL-score) rows
+        # can never pass the 1% threshold, mirroring the Spark branch
+        "), "
+        f"filtered AS (SELECT * FROM kept{fsql}) "
+        "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank, "
+        "doc_id, round(score, 6) AS score "
+        f"FROM filtered ORDER BY score DESC, doc_id ASC LIMIT {k}"
+    )
+
+
+def lang_histogram_sql() -> str:
+    """A4 language histogram (repo_indexer.py:355-358 analog)."""
+    return "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang"

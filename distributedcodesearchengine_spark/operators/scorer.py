@@ -82,8 +82,14 @@ def contribution_col(k1: float = K1, b: float = B) -> F.Column:
     return F.col("qtf") * (F.col("idf") * (tf * F.lit(k1 + 1.0) / norm))
 
 
+def meta_columns(df: DataFrame) -> List[str]:
+    """Filterable metadata columns denormalized into an index DataFrame."""
+    skip = {"term", "doc_id", "tf", "doc_len", "tokens", "url", "score"}
+    return [c for c in df.columns if c not in skip]
+
+
 def score_matched(index: Index, qweights: List[tuple]) -> DataFrame:
-    """-> (doc_id, lang, site, score) for docs matching >= 1 query term."""
+    """-> (doc_id, *meta, score) for docs matching >= 1 query term."""
     spark = index.spark
     qdf = spark.createDataFrame(
         [(t, float(q), i) for t, q, i in qweights], "term string, qtf double, idf double"
@@ -97,7 +103,7 @@ def score_matched(index: Index, qweights: List[tuple]) -> DataFrame:
     )
     # canonical term-sorted summation per doc -> deterministic doubles
     return (
-        matched.groupBy("doc_id", "lang", "site")
+        matched.groupBy("doc_id", *meta_columns(index.tf))
         .agg(
             F.aggregate(
                 F.array_sort(F.collect_list(F.struct("term", "contrib"))),
@@ -128,6 +134,7 @@ def bm25_topk(
         # empty-query guard (bm25_index.py:140-141)
         return empty
     qweights = query_term_weights(index, query)
+    meta = meta_columns(index.tf)
 
     if qweights:
         scored = score_matched(index, qweights)
@@ -135,9 +142,7 @@ def bm25_topk(
     else:
         # tokens exist but none are in the vocabulary: the reference still
         # scores the whole corpus (all zeros) -> degenerate branch below
-        scored = spark.createDataFrame(
-            [], "doc_id long, lang string, site string, score double"
-        )
+        scored = None
         mx = None
 
     if mx is not None and mx > 0:
@@ -145,11 +150,14 @@ def bm25_topk(
     else:
         # all-zero or all-non-positive: zero-score (unmatched) docs are in
         # the reference's result array too
-        zeros = (
-            index.docs.join(scored.select("doc_id"), "doc_id", "left_anti")
-            .select("doc_id", "lang", "site", F.lit(0.0).alias("score"))
-        )
-        res = scored.select("doc_id", "lang", "site", "score").unionByName(zeros)
+        zeros = index.docs
+        if scored is not None:
+            zeros = zeros.join(scored.select("doc_id"), "doc_id", "left_anti")
+        zeros = zeros.select("doc_id", *meta, F.lit(0.0).alias("score"))
+        if scored is not None:
+            res = scored.select("doc_id", *meta, "score").unionByName(zeros)
+        else:
+            res = zeros
 
     res = _apply_filters(res, filters)
     top_small = res.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

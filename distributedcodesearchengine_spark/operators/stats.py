@@ -28,14 +28,20 @@ from .doc_ids import assign_doc_ids
 K1, B, EPSILON = 1.5, 0.75, 0.25  # BM25Okapi defaults (requirements.txt:26)
 
 
-def build_docs(pages: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """pages -> docs(doc_id, url, site, lang, tokens, doc_len).
+def build_docs(
+    pages: DataFrame,
+    num_partitions: int | None = None,
+    meta_cols: tuple = (),
+) -> DataFrame:
+    """pages -> docs(doc_id, url, site, lang, *meta_cols, tokens, doc_len).
 
     Text is re-derived from html via the extract UDF (the per-row
     invariant extract(html) == text is asserted in tests, not assumed).
     Dedup on url mirrors the reference's add-time identity dedup
     (bm25_index.py:91-92). ``site`` is the repo_name analog
-    (url host, reference repo_indexer.py:272-277).
+    (url host, reference repo_indexer.py:272-277). ``meta_cols`` are
+    extra filterable metadata columns carried from the input table
+    (reference filter keys, bm25_index.py:157-164).
     """
     docs = (
         pages.dropDuplicates(["url"])
@@ -45,7 +51,9 @@ def build_docs(pages: DataFrame, num_partitions: int | None = None) -> DataFrame
         .withColumn("site", F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1))
     )
     docs = assign_doc_ids(docs, "url", num_partitions)
-    return docs.select("doc_id", "url", "site", "lang", "tokens", "doc_len")
+    return docs.select(
+        "doc_id", "url", "site", "lang", *meta_cols, "tokens", "doc_len"
+    )
 
 
 def corpus_stats(docs: DataFrame) -> Tuple[int, float]:
@@ -62,17 +70,16 @@ def term_freqs(docs: DataFrame) -> DataFrame:
     doc_len/lang/site ride along as grouping keys (functionally dependent
     on doc_id) instead of a post-hoc join against the corpus.
     """
+    keys = [c for c in docs.columns if c not in ("url", "tokens")]
     return (
-        docs.select(
-            "doc_id", "doc_len", "lang", "site", F.explode("tokens").alias("term")
-        )
-        .groupBy("term", "doc_id", "doc_len", "lang", "site")
+        docs.select(*keys, F.explode("tokens").alias("term"))
+        .groupBy("term", *keys)
         .agg(F.count("*").cast("int").alias("tf"))
     )
 
 
-def terms_with_idf(tf: DataFrame, n_docs: int) -> DataFrame:
-    """terms(term, df, idf) with the epsilon floor (A2).
+def terms_with_idf_detail(tf: DataFrame, n_docs: int) -> DataFrame:
+    """terms(term, df, idf_raw, idf) with the epsilon floor (A2).
 
     The floor needs avg(idf) over the FULL vocabulary including negative
     idfs — computed as a 1-row agg and broadcast back as a literal via
@@ -92,5 +99,10 @@ def terms_with_idf(tf: DataFrame, n_docs: int) -> DataFrame:
                 F.col("idf_raw") < 0, F.lit(EPSILON) * F.col("avg_idf")
             ).otherwise(F.col("idf_raw")),
         )
-        .select("term", "df", "idf")
+        .select("term", "df", "idf_raw", "idf")
     )
+
+
+def terms_with_idf(tf: DataFrame, n_docs: int) -> DataFrame:
+    """terms(term, df, idf) — see terms_with_idf_detail."""
+    return terms_with_idf_detail(tf, n_docs).select("term", "df", "idf")

@@ -26,10 +26,11 @@ def documents_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     return d.select(
-        F.format_string("doc://%012d", F.col("doc_id")).alias("url"),
+        F.format_string("doc://corpus/%012d", F.col("doc_id")).alias("url"),
         F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
         F.encode(F.concat(F.lit("<html><head><title>doc</title></head><body><p>"),
                           F.col("text"), F.lit("</p></body></html>")), "utf-8").alias("html"),
         F.col("text"),
         F.col("lang"),
+        F.col("source"),
     )

@@ -1,0 +1,80 @@
+"""Emulates the driver's correctness gate: run every __spark_entry__
+query on Spark AND its DuckDB oracle SQL side-by-side at sf0.01, compare
+row counts, schemas (column names) and values (order-insensitive)."""
+
+import math
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(rows):
+    out = []
+    for r in rows:
+        vals = []
+        for v in r:
+            if isinstance(v, float):
+                vals.append(round(v, 6))
+            else:
+                vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+@pytest.mark.parametrize("key", list(entry_mod.queries().keys()))
+def test_query_matches_oracle(spark, ddb, key):
+    qfn = entry_mod.queries()[key]
+    sql = entry_mod.oracle_sql()[key]
+
+    sdf = qfn(spark, SF_DIR)
+    spark_cols = sorted(sdf.columns)
+    spark_rows = [tuple(r[c] for c in spark_cols) for r in sdf.collect()]
+
+    res = ddb.execute(sql)
+    duck_cols_all = [d[0] for d in res.description]
+    duck_rows_raw = res.fetchall()
+    order = sorted(range(len(duck_cols_all)), key=lambda i: duck_cols_all[i])
+    duck_cols = [duck_cols_all[i] for i in order]
+    duck_rows = [tuple(float(r[i]) if isinstance(r[i], (int, float)) and isinstance(spark_rows[0][j], float) else r[i] for j, i in enumerate(order)) for r in duck_rows_raw] if duck_rows_raw and spark_rows else [tuple(r[i] for i in order) for r in duck_rows_raw]
+
+    assert spark_cols == duck_cols, (key, spark_cols, duck_cols)
+    assert len(spark_rows) == len(duck_rows), key
+
+    a, b = _norm(spark_rows), _norm(duck_rows)
+    for ra, rb in zip(a, b):
+        assert len(ra) == len(rb)
+        for va, vb in zip(ra, rb):
+            if isinstance(va, float) or isinstance(vb, float):
+                assert math.isclose(float(va), float(vb), rel_tol=0, abs_tol=2e-6), (
+                    key, ra, rb,
+                )
+            else:
+                assert va == vb, (key, ra, rb)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["rank", "doc_id", "score"]
