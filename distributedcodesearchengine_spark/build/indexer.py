@@ -15,6 +15,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..operators.postings import (
+    DEFAULT_BLOCK,
+    DEFAULT_TARGET_ROW_POSTINGS,
+    N_BUCKETS,
+    build_postings,
+)
 from ..operators.scorer import Index
 from ..operators.stats import build_docs, corpus_stats, term_freqs, terms_with_idf
 
@@ -32,3 +38,24 @@ def build_index_inmem(
         tf = tf.persist()
         terms = terms.persist()
     return Index(spark=spark, docs=docs, tf=tf, terms=terms, n_docs=n, avgdl=avgdl)
+
+
+def add_postings(
+    index: Index,
+    block_size: int = DEFAULT_BLOCK,
+    target_row_postings: int = DEFAULT_TARGET_ROW_POSTINGS,
+    n_buckets: int = N_BUCKETS,
+    cache: bool = True,
+) -> Index:
+    """Build the compressed postings segments onto an existing index."""
+    p = build_postings(
+        index.tf,
+        index.terms,
+        index.n_docs,
+        index.avgdl,
+        block_size=block_size,
+        target_row_postings=target_row_postings,
+        n_buckets=n_buckets,
+    )
+    index.postings = p.persist() if cache else p
+    return index

@@ -1,0 +1,166 @@
+"""Posting-list segment build (SURVEY §7.1 M3/M4, north-rule structures).
+
+From the uncompressed ``tf`` index, builds the compressed inverted index:
+
+    postings(term_bucket, term, range_id, df, idf, global_max,
+             n_postings, blocks: array<struct<first_doc, last_doc, n,
+             doc_deltas varint, tfs varint, doc_lens varint, max_w>>)
+
+Skew handling (the salted repartition-by-term shuffle): web-text term
+frequencies are Zipfian — ``groupBy(term)`` alone would put a stopword's
+entire posting list (potentially billions of docs) in one task. Terms
+with df > ``target_row_postings`` are split into contiguous doc-id
+RANGES (``range_id = doc_id // width``), so each (term, range_id) group
+is bounded, tasks are even, and — because ranges are contiguous and
+sorted — the per-range block lists concatenate into a valid global
+posting list without re-encoding. Hot terms simply keep multiple rows
+(the "skew-aware splitting of hot terms"); the query-side scorer is
+row-count agnostic. This replaces what AQE cannot do for single-key
+groupBy explosion (SURVEY §4.1).
+
+Block-max: each block stores max_w = max over the block of the exact
+BM25 per-term weight w(t,d) = idf * tf*(k1+1)/(tf + k1*(1-b+b*len/avgdl))
+— enabling block-max WAND pruning at query time (operators/wand.py).
+
+The doc-id deltas / tfs / doc_lens are LEB128 varints (operators/varint).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import POSTINGS
+from .stats import B, K1
+from .varint import varint_pack
+
+DEFAULT_BLOCK = 128
+DEFAULT_TARGET_ROW_POSTINGS = 65536
+N_BUCKETS = 64
+
+
+def term_bucket(term: str, n_buckets: int = N_BUCKETS) -> int:
+    """Portable (engine-independent) term bucket for partition pruning."""
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
+
+
+def bm25_weight(
+    tf: np.ndarray, doc_len: np.ndarray, idf: float, avgdl: float,
+    k1: float = K1, b: float = B,
+) -> np.ndarray:
+    """Exact per-(term,doc) BM25 weight; operand order matches the JVM
+    expression in operators/scorer.contribution_col for bit-identity."""
+    tf = tf.astype(np.float64)
+    dl = doc_len.astype(np.float64)
+    norm = tf + k1 * ((1.0 - b) + (b * dl) / avgdl)
+    return idf * ((tf * (k1 + 1.0)) / norm)
+
+
+def build_postings(
+    tf: DataFrame,
+    terms: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    block_size: int = DEFAULT_BLOCK,
+    target_row_postings: int = DEFAULT_TARGET_ROW_POSTINGS,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """tf + terms -> compressed postings segments DataFrame."""
+    # hot terms get a range width so each (term, range_id) has ~target rows
+    hot = (
+        terms.where(F.col("df") > target_row_postings)
+        .select(
+            "term",
+            F.ceil(
+                F.lit(float(n_docs))
+                / F.ceil(F.col("df") / F.lit(float(target_row_postings)))
+            ).cast("long").alias("width"),
+        )
+    )
+    tf2 = (
+        tf.join(terms.select("term", "df", "idf"), "term")
+        .join(F.broadcast(hot), "term", "left")
+        .withColumn(
+            "range_id",
+            F.when(F.col("width").isNull(), F.lit(0).cast("long")).otherwise(
+                (F.col("doc_id") / F.col("width")).cast("long")
+            ),
+        )
+    )
+
+    avgdl_f = float(avgdl)
+
+    def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        term = pdf["term"].iloc[0]
+        rid = int(pdf["range_id"].iloc[0])
+        dfv = int(pdf["df"].iloc[0])
+        idf = float(pdf["idf"].iloc[0])
+        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
+        doc_ids = pdf["doc_id"].to_numpy()[order].astype(np.int64)
+        tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
+        dls = pdf["doc_len"].to_numpy()[order].astype(np.int64)
+        w = bm25_weight(tfs, dls, idf, avgdl_f)
+
+        blocks = []
+        gmax = -math.inf
+        for s in range(0, len(doc_ids), block_size):
+            e = min(s + block_size, len(doc_ids))
+            d = doc_ids[s:e]
+            deltas = np.diff(d, prepend=d[0])  # first delta 0
+            mw = float(w[s:e].max())
+            gmax = max(gmax, mw)
+            blocks.append(
+                {
+                    "first_doc": int(d[0]),
+                    "last_doc": int(d[-1]),
+                    "n": int(e - s),
+                    "doc_deltas": varint_pack(deltas.astype(np.uint64)),
+                    "tfs": varint_pack(tfs[s:e].astype(np.uint64)),
+                    "doc_lens": varint_pack(dls[s:e].astype(np.uint64)),
+                    "max_w": mw,
+                }
+            )
+        return pd.DataFrame(
+            {
+                "term_bucket": [term_bucket(term, n_buckets)],
+                "term": [term],
+                "range_id": [rid],
+                "df": [dfv],
+                "idf": [idf],
+                "global_max": [gmax],
+                "n_postings": [len(doc_ids)],
+                "blocks": [blocks],
+            }
+        )
+
+    return tf2.groupBy("term", "range_id").applyInPandas(build_group, schema=POSTINGS)
+
+
+def decode_blocks(row_blocks, predicate=None):
+    """Decode a postings row's block list -> (doc_ids, tfs, doc_lens).
+
+    ``predicate(block_dict) -> bool`` selects which blocks to decode
+    (block-max pruning hook). Blocks are dicts (Arrow struct rows).
+    """
+    from .varint import varint_unpack
+
+    ids, tfs, dls = [], [], []
+    for blk in row_blocks:
+        if predicate is not None and not predicate(blk):
+            continue
+        n = blk["n"]
+        deltas = varint_unpack(bytes(blk["doc_deltas"]), n).astype(np.int64)
+        d = np.cumsum(deltas) + blk["first_doc"]
+        ids.append(d)
+        tfs.append(varint_unpack(bytes(blk["tfs"]), n).astype(np.int64))
+        dls.append(varint_unpack(bytes(blk["doc_lens"]), n).astype(np.int64))
+    if not ids:
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    return np.concatenate(ids), np.concatenate(tfs), np.concatenate(dls)

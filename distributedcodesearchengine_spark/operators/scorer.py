@@ -120,29 +120,26 @@ def _apply_filters(df: DataFrame, filters: Optional[Dict[str, str]]) -> DataFram
     return df
 
 
-def bm25_topk(
+def finalize_topk(
     index: Index,
-    query: str,
-    k: int = 10,
+    scored: Optional[DataFrame],
+    k: int,
     filters: Optional[Dict[str, str]] = None,
 ) -> DataFrame:
-    """Top-k search -> (rank, doc_id, url, score). Rank-identical to the
-    reference contract (oracle.bm25.BM25Oracle.search)."""
-    spark = index.spark
-    empty = spark.createDataFrame([], "rank int, doc_id long, url string, score double")
-    if not tokenize(query):
-        # empty-query guard (bm25_index.py:140-141)
-        return empty
-    qweights = query_term_weights(index, query)
+    """Shared post-scoring stage: relative threshold (on the UNfiltered
+    max), degenerate all-zero handling, metadata filters, stable top-k,
+    rank. ``scored`` is (doc_id, score [, meta...]) or None when the
+    query had tokens but none are in the vocabulary."""
     meta = meta_columns(index.tf)
-
-    if qweights:
-        scored = score_matched(index, qweights)
+    if scored is not None:
+        missing = [c for c in meta if c not in scored.columns]
+        if missing:
+            # v2 (postings) scorer carries no metadata — docvalues lookup
+            scored = scored.join(
+                index.docs.select("doc_id", *missing), "doc_id"
+            )
         mx = scored.agg(F.max("score").alias("mx")).first()["mx"]
     else:
-        # tokens exist but none are in the vocabulary: the reference still
-        # scores the whole corpus (all zeros) -> degenerate branch below
-        scored = None
         mx = None
 
     if mx is not None and mx > 0:
@@ -160,7 +157,9 @@ def bm25_topk(
             res = zeros
 
     res = _apply_filters(res, filters)
-    top_small = res.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    top_small = res.select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    ).limit(k)
     # broadcast the k winners against the big docs table (never the
     # reverse — docs is the 10^12-row side)
     top = index.docs.select("doc_id", "url").join(
@@ -173,3 +172,23 @@ def bm25_topk(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "doc_id", "url", "score"
     )
+
+
+def bm25_topk(
+    index: Index,
+    query: str,
+    k: int = 10,
+    filters: Optional[Dict[str, str]] = None,
+) -> DataFrame:
+    """Exact top-k search (scorer v1, uncompressed index) ->
+    (rank, doc_id, url, score). Rank-identical to the reference contract
+    (oracle.bm25.BM25Oracle.search)."""
+    spark = index.spark
+    if not tokenize(query):
+        # empty-query guard (bm25_index.py:140-141)
+        return spark.createDataFrame(
+            [], "rank int, doc_id long, url string, score double"
+        )
+    qweights = query_term_weights(index, query)
+    scored = score_matched(index, qweights) if qweights else None
+    return finalize_topk(index, scored, k, filters)

@@ -1,0 +1,209 @@
+"""Scorer v2: posting-list intersection with block-max WAND pruning.
+
+Batch-distributed adaptation of Block-Max WAND (Ding & Suel, SIGIR'11 —
+public literature) over the compressed postings segments:
+
+  1. Per query term t: cmax(t) = qtf * global_max(t); S = sum cmax.
+  2. tau0 (score floor): decode only each term's globally-best block(s)
+     (those with max_w == global_max), take per-doc max single-block
+     contribution, kth largest => tau0. Contributions are nonnegative
+     (pruning auto-disables if any idf < 0), so a single-block
+     contribution lower-bounds the doc's true score => tau0 lower-bounds
+     the true kth-best score.
+  3. Block prune: decode block b of term t iff
+     qtf*max_w(b) + (S - cmax(t)) >= tau0. A doc all of whose blocks are
+     pruned has true score < tau0 — provably outside the top-k.
+  4. Candidate cut: from the decoded partial scores ps(d), upper bound
+     ub(d) = ps(d) + sum of cmax over terms NOT seen for d; keep
+     C = {d : ub(d) >= kth largest ps} (small).
+  5. Exact re-score of C: one targeted decode pass over ALL blocks whose
+     doc-range intersects C (pruned ones included), then the same
+     canonical term-sorted summation as scorer v1 — bit-identical
+     doubles, shared finalize (threshold / filters / tie-break).
+
+With metadata filters or negative idf, pruning is disabled and the full
+postings are decoded (still the compressed index path); rank identity
+holds either way and is asserted against scorer v1 + the oracle in
+tests/test_wand.py.
+
+All decoding is Arrow-batched ``mapInPandas`` with numpy varint
+decode — no per-row Python, no driver-side posting traffic (only k-row
+and |q|-row collects).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..oracle.tokenizer import tokenize
+from .postings import bm25_weight, term_bucket
+from .scorer import Index, finalize_topk, query_term_weights
+from .varint import varint_unpack
+
+_PAD = 1e-9  # float-jitter safety margin on loose (reordered) sums
+_C_CAP = 200_000  # candidate-broadcast cap before falling back to full decode
+
+
+def _query_postings(index: Index, terms: List[str]) -> DataFrame:
+    buckets = sorted({term_bucket(t) for t in terms})
+    return (
+        index.postings
+        .where(F.col("term_bucket").isin(buckets))  # partition pruning
+        .where(F.col("term").isin(terms))
+        .select("term", "range_id", "global_max", "blocks")
+    )
+
+
+def _decode_contribs(
+    prows: DataFrame,
+    qmap: Dict[str, tuple],
+    avgdl: float,
+    keep_thresh: Optional[Dict[str, float]] = None,
+    cand: Optional[np.ndarray] = None,
+):
+    """-> DataFrame(term, doc_id, contrib, cmax).
+
+    keep_thresh: per-term minimum qtf*max_w for a block to be decoded
+    (block-max pruning). cand: sorted doc-id array; when given, decode
+    only blocks whose [first_doc,last_doc] intersects it and emit only
+    docs in it (the targeted exact re-score pass).
+    """
+
+    def gen(batches):
+        for pdf in batches:
+            terms_out, docs_out, contribs_out, cmax_out = [], [], [], []
+            for term, blocks in zip(pdf["term"], pdf["blocks"]):
+                qtf, idf, g = qmap[term]
+                thr = keep_thresh.get(term) if keep_thresh is not None else None
+                cmax = qtf * g
+                for blk in blocks:
+                    if thr is not None and not (qtf * blk["max_w"] >= thr):
+                        continue
+                    if cand is not None:
+                        lo = np.searchsorted(cand, blk["first_doc"], side="left")
+                        if lo >= len(cand) or cand[lo] > blk["last_doc"]:
+                            continue
+                    n = blk["n"]
+                    deltas = varint_unpack(bytes(blk["doc_deltas"]), n).astype(np.int64)
+                    d = np.cumsum(deltas) + blk["first_doc"]
+                    tfs = varint_unpack(bytes(blk["tfs"]), n).astype(np.int64)
+                    dls = varint_unpack(bytes(blk["doc_lens"]), n).astype(np.int64)
+                    if cand is not None:
+                        mask = np.isin(d, cand, assume_unique=True)
+                        if not mask.any():
+                            continue
+                        d, tfs, dls = d[mask], tfs[mask], dls[mask]
+                    w = bm25_weight(tfs, dls, idf, avgdl)
+                    contrib = qtf * w
+                    terms_out.append(np.full(len(d), term, dtype=object))
+                    docs_out.append(d)
+                    contribs_out.append(contrib)
+                    cmax_out.append(np.full(len(d), cmax))
+            if docs_out:
+                yield pd.DataFrame(
+                    {
+                        "term": np.concatenate(terms_out),
+                        "doc_id": np.concatenate(docs_out),
+                        "contrib": np.concatenate(contribs_out),
+                        "cmax": np.concatenate(cmax_out),
+                    }
+                )
+
+    return prows.mapInPandas(
+        gen, schema="term string, doc_id long, contrib double, cmax double"
+    )
+
+
+def _canonical_scores(decoded: DataFrame) -> DataFrame:
+    """Same term-sorted left-fold as scorer v1 -> (doc_id, score)."""
+    return decoded.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"],
+        ).alias("score")
+    )
+
+
+def wand_topk(
+    index: Index,
+    query: str,
+    k: int = 10,
+    filters: Optional[Dict[str, str]] = None,
+    prune: bool = True,
+) -> DataFrame:
+    """Top-k via the compressed postings index; rank-identical to v1."""
+    assert index.postings is not None, "build postings first (build_postings)"
+    spark = index.spark
+    if not tokenize(query):
+        return spark.createDataFrame(
+            [], "rank int, doc_id long, url string, score double"
+        )
+    qw = query_term_weights(index, query)
+    if not qw:
+        return finalize_topk(index, None, k, filters)
+
+    terms = [t for t, _, _ in qw]
+    prows = _query_postings(index, terms).persist()
+    try:
+        gmax_rows = prows.groupBy("term").agg(F.max("global_max").alias("g")).collect()
+        gmax = {r["term"]: float(r["g"]) for r in gmax_rows}
+        qmap = {t: (float(qtf), float(idf), gmax.get(t, 0.0)) for t, qtf, idf in qw}
+        S = sum(v[0] * v[2] for v in qmap.values())
+
+        can_prune = (
+            prune
+            and not filters
+            and k > 0
+            and all(v[1] >= 0 for v in qmap.values())
+        )
+        if not can_prune:
+            decoded = _decode_contribs(prows, qmap, index.avgdl)
+            scored = _canonical_scores(decoded)
+            return finalize_topk(index, scored, k, filters)
+
+        # --- tau0 from each term's globally-best blocks
+        top_thresh = {t: v[0] * v[2] for t, v in qmap.items()}
+        top_blocks = _decode_contribs(prows, qmap, index.avgdl, keep_thresh=top_thresh)
+        tau_rows = (
+            top_blocks.groupBy("doc_id")
+            .agg(F.max("contrib").alias("c"))
+            .orderBy(F.desc("c"))
+            .limit(k)
+            .collect()
+        )
+        tau0 = float(tau_rows[-1]["c"]) if len(tau_rows) == k else -math.inf
+
+        # --- pruned decode
+        keep_thresh = {
+            t: tau0 - (S - v[0] * v[2]) for t, v in qmap.items()
+        }
+        decoded = _decode_contribs(prows, qmap, index.avgdl, keep_thresh=keep_thresh).persist()
+        per_doc = decoded.groupBy("doc_id").agg(
+            F.sum("contrib").alias("ps"), F.sum("cmax").alias("seen_cmax")
+        )
+        kth_rows = per_doc.orderBy(F.desc("ps")).limit(k).collect()
+        kth_ps = float(kth_rows[-1]["ps"]) if len(kth_rows) == k else -math.inf
+        cand_df = per_doc.where(
+            F.col("ps") + (F.lit(S) - F.col("seen_cmax")) + F.lit(_PAD)
+            >= F.lit(kth_ps) - F.lit(_PAD)
+        )
+        cand = np.sort(
+            np.array([r["doc_id"] for r in cand_df.select("doc_id").collect()], dtype=np.int64)
+        )
+        decoded.unpersist()
+
+        if len(cand) > _C_CAP:
+            exact = _decode_contribs(prows, qmap, index.avgdl)
+        else:
+            exact = _decode_contribs(prows, qmap, index.avgdl, cand=cand)
+        scored = _canonical_scores(exact)
+        return finalize_topk(index, scored, k, filters)
+    finally:
+        prows.unpersist()
