@@ -1,0 +1,277 @@
+"""Checkpointed, resumable multi-stage index build (north rule; M5).
+
+Stage graph (each stage writes parquet under ``index_dir`` and appends a
+lineage+metrics row to ``_build_state``):
+
+    docs -> stats -> tf -> terms -> postings (per term_bucket groups)
+
+Resume semantics: a stage (or, for postings, a bucket group) is skipped
+iff a ``complete`` state row exists with a matching input fingerprint
+and its output exists. Postings are built in bucket groups written via
+dynamic partition overwrite — an interrupt between groups leaves a
+consistent prefix, and the re-run rebuilds ONLY the missing buckets
+(the tf input is pre-filtered by a JVM-side md5 bucket expression that
+bit-matches the Python ``term_bucket``). This is the Spark re-expression
+of the reference's idempotent delete-then-insert re-index unit
+(``repo_indexer.py:148-162``, SURVEY §2.9 ST6) plus the durable-queue
+resume (ST1-ST4) — state lives in a table, not a broker.
+
+The reference's scaling defect this replaces: every add triggered a full
+O(corpus) BM25 rebuild and a whole-index pickle (bm25_index.py:102-115,
+204-217); here re-building bucket B touches only B's partitions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from datetime import datetime, timezone
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.postings import (
+    DEFAULT_BLOCK,
+    DEFAULT_TARGET_ROW_POSTINGS,
+    N_BUCKETS,
+    build_postings,
+)
+from ..operators.scorer import Index
+from ..operators.stats import build_docs, term_freqs, terms_with_idf
+from ..schemas import BUILD_STATE
+
+STATE_DIR = "_build_state"
+
+
+def jvm_term_bucket(col, n_buckets: int):
+    """JVM md5 bucket, bit-identical to operators.postings.term_bucket."""
+    return (
+        F.conv(F.substring(F.md5(F.encode(col, "utf-8")), 1, 8), 16, 10)
+        .cast("long") % n_buckets
+    ).cast("int")
+
+
+def _now():
+    return datetime.now(timezone.utc).replace(tzinfo=None)
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+class BuildState:
+    """Append-only lineage + metrics table under ``index_dir``."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.path = os.path.join(index_dir, STATE_DIR)
+
+    def read(self) -> Optional[DataFrame]:
+        if not os.path.exists(self.path):
+            return None
+        return self.spark.read.parquet(self.path)
+
+    def completed(self, stage: str, fingerprint: str) -> set:
+        """-> set of completed partition_ids for the stage (-1 = whole)."""
+        st = self.read()
+        if st is None:
+            return set()
+        rows = (
+            st.where(
+                (F.col("stage") == stage)
+                & (F.col("status") == "complete")
+                & (F.col("input_fingerprint") == fingerprint)
+            )
+            .select("partition_id")
+            .collect()
+        )
+        return {r["partition_id"] for r in rows}
+
+    def mark(
+        self,
+        stage: str,
+        fingerprint: str,
+        rows: int,
+        nbytes: int,
+        wall_ms: float,
+        partition_ids: Sequence[int] = (-1,),
+        status: str = "complete",
+    ):
+        recs = [
+            (stage, int(p), fingerprint, int(rows), int(nbytes), float(wall_ms), status, _now())
+            for p in partition_ids
+        ]
+        df = self.spark.createDataFrame(recs, schema=BUILD_STATE)
+        df.coalesce(1).write.mode("append").parquet(self.path)
+
+
+def _fingerprint(**kw) -> str:
+    return hashlib.sha256(json.dumps(kw, sort_keys=True).encode()).hexdigest()[:16]
+
+
+def build_index_persisted(
+    spark: SparkSession,
+    pages: DataFrame,
+    index_dir: str,
+    resume: bool = True,
+    meta_cols: tuple = (),
+    block_size: int = DEFAULT_BLOCK,
+    target_row_postings: int = DEFAULT_TARGET_ROW_POSTINGS,
+    n_buckets: int = N_BUCKETS,
+    bucket_groups: int = 4,
+    fail_after_groups: Optional[int] = None,
+) -> Index:
+    """Build (or resume) the persisted index at ``index_dir``.
+
+    ``fail_after_groups`` is a test hook simulating an interrupt after N
+    postings bucket-groups (raises RuntimeError mid-build).
+    """
+    os.makedirs(index_dir, exist_ok=True)
+    state = BuildState(spark, index_dir)
+    n_pages = pages.count()
+    fp = _fingerprint(
+        n_pages=n_pages,
+        meta_cols=list(meta_cols),
+        block_size=block_size,
+        target=target_row_postings,
+        n_buckets=n_buckets,
+    )
+
+    def stage_done(stage: str) -> bool:
+        return (
+            resume
+            and -1 in state.completed(stage, fp)
+            and os.path.exists(os.path.join(index_dir, stage))
+        )
+
+    def run_stage(stage: str, fn) -> None:
+        if stage_done(stage):
+            return
+        t0 = time.monotonic()
+        rows = fn(os.path.join(index_dir, stage))
+        wall = (time.monotonic() - t0) * 1000
+        state.mark(stage, fp, rows, _dir_bytes(os.path.join(index_dir, stage)), wall)
+
+    # --- stage: docs
+    def _docs(out):
+        d = build_docs(pages, meta_cols=meta_cols)
+        d.write.mode("overwrite").parquet(out)
+        return spark.read.parquet(out).count()
+
+    run_stage("docs", _docs)
+    docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+
+    # --- stage: stats
+    def _stats(out):
+        docs.agg(
+            F.count("*").alias("n_docs"),
+            (F.sum("doc_len").cast("double") / F.count("*")).alias("avgdl"),
+        ).coalesce(1).write.mode("overwrite").parquet(out)
+        return 1
+
+    run_stage("stats", _stats)
+    srow = spark.read.parquet(os.path.join(index_dir, "stats")).first()
+    n_docs, avgdl = int(srow["n_docs"]), float(srow["avgdl"])
+
+    # --- stage: tf
+    def _tf(out):
+        term_freqs(docs).write.mode("overwrite").parquet(out)
+        return spark.read.parquet(out).count()
+
+    run_stage("tf", _tf)
+    tf = spark.read.parquet(os.path.join(index_dir, "tf"))
+
+    # --- stage: terms
+    def _terms(out):
+        terms_with_idf(tf, n_docs).write.mode("overwrite").parquet(out)
+        return spark.read.parquet(out).count()
+
+    run_stage("terms", _terms)
+    terms = spark.read.parquet(os.path.join(index_dir, "terms"))
+
+    # --- stage: postings, per bucket group (partition-level lineage)
+    post_dir = os.path.join(index_dir, "postings")
+    done_buckets = state.completed("postings", fp) if resume else set()
+    all_buckets = list(range(n_buckets))
+    missing = [b for b in all_buckets if b not in done_buckets]
+    if missing:
+        groups: List[List[int]] = [
+            missing[i::bucket_groups] for i in range(bucket_groups)
+        ]
+        groups = [g for g in groups if g]
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        for gi, group in enumerate(groups):
+            if fail_after_groups is not None and gi >= fail_after_groups:
+                raise RuntimeError(
+                    f"simulated interrupt before bucket group {gi} ({group})"
+                )
+            t0 = time.monotonic()
+            tf_g = tf.where(
+                jvm_term_bucket(F.col("term"), n_buckets).isin(group)
+            )
+            p = build_postings(
+                tf_g, terms, n_docs, avgdl,
+                block_size=block_size,
+                target_row_postings=target_row_postings,
+                n_buckets=n_buckets,
+            )
+            p.write.mode("overwrite").partitionBy("term_bucket").parquet(post_dir)
+            wall = (time.monotonic() - t0) * 1000
+            state.mark(
+                "postings", fp, -1, _dir_bytes(post_dir), wall, partition_ids=group
+            )
+
+    with open(os.path.join(index_dir, "_meta.json"), "w") as f:
+        json.dump(
+            {
+                "n_buckets": n_buckets,
+                "block_size": block_size,
+                "target_row_postings": target_row_postings,
+                "fingerprint": fp,
+            },
+            f,
+        )
+
+    postings = spark.read.parquet(post_dir)
+    return Index(
+        spark=spark,
+        docs=docs,
+        tf=tf,
+        terms=terms,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        postings=postings,
+        n_buckets=n_buckets,
+        path=index_dir,
+    )
+
+
+def load_index(spark: SparkSession, index_dir: str) -> Index:
+    srow = spark.read.parquet(os.path.join(index_dir, "stats")).first()
+    post_dir = os.path.join(index_dir, "postings")
+    meta_path = os.path.join(index_dir, "_meta.json")
+    n_buckets = N_BUCKETS
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            n_buckets = int(json.load(f).get("n_buckets", N_BUCKETS))
+    return Index(
+        spark=spark,
+        docs=spark.read.parquet(os.path.join(index_dir, "docs")),
+        tf=spark.read.parquet(os.path.join(index_dir, "tf")),
+        terms=spark.read.parquet(os.path.join(index_dir, "terms")),
+        n_docs=int(srow["n_docs"]),
+        avgdl=float(srow["avgdl"]),
+        postings=spark.read.parquet(post_dir) if os.path.exists(post_dir) else None,
+        n_buckets=n_buckets,
+        path=index_dir,
+    )

@@ -58,4 +58,5 @@ def add_postings(
         n_buckets=n_buckets,
     )
     index.postings = p.persist() if cache else p
+    index.n_buckets = n_buckets
     return index

@@ -49,6 +49,7 @@ class Index:
     n_docs: int
     avgdl: float
     postings: Optional[DataFrame] = None  # compressed segments (M3+)
+    n_buckets: int = 64  # postings term_bucket count (index property)
     path: Optional[str] = None
     extras: dict = field(default_factory=dict)
 

@@ -51,7 +51,7 @@ _C_CAP = 200_000  # candidate-broadcast cap before falling back to full decode
 
 
 def _query_postings(index: Index, terms: List[str]) -> DataFrame:
-    buckets = sorted({term_bucket(t) for t in terms})
+    buckets = sorted({term_bucket(t, index.n_buckets) for t in terms})
     return (
         index.postings
         .where(F.col("term_bucket").isin(buckets))  # partition pruning
@@ -181,8 +181,10 @@ def wand_topk(
         tau0 = float(tau_rows[-1]["c"]) if len(tau_rows) == k else -math.inf
 
         # --- pruned decode
+        # -_PAD guards the a >= c-b vs a+b >= c float rearrangement at
+        # exact-tie boundaries (keeps strictly more blocks — still sound)
         keep_thresh = {
-            t: tau0 - (S - v[0] * v[2]) for t, v in qmap.items()
+            t: tau0 - (S - v[0] * v[2]) - _PAD for t, v in qmap.items()
         }
         decoded = _decode_contribs(prows, qmap, index.avgdl, keep_thresh=keep_thresh).persist()
         per_doc = decoded.groupBy("doc_id").agg(
