@@ -36,6 +36,23 @@ def _registry():
     reg["term_df_topk"] = (partial(eq.term_df_topk, k=50), oq.term_df_topk_sql(50))
     reg["idf_sample"] = (eq.idf_sample, oq.idf_sample_sql(eq.IDF_SAMPLE_TERMS))
     reg["lang_histogram"] = (eq.lang_histogram, oq.lang_histogram_sql())
+    reg["highlights"] = (partial(eq.highlights, k=50), oq.highlights_sql(50))
+
+    from distributedcodesearchengine_spark.functions.embed import mock_embed_text
+
+    _qv = mock_embed_text("distributed table scan", 64)
+    reg["cosine_topk"] = (
+        partial(eq.cosine_topk_q, text="distributed table scan", k=10),
+        oq.cosine_topk_sql(_qv, 10),
+    )
+    for key, q, boosted in [
+        ("rrf_hybrid", "table row scan", False),
+        ("rrf_hybrid_boosted", "api table row", True),
+    ]:
+        reg[key] = (
+            partial(eq.rrf_hybrid, query=q, k=10, boosted=boosted),
+            oq.rrf_hybrid_sql(q, mock_embed_text(q, 64), 10, boosted=boosted),
+        )
     for key, kw in _BM25_CASES:
         reg[key] = (
             partial(eq.bm25_query, **kw),

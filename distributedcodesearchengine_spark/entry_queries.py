@@ -110,3 +110,64 @@ def lang_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("lang")
     )
+
+
+def highlights(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
+    """P11/P12 highlight + truncation projections."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.substring("text", 1, 200).alias("highlight"),
+            F.substring("text", 1, 80).alias("snippet"),
+        )
+        .orderBy("doc_id")
+        .limit(k)
+    )
+
+
+def cosine_topk_q(spark: SparkSession, sf_dir: str, text: str, k: int = 10) -> DataFrame:
+    from .functions.embed import cosine_topk, mock_embed_text
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = mock_embed_text(text, 64)
+    res = cosine_topk(emb, qvec, k, id_col="vec_id")
+    return res.select("rank", "vec_id", F.round("score", 6).alias("score"))
+
+
+def rrf_hybrid(
+    spark: SparkSession, sf_dir: str, query: str, k: int = 10, boosted: bool = False
+) -> DataFrame:
+    """J1/J2(/J3)+T2/T4/T5 hybrid merge: cosine list over embeddings
+    (vec_id keyed) fused with the BM25 list over documents."""
+    from .functions.embed import cosine_topk, mock_embed_text
+    from .functions.sql_oracle import DRIVER_BOOST_RULES
+    from .operators.rrf import boost_col, rrf_merge
+
+    idx = get_documents_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = mock_embed_text(query, 64)
+    sem = cosine_topk(emb, qvec, 2 * k, id_col="vec_id").withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    bm = (
+        bm25_topk(idx, query, k=2 * k)
+        .select("rank", _orig_doc_id(), "score")
+    )
+    boost_df = None
+    if boosted:
+        docs = load_table(spark, sf_dir, "documents")
+        boost_df = docs.select(
+            "doc_id",
+            boost_col(F.col("source"), F.col("lang"), rules=DRIVER_BOOST_RULES).alias(
+                "boost"
+            ),
+        )
+    merged = rrf_merge(sem, bm, query=query, boost=boost_df, limit=k)
+    return merged.select(
+        "rank",
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        F.round("semantic_score", 6).alias("semantic_score"),
+        F.round("bm25_score", 6).alias("bm25_score"),
+    ).orderBy("rank")

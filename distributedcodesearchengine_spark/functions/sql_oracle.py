@@ -135,3 +135,124 @@ def bm25_topk_sql(
 def lang_histogram_sql() -> str:
     """A4 language histogram (repo_indexer.py:355-358 analog)."""
     return "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang"
+
+
+def highlights_sql(k: int = 50) -> str:
+    """P11/P12 highlight + truncation projections (engine.py:112-124,
+    vector_store.py:183, api/server.py:159)."""
+    return (
+        "SELECT doc_id, substr(text, 1, 200) AS highlight, "
+        "substr(text, 1, 80) AS snippet FROM documents "
+        f"ORDER BY doc_id LIMIT {k}"
+    )
+
+
+def _fmt_vec(qvec: Sequence[float]) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in qvec) + "]"
+
+
+def cosine_topk_sql(qvec: Sequence[float], k: int = 10) -> str:
+    """T3 brute-force cosine top-k over the embeddings table."""
+    import math
+
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in qvec))
+    v = _fmt_vec(qvec)
+    return (
+        "WITH scored AS (SELECT vec_id, "
+        f"list_dot_product(embedding::DOUBLE[], {v}) / "
+        f"(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * {qnorm!r}) AS score "
+        "FROM embeddings) "
+        "SELECT CAST(row_number() OVER (ORDER BY score DESC, vec_id ASC) AS INT) AS rank, "
+        f"vec_id, round(score, 6) AS score FROM scored ORDER BY score DESC, vec_id ASC LIMIT {k}"
+    )
+
+
+# boost rule table for the driver-gate RRF query: (source-contains,
+# lang-contains, factor), first match wins — the web analog of the
+# reference's api.py/sessions.py path boosts (engine.py:338-367)
+DRIVER_BOOST_RULES = [("src7", None, 1.5), ("src1", None, 1.3), (None, "de", 0.7)]
+
+
+def _boost_case_sql() -> str:
+    whens = []
+    for src_pat, lang_pat, factor in DRIVER_BOOST_RULES:
+        conds = []
+        if src_pat is not None:
+            conds.append(f"contains(lower(d.source), '{src_pat}')")
+        if lang_pat is not None:
+            conds.append(f"contains(lower(d.lang), '{lang_pat}')")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN {float(factor)}")
+    return "CASE " + " ".join(whens) + " ELSE 1.0 END"
+
+
+def rrf_hybrid_sql(
+    query: str,
+    qvec: Sequence[float],
+    k: int = 10,
+    boosted: bool = False,
+) -> str:
+    """J1+J2(+J3)+T2/T4/T5: full-outer RRF of the semantic cosine list
+    (embeddings, vec_id as the join key) and the BM25 list (documents),
+    with adaptive weight, optional boost, insertion-order tie-break and
+    max-normalization — mirroring operators/rrf.py operand-for-operand."""
+    import math
+    from collections import Counter
+
+    toks = tokenize(query)
+    counts = Counter(toks)
+    qvals = ", ".join(f"('{t}', {float(q)})" for t, q in sorted(counts.items()))
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in qvec))
+    v = _fmt_vec(qvec)
+    overfetch = 2 * k
+    http = any(t in query.lower() for t in ("http", "request", "api"))
+    boost_join = (
+        "LEFT JOIN (SELECT doc_id, " + _boost_case_sql() + " AS boost FROM documents d) bo "
+        "ON bo.doc_id = j.doc_id "
+        if (boosted and http)
+        else ""
+    )
+    boost_expr = "coalesce(bo.boost, 1.0)" if (boosted and http) else "1.0"
+    return (
+        f"WITH {_docs_cte()}, "
+        f"qt(term, qtf) AS (VALUES {qvals}), "
+        "contrib AS (SELECT tf.doc_id, tf.term, "
+        f"  qt.qtf * (idf.idf * (tf.tf * {K1 + 1.0} / "
+        f"    (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM stats))))) AS c "
+        "  FROM tf JOIN qt USING (term) JOIN idf USING (term) "
+        "  JOIN doclen dl ON dl.doc_id = tf.doc_id), "
+        "bscored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id), "
+        "bmx AS (SELECT max(score) AS m FROM bscored), "
+        "bkept AS (SELECT d.doc_id, coalesce(s.score, 0.0) AS score "
+        "  FROM doclen d LEFT JOIN bscored s USING (doc_id) "
+        "  WHERE ((SELECT m FROM bmx) IS NULL OR (SELECT m FROM bmx) <= 0 "
+        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM bmx))), "
+        "bmtop AS (SELECT doc_id, score, "
+        "  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) - 1 AS rank0 "
+        f"  FROM bkept ORDER BY score DESC, doc_id ASC LIMIT {overfetch}), "
+        "sscored AS (SELECT vec_id AS doc_id, "
+        f"  list_dot_product(embedding::DOUBLE[], {v}) / "
+        f"  (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * {qnorm!r}) AS score "
+        "  FROM embeddings), "
+        "semtop AS (SELECT doc_id, score, "
+        "  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) - 1 AS rank0 "
+        f"  FROM sscored ORDER BY score DESC, doc_id ASC LIMIT {overfetch}), "
+        "semstats AS (SELECT count(*) AS n, max(score) - min(score) AS rng FROM semtop), "
+        "wv AS (SELECT CASE WHEN (SELECT n FROM semstats) > 0 "
+        "  AND (SELECT rng FROM semstats) < 0.05 THEN 0.3 ELSE 0.7 END AS sw), "
+        "j AS (SELECT coalesce(s.doc_id, b.doc_id) AS doc_id, "
+        "  s.rank0 AS srank, b.rank0 AS brank, s.score AS sscore, b.score AS bscore "
+        "  FROM semtop s FULL OUTER JOIN bmtop b ON s.doc_id = b.doc_id), "
+        "merged AS (SELECT j.doc_id, "
+        "  (coalesce((SELECT sw FROM wv) * (1.0 / (60 + j.srank + 1)), 0.0) + "
+        "   coalesce((1 - (SELECT sw FROM wv)) * (1.0 / (60 + j.brank + 1)), 0.0)) "
+        f"   * {boost_expr} AS score, "
+        "  coalesce(j.sscore, 0.0) AS semantic_score, coalesce(j.bscore, 0.0) AS bm25_score, "
+        "  coalesce(CAST(j.srank AS BIGINT), (SELECT count(*) FROM semtop) + j.brank) AS tie "
+        f"  FROM j {boost_join}), "
+        f"top AS (SELECT * FROM merged ORDER BY score DESC, tie ASC LIMIT {k}), "
+        "mx AS (SELECT max(score) AS m FROM top) "
+        "SELECT CAST(row_number() OVER (ORDER BY score DESC, tie ASC) AS INT) AS rank, doc_id, "
+        "round(CASE WHEN (SELECT m FROM mx) > 0 THEN score / (SELECT m FROM mx) ELSE score END, 6) AS score, "
+        "round(semantic_score, 6) AS semantic_score, round(bm25_score, 6) AS bm25_score "
+        "FROM top ORDER BY rank"
+    )
