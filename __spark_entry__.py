@@ -53,6 +53,47 @@ def _registry():
             partial(eq.rrf_hybrid, query=q, k=10, boosted=boosted),
             oq.rrf_hybrid_sql(q, mock_embed_text(q, 64), 10, boosted=boosted),
         )
+
+    # --- training-data pipeline suite (dedup / similarity / text stats)
+    from distributedcodesearchengine_spark.operators import dedup as dd
+    from distributedcodesearchengine_spark.operators import similarity as sim
+    from distributedcodesearchengine_spark.operators import textstats as ts
+
+    cte = oq.toks_cte()
+
+    def _docs_op(fn):
+        return lambda spark, sf_dir: fn(eq.docs_with_tokens(spark, sf_dir))
+
+    def _tbl_op(fn, table="documents"):
+        from distributedcodesearchengine_spark.sources.tables import load_table
+
+        return lambda spark, sf_dir: fn(load_table(spark, sf_dir, table))
+
+    reg["dedup_exact"] = (_tbl_op(dd.exact_dedup_summary), dd.exact_dedup_summary_sql())
+    reg["minhash_signatures"] = (
+        _docs_op(dd.minhash_signatures), dd.minhash_signatures_sql(cte),
+    )
+    reg["dedup_minhash_lsh"] = (
+        _docs_op(dd.lsh_candidate_pairs), dd.lsh_candidate_pairs_sql(cte),
+    )
+    reg["dedup_simhash"] = (_docs_op(dd.simhash32), dd.simhash32_sql(cte))
+    reg["ngram_jaccard"] = (
+        _docs_op(dd.ngram_jaccard_sample), dd.ngram_jaccard_sample_sql(cte),
+    )
+    reg["lang_id"] = (_docs_op(ts.lang_id), ts.lang_id_sql(cte))
+    reg["quality_score"] = (_docs_op(ts.quality_score), ts.quality_score_sql(cte))
+    reg["token_counts"] = (_tbl_op(ts.token_counts), ts.token_counts_sql())
+    reg["doc_fingerprint"] = (_tbl_op(ts.doc_fingerprint), ts.doc_fingerprint_sql())
+    reg["ann_lsh_buckets"] = (
+        _tbl_op(sim.hyperplane_buckets, "embeddings"), sim.hyperplane_buckets_sql(),
+    )
+    reg["embedding_near_dup"] = (
+        _tbl_op(sim.near_dup_pairs, "embeddings"), sim.near_dup_pairs_sql(),
+    )
+
+    # multimodal plumbing: stubbed decoders, rows-only driver check
+    reg["multimodal_features"] = (eq.multimodal_features, None)
+    reg["multimodal_frame_sample"] = (eq.frame_sample_q, None)
     for key, kw in _BM25_CASES:
         reg[key] = (
             partial(eq.bm25_query, **kw),
@@ -73,4 +114,4 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {k: sql for k, (_, sql) in _registry().items()}
+    return {k: sql for k, (_, sql) in _registry().items() if sql is not None}

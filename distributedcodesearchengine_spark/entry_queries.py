@@ -135,6 +135,38 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str, text: str, k: int = 10) -> D
     return res.select("rank", "vec_id", F.round("score", 6).alias("score"))
 
 
+def docs_with_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.udfs import tokenize_udf
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "text", tokenize_udf("text").alias("tokens"))
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode plumbing over the pages adaptation (stubbed
+    deterministic decoder; rows-only driver check — not SQL-expressible)."""
+    from .operators.multimodal import extract_media_features
+
+    pages = documents_as_pages(spark, sf_dir).withColumn(
+        "doc_id", F.regexp_extract("url", r"(\d+)$", 1).cast("long")
+    )
+    return extract_media_features(pages, payload_col="html", id_col="doc_id").orderBy(
+        "doc_id"
+    )
+
+
+def frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import extract_media_features, frame_sample
+
+    pages = documents_as_pages(spark, sf_dir).withColumn(
+        "doc_id", F.regexp_extract("url", r"(\d+)$", 1).cast("long")
+    )
+    media = extract_media_features(
+        pages, payload_col="html", id_col="doc_id", kind="video"
+    )
+    return frame_sample(media, every_n=8).orderBy("doc_id", "frame_idx")
+
+
 def rrf_hybrid(
     spark: SparkSession, sf_dir: str, query: str, k: int = 10, boosted: bool = False
 ) -> DataFrame:

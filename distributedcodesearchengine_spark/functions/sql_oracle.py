@@ -34,6 +34,13 @@ def tokenize_col(col: str = "text") -> str:
     return TOKENIZE_SQL.format(col=col)
 
 
+def toks_cte(table: str = "documents") -> str:
+    """Minimal tokenization CTE for the pipeline operators."""
+    return (
+        f"docs AS (SELECT doc_id, {tokenize_col('text')} AS toks FROM {table})"
+    )
+
+
 def _docs_cte(table: str = "documents") -> str:
     return (
         f"docs AS (SELECT doc_id, lang, source, {tokenize_col('text')} AS toks "

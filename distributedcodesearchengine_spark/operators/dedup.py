@@ -1,0 +1,257 @@
+"""Deduplication operators for a training-data pipeline.
+
+- exact dedup: content-hash groupBy (the scalable exact pass)
+- MinHash + LSH: token-3-gram shingles -> NH md5-minhashes -> banded
+  signatures -> bucket self-join candidates -> exact Jaccard verify.
+  The minhash uses the LEXICOGRAPHIC MIN OF MD5 HEX STRINGS, which is a
+  portable uniform hash both Spark and DuckDB compute identically (no
+  engine-specific hash()), so every stage is oracle-checkable.
+- SimHash (32-bit): per-token md5-derived uint32, per-bit +/-1 votes
+  summed per doc, sign -> bit.
+- n-gram Jaccard: exact pairwise similarity on a bounded sample.
+
+Scale notes: shingle explosion + groupBy(doc) minhash is a single
+shuffle; the LSH self-join is band-bucket-partitioned (candidates only,
+never all-pairs); exact verify touches candidate pairs only. At 10^12
+docs the band join is the standard near-dup pattern (e.g. the C4 /
+RefinedWeb pipelines in public literature).
+
+Spark impls are JVM expressions end-to-end; DuckDB SQL builders are
+colocated and mirror them operand-for-operand.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_HASHES = 8
+N_BANDS = 4  # rows-per-band = N_HASHES // N_BANDS = 2
+
+SHINGLES_EXPR = (
+    "CASE WHEN size(tokens) >= 3 THEN "
+    "transform(sequence(0, size(tokens) - 3), "
+    "i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])) "
+    "ELSE array() END"
+)
+
+SHINGLES_SQL = (
+    "CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(range(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) "
+    "ELSE [] END"
+)
+
+
+def exact_dedup_summary(documents: DataFrame) -> DataFrame:
+    """Single-row exact-dup stats by content hash (md5 of raw text)."""
+    h = documents.select(F.md5(F.encode(F.col("text"), "utf-8")).alias("h"))
+    g = h.groupBy("h").agg(F.count("*").alias("n"))
+    return g.agg(
+        F.count("*").alias("n_distinct"),
+        F.sum("n").alias("n_docs"),
+        F.sum(F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0)).alias("n_dup_docs"),
+    )
+
+
+def exact_dedup_summary_sql() -> str:
+    return (
+        "WITH g AS (SELECT md5(text) AS h, count(*) AS n FROM documents GROUP BY 1) "
+        "SELECT count(*) AS n_distinct, sum(n) AS n_docs, "
+        "sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS n_dup_docs FROM g"
+    )
+
+
+def with_shingles(docs: DataFrame) -> DataFrame:
+    return docs.withColumn("shingles", F.expr(SHINGLES_EXPR))
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, mh0..mh{n-1}) — min over shingles of md5(i || '|' || s).
+    Docs with no shingles (< 3 tokens) are excluded."""
+    sh = (
+        with_shingles(docs)
+        .where(F.size("shingles") > 0)
+        .select("doc_id", F.explode("shingles").alias("sh"))
+    )
+    aggs = [
+        F.min(F.md5(F.encode(F.concat(F.lit(f"{i}|"), F.col("sh")), "utf-8"))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+def minhash_signatures_sql(table_toks_cte: str, n_hashes: int = N_HASHES) -> str:
+    mins = ", ".join(
+        f"min(md5('{i}|' || sh)) AS mh{i}" for i in range(n_hashes)
+    )
+    return (
+        f"WITH {table_toks_cte}, "
+        f"shd AS (SELECT doc_id, {SHINGLES_SQL} AS shingles FROM docs), "
+        "sh AS (SELECT doc_id, unnest(shingles) AS sh FROM shd WHERE len(shingles) > 0) "
+        f"SELECT doc_id, {mins} FROM sh GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
+def _band_cols(n_bands: int = N_BANDS, rows: int = N_HASHES // N_BANDS):
+    return [
+        F.concat(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+
+
+def lsh_candidate_pairs(docs: DataFrame, jaccard_min: float = 0.2) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — banded-LSH candidates verified with the
+    exact shingle-set Jaccard; only pairs sharing >= 1 band bucket."""
+    sigs = minhash_signatures(docs).select("doc_id", *_band_cols())
+    bands = None
+    for b in range(N_BANDS):
+        part = sigs.select(
+            F.lit(b).alias("band_id"), F.col(f"band{b}").alias("sig"), "doc_id"
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    bb = bands.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _jaccard_verify(docs, cand, jaccard_min)
+
+
+def _jaccard_verify(docs: DataFrame, pairs: DataFrame, jaccard_min: float) -> DataFrame:
+    sh = (
+        with_shingles(docs)
+        .select("doc_id", F.explode(F.array_distinct("shingles")).alias("sh"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        pairs.join(sha, "doc_a").join(shb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    out = (
+        inter.join(na, "doc_a").join(nb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= jaccard_min)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+    return out
+
+
+def lsh_candidate_pairs_sql(table_toks_cte: str, jaccard_min: float = 0.2) -> str:
+    rows = N_HASHES // N_BANDS
+    band_select = ", ".join(
+        "(" + " || ".join(f"mh{b * rows + r}" for r in range(rows)) + f") AS band{b}"
+        for b in range(N_BANDS)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT {b} AS band_id, band{b} AS sig, doc_id FROM sigs"
+        for b in range(N_BANDS)
+    )
+    mins = ", ".join(f"min(md5('{i}|' || sh)) AS mh{i}" for i in range(N_HASHES))
+    return (
+        f"WITH {table_toks_cte}, "
+        f"shd AS (SELECT doc_id, {SHINGLES_SQL} AS shingles FROM docs), "
+        "sh0 AS (SELECT doc_id, unnest(shingles) AS sh FROM shd WHERE len(shingles) > 0), "
+        f"mh AS (SELECT doc_id, {mins} FROM sh0 GROUP BY doc_id), "
+        f"sigs AS (SELECT doc_id, {band_select} FROM mh), "
+        f"bands AS ({band_union}), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.sig = b.sig "
+        "  AND a.doc_id < b.doc_id), "
+        "shd2 AS (SELECT doc_id, unnest(list_distinct(shingles)) AS sh FROM shd), "
+        "sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd2 GROUP BY doc_id), "
+        "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter "
+        "  FROM cand c JOIN shd2 x ON x.doc_id = c.doc_a "
+        "  JOIN shd2 y ON y.doc_id = c.doc_b AND y.sh = x.sh "
+        "  GROUP BY c.doc_a, c.doc_b) "
+        "SELECT i.doc_a, i.doc_b, round(CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter), 6) AS jaccard "
+        "FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a "
+        "JOIN sizes sb ON sb.doc_id = i.doc_b "
+        f"WHERE CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) >= {jaccard_min} "
+        "ORDER BY doc_a, doc_b"
+    )
+
+
+def simhash32(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — 32-bit simhash from md5-derived token hashes
+    (per-bit +/-1 votes with multiplicity; tie -> bit 0)."""
+    tok = docs.select("doc_id", F.explode("tokens").alias("t"))
+    tok = tok.withColumn(
+        "h",
+        F.conv(F.substring(F.md5(F.encode(F.col("t"), "utf-8")), 1, 8), 16, 10).cast("long"),
+    )
+    votes = [
+        F.sum(
+            (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"s{j}")
+        for j in range(32)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*votes)
+    bit_sum = None
+    for j in range(32):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit_sum = term if bit_sum is None else bit_sum + term
+    return per_doc.select("doc_id", bit_sum.alias("simhash")).orderBy("doc_id")
+
+
+def simhash32_sql(table_toks_cte: str) -> str:
+    votes = ", ".join(
+        f"sum((((('0x' || substr(md5(t), 1, 8))::BIGINT) >> {j}) & 1) * 2 - 1) AS s{j}"
+        for j in range(32)
+    )
+    bits = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN CAST({2 ** j} AS BIGINT) ELSE 0 END" for j in range(32)
+    )
+    return (
+        f"WITH {table_toks_cte}, "
+        "tok AS (SELECT doc_id, unnest(toks) AS t FROM docs), "
+        f"v AS (SELECT doc_id, {votes} FROM tok GROUP BY doc_id) "
+        f"SELECT doc_id, {bits} AS simhash FROM v ORDER BY doc_id"
+    )
+
+
+def ngram_jaccard_sample(docs: DataFrame, max_doc: int = 40, jmin: float = 0.0) -> DataFrame:
+    """Exact all-pairs Jaccard on a bounded doc_id sample (the oracle
+    baseline the LSH path approximates)."""
+    small = docs.where(F.col("doc_id") < max_doc)
+    pairs = (
+        small.select(F.col("doc_id").alias("doc_a"))
+        .crossJoin(small.select(F.col("doc_id").alias("doc_b")))
+        .where(F.col("doc_a") < F.col("doc_b"))
+    )
+    return _jaccard_verify(small, pairs, jmin).where(F.col("jaccard") > 0)
+
+
+def ngram_jaccard_sample_sql(table_toks_cte: str, max_doc: int = 40) -> str:
+    return (
+        f"WITH {table_toks_cte}, "
+        f"small AS (SELECT doc_id, {SHINGLES_SQL} AS shingles FROM docs WHERE doc_id < {max_doc}), "
+        "shd2 AS (SELECT doc_id, unnest(list_distinct(shingles)) AS sh FROM small), "
+        "sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd2 GROUP BY doc_id), "
+        "inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter "
+        "  FROM shd2 x JOIN shd2 y ON y.sh = x.sh AND x.doc_id < y.doc_id "
+        "  GROUP BY x.doc_id, y.doc_id) "
+        "SELECT i.doc_a, i.doc_b, round(CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter), 6) AS jaccard "
+        "FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a "
+        "JOIN sizes sb ON sb.doc_id = i.doc_b "
+        "WHERE CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) > 0 "
+        "ORDER BY doc_a, doc_b"
+    )

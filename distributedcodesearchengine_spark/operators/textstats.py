@@ -1,0 +1,179 @@
+"""Text-analysis operators for a training-data pipeline: language-ID
+(stopword-ratio heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), document fingerprinting.
+
+Each operator has a Spark implementation over a ``docs`` DataFrame
+(doc_id, text and/or tokens) and a colocated DuckDB SQL builder that
+mirrors it operand-for-operand — the pair is registered in
+``__spark_entry__`` for the driver's side-by-side gate.
+
+Everything is JVM column expressions (higher-order array functions,
+regexp) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "to", "and", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des"],
+}
+
+BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _stop_ratio_expr(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"CASE WHEN size(tokens) > 0 THEN "
+        f"CAST(size(filter(tokens, t -> t IN ({lst}))) AS DOUBLE) / size(tokens) "
+        f"ELSE 0.0 END"
+    )
+
+
+def _stop_ratio_sql(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"CASE WHEN len(toks) > 0 THEN "
+        f"CAST(len(list_filter(toks, t -> t IN ({lst}))) AS DOUBLE) / len(toks) "
+        f"ELSE 0.0 END"
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, en_ratio, de_ratio, fr_ratio, pred_lang) — n-gram-free
+    stopword-ratio language ID; argmax with tie order en > de > fr."""
+    d = docs
+    for lang in ("en", "de", "fr"):
+        d = d.withColumn(f"{lang}_ratio", F.expr(_stop_ratio_expr(lang)))
+    return d.select(
+        "doc_id",
+        F.round("en_ratio", 6).alias("en_ratio"),
+        F.round("de_ratio", 6).alias("de_ratio"),
+        F.round("fr_ratio", 6).alias("fr_ratio"),
+        F.expr(
+            "CASE WHEN en_ratio >= de_ratio AND en_ratio >= fr_ratio THEN 'en' "
+            "WHEN de_ratio >= fr_ratio THEN 'de' ELSE 'fr' END"
+        ).alias("pred_lang"),
+    ).orderBy("doc_id")
+
+
+def lang_id_sql(table_toks_cte: str) -> str:
+    return (
+        f"WITH {table_toks_cte}, r AS (SELECT doc_id, "
+        f"{_stop_ratio_sql('en')} AS en_ratio, "
+        f"{_stop_ratio_sql('de')} AS de_ratio, "
+        f"{_stop_ratio_sql('fr')} AS fr_ratio FROM docs) "
+        "SELECT doc_id, round(en_ratio, 6) AS en_ratio, round(de_ratio, 6) AS de_ratio, "
+        "round(fr_ratio, 6) AS fr_ratio, "
+        "CASE WHEN en_ratio >= de_ratio AND en_ratio >= fr_ratio THEN 'en' "
+        "WHEN de_ratio >= fr_ratio THEN 'de' ELSE 'fr' END AS pred_lang "
+        "FROM r ORDER BY doc_id"
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, punct_ratio, stop_ratio, mean_tok_len, quality)
+    — length/punctuation/stopword quality heuristic."""
+    d = docs.withColumn("n_chars", F.length("text")).withColumn(
+        "n_tokens", F.size("tokens")
+    )
+    d = d.withColumn(
+        "punct_ratio",
+        F.expr(
+            "CAST(size(regexp_extract_all(text, '[^A-Za-z0-9 ]', 0)) AS DOUBLE) "
+            "/ greatest(n_chars, 1)"
+        ),
+    )
+    d = d.withColumn("stop_ratio", F.expr(_stop_ratio_expr("en")))
+    d = d.withColumn(
+        "mean_tok_len",
+        F.expr(
+            "CASE WHEN n_tokens > 0 THEN "
+            "CAST(aggregate(transform(tokens, t -> length(t)), 0, (a, x) -> a + x) AS DOUBLE)"
+            " / n_tokens ELSE 0.0 END"
+        ),
+    )
+    d = d.withColumn(
+        "quality",
+        F.expr(
+            "0.25 * least(1.0, n_tokens / 100.0) + 0.25 * (1.0 - punct_ratio) "
+            "+ 0.25 * least(1.0, stop_ratio * 4.0) "
+            "+ 0.25 * least(1.0, mean_tok_len / 8.0)"
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stop_ratio", 6).alias("stop_ratio"),
+        F.round("mean_tok_len", 6).alias("mean_tok_len"),
+        F.round("quality", 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def quality_score_sql(table_toks_cte: str) -> str:
+    return (
+        f"WITH {table_toks_cte}, q AS (SELECT d.doc_id, "
+        "length(t.text) AS n_chars, len(toks) AS n_tokens, "
+        "CAST(len(regexp_extract_all(t.text, '[^A-Za-z0-9 ]')) AS DOUBLE) "
+        "/ greatest(length(t.text), 1) AS punct_ratio, "
+        f"{_stop_ratio_sql('en')} AS stop_ratio, "
+        "CASE WHEN len(toks) > 0 THEN "
+        "CAST(list_aggregate(list_transform(toks, t2 -> length(t2)), 'sum') AS DOUBLE)"
+        " / len(toks) ELSE 0.0 END AS mean_tok_len "
+        "FROM docs d JOIN documents t ON t.doc_id = d.doc_id) "
+        "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+        "round(punct_ratio, 6) AS punct_ratio, round(stop_ratio, 6) AS stop_ratio, "
+        "round(mean_tok_len, 6) AS mean_tok_len, "
+        "round(0.25 * least(1.0, n_tokens / 100.0) + 0.25 * (1.0 - punct_ratio) "
+        "+ 0.25 * least(1.0, stop_ratio * 4.0) "
+        "+ 0.25 * least(1.0, mean_tok_len / 8.0), 6) AS quality "
+        "FROM q ORDER BY doc_id"
+    )
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """(doc_id, ws_tokens, bpe_tokens) — whitespace split count + a
+    BPE-ish regex token count (letters / digits / single punctuation)."""
+    return documents.select(
+        "doc_id",
+        F.expr(
+            r"CAST(size(filter(split(text, '\\s+'), x -> x != '')) AS BIGINT)"
+        ).alias("ws_tokens"),
+        # F.lit pattern avoids SQL-parser backslash mangling of \s
+        F.size(F.regexp_extract_all("text", F.lit(BPE_REGEX), F.lit(0)))
+        .cast("bigint")
+        .alias("bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+def token_counts_sql() -> str:
+    return (
+        "SELECT doc_id, "
+        r"CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS BIGINT) AS ws_tokens, "
+        f"CAST(len(regexp_extract_all(text, '{BPE_REGEX}')) AS BIGINT) AS bpe_tokens "
+        "FROM documents ORDER BY doc_id"
+    )
+
+
+def doc_fingerprint(documents: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint) — md5 of whitespace-normalized lowercase
+    text (the content-defined dedup key)."""
+    return documents.select(
+        "doc_id",
+        F.md5(
+            F.encode(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), "utf-8")
+        ).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+def doc_fingerprint_sql() -> str:
+    return (
+        "SELECT doc_id, "
+        r"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint "
+        "FROM documents ORDER BY doc_id"
+    )
