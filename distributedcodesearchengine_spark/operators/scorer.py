@@ -175,6 +175,60 @@ def finalize_topk(
     )
 
 
+def bm25_topk_batch(index: Index, queries: Dict[int, str], k: int = 10) -> DataFrame:
+    """Score a whole query SET in one DataFrame plan ->
+    (query_id, rank, doc_id, score).
+
+    The throughput path: one broadcast join of all query terms against
+    the tf index, one aggregation keyed by (query_id, doc_id), per-query
+    threshold and top-k via windows PARTITIONED BY query_id (parallel
+    across queries — no single-partition window). Matches the per-query
+    scorer rank-for-rank on the normal path; degenerate all-zero /
+    unknown-token queries are the per-query scorer's job (they need the
+    full-corpus zero backfill) and are skipped here.
+    """
+    from collections import Counter
+
+    from pyspark.sql.window import Window
+
+    spark = index.spark
+    rows = []
+    for qid, q in queries.items():
+        for t, qtf in sorted(Counter(tokenize(q)).items()):
+            rows.append((int(qid), t, float(qtf)))
+    qdf = spark.createDataFrame(rows, "query_id int, term string, qtf double")
+    uniq_terms = sorted({t for _, t, _ in rows})
+    # term-pruned idf lookup joined to the tiny query side (never
+    # broadcast the full vocab)
+    qterms = (
+        index.terms.select("term", "idf")
+        .where(F.col("term").isin(uniq_terms))
+        .join(F.broadcast(qdf), "term")
+    )
+    matched = (
+        index.tf.where(F.col("term").isin(uniq_terms))
+        .join(F.broadcast(qterms), "term")
+        .withColumn("_avgdl", F.lit(index.avgdl))
+        .withColumn("contrib", contribution_col())
+    )
+    scored = matched.groupBy("query_id", "doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"],
+        ).alias("score")
+    )
+    wmax = Window.partitionBy("query_id")
+    wrank = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("_mx", F.max("score").over(wmax))
+        .where((F.col("_mx") <= 0) | (F.col("score") >= 0.01 * F.col("_mx")))
+        .withColumn("rank", F.row_number().over(wrank))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 def bm25_topk(
     index: Index,
     query: str,

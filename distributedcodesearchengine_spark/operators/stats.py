@@ -49,6 +49,9 @@ def build_docs(
         .withColumn("tokens", tokenize_udf(F.col("text")))
         .withColumn("doc_len", F.size("tokens").cast("int"))
         .withColumn("site", F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1))
+        # project BEFORE the doc-id range shuffle: html/text/warc_ts are
+        # dead past this point and would double the exchange volume
+        .select("url", "site", "lang", *meta_cols, "tokens", "doc_len")
     )
     docs = assign_doc_ids(docs, "url", num_partitions)
     return docs.select(
@@ -65,16 +68,60 @@ def corpus_stats(docs: DataFrame) -> Tuple[int, float]:
 
 
 def term_freqs(docs: DataFrame) -> DataFrame:
-    """tf(term, doc_id, tf, doc_len, lang, site) — the uncompressed index.
-
-    doc_len/lang/site ride along as grouping keys (functionally dependent
-    on doc_id) instead of a post-hoc join against the corpus.
+    """tf(term, doc_id, tf, doc_len, lang, site, ...) — the uncompressed
+    index, computed with ZERO shuffle and ZERO Python: per-doc term
+    counts are a JVM run-length expression over the sorted token array
+    (sort, find run starts via filtered index sequence, zip starts with
+    ends). The sorted array and run starts are materialized as real
+    columns first — Catalyst does not CSE inside lambda bodies, so
+    inlining sort_array into every element access would re-sort per
+    access. doc_len/lang/site ride along denormalized so the query path
+    never joins back to the corpus. An explode+groupBy(term, doc_id)
+    would shuffle ~|tokens| near-unique keys for no combine benefit.
     """
     keys = [c for c in docs.columns if c not in ("url", "tokens")]
+    s = F.col("_s")
+    starts = F.col("_starts")
+    d = (
+        docs.withColumn("_s", F.sort_array("tokens"))
+        .withColumn(
+            "_starts",
+            F.when(
+                F.size(s) > 0,
+                F.filter(
+                    F.sequence(F.lit(0), F.size(s) - 1),
+                    lambda i: (i == F.lit(0)) | (F.get(s, i) != F.get(s, i - 1)),
+                ),
+            ).otherwise(F.array().cast("array<int>")),
+        )
+        .withColumn(
+            "_tc",
+            F.when(
+                F.size(starts) > 0,
+                F.zip_with(
+                    starts,
+                    F.concat(
+                        F.slice(
+                            starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))
+                        ),
+                        F.array(F.size(s)),
+                    ),
+                    lambda a, b: F.struct(
+                        F.get(s, a).alias("term"), (b - a).cast("int").alias("tf")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<term:string,tf:int>>")),
+        )
+    )
+    # explode_outer, NOT explode: InferFiltersFromGenerate would push a
+    # synthesized size(..)>0 filter below the projections, inlining the
+    # whole HOF tree ~20x per row (measured 70x slowdown). explode_outer
+    # is exempt; the null rows (empty docs) are dropped by a filter on
+    # the generator OUTPUT, which cannot be pushed below the Generate.
     return (
-        docs.select(*keys, F.explode("tokens").alias("term"))
-        .groupBy("term", *keys)
-        .agg(F.count("*").cast("int").alias("tf"))
+        d.select(*keys, F.explode_outer("_tc").alias("tc"))
+        .where(F.col("tc").isNotNull())
+        .select(F.col("tc.term").alias("term"), *keys, F.col("tc.tf").alias("tf"))
     )
 
 

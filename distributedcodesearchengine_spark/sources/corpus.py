@@ -99,6 +99,9 @@ def _u01(h: np.ndarray) -> np.ndarray:
     return h.astype(np.float64) / 18446744073709551616.0
 
 
+_VOCAB_ARR = np.array(VOCAB, dtype=object)
+
+
 def generate_rows_local(ids: np.ndarray, seed: int = 42, skew: bool = False) -> pd.DataFrame:
     ids = np.asarray(ids, dtype=np.int64)
     n = len(ids)
@@ -107,19 +110,28 @@ def generate_rows_local(ids: np.ndarray, seed: int = 42, skew: bool = False) -> 
     lang_idx = (_h(ids, 3, seed) % np.uint64(10)).astype(np.int64)
     hot = (_h(ids, 4, seed) % np.uint64(2)) == 0 if skew else np.zeros(n, bool)
 
+    # fully vectorized token generation: one hash pass over all token
+    # slots of the batch (values identical to the per-row formulation:
+    # key = id*1000003 + position)
+    L = np.where(is_empty, 0, lens)
+    ends = np.cumsum(L)
+    starts = ends - L
+    total = int(ends[-1]) if n else 0
+    doc_idx = np.repeat(np.arange(n), L)
+    pos = np.arange(total) - np.repeat(starts, L)
+    keys = ids[doc_idx] * np.int64(1000003) + pos
+    u = _u01(_h(keys, 5, seed))
+    vidx = np.searchsorted(_ZIPF_CDF, u, side="left")
+    words = _VOCAB_ARR[vidx]
+    if skew:
+        words[(pos == 0) & hot[doc_idx]] = HOT_TERM
+
     texts = []
     for r in range(n):
-        i = int(ids[r])
         if is_empty[r]:
             texts.append("a ! b ?")
-            continue
-        L = int(lens[r])
-        tok_h = _u01(_h(np.full(L, i, dtype=np.int64) * np.int64(1000003) + np.arange(L, dtype=np.int64), 5, seed))
-        idx = np.searchsorted(_ZIPF_CDF, tok_h, side="left")
-        words = [VOCAB[j] for j in idx]
-        if hot[r]:
-            words[0] = HOT_TERM
-        texts.append(" ".join(words))
+        else:
+            texts.append(" ".join(words[starts[r] : ends[r]]))
 
     urls = [
         f"https://site{int(i) % 1000}.example/"
