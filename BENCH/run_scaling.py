@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence (BASELINE.json north rule).
+
+Runs ``bench.py`` twice on the SAME materialized input — ``local[8]``
+(N) and ``local[32]`` (4N) — the sandbox proxy for N vs 4N executors
+(per the driver instruction in BASELINE.md). Writes BENCH/BASELINE.md
+with per-stage throughput at both sizes and scaling efficiency
+``(T_8 / T_32) / 4`` (1.0 = perfect linear scaling; >= 0.8 required).
+
+Usage: python BENCH/run_scaling.py [--sf-dir /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(cpus: int, sf_dir: str, pages_dir: str) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(cpus)
+    env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    env["SPARK_GRAFT_BENCH_PAGES"] = pages_dir
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=3600,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--n4", type=int, default=32)
+    args = ap.parse_args()
+
+    import re
+
+    m = re.search(r"sf([0-9.]+)", args.sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", str(int(6_000_000 * sf))))
+    pages_dir = f"/tmp/dcse_bench_pages_n{n_docs}_s42"
+
+    print(f"running bench at local[{args.n}] ...", flush=True)
+    r_n = run_bench(args.n, args.sf_dir, pages_dir)
+    print(json.dumps(r_n), flush=True)
+    print(f"running bench at local[{args.n4}] ...", flush=True)
+    r_4n = run_bench(args.n4, args.sf_dir, pages_dir)
+    print(json.dumps(r_4n), flush=True)
+
+    def eff(stage: str) -> float:
+        return round(r_n["queries"][stage] / r_4n["queries"][stage] / 4.0, 3)
+
+    stages = ["index_build_total", "build_tf_idf", "build_postings", "query_batch_total"]
+    now = datetime.now(timezone.utc).isoformat(timespec="seconds")
+    lines = [
+        "# BENCH/BASELINE.md — measured numbers + scaling evidence",
+        "",
+        f"Generated {now} by `BENCH/run_scaling.py` on this sandbox "
+        f"(local[{args.n}] vs local[{args.n4}] on one {os.cpu_count()}-core "
+        "host — the sandbox proxy for N vs 4N executors per BASELINE.md).",
+        "",
+        f"Input: deterministic synthetic pages corpus, n_docs={r_n['n_docs']:,}, "
+        f"sf={r_n['sf']} (shared parquet, generation excluded from metrics).",
+        "",
+        "| metric | local[{n}] (N) | local[{n4}] (4N) | efficiency (T_N/T_4N)/4 |".format(
+            n=args.n, n4=args.n4
+        ),
+        "|---|---|---|---|",
+    ]
+    for st in stages:
+        lines.append(
+            f"| {st} (sec) | {r_n['queries'][st]} | {r_4n['queries'][st]} | {eff(st)} |"
+        )
+    lines += [
+        f"| index build docs/sec | {r_n['docs_per_sec']} | {r_4n['docs_per_sec']} | — |",
+        f"| BM25 batch queries/sec | {r_n['queries_per_sec']} | {r_4n['queries_per_sec']} | — |",
+        "",
+        "Efficiency = (T_N / T_4N) / 4; 1.0 is perfect linear scaling; the",
+        "north-rule requirement is >= 0.8. Single-query WAND latency (not a",
+        f"throughput metric): {r_n['queries'].get('wand_q1')}s at N, "
+        f"{r_4n['queries'].get('wand_q1')}s at 4N.",
+        "",
+        "Caveats: both runs share one physical host, so the local[8] run",
+        "still enjoys the full memory bandwidth and page cache of the box,",
+        "which biases efficiency DOWNWARD (the 4N run gains less than a",
+        "real 4x cluster would); ambient host load adds noise.",
+        "",
+        "## Raw bench lines",
+        "```json",
+        json.dumps(r_n),
+        json.dumps(r_4n),
+        "```",
+    ]
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()

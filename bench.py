@@ -32,18 +32,40 @@ import time
 
 
 # Reference query set (reference README.md:159-169, tests/test_search.py)
-BENCH_QUERIES = {
-    1: "JSON parsing",
-    2: "parse json",
-    3: "send HTTP request",
-    4: "validate email address",
-    5: "async database query",
-    6: "json json parser",
-    7: "parseJSON HTTPClient2",
-    8: "read the file path",
-    9: "base64 encode token",
-    10: "camelCaseSplitter utf8Decoder",
-}
+REFERENCE_QUERIES = [
+    "JSON parsing",
+    "parse json",
+    "send HTTP request",
+    "validate email address",
+    "async database query",
+    "json json parser",
+    "parseJSON HTTPClient2",
+    "read the file path",
+    "base64 encode token",
+    "camelCaseSplitter utf8Decoder",
+]
+
+
+def build_query_set(n_queries: int = 100) -> dict:
+    """Reference queries + deterministic synthetic 2-4 term queries over
+    the corpus vocabulary (mixing Zipf-common and rare terms), so the
+    query-throughput measurement amortizes fixed job overhead across a
+    real batch instead of timing scheduler latency."""
+    from distributedcodesearchengine_spark.sources.corpus import VOCAB
+
+    queries = dict(enumerate(REFERENCE_QUERIES, start=1))
+    qid = len(queries) + 1
+    i = 0
+    while len(queries) < n_queries:
+        # deterministic index mix: a common term, a mid term, a rare term
+        a = VOCAB[(i * 7) % 50]
+        b = VOCAB[50 + (i * 31) % 900]
+        c = VOCAB[1000 + (i * 131) % 4000]
+        q = [a, b, c, VOCAB[(i * 13) % 200]][: 2 + i % 3]
+        queries[qid] = " ".join(q)
+        qid += 1
+        i += 1
+    return queries
 
 WAND_LATENCY_QUERIES = ["parse json", "parseJSON HTTPClient2"]
 
@@ -54,7 +76,7 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.1
     n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", str(int(6_000_000 * sf))))
-    query_reps = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_REPS", "3"))
+    query_reps = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_REPS", "1"))
 
     from distributedcodesearchengine_spark.build.indexer import (
         add_postings,
@@ -78,17 +100,28 @@ def main() -> None:
     )
     tg = time.monotonic()
     if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
-        generate_pages(spark, n_pages, seed=42, parts=cpus * 2).write.mode(
+        # fixed 64 output files: identical input layout for every
+        # parallelism level, and enough splits to feed local[32]
+        generate_pages(spark, n_pages, seed=42, parts=64).write.mode(
             "overwrite"
         ).parquet(pages_dir)
     timings["generate_input"] = round(time.monotonic() - tg, 3)
     pages = spark.read.parquet(pages_dir)
 
-    # --- stage 1: index build (extract -> tokenize -> tf/idf -> postings)
+    # --- stage 1: index build (extract -> tokenize -> tf/idf -> postings),
+    # ending in the PERSISTED index layout: tf parquet range-partitioned +
+    # sorted by term (row-group min/max pruning serves term lookups),
+    # plus the compressed postings segments
+    index_dir = os.path.join(os.path.dirname(pages_dir), f"dcse_bench_index_{cpus}")
     t0 = time.monotonic()
     index = build_index_inmem(spark, pages, cache=True)
-    index.tf.count()  # materialize the uncompressed index
-    index.terms.count()
+    (
+        index.tf.repartitionByRange(cpus * 2, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, "tf"))
+    )
+    index.terms.write.mode("overwrite").parquet(os.path.join(index_dir, "terms"))
     t_tf = time.monotonic() - t0
     timings["build_tf_idf"] = round(t_tf, 3)
 
@@ -100,14 +133,19 @@ def main() -> None:
     t_build = time.monotonic() - t0
     timings["index_build_total"] = round(t_build, 3)
 
-    # --- stage 2: batch query throughput (all queries, one plan)
+    # --- stage 2: batch query throughput against the STORED index
+    # (one plan for the whole query set; parquet term pruning applies)
+    qindex = index
+    qindex.tf = spark.read.parquet(os.path.join(index_dir, "tf"))
+    qindex.terms = spark.read.parquet(os.path.join(index_dir, "terms"))
+    query_set = build_query_set(100)
     t2 = time.monotonic()
     n_result_rows = 0
     for _ in range(query_reps):
-        n_result_rows += len(bm25_topk_batch(index, BENCH_QUERIES, k=10).collect())
+        n_result_rows += len(bm25_topk_batch(qindex, query_set, k=10).collect())
     t_batch = time.monotonic() - t2
     timings["query_batch_total"] = round(t_batch, 3)
-    n_queries = len(BENCH_QUERIES) * query_reps
+    n_queries = len(query_set) * query_reps
 
     # --- stage 3: WAND single-query latency
     for i, q in enumerate(WAND_LATENCY_QUERIES):

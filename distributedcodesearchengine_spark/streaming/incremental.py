@@ -1,0 +1,153 @@
+"""Incremental indexing via Structured Streaming (SURVEY §2.9).
+
+The reference's "streaming" is an at-least-once work queue (RabbitMQ
+publisher/worker, ``codesearch/queue/``): new repos arrive, a worker
+parses + embeds + adds to the BM25 corpus, and every add triggers a FULL
+in-memory rebuild (``bm25_index.py:102-115``). The Spark re-expression:
+
+- ``readStream`` over the pages table directory (new parquet files =
+  new pages; the queue), ``foreachBatch`` with a ``checkpointLocation``
+  = the durable at-least-once delivery + resume (ST1-ST4).
+- Each micro-batch extracts + tokenizes ONLY the new pages and APPENDS
+  docs/tf rows (doc ids continue from the current max — arrival order,
+  exactly the reference's insertion-position corpus ids).
+- Global stats (N, avgdl, df, idf with the epsilon floor) are recomputed
+  per batch — that's the cheap pass; it's what the reference's full
+  rebuild recomputes too, and BM25 scores must reflect current stats.
+- The streamed index is immediately queryable with the EXACT scorer
+  (operators/scorer.bm25_topk) which reads tf + terms. Compressed
+  postings segments are an offline compaction (build_postings /
+  checkpoint build) — max_w depends on global idf, so segment rebuild
+  is batched, mirroring real engines' merge policy (and M4 hot-term
+  splitting applies unchanged).
+
+foreachBatch writes are idempotent per batch id (overwrite-by-batch
+subdirectories), so at-least-once redelivery cannot double-index — the
+Spark analog of ST6's delete-then-insert unit.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.scorer import Index
+from ..operators.stats import corpus_stats, term_freqs, terms_with_idf
+from ..functions.udfs import extract_text_udf, tokenize_udf
+from ..schemas import PAGES
+
+
+def _docs_delta(batch: DataFrame, offset: int, meta_cols: tuple) -> DataFrame:
+    d = (
+        batch.dropDuplicates(["url"])
+        .withColumn("text", extract_text_udf(F.col("html")))
+        .withColumn("tokens", tokenize_udf(F.col("text")))
+        .withColumn("doc_len", F.size("tokens").cast("int"))
+        .withColumn("site", F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1))
+    )
+    # arrival-order ids within the batch (micro-batches are small; the
+    # single-partition window here is bounded by batch size, not corpus)
+    w = Window.orderBy("url")
+    return d.withColumn(
+        "doc_id", (F.row_number().over(w) - 1 + offset).cast("long")
+    ).select("doc_id", "url", "site", "lang", *meta_cols, "tokens", "doc_len")
+
+
+class IncrementalIndexer:
+    """foreachBatch handler maintaining a queryable index directory."""
+
+    def __init__(self, spark: SparkSession, index_dir: str, meta_cols: tuple = ()):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.meta_cols = meta_cols
+        os.makedirs(index_dir, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.index_dir, name)
+
+    def current_offset(self) -> int:
+        docs_dir = self._path("docs")
+        if not os.path.exists(docs_dir):
+            return 0
+        row = self.spark.read.parquet(docs_dir).agg(F.max("doc_id")).first()
+        return (int(row[0]) + 1) if row[0] is not None else 0
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        spark = self.spark
+        offset = self.current_offset()
+        # exclude already-indexed urls (at-least-once redelivery + the
+        # reference's add-time dedup, bm25_index.py:91-92)
+        if os.path.exists(self._path("docs")):
+            seen = spark.read.parquet(self._path("docs")).select("url")
+            batch = batch.join(seen, "url", "left_anti")
+        docs_delta = _docs_delta(batch, offset, self.meta_cols)
+        # idempotent per-batch write: overwrite this batch's subdirs
+        docs_delta.write.mode("overwrite").parquet(
+            self._path(f"docs/batch={batch_id}")
+        )
+        term_freqs(docs_delta).write.mode("overwrite").parquet(
+            self._path(f"tf/batch={batch_id}")
+        )
+        # global stats recompute over the accumulated corpus
+        docs = spark.read.parquet(self._path("docs"))
+        tf = spark.read.parquet(self._path("tf"))
+        n, avgdl = corpus_stats(docs)
+        terms_with_idf(tf, n).write.mode("overwrite").parquet(
+            self._path("terms.tmp")
+        )
+        # atomic-ish swap via rename
+        import shutil
+
+        if os.path.exists(self._path("terms")):
+            shutil.rmtree(self._path("terms"))
+        os.rename(self._path("terms.tmp"), self._path("terms"))
+        spark.createDataFrame(
+            [(n, float(avgdl))], "n_docs long, avgdl double"
+        ).coalesce(1).write.mode("overwrite").parquet(self._path("stats"))
+
+    def load(self) -> Index:
+        spark = self.spark
+        srow = spark.read.parquet(self._path("stats")).first()
+        return Index(
+            spark=spark,
+            docs=spark.read.parquet(self._path("docs")),
+            tf=spark.read.parquet(self._path("tf")),
+            terms=spark.read.parquet(self._path("terms")),
+            n_docs=int(srow["n_docs"]),
+            avgdl=float(srow["avgdl"]),
+            path=self.index_dir,
+        )
+
+
+def start_incremental_index(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    meta_cols: tuple = (),
+    available_now: bool = True,
+):
+    """readStream(pages parquet dir) -> foreachBatch incremental index.
+
+    ``available_now=True`` drains everything currently in the directory
+    and stops (the test/run-once mode, analog of the reference worker's
+    ``run_once``, worker.py:185-204); otherwise runs continuously.
+    """
+    indexer = IncrementalIndexer(spark, index_dir, meta_cols)
+    stream = (
+        spark.readStream.schema(PAGES)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+    writer = stream.writeStream.foreachBatch(indexer.process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), indexer
