@@ -115,34 +115,38 @@ def main() -> None:
     index_dir = os.path.join(os.path.dirname(pages_dir), f"dcse_bench_index_{cpus}")
     t0 = time.monotonic()
     index = build_index_inmem(spark, pages, cache=True)
-    (
-        index.tf.repartitionByRange(cpus * 2, "term")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .parquet(os.path.join(index_dir, "tf"))
-    )
+    index.tf.write.mode("overwrite").parquet(os.path.join(index_dir, "tf"))
     index.terms.write.mode("overwrite").parquet(os.path.join(index_dir, "terms"))
     t_tf = time.monotonic() - t0
     timings["build_tf_idf"] = round(t_tf, 3)
 
     t1 = time.monotonic()
-    add_postings(index)
-    index.postings.count()
+    add_postings(index, cache=False)
+    (
+        index.postings.write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(os.path.join(index_dir, "postings"))
+    )
     t_post = time.monotonic() - t1
     timings["build_postings"] = round(t_post, 3)
     t_build = time.monotonic() - t0
     timings["index_build_total"] = round(t_build, 3)
 
-    # --- stage 2: batch query throughput against the STORED index
-    # (one plan for the whole query set; parquet term pruning applies)
+    # --- stage 2: batch query throughput against the STORED compressed
+    # postings index (one plan for the whole query set; only the posting
+    # rows of the union of query terms are read and decoded)
+    from distributedcodesearchengine_spark.operators.wand import batch_topk_postings
+
     qindex = index
     qindex.tf = spark.read.parquet(os.path.join(index_dir, "tf"))
-    qindex.terms = spark.read.parquet(os.path.join(index_dir, "terms"))
+    qindex.terms = spark.read.parquet(os.path.join(index_dir, "terms")).persist()
+    qindex.terms.count()
+    qindex.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
     query_set = build_query_set(100)
     t2 = time.monotonic()
     n_result_rows = 0
     for _ in range(query_reps):
-        n_result_rows += len(bm25_topk_batch(qindex, query_set, k=10).collect())
+        n_result_rows += len(batch_topk_postings(qindex, query_set, k=10).collect())
     t_batch = time.monotonic() - t2
     timings["query_batch_total"] = round(t_batch, 3)
     n_queries = len(query_set) * query_reps

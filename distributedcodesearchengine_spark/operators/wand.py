@@ -56,7 +56,7 @@ def _query_postings(index: Index, terms: List[str]) -> DataFrame:
         index.postings
         .where(F.col("term_bucket").isin(buckets))  # partition pruning
         .where(F.col("term").isin(terms))
-        .select("term", "range_id", "global_max", "blocks")
+        .select("term", "range_id", "idf", "global_max", "blocks")
     )
 
 
@@ -128,6 +128,83 @@ def _canonical_scores(decoded: DataFrame) -> DataFrame:
             F.lit(0.0),
             lambda acc, x: acc + x["contrib"],
         ).alias("score")
+    )
+
+
+def batch_topk_postings(index: Index, queries: Dict[int, str], k: int = 10) -> DataFrame:
+    """Whole-query-set top-k from the COMPRESSED postings index in one
+    plan -> (query_id, rank, doc_id, score).
+
+    The throughput path at scale: reads only the posting rows of the
+    union of query terms (term_bucket partition pruning + row-level term
+    filter — a few hundred rows, never a corpus-sized scan), decodes
+    each term's blocks ONCE even when queries share terms, broadcasts
+    the (query_id, term, qtf) table onto the decoded (term, doc, w)
+    stream, then per-query threshold/top-k via query-partitioned
+    windows. Degenerate all-zero queries are the per-query scorer's job
+    (same contract as scorer.bm25_topk_batch).
+    """
+    from collections import Counter
+
+    from pyspark.sql.window import Window
+
+    assert index.postings is not None, "build postings first"
+    spark = index.spark
+    rows = []
+    for qid, q in queries.items():
+        for t, qtf in sorted(Counter(tokenize(q)).items()):
+            rows.append((int(qid), t, float(qtf)))
+    if not rows:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, score double"
+        )
+    qdf = spark.createDataFrame(rows, "query_id int, term string, qtf double")
+    uniq = sorted({t for _, t, _ in rows})
+    prows = _query_postings(index, uniq).select("term", "idf", "blocks")
+
+    avgdl = index.avgdl
+
+    def gen(batches):
+        for pdf in batches:
+            terms_out, docs_out, w_out = [], [], []
+            for term, idf, blocks in zip(pdf["term"], pdf["idf"], pdf["blocks"]):
+                for blk in blocks:
+                    n = blk["n"]
+                    deltas = varint_unpack(bytes(blk["doc_deltas"]), n).astype(np.int64)
+                    d = np.cumsum(deltas) + blk["first_doc"]
+                    tfs = varint_unpack(bytes(blk["tfs"]), n).astype(np.int64)
+                    dls = varint_unpack(bytes(blk["doc_lens"]), n).astype(np.int64)
+                    terms_out.append(np.full(len(d), term, dtype=object))
+                    docs_out.append(d)
+                    w_out.append(bm25_weight(tfs, dls, float(idf), avgdl))
+            if docs_out:
+                yield pd.DataFrame(
+                    {
+                        "term": np.concatenate(terms_out),
+                        "doc_id": np.concatenate(docs_out),
+                        "w": np.concatenate(w_out),
+                    }
+                )
+
+    decoded = prows.mapInPandas(gen, schema="term string, doc_id long, w double")
+    contrib = decoded.join(F.broadcast(qdf), "term").withColumn(
+        "contrib", F.col("qtf") * F.col("w")
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"],
+        ).alias("score")
+    )
+    wmax = Window.partitionBy("query_id")
+    wrank = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("_mx", F.max("score").over(wmax))
+        .where((F.col("_mx") <= 0) | (F.col("score") >= 0.01 * F.col("_mx")))
+        .withColumn("rank", F.row_number().over(wrank))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
     )
 
 

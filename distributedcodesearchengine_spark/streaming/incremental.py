@@ -60,10 +60,22 @@ def _docs_delta(batch: DataFrame, offset: int, meta_cols: tuple) -> DataFrame:
 class IncrementalIndexer:
     """foreachBatch handler maintaining a queryable index directory."""
 
-    def __init__(self, spark: SparkSession, index_dir: str, meta_cols: tuple = ()):
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        meta_cols: tuple = (),
+        run_tag: str = "run0",
+    ):
         self.spark = spark
         self.index_dir = index_dir
         self.meta_cols = meta_cols
+        # batch subdirs are namespaced by the checkpoint-scoped run tag:
+        # the SAME stream redelivering a batch id overwrites its own dir
+        # (idempotent), while a different stream over the same index can
+        # never clobber files a predecessor wrote (which its own input
+        # plan may still be reading mid-write)
+        self.run_tag = run_tag
         os.makedirs(index_dir, exist_ok=True)
 
     def _path(self, name: str) -> str:
@@ -89,10 +101,10 @@ class IncrementalIndexer:
         docs_delta = _docs_delta(batch, offset, self.meta_cols)
         # idempotent per-batch write: overwrite this batch's subdirs
         docs_delta.write.mode("overwrite").parquet(
-            self._path(f"docs/batch={batch_id}")
+            self._path(f"docs/batch={self.run_tag}_{batch_id}")
         )
         term_freqs(docs_delta).write.mode("overwrite").parquet(
-            self._path(f"tf/batch={batch_id}")
+            self._path(f"tf/batch={self.run_tag}_{batch_id}")
         )
         # global stats recompute over the accumulated corpus
         docs = spark.read.parquet(self._path("docs"))
@@ -139,7 +151,10 @@ def start_incremental_index(
     and stops (the test/run-once mode, analog of the reference worker's
     ``run_once``, worker.py:185-204); otherwise runs continuously.
     """
-    indexer = IncrementalIndexer(spark, index_dir, meta_cols)
+    import hashlib
+
+    run_tag = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+    indexer = IncrementalIndexer(spark, index_dir, meta_cols, run_tag=run_tag)
     stream = (
         spark.readStream.schema(PAGES)
         .option("maxFilesPerTrigger", 8)
