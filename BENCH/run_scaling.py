@@ -31,6 +31,9 @@ def run_bench(cpus: int, sf_dir: str, pages_dir: str) -> dict:
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=3600,
     )
+    if not out.stdout.strip():
+        sys.stderr.write(out.stderr[-4000:])
+        raise RuntimeError(f"bench.py produced no output at cpus={cpus}")
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
 

@@ -78,15 +78,12 @@ def main() -> None:
     n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", str(int(6_000_000 * sf))))
     query_reps = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_REPS", "1"))
 
-    from distributedcodesearchengine_spark.build.indexer import (
-        add_postings,
-        build_index_inmem,
-    )
-    from distributedcodesearchengine_spark.operators.scorer import bm25_topk_batch
+    from distributedcodesearchengine_spark.build.indexer import build_index_inmem
     from distributedcodesearchengine_spark.operators.wand import wand_topk
     from distributedcodesearchengine_spark.session import get_spark
     from distributedcodesearchengine_spark.sources.corpus import generate_pages
 
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
     spark = get_spark("dcse-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict = {}
@@ -120,11 +117,24 @@ def main() -> None:
     t_tf = time.monotonic() - t0
     timings["build_tf_idf"] = round(t_tf, 3)
 
+    # postings stage: the doc-SHARDED serving layout (each shard holds
+    # complete posting fragments for its doc range -> shard-local query
+    # evaluation; the POSTINGS schema is the same, so WAND/merge apply)
+    from distributedcodesearchengine_spark.operators.sharded import (
+        build_sharded_postings,
+        sharded_batch_topk,
+    )
+
+    # shard count is an INDEX property (fixed across cluster sizes so the
+    # scaling comparison runs the same index): ~128 shards
+    shard_width = max(4096, n_pages // 128)
     t1 = time.monotonic()
-    add_postings(index, cache=False)
+    sharded = build_sharded_postings(
+        index.tf, index.terms, index.n_docs, index.avgdl, shard_width=shard_width
+    )
     (
-        index.postings.write.mode("overwrite")
-        .partitionBy("term_bucket")
+        sharded.write.mode("overwrite")
+        .partitionBy("range_id")
         .parquet(os.path.join(index_dir, "postings"))
     )
     t_post = time.monotonic() - t1
@@ -132,11 +142,8 @@ def main() -> None:
     t_build = time.monotonic() - t0
     timings["index_build_total"] = round(t_build, 3)
 
-    # --- stage 2: batch query throughput against the STORED compressed
-    # postings index (one plan for the whole query set; only the posting
-    # rows of the union of query terms are read and decoded)
-    from distributedcodesearchengine_spark.operators.wand import batch_topk_postings
-
+    # --- stage 2: batch query throughput against the STORED sharded
+    # index: shard-local numpy scoring, tiny global top-k merge
     qindex = index
     qindex.tf = spark.read.parquet(os.path.join(index_dir, "tf"))
     qindex.terms = spark.read.parquet(os.path.join(index_dir, "terms")).persist()
@@ -146,7 +153,9 @@ def main() -> None:
     t2 = time.monotonic()
     n_result_rows = 0
     for _ in range(query_reps):
-        n_result_rows += len(batch_topk_postings(qindex, query_set, k=10).collect())
+        n_result_rows += len(
+            sharded_batch_topk(qindex, query_set, k=10, shard_width=shard_width).collect()
+        )
     t_batch = time.monotonic() - t2
     timings["query_batch_total"] = round(t_batch, 3)
     n_queries = len(query_set) * query_reps

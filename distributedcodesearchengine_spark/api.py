@@ -24,11 +24,14 @@ from .operators.wand import wand_topk
 from .oracle.hybrid import enhance_query
 
 
-def build_doc_embeddings(index: Index, dim: int = 64) -> DataFrame:
+def build_doc_embeddings(docs, dim: int = 64) -> DataFrame:
     """(doc_id, embedding) via the deterministic mock embedder over the
     tokenized doc text (tokens joined by space — the searchable-text
-    projection analog, models.py:66-103)."""
-    return index.docs.select(
+    projection analog, models.py:66-103). ``docs`` is a docs DataFrame
+    or an Index."""
+    if isinstance(docs, Index):
+        docs = docs.docs
+    return docs.select(
         "doc_id",
         mock_embed_udf(dim)(F.concat_ws(" ", "tokens")).alias("embedding"),
     )

@@ -162,14 +162,26 @@ def build_index_persisted(
         wall = (time.monotonic() - t0) * 1000
         state.mark(stage, fp, rows, _dir_bytes(os.path.join(index_dir, stage)), wall)
 
-    # --- stage: docs
+    # --- stage: docs (partitioned by lang — the Spark analog of the
+    # reference's keyword payload indexes on the filter columns,
+    # vector_store.py:135-149: lang-filtered queries prune partitions)
     def _docs(out):
         d = build_docs(pages, meta_cols=meta_cols)
-        d.write.mode("overwrite").parquet(out)
+        d.write.mode("overwrite").partitionBy("lang").parquet(out)
         return spark.read.parquet(out).count()
 
     run_stage("docs", _docs)
     docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+
+    # --- stage: embeddings (the vector-sink analog, vector_store.py:157-208;
+    # deterministic mock embedder — swap for a real model UDF in prod)
+    def _embeddings(out):
+        from ..api import build_doc_embeddings
+
+        build_doc_embeddings(docs).write.mode("overwrite").parquet(out)
+        return spark.read.parquet(out).count()
+
+    run_stage("embeddings", _embeddings)
 
     # --- stage: stats
     def _stats(out):
@@ -264,7 +276,7 @@ def load_index(spark: SparkSession, index_dir: str) -> Index:
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             n_buckets = int(json.load(f).get("n_buckets", N_BUCKETS))
-    return Index(
+    idx = Index(
         spark=spark,
         docs=spark.read.parquet(os.path.join(index_dir, "docs")),
         tf=spark.read.parquet(os.path.join(index_dir, "tf")),
@@ -275,3 +287,7 @@ def load_index(spark: SparkSession, index_dir: str) -> Index:
         n_buckets=n_buckets,
         path=index_dir,
     )
+    emb_dir = os.path.join(index_dir, "embeddings")
+    if os.path.exists(emb_dir):
+        idx.extras["embeddings"] = spark.read.parquet(emb_dir)
+    return idx

@@ -142,6 +142,72 @@ def build_postings(
     return tf2.groupBy("term", "range_id").applyInPandas(build_group, schema=POSTINGS)
 
 
+def merge_postings(
+    postings: DataFrame,
+    target_row_postings: int = DEFAULT_TARGET_ROW_POSTINGS,
+) -> DataFrame:
+    """Segment merge / compaction (north rule M4).
+
+    Incremental builds and bucket-group builds leave multiple small
+    (term, range_id) rows per term. Compaction groups each term's rows
+    and — because range rows hold CONTIGUOUS, disjoint, sorted doc-id
+    ranges — concatenates their block lists in range order WITHOUT
+    re-encoding any block. Skew awareness: a term whose total postings
+    exceed ``target_row_postings`` keeps multiple rows (hot terms stay
+    split so no single task/row becomes unbounded); cold terms collapse
+    to one row. Query-side decoding is row-count agnostic, so this is a
+    pure physical-layout optimization (equality-tested in
+    tests/test_merge.py).
+    """
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("range_id")
+        total = int(pdf["n_postings"].sum())
+        first = pdf.iloc[0]
+        if total <= target_row_postings or len(pdf) == 1:
+            blocks = [b for row in pdf["blocks"] for b in row]
+            return pd.DataFrame(
+                {
+                    "term_bucket": [int(first["term_bucket"])],
+                    "term": [first["term"]],
+                    "range_id": [int(first["range_id"])],
+                    "df": [int(first["df"])],
+                    "idf": [float(first["idf"])],
+                    "global_max": [float(pdf["global_max"].max())],
+                    "n_postings": [total],
+                    "blocks": [list(blocks)],
+                }
+            )
+        # hot term: keep the split, pack adjacent rows up to the target
+        out_rows = []
+        cur_blocks, cur_n, cur_max, cur_rid = [], 0, -math.inf, None
+        for _, row in pdf.iterrows():
+            if cur_n and cur_n + int(row["n_postings"]) > target_row_postings:
+                out_rows.append((cur_rid, cur_n, cur_max, cur_blocks))
+                cur_blocks, cur_n, cur_max, cur_rid = [], 0, -math.inf, None
+            if cur_rid is None:
+                cur_rid = int(row["range_id"])
+            cur_blocks = cur_blocks + list(row["blocks"])
+            cur_n += int(row["n_postings"])
+            cur_max = max(cur_max, float(row["global_max"]))
+        if cur_n:
+            out_rows.append((cur_rid, cur_n, cur_max, cur_blocks))
+        return pd.DataFrame(
+            {
+                "term_bucket": [int(first["term_bucket"])] * len(out_rows),
+                "term": [first["term"]] * len(out_rows),
+                "range_id": [r[0] for r in out_rows],
+                "df": [int(first["df"])] * len(out_rows),
+                "idf": [float(first["idf"])] * len(out_rows),
+                "global_max": [r[2] for r in out_rows],
+                "n_postings": [r[1] for r in out_rows],
+                "blocks": [r[3] for r in out_rows],
+            }
+        )
+
+    return postings.groupBy("term").applyInPandas(merge_group, schema=POSTINGS)
+
+
 def decode_blocks(row_blocks, predicate=None):
     """Decode a postings row's block list -> (doc_ids, tfs, doc_lens).
 

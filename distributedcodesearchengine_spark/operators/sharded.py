@@ -1,0 +1,230 @@
+"""Document-sharded index layout + shard-local batch scoring.
+
+The serving-path layout (the Lucene/ES shard model re-expressed in
+Spark): range_id = doc_id // shard_width for EVERY term, so one shard
+holds the complete posting fragments for its doc range. Scoring is then
+embarrassingly parallel — each shard computes exact BM25 scores for all
+queries over its own docs in one numpy pass (dense accumulator per
+query), emits only its local top-k, and a tiny global merge finishes.
+No corpus-sized shuffle anywhere; the only movement is the query-term
+posting rows themselves.
+
+Rank identity: the per-doc accumulation adds term contributions in
+sorted-term order — the SAME IEEE operation sequence as the canonical
+fold in scorer v1 — and the relative threshold uses the global max over
+shard maxima, so results are bit-compatible with the per-query scorer
+(asserted in tests/test_sharded.py).
+
+The POSTINGS schema is unchanged (a shard row is just a range row), so
+the WAND scorer and segment merge work on this layout as-is.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from typing import Dict
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..oracle.tokenizer import tokenize
+from ..schemas import POSTINGS
+from .postings import DEFAULT_BLOCK, bm25_weight, term_bucket
+from .scorer import Index
+from .varint import varint_pack_with_lengths, varint_unpack
+
+DEFAULT_SHARD_WIDTH = 65536
+
+
+def build_sharded_postings(
+    tf: DataFrame,
+    terms: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    shard_width: int = DEFAULT_SHARD_WIDTH,
+    block_size: int = DEFAULT_BLOCK,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """tf + terms -> postings rows keyed (term, shard); POSTINGS schema
+    with range_id = shard. Uniform doc-range split subsumes hot-term
+    splitting (every term is bounded by the shard width)."""
+    tf2 = (
+        # broadcast the small vocab table (never shuffle tf for the join)
+        tf.join(F.broadcast(terms.select("term", "df", "idf")), "term")
+        .withColumn("range_id", (F.col("doc_id") / F.lit(shard_width)).cast("long"))
+        .select("term", "doc_id", "tf", "doc_len", "df", "idf", "range_id")
+    )
+    avgdl_f = float(avgdl)
+
+    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        """One pandas call per SHARD (not per term): all packing is one
+        vectorized varint pass over the shard, byte-sliced per block."""
+        rid = int(pdf["range_id"].iloc[0])
+        order = np.lexsort(
+            (pdf["doc_id"].to_numpy(), pdf["term"].to_numpy())
+        )
+        terms_a = pdf["term"].to_numpy()[order]
+        ids = pdf["doc_id"].to_numpy()[order].astype(np.int64)
+        tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
+        dls = pdf["doc_len"].to_numpy()[order].astype(np.int64)
+        dfs = pdf["df"].to_numpy()[order].astype(np.int64)
+        idfs = pdf["idf"].to_numpy()[order].astype(np.float64)
+        w = bm25_weight(tfs, dls, idfs, avgdl_f)
+
+        n = len(ids)
+        term_start = np.ones(n, dtype=bool)
+        term_start[1:] = terms_a[1:] != terms_a[:-1]
+        t_starts = np.flatnonzero(term_start)
+        t_ends = np.append(t_starts[1:], n)
+
+        # block starts: every block_size within each term run
+        blk_starts = np.concatenate(
+            [np.arange(s, e, block_size) for s, e in zip(t_starts, t_ends)]
+        )
+        blk_ends = np.append(blk_starts[1:], n)
+        # per-block-reset doc-id deltas (first element of each block = 0)
+        deltas = np.empty(n, np.int64)
+        deltas[1:] = ids[1:] - ids[:-1]
+        deltas[blk_starts] = 0
+
+        dbuf, dnb = varint_pack_with_lengths(deltas.astype(np.uint64))
+        tbuf, tnb = varint_pack_with_lengths(tfs.astype(np.uint64))
+        lbuf, lnb = varint_pack_with_lengths(dls.astype(np.uint64))
+        doff = np.zeros(n + 1, np.int64); doff[1:] = np.cumsum(dnb)
+        toff = np.zeros(n + 1, np.int64); toff[1:] = np.cumsum(tnb)
+        loff = np.zeros(n + 1, np.int64); loff[1:] = np.cumsum(lnb)
+        blk_max = np.maximum.reduceat(w, blk_starts)
+
+        out = {k: [] for k in (
+            "term_bucket", "term", "range_id", "df", "idf",
+            "global_max", "n_postings", "blocks",
+        )}
+        bi = 0
+        for ti, (s, e) in enumerate(zip(t_starts, t_ends)):
+            blocks = []
+            gmax = -math.inf
+            while bi < len(blk_starts) and blk_starts[bi] < e:
+                bs, be = int(blk_starts[bi]), int(blk_ends[bi])
+                mw = float(blk_max[bi])
+                gmax = max(gmax, mw)
+                blocks.append(
+                    {
+                        "first_doc": int(ids[bs]),
+                        "last_doc": int(ids[be - 1]),
+                        "n": be - bs,
+                        "doc_deltas": dbuf[doff[bs]:doff[be]],
+                        "tfs": tbuf[toff[bs]:toff[be]],
+                        "doc_lens": lbuf[loff[bs]:loff[be]],
+                        "max_w": mw,
+                    }
+                )
+                bi += 1
+            term = terms_a[s]
+            out["term_bucket"].append(term_bucket(term, n_buckets))
+            out["term"].append(term)
+            out["range_id"].append(rid)
+            out["df"].append(int(dfs[s]))
+            out["idf"].append(float(idfs[s]))
+            out["global_max"].append(gmax)
+            out["n_postings"].append(e - s)
+            out["blocks"].append(blocks)
+        return pd.DataFrame(out)
+
+    return tf2.groupBy("range_id").applyInPandas(build_shard, schema=POSTINGS)
+
+
+def sharded_batch_topk(
+    index: Index,
+    queries: Dict[int, str],
+    k: int = 10,
+    shard_width: int = DEFAULT_SHARD_WIDTH,
+) -> DataFrame:
+    """All queries, shard-local exact scoring -> (query_id, rank,
+    doc_id, score). index.postings must be sharded with ``shard_width``.
+    Degenerate all-zero queries are the per-query scorer's job (same
+    contract as the other batch scorers)."""
+    spark = index.spark
+    qterms: Dict[str, list] = {}
+    for qid, q in queries.items():
+        for t, qtf in sorted(Counter(tokenize(q)).items()):
+            qterms.setdefault(t, []).append((int(qid), float(qtf)))
+    if not qterms:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, score double"
+        )
+    uniq = sorted(qterms)
+    qids = sorted(queries)
+    qpos = {qid: i for i, qid in enumerate(qids)}
+    bq = spark.sparkContext.broadcast((qterms, qids, qpos))
+    avgdl = float(index.avgdl)
+    kk = int(k)
+    sw = int(shard_width)
+
+    prows = index.postings.where(F.col("term").isin(uniq)).select(
+        "term", "range_id", "idf", "blocks"
+    )
+
+    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        qterms_b, qids_b, qpos_b = bq.value
+        shard = int(pdf["range_id"].iloc[0])
+        base = shard * sw
+        nq = len(qids_b)
+        acc = np.zeros((nq, sw))
+        touched = np.zeros(sw, dtype=bool)
+        # sorted-term iteration == the canonical term-sorted fold order
+        pdf = pdf.sort_values("term")
+        for term, idf, blocks in zip(pdf["term"], pdf["idf"], pdf["blocks"]):
+            dl_all, tf_all, id_all = [], [], []
+            for blk in blocks:
+                n = blk["n"]
+                deltas = varint_unpack(bytes(blk["doc_deltas"]), n).astype(np.int64)
+                id_all.append(np.cumsum(deltas) + blk["first_doc"])
+                tf_all.append(varint_unpack(bytes(blk["tfs"]), n).astype(np.int64))
+                dl_all.append(varint_unpack(bytes(blk["doc_lens"]), n).astype(np.int64))
+            ids = np.concatenate(id_all) - base
+            w = bm25_weight(
+                np.concatenate(tf_all), np.concatenate(dl_all), float(idf), avgdl
+            )
+            touched[ids] = True
+            for qid, qtf in qterms_b[term]:
+                acc[qpos_b[qid], ids] += qtf * w
+        local_ids = np.flatnonzero(touched)
+        out_q, out_d, out_s = [], [], []
+        for qi, qid in enumerate(qids_b):
+            s = acc[qi, local_ids]
+            nz = s != 0.0
+            cand_ids, cand_s = local_ids[nz], s[nz]
+            if len(cand_s) > kk:
+                # local top-k with the (score desc, doc_id asc) tie order
+                sel = np.lexsort((cand_ids, -cand_s))[:kk]
+                cand_ids, cand_s = cand_ids[sel], cand_s[sel]
+            out_q.append(np.full(len(cand_ids), qid, dtype=np.int32))
+            out_d.append(cand_ids + base)
+            out_s.append(cand_s)
+        if not out_q:
+            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "doc_id": np.concatenate(out_d),
+                "score": np.concatenate(out_s),
+            }
+        )
+
+    local = prows.groupBy("range_id").applyInPandas(
+        score_shard, schema="query_id int, doc_id long, score double"
+    )
+    # tiny global merge: shards x queries x k rows
+    wmax = Window.partitionBy("query_id")
+    wrank = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        local.withColumn("_mx", F.max("score").over(wmax))
+        .where((F.col("_mx") <= 0) | (F.col("score") >= 0.01 * F.col("_mx")))
+        .withColumn("rank", F.row_number().over(wrank))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

@@ -14,6 +14,37 @@ _SEVEN = np.uint64(7)
 _LOW7 = np.uint64(0x7F)
 
 
+def varint_pack_with_lengths(values: np.ndarray):
+    """Encode a uint64 array as concatenated LEB128 varints; returns
+    (buffer bytes, per-value byte lengths). The lengths let a caller
+    pack one big array per task and slice out sub-ranges (per posting
+    block) without re-encoding."""
+    a = np.asarray(values).astype(np.uint64)
+    n = len(a)
+    if n == 0:
+        return b"", np.zeros(0, np.int64)
+    nb = np.ones(n, np.int64)
+    v = a >> _SEVEN
+    while v.any():
+        nb += (v > 0).astype(np.int64)
+        v >>= _SEVEN
+    starts = np.zeros(n, np.int64)
+    starts[1:] = np.cumsum(nb)[:-1]
+    out = np.zeros(int(nb.sum()), np.uint8)
+    rem = a.copy()
+    active = np.arange(n)
+    k = 0
+    while len(active):
+        chunk = rem[active]
+        byte = (chunk & _LOW7).astype(np.uint8)
+        more = (chunk >> _SEVEN) > 0
+        out[starts[active] + k] = byte | (more.astype(np.uint8) << 7)
+        rem[active] = chunk >> _SEVEN
+        active = active[more]
+        k += 1
+    return out.tobytes(), nb
+
+
 def varint_pack(values: np.ndarray) -> bytes:
     """Encode a uint64 array as concatenated LEB128 varints."""
     a = np.asarray(values).astype(np.uint64)

@@ -1,0 +1,53 @@
+"""Doc-sharded batch scorer == tf batch scorer (rank and score), and
+the sharded layout still serves the WAND per-query path."""
+
+from distributedcodesearchengine_spark.build.indexer import build_index_inmem
+from distributedcodesearchengine_spark.operators.scorer import (
+    bm25_topk,
+    bm25_topk_batch,
+)
+from distributedcodesearchengine_spark.operators.sharded import (
+    build_sharded_postings,
+    sharded_batch_topk,
+)
+from distributedcodesearchengine_spark.operators.wand import wand_topk
+from distributedcodesearchengine_spark.sources.corpus import generate_pages
+
+QUERIES = {
+    1: "JSON parsing",
+    2: "parse json",
+    3: "json json parser",
+    4: "parseJSON HTTPClient2",
+    5: "validate email address",
+    6: "async database query",
+}
+
+WIDTH = 64  # tiny shards -> many rows per term
+
+
+def _by_query(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], round(r["score"], 9))
+        )
+    return {k: sorted(v) for k, v in out.items()}
+
+
+def test_sharded_matches_batch(spark):
+    pages = generate_pages(spark, 500, seed=44, parts=4)
+    idx = build_index_inmem(spark, pages)
+    idx.postings = build_sharded_postings(
+        idx.tf, idx.terms, idx.n_docs, idx.avgdl, shard_width=WIDTH, block_size=16
+    ).persist()
+    a = _by_query(bm25_topk_batch(idx, QUERIES, k=10).collect())
+    b = _by_query(sharded_batch_topk(idx, QUERIES, k=10, shard_width=WIDTH).collect())
+    assert a == b
+
+    # the sharded rows also serve the per-query WAND path
+    for q in ["JSON parsing", "parseJSON HTTPClient2"]:
+        v1 = [(r["rank"], r["doc_id"], round(r["score"], 9))
+              for r in bm25_topk(idx, q, k=10).collect()]
+        v2 = [(r["rank"], r["doc_id"], round(r["score"], 9))
+              for r in wand_topk(idx, q, k=10).collect()]
+        assert v1 == v2, q
