@@ -54,6 +54,14 @@ def _registry():
             oq.rrf_hybrid_sql(q, mock_embed_text(q, 64), 10, boosted=boosted),
         )
 
+    reg["bm25_topk_batch"] = (
+        eq.bm25_batch,
+        " UNION ALL ".join(
+            f"SELECT {qid} AS query_id, * FROM ({oq.bm25_topk_sql(q, 10)})"
+            for qid, q in eq.BATCH_QUERIES.items()
+        ),
+    )
+
     # --- training-data pipeline suite (dedup / similarity / text stats)
     from distributedcodesearchengine_spark.operators import dedup as dd
     from distributedcodesearchengine_spark.operators import similarity as sim

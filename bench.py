@@ -110,8 +110,9 @@ def main() -> None:
     # sorted by term (row-group min/max pruning serves term lookups),
     # plus the compressed postings segments
     index_dir = os.path.join(os.path.dirname(pages_dir), f"dcse_bench_index_{cpus}")
+    cache_tf = os.environ.get("SPARK_GRAFT_BENCH_CACHE_TF", "1") == "1"
     t0 = time.monotonic()
-    index = build_index_inmem(spark, pages, cache=True)
+    index = build_index_inmem(spark, pages, cache=True, cache_tf=cache_tf)
     index.tf.write.mode("overwrite").parquet(os.path.join(index_dir, "tf"))
     index.terms.write.mode("overwrite").parquet(os.path.join(index_dir, "terms"))
     t_tf = time.monotonic() - t0

@@ -26,8 +26,15 @@ from ..operators.stats import build_docs, corpus_stats, term_freqs, terms_with_i
 
 
 def build_index_inmem(
-    spark: SparkSession, pages: DataFrame, cache: bool = True, meta_cols: tuple = ()
+    spark: SparkSession,
+    pages: DataFrame,
+    cache: bool = True,
+    meta_cols: tuple = (),
+    cache_tf: bool = True,
 ) -> Index:
+    """``cache_tf=False`` recomputes tf from the cached docs on each
+    consumer instead of materializing it — trades (parallel, scalable)
+    CPU for memory bandwidth; wins on bandwidth-saturated hosts."""
     docs = build_docs(pages, meta_cols=meta_cols)
     if cache:
         docs = docs.persist()
@@ -35,7 +42,8 @@ def build_index_inmem(
     tf = term_freqs(docs)
     terms = terms_with_idf(tf, n)
     if cache:
-        tf = tf.persist()
+        if cache_tf:
+            tf = tf.persist()
         terms = terms.persist()
     return Index(spark=spark, docs=docs, tf=tf, terms=terms, n_docs=n, avgdl=avgdl)
 

@@ -135,6 +135,20 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str, text: str, k: int = 10) -> D
     return res.select("rank", "vec_id", F.round("score", 6).alias("score"))
 
 
+BATCH_QUERIES = {1: "table row scan", 2: "spark query window sort", 3: "batch merge stream"}
+
+
+def bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch multi-query scorer over the documents corpus."""
+    from .operators.scorer import bm25_topk_batch
+
+    idx = get_documents_index(spark, sf_dir)
+    res = bm25_topk_batch(idx, BATCH_QUERIES, k=10)
+    return res.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    ).orderBy("query_id", "rank")
+
+
 def docs_with_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.udfs import tokenize_udf
 
