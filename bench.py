@@ -110,11 +110,31 @@ def main() -> None:
     # sorted by term (row-group min/max pruning serves term lookups),
     # plus the compressed postings segments
     index_dir = os.path.join(os.path.dirname(pages_dir), f"dcse_bench_index_{cpus}")
-    cache_tf = os.environ.get("SPARK_GRAFT_BENCH_CACHE_TF", "1") == "1"
+    # stage flow: docs cached once (token arrays feed tf + postings);
+    # the 79M-row tf relation goes STRAIGHT to parquet (columnar,
+    # compressed) — never into a deserialized row cache — and every
+    # downstream consumer reads the parquet
+    from distributedcodesearchengine_spark.operators.scorer import Index
+    from distributedcodesearchengine_spark.operators.stats import (
+        build_docs,
+        corpus_stats,
+        term_freqs,
+        terms_with_idf,
+    )
+
     t0 = time.monotonic()
-    index = build_index_inmem(spark, pages, cache=True, cache_tf=cache_tf)
-    index.tf.write.mode("overwrite").parquet(os.path.join(index_dir, "tf"))
-    index.terms.write.mode("overwrite").parquet(os.path.join(index_dir, "terms"))
+    docs = build_docs(pages).persist()
+    n_docs_built, avgdl = corpus_stats(docs)
+    term_freqs(docs).write.mode("overwrite").parquet(os.path.join(index_dir, "tf"))
+    tf = spark.read.parquet(os.path.join(index_dir, "tf"))
+    terms_with_idf(tf, n_docs_built).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "terms")
+    )
+    terms = spark.read.parquet(os.path.join(index_dir, "terms"))
+    index = Index(
+        spark=spark, docs=docs, tf=tf, terms=terms,
+        n_docs=n_docs_built, avgdl=avgdl,
+    )
     t_tf = time.monotonic() - t0
     timings["build_tf_idf"] = round(t_tf, 3)
 

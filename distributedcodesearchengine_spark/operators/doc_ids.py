@@ -22,8 +22,22 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def assign_doc_ids(df: DataFrame, order_col: str = "url", num_partitions: int | None = None) -> DataFrame:
+def assign_doc_ids(
+    df: DataFrame,
+    order_col: str = "url",
+    num_partitions: int | None = None,
+    dedup: bool = False,
+) -> DataFrame:
     """Add a dense 0-based ``doc_id`` = rank of ``order_col``.
+
+    ``dedup=True`` also drops duplicate keys INSIDE the same range
+    shuffle (equal keys land in the same range partition, so a lag
+    window finds them locally) — one shuffle where dropDuplicates +
+    repartitionByRange would take two, and the dedup shuffle never
+    carries payload columns the caller already projected away. Matches
+    the reference's first-wins add-time dedup (bm25_index.py:91-92);
+    which duplicate survives is arbitrary-but-single, like the
+    reference's dict insert.
 
     Returns a persisted DataFrame (caller should write it out or
     unpersist when done).
@@ -32,9 +46,15 @@ def assign_doc_ids(df: DataFrame, order_col: str = "url", num_partitions: int | 
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism
     ranged = (
         df.repartitionByRange(num_partitions, F.col(order_col))
+        .sortWithinPartitions(order_col)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
     )
+    if dedup:
+        wlag = Window.partitionBy("_pid").orderBy(order_col)
+        ranged = ranged.withColumn("_prev", F.lag(order_col).over(wlag)).where(
+            F.col("_prev").isNull() | (F.col("_prev") != F.col(order_col))
+        ).drop("_prev")
+    ranged = ranged.persist()
     counts = ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
     offsets = {}
     acc = 0

@@ -130,12 +130,14 @@ def finalize_topk(
     """Shared post-scoring stage: relative threshold (on the UNfiltered
     max), degenerate all-zero handling, metadata filters, stable top-k,
     rank. ``scored`` is (doc_id, score [, meta...]) or None when the
-    query had tokens but none are in the vocabulary."""
-    meta = meta_columns(index.tf)
+    query had tokens but none are in the vocabulary. Filter columns not
+    present on the scored rows are joined from the docs table (a
+    docvalues lookup on candidates only — the tf/postings relations stay
+    slim)."""
+    needed = list(filters or {})
     if scored is not None:
-        missing = [c for c in meta if c not in scored.columns]
+        missing = [c for c in needed if c not in scored.columns]
         if missing:
-            # v2 (postings) scorer carries no metadata — docvalues lookup
             scored = scored.join(
                 index.docs.select("doc_id", *missing), "doc_id"
             )
@@ -151,9 +153,9 @@ def finalize_topk(
         zeros = index.docs
         if scored is not None:
             zeros = zeros.join(scored.select("doc_id"), "doc_id", "left_anti")
-        zeros = zeros.select("doc_id", *meta, F.lit(0.0).alias("score"))
+        zeros = zeros.select("doc_id", *needed, F.lit(0.0).alias("score"))
         if scored is not None:
-            res = scored.select("doc_id", *meta, "score").unionByName(zeros)
+            res = scored.select("doc_id", *needed, "score").unionByName(zeros)
         else:
             res = zeros
 

@@ -44,8 +44,7 @@ def build_docs(
     (reference filter keys, bm25_index.py:157-164).
     """
     docs = (
-        pages.dropDuplicates(["url"])
-        .withColumn("text", extract_text_udf(F.col("html")))
+        pages.withColumn("text", extract_text_udf(F.col("html")))
         .withColumn("tokens", tokenize_udf(F.col("text")))
         .withColumn("doc_len", F.size("tokens").cast("int"))
         .withColumn("site", F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1))
@@ -53,7 +52,9 @@ def build_docs(
         # dead past this point and would double the exchange volume
         .select("url", "site", "lang", *meta_cols, "tokens", "doc_len")
     )
-    docs = assign_doc_ids(docs, "url", num_partitions)
+    # url-dedup rides the SAME range shuffle as id assignment (no
+    # separate dropDuplicates exchange over raw pages)
+    docs = assign_doc_ids(docs, "url", num_partitions, dedup=True)
     return docs.select(
         "doc_id", "url", "site", "lang", *meta_cols, "tokens", "doc_len"
     )
@@ -75,11 +76,15 @@ def term_freqs(docs: DataFrame) -> DataFrame:
     ends). The sorted array and run starts are materialized as real
     columns first — Catalyst does not CSE inside lambda bodies, so
     inlining sort_array into every element access would re-sort per
-    access. doc_len/lang/site ride along denormalized so the query path
-    never joins back to the corpus. An explode+groupBy(term, doc_id)
-    would shuffle ~|tokens| near-unique keys for no combine benefit.
+    access. The tf relation is SLIM — (term, doc_id, tf, doc_len) only:
+    metadata (lang/site/...) stays in the docs table and is joined onto
+    the scored CANDIDATES when a filtered query needs it (finalize_topk);
+    denormalizing strings into every posting row costs far more in
+    cache/shuffle bytes at web scale than a post-scoring docvalues join
+    on the few surviving docs. An explode+groupBy(term, doc_id) would
+    shuffle ~|tokens| near-unique keys for no combine benefit.
     """
-    keys = [c for c in docs.columns if c not in ("url", "tokens")]
+    keys = ["doc_id", "doc_len"]
     s = F.col("_s")
     starts = F.col("_starts")
     d = (

@@ -68,3 +68,22 @@ def test_udf_on_spark(spark):
     df = spark.createDataFrame([(t,) for t, _ in GOLDENS], "text string")
     got = [r["toks"] for r in df.select(tokenize_udf("text").alias("toks")).collect()]
     assert got == [w for _, w in GOLDENS]
+
+
+def test_jvm_expr_matches_on_ascii(spark):
+    """The pure-JVM tokenizer expression agrees with the UDF on ASCII
+    inputs (its documented domain)."""
+    from pyspark.sql import functions as F
+
+    from distributedcodesearchengine_spark.functions.udfs import (
+        tokenize_expr,
+        tokenize_udf,
+    )
+
+    ascii_goldens = [t for t, _ in GOLDENS if t.isascii()]
+    df = spark.createDataFrame([(t,) for t in ascii_goldens], "text string")
+    rows = df.select(
+        tokenize_udf("text").alias("a"), tokenize_expr(F.col("text")).alias("b")
+    ).collect()
+    for r in rows:
+        assert r["a"] == r["b"]
