@@ -55,6 +55,14 @@ def extract_text_udf(s: pd.Series) -> pd.Series:
     return _extract_series(s)
 
 
+@pandas_udf(ArrayType(StringType()))
+def extract_tokenize_udf(s: pd.Series) -> pd.Series:
+    """Fused html -> tokens (one Arrow round trip; the intermediate text
+    never crosses the JVM/Python boundary). Semantically identical to
+    tokenize_udf(extract_text_udf(html)) — asserted in tests."""
+    return _tokenize_series(_extract_series(s))
+
+
 def tokenize_expr(col):
     """Column-expression form of the tokenizer (pure JVM, no Python).
 

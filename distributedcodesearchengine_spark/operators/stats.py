@@ -22,7 +22,7 @@ from typing import Tuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.udfs import extract_text_udf, tokenize_udf
+from ..functions.udfs import extract_tokenize_udf
 from .doc_ids import assign_doc_ids
 
 K1, B, EPSILON = 1.5, 0.75, 0.25  # BM25Okapi defaults (requirements.txt:26)
@@ -44,8 +44,9 @@ def build_docs(
     (reference filter keys, bm25_index.py:157-164).
     """
     docs = (
-        pages.withColumn("text", extract_text_udf(F.col("html")))
-        .withColumn("tokens", tokenize_udf(F.col("text")))
+        # fused extract+tokenize: html crosses to Python once, only the
+        # token arrays come back (the extracted text itself never does)
+        pages.withColumn("tokens", extract_tokenize_udf(F.col("html")))
         .withColumn("doc_len", F.size("tokens").cast("int"))
         .withColumn("site", F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1))
         # project BEFORE the doc-id range shuffle: html/text/warc_ts are

@@ -54,6 +54,24 @@ def test_corpus_invariant_spark(spark):
     assert got == want
 
 
+def test_fused_udf_equivalence(spark):
+    """extract_tokenize_udf == tokenize_udf(extract_text_udf(html))."""
+    from pyspark.sql import functions as F
+
+    from distributedcodesearchengine_spark.functions.udfs import (
+        extract_text_udf,
+        extract_tokenize_udf,
+        tokenize_udf,
+    )
+    from distributedcodesearchengine_spark.sources.corpus import generate_pages
+
+    pages = generate_pages(spark, 200, seed=6, parts=3)
+    bad = pages.where(
+        extract_tokenize_udf("html") != tokenize_udf(extract_text_udf("html"))
+    ).count()
+    assert bad == 0
+
+
 def test_corpus_determinism_across_partitioning(spark):
     from distributedcodesearchengine_spark.sources.corpus import generate_pages
 
