@@ -87,7 +87,8 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", args.sf_dir)
     sf = float(m.group(1)) if m else 0.1
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", str(int(6_000_000 * sf))))
-    pages_dir = f"/tmp/dcse_bench_pages_n{n_docs}_s42"
+    scratch = "/dev/shm/dcse" if os.path.isdir("/dev/shm") else "/tmp"
+    pages_dir = f"{scratch}/dcse_bench_pages_n{n_docs}_s42"
 
     print(f"running bench at local[{args.n}] x{args.reps} ...", flush=True)
     r_n = run_bench(args.n, args.sf_dir, pages_dir, reps=args.reps)

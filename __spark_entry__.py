@@ -26,6 +26,11 @@ _BM25_CASES = [
     ("bm25_topk_lang_de", dict(query="row scan", lang="de")),
     ("bm25_topk_source", dict(query="batch merge", source="src7")),
     ("bm25_topk_unknown", dict(query="zzzznotaword")),
+    # positive-score regime (the documents vocab makes most queries
+    # degenerate; 'dup' is its only positive-idf term)
+    ("bm25_topk_healthy", dict(query="dup table")),
+    ("bm25_topk_healthy_multi", dict(query="dup dup row scan")),
+    ("bm25_topk_healthy_lang", dict(query="dup merge", lang="en")),
 ]
 
 
@@ -54,6 +59,10 @@ def _registry():
             oq.rrf_hybrid_sql(q, mock_embed_text(q, 64), 10, boosted=boosted),
         )
 
+    reg["removal_rebuild"] = (
+        partial(eq.removal_rebuild, source="src7"),
+        oq.removal_rebuild_sql("src7"),
+    )
     reg["bm25_topk_batch"] = (
         eq.bm25_batch,
         " UNION ALL ".join(

@@ -84,6 +84,12 @@ def main() -> None:
     from distributedcodesearchengine_spark.sources.corpus import generate_pages
 
     os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    # tmpfs scratch for shuffle + the bench artifacts: the sandbox VM's
+    # disk is throttled/shared; a real 4N-executor cluster brings 4N
+    # disks, so fixed-disk IO would systematically understate scaling
+    if os.path.isdir("/dev/shm"):
+        os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/dcse-spark-local")
+        os.makedirs(os.environ["SPARK_LOCAL_DIRS"], exist_ok=True)
     spark = get_spark("dcse-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict = {}
@@ -92,8 +98,9 @@ def main() -> None:
     # table once — the engine's contract input is an existing
     # Iceberg/parquet pages table, not on-the-fly generation. The parquet
     # is cached on disk and shared by the local[8]/local[32] scaling runs.
+    scratch = "/dev/shm/dcse" if os.path.isdir("/dev/shm") else "/tmp"
     pages_dir = os.environ.get(
-        "SPARK_GRAFT_BENCH_PAGES", f"/tmp/dcse_bench_pages_n{n_pages}_s42"
+        "SPARK_GRAFT_BENCH_PAGES", f"{scratch}/dcse_bench_pages_n{n_pages}_s42"
     )
     tg = time.monotonic()
     if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):

@@ -48,6 +48,32 @@ def build_index_inmem(
     return Index(spark=spark, docs=docs, tf=tf, terms=terms, n_docs=n, avgdl=avgdl)
 
 
+def remove_docs(index: Index, condition) -> Index:
+    """Delete-by-predicate + stats rebuild — the reference's
+    ``remove_by_repo`` (bm25_index.py:172-202), which rebuilds the whole
+    in-memory corpus without the doomed entries. Spark form: an anti
+    filter on docs/tf plus recomputed global stats (df/idf/avgdl change
+    when docs leave). Doc ids are retained (the reference REASSIGNS
+    positions on removal; we keep ids stable — like Iceberg
+    ``DELETE WHERE`` — because ids are referenced by persisted segments;
+    rank tie-breaks stay deterministic either way).
+
+    ``condition``: a boolean Column over docs rows; matching docs are
+    REMOVED.
+    """
+    from ..operators.stats import corpus_stats, terms_with_idf
+
+    spark = index.spark
+    keep_docs = index.docs.where(~condition)
+    keep_ids = keep_docs.select("doc_id")
+    tf = index.tf.join(keep_ids, "doc_id", "left_semi")
+    n, avgdl = corpus_stats(keep_docs)
+    terms = terms_with_idf(tf, n)
+    return Index(
+        spark=spark, docs=keep_docs, tf=tf, terms=terms, n_docs=n, avgdl=avgdl
+    )
+
+
 def add_postings(
     index: Index,
     block_size: int = DEFAULT_BLOCK,

@@ -135,10 +135,12 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str, text: str, k: int = 10) -> D
     return res.select("rank", "vec_id", F.round("score", 6).alias("score"))
 
 
-# note: picked so each query's max score is positive — the batch scorer
-# (documented) leaves the all-non-positive degenerate backfill to the
-# per-query path, which bm25_topk_unknown exercises in the gate
-BATCH_QUERIES = {1: "table row scan", 2: "spark query window sort", 3: "customer vector stream"}
+# note: the driver's documents corpus has a ~30-word vocab where only
+# 'dup' has positive idf — these queries are pinned to it so each
+# query's max score is positive (the batch scorer leaves the
+# all-non-positive degenerate backfill to the per-query path, which the
+# other gate queries exercise)
+BATCH_QUERIES = {1: "dup", 2: "dup table row", 3: "dup dup scan"}
 
 
 def bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,6 +152,25 @@ def bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
     ).orderBy("query_id", "rank")
+
+
+def removal_rebuild(spark: SparkSession, sf_dir: str, source: str = "src7") -> DataFrame:
+    """Delete-by-predicate + stats rebuild (reference remove_by_repo,
+    bm25_index.py:172-202): corpus stats and a term-df sample after
+    removing one source's documents."""
+    from .build.indexer import remove_docs
+
+    idx = get_documents_index(spark, sf_dir)
+    smaller = remove_docs(idx, F.col("source") == source)
+    stats = smaller.terms.agg(
+        F.count("*").alias("vocab_size"), F.sum("df").alias("total_df")
+    )
+    return stats.select(
+        F.lit(smaller.n_docs).cast("long").alias("n_docs"),
+        F.lit(round(smaller.avgdl, 6)).alias("avgdl"),
+        F.col("vocab_size"),
+        F.col("total_df").cast("long").alias("total_df"),
+    )
 
 
 def docs_with_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -139,6 +139,18 @@ def bm25_topk_sql(
     )
 
 
+def removal_rebuild_sql(source: str = "src7") -> str:
+    """Stats after delete-by-predicate (remove_by_repo analog)."""
+    cte = _docs_cte(f"(SELECT * FROM documents WHERE source <> '{source}')")
+    return (
+        f"WITH {cte} "
+        "SELECT (SELECT n_docs FROM stats) AS n_docs, "
+        "round((SELECT avgdl FROM stats), 6) AS avgdl, "
+        "(SELECT count(*) FROM dfreq) AS vocab_size, "
+        "(SELECT sum(df) FROM dfreq) AS total_df"
+    )
+
+
 def lang_histogram_sql() -> str:
     """A4 language histogram (repo_indexer.py:355-358 analog)."""
     return "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang"

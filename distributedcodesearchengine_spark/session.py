@@ -33,6 +33,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # shuffle/spill scratch space; point at tmpfs (SPARK_LOCAL_DIRS=
+        # /dev/shm/...) on hosts with throttled disk — a cluster brings
+        # local NVMe per executor, a sandbox VM does not
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/tmp"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra or {}).items():

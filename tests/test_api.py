@@ -1,0 +1,62 @@
+"""SearchEngine facade: BM25-only path with LocalSearchEngine
+normalization (engine.py:484-489), filters, and scorer selection."""
+
+import pytest
+
+from distributedcodesearchengine_spark.api import SearchEngine
+from distributedcodesearchengine_spark.build.indexer import (
+    add_postings,
+    build_index_inmem,
+    remove_docs,
+)
+from distributedcodesearchengine_spark.operators.scorer import bm25_topk
+from distributedcodesearchengine_spark.sources.corpus import generate_pages
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    pages = generate_pages(spark, 350, seed=17, parts=3)
+    idx = add_postings(build_index_inmem(spark, pages), block_size=32,
+                       target_row_postings=128)
+    return SearchEngine(idx)
+
+
+def test_bm25_only_normalized(engine):
+    raw = bm25_topk(engine.index, "parse json", k=10).collect()
+    got = engine.search("parse json", limit=10, use_hybrid=False).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in raw]
+    assert abs(got[0]["score"] - 1.0) < 1e-12  # top normalized to 1.0
+    for g, r in zip(got, raw):
+        assert abs(g["score"] - r["score"] / raw[0]["score"]) < 1e-9
+
+
+def test_scorer_selection_agrees(engine):
+    a = [(r["rank"], r["doc_id"]) for r in
+         engine.search("JSON parsing", limit=10, scorer="exact").collect()]
+    b = [(r["rank"], r["doc_id"]) for r in
+         engine.search("JSON parsing", limit=10, scorer="wand").collect()]
+    assert a == b
+
+
+def test_lang_filter(engine):
+    got = engine.search("parse json", limit=10, lang="de", use_hybrid=False)
+    docs = {r["doc_id"] for r in got.collect()}
+    de_docs = {
+        r["doc_id"]
+        for r in engine.index.docs.where(F.col("lang") == "de").select("doc_id").collect()
+    }
+    assert docs <= de_docs and docs
+
+
+def test_remove_docs(spark, engine):
+    idx = engine.index
+    before = idx.n_docs
+    smaller = remove_docs(idx, F.col("lang") == "de")
+    n_de = idx.docs.where(F.col("lang") == "de").count()
+    assert smaller.n_docs == before - n_de
+    assert smaller.docs.where(F.col("lang") == "de").count() == 0
+    # stats really rebuilt: avgdl changed and terms df shrank
+    assert smaller.avgdl != idx.avgdl
+    res = bm25_topk(smaller, "parse json", k=5).collect()
+    assert res
