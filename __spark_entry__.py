@@ -107,10 +107,18 @@ def _registry():
     reg["embedding_near_dup"] = (
         _tbl_op(sim.near_dup_pairs, "embeddings"), sim.near_dup_pairs_sql(),
     )
+    # scale path: LSH-bucketed candidates (Hamming-1 probes), exact
+    # cosine verify on candidates only — no crossJoin in the plan
+    reg["embedding_near_dup_lsh"] = (
+        _tbl_op(sim.near_dup_pairs_lsh, "embeddings"), sim.near_dup_pairs_lsh_sql(),
+    )
 
-    # multimodal plumbing: stubbed decoders, rows-only driver check
-    reg["multimodal_features"] = (eq.multimodal_features, None)
-    reg["multimodal_frame_sample"] = (eq.frame_sample_q, None)
+    # multimodal plumbing: the stub decoder is sha256-derived, so both
+    # entries get real DuckDB oracles (value-checked, not rows-only)
+    from distributedcodesearchengine_spark.operators import multimodal as mm
+
+    reg["multimodal_features"] = (eq.multimodal_features, mm.media_features_sql("image"))
+    reg["multimodal_frame_sample"] = (eq.frame_sample_q, mm.frame_sample_sql("video", 8))
     for key, kw in _BM25_CASES:
         reg[key] = (
             partial(eq.bm25_query, **kw),

@@ -23,6 +23,8 @@ from .operators.scorer import Index, bm25_topk
 from .operators.wand import wand_topk
 from .oracle.hybrid import enhance_query
 
+VALID_SCORERS = ("exact", "wand")
+
 
 def build_doc_embeddings(docs, dim: int = 64) -> DataFrame:
     """(doc_id, embedding) via the deterministic mock embedder over the
@@ -42,6 +44,17 @@ class SearchEngine:
         self.index = index
         self.dim = dim
         self.embeddings = embeddings
+        self._langs: Optional[set] = None
+
+    def _known_langs(self) -> set:
+        """Valid lang filter values (F8). lang is a partition column of
+        the persisted docs table, so this distinct is a metadata-cheap
+        one-time probe, cached on the engine."""
+        if self._langs is None:
+            self._langs = {
+                r["lang"] for r in self.index.docs.select("lang").distinct().collect()
+            }
+        return self._langs
 
     def _ensure_embeddings(self):
         if self.embeddings is None:
@@ -64,10 +77,24 @@ class SearchEngine:
         scorer: str = "exact",
         enhance: bool = True,
         normalize: bool = True,
+        on_invalid: str = "error",
     ) -> DataFrame:
+        """``on_invalid`` (F8 entry validation): 'error' raises
+        ValueError for an unknown scorer or a lang value absent from the
+        index (the reference CLI behavior, cli/main.py:69-85); 'drop'
+        silently ignores the invalid filter (the reference API behavior,
+        api/server.py:122-133). An unknown scorer always errors."""
+        if scorer not in VALID_SCORERS:
+            raise ValueError(f"unknown scorer {scorer!r}; valid: {VALID_SCORERS}")
         filters: Dict[str, str] = {}
         if lang:
-            filters["lang"] = lang
+            if lang not in self._known_langs():
+                if on_invalid == "error":
+                    raise ValueError(
+                        f"unknown lang {lang!r}; valid: {sorted(self._known_langs())}"
+                    )
+            else:
+                filters["lang"] = lang
         if site:
             filters["site"] = site
         if source:
@@ -87,14 +114,17 @@ class SearchEngine:
         # hybrid: overfetch both branches at 2*limit (engine.py:207,214)
         emb = self._ensure_embeddings()
         qvec = mock_embed_text(enhance_query(query) if enhance else query, self.dim)
-        sem = cosine_topk(emb, qvec, 2 * limit, id_col="doc_id")
-        # semantic branch honors the same metadata filters via docs join
+        # filters apply BEFORE the cosine top-k (the reference passes
+        # filters into vector_store.search, engine.py:205-209): the
+        # semantic list is the top-2k of the FILTERED set with dense
+        # ranks — filtering the unfiltered top-2k afterwards would feed
+        # RRF fewer candidates with gapped ranks
         if filters:
-            cond = [F.col(c) == v for c, v in filters.items()]
             docs_f = self.index.docs
-            for c in cond:
-                docs_f = docs_f.where(c)
-            sem = sem.join(docs_f.select("doc_id"), "doc_id", "left_semi")
+            for c, v in filters.items():
+                docs_f = docs_f.where(F.col(c) == v)
+            emb = emb.join(docs_f.select("doc_id"), "doc_id", "left_semi")
+        sem = cosine_topk(emb, qvec, 2 * limit, id_col="doc_id")
         bm = self._bm25(query, 2 * limit, filters, scorer).select("rank", "doc_id", "score")
         merged = rrf_merge(
             sem.select("rank", "doc_id", "score"),

@@ -106,13 +106,39 @@ class BuildState:
         wall_ms: float,
         partition_ids: Sequence[int] = (-1,),
         status: str = "complete",
+        error: Optional[str] = None,
     ):
         recs = [
-            (stage, int(p), fingerprint, int(rows), int(nbytes), float(wall_ms), status, _now())
+            (
+                stage, int(p), fingerprint, int(rows), int(nbytes),
+                float(wall_ms), status, _now(),
+                (error[:2000] if error else None),
+            )
             for p in partition_ids
         ]
         df = self.spark.createDataFrame(recs, schema=BUILD_STATE)
         df.coalesce(1).write.mode("append").parquet(self.path)
+
+    def errors(self) -> Optional[DataFrame]:
+        """The dead-letter view (ST3): every failed work unit with its
+        exception, for inspection/requeue."""
+        st = self.read()
+        if st is None:
+            return None
+        return st.where(F.col("status") == "failed").orderBy("updated_at")
+
+
+class BuildError(RuntimeError):
+    """Raised when some postings bucket groups failed after retries; the
+    successful groups ARE committed and the failures are recorded in
+    ``_build_state`` (status='failed', error=<exception>) — re-running
+    with resume=True rebuilds only the failed buckets."""
+
+    def __init__(self, failed_buckets: Sequence[int], last_error: str):
+        self.failed_buckets = list(failed_buckets)
+        super().__init__(
+            f"postings build failed for buckets {self.failed_buckets}: {last_error}"
+        )
 
 
 def _fingerprint(**kw) -> str:
@@ -130,17 +156,39 @@ def build_index_persisted(
     n_buckets: int = N_BUCKETS,
     bucket_groups: int = 4,
     fail_after_groups: Optional[int] = None,
+    priorities: Optional[dict] = None,
+    group_retries: int = 2,
+    poison_buckets: Optional[set] = None,
 ) -> Index:
     """Build (or resume) the persisted index at ``index_dir``.
 
-    ``fail_after_groups`` is a test hook simulating an interrupt after N
-    postings bucket-groups (raises RuntimeError mid-build).
+    ``priorities``: optional {bucket: 0-10} (higher first) — the analog
+    of the reference's priority queue (queue/publisher.py:68-75);
+    unlisted buckets default to 5. ``group_retries``: attempts per
+    postings bucket-group before it is dead-lettered to ``_build_state``
+    (status='failed' + error) and the remaining groups continue —
+    worker.py:144-158's requeue/DLQ semantics.
+
+    ``fail_after_groups`` is a test hook simulating a hard interrupt
+    after N postings bucket-groups (raises RuntimeError mid-build);
+    ``poison_buckets`` is a test hook making any group containing one of
+    those buckets raise (a poison work unit, exercising the DLQ path).
     """
     os.makedirs(index_dir, exist_ok=True)
     state = BuildState(spark, index_dir)
-    n_pages = pages.count()
+    # input fingerprint = row count + order-insensitive content
+    # signature (url + html crc sums), so re-running with resume=True
+    # over CHANGED content of the same cardinality rebuilds instead of
+    # silently returning a stale index
+    sig = pages.agg(
+        F.count("*").alias("n"),
+        F.sum(F.crc32(F.col("url"))).alias("us"),
+        F.sum(F.crc32(F.col("html"))).alias("hs"),
+    ).first()
     fp = _fingerprint(
-        n_pages=n_pages,
+        n_pages=int(sig["n"]),
+        url_sig=int(sig["us"] or 0),
+        html_sig=int(sig["hs"] or 0),
         meta_cols=list(meta_cols),
         block_size=block_size,
         target=target_row_postings,
@@ -217,31 +265,76 @@ def build_index_persisted(
     all_buckets = list(range(n_buckets))
     missing = [b for b in all_buckets if b not in done_buckets]
     if missing:
+        # ST1 priority scheduling: higher-priority buckets land in
+        # earlier (contiguous) groups, so an interrupt after group k has
+        # completed the k highest-priority slices first
+        prio = priorities or {}
+        missing.sort(key=lambda b: (-prio.get(b, 5), b))
+        size = max(1, -(-len(missing) // bucket_groups))
         groups: List[List[int]] = [
-            missing[i::bucket_groups] for i in range(bucket_groups)
+            missing[i : i + size] for i in range(0, len(missing), size)
         ]
-        groups = [g for g in groups if g]
+        # scope the dynamic-overwrite setting: restore the session value
+        # afterwards so later mode("overwrite") writes keep their
+        # static semantics
+        try:
+            prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        except Exception:  # noqa: BLE001
+            prev_mode = None
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        for gi, group in enumerate(groups):
-            if fail_after_groups is not None and gi >= fail_after_groups:
-                raise RuntimeError(
-                    f"simulated interrupt before bucket group {gi} ({group})"
-                )
-            t0 = time.monotonic()
-            tf_g = tf.where(
-                jvm_term_bucket(F.col("term"), n_buckets).isin(group)
-            )
-            p = build_postings(
-                tf_g, terms, n_docs, avgdl,
-                block_size=block_size,
-                target_row_postings=target_row_postings,
-                n_buckets=n_buckets,
-            )
-            p.write.mode("overwrite").partitionBy("term_bucket").parquet(post_dir)
-            wall = (time.monotonic() - t0) * 1000
-            state.mark(
-                "postings", fp, -1, _dir_bytes(post_dir), wall, partition_ids=group
-            )
+        failed: List[int] = []
+        last_err = ""
+        try:
+            for gi, group in enumerate(groups):
+                if fail_after_groups is not None and gi >= fail_after_groups:
+                    raise RuntimeError(
+                        f"simulated interrupt before bucket group {gi} ({group})"
+                    )
+                t0 = time.monotonic()
+                err: Optional[Exception] = None
+                for _attempt in range(max(1, group_retries)):
+                    try:
+                        if poison_buckets and set(group) & set(poison_buckets):
+                            raise ValueError(
+                                f"poisoned work unit: buckets {sorted(set(group) & set(poison_buckets))}"
+                            )
+                        tf_g = tf.where(
+                            jvm_term_bucket(F.col("term"), n_buckets).isin(group)
+                        )
+                        p = build_postings(
+                            tf_g, terms, n_docs, avgdl,
+                            block_size=block_size,
+                            target_row_postings=target_row_postings,
+                            n_buckets=n_buckets,
+                        )
+                        p.write.mode("overwrite").partitionBy("term_bucket").parquet(
+                            post_dir
+                        )
+                        err = None
+                        break
+                    except Exception as e:  # noqa: BLE001
+                        err = e
+                wall = (time.monotonic() - t0) * 1000
+                if err is None:
+                    state.mark(
+                        "postings", fp, -1, _dir_bytes(post_dir), wall,
+                        partition_ids=group,
+                    )
+                else:
+                    # dead-letter the unit; the other groups continue
+                    state.mark(
+                        "postings", fp, -1, 0, wall, partition_ids=group,
+                        status="failed", error=f"{type(err).__name__}: {err}",
+                    )
+                    failed.extend(group)
+                    last_err = f"{type(err).__name__}: {err}"
+        finally:
+            if prev_mode is not None:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+            else:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        if failed:
+            raise BuildError(failed, last_err)
 
     with open(os.path.join(index_dir, "_meta.json"), "w") as f:
         json.dump(
@@ -265,6 +358,27 @@ def build_index_persisted(
         postings=postings,
         n_buckets=n_buckets,
         path=index_dir,
+    )
+
+
+def build_metrics_rollup(spark: SparkSession, index_dir: str) -> DataFrame:
+    """A6 stats-rollup surface (the /stats endpoint analog,
+    api/server.py:250-280): per-stage lineage + metrics rollup over the
+    ``_build_state`` table — work units, rows, bytes, wall time, last
+    update, failure counts."""
+    st = BuildState(spark, index_dir).read()
+    if st is None:
+        raise FileNotFoundError(f"no {STATE_DIR} under {index_dir}")
+    return (
+        st.groupBy("stage", "status")
+        .agg(
+            F.count("*").alias("n_units"),
+            F.sum("rows").alias("rows"),
+            F.max("bytes").alias("bytes"),
+            F.sum("wall_ms").alias("wall_ms"),
+            F.max("updated_at").alias("last_update"),
+        )
+        .orderBy("stage", "status")
     )
 
 

@@ -1,0 +1,120 @@
+"""Command-line entry point — the analog of the reference's Typer CLI
+(``codesearch/cli/main.py:44-212``) and its ``/stats`` endpoint
+(``api/server.py:250-280``), argparse-based (no extra deps).
+
+    python -m distributedcodesearchengine_spark build  --input DIR --index DIR
+    python -m distributedcodesearchengine_spark search QUERY --index DIR [...]
+    python -m distributedcodesearchengine_spark stats  --index DIR
+
+F8 entry-point validation (cli/main.py:69-85): unknown enum values
+(scorer) and unknown filter values (lang not present in the index) are
+CLI errors with the valid choices listed — the API facade can instead
+silently drop them (``on_invalid='drop'``, server.py:122-133).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="distributedcodesearchengine_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build (or resume) a persisted index")
+    b.add_argument("--input", required=True, help="pages parquet directory")
+    b.add_argument("--index", required=True, help="output index directory")
+    b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--n-buckets", type=int, default=None)
+
+    s = sub.add_parser("search", help="query a persisted index")
+    s.add_argument("query")
+    s.add_argument("--index", required=True)
+    s.add_argument("--limit", type=int, default=10)
+    s.add_argument("--lang")
+    s.add_argument("--site")
+    s.add_argument("--source")
+    s.add_argument("--hybrid", action="store_true")
+    s.add_argument("--scorer", default="exact")
+    s.add_argument("--json", action="store_true", dest="as_json")
+
+    t = sub.add_parser("stats", help="corpus + build-lineage rollup")
+    t.add_argument("--index", required=True)
+    return p
+
+
+def main(argv=None, spark=None) -> int:
+    args = _build_parser().parse_args(argv)
+    from .session import get_spark
+
+    spark = spark or get_spark("dcse-cli")
+
+    if args.cmd == "build":
+        from .build.checkpoint import build_index_persisted
+
+        pages = spark.read.parquet(args.input)
+        kw = {}
+        if args.n_buckets:
+            kw["n_buckets"] = args.n_buckets
+        idx = build_index_persisted(
+            spark, pages, args.index, resume=not args.no_resume, **kw
+        )
+        print(json.dumps({"n_docs": idx.n_docs, "avgdl": idx.avgdl, "index": args.index}))
+        return 0
+
+    if args.cmd == "search":
+        from .api import VALID_SCORERS, SearchEngine
+        from .build.checkpoint import load_index
+
+        idx = load_index(spark, args.index)
+        engine = SearchEngine(idx)
+        try:
+            res = engine.search(
+                args.query,
+                limit=args.limit,
+                lang=args.lang,
+                site=args.site,
+                source=args.source,
+                use_hybrid=args.hybrid,
+                scorer=args.scorer,
+                on_invalid="error",
+            )
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        rows = res.collect()
+        if args.as_json:
+            for r in rows:
+                print(json.dumps(r.asDict()))
+        else:
+            for r in rows:
+                url = r["url"] if "url" in r.__fields__ else ""
+                print(f"{r['rank']:>3}  {r['score']:.6f}  {r['doc_id']:>10}  {url}")
+        return 0
+
+    if args.cmd == "stats":
+        from pyspark.sql import functions as F
+
+        from .build.checkpoint import build_metrics_rollup, load_index
+
+        idx = load_index(spark, args.index)
+        out = {
+            "n_docs": idx.n_docs,
+            "avgdl": idx.avgdl,
+            "vocab_size": idx.terms.count(),
+            "langs": {
+                r["lang"]: r["n"]
+                for r in idx.docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+            },
+            "build": [r.asDict() for r in build_metrics_rollup(spark, args.index).collect()],
+        }
+        print(json.dumps(out, default=str, indent=2))
+        return 0
+
+    return 1  # pragma: no cover
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main())

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .build.indexer import build_index_inmem
+from .functions.rounding import round6, round6_py
 from .operators.scorer import Index, bm25_topk
 from .operators.stats import corpus_stats, term_freqs, terms_with_idf_detail
 from .sources.tables import documents_as_pages, load_table
@@ -56,7 +57,7 @@ def corpus_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         F.lit(n).cast("long").alias("n_docs"),
-        F.lit(round(avgdl, 6)).alias("avgdl"),
+        F.lit(round6_py(avgdl)).alias("avgdl"),
         F.col("vocab_size"),
         F.col("n_floored").cast("long").alias("n_floored"),
     )
@@ -67,7 +68,7 @@ def term_df_topk(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
     return (
         idx.terms.orderBy(F.desc("df"), F.asc("term"))
         .limit(k)
-        .select("term", "df", F.round("idf", 6).alias("idf"))
+        .select("term", "df", round6("idf").alias("idf"))
     )
 
 
@@ -78,7 +79,7 @@ def idf_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = get_documents_index(spark, sf_dir)
     return (
         idx.terms.where(F.col("term").isin(IDF_SAMPLE_TERMS))
-        .select("term", "df", F.round("idf", 6).alias("idf"))
+        .select("term", "df", round6("idf").alias("idf"))
         .orderBy("term")
     )
 
@@ -99,7 +100,7 @@ def bm25_query(
         filters["source"] = source
     res = bm25_topk(idx, query, k=k, filters=filters or None)
     return res.select(
-        "rank", _orig_doc_id(), F.round("score", 6).alias("score")
+        "rank", _orig_doc_id(), round6("score").alias("score")
     ).orderBy("rank")
 
 
@@ -132,7 +133,7 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str, text: str, k: int = 10) -> D
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = mock_embed_text(text, 64)
     res = cosine_topk(emb, qvec, k, id_col="vec_id")
-    return res.select("rank", "vec_id", F.round("score", 6).alias("score"))
+    return res.select("rank", "vec_id", round6("score").alias("score"))
 
 
 # note: the driver's documents corpus has a ~30-word vocab where only
@@ -150,7 +151,7 @@ def bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = get_documents_index(spark, sf_dir)
     res = bm25_topk_batch(idx, BATCH_QUERIES, k=10)
     return res.select(
-        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+        "query_id", "rank", "doc_id", round6("score").alias("score")
     ).orderBy("query_id", "rank")
 
 
@@ -167,7 +168,7 @@ def removal_rebuild(spark: SparkSession, sf_dir: str, source: str = "src7") -> D
     )
     return stats.select(
         F.lit(smaller.n_docs).cast("long").alias("n_docs"),
-        F.lit(round(smaller.avgdl, 6)).alias("avgdl"),
+        F.lit(round6_py(smaller.avgdl)).alias("avgdl"),
         F.col("vocab_size"),
         F.col("total_df").cast("long").alias("total_df"),
     )
@@ -237,7 +238,7 @@ def rrf_hybrid(
     return merged.select(
         "rank",
         "doc_id",
-        F.round("score", 6).alias("score"),
-        F.round("semantic_score", 6).alias("semantic_score"),
-        F.round("bm25_score", 6).alias("bm25_score"),
+        round6("score").alias("score"),
+        round6("semantic_score").alias("semantic_score"),
+        round6("bm25_score").alias("bm25_score"),
     ).orderBy("rank")

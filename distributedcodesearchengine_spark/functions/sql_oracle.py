@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 from ..oracle.tokenizer import tokenize
+from .rounding import round6_sql
 
 K1, B, EPSILON = 1.5, 0.75, 0.25
 
@@ -69,7 +70,7 @@ def corpus_stats_sql() -> str:
     return (
         f"WITH {_docs_cte()} "
         "SELECT (SELECT n_docs FROM stats) AS n_docs, "
-        "round((SELECT avgdl FROM stats), 6) AS avgdl, "
+        f"{round6_sql('(SELECT avgdl FROM stats)')} AS avgdl, "
         "(SELECT count(*) FROM dfreq) AS vocab_size, "
         "(SELECT count(*) FROM idf0 WHERE idf_raw < 0) AS n_floored"
     )
@@ -78,7 +79,7 @@ def corpus_stats_sql() -> str:
 def term_df_topk_sql(k: int = 50) -> str:
     return (
         f"WITH {_docs_cte()} "
-        "SELECT term, df, round(idf, 6) AS idf FROM idf "
+        f"SELECT term, df, {round6_sql('idf')} AS idf FROM idf "
         f"ORDER BY df DESC, term ASC LIMIT {k}"
     )
 
@@ -87,7 +88,7 @@ def idf_sample_sql(terms: Sequence[str]) -> str:
     lst = ", ".join(f"'{t}'" for t in terms)
     return (
         f"WITH {_docs_cte()} "
-        f"SELECT term, df, round(idf, 6) AS idf FROM idf WHERE term IN ({lst}) "
+        f"SELECT term, df, {round6_sql('idf')} AS idf FROM idf WHERE term IN ({lst}) "
         "ORDER BY term"
     )
 
@@ -134,7 +135,7 @@ def bm25_topk_sql(
         "), "
         f"filtered AS (SELECT * FROM kept{fsql}) "
         "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank, "
-        "doc_id, round(score, 6) AS score "
+        f"doc_id, {round6_sql('score')} AS score "
         f"FROM filtered ORDER BY score DESC, doc_id ASC LIMIT {k}"
     )
 
@@ -145,9 +146,9 @@ def removal_rebuild_sql(source: str = "src7") -> str:
     return (
         f"WITH {cte} "
         "SELECT (SELECT n_docs FROM stats) AS n_docs, "
-        "round((SELECT avgdl FROM stats), 6) AS avgdl, "
+        f"{round6_sql('(SELECT avgdl FROM stats)')} AS avgdl, "
         "(SELECT count(*) FROM dfreq) AS vocab_size, "
-        "(SELECT sum(df) FROM dfreq) AS total_df"
+        "(SELECT CAST(sum(df) AS BIGINT) FROM dfreq) AS total_df"
     )
 
 
@@ -182,7 +183,7 @@ def cosine_topk_sql(qvec: Sequence[float], k: int = 10) -> str:
         f"(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * {qnorm!r}) AS score "
         "FROM embeddings) "
         "SELECT CAST(row_number() OVER (ORDER BY score DESC, vec_id ASC) AS INT) AS rank, "
-        f"vec_id, round(score, 6) AS score FROM scored ORDER BY score DESC, vec_id ASC LIMIT {k}"
+        f"vec_id, {round6_sql('score')} AS score FROM scored ORDER BY score DESC, vec_id ASC LIMIT {k}"
     )
 
 
@@ -271,7 +272,7 @@ def rrf_hybrid_sql(
         f"top AS (SELECT * FROM merged ORDER BY score DESC, tie ASC LIMIT {k}), "
         "mx AS (SELECT max(score) AS m FROM top) "
         "SELECT CAST(row_number() OVER (ORDER BY score DESC, tie ASC) AS INT) AS rank, doc_id, "
-        "round(CASE WHEN (SELECT m FROM mx) > 0 THEN score / (SELECT m FROM mx) ELSE score END, 6) AS score, "
-        "round(semantic_score, 6) AS semantic_score, round(bm25_score, 6) AS bm25_score "
+        f"{round6_sql('CASE WHEN (SELECT m FROM mx) > 0 THEN score / (SELECT m FROM mx) ELSE score END')} AS score, "
+        f"{round6_sql('semantic_score')} AS semantic_score, {round6_sql('bm25_score')} AS bm25_score "
         "FROM top ORDER BY rank"
     )

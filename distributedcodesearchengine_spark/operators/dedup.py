@@ -27,6 +27,8 @@ from typing import List
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.rounding import round6, round6_sql
+
 N_HASHES = 8
 N_BANDS = 4  # rows-per-band = N_HASHES // N_BANDS = 2
 
@@ -59,8 +61,8 @@ def exact_dedup_summary(documents: DataFrame) -> DataFrame:
 def exact_dedup_summary_sql() -> str:
     return (
         "WITH g AS (SELECT md5(text) AS h, count(*) AS n FROM documents GROUP BY 1) "
-        "SELECT count(*) AS n_distinct, sum(n) AS n_docs, "
-        "sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS n_dup_docs FROM g"
+        "SELECT count(*) AS n_distinct, CAST(sum(n) AS BIGINT) AS n_docs, "
+        "CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS n_dup_docs FROM g"
     )
 
 
@@ -149,7 +151,7 @@ def _jaccard_verify(docs: DataFrame, pairs: DataFrame, jaccard_min: float) -> Da
             F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")),
         )
         .where(F.col("jaccard") >= jaccard_min)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("doc_a", "doc_b", round6("jaccard").alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
     return out
@@ -182,7 +184,7 @@ def lsh_candidate_pairs_sql(table_toks_cte: str, jaccard_min: float = 0.2) -> st
         "  FROM cand c JOIN shd2 x ON x.doc_id = c.doc_a "
         "  JOIN shd2 y ON y.doc_id = c.doc_b AND y.sh = x.sh "
         "  GROUP BY c.doc_a, c.doc_b) "
-        "SELECT i.doc_a, i.doc_b, round(CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter), 6) AS jaccard "
+        f"SELECT i.doc_a, i.doc_b, {round6_sql('CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter)')} AS jaccard "
         "FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a "
         "JOIN sizes sb ON sb.doc_id = i.doc_b "
         f"WHERE CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) >= {jaccard_min} "
@@ -249,7 +251,7 @@ def ngram_jaccard_sample_sql(table_toks_cte: str, max_doc: int = 40) -> str:
         "inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter "
         "  FROM shd2 x JOIN shd2 y ON y.sh = x.sh AND x.doc_id < y.doc_id "
         "  GROUP BY x.doc_id, y.doc_id) "
-        "SELECT i.doc_a, i.doc_b, round(CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter), 6) AS jaccard "
+        f"SELECT i.doc_a, i.doc_b, {round6_sql('CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter)')} AS jaccard "
         "FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a "
         "JOIN sizes sb ON sb.doc_id = i.doc_b "
         "WHERE CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) > 0 "

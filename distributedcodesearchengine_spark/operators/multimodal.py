@@ -7,6 +7,14 @@ this container — swap ``_fake_decode`` for a real decoder (PIL/ffmpeg)
 behind the same batch signature. The Spark-side plumbing — schema,
 partition-preserving mapInPandas, Arrow batch shapes, binary handling —
 is real and tested.
+
+Because the stub is sha256-derived it IS SQL-expressible: the colocated
+DuckDB builders recompute the same hash arithmetic, so both multimodal
+gate entries are value-checked (not rows-only). Feature lanes are
+emitted as SCALAR double columns f0..f7 (the driver's canonicalizer
+can't hash list cells); each f_i = (u32_i / 2^32) * 2 - 1 is a dyadic
+rational that Python, Spark and DuckDB all evaluate bit-identically, so
+no display rounding is needed.
 """
 
 from __future__ import annotations
@@ -18,12 +26,12 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+FEATURE_DIM = 8
+
 MEDIA_SCHEMA = (
     "doc_id long, kind string, width int, height int, n_frames int, "
-    "feature array<float>"
+    + ", ".join(f"f{i} double" for i in range(FEATURE_DIM))
 )
-
-FEATURE_DIM = 8
 
 
 def _fake_decode(payload: bytes, kind: str):
@@ -48,7 +56,7 @@ def extract_media_features(
     df: DataFrame, payload_col: str = "html", id_col: str = "doc_id",
     kind: str = "image",
 ) -> DataFrame:
-    """(doc_id, kind, width, height, n_frames, feature) via mapInPandas.
+    """(doc_id, kind, width, height, n_frames, f0..f7) via mapInPandas.
 
     One Arrow batch in -> one batch out; no shuffle, no per-row Python
     UDF overhead beyond the vectorized batch loop.
@@ -62,16 +70,16 @@ def extract_media_features(
                 _fake_decode(bytes(p) if p is not None else b"", kind)
                 for p in pdf[payload_col]
             ]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col].to_numpy(),
-                    "kind": kind,
-                    "width": np.array([r[0] for r in rows], dtype=np.int32),
-                    "height": np.array([r[1] for r in rows], dtype=np.int32),
-                    "n_frames": np.array([r[2] for r in rows], dtype=np.int32),
-                    "feature": [np.array(r[3], dtype=np.float32) for r in rows],
-                }
-            )
+            out = {
+                "doc_id": pdf[id_col].to_numpy(),
+                "kind": kind,
+                "width": np.array([r[0] for r in rows], dtype=np.int32),
+                "height": np.array([r[1] for r in rows], dtype=np.int32),
+                "n_frames": np.array([r[2] for r in rows], dtype=np.int32),
+            }
+            for i in range(FEATURE_DIM):
+                out[f"f{i}"] = np.array([r[3][i] for r in rows], dtype=np.float64)
+            yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
@@ -86,6 +94,55 @@ def frame_sample(
     return media.select(
         "doc_id",
         F.explode(
-            F.expr(f"CASE WHEN n_frames > 0 THEN sequence(0, n_frames - 1, {every_n}) ELSE array() END")
+            F.expr(
+                f"CASE WHEN n_frames > 0 THEN "
+                f"sequence(CAST(0 AS BIGINT), CAST(n_frames - 1 AS BIGINT), {every_n}) "
+                f"ELSE array() END"
+            )
         ).alias("frame_idx"),
+    )
+
+
+# --- DuckDB oracle builders ------------------------------------------------
+# The pages adaptation wraps documents.text as
+#   '<html><head><title>doc</title></head><body><p>' || text ||
+#   '</p></body></html>'  (sources/tables.py:documents_as_pages), and the
+# stub decoder hashes those utf-8 bytes; DuckDB's sha256(varchar) hashes
+# the same bytes, so both engines see the same digest hex.
+
+_PAGE_SHA = (
+    "sha256('<html><head><title>doc</title></head><body><p>' || text "
+    "|| '</p></body></html>')"
+)
+
+
+def _media_cte(kind: str) -> str:
+    nf = (
+        "1"
+        if kind == "image"
+        else "1 + (('0x' || substr(hx, 5, 2))::INT % 64)"
+    )
+    feats = ", ".join(
+        f"((('0x' || substr(hx, {8 * i + 1}, 8))::BIGINT / 4294967296.0) * 2 - 1) AS f{i}"
+        for i in range(FEATURE_DIM)
+    )
+    return (
+        f"hx AS (SELECT doc_id, {_PAGE_SHA} AS hx FROM documents), "
+        f"media AS (SELECT doc_id, '{kind}' AS kind, "
+        "CAST(64 + ('0x' || substr(hx, 1, 2))::INT * 4 AS INT) AS width, "
+        "CAST(64 + ('0x' || substr(hx, 3, 2))::INT * 4 AS INT) AS height, "
+        f"CAST({nf} AS INT) AS n_frames, {feats} FROM hx)"
+    )
+
+
+def media_features_sql(kind: str = "image") -> str:
+    return f"WITH {_media_cte(kind)} SELECT * FROM media ORDER BY doc_id"
+
+
+def frame_sample_sql(kind: str = "video", every_n: int = 8) -> str:
+    return (
+        f"WITH {_media_cte(kind)} "
+        "SELECT doc_id, CAST(unnest(range(0, n_frames, "
+        f"{every_n})) AS BIGINT) AS frame_idx "
+        "FROM media WHERE n_frames > 0 ORDER BY doc_id, frame_idx"
     )

@@ -146,20 +146,26 @@ def finalize_topk(
         mx = None
 
     if mx is not None and mx > 0:
-        res = scored.where(F.col("score") >= F.lit(0.01 * mx))
+        res = _apply_filters(scored.where(F.col("score") >= F.lit(0.01 * mx)), filters)
     else:
         # all-zero or all-non-positive: zero-score (unmatched) docs are in
-        # the reference's result array too
+        # the reference's result array too. They all tie at 0.0 and rank
+        # among ties is doc_id order, so the global top-k needs at most
+        # the k smallest-doc_id zero rows AFTER filters — a narrow
+        # TakeOrderedAndProject, never a corpus-wide full-width sort
+        # (at 10^12 docs an unknown-token query must not sort the corpus)
         zeros = index.docs
         if scored is not None:
             zeros = zeros.join(scored.select("doc_id"), "doc_id", "left_anti")
-        zeros = zeros.select("doc_id", *needed, F.lit(0.0).alias("score"))
+        zeros = _apply_filters(
+            zeros.select("doc_id", *needed, F.lit(0.0).alias("score")), filters
+        ).orderBy("doc_id").limit(k)
         if scored is not None:
-            res = scored.select("doc_id", *needed, "score").unionByName(zeros)
+            res = _apply_filters(
+                scored.select("doc_id", *needed, "score"), filters
+            ).unionByName(zeros)
         else:
             res = zeros
-
-    res = _apply_filters(res, filters)
     top_small = res.select("doc_id", "score").orderBy(
         F.desc("score"), F.asc("doc_id")
     ).limit(k)

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import math
 from collections import Counter
-from typing import Dict
+from typing import Dict, Optional
 
 import numpy as np
 import pandas as pd
@@ -142,11 +142,24 @@ def sharded_batch_topk(
     queries: Dict[int, str],
     k: int = 10,
     shard_width: int = DEFAULT_SHARD_WIDTH,
+    prune: bool = True,
+    decode_stats: Optional[dict] = None,
 ) -> DataFrame:
     """All queries, shard-local exact scoring -> (query_id, rank,
     doc_id, score). index.postings must be sharded with ``shard_width``.
     Degenerate all-zero queries are the per-query scorer's job (same
-    contract as the other batch scorers)."""
+    contract as the other batch scorers).
+
+    ``prune=True`` applies per-(shard, query) block-max WAND inside
+    ``score_shard``: a block is varint-decoded only if SOME query's
+    upper bound needs it; pruned mass is tracked as a range-add upper
+    bound (diff array) and the surviving candidates are exactly
+    re-scored in canonical sorted-term order, so results stay
+    bit-identical to the unpruned path (asserted in tests). Queries with
+    a negative-idf term fall back to full decode (same soundness rule as
+    operators/wand.py). ``decode_stats`` (a dict) receives
+    ``decoded_blocks`` / ``total_blocks`` Spark-accumulator totals after
+    the action runs — the measured decode reduction."""
     spark = index.spark
     qterms: Dict[str, list] = {}
     for qid, q in queries.items():
@@ -163,6 +176,13 @@ def sharded_batch_topk(
     avgdl = float(index.avgdl)
     kk = int(k)
     sw = int(shard_width)
+    do_prune = bool(prune)
+    acc_decoded = spark.sparkContext.accumulator(0)
+    acc_total = spark.sparkContext.accumulator(0)
+    if decode_stats is not None:
+        decode_stats["decoded_blocks"] = acc_decoded
+        decode_stats["total_blocks"] = acc_total
+    PAD = 1e-9
 
     prows = index.postings.where(F.col("term").isin(uniq)).select(
         "term", "range_id", "idf", "blocks"
@@ -173,31 +193,135 @@ def sharded_batch_topk(
         shard = int(pdf["range_id"].iloc[0])
         base = shard * sw
         nq = len(qids_b)
-        acc = np.zeros((nq, sw))
-        touched = np.zeros(sw, dtype=bool)
-        # sorted-term iteration == the canonical term-sorted fold order
+        # sorted-term order == the canonical fold order
         pdf = pdf.sort_values("term")
-        for term, idf, blocks in zip(pdf["term"], pdf["idf"], pdf["blocks"]):
-            dl_all, tf_all, id_all = [], [], []
-            for blk in blocks:
+        terms_a = pdf["term"].tolist()
+        idf_a = [float(x) for x in pdf["idf"]]
+        blocks_a = pdf["blocks"].tolist()
+        nt = len(terms_a)
+        # per-term block metadata (no decode): rel first/last, max_w
+        bmeta = [
+            [
+                (int(b["first_doc"]) - base, int(b["last_doc"]) - base, float(b["max_w"]))
+                for b in blocks_a[ti]
+            ]
+            for ti in range(nt)
+        ]
+        mws = [np.array([m[2] for m in bm]) for bm in bmeta]
+        tmax = [float(m.max()) if len(m) else 0.0 for m in mws]
+        acc_total.add(sum(len(bm) for bm in bmeta))
+
+        decoded: dict = {}
+
+        def get_block(ti: int, bi: int):
+            key = (ti, bi)
+            hit = decoded.get(key)
+            if hit is None:
+                blk = blocks_a[ti][bi]
                 n = blk["n"]
                 deltas = varint_unpack(bytes(blk["doc_deltas"]), n).astype(np.int64)
-                id_all.append(np.cumsum(deltas) + blk["first_doc"])
-                tf_all.append(varint_unpack(bytes(blk["tfs"]), n).astype(np.int64))
-                dl_all.append(varint_unpack(bytes(blk["doc_lens"]), n).astype(np.int64))
-            ids = np.concatenate(id_all) - base
-            w = bm25_weight(
-                np.concatenate(tf_all), np.concatenate(dl_all), float(idf), avgdl
+                ids = np.cumsum(deltas) + int(blk["first_doc"]) - base
+                tfs = varint_unpack(bytes(blk["tfs"]), n).astype(np.int64)
+                dls = varint_unpack(bytes(blk["doc_lens"]), n).astype(np.int64)
+                w = bm25_weight(tfs, dls, idf_a[ti], avgdl)
+                hit = decoded[key] = (ids, w)
+                acc_decoded.add(1)
+            return hit
+
+        # per-query term entries (ti ascending = sorted-term order)
+        term_index = {t: i for i, t in enumerate(terms_a)}
+        q_entries: Dict[int, list] = {qid: [] for qid in qids_b}
+        for t, lst in qterms_b.items():
+            ti = term_index.get(t)
+            if ti is None:
+                continue
+            for qid, qtf in lst:
+                q_entries[qid].append((ti, float(qtf)))
+        for qid in q_entries:
+            q_entries[qid].sort()
+
+        # --- plan: per-query kept-block masks (or None = keep all)
+        q_plan = {}
+        for qid, entries in q_entries.items():
+            if not entries:
+                continue
+            prune_ok = (
+                do_prune and kk > 0 and all(idf_a[ti] >= 0 for ti, _ in entries)
             )
-            touched[ids] = True
-            for qid, qtf in qterms_b[term]:
-                acc[qpos_b[qid], ids] += qtf * w
-        local_ids = np.flatnonzero(touched)
+            if not prune_ok:
+                q_plan[qid] = (entries, None)
+                continue
+            S_q = sum(qtf * tmax[ti] for ti, qtf in entries)
+            # tau0: decode only each term's single best block; per-doc
+            # max single-block contribution lower-bounds the true score
+            m = np.zeros(sw)
+            for ti, qtf in entries:
+                bi = int(np.argmax(mws[ti]))
+                ids, w = get_block(ti, bi)
+                np.maximum.at(m, ids, qtf * w)
+            nzm = m[m > 0]
+            if len(nzm) >= kk:
+                tau0 = float(np.partition(nzm, len(nzm) - kk)[len(nzm) - kk])
+            else:
+                tau0 = -np.inf
+            kept = [
+                qtf * mws[ti] + (S_q - qtf * tmax[ti]) >= tau0 - PAD
+                for ti, qtf in entries
+            ]
+            q_plan[qid] = (entries, kept)
+
+        # --- accumulate kept blocks; pruned mass -> range-add UB
+        ps = np.zeros((nq, sw))
+        ubx: Dict[int, np.ndarray] = {}
+        for qid, (entries, kept) in q_plan.items():
+            qi = qpos_b[qid]
+            for ei, (ti, qtf) in enumerate(entries):
+                kmask = kept[ei] if kept is not None else None
+                for bi in range(len(bmeta[ti])):
+                    if kmask is None or kmask[bi]:
+                        ids, w = get_block(ti, bi)
+                        ps[qi, ids] += qtf * w
+                    else:
+                        f, l, mw = bmeta[ti][bi]
+                        d = ubx.get(qi)
+                        if d is None:
+                            d = ubx[qi] = np.zeros(sw + 1)
+                        d[f] += qtf * mw
+                        d[l + 1] -= qtf * mw
+
         out_q, out_d, out_s = [], [], []
-        for qi, qid in enumerate(qids_b):
-            s = acc[qi, local_ids]
-            nz = s != 0.0
-            cand_ids, cand_s = local_ids[nz], s[nz]
+        for qid, (entries, kept) in q_plan.items():
+            qi = qpos_b[qid]
+            s = ps[qi]
+            if kept is None or qi not in ubx:
+                # everything decoded: ps is exact and in canonical order
+                cand_ids = np.flatnonzero(s != 0.0)
+                cand_s = s[cand_ids]
+            else:
+                ub_extra = np.cumsum(ubx[qi][:sw])
+                nz_ids = np.flatnonzero((s != 0.0) | (ub_extra > 0.0))
+                psn = s[nz_ids]
+                if len(psn) > kk:
+                    kth = float(np.partition(psn, len(psn) - kk)[len(psn) - kk])
+                else:
+                    kth = -np.inf
+                cand_ids = nz_ids[psn + ub_extra[nz_ids] >= kth - PAD]
+                # exact re-score of candidates in sorted-term order ->
+                # bit-identical to the canonical fold
+                sc = np.zeros(len(cand_ids))
+                for ti, qtf in entries:
+                    for bi in range(len(bmeta[ti])):
+                        f, l, _mw = bmeta[ti][bi]
+                        lo = int(np.searchsorted(cand_ids, f))
+                        if lo >= len(cand_ids) or cand_ids[lo] > l:
+                            continue
+                        ids, w = get_block(ti, bi)
+                        pos = np.searchsorted(cand_ids, ids)
+                        pos_c = np.minimum(pos, len(cand_ids) - 1)
+                        mask = cand_ids[pos_c] == ids
+                        sc[pos_c[mask]] += qtf * w[mask]
+                keep_nz = sc != 0.0
+                cand_ids, cand_s = cand_ids[keep_nz], sc[keep_nz]
             if len(cand_s) > kk:
                 # local top-k with the (score desc, doc_id asc) tie order
                 sel = np.lexsort((cand_ids, -cand_s))[:kk]

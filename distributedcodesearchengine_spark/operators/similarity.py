@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.embed import mock_embed_text
+from ..functions.rounding import round6, round6_sql
 
 N_PLANES = 8
 
@@ -99,7 +100,114 @@ def near_dup_pairs(
         .where(F.col("cos") >= threshold)
         .orderBy(F.desc("cos"), "vec_a", "vec_b")
         .limit(limit)
-        .select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
+        .select("vec_a", "vec_b", round6("cos").alias("cos"))
+    )
+
+
+def _cos_expr(a: str, b: str):
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(a).cast("array<double>"), F.col(b).cast("array<double>"), lambda x, y: x * y
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.zip_with(
+                F.col(c).cast("array<double>"), F.col(c).cast("array<double>"), lambda x, y: x * y
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / (norm(a) * norm(b))
+
+
+def near_dup_pairs_lsh(
+    embeddings: DataFrame, threshold: float = 0.25, limit: int = 50,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int = 64, n_planes: int = N_PLANES, max_bucket: int = 1000,
+) -> DataFrame:
+    """(vec_a, vec_b, cos) — the SCALE path for embedding near-dup.
+
+    Candidates are pairs whose hyperplane-LSH buckets are within Hamming
+    distance 1 (own bucket + one-bit probes), exact cosine verified on
+    candidates only — never an all-pairs crossJoin. Degenerate
+    mega-buckets (> ``max_bucket`` members, e.g. boilerplate-identical
+    embeddings) are dropped from candidate generation so no bucket can
+    go quadratic; the cap is mirrored in the DuckDB oracle.
+
+    A Hamming-1 pair matches exactly once (the single flipped bit), a
+    same-bucket pair exactly once (the unflipped probe), so no
+    ``distinct`` pass is needed on candidates.
+    """
+    b = hyperplane_buckets(
+        embeddings, dim=dim, n_planes=n_planes, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col).alias("vid"), "bucket")
+    kept = (
+        b.groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") <= max_bucket)
+        .select("bucket")
+    )
+    ok = b.join(F.broadcast(kept), "bucket")
+    probes = ok.select(
+        "vid",
+        F.explode(
+            F.array(
+                F.col("bucket"), *[F.expr(f"bucket ^ {1 << i}") for i in range(n_planes)]
+            )
+        ).alias("probe"),
+    )
+    cand = probes.join(
+        ok.select(F.col("vid").alias("vb"), F.col("bucket").alias("probe")),
+        ["probe"],
+    ).where(F.col("vid") < F.col("vb")).select(
+        F.col("vid").alias("vec_a"), F.col("vb").alias("vec_b")
+    )
+    ea = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"))
+    eb = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"))
+    scored = cand.join(ea, "vec_a").join(eb, "vec_b").select(
+        "vec_a", "vec_b", _cos_expr("ea", "eb").alias("cos")
+    )
+    return (
+        scored.where(F.col("cos") >= threshold)
+        .orderBy(F.desc("cos"), "vec_a", "vec_b")
+        .limit(limit)
+        .select("vec_a", "vec_b", round6("cos").alias("cos"))
+    )
+
+
+def near_dup_pairs_lsh_sql(
+    threshold: float = 0.25, limit: int = 50,
+    dim: int = 64, n_planes: int = N_PLANES, max_bucket: int = 1000,
+) -> str:
+    planes = hyperplanes(dim, n_planes)
+    bits = " + ".join(
+        "CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(repr(float(x)) for x in p)
+        + f"]) >= 0 THEN CAST({2 ** i} AS BIGINT) ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    probe_list = "[bucket, " + ", ".join(
+        f"xor(bucket, {1 << i})" for i in range(n_planes)
+    ) + "]"
+    return (
+        f"WITH b AS (SELECT vec_id, {bits} AS bucket FROM embeddings), "
+        "sizes AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket), "
+        f"ok AS (SELECT vec_id, bucket FROM b JOIN sizes USING (bucket) WHERE n <= {max_bucket}), "
+        f"probes AS (SELECT vec_id, unnest({probe_list}) AS probe FROM ok), "
+        "cand AS (SELECT p.vec_id AS vec_a, o.vec_id AS vec_b FROM probes p "
+        "  JOIN ok o ON o.bucket = p.probe AND p.vec_id < o.vec_id), "
+        "scored AS (SELECT c.vec_a, c.vec_b, "
+        "list_dot_product(a.embedding::DOUBLE[], b2.embedding::DOUBLE[]) / "
+        "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(b2.embedding::DOUBLE[], b2.embedding::DOUBLE[]))) AS cos "
+        "FROM cand c JOIN embeddings a ON a.vec_id = c.vec_a "
+        "JOIN embeddings b2 ON b2.vec_id = c.vec_b) "
+        f"SELECT vec_a, vec_b, {round6_sql('cos')} AS cos FROM scored "
+        f"WHERE cos >= {threshold} ORDER BY cos DESC, vec_a, vec_b LIMIT {limit}"
     )
 
 
@@ -110,6 +218,6 @@ def near_dup_pairs_sql(threshold: float = 0.25, limit: int = 50) -> str:
         "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
         "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos "
         "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id) "
-        f"SELECT vec_a, vec_b, round(cos, 6) AS cos FROM p WHERE cos >= {threshold} "
+        f"SELECT vec_a, vec_b, {round6_sql('cos')} AS cos FROM p WHERE cos >= {threshold} "
         f"ORDER BY cos DESC, vec_a, vec_b LIMIT {limit}"
     )

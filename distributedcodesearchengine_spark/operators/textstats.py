@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.rounding import round6, round6_sql
+
 STOPWORDS = {
     "en": ["the", "a", "of", "to", "and", "in", "is", "it"],
     "de": ["der", "die", "das", "und", "ist", "ein", "zu", "den"],
@@ -51,9 +53,9 @@ def lang_id(docs: DataFrame) -> DataFrame:
         d = d.withColumn(f"{lang}_ratio", F.expr(_stop_ratio_expr(lang)))
     return d.select(
         "doc_id",
-        F.round("en_ratio", 6).alias("en_ratio"),
-        F.round("de_ratio", 6).alias("de_ratio"),
-        F.round("fr_ratio", 6).alias("fr_ratio"),
+        round6("en_ratio").alias("en_ratio"),
+        round6("de_ratio").alias("de_ratio"),
+        round6("fr_ratio").alias("fr_ratio"),
         F.expr(
             "CASE WHEN en_ratio >= de_ratio AND en_ratio >= fr_ratio THEN 'en' "
             "WHEN de_ratio >= fr_ratio THEN 'de' ELSE 'fr' END"
@@ -67,8 +69,8 @@ def lang_id_sql(table_toks_cte: str) -> str:
         f"{_stop_ratio_sql('en')} AS en_ratio, "
         f"{_stop_ratio_sql('de')} AS de_ratio, "
         f"{_stop_ratio_sql('fr')} AS fr_ratio FROM docs) "
-        "SELECT doc_id, round(en_ratio, 6) AS en_ratio, round(de_ratio, 6) AS de_ratio, "
-        "round(fr_ratio, 6) AS fr_ratio, "
+        f"SELECT doc_id, {round6_sql('en_ratio')} AS en_ratio, {round6_sql('de_ratio')} AS de_ratio, "
+        f"{round6_sql('fr_ratio')} AS fr_ratio, "
         "CASE WHEN en_ratio >= de_ratio AND en_ratio >= fr_ratio THEN 'en' "
         "WHEN de_ratio >= fr_ratio THEN 'de' ELSE 'fr' END AS pred_lang "
         "FROM r ORDER BY doc_id"
@@ -108,10 +110,10 @@ def quality_score(docs: DataFrame) -> DataFrame:
     return d.select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.round("punct_ratio", 6).alias("punct_ratio"),
-        F.round("stop_ratio", 6).alias("stop_ratio"),
-        F.round("mean_tok_len", 6).alias("mean_tok_len"),
-        F.round("quality", 6).alias("quality"),
+        round6("punct_ratio").alias("punct_ratio"),
+        round6("stop_ratio").alias("stop_ratio"),
+        round6("mean_tok_len").alias("mean_tok_len"),
+        round6("quality").alias("quality"),
     ).orderBy("doc_id")
 
 
@@ -127,11 +129,9 @@ def quality_score_sql(table_toks_cte: str) -> str:
         " / len(toks) ELSE 0.0 END AS mean_tok_len "
         "FROM docs d JOIN documents t ON t.doc_id = d.doc_id) "
         "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
-        "round(punct_ratio, 6) AS punct_ratio, round(stop_ratio, 6) AS stop_ratio, "
-        "round(mean_tok_len, 6) AS mean_tok_len, "
-        "round(0.25 * least(1.0, n_tokens / 100.0) + 0.25 * (1.0 - punct_ratio) "
-        "+ 0.25 * least(1.0, stop_ratio * 4.0) "
-        "+ 0.25 * least(1.0, mean_tok_len / 8.0), 6) AS quality "
+        f"{round6_sql('punct_ratio')} AS punct_ratio, {round6_sql('stop_ratio')} AS stop_ratio, "
+        f"{round6_sql('mean_tok_len')} AS mean_tok_len, "
+        f"{round6_sql('0.25 * least(1.0, n_tokens / 100.0) + 0.25 * (1.0 - punct_ratio) + 0.25 * least(1.0, stop_ratio * 4.0) + 0.25 * least(1.0, mean_tok_len / 8.0)')} AS quality "
         "FROM q ORDER BY doc_id"
     )
 

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 
 from ..oracle.tokenizer import tokenize
 from .postings import bm25_weight, term_bucket
-from .scorer import Index, finalize_topk, query_term_weights
+from .scorer import Index, finalize_topk
 from .varint import varint_unpack
 
 _PAD = 1e-9  # float-jitter safety margin on loose (reordered) sums
@@ -222,16 +222,27 @@ def wand_topk(
         return spark.createDataFrame(
             [], "rank int, doc_id long, url string, score double"
         )
-    qw = query_term_weights(index, query)
-    if not qw:
-        return finalize_topk(index, None, k, filters)
+    # one fused stats lookup: idf AND global_max for the query's terms
+    # come from the (blocks-pruned) postings scan in a single job — no
+    # separate terms-table collect (query_term_weights) + gmax collect
+    from collections import Counter
 
-    terms = [t for t, _, _ in qw]
+    counts = Counter(tokenize(query))
+    terms = sorted(counts)
     prows = _query_postings(index, terms).persist()
     try:
-        gmax_rows = prows.groupBy("term").agg(F.max("global_max").alias("g")).collect()
-        gmax = {r["term"]: float(r["g"]) for r in gmax_rows}
-        qmap = {t: (float(qtf), float(idf), gmax.get(t, 0.0)) for t, qtf, idf in qw}
+        stat_rows = (
+            prows.groupBy("term")
+            .agg(F.first("idf").alias("idf"), F.max("global_max").alias("g"))
+            .collect()
+        )
+        if not stat_rows:
+            # tokens exist but none are in the vocabulary
+            return finalize_topk(index, None, k, filters)
+        qmap = {
+            r["term"]: (float(counts[r["term"]]), float(r["idf"]), float(r["g"]))
+            for r in stat_rows
+        }
         S = sum(v[0] * v[2] for v in qmap.values())
 
         can_prune = (
@@ -267,22 +278,60 @@ def wand_topk(
         per_doc = decoded.groupBy("doc_id").agg(
             F.sum("contrib").alias("ps"), F.sum("cmax").alias("seen_cmax")
         )
-        kth_rows = per_doc.orderBy(F.desc("ps")).limit(k).collect()
-        kth_ps = float(kth_rows[-1]["ps"]) if len(kth_rows) == k else -math.inf
-        cand_df = per_doc.where(
-            F.col("ps") + (F.lit(S) - F.col("seen_cmax")) + F.lit(_PAD)
-            >= F.lit(kth_ps) - F.lit(_PAD)
+        # kth partial score + candidate cut fused into ONE job: the kth
+        # threshold is a 1-row TakeOrdered+agg subplan broadcast onto
+        # per_doc (nk < k means fewer than k matches -> keep everything)
+        kth_df = (
+            per_doc.orderBy(F.desc("ps"))
+            .limit(k)
+            .agg(F.min("ps").alias("kth"), F.count("*").alias("nk"))
         )
-        cand = np.sort(
-            np.array([r["doc_id"] for r in cand_df.select("doc_id").collect()], dtype=np.int64)
+        cand_rows = (
+            per_doc.crossJoin(F.broadcast(kth_df))
+            .where(
+                (F.col("nk") < k)
+                | (
+                    F.col("ps") + (F.lit(S) - F.col("seen_cmax")) + F.lit(_PAD)
+                    >= F.col("kth") - F.lit(_PAD)
+                )
+            )
+            .select("doc_id")
+            .collect()
         )
+        cand = np.sort(np.array([r["doc_id"] for r in cand_rows], dtype=np.int64))
         decoded.unpersist()
 
         if len(cand) > _C_CAP:
             exact = _decode_contribs(prows, qmap, index.avgdl)
-        else:
-            exact = _decode_contribs(prows, qmap, index.avgdl, cand=cand)
+            scored = _canonical_scores(exact)
+            return finalize_topk(index, scored, k, filters)
+        exact = _decode_contribs(prows, qmap, index.avgdl, cand=cand)
         scored = _canonical_scores(exact)
-        return finalize_topk(index, scored, k, filters)
+        return _finalize_candidates(index, scored, k)
     finally:
         prows.unpersist()
+
+
+def _finalize_candidates(index: Index, scored: DataFrame, k: int) -> DataFrame:
+    """finalize for the pruned path: ``scored`` holds ONLY the candidate
+    docs (provably ⊇ the true top-k, all-nonnegative contributions with
+    S > 0 so max > 0 and the degenerate backfill can't trigger). The
+    unfiltered-max threshold is applied via a global window over the
+    candidate-sized set instead of a separate max() job — one driver
+    round trip instead of two (scorer.finalize_topk's extra pass)."""
+    from pyspark.sql.window import Window
+
+    wall = Window.partitionBy(F.lit(1))
+    res = scored.withColumn("_mx", F.max("score").over(wall)).where(
+        F.col("score") >= 0.01 * F.col("_mx")
+    )
+    top_small = res.select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    ).limit(k)
+    top = index.docs.select("doc_id", "url").join(
+        F.broadcast(top_small), "doc_id", "inner"
+    )
+    wrank = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(wrank)).select(
+        "rank", "doc_id", "url", "score"
+    )

@@ -96,6 +96,10 @@ BUILD_STATE = StructType(
         StructField("wall_ms", DoubleType(), False),
         StructField("status", StringType(), False),
         StructField("updated_at", TimestampType(), False),
+        # error lineage (ST3): failed work units record the exception
+        # here — the dead-letter analog of the reference's DLQ
+        # (queue/worker.py:144-158); NULL for successful rows
+        StructField("error", StringType(), True),
     ]
 )
 

@@ -81,31 +81,59 @@ class IncrementalIndexer:
     def _path(self, name: str) -> str:
         return os.path.join(self.index_dir, name)
 
-    def current_offset(self) -> int:
-        docs_dir = self._path("docs")
-        if not os.path.exists(docs_dir):
+    def _batch_subdirs(self, name: str, exclude: str | None = None) -> list:
+        """Committed batch subdirs under docs/ or tf/, optionally
+        excluding one batch tag — redelivery of a crashed batch must
+        never read (or count ids from) its OWN partial pre-crash write,
+        both because the anti-join would filter the batch to empty and
+        because the overwrite would delete files a lazy plan still
+        reads (FileNotFoundException mid-write)."""
+        base = self._path(name)
+        if not os.path.exists(base):
+            return []
+        out = []
+        for d in sorted(os.listdir(base)):
+            p = os.path.join(base, d)
+            if not os.path.isdir(p):
+                continue
+            if exclude is not None and d == f"batch={exclude}":
+                continue
+            out.append(p)
+        return out
+
+    def current_offset(self, exclude: str | None = None) -> int:
+        dirs = self._batch_subdirs("docs", exclude)
+        if not dirs:
             return 0
-        row = self.spark.read.parquet(docs_dir).agg(F.max("doc_id")).first()
+        row = self.spark.read.parquet(*dirs).agg(F.max("doc_id")).first()
         return (int(row[0]) + 1) if row[0] is not None else 0
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         if not batch.head(1):
             return
         spark = self.spark
-        offset = self.current_offset()
-        # exclude already-indexed urls (at-least-once redelivery + the
-        # reference's add-time dedup, bm25_index.py:91-92)
-        if os.path.exists(self._path("docs")):
-            seen = spark.read.parquet(self._path("docs")).select("url")
-            batch = batch.join(seen, "url", "left_anti")
-        docs_delta = _docs_delta(batch, offset, self.meta_cols)
-        # idempotent per-batch write: overwrite this batch's subdirs
-        docs_delta.write.mode("overwrite").parquet(
-            self._path(f"docs/batch={self.run_tag}_{batch_id}")
+        tag = f"{self.run_tag}_{batch_id}"
+        docs_sub = self._path(f"docs/batch={tag}")
+        tf_sub = self._path(f"tf/batch={tag}")
+        committed = os.path.exists(os.path.join(docs_sub, "_SUCCESS")) and (
+            os.path.exists(os.path.join(tf_sub, "_SUCCESS"))
         )
-        term_freqs(docs_delta).write.mode("overwrite").parquet(
-            self._path(f"tf/batch={self.run_tag}_{batch_id}")
-        )
+        if not committed:
+            # prior batches only — never this batch's own partial write
+            prior = self._batch_subdirs("docs", exclude=tag)
+            offset = self.current_offset(exclude=tag)
+            # exclude already-indexed urls (at-least-once redelivery +
+            # the reference's add-time dedup, bm25_index.py:91-92)
+            if prior:
+                seen = spark.read.parquet(*prior).select("url")
+                batch = batch.join(seen, "url", "left_anti")
+            docs_delta = _docs_delta(batch, offset, self.meta_cols)
+            # idempotent per-batch write: overwrite this batch's subdirs
+            docs_delta.write.mode("overwrite").parquet(docs_sub)
+            term_freqs(docs_delta).write.mode("overwrite").parquet(tf_sub)
+        # committed redelivery: the writes already happened — fall
+        # through to the stats recompute (the crash may have hit between
+        # the batch write and the stats swap)
         # global stats recompute over the accumulated corpus
         docs = spark.read.parquet(self._path("docs"))
         tf = spark.read.parquet(self._path("tf"))

@@ -1,0 +1,70 @@
+"""CLI entry point (cli/main.py:44-212 analog) + F8 entry validation:
+build -> search -> stats round trip on a tiny corpus, unknown enum /
+filter values error on the CLI path and drop on the API path."""
+
+import json
+
+import pytest
+
+from distributedcodesearchengine_spark.api import SearchEngine
+from distributedcodesearchengine_spark.build.indexer import build_index_inmem
+from distributedcodesearchengine_spark.cli import main
+from distributedcodesearchengine_spark.sources.corpus import generate_pages
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("cli")
+    pages_dir = str(base / "pages")
+    index_dir = str(base / "idx")
+    generate_pages(spark, 200, seed=21, parts=2).write.parquet(pages_dir)
+    rc = main(["build", "--input", pages_dir, "--index", index_dir], spark=spark)
+    assert rc == 0
+    return index_dir
+
+
+def test_cli_search(built, spark, capsys):
+    rc = main(
+        ["search", "parse json", "--index", built, "--limit", "5", "--json"],
+        spark=spark,
+    )
+    assert rc == 0
+    lines = [json.loads(line) for line in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 5
+    assert [r["rank"] for r in lines] == [1, 2, 3, 4, 5]
+    assert lines[0]["score"] >= lines[-1]["score"]
+
+
+def test_cli_stats(built, spark, capsys):
+    rc = main(["stats", "--index", built], spark=spark)
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["n_docs"] == 200 and out["vocab_size"] > 0
+    stages = {b["stage"] for b in out["build"]}
+    assert {"docs", "tf", "terms", "postings"} <= stages
+
+
+def test_cli_unknown_scorer_errors(built, spark, capsys):
+    rc = main(
+        ["search", "q", "--index", built, "--scorer", "bogus"], spark=spark
+    )
+    assert rc == 2
+    assert "unknown scorer" in capsys.readouterr().err
+
+
+def test_cli_unknown_lang_errors(built, spark, capsys):
+    rc = main(["search", "q", "--index", built, "--lang", "xx"], spark=spark)
+    assert rc == 2
+    assert "unknown lang" in capsys.readouterr().err
+
+
+def test_api_drop_mode_ignores_unknown_lang(spark):
+    pages = generate_pages(spark, 120, seed=22, parts=2)
+    engine = SearchEngine(build_index_inmem(spark, pages))
+    kept = engine.search("parse json", limit=5, on_invalid="drop", lang="xx")
+    plain = engine.search("parse json", limit=5)
+    assert [r["doc_id"] for r in kept.collect()] == [
+        r["doc_id"] for r in plain.collect()
+    ]
+    with pytest.raises(ValueError, match="unknown lang"):
+        engine.search("parse json", limit=5, lang="xx")

@@ -15,14 +15,53 @@ GOLDENS = [
     (b"<p>caf\xe9</p>", "caf�"),
     (b"no tags at all", "no tags at all"),
     (b"<div>x</div>", "x"),
-    # greedy first <p> .. last </p>
-    (b"<p>a</p><p>b</p>", "a</p><p>b"),
+    # multiple paragraphs join with newline
+    (b"<p>a</p><p>b</p>", "a\nb"),
+    # attributes on <p>, nested inline tags stripped
+    (b'<p class="x" id=1>a <b>bold</b> c</p>', "a bold c"),
+    # script/style content removed (attributes, case-insensitive)
+    (b'<ScRiPt type="t">var x = "<p>no</p>";</sCrIpT><p>yes</p>', "yes"),
+    (b"<style>p { color: red }</style><p>body</p>", "body"),
+    # comments removed, even ones containing fake paragraphs
+    (b"<!-- <p>ghost</p> --><p>real</p>", "real"),
+    # entities: numeric, named, and &amp;-escaped stays escaped
+    (b"<p>a &amp; b &lt;c&gt; &#65;&#x42; &amp;lt;</p>", 'a & b <c> AB &lt;'),
+    # fallback path also strips script/style and decodes entities
+    (b"<style>s</style><div>x &gt; y</div>", "x > y"),
 ]
 
 
 def test_extract_goldens():
     for html, want in GOLDENS:
         assert extract_text(html) == want
+
+
+def test_extract_adversarial_roundtrip():
+    """Property: any '<'/'&'-free payload survives arbitrary wrapping in
+    attributes, nesting, comments and script/style noise."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    payload = st.text(
+        alphabet=st.characters(blacklist_characters="<&", blacklist_categories=("Cs",)),
+        min_size=0, max_size=80,
+    ).filter(lambda s: "\n" not in s)
+    attrs = st.sampled_from(["", " class='a b'", ' id="x" data-y=1', " hidden"])
+    noise = st.sampled_from([
+        "", "<script>var p = '<p>fake</p>';</script>",
+        "<style a=b>p{}</style>", "<!-- <p>no</p> -->",
+    ])
+
+    @settings(max_examples=200, deadline=None)
+    @given(payload=payload, a=attrs, pre=noise, post=noise, inline=attrs)
+    def check(payload, a, pre, post, inline):
+        html = (
+            f"<html><head><title>t</title>{pre}</head>"
+            f"<body>{post}<p{a}><span{inline}>{payload}</span></p></body></html>"
+        ).encode("utf-8", errors="surrogatepass")
+        assert extract_text(html) == payload
+
+    check()
 
 
 def test_extract_vectorized_matches():

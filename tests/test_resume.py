@@ -85,6 +85,88 @@ def test_interrupt_and_resume(spark, tmp_path):
         assert a == b == c, q
 
 
+def test_poison_bucket_dead_letter_and_heal(spark, tmp_path):
+    """ST3 error lineage: a poison work unit fails its group after
+    retries, the OTHER groups complete, a failed row with the exception
+    lands in _build_state, and a clean re-run heals to a reference-
+    identical index."""
+    from distributedcodesearchengine_spark.build.checkpoint import (
+        BuildError,
+        build_metrics_rollup,
+    )
+
+    pages = generate_pages(spark, 200, seed=7, parts=3)
+    d = str(tmp_path / "idx_poison")
+    d_ref = str(tmp_path / "idx_ref")
+
+    with pytest.raises(BuildError) as ei:
+        build_index_persisted(spark, pages, d, poison_buckets={0}, **KW)
+    failed = set(ei.value.failed_buckets)
+    assert 0 in failed and len(failed) < KW["n_buckets"]
+
+    state = BuildState(spark, d)
+    errs = state.errors().collect()
+    assert errs and all(r["status"] == "failed" for r in errs)
+    assert any("poisoned work unit" in (r["error"] or "") for r in errs)
+    done = {p for (s, p) in (
+        (r["stage"], r["partition_id"]) for r in state.read().collect()
+    ) if s == "postings"} - {r["partition_id"] for r in errs}
+    assert done and done.isdisjoint(failed)  # other groups completed
+
+    # the rollup surface exposes the failure
+    roll = {(r["stage"], r["status"]): r["n_units"]
+            for r in build_metrics_rollup(spark, d).collect()}
+    assert roll[("postings", "failed")] == len(failed)
+
+    # re-run without the poison: only failed buckets rebuild, index heals
+    idx = build_index_persisted(spark, pages, d, **KW)
+    ref = build_index_persisted(spark, pages, d_ref, **KW)
+    assert _postings_snapshot(idx) == _postings_snapshot(ref)
+
+
+def test_priority_orders_bucket_groups(spark, tmp_path):
+    """ST1: with bucket priorities, an interrupt after one group leaves
+    exactly the highest-priority buckets complete."""
+    pages = generate_pages(spark, 150, seed=13, parts=3)
+    d = str(tmp_path / "idx_prio")
+    prios = {6: 10, 3: 9}  # want buckets 6 and 3 first
+    with pytest.raises(RuntimeError, match="simulated interrupt"):
+        build_index_persisted(
+            spark, pages, d, fail_after_groups=1, priorities=prios, **KW
+        )
+    done = {
+        r["partition_id"]
+        for r in BuildState(spark, d).read().where("stage = 'postings'").collect()
+    }
+    assert {6, 3} <= done and len(done) == 2  # group size = ceil(8/4) = 2
+
+
+def test_changed_content_same_count_rebuilds(spark, tmp_path):
+    """The resume fingerprint includes a content signature: same row
+    count but different content must NOT skip stages."""
+    d = str(tmp_path / "idx_fp")
+    build_index_persisted(spark, generate_pages(spark, 100, seed=1, parts=2), d, **KW)
+    idx = build_index_persisted(
+        spark, generate_pages(spark, 100, seed=2, parts=2), d, **KW
+    )
+    # the rebuilt index reflects the NEW pages (seed=2 urls)
+    ref = build_index_persisted(
+        spark, generate_pages(spark, 100, seed=2, parts=2),
+        str(tmp_path / "idx_fp_ref"), **KW
+    )
+    assert _postings_snapshot(idx) == _postings_snapshot(ref)
+
+
+def test_overwrite_mode_restored(spark, tmp_path):
+    before = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    build_index_persisted(
+        spark, generate_pages(spark, 80, seed=4, parts=2),
+        str(tmp_path / "idx_mode"), **KW
+    )
+    after = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    assert after == before
+
+
 def test_noop_rebuild_skips_everything(spark, tmp_path):
     pages = generate_pages(spark, 150, seed=3, parts=3)
     d = str(tmp_path / "idx")

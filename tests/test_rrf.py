@@ -146,3 +146,41 @@ def test_hybrid_search_end_to_end(spark):
     assert [g[0] for g in got] == [w[0] for w in want]
     for g, w in zip(got, want):
         assert abs(g[1] - w[1]) < 1e-6
+
+
+def test_hybrid_search_filtered(spark):
+    """Filtered hybrid: the semantic list must be the top-2k of the
+    FILTERED set with dense ranks (reference passes filters into
+    vector_store.search, engine.py:205-209) — not the unfiltered top-2k
+    post-filtered with gapped ranks."""
+    from distributedcodesearchengine_spark.operators.scorer import bm25_topk
+
+    n = 300
+    pages = generate_pages(spark, n, seed=5, parts=4)
+    index = build_index_inmem(spark, pages)
+    engine = SearchEngine(index)
+    limit, query, lang = 10, "parse json data", "de"
+
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in engine.search(query, limit=limit, lang=lang, use_hybrid=True).collect()
+    ]
+
+    qvec = np.array(mock_embed_text(enhance_query(query), 64))
+    sem_all = []
+    for r in index.docs.select("doc_id", "lang", "tokens").collect():
+        if r["lang"] != lang:
+            continue
+        v = np.array(mock_embed_text(" ".join(r["tokens"]), 64))
+        nrm = float(np.linalg.norm(v) * np.linalg.norm(qvec))
+        sem_all.append((r["doc_id"], float(v @ qvec) / nrm if nrm > 0 else 0.0))
+    sem = sorted(sem_all, key=lambda t: (-t[1], t[0]))[: 2 * limit]
+    bm = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk(index, query, k=2 * limit, filters={"lang": lang}).collect()
+    ]
+    want = rrf_fuse(sem, bm, query=query)[:limit]
+
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[1] - w[1]) < 1e-6

@@ -44,6 +44,25 @@ def test_sharded_matches_batch(spark):
     b = _by_query(sharded_batch_topk(idx, QUERIES, k=10, shard_width=WIDTH).collect())
     assert a == b
 
+    # pruned == unpruned bit-for-bit
+    c = _by_query(
+        sharded_batch_topk(idx, QUERIES, k=10, shard_width=WIDTH, prune=False).collect()
+    )
+    assert b == c
+
+    # block-max pruning must actually skip decodes (single query, k=1 —
+    # a multi-query union legitimately needs most blocks) while exact
+    one = {1: "JSON parsing"}
+    stats = {}
+    d1 = _by_query(
+        sharded_batch_topk(idx, one, k=1, shard_width=WIDTH, decode_stats=stats).collect()
+    )
+    d2 = _by_query(
+        sharded_batch_topk(idx, one, k=1, shard_width=WIDTH, prune=False).collect()
+    )
+    assert d1 == d2
+    assert 0 < stats["decoded_blocks"].value < stats["total_blocks"].value
+
     # the sharded rows also serve the per-query WAND path
     for q in ["JSON parsing", "parseJSON HTTPClient2"]:
         v1 = [(r["rank"], r["doc_id"], round(r["score"], 9))

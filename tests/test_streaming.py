@@ -62,3 +62,38 @@ def test_incremental_stream_index(spark, tmp_path):
             b, key=lambda x: (-x[1], x[0])
         ), query
     all_pages.unpersist()
+
+
+def test_same_batch_id_redelivery(spark, tmp_path):
+    """Crash-redelivery of the SAME batch id must be idempotent: the
+    batch's own pre-crash write must not feed the url dedup (which would
+    filter the batch to empty and clobber the subdir), and a partial
+    (no-_SUCCESS) write must be cleanly rebuilt."""
+    from distributedcodesearchengine_spark.streaming.incremental import (
+        IncrementalIndexer,
+    )
+
+    index_dir = str(tmp_path / "idx")
+    pages = generate_pages(spark, 60, seed=3, parts=2).persist()
+    b1 = pages.filter("warc_ts < '2024-01-01 00:06:30'").persist()
+    b2 = pages.subtract(b1)
+
+    ix = IncrementalIndexer(spark, index_dir, run_tag="t")
+    ix.process_batch(b1, 0)
+    ix.process_batch(b2, 1)
+    base = ix.load()
+    docs0 = {(r.url, r.doc_id) for r in base.docs.collect()}
+
+    # committed redelivery of batch 1 -> short-circuit, nothing changes
+    ix.process_batch(b2, 1)
+    assert {(r.url, r.doc_id) for r in ix.load().docs.collect()} == docs0
+
+    # partial-crash redelivery: drop _SUCCESS to simulate a mid-write
+    # crash, then redeliver -> subdir rebuilt with identical content
+    os.remove(os.path.join(index_dir, "tf/batch=t_1/_SUCCESS"))
+    ix.process_batch(b2, 1)
+    after = ix.load()
+    assert {(r.url, r.doc_id) for r in after.docs.collect()} == docs0
+    assert after.n_docs == base.n_docs
+    pages.unpersist()
+    b1.unpersist()
