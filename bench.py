@@ -70,6 +70,40 @@ def build_query_set(n_queries: int = 100) -> dict:
 WAND_LATENCY_QUERIES = ["parse json", "parseJSON HTTPClient2"]
 
 
+def tree_cpu_seconds() -> float:
+    """Total utime+stime (seconds) of this process and every live
+    descendant — the Spark JVM and its python workers — via /proc,
+    including each process's reaped-children counters (cutime/cstime).
+    Per-stage deltas of this give the CPU-work accounting that
+    separates 'the stage burned more cores' from 'the stage sat on a
+    fixed shared resource' in the scaling evidence (BENCH/BASELINE.md)."""
+    hz = os.sysconf("SC_CLK_TCK")
+    info = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat", "rb") as f:
+                data = f.read().decode("latin1")
+        except OSError:
+            continue
+        rest = data[data.rindex(")") + 2 :].split()
+        ppid = int(rest[1])
+        ticks = int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
+        info[int(d)] = (ppid, ticks)
+    children: dict = {}
+    for pid, (ppid, _) in info.items():
+        children.setdefault(ppid, []).append(pid)
+    total = 0
+    stack = [os.getpid()]
+    while stack:
+        p = stack.pop()
+        if p in info:
+            total += info[p][1]
+            stack.extend(children.get(p, []))
+    return total / hz
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -93,6 +127,7 @@ def main() -> None:
     spark = get_spark("dcse-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict = {}
+    cpu: dict = {}
 
     # --- stage 0 (NOT part of the build metric): materialize the input
     # table once — the engine's contract input is an existing
@@ -130,13 +165,20 @@ def main() -> None:
     )
 
     t0 = time.monotonic()
+    c0 = tree_cpu_seconds()
     docs = build_docs(pages).persist()
     n_docs_built, avgdl = corpus_stats(docs)
+    ta = time.monotonic(); ca = tree_cpu_seconds()
+    timings["sub_docs"] = round(ta - t0, 3); cpu["sub_docs"] = round(ca - c0, 3)
     term_freqs(docs).write.mode("overwrite").parquet(os.path.join(index_dir, "tf"))
+    tb = time.monotonic(); cb = tree_cpu_seconds()
+    timings["sub_tf_write"] = round(tb - ta, 3); cpu["sub_tf_write"] = round(cb - ca, 3)
     tf = spark.read.parquet(os.path.join(index_dir, "tf"))
     terms_with_idf(tf, n_docs_built).write.mode("overwrite").parquet(
         os.path.join(index_dir, "terms")
     )
+    tc = time.monotonic(); cc = tree_cpu_seconds()
+    timings["sub_terms"] = round(tc - tb, 3); cpu["sub_terms"] = round(cc - cb, 3)
     terms = spark.read.parquet(os.path.join(index_dir, "terms"))
     index = Index(
         spark=spark, docs=docs, tf=tf, terms=terms,
@@ -144,6 +186,8 @@ def main() -> None:
     )
     t_tf = time.monotonic() - t0
     timings["build_tf_idf"] = round(t_tf, 3)
+    c1 = tree_cpu_seconds()
+    cpu["build_tf_idf"] = round(c1 - c0, 3)
 
     # postings stage: the doc-SHARDED serving layout (each shard holds
     # complete posting fragments for its doc range -> shard-local query
@@ -167,6 +211,8 @@ def main() -> None:
     )
     t_post = time.monotonic() - t1
     timings["build_postings"] = round(t_post, 3)
+    c2 = tree_cpu_seconds()
+    cpu["build_postings"] = round(c2 - c1, 3)
     t_build = time.monotonic() - t0
     timings["index_build_total"] = round(t_build, 3)
 
@@ -186,6 +232,7 @@ def main() -> None:
         )
     t_batch = time.monotonic() - t2
     timings["query_batch_total"] = round(t_batch, 3)
+    cpu["query_batch_total"] = round(tree_cpu_seconds() - c2, 3)
     n_queries = len(query_set) * query_reps
 
     # --- stage 3: WAND single-query latency
@@ -200,6 +247,8 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "cpu_seconds": cpu,
+        "load_avg_1m": round(os.getloadavg()[0], 2),
         "sf": sf,
         "n_docs": n_pages,
         "docs_per_sec": round(n_pages / t_build, 1),
