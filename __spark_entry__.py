@@ -94,12 +94,14 @@ def _registry():
         _docs_op(dd.lsh_candidate_pairs), dd.lsh_candidate_pairs_sql(cte),
     )
     reg["dedup_simhash"] = (_docs_op(dd.simhash32), dd.simhash32_sql(cte))
+    reg["dedup_clusters"] = (_docs_op(dd.dedup_clusters), dd.dedup_clusters_sql(cte))
     reg["ngram_jaccard"] = (
         _docs_op(dd.ngram_jaccard_sample), dd.ngram_jaccard_sample_sql(cte),
     )
     reg["lang_id"] = (_docs_op(ts.lang_id), ts.lang_id_sql(cte))
     reg["quality_score"] = (_docs_op(ts.quality_score), ts.quality_score_sql(cte))
     reg["token_counts"] = (_tbl_op(ts.token_counts), ts.token_counts_sql())
+    reg["text_complexity"] = (_tbl_op(ts.text_complexity), ts.text_complexity_sql())
     reg["doc_fingerprint"] = (_tbl_op(ts.doc_fingerprint), ts.doc_fingerprint_sql())
     reg["ann_lsh_buckets"] = (
         _tbl_op(sim.hyperplane_buckets, "embeddings"), sim.hyperplane_buckets_sql(),

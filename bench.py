@@ -71,12 +71,21 @@ WAND_LATENCY_QUERIES = ["parse json", "parseJSON HTTPClient2"]
 
 
 def tree_cpu_seconds() -> float:
-    """Total utime+stime (seconds) of this process and every live
-    descendant — the Spark JVM and its python workers — via /proc,
-    including each process's reaped-children counters (cutime/cstime).
-    Per-stage deltas of this give the CPU-work accounting that
-    separates 'the stage burned more cores' from 'the stage sat on a
-    fixed shared resource' in the scaling evidence (BENCH/BASELINE.md)."""
+    """CPU seconds consumed so far, for per-stage deltas — the
+    accounting that separates 'the stage burned more cores' from 'the
+    stage sat on a fixed shared resource' in BENCH/BASELINE.md.
+
+    Primary source: the cgroup ``cpuacct.usage`` counter — monotonic
+    and inclusive of short-lived python workers, which a /proc
+    process-tree walk silently loses when Spark tears them down
+    mid-stage (observed as negative per-stage deltas). It is whole-VM,
+    but the sandbox runs nothing else (ambient 'load' is host steal the
+    guest counter never sees). Fallback: the /proc tree walk."""
+    try:
+        with open("/sys/fs/cgroup/cpuacct/cpuacct.usage") as f:
+            return int(f.read()) / 1e9
+    except (OSError, ValueError):
+        pass
     hz = os.sysconf("SC_CLK_TCK")
     info = {}
     for d in os.listdir("/proc"):
@@ -235,7 +244,17 @@ def main() -> None:
     cpu["query_batch_total"] = round(tree_cpu_seconds() - c2, 3)
     n_queries = len(query_set) * query_reps
 
-    # --- stage 3: WAND single-query latency
+    # --- stage 3: single-query latency — the sharded serving path (one
+    # applyInPandas pass + tiny merge, block-max pruned) and the WAND
+    # path (4 driver-synchronized rounds); both rank-identical to v1
+    from distributedcodesearchengine_spark.operators.sharded import (
+        sharded_single_topk,
+    )
+
+    for i, q in enumerate(WAND_LATENCY_QUERIES):
+        tq = time.monotonic()
+        sharded_single_topk(qindex, q, k=10, shard_width=shard_width).collect()
+        timings[f"sharded_q{i + 1}"] = round(time.monotonic() - tq, 3)
     for i, q in enumerate(WAND_LATENCY_QUERIES):
         tq = time.monotonic()
         wand_topk(index, q, k=10).collect()

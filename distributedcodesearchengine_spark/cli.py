@@ -53,8 +53,9 @@ def main(argv=None, spark=None) -> int:
 
     if args.cmd == "build":
         from .build.checkpoint import build_index_persisted
+        from .sources.tables import read_input_table
 
-        pages = spark.read.parquet(args.input)
+        pages = read_input_table(spark, args.input)
         kw = {}
         if args.n_buckets:
             kw["n_buckets"] = args.n_buckets

@@ -24,6 +24,19 @@ from .sources.tables import documents_as_pages, load_table
 _INDEX_CACHE: Dict[str, Index] = {}
 
 
+def clear_index_cache() -> None:
+    """Unpersist and drop every cached gate index — long-lived services
+    embedding this module must call this between corpora or the per-
+    (sf_dir, session) persisted DataFrames accumulate executor memory."""
+    for idx in _INDEX_CACHE.values():
+        for df in (idx.tf, idx.docs, idx.terms, *idx.extras.values()):
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 - non-DF extras / dead session
+                pass
+    _INDEX_CACHE.clear()
+
+
 def get_documents_index(spark: SparkSession, sf_dir: str) -> Index:
     key = f"{sf_dir}|{id(spark)}"
     if key not in _INDEX_CACHE:

@@ -49,6 +49,94 @@ def mock_embed_udf(dim: int = 64):
     return _embed
 
 
+# --- P8: real-model batch inference seam -----------------------------------
+#
+# The reference's EmbeddingGenerator (generator.py:35-56,138-199) runs a
+# sentence-transformer in batches with mean pooling + L2. The Spark
+# re-expression is mapInPandas with a PER-WORKER lazily-loaded model:
+# the iterator form amortizes model load over every Arrow batch the
+# worker sees, and inference never leaves the executor. The mock is the
+# default so the pipeline runs in this container; a real model drops in
+# as ``loader=lambda: SentenceTransformer(...).encode``.
+
+# per-worker model cache, keyed by model name: python workers are
+# reused across tasks/jobs, so the key keeps two different models (or a
+# swapped loader) from colliding in one worker
+_WORKER_MODELS: dict = {}
+
+
+def _default_loader(dim: int = 64):
+    """Loads the embedding model once per python worker. Tries a real
+    sentence-transformers model when available; otherwise returns the
+    deterministic mock (this container has no ML libs)."""
+    try:  # pragma: no cover - not installed in this sandbox
+        from sentence_transformers import SentenceTransformer  # type: ignore
+
+        model = SentenceTransformer("sentence-transformers/all-MiniLM-L6-v2")
+
+        def encode(texts: List[str]):
+            import numpy as np
+
+            v = model.encode(texts, normalize_embeddings=True)
+            return np.asarray(v, dtype=np.float32)
+
+        return encode
+    except ImportError:
+        import numpy as np
+
+        def encode(texts: List[str]):
+            return np.array(
+                [mock_embed_text(t or "", dim) for t in texts], dtype=np.float32
+            )
+
+        return encode
+
+
+def embed_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    batch_size: int = 256,
+    loader=None,
+    model_key: str = "default",
+) -> DataFrame:
+    """(doc_id, embedding) via Arrow-batched mapInPandas inference.
+
+    ``loader`` is a zero-arg callable returning ``encode(list[str]) ->
+    np.ndarray[n, dim]`` — called at most once per python worker per
+    ``model_key`` (workers are reused across jobs), exactly the pattern
+    a GPU transformer needs. Sub-batches of ``batch_size`` bound peak
+    inference memory independent of the Arrow batch size."""
+    from typing import Iterator
+
+    import numpy as np
+
+    use_loader = loader or (lambda: _default_loader(dim))
+    key = f"{model_key}|dim={dim}"
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        encode = _WORKER_MODELS.get(key)
+        if encode is None:
+            encode = _WORKER_MODELS[key] = use_loader()
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            texts = pdf[text_col].fillna("").tolist()
+            chunks = [
+                encode(texts[i : i + batch_size])
+                for i in range(0, len(texts), batch_size)
+            ]
+            vecs = np.concatenate(chunks, axis=0)
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].to_numpy(), "embedding": list(vecs)}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, schema="doc_id long, embedding array<float>"
+    )
+
+
 def dot_expr(vec_col, qvec: Sequence[float]):
     """sum_i a_i*q_i in element order (matches list_dot_product)."""
     q = F.array(*[F.lit(float(x)) for x in qvec])

@@ -104,9 +104,16 @@ def _band_cols(n_bands: int = N_BANDS, rows: int = N_HASHES // N_BANDS):
     ]
 
 
-def lsh_candidate_pairs(docs: DataFrame, jaccard_min: float = 0.2) -> DataFrame:
+def lsh_candidate_pairs(
+    docs: DataFrame, jaccard_min: float = 0.2, max_bucket: int = 2000
+) -> DataFrame:
     """(doc_a, doc_b, jaccard) — banded-LSH candidates verified with the
-    exact shingle-set Jaccard; only pairs sharing >= 1 band bucket."""
+    exact shingle-set Jaccard; only pairs sharing >= 1 band bucket.
+
+    ``max_bucket`` drops degenerate mega-buckets (e.g. boilerplate pages
+    that collide an entire band) from candidate generation so no bucket
+    can go quadratic in the self-join; the cap is mirrored in the DuckDB
+    oracle, and capped content still pairs through its other bands."""
     sigs = minhash_signatures(docs).select("doc_id", *_band_cols())
     bands = None
     for b in range(N_BANDS):
@@ -114,6 +121,16 @@ def lsh_candidate_pairs(docs: DataFrame, jaccard_min: float = 0.2) -> DataFrame:
             F.lit(b).alias("band_id"), F.col(f"band{b}").alias("sig"), "doc_id"
         )
         bands = part if bands is None else bands.unionByName(part)
+    # anti-join against the OVER-cap bucket list: that list is tiny
+    # (degenerate buckets only) and broadcastable even at 10^12 docs,
+    # where the complement (all kept buckets) would not be
+    overfull = (
+        bands.groupBy("band_id", "sig")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > max_bucket)
+        .select("band_id", "sig")
+    )
+    bands = bands.join(F.broadcast(overfull), ["band_id", "sig"], "left_anti")
     a = bands.alias("a")
     bb = bands.alias("b")
     cand = (
@@ -157,7 +174,9 @@ def _jaccard_verify(docs: DataFrame, pairs: DataFrame, jaccard_min: float) -> Da
     return out
 
 
-def lsh_candidate_pairs_sql(table_toks_cte: str, jaccard_min: float = 0.2) -> str:
+def lsh_candidate_pairs_sql(
+    table_toks_cte: str, jaccard_min: float = 0.2, max_bucket: int = 2000
+) -> str:
     rows = N_HASHES // N_BANDS
     band_select = ", ".join(
         "(" + " || ".join(f"mh{b * rows + r}" for r in range(rows)) + f") AS band{b}"
@@ -174,7 +193,11 @@ def lsh_candidate_pairs_sql(table_toks_cte: str, jaccard_min: float = 0.2) -> st
         "sh0 AS (SELECT doc_id, unnest(shingles) AS sh FROM shd WHERE len(shingles) > 0), "
         f"mh AS (SELECT doc_id, {mins} FROM sh0 GROUP BY doc_id), "
         f"sigs AS (SELECT doc_id, {band_select} FROM mh), "
-        f"bands AS ({band_union}), "
+        f"bands0 AS ({band_union}), "
+        "overfull AS (SELECT band_id, sig FROM bands0 GROUP BY band_id, sig "
+        f"  HAVING count(*) > {max_bucket}), "
+        "bands AS (SELECT b.* FROM bands0 b ANTI JOIN overfull o "
+        "  ON o.band_id = b.band_id AND o.sig = b.sig), "
         "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
         "  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.sig = b.sig "
         "  AND a.doc_id < b.doc_id), "
@@ -189,6 +212,69 @@ def lsh_candidate_pairs_sql(table_toks_cte: str, jaccard_min: float = 0.2) -> st
         "JOIN sizes sb ON sb.doc_id = i.doc_b "
         f"WHERE CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) >= {jaccard_min} "
         "ORDER BY doc_a, doc_b"
+    )
+
+
+def dedup_clusters(docs: DataFrame, jaccard_min: float = 0.2, max_iter: int = 25) -> DataFrame:
+    """(doc_id, cluster_id) — connected components over the LSH near-dup
+    pair graph (the C4/RefinedWeb 'cluster near-dups, keep one
+    representative per cluster' pass). cluster_id = min doc_id in the
+    component; only docs appearing in >= 1 candidate pair are emitted
+    (everything else is its own trivial cluster).
+
+    Iterative min-label propagation: each round one key-partitioned
+    shuffle (edges ⋈ labels, groupBy min), O(component diameter) rounds;
+    convergence when the label sum stops decreasing (labels are
+    monotonically non-increasing). At 10^12 docs the same loop runs with
+    periodic checkpointing to cut lineage — the joins themselves stay
+    shuffle-bounded by the (small) pair graph, never the corpus."""
+    pairs = lsh_candidate_pairs(docs, jaccard_min).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("lab", F.col("doc_id"))
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum("lab")).first()[0]
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+            .groupBy("doc_a")
+            .agg(F.min("lab").alias("nbr_lab"))
+            .withColumnRenamed("doc_a", "doc_id")
+        )
+        new_labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lab"), F.coalesce("nbr_lab", F.col("lab"))).alias("lab"),
+            )
+            .persist()
+        )
+        new_sum = new_labels.agg(F.sum("lab")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels.select("doc_id", F.col("lab").alias("cluster_id")).orderBy("doc_id")
+
+
+def dedup_clusters_sql(table_toks_cte: str, jaccard_min: float = 0.2) -> str:
+    lsh = lsh_candidate_pairs_sql(table_toks_cte, jaccard_min)
+    return (
+        f"WITH RECURSIVE edges AS (SELECT doc_a, doc_b FROM ({lsh})), "
+        "sym AS (SELECT doc_a AS s, doc_b AS d FROM edges "
+        "  UNION ALL SELECT doc_b, doc_a FROM edges), "
+        "verts AS (SELECT DISTINCT s FROM sym), "
+        "reach(s, d) AS (SELECT s, s FROM verts "
+        "  UNION SELECT r.s, y.d FROM reach r JOIN sym y ON y.s = r.d) "
+        "SELECT s AS doc_id, CAST(min(d) AS BIGINT) AS cluster_id "
+        "FROM reach GROUP BY s ORDER BY doc_id"
     )
 
 

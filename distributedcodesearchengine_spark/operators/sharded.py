@@ -137,6 +137,38 @@ def build_sharded_postings(
     return tf2.groupBy("range_id").applyInPandas(build_shard, schema=POSTINGS)
 
 
+def sharded_single_topk(
+    index: Index,
+    query: str,
+    k: int = 10,
+    shard_width: int = DEFAULT_SHARD_WIDTH,
+) -> DataFrame:
+    """Single-query latency path over the sharded layout ->
+    (rank, doc_id, url, score).
+
+    One applyInPandas pass (block-max-pruned shard-local scoring) + the
+    tiny global merge — ~2 Spark jobs end-to-end, vs the WAND path's 4
+    driver-synchronized rounds; rank-identical on healthy queries
+    (sharded_batch_topk == bm25_topk_batch == bm25_topk, tested).
+    Degenerate queries (no tokens / unknown terms / all-non-positive
+    scores need the corpus zero-backfill) fall back to the exact
+    per-query scorer."""
+    from .scorer import bm25_topk
+
+    res = (
+        sharded_batch_topk(index, {0: query}, k=k, shard_width=shard_width)
+        .select("rank", "doc_id", "score")
+    )
+    top = index.docs.select("doc_id", "url").join(F.broadcast(res), "doc_id")
+    out = top.select("rank", "doc_id", "url", "score").orderBy("rank")
+    rows = out.collect()  # materialize ONCE; k rows
+    if not rows or rows[0]["score"] <= 0:
+        # empty (no tokens / unknown terms) or all-non-positive: the
+        # reference ranks unmatched zero-score docs too — exact path
+        return bm25_topk(index, query, k=k)
+    return index.spark.createDataFrame(rows, out.schema)
+
+
 def sharded_batch_topk(
     index: Index,
     queries: Dict[int, str],

@@ -43,19 +43,26 @@ def build_docs(
     extra filterable metadata columns carried from the input table
     (reference filter keys, bm25_index.py:157-164).
     """
+    slim = pages.select(
+        "url",
+        F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("site"),
+        "lang",
+        *meta_cols,
+        "html",
+    )
+    # id assignment FIRST, tokenize AFTER the shuffle: the boundary
+    # sample then reads only the url column (column-pruned scan), and
+    # the fused UDF runs exactly once — attaching tokens before the
+    # shuffle would re-execute the UDF in the partitioner's sampling
+    # pass. url-dedup rides the same shuffle (no separate
+    # dropDuplicates exchange over raw pages).
+    ids = assign_doc_ids(slim, "url", num_partitions, dedup=True)
     docs = (
         # fused extract+tokenize: html crosses to Python once, only the
         # token arrays come back (the extracted text itself never does)
-        pages.withColumn("tokens", extract_tokenize_udf(F.col("html")))
+        ids.withColumn("tokens", extract_tokenize_udf(F.col("html")))
         .withColumn("doc_len", F.size("tokens").cast("int"))
-        .withColumn("site", F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1))
-        # project BEFORE the doc-id range shuffle: html/text/warc_ts are
-        # dead past this point and would double the exchange volume
-        .select("url", "site", "lang", *meta_cols, "tokens", "doc_len")
     )
-    # url-dedup rides the SAME range shuffle as id assignment (no
-    # separate dropDuplicates exchange over raw pages)
-    docs = assign_doc_ids(docs, "url", num_partitions, dedup=True)
     return docs.select(
         "doc_id", "url", "site", "lang", *meta_cols, "tokens", "doc_len"
     )

@@ -160,6 +160,36 @@ def token_counts_sql() -> str:
     )
 
 
+def text_complexity(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_sentences, n_clauses, n_specials, complexity) — the
+    web-text analog of the reference's per-function cyclomatic
+    complexity metadata (P7, codesearch/parser/python_parser.py /
+    javascript_parser.py complexity fields): 1 + count of structural
+    branch points (sentence ends, clause separators, code-ish special
+    runs), stored as per-doc metadata alongside the index."""
+    sent = "CAST(size(regexp_extract_all(text, '[.!?]', 0)) AS BIGINT)"
+    clause = "CAST(size(regexp_extract_all(text, '[,;:]', 0)) AS BIGINT)"
+    spec = "CAST(size(regexp_extract_all(text, '[_/()\\\\[\\\\]{}-]', 0)) AS BIGINT)"
+    return documents.select(
+        "doc_id",
+        F.expr(sent).alias("n_sentences"),
+        F.expr(clause).alias("n_clauses"),
+        F.expr(spec).alias("n_specials"),
+        F.expr(f"1 + {sent} + {clause}").alias("complexity"),
+    ).orderBy("doc_id")
+
+
+def text_complexity_sql() -> str:
+    sent = r"CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT)"
+    clause = r"CAST(len(regexp_extract_all(text, '[,;:]')) AS BIGINT)"
+    spec = r"CAST(len(regexp_extract_all(text, '[_/()\[\]{}-]')) AS BIGINT)"
+    return (
+        f"SELECT doc_id, {sent} AS n_sentences, {clause} AS n_clauses, "
+        f"{spec} AS n_specials, 1 + {sent} + {clause} AS complexity "
+        "FROM documents ORDER BY doc_id"
+    )
+
+
 def doc_fingerprint(documents: DataFrame) -> DataFrame:
     """(doc_id, fingerprint) — md5 of whitespace-normalized lowercase
     text (the content-defined dedup key)."""

@@ -9,12 +9,32 @@ checks in ``__spark_entry__.py``.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def read_input_table(spark: SparkSession, path_or_ident: str) -> DataFrame:
+    """Corpus-input reader (north rule: Iceberg tables of web pages).
+
+    ``DCSE_TABLE_FORMAT=iceberg`` reads through the Iceberg DataSource
+    (catalog identifiers like ``prod.web.pages`` or path-based tables —
+    Catalyst then gets Iceberg's partition/file pruning and snapshot
+    isolation for free); the sandbox default is plain parquet (no
+    Iceberg runtime jars here). The engine's own index layout stays
+    parquet-partitioned regardless — segment files are engine-internal,
+    like Lucene's, and never read by user SQL."""
+    fmt = os.environ.get("DCSE_TABLE_FORMAT", "parquet")
+    if fmt == "iceberg":
+        if "/" in path_or_ident:
+            return spark.read.format("iceberg").load(path_or_ident)
+        return spark.read.table(path_or_ident)
+    return spark.read.parquet(path_or_ident)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return read_input_table(spark, f"{sf_dir}/{name}.parquet")
 
 
 def documents_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:

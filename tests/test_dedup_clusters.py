@@ -1,0 +1,66 @@
+"""Near-dup clustering (connected components over the LSH pair graph):
+Spark min-label propagation vs an independent union-find oracle on the
+collected pairs, plus the text-complexity metadata operator."""
+
+from pyspark.sql import functions as F
+
+from distributedcodesearchengine_spark.entry_queries import docs_with_tokens
+from distributedcodesearchengine_spark.operators.dedup import (
+    dedup_clusters,
+    lsh_candidate_pairs,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_clusters_match_union_find(spark):
+    docs = docs_with_tokens(spark, SF_DIR).persist()
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(docs).select("doc_a", "doc_b").collect()
+    ]
+    assert pairs, "fixture must produce near-dup pairs"
+    want = _union_find(pairs)
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs).collect()}
+    assert got == want
+    # representatives: cluster_id is the min doc_id of its component
+    for doc, cl in got.items():
+        assert cl <= doc and got[cl] == cl
+    docs.unpersist()
+
+
+def test_text_complexity_goldens(spark):
+    from distributedcodesearchengine_spark.operators.textstats import text_complexity
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello, world. How are you? fine; good_one (x)"),
+            (2, "no punctuation here"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text_complexity(df).collect()}
+    assert rows[1]["n_sentences"] == 2  # . and ?
+    assert rows[1]["n_clauses"] == 2  # , and ;
+    assert rows[1]["n_specials"] == 3  # _ ( )
+    assert rows[1]["complexity"] == 1 + 2 + 2
+    assert rows[2]["complexity"] == 1
+    assert rows[3]["complexity"] == 1

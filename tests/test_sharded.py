@@ -63,6 +63,19 @@ def test_sharded_matches_batch(spark):
     assert d1 == d2
     assert 0 < stats["decoded_blocks"].value < stats["total_blocks"].value
 
+    # single-query serving path: rank+score identical to the exact
+    # scorer, including the degenerate-fallback branch
+    from distributedcodesearchengine_spark.operators.sharded import (
+        sharded_single_topk,
+    )
+
+    for q in ["JSON parsing", "parseJSON HTTPClient2", "zzznotaword"]:
+        v1 = [(r["rank"], r["doc_id"], round(r["score"], 9))
+              for r in bm25_topk(idx, q, k=10).collect()]
+        v3 = [(r["rank"], r["doc_id"], round(r["score"], 9))
+              for r in sharded_single_topk(idx, q, k=10, shard_width=WIDTH).collect()]
+        assert v1 == v3, q
+
     # the sharded rows also serve the per-query WAND path
     for q in ["JSON parsing", "parseJSON HTTPClient2"]:
         v1 = [(r["rank"], r["doc_id"], round(r["score"], 9))
