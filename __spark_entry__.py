@@ -106,6 +106,11 @@ def _registry():
     reg["ann_lsh_buckets"] = (
         _tbl_op(sim.hyperplane_buckets, "embeddings"), sim.hyperplane_buckets_sql(),
     )
+    reg["ann_ivf_cells"] = (_tbl_op(sim.ivf_cells, "embeddings"), sim.ivf_cells_sql())
+    reg["ann_ivf_topk"] = (
+        _tbl_op(partial(sim.ivf_topk, qvec=_qv, topk=10, nprobe=4), "embeddings"),
+        sim.ivf_topk_sql(_qv, topk=10, nprobe=4),
+    )
     reg["embedding_near_dup"] = (
         _tbl_op(sim.near_dup_pairs, "embeddings"), sim.near_dup_pairs_sql(),
     )

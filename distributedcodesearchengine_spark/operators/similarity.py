@@ -66,6 +66,145 @@ def hyperplane_buckets_sql(dim: int = 64, n_planes: int = N_PLANES) -> str:
     return f"SELECT vec_id, {bits} AS bucket FROM embeddings ORDER BY vec_id"
 
 
+N_IVF_CELLS = 16
+
+
+def ivf_centroids(dim: int = 64, k: int = N_IVF_CELLS) -> List[List[float]]:
+    """Deterministic coarse-quantizer centroids (mock-embed derived unit
+    vectors, so Spark and DuckDB share exact literals). A production
+    build would k-means these on a sample; the assignment/probe plumbing
+    is identical either way."""
+    return [mock_embed_text(f"ivf-centroid-{i}", dim) for i in range(k)]
+
+
+def _cell_case(dot_cols: List[str]):
+    gmax = F.greatest(*[F.col(c) for c in dot_cols])
+    cell = None
+    # ties resolve to the LOWEST index (first match wins), both engines
+    for i, c in enumerate(dot_cols):
+        branch = F.when(F.col(c) == gmax, F.lit(i))
+        cell = branch if cell is None else cell.when(F.col(c) == gmax, F.lit(i))
+    return cell
+
+
+def ivf_cells(
+    embeddings: DataFrame, dim: int = 64, k: int = N_IVF_CELLS,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cell) — IVF coarse assignment: cell = argmax_i dot(v, c_i).
+    Pure JVM expressions, no shuffle; at build time this is the
+    partition/bucket column of the vector table."""
+    cents = ivf_centroids(dim, k)
+    d = embeddings.select(
+        F.col(id_col), *[_dot(F.col(vec_col), c).alias(f"d{i}") for i, c in enumerate(cents)]
+    )
+    return d.select(
+        id_col, _cell_case([f"d{i}" for i in range(k)]).alias("cell")
+    ).orderBy(id_col)
+
+
+def ivf_topk(
+    embeddings: DataFrame, qvec: Sequence[float], topk: int = 10,
+    nprobe: int = 4, dim: int = 64, k_cells: int = N_IVF_CELLS,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(rank, vec_id, score) — IVF-probed ANN: rank centroids by
+    query-dot on the driver, scan ONLY the top-``nprobe`` cells'
+    vectors, exact cosine top-k among those candidates. The scale path
+    vs brute force: with the vector table partitioned by cell, the scan
+    prunes to nprobe/k_cells of the corpus and the plan stays
+    filter -> project -> TakeOrderedAndProject (no shuffle, no
+    cartesian)."""
+    import math
+
+    cents = ivf_centroids(dim, k_cells)
+    qdots = [sum(float(a) * float(b) for a, b in zip(qvec, c)) for c in cents]
+    probe = sorted(range(k_cells), key=lambda i: (-qdots[i], i))[:nprobe]
+    d = embeddings.select(
+        F.col(id_col), F.col(vec_col),
+        *[_dot(F.col(vec_col), c).alias(f"d{i}") for i, c in enumerate(cents)],
+    ).withColumn("cell", _cell_case([f"d{i}" for i in range(k_cells)]))
+    cand = d.where(F.col("cell").isin([int(p) for p in probe]))
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in qvec))
+    qarr = F.array(*[F.lit(float(x)) for x in qvec])
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col).cast("array<double>"), qarr, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    vnorm = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.col(vec_col).cast("array<double>"),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = cand.select(
+        F.col(id_col), (dot / (vnorm * F.lit(qnorm))).alias("score")
+    )
+    from pyspark.sql.window import Window
+
+    top = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(topk)
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", F.col(id_col), round6("score").alias("score")
+    )
+
+
+def _cell_sql(k_cells: int, dim: int) -> str:
+    cents = ivf_centroids(dim, k_cells)
+    dots = ", ".join(
+        "list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(repr(float(x)) for x in c)
+        + f"]) AS d{i}"
+        for i, c in enumerate(cents)
+    )
+    gmax = "greatest(" + ", ".join(f"d{i}" for i in range(k_cells)) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN d{i} = {gmax} THEN {i}" for i in range(k_cells)
+    ) + " END"
+    return (
+        f"dd AS (SELECT vec_id, embedding, {dots} FROM embeddings), "
+        f"cells AS (SELECT vec_id, embedding, {case} AS cell FROM dd)"
+    )
+
+
+def ivf_cells_sql(dim: int = 64, k_cells: int = N_IVF_CELLS) -> str:
+    return (
+        f"WITH {_cell_sql(k_cells, dim)} "
+        "SELECT vec_id, CAST(cell AS INT) AS cell FROM cells ORDER BY vec_id"
+    )
+
+
+def ivf_topk_sql(
+    qvec: Sequence[float], topk: int = 10, nprobe: int = 4,
+    dim: int = 64, k_cells: int = N_IVF_CELLS,
+) -> str:
+    import math
+
+    cents = ivf_centroids(dim, k_cells)
+    qdots = [sum(float(a) * float(b) for a, b in zip(qvec, c)) for c in cents]
+    probe = sorted(range(k_cells), key=lambda i: (-qdots[i], i))[:nprobe]
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in qvec))
+    v = "[" + ", ".join(repr(float(x)) for x in qvec) + "]"
+    plist = ", ".join(str(int(p)) for p in probe)
+    return (
+        f"WITH {_cell_sql(k_cells, dim)}, "
+        f"cand AS (SELECT vec_id, embedding FROM cells WHERE cell IN ({plist})), "
+        "scored AS (SELECT vec_id, "
+        f"list_dot_product(embedding::DOUBLE[], {v}) / "
+        f"(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * {qnorm!r}) AS score "
+        "FROM cand) "
+        "SELECT CAST(row_number() OVER (ORDER BY score DESC, vec_id ASC) AS INT) AS rank, "
+        f"vec_id, {round6_sql('score')} AS score FROM scored "
+        f"ORDER BY score DESC, vec_id ASC LIMIT {topk}"
+    )
+
+
 def near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.25, limit: int = 50,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -43,6 +43,46 @@ def test_lsh_is_subset_of_exact(spark):
             assert (a, b) in lsh, (a, b)
 
 
+def test_ivf_full_probe_equals_brute_force(spark):
+    """With nprobe == k_cells, IVF degenerates to exact brute force —
+    rank- and score-identical to cosine_topk; with nprobe < k_cells it
+    returns a subset drawn only from the probed cells."""
+    from distributedcodesearchengine_spark.functions.embed import (
+        cosine_topk,
+        mock_embed_text,
+    )
+    from distributedcodesearchengine_spark.functions.rounding import round6_py
+    from distributedcodesearchengine_spark.operators.similarity import (
+        N_IVF_CELLS,
+        ivf_cells,
+        ivf_topk,
+    )
+
+    emb = _emb(spark).cache()
+    qvec = mock_embed_text("distributed table scan", 64)
+    brute = [
+        (r["rank"], r["vec_id"], round6_py(r["score"]))
+        for r in cosine_topk(emb, qvec, 10).collect()
+    ]
+    full = [
+        (r["rank"], r["vec_id"], r["score"])
+        for r in ivf_topk(emb, qvec, topk=10, nprobe=N_IVF_CELLS).collect()
+    ]
+    assert full == brute
+
+    cells = {r["vec_id"]: r["cell"] for r in ivf_cells(emb).collect()}
+    assert all(0 <= c < N_IVF_CELLS for c in cells.values())
+    probed = ivf_topk(emb, qvec, topk=10, nprobe=4).collect()
+    assert 0 < len(probed) <= 10
+    brute_ids = {b[1] for b in brute}
+    # probed results are real vectors and scores agree with brute force
+    # wherever both contain the id
+    bmap = {b[1]: b[2] for b in brute}
+    for r in probed:
+        if r["vec_id"] in brute_ids:
+            assert abs(r["score"] - bmap[r["vec_id"]]) < 1e-9
+
+
 def test_mega_bucket_cap_drops_quadratic_bucket(spark):
     emb = _emb(spark).limit(50)
     # cap of 0 keeps no bucket -> no candidates at all
