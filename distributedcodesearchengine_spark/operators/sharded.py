@@ -302,15 +302,35 @@ def sharded_batch_topk(
             ]
             q_plan[qid] = (entries, kept)
 
-        # --- accumulate kept blocks; pruned mass -> range-add UB
+        # --- accumulate kept blocks; pruned mass -> range-add UB.
+        # Fast path: a (query, term) that keeps EVERY block gets ONE
+        # vectorized add over the term's concatenated postings (the
+        # common case for multi-query batches, where pruning rarely
+        # fires) — per-block adds only when the mask actually prunes.
         ps = np.zeros((nq, sw))
         ubx: Dict[int, np.ndarray] = {}
+        term_cat: dict = {}
+
+        def get_term(ti: int):
+            hit = term_cat.get(ti)
+            if hit is None:
+                parts = [get_block(ti, bi) for bi in range(len(bmeta[ti]))]
+                hit = term_cat[ti] = (
+                    np.concatenate([p[0] for p in parts]),
+                    np.concatenate([p[1] for p in parts]),
+                )
+            return hit
+
         for qid, (entries, kept) in q_plan.items():
             qi = qpos_b[qid]
             for ei, (ti, qtf) in enumerate(entries):
                 kmask = kept[ei] if kept is not None else None
+                if kmask is None or kmask.all():
+                    ids, w = get_term(ti)
+                    ps[qi, ids] += qtf * w
+                    continue
                 for bi in range(len(bmeta[ti])):
-                    if kmask is None or kmask[bi]:
+                    if kmask[bi]:
                         ids, w = get_block(ti, bi)
                         ps[qi, ids] += qtf * w
                     else:
