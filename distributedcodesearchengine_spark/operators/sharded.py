@@ -64,10 +64,13 @@ def build_sharded_postings(
         """One pandas call per SHARD (not per term): all packing is one
         vectorized varint pass over the shard, byte-sliced per block."""
         rid = int(pdf["range_id"].iloc[0])
-        order = np.lexsort(
-            (pdf["doc_id"].to_numpy(), pdf["term"].to_numpy())
-        )
-        terms_a = pdf["term"].to_numpy()[order]
+        # factorize terms to int codes BEFORE sorting: an object-array
+        # lexsort drags every string through the comparator (pure
+        # memory traffic — this stage showed 3.3x CPU stall inflation
+        # at 32 threads); int codes sort in a fraction of the bandwidth
+        codes, uniq_terms = pd.factorize(pdf["term"], sort=True)
+        order = np.lexsort((pdf["doc_id"].to_numpy(), codes))
+        codes_s = codes[order]
         ids = pdf["doc_id"].to_numpy()[order].astype(np.int64)
         tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
         dls = pdf["doc_len"].to_numpy()[order].astype(np.int64)
@@ -77,7 +80,7 @@ def build_sharded_postings(
 
         n = len(ids)
         term_start = np.ones(n, dtype=bool)
-        term_start[1:] = terms_a[1:] != terms_a[:-1]
+        term_start[1:] = codes_s[1:] != codes_s[:-1]
         t_starts = np.flatnonzero(term_start)
         t_ends = np.append(t_starts[1:], n)
 
@@ -123,7 +126,7 @@ def build_sharded_postings(
                     }
                 )
                 bi += 1
-            term = terms_a[s]
+            term = uniq_terms[codes_s[s]]
             out["term_bucket"].append(term_bucket(term, n_buckets))
             out["term"].append(term)
             out["range_id"].append(rid)
