@@ -120,6 +120,21 @@ def _registry():
         _tbl_op(sim.near_dup_pairs_lsh, "embeddings"), sim.near_dup_pairs_lsh_sql(),
     )
 
+    # time-series operator family over the events table (as-of join,
+    # sessionization, hypertable rollup, JSON extraction)
+    from distributedcodesearchengine_spark.operators import timeseries as tsr
+
+    reg["events_rollup"] = (_tbl_op(tsr.events_rollup, "events"), tsr.events_rollup_sql())
+    reg["events_asof_join"] = (
+        _tbl_op(tsr.events_asof_join, "events"), tsr.events_asof_join_sql(),
+    )
+    reg["events_sessions"] = (
+        _tbl_op(tsr.events_sessions, "events"), tsr.events_sessions_sql(),
+    )
+    reg["events_json"] = (
+        _tbl_op(tsr.events_json_extract, "events"), tsr.events_json_extract_sql(),
+    )
+
     # multimodal plumbing: the stub decoder is sha256-derived, so both
     # entries get real DuckDB oracles (value-checked, not rows-only)
     from distributedcodesearchengine_spark.operators import multimodal as mm

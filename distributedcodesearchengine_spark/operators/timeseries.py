@@ -1,0 +1,167 @@
+"""Time-series operators over the ``events`` table — the operator
+family a large-scale pipeline needs that Spark lacks as primitives,
+re-expressed as compositions of built-in DataFrame ops (no UDFs):
+
+- hypertable rollup: time_bucket aggregation (continuous-aggregate
+  analog) — ``date_trunc`` + groupBy, fully map-side partial-agg'd;
+- AS-OF join: latest right-row at-or-before each left row, expressed as
+  a tagged union + ``last(ignorenulls)`` running window — ONE shuffle
+  on (user) instead of a range join; the DuckDB oracle uses its native
+  ``ASOF LEFT JOIN``, pinning the semantics;
+- sessionization: gap-based session counting via lag + running sum;
+- JSON property extraction: ``get_json_object`` aggregation.
+
+Timestamps are emitted as epoch seconds/micros (BIGINT) so the
+cross-engine hash never depends on timezone rendering. Scale notes:
+every operator is one hash shuffle (user_id or bucket key) with
+windows reusing that clustering; nothing is quadratic, nothing
+collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.rounding import round6, round6_sql
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+def events_rollup(events: DataFrame) -> DataFrame:
+    """(bucket, event_type, n_events, total_value, n_users) — hourly
+    hypertable rollup."""
+    return (
+        events.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            round6(F.sum("value")).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("bucket", "event_type")
+    )
+
+
+def events_rollup_sql() -> str:
+    return (
+        "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, "
+        "event_type, count(*) AS n_events, "
+        f"{round6_sql('sum(value)')} AS total_value, "
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+        "FROM events GROUP BY 1, 2 ORDER BY bucket, event_type"
+    )
+
+
+def events_asof_join(
+    events: DataFrame, left_type: str = "purchase", right_type: str = "signup"
+) -> DataFrame:
+    """(event_id, user_id, value, asof_us) — for each ``left_type``
+    event, the epoch-micros timestamp of the user's latest
+    ``right_type`` event at-or-before it (NULL if none).
+
+    Spark has no ASOF JOIN; a range join would be O(L x R) per user.
+    Composition: tag both sides, ONE window over (user_id, ts) with
+    ``last(right_ts, ignorenulls=True)`` carrying the most recent right
+    timestamp forward; right rows sort before left rows on ties so
+    equal timestamps match (the <= semantics of DuckDB's ASOF)."""
+    tagged = events.where(F.col("event_type").isin([left_type, right_type])).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.when(
+            F.col("event_type") == right_type,
+            F.unix_micros(F.col("ts").cast("timestamp")),
+        ).alias("right_us"),
+        F.when(F.col("event_type") == right_type, F.lit(0)).otherwise(1).alias("_k"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "_k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = tagged.withColumn("asof_us", F.last("right_us", ignorenulls=True).over(w))
+    return (
+        out.where(F.col("event_type") == left_type)
+        .select("event_id", "user_id", round6("value").alias("value"), "asof_us")
+        .orderBy("event_id")
+    )
+
+
+def events_asof_join_sql(
+    left_type: str = "purchase", right_type: str = "signup"
+) -> str:
+    return (
+        "SELECT p.event_id, p.user_id, "
+        f"{round6_sql('p.value')} AS value, "
+        "CAST(epoch_us(s.ts) AS BIGINT) AS asof_us "
+        f"FROM (SELECT * FROM events WHERE event_type = '{left_type}') p "
+        "ASOF LEFT JOIN "
+        f"(SELECT * FROM events WHERE event_type = '{right_type}') s "
+        "ON p.user_id = s.user_id AND p.ts >= s.ts "
+        "ORDER BY p.event_id"
+    )
+
+
+def events_sessions(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """(user_id, n_sessions, n_events) — gap-based sessionization: a new
+    session starts when the inter-event gap exceeds ``gap_us``."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = events.select("user_id", "ts", "event_id").withColumn(
+        "prev_us", F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+    )
+    d = d.withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_us").isNull()
+            | (F.unix_micros(F.col("ts").cast("timestamp")) - F.col("prev_us") > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.sum("new_sess").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def events_sessions_sql(gap_us: int = SESSION_GAP_US) -> str:
+    return (
+        "WITH d AS (SELECT user_id, epoch_us(ts) AS us, "
+        "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us "
+        "FROM events) "
+        "SELECT user_id, "
+        f"CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > {gap_us} "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions, "
+        "count(*) AS n_events FROM d GROUP BY user_id ORDER BY user_id"
+    )
+
+
+def events_json_extract(events: DataFrame) -> DataFrame:
+    """(event_type, total_k) — JSON property extraction + rollup
+    (``get_json_object`` stays JVM-side; no Python)."""
+    return (
+        events.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").cast("bigint").alias("total_k"))
+        .orderBy("event_type")
+    )
+
+
+def events_json_extract_sql() -> str:
+    return (
+        "SELECT event_type, "
+        r"CAST(sum(CAST(regexp_extract(props, '\"k\":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS total_k "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    )
