@@ -141,6 +141,7 @@ def _registry():
 
     reg["multimodal_features"] = (eq.multimodal_features, mm.media_features_sql("image"))
     reg["multimodal_frame_sample"] = (eq.frame_sample_q, mm.frame_sample_sql("video", 8))
+    reg["multimodal_resize"] = (eq.multimodal_resize, mm.resize_plan_sql("image", 224, 224))
     for key, kw in _BM25_CASES:
         reg[key] = (
             partial(eq.bm25_query, **kw),

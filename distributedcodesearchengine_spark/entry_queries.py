@@ -207,6 +207,16 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import extract_media_features, resize_plan
+
+    pages = documents_as_pages(spark, sf_dir).withColumn(
+        "doc_id", F.regexp_extract("url", r"(\d+)$", 1).cast("long")
+    )
+    media = extract_media_features(pages, payload_col="html", id_col="doc_id")
+    return resize_plan(media, 224, 224)
+
+
 def frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import extract_media_features, frame_sample
 

@@ -84,6 +84,49 @@ def extract_media_features(
     return df.select(id_col, payload_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def resize_plan(
+    media: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """(doc_id, width, height, target_w, target_h, scale_x, scale_y,
+    fit_w, fit_h) — aspect-preserving resize planning: the pure-metadata
+    half of an image resize (the pixel kernel would run in the same
+    mapInPandas as the decoder). fit = dimensions after scaling by
+    min(target/w, target/h); scales are exact double ratios (no
+    rounding needed — both engines divide the same ints)."""
+    from pyspark.sql import functions as F
+
+    sx = F.lit(float(target_w)) / F.col("width").cast("double")
+    sy = F.lit(float(target_h)) / F.col("height").cast("double")
+    s = F.least(sx, sy)
+    return media.select(
+        "doc_id",
+        "width",
+        "height",
+        F.lit(target_w).alias("target_w"),
+        F.lit(target_h).alias("target_h"),
+        sx.alias("scale_x"),
+        sy.alias("scale_y"),
+        F.floor(F.col("width").cast("double") * s).cast("int").alias("fit_w"),
+        F.floor(F.col("height").cast("double") * s).cast("int").alias("fit_h"),
+    ).orderBy("doc_id")
+
+
+def resize_plan_sql(
+    kind: str = "image", target_w: int = 224, target_h: int = 224
+) -> str:
+    return (
+        f"WITH {_media_cte(kind)}, r AS (SELECT doc_id, width, height, "
+        f"{target_w} AS target_w, {target_h} AS target_h, "
+        f"{float(target_w)} / width AS scale_x, {float(target_h)} / height AS scale_y "
+        "FROM media) "
+        "SELECT doc_id, width, height, CAST(target_w AS INT) AS target_w, "
+        "CAST(target_h AS INT) AS target_h, scale_x, scale_y, "
+        "CAST(floor(width * least(scale_x, scale_y)) AS INT) AS fit_w, "
+        "CAST(floor(height * least(scale_x, scale_y)) AS INT) AS fit_h "
+        "FROM r ORDER BY doc_id"
+    )
+
+
 def frame_sample(
     media: DataFrame, every_n: int = 8
 ) -> DataFrame:
