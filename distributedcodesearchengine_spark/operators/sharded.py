@@ -48,10 +48,23 @@ def build_sharded_postings(
     shard_width: int = DEFAULT_SHARD_WIDTH,
     block_size: int = DEFAULT_BLOCK,
     n_buckets: int = 64,
+    dict_vocab_max: int = 2_000_000,
 ) -> DataFrame:
     """tf + terms -> postings rows keyed (term, shard); POSTINGS schema
     with range_id = shard. Uniform doc-range split subsumes hot-term
-    splitting (every term is bounded by the shard width)."""
+    splitting (every term is bounded by the shard width).
+
+    When the vocabulary fits on the driver (<= ``dict_vocab_max``
+    terms), the shard shuffle is DICTIONARY-ENCODED: rows carry an int64
+    ``term_id`` instead of the term string + df + idf (roughly halves
+    shuffle/Arrow bytes for this — the most bandwidth-bound — stage),
+    and each shard recovers strings/stats from a broadcast vocab array,
+    one lookup per UNIQUE term per shard, never per row. Larger
+    vocabularies fall back to the broadcast-join path."""
+    if terms.count() <= dict_vocab_max:
+        return _build_sharded_dict(
+            tf, terms, avgdl, shard_width, block_size, n_buckets
+        )
     tf2 = (
         # broadcast the small vocab table (never shuffle tf for the join)
         tf.join(F.broadcast(terms.select("term", "df", "idf")), "term")
@@ -76,66 +89,124 @@ def build_sharded_postings(
         dls = pdf["doc_len"].to_numpy()[order].astype(np.int64)
         dfs = pdf["df"].to_numpy()[order].astype(np.int64)
         idfs = pdf["idf"].to_numpy()[order].astype(np.float64)
-        w = bm25_weight(tfs, dls, idfs, avgdl_f)
-
-        n = len(ids)
-        term_start = np.ones(n, dtype=bool)
-        term_start[1:] = codes_s[1:] != codes_s[:-1]
-        t_starts = np.flatnonzero(term_start)
-        t_ends = np.append(t_starts[1:], n)
-
-        # block starts: every block_size within each term run
-        blk_starts = np.concatenate(
-            [np.arange(s, e, block_size) for s, e in zip(t_starts, t_ends)]
+        return _pack_shard(
+            rid, codes_s, ids, tfs, dls, dfs, idfs,
+            lambda c: uniq_terms[c], avgdl_f, block_size, n_buckets,
         )
-        blk_ends = np.append(blk_starts[1:], n)
-        # per-block-reset doc-id deltas (first element of each block = 0)
-        deltas = np.empty(n, np.int64)
-        deltas[1:] = ids[1:] - ids[:-1]
-        deltas[blk_starts] = 0
 
-        dbuf, dnb = varint_pack_with_lengths(deltas.astype(np.uint64))
-        tbuf, tnb = varint_pack_with_lengths(tfs.astype(np.uint64))
-        lbuf, lnb = varint_pack_with_lengths(dls.astype(np.uint64))
-        doff = np.zeros(n + 1, np.int64); doff[1:] = np.cumsum(dnb)
-        toff = np.zeros(n + 1, np.int64); toff[1:] = np.cumsum(tnb)
-        loff = np.zeros(n + 1, np.int64); loff[1:] = np.cumsum(lnb)
-        blk_max = np.maximum.reduceat(w, blk_starts)
+    return tf2.groupBy("range_id").applyInPandas(build_shard, schema=POSTINGS)
 
-        out = {k: [] for k in (
-            "term_bucket", "term", "range_id", "df", "idf",
-            "global_max", "n_postings", "blocks",
-        )}
-        bi = 0
-        for ti, (s, e) in enumerate(zip(t_starts, t_ends)):
-            blocks = []
-            gmax = -math.inf
-            while bi < len(blk_starts) and blk_starts[bi] < e:
-                bs, be = int(blk_starts[bi]), int(blk_ends[bi])
-                mw = float(blk_max[bi])
-                gmax = max(gmax, mw)
-                blocks.append(
-                    {
-                        "first_doc": int(ids[bs]),
-                        "last_doc": int(ids[be - 1]),
-                        "n": be - bs,
-                        "doc_deltas": dbuf[doff[bs]:doff[be]],
-                        "tfs": tbuf[toff[bs]:toff[be]],
-                        "doc_lens": lbuf[loff[bs]:loff[be]],
-                        "max_w": mw,
-                    }
-                )
-                bi += 1
-            term = uniq_terms[codes_s[s]]
-            out["term_bucket"].append(term_bucket(term, n_buckets))
-            out["term"].append(term)
-            out["range_id"].append(rid)
-            out["df"].append(int(dfs[s]))
-            out["idf"].append(float(idfs[s]))
-            out["global_max"].append(gmax)
-            out["n_postings"].append(e - s)
-            out["blocks"].append(blocks)
-        return pd.DataFrame(out)
+
+def _pack_shard(
+    rid, codes_s, ids, tfs, dls, dfs, idfs, term_of, avgdl_f,
+    block_size, n_buckets,
+) -> pd.DataFrame:
+    """Shared per-shard packer: sorted (term-code, doc) arrays ->
+    POSTINGS rows with per-block-reset varint deltas + block maxima.
+    One vectorized varint pass over the shard, byte-sliced per block."""
+    w = bm25_weight(tfs, dls, idfs, avgdl_f)
+    n = len(ids)
+    term_start = np.ones(n, dtype=bool)
+    term_start[1:] = codes_s[1:] != codes_s[:-1]
+    t_starts = np.flatnonzero(term_start)
+    t_ends = np.append(t_starts[1:], n)
+
+    # block starts: every block_size within each term run
+    blk_starts = np.concatenate(
+        [np.arange(s, e, block_size) for s, e in zip(t_starts, t_ends)]
+    )
+    blk_ends = np.append(blk_starts[1:], n)
+    # per-block-reset doc-id deltas (first element of each block = 0)
+    deltas = np.empty(n, np.int64)
+    deltas[1:] = ids[1:] - ids[:-1]
+    deltas[blk_starts] = 0
+
+    dbuf, dnb = varint_pack_with_lengths(deltas.astype(np.uint64))
+    tbuf, tnb = varint_pack_with_lengths(tfs.astype(np.uint64))
+    lbuf, lnb = varint_pack_with_lengths(dls.astype(np.uint64))
+    doff = np.zeros(n + 1, np.int64); doff[1:] = np.cumsum(dnb)
+    toff = np.zeros(n + 1, np.int64); toff[1:] = np.cumsum(tnb)
+    loff = np.zeros(n + 1, np.int64); loff[1:] = np.cumsum(lnb)
+    blk_max = np.maximum.reduceat(w, blk_starts)
+
+    out = {k: [] for k in (
+        "term_bucket", "term", "range_id", "df", "idf",
+        "global_max", "n_postings", "blocks",
+    )}
+    bi = 0
+    for s, e in zip(t_starts, t_ends):
+        blocks = []
+        gmax = -math.inf
+        while bi < len(blk_starts) and blk_starts[bi] < e:
+            bs, be = int(blk_starts[bi]), int(blk_ends[bi])
+            mw = float(blk_max[bi])
+            gmax = max(gmax, mw)
+            blocks.append(
+                {
+                    "first_doc": int(ids[bs]),
+                    "last_doc": int(ids[be - 1]),
+                    "n": be - bs,
+                    "doc_deltas": dbuf[doff[bs]:doff[be]],
+                    "tfs": tbuf[toff[bs]:toff[be]],
+                    "doc_lens": lbuf[loff[bs]:loff[be]],
+                    "max_w": mw,
+                }
+            )
+            bi += 1
+        term = term_of(codes_s[s])
+        out["term_bucket"].append(term_bucket(term, n_buckets))
+        out["term"].append(term)
+        out["range_id"].append(rid)
+        out["df"].append(int(dfs[s]))
+        out["idf"].append(float(idfs[s]))
+        out["global_max"].append(gmax)
+        out["n_postings"].append(e - s)
+        out["blocks"].append(blocks)
+    return pd.DataFrame(out)
+
+
+def _build_sharded_dict(
+    tf: DataFrame,
+    terms: DataFrame,
+    avgdl: float,
+    shard_width: int,
+    block_size: int,
+    n_buckets: int,
+) -> DataFrame:
+    """Dictionary-encoded shard build: the shuffle carries
+    (term_id int64, doc_id, tf, doc_len) — no strings, no per-row
+    df/idf — and each shard recovers term/df/idf from broadcast vocab
+    arrays (one fancy-index per shard, one string lookup per unique
+    term). Bit-identical output to the join path (tested)."""
+    spark = tf.sparkSession
+    rows = terms.select("term", "df", "idf").orderBy("term").collect()
+    term_list = [r["term"] for r in rows]
+    df_arr = np.array([r["df"] for r in rows], dtype=np.int64)
+    idf_arr = np.array([r["idf"] for r in rows], dtype=np.float64)
+    id_df = spark.createDataFrame(
+        list(zip(term_list, range(len(term_list)))), "term string, term_id long"
+    )
+    bc = spark.sparkContext.broadcast((term_list, df_arr, idf_arr))
+    tf2 = (
+        tf.join(F.broadcast(id_df), "term")
+        .withColumn("range_id", (F.col("doc_id") / F.lit(shard_width)).cast("long"))
+        .select("term_id", "doc_id", "tf", "doc_len", "range_id")
+    )
+    avgdl_f = float(avgdl)
+
+    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        term_list_b, df_b, idf_b = bc.value
+        rid = int(pdf["range_id"].iloc[0])
+        tids = pdf["term_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((pdf["doc_id"].to_numpy(), tids))
+        codes_s = tids[order]
+        ids = pdf["doc_id"].to_numpy()[order].astype(np.int64)
+        tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
+        dls = pdf["doc_len"].to_numpy()[order].astype(np.int64)
+        return _pack_shard(
+            rid, codes_s, ids, tfs, dls, df_b[codes_s], idf_b[codes_s],
+            lambda c: term_list_b[c], avgdl_f, block_size, n_buckets,
+        )
 
     return tf2.groupBy("range_id").applyInPandas(build_shard, schema=POSTINGS)
 

@@ -34,6 +34,31 @@ def _by_query(rows):
     return {k: sorted(v) for k, v in out.items()}
 
 
+def test_dict_and_join_builds_identical(spark):
+    """The dictionary-encoded shard build (no strings in the shuffle)
+    must produce bit-identical postings to the broadcast-join path."""
+    from pyspark.sql import functions as F
+
+    pages = generate_pages(spark, 300, seed=12, parts=3)
+    idx = build_index_inmem(spark, pages)
+
+    def snap(df):
+        rows = df.select(
+            "term_bucket", "term", "range_id", "df", "idf", "global_max",
+            "n_postings", F.to_json("blocks").alias("b"),
+        ).collect()
+        return sorted(tuple(r) for r in rows)
+
+    a = snap(build_sharded_postings(
+        idx.tf, idx.terms, idx.n_docs, idx.avgdl, shard_width=64, block_size=16,
+    ))
+    b = snap(build_sharded_postings(
+        idx.tf, idx.terms, idx.n_docs, idx.avgdl, shard_width=64, block_size=16,
+        dict_vocab_max=0,  # force the join path
+    ))
+    assert a == b and a
+
+
 def test_sharded_matches_batch(spark):
     pages = generate_pages(spark, 500, seed=44, parts=4)
     idx = build_index_inmem(spark, pages)
