@@ -98,6 +98,9 @@ def _registry():
     reg["ngram_jaccard"] = (
         _docs_op(dd.ngram_jaccard_sample), dd.ngram_jaccard_sample_sql(cte),
     )
+    reg["repetition_stats"] = (
+        _docs_op(ts.repetition_stats), ts.repetition_stats_sql(cte),
+    )
     reg["lang_id"] = (_docs_op(ts.lang_id), ts.lang_id_sql(cte))
     reg["quality_score"] = (_docs_op(ts.quality_score), ts.quality_score_sql(cte))
     reg["token_counts"] = (_tbl_op(ts.token_counts), ts.token_counts_sql())
@@ -118,6 +121,18 @@ def _registry():
     # cosine verify on candidates only — no crossJoin in the plan
     reg["embedding_near_dup_lsh"] = (
         _tbl_op(sim.near_dup_pairs_lsh, "embeddings"), sim.near_dup_pairs_lsh_sql(),
+    )
+
+    # positional index / exact-phrase queries (fulltext-tier extension)
+    from distributedcodesearchengine_spark.operators import phrase as ph
+
+    reg["phrase_match"] = (
+        _docs_op(partial(ph.phrase_match, phrase="row scan")),
+        ph.phrase_match_sql(cte, "row scan"),
+    )
+    reg["phrase_topk"] = (
+        _docs_op(partial(ph.phrase_topk, phrase="table table", k=10)),
+        ph.phrase_topk_sql(cte, "table table", 10),
     )
 
     # time-series operator family over the events table (as-of join,

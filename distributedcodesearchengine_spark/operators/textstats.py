@@ -207,3 +207,100 @@ def doc_fingerprint_sql() -> str:
         r"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint "
         "FROM documents ORDER BY doc_id"
     )
+
+
+def _gram_counts(docs: DataFrame, n: int) -> DataFrame:
+    """-> (doc_id, n_grams, top_frac, dup_frac) for token n-grams.
+
+    Scale shape: gram explode -> groupBy(doc_id, gram) -> groupBy(doc_id)
+    — the tf build's shuffle pattern (map-side partial aggs, groups
+    bounded by doc length). Mode-of-array has no JVM HOF form, so the
+    explode/agg pipeline IS the idiomatic distributed formulation;
+    at 100 TB the gram strings would be dictionary-encoded/hashed before
+    the shuffle (same trick as the postings build) — kept as plain
+    strings here for oracle bit-equality.
+    """
+    gram = " || ' ' || ".join(f"tokens[i + {j}]" for j in range(n))
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(tokens) >= {n} THEN "
+                f"transform(sequence(0, size(tokens) - {n}), i -> {gram}) "
+                "ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+    gc = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    return gc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_grams"),
+        (F.max("c").cast("double") / F.sum("c")).alias("top_frac"),
+        (F.lit(1.0) - F.count("*").cast("double") / F.sum("c")).alias("dup_frac"),
+    )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, top_token_frac, top_2gram_frac, dup_2gram_frac,
+    top_3gram_frac) — Gopher-style repetition quality signals (Rae et
+    al. 2021 §A1.1: fraction of the document occupied by the most
+    frequent n-gram / by duplicated n-grams). High values flag
+    boilerplate and spam for the training-data filter stage.
+
+    Docs too short for an n-gram get 0.0 fractions (no signal).
+    """
+    g1 = _gram_counts(docs, 1).select(
+        "doc_id",
+        F.col("n_grams").alias("n_tokens"),
+        F.col("top_frac").alias("top_token_frac"),
+    )
+    g2 = _gram_counts(docs, 2).select(
+        "doc_id",
+        F.col("top_frac").alias("top_2gram_frac"),
+        F.col("dup_frac").alias("dup_2gram_frac"),
+    )
+    g3 = _gram_counts(docs, 3).select(
+        "doc_id", F.col("top_frac").alias("top_3gram_frac")
+    )
+    out = (
+        docs.select("doc_id")
+        .join(g1, "doc_id", "left")
+        .join(g2, "doc_id", "left")
+        .join(g3, "doc_id", "left")
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
+        round6(F.coalesce("top_token_frac", F.lit(0.0))).alias("top_token_frac"),
+        round6(F.coalesce("top_2gram_frac", F.lit(0.0))).alias("top_2gram_frac"),
+        round6(F.coalesce("dup_2gram_frac", F.lit(0.0))).alias("dup_2gram_frac"),
+        round6(F.coalesce("top_3gram_frac", F.lit(0.0))).alias("top_3gram_frac"),
+    ).orderBy("doc_id")
+
+
+def _gram_counts_sql(n: int, alias: str) -> str:
+    gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return (
+        f"{alias}g AS (SELECT doc_id, {gram} AS gram FROM docs, "
+        f"unnest(generate_series(1, len(toks) - {n - 1})) AS _t(i)), "
+        f"{alias}c AS (SELECT doc_id, gram, count(*) AS c FROM {alias}g "
+        "GROUP BY doc_id, gram), "
+        f"{alias} AS (SELECT doc_id, sum(c) AS n_grams, "
+        "max(c)::DOUBLE / sum(c) AS top_frac, "
+        f"1.0 - count(*)::DOUBLE / sum(c) AS dup_frac FROM {alias}c GROUP BY doc_id)"
+    )
+
+
+def repetition_stats_sql(table_toks_cte: str) -> str:
+    return (
+        f"WITH {table_toks_cte}, "
+        f"{_gram_counts_sql(1, 'r1')}, {_gram_counts_sql(2, 'r2')}, "
+        f"{_gram_counts_sql(3, 'r3')} "
+        "SELECT d.doc_id, "
+        "CAST(coalesce(r1.n_grams, 0) AS BIGINT) AS n_tokens, "
+        f"{round6_sql('coalesce(r1.top_frac, 0.0)')} AS top_token_frac, "
+        f"{round6_sql('coalesce(r2.top_frac, 0.0)')} AS top_2gram_frac, "
+        f"{round6_sql('coalesce(r2.dup_frac, 0.0)')} AS dup_2gram_frac, "
+        f"{round6_sql('coalesce(r3.top_frac, 0.0)')} AS top_3gram_frac "
+        "FROM docs d LEFT JOIN r1 USING (doc_id) LEFT JOIN r2 USING (doc_id) "
+        "LEFT JOIN r3 USING (doc_id) ORDER BY d.doc_id"
+    )

@@ -1,0 +1,90 @@
+"""Positional index + phrase query tests.
+
+Contract: Spark phrase occurrence counts == a pure-Python sliding-window
+count over the SAME tokenizer output, for adversarial phrases (repeated
+terms, overlapping self-matches, unknown terms, 1-term and empty
+phrases). Plan shape: the intersection is equi-joins — no
+CartesianProduct / BroadcastNestedLoopJoin may appear.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributedcodesearchengine_spark.entry_queries import docs_with_tokens
+from distributedcodesearchengine_spark.operators.phrase import (
+    phrase_occurrences,
+    phrase_topk,
+    positional_postings,
+)
+from distributedcodesearchengine_spark.oracle.tokenizer import tokenize
+
+
+def py_count(tokens, phrase_toks):
+    n = len(phrase_toks)
+    if n == 0 or len(tokens) < n:
+        return 0
+    return sum(
+        1 for i in range(len(tokens) - n + 1) if tokens[i : i + n] == phrase_toks
+    )
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return docs_with_tokens(spark, sf_dir).persist()
+
+
+PHRASES = [
+    "row scan",            # common bigram
+    "table table",         # repeated term (self-overlap candidates)
+    "query window sort",   # trigram
+    "the",                 # single token (tokenizer keeps len>=2 'the')
+    "zzz unknown phrase",  # no matches
+    "Row-Scan!",           # tokenizer normalization must apply
+]
+
+
+@pytest.mark.parametrize("phrase", PHRASES)
+def test_phrase_counts_match_python(docs, phrase):
+    expected = {
+        r["doc_id"]: py_count(list(r["tokens"]), tokenize(phrase))
+        for r in docs.select("doc_id", "tokens").collect()
+    }
+    expected = {d: c for d, c in expected.items() if c > 0}
+    got = {
+        r["doc_id"]: r["n_occur"]
+        for r in phrase_occurrences(docs, phrase).collect()
+    }
+    assert got == expected
+
+
+def test_empty_phrase(docs, spark):
+    assert phrase_occurrences(docs, "!!") .count() == 0
+
+
+def test_phrase_topk_order(docs):
+    rows = phrase_topk(docs, "table table", k=5).collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    key = [(-r["n_occur"], r["doc_id"]) for r in rows]
+    assert key == sorted(key)
+
+
+def test_positional_postings_roundtrip(docs):
+    """positions are 0-based, sorted, and tf == len(positions)."""
+    pp = positional_postings(docs, terms=["table", "row"])
+    sample = pp.limit(20).collect()
+    assert sample
+    tok_map = {
+        r["doc_id"]: list(r["tokens"])
+        for r in docs.select("doc_id", "tokens").collect()
+    }
+    for r in sample:
+        toks = tok_map[r["doc_id"]]
+        want = [i for i, t in enumerate(toks) if t == r["term"]]
+        assert list(r["positions"]) == want
+        assert r["tf"] == len(want)
+
+
+def test_no_cartesian_in_phrase_plan(docs):
+    plan = phrase_occurrences(docs, "query window sort")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
