@@ -134,6 +134,16 @@ def _registry():
         _docs_op(partial(ph.phrase_topk, phrase="table table", k=10)),
         ph.phrase_topk_sql(cte, "table table", 10),
     )
+    # quoted-query BM25: one healthy-regime phrase ('dup' carries the
+    # corpus's positive idf) and one degenerate-regime phrase
+    reg["bm25_phrase_healthy"] = (
+        partial(eq.bm25_phrase_query, query="small dup", k=10),
+        oq.bm25_topk_sql("small dup", k=10, phrase="small dup"),
+    )
+    reg["bm25_phrase_degenerate"] = (
+        partial(eq.bm25_phrase_query, query="table table", k=10),
+        oq.bm25_topk_sql("table table", k=10, phrase="table table"),
+    )
 
     # time-series operator family over the events table (as-of join,
     # sessionization, hypertable rollup, JSON extraction)

@@ -62,6 +62,15 @@ class SearchEngine:
         return self.embeddings
 
     def _bm25(self, query: str, limit: int, filters, scorer: str) -> DataFrame:
+        # quoted query -> exact-phrase search (BM25-ranked over docs
+        # containing the phrase; operators/phrase.bm25_phrase_topk)
+        q = query.strip()
+        if len(q) >= 2 and q[0] == '"' and q[-1] == '"':
+            from .operators.phrase import bm25_phrase_topk
+
+            return bm25_phrase_topk(
+                self.index, q[1:-1], k=limit, filters=filters or None
+            )
         fn = wand_topk if scorer == "wand" else bm25_topk
         return fn(self.index, query, k=limit, filters=filters or None)
 

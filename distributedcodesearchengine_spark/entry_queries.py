@@ -117,6 +117,19 @@ def bm25_query(
     ).orderBy("rank")
 
 
+def bm25_phrase_query(
+    spark: SparkSession, sf_dir: str, query: str, k: int = 10
+) -> DataFrame:
+    """Quoted-query gate entry: BM25 ranking over exact-phrase docs."""
+    from .operators.phrase import bm25_phrase_topk
+
+    idx = get_documents_index(spark, sf_dir)
+    res = bm25_phrase_topk(idx, query, k=k)
+    return res.select(
+        "rank", _orig_doc_id(), round6("score").alias("score")
+    ).orderBy("rank")
+
+
 def lang_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "documents")

@@ -98,9 +98,15 @@ def bm25_topk_sql(
     k: int = 10,
     lang: Optional[str] = None,
     source: Optional[str] = None,
+    phrase: Optional[str] = None,
 ) -> str:
     """Full BM25 top-k with the reference's threshold-before-filter,
-    degenerate all-zero handling, and doc-order tie-break."""
+    degenerate all-zero handling, and doc-order tie-break.
+
+    ``phrase`` adds the quoted-query predicate: restrict to docs
+    containing the exact token phrase, applied WITH the metadata
+    filters (post-threshold) — mirror of operators/phrase.bm25_phrase_topk.
+    """
     toks = tokenize(query)
     if not toks:
         return "SELECT 1 AS rank, 1::BIGINT AS doc_id, 0.0 AS score WHERE false"
@@ -113,9 +119,15 @@ def bm25_topk_sql(
         where.append(f"lang = '{lang}'")
     if source:
         where.append(f"source = '{source}'")
+    pocc = ""
+    if phrase is not None:
+        from ..operators.phrase import _phrase_occ_cte
+
+        pocc = _phrase_occ_cte(phrase).replace("occ AS", "pocc AS", 1) + ", "
+        where.append("doc_id IN (SELECT doc_id FROM pocc WHERE n_occur > 0)")
     fsql = (" WHERE " + " AND ".join(where)) if where else ""
     return (
-        f"WITH {_docs_cte()}, "
+        f"WITH {_docs_cte()}, {pocc}"
         f"qt(term, qtf) AS (VALUES {qvals}), "
         "contrib AS ("
         "  SELECT tf.doc_id, tf.term, "

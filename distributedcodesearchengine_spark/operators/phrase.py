@@ -103,6 +103,32 @@ def phrase_topk(docs: DataFrame, phrase: str, k: int = 10) -> DataFrame:
     )
 
 
+def bm25_phrase_topk(index, phrase: str, k: int = 10, filters=None) -> DataFrame:
+    """Quoted-query search: BM25 top-k restricted to docs containing the
+    EXACT phrase -> (rank, doc_id, url, score).
+
+    Composition contract: the phrase's tokens are scored bag-of-words
+    (A3), the relative threshold applies against the UNfiltered max
+    (F4), and the phrase predicate joins the metadata filters at the F5
+    stage (post-threshold) as a doc-set semi-join — so a quoted query
+    ranks exactly like its unquoted form, minus non-phrase docs. The
+    degenerate all-non-positive regime (common terms, negative floored
+    idf) inherits the reference's keep-everything branch, again
+    restricted to phrase docs.
+    """
+    from .scorer import finalize_topk, query_term_weights, score_matched
+
+    spark = index.spark
+    if not tokenize(phrase):
+        return spark.createDataFrame(
+            [], "rank int, doc_id long, url string, score double"
+        )
+    occ = phrase_occurrences(index.docs, phrase).select("doc_id")
+    qweights = query_term_weights(index, phrase)
+    scored = score_matched(index, qweights) if qweights else None
+    return finalize_topk(index, scored, k, filters, doc_filter=occ)
+
+
 # --- DuckDB oracles ---------------------------------------------------------
 
 

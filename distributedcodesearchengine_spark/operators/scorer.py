@@ -126,6 +126,7 @@ def finalize_topk(
     scored: Optional[DataFrame],
     k: int,
     filters: Optional[Dict[str, str]] = None,
+    doc_filter: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Shared post-scoring stage: relative threshold (on the UNfiltered
     max), degenerate all-zero handling, metadata filters, stable top-k,
@@ -133,8 +134,19 @@ def finalize_topk(
     query had tokens but none are in the vocabulary. Filter columns not
     present on the scored rows are joined from the docs table (a
     docvalues lookup on candidates only — the tf/postings relations stay
-    slim)."""
+    slim).
+
+    ``doc_filter`` (a doc_id DataFrame) is a set-valued metadata filter
+    applied at the SAME stage as the equality filters (F5,
+    post-threshold) via left_semi join — the phrase predicate of a
+    quoted query uses this."""
     needed = list(filters or {})
+
+    def _apply_all(df: DataFrame) -> DataFrame:
+        df = _apply_filters(df, filters)
+        if doc_filter is not None:
+            df = df.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
+        return df
     if scored is not None:
         missing = [c for c in needed if c not in scored.columns]
         if missing:
@@ -146,7 +158,7 @@ def finalize_topk(
         mx = None
 
     if mx is not None and mx > 0:
-        res = _apply_filters(scored.where(F.col("score") >= F.lit(0.01 * mx)), filters)
+        res = _apply_all(scored.where(F.col("score") >= F.lit(0.01 * mx)))
     else:
         # all-zero or all-non-positive: zero-score (unmatched) docs are in
         # the reference's result array too. They all tie at 0.0 and rank
@@ -157,12 +169,12 @@ def finalize_topk(
         zeros = index.docs
         if scored is not None:
             zeros = zeros.join(scored.select("doc_id"), "doc_id", "left_anti")
-        zeros = _apply_filters(
-            zeros.select("doc_id", *needed, F.lit(0.0).alias("score")), filters
+        zeros = _apply_all(
+            zeros.select("doc_id", *needed, F.lit(0.0).alias("score"))
         ).orderBy("doc_id").limit(k)
         if scored is not None:
-            res = _apply_filters(
-                scored.select("doc_id", *needed, "score"), filters
+            res = _apply_all(
+                scored.select("doc_id", *needed, "score")
             ).unionByName(zeros)
         else:
             res = zeros
