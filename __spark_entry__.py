@@ -134,6 +134,21 @@ def _registry():
         _docs_op(partial(ph.phrase_topk, phrase="table table", k=10)),
         ph.phrase_topk_sql(cte, "table table", 10),
     )
+    # serving-surface extras: autocomplete + query-aware snippets
+    from distributedcodesearchengine_spark.operators import snippets as sn
+    from distributedcodesearchengine_spark.oracle.tokenizer import tokenize as _tok
+
+    reg["term_suggest"] = (
+        partial(eq.term_suggest_q, prefix="s", k=10),
+        sn.term_suggest_sql(cte, "s", 10),
+    )
+    _snip_q = "dup table"
+    _snip_terms = list(dict.fromkeys(_tok(_snip_q)))
+    reg["query_snippets"] = (
+        partial(eq.query_snippets_q, query=_snip_q, k=10),
+        sn.query_snippets_sql(oq.bm25_topk_sql(_snip_q, k=10), _snip_terms),
+    )
+
     # quoted-query BM25: one healthy-regime phrase ('dup' carries the
     # corpus's positive idf) and one degenerate-regime phrase
     reg["bm25_phrase_healthy"] = (

@@ -130,6 +130,32 @@ def bm25_phrase_query(
     ).orderBy("rank")
 
 
+def query_snippets_q(
+    spark: SparkSession, sf_dir: str, query: str, k: int = 10
+) -> DataFrame:
+    """(rank, doc_id, snippet) for the query's BM25 top-k. Snippet term
+    priority contract: query-token order, first occurrence wins (static,
+    so the DuckDB oracle derives the same order without corpus stats)."""
+    from .operators.snippets import query_snippets
+    from .oracle.tokenizer import tokenize
+
+    res = bm25_query(spark, sf_dir, query, k=k)
+    seen: list = []
+    for t in tokenize(query):
+        if t not in seen:
+            seen.append(t)
+    return query_snippets(res, load_table(spark, sf_dir, "documents"), seen)
+
+
+def term_suggest_q(
+    spark: SparkSession, sf_dir: str, prefix: str, k: int = 10
+) -> DataFrame:
+    from .operators.snippets import term_suggest
+
+    idx = get_documents_index(spark, sf_dir)
+    return term_suggest(idx.terms, prefix, k=k)
+
+
 def lang_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "documents")

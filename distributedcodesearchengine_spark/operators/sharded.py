@@ -173,34 +173,47 @@ def _build_sharded_dict(
     block_size: int,
     n_buckets: int,
 ) -> DataFrame:
-    """Dictionary-encoded shard build: the shuffle carries
-    (term_id int64, doc_id, tf, doc_len) — no strings, no per-row
-    df/idf — and each shard recovers term/df/idf from broadcast vocab
-    arrays (one fancy-index per shard, one string lookup per unique
-    term). Bit-identical output to the join path (tested)."""
+    """Dictionary-encoded shard build: the shuffle carries four int32s
+    per row — (term_id, off = doc_id's offset within its shard, tf,
+    doc_len) — no strings, no per-row df/idf, no 64-bit columns — and
+    each shard recovers term/df/idf from broadcast vocab arrays (one
+    fancy-index per shard, one string lookup per unique term) and
+    reconstructs doc_id = shard_base + off. All four values fit int32 by
+    construction (vocab capped at dict_vocab_max, off < shard_width,
+    tf/doc_len bounded by document length), so this is a further 2x cut
+    in shuffle/Arrow bytes for the stage that the scaling evidence pins
+    as DRAM-bandwidth-bound (BENCH/BASELINE.md). Bit-identical output to
+    the join path (tested)."""
     spark = tf.sparkSession
     rows = terms.select("term", "df", "idf").orderBy("term").collect()
     term_list = [r["term"] for r in rows]
     df_arr = np.array([r["df"] for r in rows], dtype=np.int64)
     idf_arr = np.array([r["idf"] for r in rows], dtype=np.float64)
     id_df = spark.createDataFrame(
-        list(zip(term_list, range(len(term_list)))), "term string, term_id long"
+        list(zip(term_list, range(len(term_list)))), "term string, term_id int"
     )
     bc = spark.sparkContext.broadcast((term_list, df_arr, idf_arr))
     tf2 = (
         tf.join(F.broadcast(id_df), "term")
         .withColumn("range_id", (F.col("doc_id") / F.lit(shard_width)).cast("long"))
-        .select("term_id", "doc_id", "tf", "doc_len", "range_id")
+        .select(
+            "term_id",
+            (F.col("doc_id") % F.lit(shard_width)).cast("int").alias("off"),
+            F.col("tf").cast("int").alias("tf"),
+            F.col("doc_len").cast("int").alias("doc_len"),
+            "range_id",
+        )
     )
     avgdl_f = float(avgdl)
 
     def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         term_list_b, df_b, idf_b = bc.value
         rid = int(pdf["range_id"].iloc[0])
-        tids = pdf["term_id"].to_numpy().astype(np.int64)
-        order = np.lexsort((pdf["doc_id"].to_numpy(), tids))
-        codes_s = tids[order]
-        ids = pdf["doc_id"].to_numpy()[order].astype(np.int64)
+        base = rid * shard_width
+        tids = pdf["term_id"].to_numpy()
+        order = np.lexsort((pdf["off"].to_numpy(), tids))
+        codes_s = tids[order].astype(np.int64)
+        ids = pdf["off"].to_numpy()[order].astype(np.int64) + base
         tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
         dls = pdf["doc_len"].to_numpy()[order].astype(np.int64)
         return _pack_shard(

@@ -1,0 +1,116 @@
+"""Query-aware snippets + term-prefix suggestions (serving-surface
+operators).
+
+The reference's highlight is query-blind (``docstring[:200]``,
+``engine.py:112-124`` — P11); a production result page wants the
+snippet centered on the match. ``query_snippets`` windows each top-k
+document's text around the first occurrence of the highest-priority
+query term present (priority = idf desc, so the rarest term wins), with
+a query-blind prefix fallback for degenerate zero-match docs.
+
+``term_suggest`` is the autocomplete primitive: top-k terms by document
+frequency under a prefix. It scans only the terms relation — at design
+scale the term dictionary is stored sorted (parquet min/max stats per
+row group), so a prefix predicate prunes to a contiguous byte range,
+never a full-vocab scan.
+
+Both are deterministic column expressions with DuckDB SQL mirrors for
+the driver gate.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def term_suggest(terms: DataFrame, prefix: str, k: int = 10) -> DataFrame:
+    """terms(term, df[, idf]) -> top-k (term, df) under the prefix,
+    ordered df desc then term asc (deterministic ties)."""
+    return (
+        terms.where(F.col("term").startswith(prefix))
+        .select("term", F.col("df").cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(int(k))
+    )
+
+
+def term_suggest_sql(docs_cte: str, prefix: str, k: int = 10) -> str:
+    """Oracle over the standard docs/tf/dfreq CTE chain."""
+    esc = prefix.replace("'", "''")
+    return (
+        f"WITH {docs_cte}, "
+        "tf2 AS (SELECT doc_id, unnest(toks) AS term FROM docs), "
+        "dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf2 GROUP BY term) "
+        f"SELECT term, CAST(df AS BIGINT) AS df FROM dfreq "
+        f"WHERE term LIKE '{esc}%' ORDER BY df DESC, term ASC LIMIT {int(k)}"
+    )
+
+
+def snippet_col(terms_ordered: Sequence[str], before: int = 30, width: int = 120):
+    """Column expr: window ``text`` around the first occurrence of the
+    first present term (terms in priority order); prefix fallback."""
+    pos = F.lit(None).cast("int")
+    # build the coalesce chain in REVERSE so earlier terms win
+    for t in reversed(list(terms_ordered)):
+        p = F.instr(F.col("text"), t)
+        pos = F.when(p > 0, p).otherwise(pos)
+    start = F.greatest(F.lit(1), pos - F.lit(int(before)))
+    return F.when(
+        pos.isNotNull(), F.col("text").substr(start, F.lit(int(width)))
+    ).otherwise(F.col("text").substr(F.lit(1), F.lit(int(width))))
+
+
+def query_snippets(
+    results: DataFrame,
+    documents: DataFrame,
+    terms_ordered: Sequence[str],
+    before: int = 30,
+    width: int = 120,
+) -> DataFrame:
+    """results(rank, doc_id, ...) x documents(doc_id, text) ->
+    (rank, doc_id, snippet). The k-row result side is broadcast against
+    the corpus-sized documents side (never the reverse)."""
+    return (
+        documents.select("doc_id", "text")
+        .join(F.broadcast(results.select("rank", "doc_id")), "doc_id")
+        .select(
+            "rank",
+            "doc_id",
+            snippet_col(terms_ordered, before, width).alias("snippet"),
+        )
+        .orderBy("rank")
+    )
+
+
+def snippet_sql_expr(
+    terms_ordered: Sequence[str], before: int = 30, width: int = 120
+) -> str:
+    chain = "NULL"
+    for t in reversed(list(terms_ordered)):
+        esc = t.replace("'", "''")
+        chain = (
+            f"CASE WHEN strpos(text, '{esc}') > 0 "
+            f"THEN strpos(text, '{esc}') ELSE {chain} END"
+        )
+    return (
+        f"CASE WHEN ({chain}) IS NOT NULL "
+        f"THEN substring(text, greatest(1, ({chain}) - {int(before)}), {int(width)}) "
+        f"ELSE substring(text, 1, {int(width)}) END"
+    )
+
+
+def query_snippets_sql(
+    bm25_sql: str,
+    terms_ordered: Sequence[str],
+    before: int = 30,
+    width: int = 120,
+) -> str:
+    """Wrap a bm25_topk_sql statement: join documents, emit snippets."""
+    return (
+        f"SELECT res.rank, res.doc_id, {snippet_sql_expr(terms_ordered, before, width)}"
+        f" AS snippet FROM ({bm25_sql}) res "
+        "JOIN documents USING (doc_id) ORDER BY res.rank"
+    )
