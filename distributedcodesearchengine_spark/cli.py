@@ -42,6 +42,11 @@ def _build_parser() -> argparse.ArgumentParser:
 
     t = sub.add_parser("stats", help="corpus + build-lineage rollup")
     t.add_argument("--index", required=True)
+
+    g = sub.add_parser("suggest", help="term autocomplete under a prefix")
+    g.add_argument("prefix")
+    g.add_argument("--index", required=True)
+    g.add_argument("--limit", type=int, default=10)
     return p
 
 
@@ -93,6 +98,15 @@ def main(argv=None, spark=None) -> int:
             for r in rows:
                 url = r["url"] if "url" in r.__fields__ else ""
                 print(f"{r['rank']:>3}  {r['score']:.6f}  {r['doc_id']:>10}  {url}")
+        return 0
+
+    if args.cmd == "suggest":
+        from .build.checkpoint import load_index
+        from .operators.snippets import term_suggest
+
+        idx = load_index(spark, args.index)
+        for r in term_suggest(idx.terms, args.prefix, k=args.limit).collect():
+            print(f"{r['df']:>8}  {r['term']}")
         return 0
 
     if args.cmd == "stats":

@@ -68,3 +68,26 @@ def test_api_drop_mode_ignores_unknown_lang(spark):
     ]
     with pytest.raises(ValueError, match="unknown lang"):
         engine.search("parse json", limit=5, lang="xx")
+
+
+def test_cli_suggest(built, spark, capsys):
+    rc = main(["suggest", "al", "--index", built, "--limit", "5"], spark=spark)
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert 0 < len(lines) <= 5
+    dfs, terms = [], []
+    for l in lines:
+        df_s, term = l.split()
+        dfs.append(int(df_s)); terms.append(term)
+    assert all(t.startswith("al") for t in terms)
+    assert dfs == sorted(dfs, reverse=True)
+
+
+def test_cli_quoted_phrase_search(built, spark, capsys):
+    rc = main(
+        ["search", '"alalal alalal"', "--index", built, "--limit", "3", "--json"],
+        spark=spark,
+    )
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert rows and rows[0]["rank"] == 1
