@@ -47,7 +47,29 @@ def _build_parser() -> argparse.ArgumentParser:
     g.add_argument("prefix")
     g.add_argument("--index", required=True)
     g.add_argument("--limit", type=int, default=10)
+
+    v = sub.add_parser("serve", help="REST API over a persisted index")
+    v.add_argument("--index", required=True)
+    v.add_argument("--port", type=int, default=8099)
+    v.add_argument("--host", default="127.0.0.1")
     return p
+
+
+def _stats_dict(spark, idx, index_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from .build.checkpoint import build_metrics_rollup
+
+    return {
+        "n_docs": idx.n_docs,
+        "avgdl": idx.avgdl,
+        "vocab_size": idx.terms.count(),
+        "langs": {
+            r["lang"]: r["n"]
+            for r in idx.docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        },
+        "build": [r.asDict() for r in build_metrics_rollup(spark, index_dir).collect()],
+    }
 
 
 def main(argv=None, spark=None) -> int:
@@ -110,22 +132,33 @@ def main(argv=None, spark=None) -> int:
         return 0
 
     if args.cmd == "stats":
-        from pyspark.sql import functions as F
-
-        from .build.checkpoint import build_metrics_rollup, load_index
+        from .build.checkpoint import load_index
 
         idx = load_index(spark, args.index)
-        out = {
-            "n_docs": idx.n_docs,
-            "avgdl": idx.avgdl,
-            "vocab_size": idx.terms.count(),
-            "langs": {
-                r["lang"]: r["n"]
-                for r in idx.docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
-            },
-            "build": [r.asDict() for r in build_metrics_rollup(spark, args.index).collect()],
-        }
-        print(json.dumps(out, default=str, indent=2))
+        print(json.dumps(_stats_dict(spark, idx, args.index), default=str, indent=2))
+        return 0
+
+    if args.cmd == "serve":
+        from .api import SearchEngine
+        from .build.checkpoint import load_index
+        from .server import serve
+
+        idx = load_index(spark, args.index)
+        engine = SearchEngine(idx)
+        srv = serve(
+            engine,
+            lambda: _stats_dict(spark, idx, args.index),
+            port=args.port,
+            host=args.host,
+        )
+        print(
+            json.dumps({"serving": f"http://{args.host}:{args.port}", "n_docs": idx.n_docs}),
+            flush=True,
+        )
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            pass
         return 0
 
     return 1  # pragma: no cover
