@@ -134,6 +134,13 @@ def _registry():
         _docs_op(partial(ph.phrase_topk, phrase="table table", k=10)),
         ph.phrase_topk_sql(cte, "table table", 10),
     )
+    # same phrase contract served from the compressed positional index
+    from distributedcodesearchengine_spark.operators import positional as pos
+
+    reg["phrase_match_indexed"] = (
+        _docs_op(partial(pos.phrase_match_indexed, phrase="row scan")),
+        ph.phrase_match_sql(cte, "row scan"),
+    )
     # serving-surface extras: autocomplete + query-aware snippets
     from distributedcodesearchengine_spark.operators import snippets as sn
     from distributedcodesearchengine_spark.oracle.tokenizer import tokenize as _tok

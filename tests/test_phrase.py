@@ -88,3 +88,59 @@ def test_no_cartesian_in_phrase_plan(docs):
     plan = phrase_occurrences(docs, "query window sort")._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- compressed positional index (operators/positional.py) -----------------
+
+
+@pytest.mark.parametrize("phrase", PHRASES)
+def test_indexed_phrase_equals_join_phrase(docs, phrase):
+    from distributedcodesearchengine_spark.operators.positional import (
+        phrase_match_indexed,
+    )
+
+    want = {
+        (r["doc_id"], r["n_occur"])
+        for r in phrase_occurrences(docs, phrase).collect()
+    }
+    got = {
+        (r["doc_id"], r["n_occur"])
+        for r in phrase_match_indexed(docs, phrase, shard_width=64).collect()
+    }
+    assert got == want
+
+
+def test_positional_roundtrip_small_shards(spark):
+    """Adversarial: repeated tokens, doc boundaries at shard edges,
+    position 0 matches for every slot offset."""
+    from distributedcodesearchengine_spark.operators.positional import (
+        build_positional_index,
+        phrase_occurrences_indexed,
+    )
+
+    rows = [
+        (0, ["aa", "aa", "aa", "bb"]),
+        (1, ["bb", "aa"]),
+        (63, ["aa", "bb", "aa", "bb", "aa", "bb"]),
+        (64, ["bb", "bb"]),         # first doc of shard 1
+        (65, ["aa"]),
+        (200, ["aa", "bb", "cc"]),  # sparse far shard
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    idx = build_positional_index(docs, shard_width=64).persist()
+    got = {
+        (r["doc_id"], r["n_occur"])
+        for r in phrase_occurrences_indexed(idx, "aa bb", shard_width=64).collect()
+    }
+    assert got == {(0, 1), (63, 3), (200, 1)}
+    got2 = {
+        (r["doc_id"], r["n_occur"])
+        for r in phrase_occurrences_indexed(idx, "bb bb", shard_width=64).collect()
+    }
+    assert got2 == {(64, 1)}
+    got3 = {
+        (r["doc_id"], r["n_occur"])
+        for r in phrase_occurrences_indexed(idx, "aa", shard_width=64).collect()
+    }
+    assert got3 == {(0, 3), (1, 1), (63, 3), (65, 1), (200, 1)}
+    idx.unpersist()
