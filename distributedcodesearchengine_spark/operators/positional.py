@@ -79,72 +79,80 @@ def build_positional_index(
         (F.col("doc_id") % F.lit(shard_width)).cast("int").alias("off"),
         F.posexplode("tokens").alias("pos", "term"),
     )
-    sw = int(shard_width)
 
     def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         rid = int(pdf["range_id"].iloc[0])
         codes, uniq_terms = pd.factorize(pdf["term"], sort=True)
         offs = pdf["off"].to_numpy().astype(np.int64)
         poss = pdf["pos"].to_numpy().astype(np.int64)
-        order = np.lexsort((poss, offs, codes))
-        c = codes[order]
-        d = offs[order]
-        p = poss[order]
-        n = len(c)
-
-        # run boundaries
-        term_start = np.ones(n, bool)
-        term_start[1:] = c[1:] != c[:-1]
-        doc_start = term_start.copy()
-        doc_start[1:] |= d[1:] != d[:-1]
-
-        # per-doc position deltas (first position absolute)
-        pdelta = np.empty(n, np.int64)
-        pdelta[1:] = p[1:] - p[:-1]
-        pdelta[doc_start] = p[doc_start]
-        pos_buf, pos_nb = varint_pack_with_lengths(pdelta.astype(np.uint64))
-        pos_off = np.zeros(n + 1, np.int64)
-        pos_off[1:] = np.cumsum(pos_nb)
-
-        # per-(term, doc) rows: doc id + count
-        ds = np.flatnonzero(doc_start)
-        de = np.append(ds[1:], n)
-        doc_ids = d[ds]
-        doc_cnt = de - ds
-        doc_term = c[ds]
-        m = len(ds)
-        tstart = np.ones(m, bool)
-        tstart[1:] = doc_term[1:] != doc_term[:-1]
-        ddelta = np.empty(m, np.int64)
-        ddelta[1:] = doc_ids[1:] - doc_ids[:-1]
-        ddelta[tstart] = doc_ids[tstart]
-        doc_buf, doc_nb = varint_pack_with_lengths(ddelta.astype(np.uint64))
-        doc_off = np.zeros(m + 1, np.int64)
-        doc_off[1:] = np.cumsum(doc_nb)
-        cnt_buf, cnt_nb = varint_pack_with_lengths(doc_cnt.astype(np.uint64))
-        cnt_off = np.zeros(m + 1, np.int64)
-        cnt_off[1:] = np.cumsum(cnt_nb)
-
-        ts = np.flatnonzero(tstart)
-        te = np.append(ts[1:], m)
-        tse = np.flatnonzero(term_start)  # starts in the position arrays
-        tee = np.append(tse[1:], n)
-        out = {k: [] for k in (
-            "term_bucket", "term", "range_id", "n_docs",
-            "doc_deltas", "counts", "positions",
-        )}
-        for k in range(len(ts)):
-            term = uniq_terms[doc_term[ts[k]]]
-            out["term_bucket"].append(term_bucket(term, n_buckets))
-            out["term"].append(term)
-            out["range_id"].append(rid)
-            out["n_docs"].append(int(te[k] - ts[k]))
-            out["doc_deltas"].append(doc_buf[doc_off[ts[k]]:doc_off[te[k]]])
-            out["counts"].append(cnt_buf[cnt_off[ts[k]]:cnt_off[te[k]]])
-            out["positions"].append(pos_buf[pos_off[tse[k]]:pos_off[tee[k]]])
-        return pd.DataFrame(out)
+        return pack_positional_shard(rid, codes, uniq_terms, offs, poss, n_buckets)
 
     return pos.groupBy("range_id").applyInPandas(build_shard, schema=POSITIONAL)
+
+
+def pack_positional_shard(
+    rid: int, codes, uniq_terms, offs, poss, n_buckets: int = 64
+) -> pd.DataFrame:
+    """One shard's (term-code, doc-offset, position) triples ->
+    POSITIONAL rows. Module-level so the codec is property-testable
+    without Spark (tests/test_phrase.py hypothesis roundtrip)."""
+    order = np.lexsort((poss, offs, codes))
+    c = codes[order]
+    d = offs[order]
+    p = poss[order]
+    n = len(c)
+
+    # run boundaries
+    term_start = np.ones(n, bool)
+    term_start[1:] = c[1:] != c[:-1]
+    doc_start = term_start.copy()
+    doc_start[1:] |= d[1:] != d[:-1]
+
+    # per-doc position deltas (first position absolute)
+    pdelta = np.empty(n, np.int64)
+    pdelta[1:] = p[1:] - p[:-1]
+    pdelta[doc_start] = p[doc_start]
+    pos_buf, pos_nb = varint_pack_with_lengths(pdelta.astype(np.uint64))
+    pos_off = np.zeros(n + 1, np.int64)
+    pos_off[1:] = np.cumsum(pos_nb)
+
+    # per-(term, doc) rows: doc id + count
+    ds = np.flatnonzero(doc_start)
+    de = np.append(ds[1:], n)
+    doc_ids = d[ds]
+    doc_cnt = de - ds
+    doc_term = c[ds]
+    m = len(ds)
+    tstart = np.ones(m, bool)
+    tstart[1:] = doc_term[1:] != doc_term[:-1]
+    ddelta = np.empty(m, np.int64)
+    ddelta[1:] = doc_ids[1:] - doc_ids[:-1]
+    ddelta[tstart] = doc_ids[tstart]
+    doc_buf, doc_nb = varint_pack_with_lengths(ddelta.astype(np.uint64))
+    doc_off = np.zeros(m + 1, np.int64)
+    doc_off[1:] = np.cumsum(doc_nb)
+    cnt_buf, cnt_nb = varint_pack_with_lengths(doc_cnt.astype(np.uint64))
+    cnt_off = np.zeros(m + 1, np.int64)
+    cnt_off[1:] = np.cumsum(cnt_nb)
+
+    ts = np.flatnonzero(tstart)
+    te = np.append(ts[1:], m)
+    tse = np.flatnonzero(term_start)  # starts in the position arrays
+    tee = np.append(tse[1:], n)
+    out = {k: [] for k in (
+        "term_bucket", "term", "range_id", "n_docs",
+        "doc_deltas", "counts", "positions",
+    )}
+    for k in range(len(ts)):
+        term = uniq_terms[doc_term[ts[k]]]
+        out["term_bucket"].append(term_bucket(term, n_buckets))
+        out["term"].append(term)
+        out["range_id"].append(rid)
+        out["n_docs"].append(int(te[k] - ts[k]))
+        out["doc_deltas"].append(doc_buf[doc_off[ts[k]]:doc_off[te[k]]])
+        out["counts"].append(cnt_buf[cnt_off[ts[k]]:cnt_off[te[k]]])
+        out["positions"].append(pos_buf[pos_off[tse[k]]:pos_off[tee[k]]])
+    return pd.DataFrame(out)
 
 
 def _decode_row(row) -> tuple:

@@ -144,3 +144,53 @@ def test_positional_roundtrip_small_shards(spark):
     }
     assert got3 == {(0, 3), (1, 1), (63, 3), (65, 1), (200, 1)}
     idx.unpersist()
+
+
+def test_positional_codec_property():
+    """Hypothesis roundtrip on the pack/decode codec alone (no Spark):
+    random (term, doc, pos) triples -> pack -> decode == ground truth."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import numpy as np
+    import pandas as pd
+
+    from distributedcodesearchengine_spark.operators.positional import (
+        _POS_BITS,
+        _decode_row,
+        pack_positional_shard,
+    )
+
+    docs_strategy = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=63),          # doc offset
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc", "dd"]),   # tokens
+                min_size=1, max_size=30,
+            ),
+        ),
+        min_size=1, max_size=12, unique_by=lambda t: t[0],
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(docs_strategy)
+    def run(doclist):
+        triples = [
+            (t, off, i)
+            for off, toks in doclist
+            for i, t in enumerate(toks)
+        ]
+        terms = sorted({t for t, _, _ in triples})
+        code_of = {t: i for i, t in enumerate(terms)}
+        codes = np.array([code_of[t] for t, _, _ in triples], dtype=np.int64)
+        offs = np.array([o for _, o, _ in triples], dtype=np.int64)
+        poss = np.array([p for _, _, p in triples], dtype=np.int64)
+        packed = pack_positional_shard(7, codes, np.array(terms, object), offs, poss)
+        got = set()
+        for _, row in packed.iterrows():
+            _, keys = _decode_row(row)
+            for k in keys:
+                got.add((row["term"], int(k) >> _POS_BITS, int(k) & ((1 << _POS_BITS) - 1)))
+        assert got == set(triples)
+        assert (packed["range_id"] == 7).all()
+
+    run()
