@@ -159,6 +159,8 @@ def build_index_persisted(
     priorities: Optional[dict] = None,
     group_retries: int = 2,
     poison_buckets: Optional[set] = None,
+    phrase_index: bool = False,
+    phrase_shard_width: int = 65536,
 ) -> Index:
     """Build (or resume) the persisted index at ``index_dir``.
 
@@ -259,6 +261,18 @@ def build_index_persisted(
     run_stage("terms", _terms)
     terms = spark.read.parquet(os.path.join(index_dir, "terms"))
 
+    # --- stage: positional (optional) — the compressed phrase index
+    if phrase_index:
+        from ..operators.positional import build_positional_index
+
+        def _positional(out):
+            build_positional_index(
+                docs, shard_width=phrase_shard_width, n_buckets=n_buckets
+            ).write.mode("overwrite").partitionBy("term_bucket").parquet(out)
+            return spark.read.parquet(out).count()
+
+        run_stage("positional", _positional)
+
     # --- stage: postings, per bucket group (partition-level lineage)
     post_dir = os.path.join(index_dir, "postings")
     done_buckets = state.completed("postings", fp) if resume else set()
@@ -336,16 +350,18 @@ def build_index_persisted(
         if failed:
             raise BuildError(failed, last_err)
 
+    meta = {
+        "n_buckets": n_buckets,
+        "block_size": block_size,
+        "target_row_postings": target_row_postings,
+        "fingerprint": fp,
+    }
+    if phrase_index:
+        # width is a layout property of the positional stage; changing it
+        # requires resume=False (the stage fingerprint doesn't cover it)
+        meta["phrase_shard_width"] = phrase_shard_width
     with open(os.path.join(index_dir, "_meta.json"), "w") as f:
-        json.dump(
-            {
-                "n_buckets": n_buckets,
-                "block_size": block_size,
-                "target_row_postings": target_row_postings,
-                "fingerprint": fp,
-            },
-            f,
-        )
+        json.dump(meta, f)
 
     postings = spark.read.parquet(post_dir)
     return Index(
@@ -404,4 +420,12 @@ def load_index(spark: SparkSession, index_dir: str) -> Index:
     emb_dir = os.path.join(index_dir, "embeddings")
     if os.path.exists(emb_dir):
         idx.extras["embeddings"] = spark.read.parquet(emb_dir)
+    pos_dir = os.path.join(index_dir, "positional")
+    if os.path.exists(pos_dir):
+        idx.extras["positional"] = spark.read.parquet(pos_dir)
+        width = 65536
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                width = int(json.load(f).get("phrase_shard_width", width))
+        idx.extras["phrase_shard_width"] = width
     return idx

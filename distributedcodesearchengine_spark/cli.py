@@ -28,6 +28,10 @@ def _build_parser() -> argparse.ArgumentParser:
     b.add_argument("--index", required=True, help="output index directory")
     b.add_argument("--no-resume", action="store_true")
     b.add_argument("--n-buckets", type=int, default=None)
+    b.add_argument(
+        "--phrase-index", action="store_true",
+        help="also build the compressed positional index (serves quoted queries)",
+    )
 
     s = sub.add_parser("search", help="query a persisted index")
     s.add_argument("query")
@@ -86,6 +90,8 @@ def main(argv=None, spark=None) -> int:
         kw = {}
         if args.n_buckets:
             kw["n_buckets"] = args.n_buckets
+        if args.phrase_index:
+            kw["phrase_index"] = True
         idx = build_index_persisted(
             spark, pages, args.index, resume=not args.no_resume, **kw
         )

@@ -115,6 +115,12 @@ def bm25_phrase_topk(index, phrase: str, k: int = 10, filters=None) -> DataFrame
     degenerate all-non-positive regime (common terms, negative floored
     idf) inherits the reference's keep-everything branch, again
     restricted to phrase docs.
+
+    The phrase doc-set comes from the persisted compressed positional
+    index when the Index carries one (``extras['positional']``, written
+    by ``build_index_persisted(phrase_index=True)``); otherwise from the
+    join-based matcher over docs.tokens. Both produce identical sets
+    (tested), so the serving path is a pure physical choice.
     """
     from .scorer import finalize_topk, query_term_weights, score_matched
 
@@ -123,7 +129,16 @@ def bm25_phrase_topk(index, phrase: str, k: int = 10, filters=None) -> DataFrame
         return spark.createDataFrame(
             [], "rank int, doc_id long, url string, score double"
         )
-    occ = phrase_occurrences(index.docs, phrase).select("doc_id")
+    if "positional" in index.extras:
+        from .positional import phrase_occurrences_indexed
+
+        occ = phrase_occurrences_indexed(
+            index.extras["positional"],
+            phrase,
+            shard_width=index.extras.get("phrase_shard_width", 65536),
+        ).select("doc_id")
+    else:
+        occ = phrase_occurrences(index.docs, phrase).select("doc_id")
     qweights = query_term_weights(index, phrase)
     scored = score_matched(index, qweights) if qweights else None
     return finalize_topk(index, scored, k, filters, doc_filter=occ)

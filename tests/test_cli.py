@@ -91,3 +91,48 @@ def test_cli_quoted_phrase_search(built, spark, capsys):
     assert rc == 0
     rows = [json.loads(l) for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
     assert rows and rows[0]["rank"] == 1
+
+
+def test_cli_build_phrase_index_and_quoted_search(spark, tmp_path_factory, capsys):
+    """--phrase-index persists the compressed positional index; quoted
+    search then serves from it and ranks identically to the tokens-scan
+    path; a resume re-run skips the positional stage."""
+    import os
+
+    base = tmp_path_factory.mktemp("cli_pos")
+    pages_dir = str(base / "pages")
+    index_dir = str(base / "idx")
+    generate_pages(spark, 150, seed=77, parts=2).write.parquet(pages_dir)
+    rc = main(
+        ["build", "--input", pages_dir, "--index", index_dir, "--phrase-index"],
+        spark=spark,
+    )
+    assert rc == 0
+    capsys.readouterr()
+    assert os.path.exists(os.path.join(index_dir, "positional"))
+
+    from distributedcodesearchengine_spark.build.checkpoint import load_index
+    from distributedcodesearchengine_spark.operators.phrase import bm25_phrase_topk
+
+    idx = load_index(spark, index_dir)
+    assert "positional" in idx.extras
+    served = bm25_phrase_topk(idx, "alalal alalal", k=5).collect()
+    idx_scan = load_index(spark, index_dir)
+    idx_scan.extras.pop("positional")
+    scanned = bm25_phrase_topk(idx_scan, "alalal alalal", k=5).collect()
+    assert [(r["rank"], r["doc_id"], r["score"]) for r in served] == [
+        (r["rank"], r["doc_id"], r["score"]) for r in scanned
+    ]
+    assert served  # phrase exists in the generated corpus
+
+    # resume: no stage recomputation (fast no-op incl. positional)
+    rc = main(
+        ["build", "--input", pages_dir, "--index", index_dir, "--phrase-index"],
+        spark=spark,
+    )
+    assert rc == 0
+    from distributedcodesearchengine_spark.build.checkpoint import BuildState
+
+    st = BuildState(spark, index_dir).read()
+    n_pos_rows = st.where("stage = 'positional'").count()
+    assert n_pos_rows == 1  # second run appended no new state row
