@@ -149,6 +149,12 @@ def _registry():
         partial(eq.term_suggest_q, prefix="s", k=10),
         sn.term_suggest_sql(cte, "s", 10),
     )
+    reg["spell_suggest"] = (
+        lambda spark, sf_dir: sn.spell_suggest(
+            eq.get_documents_index(spark, sf_dir).terms, "tble", k=10
+        ),
+        sn.spell_suggest_sql(cte, "tble", 10),
+    )
     _snip_q = "dup table"
     _snip_terms = list(dict.fromkeys(_tok(_snip_q)))
     reg["query_snippets"] = (

@@ -51,6 +51,10 @@ def _build_parser() -> argparse.ArgumentParser:
     g.add_argument("prefix")
     g.add_argument("--index", required=True)
     g.add_argument("--limit", type=int, default=10)
+    g.add_argument(
+        "--fuzzy", action="store_true",
+        help="edit-distance-1 'did you mean' instead of prefix match",
+    )
 
     v = sub.add_parser("serve", help="REST API over a persisted index")
     v.add_argument("--index", required=True)
@@ -130,10 +134,14 @@ def main(argv=None, spark=None) -> int:
 
     if args.cmd == "suggest":
         from .build.checkpoint import load_index
-        from .operators.snippets import term_suggest
+        from .operators.snippets import spell_suggest_symspell, term_suggest
 
         idx = load_index(spark, args.index)
-        for r in term_suggest(idx.terms, args.prefix, k=args.limit).collect():
+        if args.fuzzy:
+            rows = spell_suggest_symspell(idx.terms, args.prefix, k=args.limit)
+        else:
+            rows = term_suggest(idx.terms, args.prefix, k=args.limit)
+        for r in rows.collect():
             print(f"{r['df']:>8}  {r['term']}")
         return 0
 

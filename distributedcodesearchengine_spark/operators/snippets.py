@@ -114,3 +114,73 @@ def query_snippets_sql(
         f" AS snippet FROM ({bm25_sql}) res "
         "JOIN documents USING (doc_id) ORDER BY res.rank"
     )
+
+
+def spell_suggest(
+    terms: DataFrame, word: str, k: int = 10, max_dist: int = 1
+) -> DataFrame:
+    """"Did you mean" -> top-k (term, df, dist) within edit distance
+    ``max_dist`` of ``word``, ordered dist asc, df desc, term asc.
+
+    Baseline formulation: one JVM ``levenshtein`` scan over the term
+    dictionary — exact, Catalyst-codegen, and the correctness oracle for
+    the SymSpell path below. At 10^9-term vocabularies prefer
+    ``spell_suggest_symspell``, which touches only the deletion-key
+    candidates instead of scanning the dictionary."""
+    d = F.levenshtein(F.col("term"), F.lit(word))
+    return (
+        terms.select("term", F.col("df").cast("long").alias("df"), d.alias("dist"))
+        .where(F.col("dist") <= int(max_dist))
+        .orderBy("dist", F.desc("df"), F.asc("term"))
+        .limit(int(k))
+    )
+
+
+def spell_suggest_sql(docs_cte: str, word: str, k: int = 10, max_dist: int = 1) -> str:
+    esc = word.replace("'", "''")
+    return (
+        f"WITH {docs_cte}, "
+        "tf2 AS (SELECT doc_id, unnest(toks) AS term FROM docs), "
+        "dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf2 GROUP BY term) "
+        f"SELECT term, CAST(df AS BIGINT) AS df, "
+        f"CAST(levenshtein(term, '{esc}') AS INT) AS dist FROM dfreq "
+        f"WHERE levenshtein(term, '{esc}') <= {int(max_dist)} "
+        f"ORDER BY dist ASC, df DESC, term ASC LIMIT {int(k)}"
+    )
+
+
+def _deletion_keys(word: str) -> list:
+    return [word] + [word[:i] + word[i + 1 :] for i in range(len(word))]
+
+
+def spell_suggest_symspell(terms: DataFrame, word: str, k: int = 10) -> DataFrame:
+    """SymSpell-style scale path for edit distance 1: every
+    distance-1 (substitution / insertion / deletion) pair shares at
+    least one key in {x} ∪ {1-deletions of x} for both sides, so
+    candidates come from an equality match on deletion keys — at
+    serving scale the exploded (key, term) relation is precomputed and
+    stored sorted by key, making the probe a prunable range scan, not a
+    dictionary-wide edit-distance evaluation. Candidates are verified
+    with the exact levenshtein, so output == spell_suggest (tested)."""
+    qkeys = _deletion_keys(word)
+    keyed = terms.select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.explode(
+            F.array_union(
+                F.array(F.col("term")),
+                F.expr(
+                    "transform(sequence(1, length(term)), "
+                    "i -> concat(substring(term, 1, i - 1), substring(term, i + 1)))"
+                ),
+            )
+        ).alias("key"),
+    )
+    cand = keyed.where(F.col("key").isin(qkeys)).select("term", "df").distinct()
+    d = F.levenshtein(F.col("term"), F.lit(word))
+    return (
+        cand.select("term", "df", d.alias("dist"))
+        .where(F.col("dist") <= 1)
+        .orderBy("dist", F.desc("df"), F.asc("term"))
+        .limit(int(k))
+    )

@@ -194,3 +194,27 @@ def test_positional_codec_property():
         assert (packed["range_id"] == 7).all()
 
     run()
+
+
+def test_spell_symspell_equals_baseline(spark, sf_dir):
+    """SymSpell deletion-key candidates + verify == the full-dictionary
+    levenshtein scan, for hit, miss, short and exact-word probes."""
+    from distributedcodesearchengine_spark.entry_queries import (
+        get_documents_index,
+    )
+    from distributedcodesearchengine_spark.operators.snippets import (
+        spell_suggest,
+        spell_suggest_symspell,
+    )
+
+    terms = get_documents_index(spark, sf_dir).terms
+    for word in ["tble", "table", "qury", "zz", "spakr"]:
+        base = [
+            (r["term"], r["df"], r["dist"])
+            for r in spell_suggest(terms, word, k=20).collect()
+        ]
+        sym = [
+            (r["term"], r["df"], r["dist"])
+            for r in spell_suggest_symspell(terms, word, k=20).collect()
+        ]
+        assert sym == base, word
