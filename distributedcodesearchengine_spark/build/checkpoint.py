@@ -197,20 +197,21 @@ def build_index_persisted(
         n_buckets=n_buckets,
     )
 
-    def stage_done(stage: str) -> bool:
+    def stage_done(stage: str, fingerprint: str) -> bool:
         return (
             resume
-            and -1 in state.completed(stage, fp)
+            and -1 in state.completed(stage, fingerprint)
             and os.path.exists(os.path.join(index_dir, stage))
         )
 
-    def run_stage(stage: str, fn) -> None:
-        if stage_done(stage):
+    def run_stage(stage: str, fn, fingerprint: Optional[str] = None) -> None:
+        fpr = fingerprint or fp
+        if stage_done(stage, fpr):
             return
         t0 = time.monotonic()
         rows = fn(os.path.join(index_dir, stage))
         wall = (time.monotonic() - t0) * 1000
-        state.mark(stage, fp, rows, _dir_bytes(os.path.join(index_dir, stage)), wall)
+        state.mark(stage, fpr, rows, _dir_bytes(os.path.join(index_dir, stage)), wall)
 
     # --- stage: docs (partitioned by lang — the Spark analog of the
     # reference's keyword payload indexes on the filter columns,
@@ -261,9 +262,15 @@ def build_index_persisted(
     run_stage("terms", _terms)
     terms = spark.read.parquet(os.path.join(index_dir, "terms"))
 
-    # --- stage: positional (optional) — the compressed phrase index
+    # --- stage: positional (optional) — the compressed phrase index.
+    # shard_width is a LAYOUT property of this stage (doc_id = off +
+    # range_id*width at query time), so it is folded into the stage
+    # fingerprint: resuming with a different width rebuilds instead of
+    # silently keeping an incompatible layout.
     if phrase_index:
         from ..operators.positional import build_positional_index
+
+        fp_pos = _fingerprint(base=fp, phrase_shard_width=phrase_shard_width)
 
         def _positional(out):
             build_positional_index(
@@ -271,7 +278,7 @@ def build_index_persisted(
             ).write.mode("overwrite").partitionBy("term_bucket").parquet(out)
             return spark.read.parquet(out).count()
 
-        run_stage("positional", _positional)
+        run_stage("positional", _positional, fingerprint=fp_pos)
 
     # --- stage: postings, per bucket group (partition-level lineage)
     post_dir = os.path.join(index_dir, "postings")
@@ -356,15 +363,23 @@ def build_index_persisted(
         "target_row_postings": target_row_postings,
         "fingerprint": fp,
     }
+    meta_path = os.path.join(index_dir, "_meta.json")
+    pos_dir = os.path.join(index_dir, "positional")
     if phrase_index:
-        # width is a layout property of the positional stage; changing it
-        # requires resume=False (the stage fingerprint doesn't cover it)
         meta["phrase_shard_width"] = phrase_shard_width
-    with open(os.path.join(index_dir, "_meta.json"), "w") as f:
+    elif os.path.exists(pos_dir) and os.path.exists(meta_path):
+        # a positional stage from an earlier build persists on disk:
+        # preserve its recorded layout width so load_index keeps
+        # reconstructing doc_id = off + range_id*width correctly
+        with open(meta_path) as f:
+            old_width = json.load(f).get("phrase_shard_width")
+        if old_width is not None:
+            meta["phrase_shard_width"] = int(old_width)
+    with open(meta_path, "w") as f:
         json.dump(meta, f)
 
     postings = spark.read.parquet(post_dir)
-    return Index(
+    idx = Index(
         spark=spark,
         docs=docs,
         tf=tf,
@@ -375,6 +390,13 @@ def build_index_persisted(
         n_buckets=n_buckets,
         path=index_dir,
     )
+    if phrase_index:
+        # match load_index: quoted queries on the freshly built handle
+        # must take the persisted positional path, not the tokens-scan
+        # fallback (phrase.py bm25_phrase_topk dispatches on extras)
+        idx.extras["positional"] = spark.read.parquet(pos_dir)
+        idx.extras["phrase_shard_width"] = phrase_shard_width
+    return idx
 
 
 def build_metrics_rollup(spark: SparkSession, index_dir: str) -> DataFrame:

@@ -136,6 +136,7 @@ def bm25_phrase_topk(index, phrase: str, k: int = 10, filters=None) -> DataFrame
             index.extras["positional"],
             phrase,
             shard_width=index.extras.get("phrase_shard_width", 65536),
+            n_buckets=index.n_buckets,
         ).select("doc_id")
     else:
         occ = phrase_occurrences(index.docs, phrase).select("doc_id")

@@ -96,6 +96,15 @@ def pack_positional_shard(
     """One shard's (term-code, doc-offset, position) triples ->
     POSITIONAL rows. Module-level so the codec is property-testable
     without Spark (tests/test_phrase.py hypothesis roundtrip)."""
+    if len(poss) and int(poss.max()) >= (1 << _POS_BITS):
+        # the matcher packs doc << _POS_BITS | pos: a position past the
+        # bit budget would silently overflow into the doc field and
+        # corrupt phrase keys — fail the build loudly instead
+        raise ValueError(
+            f"document too long for positional packing: position "
+            f"{int(poss.max())} >= 2^{_POS_BITS}; split or truncate the "
+            "document at build time"
+        )
     order = np.lexsort((poss, offs, codes))
     c = codes[order]
     d = offs[order]
@@ -180,18 +189,26 @@ def phrase_occurrences_indexed(
     positional: DataFrame,
     phrase: str,
     shard_width: int = DEFAULT_SHARD_WIDTH,
+    n_buckets: int = 64,
 ) -> DataFrame:
     """positional index + phrase -> (doc_id, n_occur), identical to
     phrase.phrase_occurrences. Per-shard local intersection of
-    (doc, pos - slot) key sets; only the phrase terms' rows are read."""
+    (doc, pos - slot) key sets; only the phrase terms' rows are read —
+    the term_bucket predicate partition-prunes the persisted
+    partitionBy('term_bucket') layout so the scan touches only the
+    phrase terms' bucket directories (``n_buckets`` must match the
+    build; thread it from the index meta)."""
     toks = tokenize(phrase)
     spark = positional.sparkSession
     if not toks:
         return spark.createDataFrame([], "doc_id long, n_occur long")
     uniq = sorted(set(toks))
     sw = int(shard_width)
-    rows = positional.where(F.col("term").isin(uniq)).select(
-        "term", "range_id", "n_docs", "doc_deltas", "counts", "positions"
+    buckets = sorted({term_bucket(t, n_buckets) for t in uniq})
+    rows = (
+        positional.where(F.col("term_bucket").isin(buckets))
+        .where(F.col("term").isin(uniq))
+        .select("term", "range_id", "n_docs", "doc_deltas", "counts", "positions")
     )
     toks_b = list(toks)
 

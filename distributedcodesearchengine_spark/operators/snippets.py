@@ -38,14 +38,16 @@ def term_suggest(terms: DataFrame, prefix: str, k: int = 10) -> DataFrame:
 
 
 def term_suggest_sql(docs_cte: str, prefix: str, k: int = 10) -> str:
-    """Oracle over the standard docs/tf/dfreq CTE chain."""
+    """Oracle over the standard docs/tf/dfreq CTE chain. Uses
+    ``starts_with`` (literal prefix match, like Spark's startswith) so a
+    prefix containing LIKE metacharacters ('%', '_') cannot diverge."""
     esc = prefix.replace("'", "''")
     return (
         f"WITH {docs_cte}, "
         "tf2 AS (SELECT doc_id, unnest(toks) AS term FROM docs), "
         "dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf2 GROUP BY term) "
         f"SELECT term, CAST(df AS BIGINT) AS df FROM dfreq "
-        f"WHERE term LIKE '{esc}%' ORDER BY df DESC, term ASC LIMIT {int(k)}"
+        f"WHERE starts_with(term, '{esc}') ORDER BY df DESC, term ASC LIMIT {int(k)}"
     )
 
 

@@ -196,6 +196,67 @@ def test_positional_codec_property():
     run()
 
 
+def test_positional_pack_overflow_raises():
+    """A position past the _POS_BITS budget must fail the build loudly —
+    silent overflow would forge keys in the neighboring doc."""
+    import numpy as np
+    import numpy as _np
+
+    from distributedcodesearchengine_spark.operators.positional import (
+        _POS_BITS,
+        pack_positional_shard,
+    )
+
+    codes = np.zeros(2, np.int64)
+    offs = np.zeros(2, np.int64)
+    poss = np.array([0, 1 << _POS_BITS], np.int64)
+    with pytest.raises(ValueError, match="too long"):
+        pack_positional_shard(0, codes, _np.array(["aa"], object), offs, poss)
+    # boundary-1 is fine
+    ok = pack_positional_shard(
+        0, codes, _np.array(["aa"], object), offs,
+        np.array([0, (1 << _POS_BITS) - 1], np.int64),
+    )
+    assert len(ok) == 1
+
+
+def test_indexed_phrase_prunes_term_buckets(spark, tmp_path):
+    """The persisted partitionBy('term_bucket') layout must be
+    partition-pruned at query time: the scan's PartitionFilters carry
+    the phrase terms' buckets (ADVICE r2)."""
+    from distributedcodesearchengine_spark.operators.positional import (
+        build_positional_index,
+        phrase_occurrences_indexed,
+    )
+
+    rows = [(i, ["aa", "bb", "cc", "aa", "bb"]) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    out = str(tmp_path / "pos")
+    build_positional_index(docs, shard_width=64, n_buckets=8).write.partitionBy(
+        "term_bucket"
+    ).parquet(out)
+    pos = spark.read.parquet(out)
+    df = phrase_occurrences_indexed(pos, "aa bb", shard_width=64, n_buckets=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "term_bucket" in plan.split("PartitionFilters")[1][:250], plan[:4000]
+    # and the pruned read still answers correctly
+    got = {(r["doc_id"], r["n_occur"]) for r in df.collect()}
+    assert got == {(i, 2) for i in range(20)}
+
+
+def test_term_suggest_sql_prefix_is_literal():
+    """Oracle SQL must treat the prefix literally (starts_with), like
+    Spark's startswith — LIKE would wildcard-match '%' / '_'."""
+    import duckdb
+
+    from distributedcodesearchengine_spark.operators.snippets import term_suggest_sql
+
+    cte = "docs AS (SELECT 1 AS doc_id, ['a%b', 'axb', 'aqb'] AS toks)"
+    rows = duckdb.connect().execute(term_suggest_sql(cte, "a%")).fetchall()
+    assert [r[0] for r in rows] == ["a%b"]
+
+
 def test_spell_symspell_equals_baseline(spark, sf_dir):
     """SymSpell deletion-key candidates + verify == the full-dictionary
     levenshtein scan, for hit, miss, short and exact-word probes."""

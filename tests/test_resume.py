@@ -167,6 +167,55 @@ def test_overwrite_mode_restored(spark, tmp_path):
     assert after == before
 
 
+def test_phrase_width_in_fingerprint_and_meta_preserved(spark, tmp_path):
+    """The positional stage's LAYOUT width is part of its resume
+    fingerprint (resuming with a different width rebuilds), the built
+    handle carries the positional extras without a load_index round
+    trip, and a later phrase_index=False build over the same dir keeps
+    the recorded width so load_index stays layout-correct."""
+    import json
+    import os
+
+    from distributedcodesearchengine_spark.operators.phrase import bm25_phrase_topk
+
+    pages = generate_pages(spark, 120, seed=9, parts=2)
+    d = str(tmp_path / "idx_w")
+    idx = build_index_persisted(
+        spark, pages, d, phrase_index=True, phrase_shard_width=64, **KW
+    )
+    # built handle == loaded handle: extras attached, quoted query
+    # serves from the persisted index, rank-identical to the token scan
+    assert "positional" in idx.extras
+    assert idx.extras["phrase_shard_width"] == 64
+    served = [
+        (r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in bm25_phrase_topk(idx, "alalal alalal", k=5).collect()
+    ]
+    idx_scan = load_index(spark, d)
+    idx_scan.extras.pop("positional")
+    scanned = [
+        (r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in bm25_phrase_topk(idx_scan, "alalal alalal", k=5).collect()
+    ]
+    assert served == scanned
+    assert BuildState(spark, d).read().where("stage = 'positional'").count() == 1
+
+    # resume with a DIFFERENT width: stage must rebuild, meta updates
+    build_index_persisted(
+        spark, pages, d, phrase_index=True, phrase_shard_width=32, **KW
+    )
+    assert BuildState(spark, d).read().where("stage = 'positional'").count() == 2
+    with open(os.path.join(d, "_meta.json")) as f:
+        assert json.load(f)["phrase_shard_width"] == 32
+
+    # phrase_index=False over the same dir: positional parquet persists,
+    # so the recorded width must survive the _meta.json rewrite
+    build_index_persisted(spark, pages, d, phrase_index=False, **KW)
+    with open(os.path.join(d, "_meta.json")) as f:
+        assert json.load(f)["phrase_shard_width"] == 32
+    assert load_index(spark, d).extras["phrase_shard_width"] == 32
+
+
 def test_noop_rebuild_skips_everything(spark, tmp_path):
     pages = generate_pages(spark, 150, seed=3, parts=3)
     d = str(tmp_path / "idx")
