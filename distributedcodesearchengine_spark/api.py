@@ -46,6 +46,48 @@ class SearchEngine:
         self.embeddings = embeddings
         self._langs: Optional[set] = None
 
+    def warm(self) -> "SearchEngine":
+        """Pin the serving relations in executor storage and materialize
+        them (docs, terms, postings when present), plus the lang set.
+
+        Two jobs, both per the serving design: (a) per-query latency —
+        no parquet re-scan per request, queries start from the
+        in-memory relations; (b) rebuild isolation — while a
+        ``POST /index`` build overwrites the parquet beneath, searches
+        keep reading the old in-memory copy until the atomic swap."""
+        idx = self.index
+        rels = [idx.docs, idx.terms]
+        if idx.postings is not None:
+            rels.append(idx.postings)
+        for df in rels:
+            df.persist()
+        for df in rels:
+            df.count()
+        self._known_langs()
+        return self
+
+    def reload_index(self, index: Index, warm: bool = False) -> None:
+        """Swap in a freshly (re)built index (the serving side of the
+        REST ``POST /index`` trigger). ``warm=True`` materializes the
+        NEW index's serving relations before the swap, so the first
+        post-swap query is already warm. The reference is replaced
+        atomically (an in-flight search keeps its old handle); the OLD
+        index's persisted relations and derived caches are dropped
+        after the swap so nothing stale pins executor memory."""
+        old_idx, old_emb = self.index, self.embeddings
+        if warm:
+            SearchEngine(index).warm()
+        self.embeddings = None
+        self._langs = None
+        self.index = index
+        old = [old_emb, old_idx.docs, old_idx.tf, old_idx.terms,
+               old_idx.postings, *old_idx.extras.values()]
+        for df in old:
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 - None / non-DF extras / dead session
+                pass
+
     def _known_langs(self) -> set:
         """Valid lang filter values (F8). lang is a partition column of
         the persisted docs table, so this distinct is a metadata-cheap

@@ -155,15 +155,21 @@ def main(argv=None, spark=None) -> int:
     if args.cmd == "serve":
         from .api import SearchEngine
         from .build.checkpoint import load_index
-        from .server import serve
+        from .server import IndexJobManager, serve
 
         idx = load_index(spark, args.index)
-        engine = SearchEngine(idx)
+        engine = SearchEngine(idx).warm()
+        manager = IndexJobManager(
+            spark, args.index,
+            on_complete=lambda new: engine.reload_index(new, warm=True),
+        )
         srv = serve(
             engine,
-            lambda: _stats_dict(spark, idx, args.index),
+            # engine.index, not idx: stats must reflect POST /index swaps
+            lambda: _stats_dict(spark, engine.index, args.index),
             port=args.port,
             host=args.host,
+            index_manager=manager,
         )
         print(
             json.dumps({"serving": f"http://{args.host}:{args.port}", "n_docs": idx.n_docs}),

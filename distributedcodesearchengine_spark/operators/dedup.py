@@ -225,10 +225,22 @@ def dedup_clusters(docs: DataFrame, jaccard_min: float = 0.2, max_iter: int = 25
     Iterative min-label propagation: each round one key-partitioned
     shuffle (edges ⋈ labels, groupBy min), O(component diameter) rounds;
     convergence when the label sum stops decreasing (labels are
-    monotonically non-increasing). At 10^12 docs the same loop runs with
-    periodic checkpointing to cut lineage — the joins themselves stay
-    shuffle-bounded by the (small) pair graph, never the corpus."""
+    monotonically non-increasing). Each round's labels are
+    localCheckpoint'ed to cut lineage (labels feeds the plan twice per
+    round, so without truncation the logical plan QUADRUPLES per round
+    and a high-diameter component stalls the driver) — the joins
+    themselves stay shuffle-bounded by the (small) pair graph, never
+    the corpus."""
     pairs = lsh_candidate_pairs(docs, jaccard_min).select("doc_a", "doc_b")
+    labels = min_label_propagation(pairs, max_iter=max_iter)
+    return labels.select("doc_id", F.col("lab").alias("cluster_id")).orderBy("doc_id")
+
+
+def min_label_propagation(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """pairs(doc_a, doc_b) -> (doc_id, lab) with lab = min doc_id of the
+    connected component. Factored out of ``dedup_clusters`` so the
+    convergence/lineage behavior is testable on synthetic graphs
+    (e.g. a path of diameter >> 5)."""
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
@@ -239,21 +251,25 @@ def dedup_clusters(docs: DataFrame, jaccard_min: float = 0.2, max_iter: int = 25
         .persist()
     )
     prev_sum = labels.agg(F.sum("lab")).first()[0]
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr = (
             edges.join(labels.withColumnRenamed("doc_id", "doc_b"), "doc_b")
             .groupBy("doc_a")
             .agg(F.min("lab").alias("nbr_lab"))
             .withColumnRenamed("doc_a", "doc_id")
         )
-        new_labels = (
-            labels.join(nbr, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("lab"), F.coalesce("nbr_lab", F.col("lab"))).alias("lab"),
-            )
-            .persist()
+        new_labels = labels.join(nbr, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("lab"), F.coalesce("nbr_lab", F.col("lab"))).alias("lab"),
         )
+        # lineage control: labels appears TWICE per round (nbr side +
+        # join side), so under plain persist the LOGICAL plan quadruples
+        # every round (4 -> 20 -> 84 -> 340 joins measured) and a
+        # high-diameter component stalls the driver on plan analysis.
+        # localCheckpoint truncates to a LogicalRDD each round; the
+        # convergence action below materializes it anyway, so this costs
+        # nothing extra over persist
+        new_labels = new_labels.localCheckpoint(eager=False)
         new_sum = new_labels.agg(F.sum("lab")).first()[0]
         labels.unpersist()
         labels = new_labels
@@ -261,7 +277,7 @@ def dedup_clusters(docs: DataFrame, jaccard_min: float = 0.2, max_iter: int = 25
             break
         prev_sum = new_sum
     edges.unpersist()
-    return labels.select("doc_id", F.col("lab").alias("cluster_id")).orderBy("doc_id")
+    return labels
 
 
 def dedup_clusters_sql(table_toks_cte: str, jaccard_min: float = 0.2) -> str:

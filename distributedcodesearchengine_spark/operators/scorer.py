@@ -121,6 +121,27 @@ def _apply_filters(df: DataFrame, filters: Optional[Dict[str, str]]) -> DataFram
     return df
 
 
+def _cache_scored(index: Index, scored: DataFrame) -> DataFrame:
+    """Persist the scored candidate set for the duration of one query.
+
+    ``finalize_topk`` uses the scored subtree TWICE — once for the
+    unfiltered-max threshold action, once in the returned top-k plan —
+    so without a persist the term-pruned scan + broadcast join + agg
+    runs twice per query (at any scale; the candidate set is bounded by
+    docs matching >= 1 query term, MEMORY_AND_DISK spills if that is
+    large). LRU-1 on the index handle: each query evicts the previous
+    query's cache, so a long-lived serving session holds at most one."""
+    old = index.extras.pop("_scored_cache", None)
+    if old is not None:
+        try:
+            old.unpersist()
+        except Exception:  # noqa: BLE001 - already gone / dead session
+            pass
+    scored = scored.persist()
+    index.extras["_scored_cache"] = scored
+    return scored
+
+
 def finalize_topk(
     index: Index,
     scored: Optional[DataFrame],
@@ -153,6 +174,7 @@ def finalize_topk(
             scored = scored.join(
                 index.docs.select("doc_id", *missing), "doc_id"
             )
+        scored = _cache_scored(index, scored)
         mx = scored.agg(F.max("score").alias("mx")).first()["mx"]
     else:
         mx = None

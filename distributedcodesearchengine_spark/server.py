@@ -1,37 +1,155 @@
 """Minimal REST surface — the analog of the reference's FastAPI server
-(``codesearch/api/server.py:110-176`` /search, ``:250-280`` /stats),
-stdlib-only (``http.server``; this sandbox has no FastAPI/uvicorn, and
-the engine needs no web framework: every endpoint is one engine call).
+(``codesearch/api/server.py:110-280``: /search, /index, /index/sync,
+/stats), stdlib-only (``http.server``; this sandbox has no
+FastAPI/uvicorn, and the engine needs no web framework: every endpoint
+is one engine call).
 
     python -m distributedcodesearchengine_spark serve --index DIR --port 8099
 
-Endpoints (GET, JSON responses):
+Endpoints (JSON responses):
 
-    /search?q=...&limit=10&lang=en&site=...&source=...&hybrid=1&scorer=exact
-    /suggest?prefix=al&limit=10
-    /stats
-    /health
+    GET  /search?q=...&limit=10&lang=en&site=...&source=...&hybrid=1&scorer=exact
+    GET  /suggest?prefix=al&limit=10
+    GET  /stats                      (+ "jobs": queued/running/complete builds)
+    GET  /health
+    POST /index        {"input": DIR, "priority": 0-10, "phrase_index": bool}
+                       -> 202 {"job_id": N}; a background worker thread
+                       drains jobs highest-priority-first through the
+                       checkpointed builder (api/server.py:196-221's
+                       queue_index analog)
+    POST /index/sync   same body -> blocks until built, returns n_docs +
+                       duration (api/server.py:223-248's index_sync)
 
+On completion the serving engine atomically swaps to the new index.
 Validation semantics mirror the reference API (server.py:122-133):
 invalid enum/filter values are silently DROPPED (``on_invalid='drop'``),
 unlike the CLI which errors (cli/main.py:69-85) — both behaviors come
 from the same ``SearchEngine.search`` flag. Quoted ``q`` runs the
 exact-phrase path, like the CLI.
 
-Single-threaded by design: one SparkSession, driver-side query
-planning; concurrency at serving scale comes from running N replicas
-behind a balancer (the reference's worker-replica model, ST7), not from
-threads sharing a driver.
+Single-threaded request handling by design: one SparkSession,
+driver-side query planning; concurrency at serving scale comes from
+running N replicas behind a balancer (the reference's worker-replica
+model, ST7), not from threads sharing a driver. The ONE background
+thread is the index worker — Spark supports concurrent job submission
+from multiple driver threads, and the worker touches the engine only
+through the atomic ``reload_index`` swap.
 """
 
 from __future__ import annotations
 
 import json
+import queue as _queue
+import threading
+import time
 from http.server import BaseHTTPRequestHandler, HTTPServer
 from urllib.parse import parse_qs, urlparse
 
 
-def make_handler(engine, stats_fn):
+class IndexJobManager:
+    """The ``POST /index`` job queue: submitted builds drain through ONE
+    daemon worker thread, highest priority first (FIFO within a
+    priority) — the Spark analog of the reference's JobPublisher ->
+    queue worker pipeline (queue/publisher.py:68-75, worker.py). Each
+    job runs the checkpointed resumable builder, so the durable
+    per-stage lineage is the index's ``_build_state`` table; this class
+    only tracks queue-level status (queued/running/complete/failed),
+    surfaced under ``/stats``'s ``jobs`` key."""
+
+    def __init__(self, spark, index_dir: str, on_complete=None):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.on_complete = on_complete  # callback(new Index) after a build
+        self.jobs: dict = {}
+        self._lock = threading.Lock()
+        self._next_id = 1
+        self._q: _queue.PriorityQueue = _queue.PriorityQueue()
+        self._worker: threading.Thread | None = None
+
+    # -- public ----------------------------------------------------------
+    def submit(self, input_path: str, priority: int = 5,
+               phrase_index: bool = False) -> int:
+        with self._lock:
+            job_id = self._next_id
+            self._next_id += 1
+            self.jobs[job_id] = {
+                "job_id": job_id, "input": input_path, "status": "queued",
+                "priority": int(priority), "phrase_index": bool(phrase_index),
+            }
+        # PriorityQueue pops the smallest tuple: negate priority so
+        # higher wins; job_id breaks ties FIFO
+        self._q.put((-int(priority), job_id))
+        self._ensure_worker()
+        return job_id
+
+    def run_sync(self, input_path: str, phrase_index: bool = False) -> dict:
+        job_id = self.submit(input_path, phrase_index=phrase_index)
+        # the worker thread owns execution (one build at a time even
+        # when sync and async jobs interleave); block on this job
+        while self.status(job_id)["status"] in ("queued", "running"):
+            time.sleep(0.05)
+        return self.status(job_id)
+
+    def status(self, job_id: int) -> dict:
+        with self._lock:
+            job = self.jobs.get(job_id)
+            return dict(job) if job else {"job_id": job_id, "status": "unknown"}
+
+    def snapshot(self) -> list:
+        with self._lock:
+            return [dict(j) for _, j in sorted(self.jobs.items())]
+
+    # -- worker ----------------------------------------------------------
+    def _ensure_worker(self) -> None:
+        with self._lock:
+            if self._worker is None or not self._worker.is_alive():
+                self._worker = threading.Thread(target=self._drain, daemon=True)
+                self._worker.start()
+
+    def _drain(self) -> None:
+        while True:
+            try:
+                _, job_id = self._q.get(timeout=30)
+            except _queue.Empty:
+                return  # idle worker exits; next submit restarts one
+            self._run(job_id)
+
+    def _run(self, job_id: int) -> None:
+        from .build.checkpoint import build_index_persisted
+        from .sources.tables import read_input_table
+
+        with self._lock:
+            job = self.jobs[job_id]
+            job["status"] = "running"
+            job["started_at"] = time.time()
+        t0 = time.monotonic()
+        try:
+            pages = read_input_table(self.spark, job["input"])
+            idx = build_index_persisted(
+                self.spark, pages, self.index_dir,
+                phrase_index=job["phrase_index"],
+            )
+            # swap BEFORE marking complete: "complete" must mean "built
+            # AND serving", or a poller could see complete while the
+            # engine still serves the old index
+            if self.on_complete is not None:
+                self.on_complete(idx)
+            with self._lock:
+                job.update(
+                    status="complete",
+                    n_docs=idx.n_docs,
+                    duration_seconds=round(time.monotonic() - t0, 3),
+                )
+        except Exception as e:  # noqa: BLE001 - job status carries the error
+            with self._lock:
+                job.update(
+                    status="failed",
+                    error=f"{type(e).__name__}: {e}"[:2000],
+                    duration_seconds=round(time.monotonic() - t0, 3),
+                )
+
+
+def make_handler(engine, stats_fn, index_manager=None):
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict) -> None:
             body = json.dumps(payload, default=str).encode("utf-8")
@@ -44,6 +162,41 @@ def make_handler(engine, stats_fn):
         def log_message(self, fmt, *args):  # quiet
             pass
 
+        def do_POST(self):  # noqa: N802 (http.server API)
+            url = urlparse(self.path)
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+            except (ValueError, TypeError) as e:
+                return self._send(400, {"error": f"bad JSON body: {e}"})
+            if url.path in ("/index", "/index/sync"):
+                if index_manager is None:
+                    return self._send(
+                        400, {"error": "indexing disabled (no index manager)"}
+                    )
+                if not isinstance(body, dict) or not body.get("input"):
+                    return self._send(400, {"error": "missing 'input' (pages dir)"})
+                try:
+                    if url.path == "/index":
+                        job_id = index_manager.submit(
+                            str(body["input"]),
+                            priority=int(body.get("priority", 5)),
+                            phrase_index=bool(body.get("phrase_index", False)),
+                        )
+                        return self._send(202, {
+                            "success": True, "job_id": job_id,
+                            "message": f"build queued for {body['input']}",
+                        })
+                    res = index_manager.run_sync(
+                        str(body["input"]),
+                        phrase_index=bool(body.get("phrase_index", False)),
+                    )
+                    res["success"] = res.get("status") == "complete"
+                    return self._send(200, res)
+                except Exception as e:  # noqa: BLE001 - reference: no 500 bodies
+                    return self._send(200, {"success": False, "error": str(e)})
+            return self._send(404, {"error": f"unknown path {url.path}"})
+
         def do_GET(self):  # noqa: N802 (http.server API)
             url = urlparse(self.path)
             q = {k: v[0] for k, v in parse_qs(url.query).items()}
@@ -51,7 +204,16 @@ def make_handler(engine, stats_fn):
                 if url.path == "/health":
                     return self._send(200, {"status": "ok"})
                 if url.path == "/stats":
-                    return self._send(200, stats_fn())
+                    # job status must stay readable even while a build
+                    # is rewriting the index files the stats queries
+                    # read (transient failures are expected mid-build)
+                    try:
+                        payload = stats_fn()
+                    except Exception as e:  # noqa: BLE001
+                        payload = {"error": f"stats unavailable: {e}"[:500]}
+                    if index_manager is not None:
+                        payload["jobs"] = index_manager.snapshot()
+                    return self._send(200, payload)
                 if url.path == "/suggest":
                     from .operators.snippets import term_suggest
 
@@ -90,7 +252,11 @@ def make_handler(engine, stats_fn):
     return Handler
 
 
-def serve(engine, stats_fn, port: int = 8099, host: str = "127.0.0.1"):
+def serve(engine, stats_fn, port: int = 8099, host: str = "127.0.0.1",
+          index_manager=None):
     """-> an ``HTTPServer`` (caller runs ``serve_forever`` or, in tests,
-    ``handle_request`` on a thread)."""
-    return HTTPServer((host, port), make_handler(engine, stats_fn))
+    ``handle_request`` on a thread). ``index_manager`` enables the
+    ``POST /index`` surface."""
+    return HTTPServer(
+        (host, port), make_handler(engine, stats_fn, index_manager=index_manager)
+    )

@@ -92,3 +92,136 @@ def test_missing_q_is_400(srv):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(srv, "/search")
     assert ei.value.code == 400
+
+
+def test_malformed_limit_is_400(srv):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/search", q="parse json", limit="abc")
+    assert ei.value.code == 400
+
+
+def test_unknown_path_is_404(srv):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/nope")
+    assert ei.value.code == 404
+
+
+def test_post_index_without_manager_is_400(srv):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(srv, "/index", {"input": "/tmp/x"})
+    assert ei.value.code == 400
+    assert "disabled" in json.loads(ei.value.read())["error"]
+
+
+# --- POST /index surface (reference api/server.py:196-248) ------------------
+
+
+def _post(base, path, payload):
+    data = json.dumps(payload).encode() if not isinstance(payload, bytes) else payload
+    req = urllib.request.Request(
+        f"{base}{path}", data=data, headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req) as r:
+        return r.status, json.loads(r.read())
+
+
+@pytest.fixture(scope="module")
+def isrv(spark, tmp_path_factory):
+    """Server wired exactly like the CLI serve command: job manager +
+    atomic engine reload on build completion."""
+    from distributedcodesearchengine_spark.server import IndexJobManager
+
+    base = tmp_path_factory.mktemp("isrv")
+    index_dir = str(base / "idx")
+    pages = generate_pages(spark, 150, seed=31, parts=2)
+    idx = build_index_persisted(spark, pages, index_dir)
+    engine = SearchEngine(idx).warm()
+    manager = IndexJobManager(
+        spark, index_dir,
+        on_complete=lambda new: engine.reload_index(new, warm=True),
+    )
+    server = serve(
+        engine,
+        lambda: _stats_dict(spark, engine.index, index_dir),
+        port=0,
+        index_manager=manager,
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{server.server_address[1]}", str(base)
+    server.shutdown()
+
+
+def test_post_index_async_builds_and_serves(isrv, spark):
+    """Queue a build of a NEW corpus over the same index dir, poll job
+    status through /stats to complete, then search the new index
+    through the same server (the round-2 verdict's done-criterion)."""
+    import time
+
+    base, tmp = isrv
+    pages_dir = f"{tmp}/pages_async"
+    generate_pages(spark, 250, seed=41, parts=2).write.mode("overwrite").parquet(
+        pages_dir
+    )
+    code, body = _post(base, "/index", {"input": pages_dir, "priority": 7})
+    assert code == 202 and body["success"] and body["job_id"] >= 1
+    job_id = body["job_id"]
+
+    deadline = time.monotonic() + 300
+    status = None
+    while time.monotonic() < deadline:
+        _, stats = _get(base, "/stats")
+        job = next(j for j in stats["jobs"] if j["job_id"] == job_id)
+        status = job["status"]
+        if status in ("complete", "failed"):
+            break
+        time.sleep(0.5)
+    assert status == "complete", job
+    assert job["n_docs"] == 250 and job["priority"] == 7
+
+    # the serving engine swapped to the new index
+    _, stats = _get(base, "/stats")
+    assert stats["n_docs"] == 250
+    code, res = _get(base, "/search", q="parse json", limit=5)
+    assert code == 200 and len(res["results"]) == 5
+
+
+def test_post_index_sync_blocks_and_reports(isrv, spark):
+    base, tmp = isrv
+    pages_dir = f"{tmp}/pages_sync"
+    generate_pages(spark, 120, seed=43, parts=2).write.mode("overwrite").parquet(
+        pages_dir
+    )
+    code, body = _post(base, "/index/sync", {"input": pages_dir})
+    assert code == 200 and body["success"]
+    assert body["status"] == "complete" and body["n_docs"] == 120
+    assert body["duration_seconds"] > 0
+    _, stats = _get(base, "/stats")
+    assert stats["n_docs"] == 120
+
+
+def test_post_index_missing_input_is_400(isrv):
+    base, _ = isrv
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base, "/index", {})
+    assert ei.value.code == 400
+
+
+def test_post_index_bad_json_is_400(isrv):
+    base, _ = isrv
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base, "/index", b"{not json")
+    assert ei.value.code == 400
+
+
+def test_post_index_bad_input_dir_fails_job(isrv):
+    """A job over a nonexistent pages dir dead-letters in job status
+    (status=failed + error), without taking the server down."""
+    base, tmp = isrv
+    code, body = _post(base, "/index/sync", {"input": f"{tmp}/does_not_exist"})
+    assert code == 200 and not body["success"]
+    assert body["status"] == "failed" and body["error"]
+    # server still healthy
+    code, health = _get(base, "/health")
+    assert code == 200 and health["status"] == "ok"

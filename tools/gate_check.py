@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import sys
+import time
 
 import duckdb
 import numpy as np
@@ -92,15 +93,18 @@ def main() -> None:
     qs = entry.queries()
     oq = entry.oracle_sql()
     out = {}
+    t_start = time.monotonic()
     for key, fn in qs.items():
         if only and key not in only:
             continue
+        t0 = time.monotonic()
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             out[key] = {"err": f"spark: {type(e).__name__}: {e}"}
             print(key, "->", out[key], flush=True)
             continue
+        t_spark = time.monotonic() - t0
         sql = oq.get(key)
         if sql is None:
             out[key] = {"spark_rows": len(spark_pdf), "err": "no_oracle"}
@@ -112,6 +116,8 @@ def main() -> None:
                 print(key, "->", out[key], flush=True)
                 continue
             out[key] = compare(spark_pdf, oracle_pdf)
+        out[key]["spark_sec"] = round(t_spark, 2)
+        out[key]["total_sec"] = round(time.monotonic() - t0, 2)
         print(key, "->", json.dumps(out[key], default=str), flush=True)
 
     bad = [
@@ -119,7 +125,10 @@ def main() -> None:
         for k, v in out.items()
         if not (v.get("rows_match") and v.get("schema_match") and v.get("hash_match"))
     ]
-    print(f"\n{len(out) - len(bad)}/{len(out)} green; failing: {bad}")
+    slow = sorted(out.items(), key=lambda kv: -kv[1].get("total_sec", 0))[:10]
+    print(f"\nwall total: {time.monotonic() - t_start:.1f}s; slowest: "
+          + ", ".join(f"{k}={v.get('total_sec')}s" for k, v in slow))
+    print(f"{len(out) - len(bad)}/{len(out)} green; failing: {bad}")
 
 
 if __name__ == "__main__":
