@@ -254,9 +254,23 @@ def build_index_persisted(
     run_stage("tf", _tf)
     tf = spark.read.parquet(os.path.join(index_dir, "tf"))
 
-    # --- stage: terms
+    # --- stage: terms — prefix-prunable dictionary layout: partitioned
+    # by the leading character and term-sorted within each partition, so
+    # an autocomplete prefix probe prunes to one partition directory and
+    # the pushed StringStartsWith predicate then prunes parquet row
+    # groups via min/max stats (a contiguous byte range, never a
+    # full-vocab scan — operators/snippets.term_suggest)
     def _terms(out):
-        terms_with_idf(tf, n_docs).write.mode("overwrite").parquet(out)
+        t = terms_with_idf(tf, n_docs).withColumn(
+            "term_pfx", F.substring("term", 1, 1)
+        )
+        (
+            t.repartition("term_pfx")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .partitionBy("term_pfx")
+            .parquet(out)
+        )
         return spark.read.parquet(out).count()
 
     run_stage("terms", _terms)

