@@ -280,7 +280,11 @@ def main() -> None:
     qindex.tf = spark.read.parquet(os.path.join(index_dir, "tf"))
     qindex.terms = spark.read.parquet(os.path.join(index_dir, "terms")).persist()
     qindex.terms.count()
-    qindex.postings = spark.read.parquet(os.path.join(index_dir, "postings")).persist()
+    qindex.postings = (
+        spark.read.parquet(os.path.join(index_dir, "postings"))
+        .coalesce(cpus)  # one cached partition per core: 1-wave scans
+        .persist()
+    )
     qindex.postings.count()
     timings["warm_serving"] = round(time.monotonic() - tw, 3)
 

@@ -165,11 +165,45 @@ def rrf_merge(
     )
 
     merged = merged.orderBy(F.desc("score"), F.asc("_tie"))
-    if limit is not None:
-        merged = merged.limit(limit)
 
-    # T5 max-normalization: top combined score becomes 1.0 (if > 0);
-    # positive scaling preserves order, so rank is computed after it
+    if limit is not None:
+        # k-row tail: materialize the TakeOrdered top-k ONCE and finish
+        # (T5 max-normalization + rank) driver-side — one Spark action
+        # instead of three full recomputations of the merge subtree
+        # (IEEE division is identical either side; order is preserved
+        # because positive scaling preserves it)
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        spark = merged.sparkSession
+        id_type = merged.schema[id_col].dataType
+        rows = merged.limit(limit).collect()
+        if sem is not None:
+            sem.unpersist()
+        mx = max((r["score"] for r in rows), default=None)
+        scale = mx if (mx is not None and mx > 0) else 1.0
+        data = [
+            (i, r[id_col], r["score"] / scale, r["semantic_score"], r["bm25_score"])
+            for i, r in enumerate(
+                sorted(rows, key=lambda r: (-r["score"], r["_tie"])), start=1
+            )
+        ]
+        schema = StructType(
+            [
+                StructField("rank", IntegerType()),
+                StructField(id_col, id_type),
+                StructField("score", DoubleType()),
+                StructField("semantic_score", DoubleType()),
+                StructField("bm25_score", DoubleType()),
+            ]
+        )
+        return spark.createDataFrame(data, schema)
+
+    # unbounded merge: stay lazy (never collect an unbounded set)
     mx = merged.agg(F.max("score")).first()[0]
     if mx is not None and mx > 0:
         merged = merged.withColumn("score", F.col("score") / F.lit(mx))

@@ -233,27 +233,49 @@ def sharded_single_topk(
     """Single-query latency path over the sharded layout ->
     (rank, doc_id, url, score).
 
-    One applyInPandas pass (block-max-pruned shard-local scoring) + the
-    tiny global merge — ~2 Spark jobs end-to-end, vs the WAND path's 4
-    driver-synchronized rounds; rank-identical on healthy queries
-    (sharded_batch_topk == bm25_topk_batch == bm25_topk, tested).
+    TWO small Spark jobs end-to-end (vs the WAND path's 4
+    driver-synchronized rounds): (1) the applyInPandas shard-scoring
+    pass collected PRE-merge — per-shard top-k candidates are <=
+    shards*k rows, so the threshold/rank merge runs driver-side,
+    bit-identically to the batch window form (same doubles, same
+    (score desc, doc_id asc) order) and the merge's extra
+    shuffle+window stage disappears; (2) a doc_id-IN point lookup for
+    the k winners' urls — a pushed-predicate pruned scan, NOT a
+    broadcast join that streams the whole docs table. Rank-identical on
+    healthy queries (== sharded_batch_topk == bm25_topk, tested).
     Degenerate queries (no tokens / unknown terms / all-non-positive
     scores need the corpus zero-backfill) fall back to the exact
     per-query scorer."""
     from .scorer import bm25_topk
 
-    res = (
-        sharded_batch_topk(index, {0: query}, k=k, shard_width=shard_width)
-        .select("rank", "doc_id", "score")
+    local = sharded_batch_topk(
+        index, {0: query}, k=k, shard_width=shard_width, merge=False
     )
-    top = index.docs.select("doc_id", "url").join(F.broadcast(res), "doc_id")
-    out = top.select("rank", "doc_id", "url", "score").orderBy("rank")
-    rows = out.collect()  # materialize ONCE; k rows
-    if not rows or rows[0]["score"] <= 0:
+    rows = local.collect()  # job 1: <= n_shards * k candidate rows
+    cand: list = []
+    if rows:
+        mx = max(r["score"] for r in rows)
+        cand = [r for r in rows if r["score"] >= 0.01 * mx] if mx > 0 else list(rows)
+        cand.sort(key=lambda r: (-r["score"], r["doc_id"]))
+        cand = cand[: int(k)]
+    if not cand or cand[0]["score"] <= 0:
         # empty (no tokens / unknown terms) or all-non-positive: the
         # reference ranks unmatched zero-score docs too — exact path
         return bm25_topk(index, query, k=k)
-    return index.spark.createDataFrame(rows, out.schema)
+    ids = [int(r["doc_id"]) for r in cand]
+    urls = {
+        r["doc_id"]: r["url"]
+        for r in index.docs.where(F.col("doc_id").isin(ids))
+        .select("doc_id", "url")
+        .collect()  # job 2: pruned k-row point lookup
+    }
+    data = [
+        (i, int(r["doc_id"]), urls.get(int(r["doc_id"])), float(r["score"]))
+        for i, r in enumerate(cand, start=1)
+    ]
+    return index.spark.createDataFrame(
+        data, "rank int, doc_id long, url string, score double"
+    )
 
 
 def sharded_batch_topk(
@@ -263,6 +285,7 @@ def sharded_batch_topk(
     shard_width: int = DEFAULT_SHARD_WIDTH,
     prune: bool = True,
     decode_stats: Optional[dict] = None,
+    merge: bool = True,
 ) -> DataFrame:
     """All queries, shard-local exact scoring -> (query_id, rank,
     doc_id, score). index.postings must be sharded with ``shard_width``.
@@ -481,6 +504,10 @@ def sharded_batch_topk(
     local = prows.groupBy("range_id").applyInPandas(
         score_shard, schema="query_id int, doc_id long, score double"
     )
+    if not merge:
+        # pre-merge candidates (per-shard top-k, <= shards*queries*k
+        # rows) — the single-query path merges these driver-side
+        return local
     # tiny global merge: shards x queries x k rows
     wmax = Window.partitionBy("query_id")
     wrank = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))

@@ -27,6 +27,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # serving-latency floor: the default 1MB minPartitionSize
+        # coalesces a single query's term-pruned postings shuffle
+        # (~2-3MB of varint blocks) into 2 partitions, serializing the
+        # shard-scoring pandas stage onto 2 workers (measured 0.98s ->
+        # 0.35s at 64KB with 23 tasks). Large shuffles are unaffected —
+        # parallelismFirst already targets default parallelism
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64KB")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow for all pandas UDF / applyInPandas exchanges
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
