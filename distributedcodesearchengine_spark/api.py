@@ -23,7 +23,7 @@ from .operators.scorer import Index, bm25_topk
 from .operators.wand import wand_topk
 from .oracle.hybrid import enhance_query
 
-VALID_SCORERS = ("exact", "wand")
+VALID_SCORERS = ("exact", "wand", "sharded")
 
 
 def build_doc_embeddings(docs, dim: int = 64) -> DataFrame:
@@ -59,6 +59,9 @@ class SearchEngine:
         rels = [idx.docs, idx.terms]
         if idx.postings is not None:
             rels.append(idx.postings)
+        for key in ("sharded", "positional"):
+            if key in idx.extras:
+                rels.append(idx.extras[key])
         for df in rels:
             df.persist()
         for df in rels:
@@ -112,6 +115,22 @@ class SearchEngine:
 
             return bm25_phrase_topk(
                 self.index, q[1:-1], k=limit, filters=filters or None
+            )
+        if scorer == "sharded" and not filters and "sharded" in self.index.extras:
+            # the low-latency serving path: shard-local scoring over the
+            # persisted doc-range-sharded layout (build --sharded-index).
+            # Metadata filters need the F4 unfiltered-threshold + F5
+            # filter staging the exact scorer implements, so filtered
+            # (or layout-less) requests take the rank-identical exact
+            # path instead — a physical choice, never a semantic one
+            from dataclasses import replace
+
+            from .operators.sharded import sharded_single_topk
+
+            sidx = replace(self.index, postings=self.index.extras["sharded"])
+            return sharded_single_topk(
+                sidx, query, k=limit,
+                shard_width=self.index.extras.get("sharded_width", 65536),
             )
         fn = wand_topk if scorer == "wand" else bm25_topk
         return fn(self.index, query, k=limit, filters=filters or None)

@@ -161,6 +161,8 @@ def build_index_persisted(
     poison_buckets: Optional[set] = None,
     phrase_index: bool = False,
     phrase_shard_width: int = 65536,
+    sharded_index: bool = False,
+    sharded_width: int = 65536,
 ) -> Index:
     """Build (or resume) the persisted index at ``index_dir``.
 
@@ -294,6 +296,26 @@ def build_index_persisted(
 
         run_stage("positional", _positional, fingerprint=fp_pos)
 
+    # --- stage: sharded (optional) — the doc-range-sharded serving
+    # layout (operators/sharded.py): each shard holds complete posting
+    # fragments for its doc range, so queries score shard-locally in
+    # one pass. Like the positional stage, shard width is a LAYOUT
+    # property folded into the stage fingerprint.
+    if sharded_index:
+        from ..operators.sharded import build_sharded_postings
+
+        fp_shard = _fingerprint(base=fp, sharded_width=sharded_width)
+
+        def _sharded(out):
+            build_sharded_postings(
+                tf, terms, n_docs, avgdl,
+                shard_width=sharded_width, block_size=block_size,
+                n_buckets=n_buckets,
+            ).write.mode("overwrite").partitionBy("range_id").parquet(out)
+            return spark.read.parquet(out).count()
+
+        run_stage("sharded", _sharded, fingerprint=fp_shard)
+
     # --- stage: postings, per bucket group (partition-level lineage)
     post_dir = os.path.join(index_dir, "postings")
     done_buckets = state.completed("postings", fp) if resume else set()
@@ -379,16 +401,23 @@ def build_index_persisted(
     }
     meta_path = os.path.join(index_dir, "_meta.json")
     pos_dir = os.path.join(index_dir, "positional")
+    shard_dir = os.path.join(index_dir, "sharded")
+    old_meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            old_meta = json.load(f)
+    # layout widths: record the width used this build, or — when the
+    # optional stage is off but its parquet from an earlier build
+    # persists on disk — preserve the previously recorded width so
+    # load_index keeps reconstructing doc ids against the real layout
     if phrase_index:
         meta["phrase_shard_width"] = phrase_shard_width
-    elif os.path.exists(pos_dir) and os.path.exists(meta_path):
-        # a positional stage from an earlier build persists on disk:
-        # preserve its recorded layout width so load_index keeps
-        # reconstructing doc_id = off + range_id*width correctly
-        with open(meta_path) as f:
-            old_width = json.load(f).get("phrase_shard_width")
-        if old_width is not None:
-            meta["phrase_shard_width"] = int(old_width)
+    elif os.path.exists(pos_dir) and "phrase_shard_width" in old_meta:
+        meta["phrase_shard_width"] = int(old_meta["phrase_shard_width"])
+    if sharded_index:
+        meta["sharded_width"] = sharded_width
+    elif os.path.exists(shard_dir) and "sharded_width" in old_meta:
+        meta["sharded_width"] = int(old_meta["sharded_width"])
     with open(meta_path, "w") as f:
         json.dump(meta, f)
 
@@ -410,6 +439,9 @@ def build_index_persisted(
         # fallback (phrase.py bm25_phrase_topk dispatches on extras)
         idx.extras["positional"] = spark.read.parquet(pos_dir)
         idx.extras["phrase_shard_width"] = phrase_shard_width
+    if sharded_index:
+        idx.extras["sharded"] = spark.read.parquet(shard_dir)
+        idx.extras["sharded_width"] = sharded_width
     return idx
 
 
@@ -457,11 +489,15 @@ def load_index(spark: SparkSession, index_dir: str) -> Index:
     if os.path.exists(emb_dir):
         idx.extras["embeddings"] = spark.read.parquet(emb_dir)
     pos_dir = os.path.join(index_dir, "positional")
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
     if os.path.exists(pos_dir):
         idx.extras["positional"] = spark.read.parquet(pos_dir)
-        width = 65536
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                width = int(json.load(f).get("phrase_shard_width", width))
-        idx.extras["phrase_shard_width"] = width
+        idx.extras["phrase_shard_width"] = int(meta.get("phrase_shard_width", 65536))
+    shard_dir = os.path.join(index_dir, "sharded")
+    if os.path.exists(shard_dir):
+        idx.extras["sharded"] = spark.read.parquet(shard_dir)
+        idx.extras["sharded_width"] = int(meta.get("sharded_width", 65536))
     return idx

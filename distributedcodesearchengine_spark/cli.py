@@ -32,6 +32,11 @@ def _build_parser() -> argparse.ArgumentParser:
         "--phrase-index", action="store_true",
         help="also build the compressed positional index (serves quoted queries)",
     )
+    b.add_argument(
+        "--sharded-index", action="store_true",
+        help="also build the doc-range-sharded serving layout "
+        "(enables search --scorer sharded, the low-latency path)",
+    )
 
     s = sub.add_parser("search", help="query a persisted index")
     s.add_argument("query")
@@ -96,6 +101,8 @@ def main(argv=None, spark=None) -> int:
             kw["n_buckets"] = args.n_buckets
         if args.phrase_index:
             kw["phrase_index"] = True
+        if args.sharded_index:
+            kw["sharded_index"] = True
         idx = build_index_persisted(
             spark, pages, args.index, resume=not args.no_resume, **kw
         )

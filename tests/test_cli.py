@@ -93,6 +93,75 @@ def test_cli_quoted_phrase_search(built, spark, capsys):
     assert rows and rows[0]["rank"] == 1
 
 
+def test_cli_build_sharded_index_and_scorer(spark, tmp_path_factory, capsys):
+    """--sharded-index persists the doc-range-sharded serving layout;
+    search --scorer sharded serves from it rank- and score-identically
+    to the exact scorer (healthy, unknown-token and filtered queries —
+    the last two via the documented exact-path fallback)."""
+    import os
+
+    from distributedcodesearchengine_spark.build.checkpoint import (
+        BuildState,
+        load_index,
+    )
+
+    base = tmp_path_factory.mktemp("cli_shard")
+    pages_dir = str(base / "pages")
+    index_dir = str(base / "idx")
+    generate_pages(spark, 200, seed=33, parts=2).write.parquet(pages_dir)
+    rc = main(
+        ["build", "--input", pages_dir, "--index", index_dir, "--sharded-index"],
+        spark=spark,
+    )
+    assert rc == 0
+    capsys.readouterr()
+    assert os.path.exists(os.path.join(index_dir, "sharded"))
+
+    idx = load_index(spark, index_dir)
+    assert "sharded" in idx.extras and idx.extras["sharded_width"] == 65536
+    engine = SearchEngine(idx)
+    for q in ["parse json", "alalal alanal", "zzzznotaword"]:
+        a = [
+            (r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in engine.search(q, limit=5, scorer="sharded").collect()
+        ]
+        b = [
+            (r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in engine.search(q, limit=5, scorer="exact").collect()
+        ]
+        assert a == b, q
+    # metadata filters take the exact path (F4/F5 staging) — identical
+    a = [
+        (r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in engine.search("parse json", limit=5, scorer="sharded", lang="en").collect()
+    ]
+    b = [
+        (r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in engine.search("parse json", limit=5, scorer="exact", lang="en").collect()
+    ]
+    assert a == b
+
+    # CLI surface + resume no-op for the sharded stage
+    rc = main(
+        ["search", "parse json", "--index", index_dir, "--scorer", "sharded", "--json"],
+        spark=spark,
+    )
+    assert rc == 0
+    rows = [
+        json.loads(l)
+        for l in capsys.readouterr().out.splitlines()
+        if l.startswith("{")
+    ]
+    assert rows and rows[0]["rank"] == 1
+    rc = main(
+        ["build", "--input", pages_dir, "--index", index_dir, "--sharded-index"],
+        spark=spark,
+    )
+    assert rc == 0
+    st = BuildState(spark, index_dir).read()
+    assert st.where("stage = 'sharded'").count() == 1
+
+
 def test_cli_build_phrase_index_and_quoted_search(spark, tmp_path_factory, capsys):
     """--phrase-index persists the compressed positional index; quoted
     search then serves from it and ranks identically to the tokens-scan
