@@ -201,6 +201,27 @@ def make_handler(engine, stats_fn, index_manager=None):
             url = urlparse(self.path)
             q = {k: v[0] for k, v in parse_qs(url.query).items()}
             try:
+                if url.path == "/":
+                    # static GUI, like the reference's `/` -> index.html
+                    # (api/server.py:87-99); JSON fallback if missing
+                    import os
+
+                    page = os.path.join(
+                        os.path.dirname(__file__), "static", "index.html"
+                    )
+                    if os.path.exists(page):
+                        with open(page, "rb") as f:
+                            body = f.read()
+                        self.send_response(200)
+                        self.send_header("Content-Type", "text/html; charset=utf-8")
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                        return None
+                    return self._send(
+                        200,
+                        {"name": "spark-bm25 API", "gui": "static/index.html missing"},
+                    )
                 if url.path == "/health":
                     return self._send(200, {"status": "ok"})
                 if url.path == "/stats":

@@ -94,6 +94,14 @@ def test_missing_q_is_400(srv):
     assert ei.value.code == 400
 
 
+def test_root_serves_gui(srv):
+    with urllib.request.urlopen(f"{srv}/") as r:
+        assert r.status == 200
+        assert "text/html" in r.headers["Content-Type"]
+        page = r.read().decode()
+    assert "spark-bm25" in page and "/search?" in page
+
+
 def test_malformed_limit_is_400(srv):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(srv, "/search", q="parse json", limit="abc")

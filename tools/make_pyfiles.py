@@ -24,7 +24,9 @@ def build(out_path: str | None = None) -> pathlib.Path:
     )
     out.parent.mkdir(parents=True, exist_ok=True)
     with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
-        for p in sorted(pkg.rglob("*.py")):
+        # .py sources + the server's static GUI assets
+        files = sorted(pkg.rglob("*.py")) + sorted(pkg.rglob("static/*.html"))
+        for p in files:
             info = zipfile.ZipInfo(str(p.relative_to(root)), date_time=FIXED_TS)
             info.compress_type = zipfile.ZIP_DEFLATED
             z.writestr(info, p.read_bytes())
