@@ -162,6 +162,18 @@ def _registry():
         sn.query_snippets_sql(oq.bm25_topk_sql(_snip_q, k=10), _snip_terms),
     )
 
+    # sharded serving path: healthy query served shard-locally, and a
+    # degenerate one exercising the documented exact-path fallback —
+    # both rank-identical to scorer v1, so they share its oracle
+    reg["bm25_topk_sharded_healthy"] = (
+        partial(eq.bm25_sharded_query, query="dup scan", k=10),
+        oq.bm25_topk_sql("dup scan", k=10),
+    )
+    reg["bm25_topk_sharded_degenerate"] = (
+        partial(eq.bm25_sharded_query, query="table row", k=10),
+        oq.bm25_topk_sql("table row", k=10),
+    )
+
     # quoted-query BM25: one healthy-regime phrase ('dup' carries the
     # corpus's positive idf) and one degenerate-regime phrase
     reg["bm25_phrase_healthy"] = (

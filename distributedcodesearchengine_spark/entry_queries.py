@@ -117,6 +117,34 @@ def bm25_query(
     ).orderBy("rank")
 
 
+def bm25_sharded_query(
+    spark: SparkSession, sf_dir: str, query: str, k: int = 10
+) -> DataFrame:
+    """The sharded low-latency serving path as a gate entry: build the
+    doc-range-sharded layout over the documents index (cached on the
+    handle) and serve through sharded_single_topk — rank- and
+    score-identical to the exact scorer, so it shares the bm25_topk_sql
+    oracle (degenerate queries exercise the documented exact-path
+    fallback inside the operator)."""
+    from dataclasses import replace
+
+    from .operators.sharded import build_sharded_postings, sharded_single_topk
+
+    idx = get_documents_index(spark, sf_dir)
+    width = 64  # ~8 shards at the gate's 500-doc corpus
+    if "sharded" not in idx.extras:
+        sh = build_sharded_postings(
+            idx.tf, idx.terms, idx.n_docs, idx.avgdl, shard_width=width
+        ).persist()
+        idx.extras["sharded"] = sh
+        idx.extras["sharded_width"] = width
+    sidx = replace(idx, postings=idx.extras["sharded"])
+    res = sharded_single_topk(sidx, query, k=k, shard_width=width)
+    return res.select(
+        "rank", _orig_doc_id(), round6("score").alias("score")
+    ).orderBy("rank")
+
+
 def bm25_phrase_query(
     spark: SparkSession, sf_dir: str, query: str, k: int = 10
 ) -> DataFrame:
