@@ -223,6 +223,24 @@ def test_post_index_bad_json_is_400(isrv):
     assert ei.value.code == 400
 
 
+def test_job_manager_priority_order():
+    """Queue discipline without HTTP or Spark: higher priority drains
+    first, FIFO within a priority (the reference publisher's
+    priority-queue semantics, queue/publisher.py:68-75)."""
+    from distributedcodesearchengine_spark.server import IndexJobManager
+
+    mgr = IndexJobManager(None, "/nonexistent")
+    mgr._ensure_worker = lambda: None  # keep the worker thread off
+    low = mgr.submit("/pages/low", priority=2)
+    high = mgr.submit("/pages/high", priority=9)
+    mid1 = mgr.submit("/pages/mid1", priority=5)
+    mid2 = mgr.submit("/pages/mid2", priority=5)
+    drained = [mgr._q.get_nowait()[1] for _ in range(4)]
+    assert drained == [high, mid1, mid2, low]
+    assert mgr.status(high)["status"] == "queued"
+    assert mgr.status(999)["status"] == "unknown"
+
+
 def test_post_index_bad_input_dir_fails_job(isrv):
     """A job over a nonexistent pages dir dead-letters in job status
     (status=failed + error), without taking the server down."""
