@@ -104,6 +104,9 @@ def _registry():
     reg["lang_id"] = (_docs_op(ts.lang_id), ts.lang_id_sql(cte))
     reg["quality_score"] = (_docs_op(ts.quality_score), ts.quality_score_sql(cte))
     reg["token_counts"] = (_tbl_op(ts.token_counts), ts.token_counts_sql())
+    reg["doc_keywords"] = (
+        _docs_op(partial(ts.doc_keywords, k=5)), ts.doc_keywords_sql(cte, 5),
+    )
     reg["text_complexity"] = (_tbl_op(ts.text_complexity), ts.text_complexity_sql())
     reg["doc_fingerprint"] = (_tbl_op(ts.doc_fingerprint), ts.doc_fingerprint_sql())
     reg["ann_lsh_buckets"] = (

@@ -304,3 +304,49 @@ def repetition_stats_sql(table_toks_cte: str) -> str:
         "FROM docs d LEFT JOIN r1 USING (doc_id) LEFT JOIN r2 USING (doc_id) "
         "LEFT JOIN r3 USING (doc_id) ORDER BY d.doc_id"
     )
+
+
+def doc_keywords(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Per-document keyword extraction: top-k terms by tf-idf
+    (tf * ln(N/df)) -> (doc_id, rank, term, tfidf) — the doc-tagging /
+    metadata primitive of a training-data pipeline (mixture weighting,
+    retrieval filters). One explode, two hash aggregations (per-doc tf;
+    corpus df), then a window PARTITIONED BY doc_id (parallel across
+    docs — never a global sort). Ties: tfidf desc, term asc.
+    """
+    from pyspark.sql.window import Window
+
+    n_docs = docs.count()
+    tf2 = docs.select("doc_id", F.explode("tokens").alias("term"))
+    tfc = tf2.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfc = tf2.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tfc.join(F.broadcast(dfc), "term").withColumn(
+        "tfidf",
+        F.col("tf").cast("double")
+        * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select("doc_id", "rank", "term", round6("tfidf").alias("tfidf"))
+        .orderBy("doc_id", "rank")
+    )
+
+
+def doc_keywords_sql(table_toks_cte: str, k: int = 5) -> str:
+    return (
+        f"WITH {table_toks_cte}, "
+        "tf2 AS (SELECT doc_id, unnest(toks) AS term FROM docs), "
+        "tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf2 GROUP BY 1, 2), "
+        "dfc AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf2 GROUP BY 1), "
+        "nd AS (SELECT count(*) AS n FROM docs), "
+        "scored AS (SELECT t.doc_id, t.term, "
+        "  CAST(t.tf AS DOUBLE) * ln(CAST(nd.n AS DOUBLE) / dfc.df) AS tfidf "
+        "  FROM tfc t JOIN dfc USING (term) CROSS JOIN nd), "
+        "rk AS (SELECT doc_id, term, tfidf, row_number() OVER "
+        "  (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank FROM scored) "
+        f"SELECT doc_id, CAST(rank AS INT) AS rank, term, "
+        f"{round6_sql('tfidf')} AS tfidf FROM rk WHERE rank <= {int(k)} "
+        "ORDER BY doc_id, rank"
+    )
