@@ -217,6 +217,31 @@ def finalize_topk(
     )
 
 
+def attach_urls_ranked(index: Index, ranked: List[tuple]) -> DataFrame:
+    """``ranked``: the k winners as (doc_id, score), already
+    thresholded/ordered driver-side -> (rank, doc_id, url, score).
+
+    The url docvalues lookup is a pushed ``doc_id IN (...)`` pruned
+    scan over the docs table — a k-row point lookup against the sort
+    key, never a broadcast join that streams the corpus-sized docs
+    relation through the executor (at the 10^12-doc design point a
+    per-query full docs pass is the scale flaw this replaces)."""
+    ids = [int(d) for d, _ in ranked]
+    urls = {
+        r["doc_id"]: r["url"]
+        for r in index.docs.where(F.col("doc_id").isin(ids))
+        .select("doc_id", "url")
+        .collect()
+    }
+    data = [
+        (i, int(d), urls.get(int(d)), float(s))
+        for i, (d, s) in enumerate(ranked, start=1)
+    ]
+    return index.spark.createDataFrame(
+        data, "rank int, doc_id long, url string, score double"
+    )
+
+
 def bm25_topk_batch(index: Index, queries: Dict[int, str], k: int = 10) -> DataFrame:
     """Score a whole query SET in one DataFrame plan ->
     (query_id, rank, doc_id, score).

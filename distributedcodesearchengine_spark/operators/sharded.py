@@ -262,19 +262,10 @@ def sharded_single_topk(
         # empty (no tokens / unknown terms) or all-non-positive: the
         # reference ranks unmatched zero-score docs too — exact path
         return bm25_topk(index, query, k=k)
-    ids = [int(r["doc_id"]) for r in cand]
-    urls = {
-        r["doc_id"]: r["url"]
-        for r in index.docs.where(F.col("doc_id").isin(ids))
-        .select("doc_id", "url")
-        .collect()  # job 2: pruned k-row point lookup
-    }
-    data = [
-        (i, int(r["doc_id"]), urls.get(int(r["doc_id"])), float(r["score"]))
-        for i, r in enumerate(cand, start=1)
-    ]
-    return index.spark.createDataFrame(
-        data, "rank int, doc_id long, url string, score double"
+    from .scorer import attach_urls_ranked
+
+    return attach_urls_ranked(
+        index, [(int(r["doc_id"]), float(r["score"])) for r in cand]
     )
 
 

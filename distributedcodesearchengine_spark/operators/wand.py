@@ -315,23 +315,18 @@ def wand_topk(
 def _finalize_candidates(index: Index, scored: DataFrame, k: int) -> DataFrame:
     """finalize for the pruned path: ``scored`` holds ONLY the candidate
     docs (provably ⊇ the true top-k, all-nonnegative contributions with
-    S > 0 so max > 0 and the degenerate backfill can't trigger). The
-    unfiltered-max threshold is applied via a global window over the
-    candidate-sized set instead of a separate max() job — one driver
-    round trip instead of two (scorer.finalize_topk's extra pass)."""
-    from pyspark.sql.window import Window
+    S > 0 so max > 0 and the degenerate backfill can't trigger).
+    Candidates are bounded (<= _C_CAP by construction), so the
+    unfiltered-max threshold and the (score desc, doc_id asc) top-k run
+    driver-side off one collect — same doubles, same order as the
+    window form — and the url lookup is scorer.attach_urls_ranked's
+    pruned point scan, not a per-query pass over the docs table."""
+    from .scorer import attach_urls_ranked
 
-    wall = Window.partitionBy(F.lit(1))
-    res = scored.withColumn("_mx", F.max("score").over(wall)).where(
-        F.col("score") >= 0.01 * F.col("_mx")
-    )
-    top_small = res.select("doc_id", "score").orderBy(
-        F.desc("score"), F.asc("doc_id")
-    ).limit(k)
-    top = index.docs.select("doc_id", "url").join(
-        F.broadcast(top_small), "doc_id", "inner"
-    )
-    wrank = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return top.withColumn("rank", F.row_number().over(wrank)).select(
-        "rank", "doc_id", "url", "score"
-    )
+    rows = scored.select("doc_id", "score").collect()
+    mx = max(r["score"] for r in rows)
+    keep = sorted(
+        ((int(r["doc_id"]), float(r["score"])) for r in rows if r["score"] >= 0.01 * mx),
+        key=lambda t: (-t[1], t[0]),
+    )[: int(k)]
+    return attach_urls_ranked(index, keep)
