@@ -204,7 +204,27 @@ class SearchEngine:
             query=query,
             limit=limit,
         )
-        # inner join streaming the big docs side, broadcasting the k rows
-        return self.index.docs.select("doc_id", "url").join(
-            F.broadcast(merged), "doc_id", "inner"
-        ).select("rank", "doc_id", "url", "score", "semantic_score", "bm25_score").orderBy("rank")
+        # merged is k local rows (rrf_merge's limit tail): attach urls
+        # via a pushed doc_id-IN point lookup — never a per-query pass
+        # over the corpus-sized docs relation
+        rows = merged.collect()
+        ids = [int(r["doc_id"]) for r in rows]
+        urls = {
+            r["doc_id"]: r["url"]
+            for r in self.index.docs.where(F.col("doc_id").isin(ids))
+            .select("doc_id", "url")
+            .collect()
+        }
+        data = [
+            (
+                r["rank"], int(r["doc_id"]), urls.get(int(r["doc_id"])),
+                float(r["score"]), float(r["semantic_score"]), float(r["bm25_score"]),
+            )
+            for r in sorted(rows, key=lambda r: r["rank"])
+            if int(r["doc_id"]) in urls  # inner-join semantics preserved
+        ]
+        return self.index.spark.createDataFrame(
+            data,
+            "rank int, doc_id long, url string, score double, "
+            "semantic_score double, bm25_score double",
+        )
