@@ -78,11 +78,13 @@ class SearchEngine:
         index's persisted relations and derived caches are dropped
         after the swap so nothing stale pins executor memory."""
         old_idx, old_emb = self.index, self.embeddings
-        if warm:
-            SearchEngine(index).warm()
-        self.embeddings = None
-        self._langs = None
-        self.index = index
+        # unpersist the OLD relations BEFORE warming the new ones: a
+        # rebuild into the same index dir yields identical logical
+        # plans, and Spark's cache is keyed by plan — unpersisting old
+        # afterwards would evict the just-warmed entries and the engine
+        # would silently serve uncached until the next restart.
+        # (In-flight searches on the old handle recompute lazily during
+        # the warm window — a transient perf dip, never wrong results.)
         old = [old_emb, old_idx.docs, old_idx.tf, old_idx.terms,
                old_idx.postings, *old_idx.extras.values()]
         for df in old:
@@ -90,6 +92,11 @@ class SearchEngine:
                 df.unpersist()
             except Exception:  # noqa: BLE001 - None / non-DF extras / dead session
                 pass
+        if warm:
+            SearchEngine(index).warm()
+        self.embeddings = None
+        self._langs = None
+        self.index = index
 
     def _known_langs(self) -> set:
         """Valid lang filter values (F8). lang is a partition column of

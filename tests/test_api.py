@@ -60,3 +60,28 @@ def test_remove_docs(spark, engine):
     assert smaller.avgdl != idx.avgdl
     res = bm25_topk(smaller, "parse json", k=5).collect()
     assert res
+
+
+def test_reload_same_dir_keeps_warm_cache(spark, tmp_path):
+    """POST /index rebuilds into the SAME index dir -> identical logical
+    plans old vs new. reload_index must unpersist the old handle BEFORE
+    warming the new one, or the plan-keyed cache eviction silently
+    un-warms the engine (the new relations must still be cached after
+    the swap)."""
+    from distributedcodesearchengine_spark.build.checkpoint import (
+        build_index_persisted,
+        load_index,
+    )
+
+    d = str(tmp_path / "idx")
+    pages = generate_pages(spark, 100, seed=51, parts=2)
+    build_index_persisted(spark, pages, d)
+    engine = SearchEngine(load_index(spark, d)).warm()
+    assert engine.index.docs.is_cached and engine.index.terms.is_cached
+
+    new = build_index_persisted(spark, pages, d)  # resume no-op, same paths
+    engine.reload_index(new, warm=True)
+    assert engine.index.docs.is_cached, "warm cache evicted by old-handle unpersist"
+    assert engine.index.terms.is_cached
+    rows = engine.search("parse json", limit=3).collect()
+    assert len(rows) == 3 and rows[0]["rank"] == 1
