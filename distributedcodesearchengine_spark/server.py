@@ -19,6 +19,10 @@ Endpoints (JSON responses):
                        queue_index analog)
     POST /index/sync   same body -> blocks until built, returns n_docs +
                        duration (api/server.py:223-248's index_sync)
+    POST /search/batch {"queries": {"id": "text", ...}, "limit": 10} ->
+                       all queries scored in ONE DataFrame plan
+                       (bm25_topk_batch — the throughput path; queries
+                       whose max score is non-positive return [])
 
 On completion the serving engine atomically swaps to the new index.
 Validation semantics mirror the reference API (server.py:122-133):
@@ -169,6 +173,33 @@ def make_handler(engine, stats_fn, index_manager=None):
                 body = json.loads(self.rfile.read(n) or b"{}")
             except (ValueError, TypeError) as e:
                 return self._send(400, {"error": f"bad JSON body: {e}"})
+            if url.path == "/search/batch":
+                # multi-query scoring in ONE DataFrame plan — the
+                # engine's highest-throughput path (bm25_topk_batch:
+                # one broadcast of all query terms, per-query windows).
+                # Body: {"queries": {"id": "text", ...}, "limit": 10}
+                from .operators.scorer import bm25_topk_batch
+
+                if not isinstance(body, dict) or not isinstance(
+                    body.get("queries"), dict
+                ) or not body["queries"]:
+                    return self._send(
+                        400, {"error": "body must carry a non-empty 'queries' map"}
+                    )
+                try:
+                    limit = int(body.get("limit", 10))
+                    qmap = {i: str(q) for i, q in enumerate(body["queries"].values())}
+                    names = list(body["queries"].keys())
+                    res = bm25_topk_batch(engine.index, qmap, k=limit)
+                    out: dict = {name: [] for name in names}
+                    for r in res.collect():
+                        out[names[r["query_id"]]].append(
+                            {"rank": r["rank"], "doc_id": r["doc_id"],
+                             "score": r["score"]}
+                        )
+                    return self._send(200, {"results": out})
+                except Exception as e:  # noqa: BLE001 - reference: no 500 bodies
+                    return self._send(200, {"results": {}, "error": str(e)})
             if url.path in ("/index", "/index/sync"):
                 if index_manager is None:
                     return self._send(

@@ -223,6 +223,31 @@ def test_post_index_bad_json_is_400(isrv):
     assert ei.value.code == 400
 
 
+def test_search_batch_endpoint(srv):
+    """POST /search/batch scores every query in one plan and keys the
+    response by the caller's query ids; results match the single-query
+    endpoint rank-for-rank."""
+    code, body = _post(
+        srv, "/search/batch",
+        {"queries": {"a": "parse json", "b": "alalal"}, "limit": 5},
+    )
+    assert code == 200 and set(body["results"]) == {"a", "b"}
+    batch_a = body["results"]["a"]
+    assert [r["rank"] for r in batch_a] == list(range(1, len(batch_a) + 1))
+    # rank-parity with the single-query surface (which normalizes
+    # scores, so compare doc id order only)
+    _, single = _get(srv, "/search", q="parse json", limit=5)
+    assert [r["doc_id"] for r in batch_a] == [
+        r["doc_id"] for r in single["results"]
+    ]
+
+
+def test_search_batch_requires_queries_map(srv):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(srv, "/search/batch", {"limit": 5})
+    assert ei.value.code == 400
+
+
 def test_job_manager_priority_order():
     """Queue discipline without HTTP or Spark: higher priority drains
     first, FIFO within a priority (the reference publisher's
