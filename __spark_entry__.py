@@ -126,6 +126,14 @@ def _registry():
         _tbl_op(sim.near_dup_pairs_lsh, "embeddings"), sim.near_dup_pairs_lsh_sql(),
     )
 
+    # corpus-curation suite: decontamination / mixture / packing / PII
+    from distributedcodesearchengine_spark.operators import pipeline as pl
+
+    reg["decontaminate"] = (_docs_op(pl.decontaminate), pl.decontaminate_sql(cte))
+    reg["mixture_sample"] = (_tbl_op(pl.mixture_sample), pl.mixture_sample_sql())
+    reg["pack_sequences"] = (_docs_op(pl.pack_sequences), pl.pack_sequences_sql(cte))
+    reg["pii_scrub"] = (_tbl_op(pl.pii_scrub_augmented), pl.pii_scrub_sql())
+
     # positional index / exact-phrase queries (fulltext-tier extension)
     from distributedcodesearchengine_spark.operators import phrase as ph
 

@@ -1,0 +1,340 @@
+"""Corpus-curation operators for a training-data pipeline:
+benchmark decontamination, deterministic mixture sampling, sequence
+packing, and PII scrubbing.
+
+Like the rest of the training-data suite (textstats/dedup), every
+operator has a Spark implementation and a colocated DuckDB SQL builder
+mirroring it operand-for-operand for the driver's side-by-side gate,
+and everything stays in JVM column expressions — no Python UDFs.
+
+Scale shapes (the 100 TB story for each):
+
+- ``decontaminate``: the benchmark n-gram set is *intrinsically small*
+  (an eval suite, not a corpus), so the plan is a map-side gram
+  generation + broadcast semi-join + one per-doc count shuffle. The
+  corpus side never shuffles its grams. For the self-contained gate the
+  benchmark slice is carved deterministically out of the corpus itself
+  (``doc_id % bench_mod == 0``) — at production scale you'd pass the
+  eval-suite table as ``bench_docs``.
+- ``mixture_sample``: hash-threshold Bernoulli sampling per stratum is
+  a pure per-row filter — ZERO shuffles to materialize the sample at
+  any scale (the summary is one small groupBy). This is why the quota
+  is expressed as a rate, not an exact count: an exact per-stratum
+  count needs a global rank (a sort) that a rate does not.
+- ``pack_sequences``: the classic two-level cumulative sum. Per-range
+  partial sums shuffle once on ``range_id``; the range-level prefix sum
+  runs over ``n_docs / range_width`` rows (thousands, not billions) in
+  a single tiny window; per-doc offsets then compose range offset +
+  within-range window cumsum, which parallelizes per range. A naive
+  global ``Window.orderBy(doc_id)`` cumsum would serialize the corpus
+  through one task — the composed form is numerically identical.
+- ``pii_scrub``: per-row regexp counts/replacements, embarrassingly
+  parallel. The corpus itself is synthetic word-soup with no PII, so
+  the gate entry augments each row with deterministic doc_id-derived
+  PII (identically on both engines) — the redaction is exercised on
+  every row, not vacuously green.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round6, round6_sql
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+
+
+def _gram_expr(n: int) -> str:
+    gram = " || ' ' || ".join(f"tokens[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN size(tokens) >= {n} THEN "
+        f"transform(sequence(0, size(tokens) - {n}), i -> {gram}) "
+        "ELSE array() END"
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    n: int = 8,
+    bench_mod: int = 7,
+    bench_docs: Optional[DataFrame] = None,
+) -> DataFrame:
+    """(doc_id, n_hit_grams) — candidate documents sharing at least one
+    token ``n``-gram with the benchmark set, with the count of distinct
+    overlapping grams; the training-data decontamination filter (flag /
+    drop documents that would leak eval data into the train set).
+
+    ``bench_docs`` (doc_id, tokens) is the eval suite; when None, the
+    deterministic corpus slice ``doc_id % bench_mod == 0`` stands in for
+    it and those rows are excluded from the candidate side.
+    """
+    grams = docs.select(
+        "doc_id", F.explode(F.expr(_gram_expr(n))).alias("gram")
+    )
+    if bench_docs is None:
+        bench = grams.filter(F.col("doc_id") % bench_mod == 0)
+        cand = grams.filter(F.col("doc_id") % bench_mod != 0)
+    else:
+        bench = bench_docs.select(
+            "doc_id", F.explode(F.expr(_gram_expr(n))).alias("gram")
+        )
+        cand = grams
+    bench_set = bench.select("gram").distinct()
+    hits = (
+        cand.select("doc_id", "gram")
+        .distinct()
+        .join(F.broadcast(bench_set), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hit_grams"))
+    )
+    return hits.orderBy("doc_id")
+
+
+def decontaminate_sql(table_toks_cte: str, n: int = 8, bench_mod: int = 7) -> str:
+    gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return (
+        f"WITH {table_toks_cte}, "
+        f"g AS (SELECT doc_id, {gram} AS gram FROM docs, "
+        f"unnest(generate_series(1, len(toks) - {n - 1})) AS _t(i)), "
+        f"bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {bench_mod} = 0), "
+        f"cand AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % {bench_mod} <> 0) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams "
+        "FROM cand JOIN bench USING (gram) GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic mixture sampling
+
+# target per-language sampling rates for the train-mix (basis points of
+# the md5 bucket space so both engines compare integers, not floats)
+MIXTURE_RATES: Dict[str, float] = {
+    "en": 1.0,
+    "de": 0.6,
+    "fr": 0.6,
+    "es": 0.25,
+    "zh": 0.25,
+}
+_MIX_DEFAULT_RATE = 0.1
+_MIX_BUCKETS = 10000
+
+
+def _rate_case(col: str = "lang") -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {rate}" for lang, rate in sorted(MIXTURE_RATES.items())
+    )
+    return f"CASE {col} {whens} ELSE {_MIX_DEFAULT_RATE} END"
+
+
+def mixture_keep_col() -> F.Column:
+    """Boolean keep-decision per row: md5(doc_id) bucket under the
+    stratum's rate threshold — deterministic, shuffle-free, and
+    portable (same md5-hex-prefix trick as the minhash/simhash ops,
+    dedup.py)."""
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % _MIX_BUCKETS
+    )
+    return bucket < (F.expr(_rate_case()) * _MIX_BUCKETS)
+
+
+def mixture_sample(documents: DataFrame) -> DataFrame:
+    """(lang, n_total, n_kept, kept_frac, target_rate) — per-stratum
+    summary of the deterministic hash-threshold sample that shapes the
+    corpus toward the ``MIXTURE_RATES`` language mix."""
+    d = documents.withColumn("keep", mixture_keep_col())
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_total"),
+            F.sum(F.col("keep").cast("int")).cast("long").alias("n_kept"),
+        )
+        .select(
+            "lang",
+            "n_total",
+            "n_kept",
+            round6(F.col("n_kept") / F.col("n_total")).alias("kept_frac"),
+            # cast the DECIMAL rate literal to double so both engines
+            # round the same IEEE value (DuckDB's CASE is DECIMAL too)
+            round6(F.expr(_rate_case()).cast("double")).alias("target_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+def mixture_sample_sql(table: str = "documents") -> str:
+    bucket = f"('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % {_MIX_BUCKETS}"
+    return (
+        f"WITH k AS (SELECT lang, "
+        f"CASE WHEN {bucket} < {_rate_case()} * {_MIX_BUCKETS} THEN 1 ELSE 0 END AS keep "
+        f"FROM {table}) "
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_total, "
+        "CAST(sum(keep) AS BIGINT) AS n_kept, "
+        f"{round6_sql('sum(keep) * 1.0 / count(*)')} AS kept_frac, "
+        f"{round6_sql(f'CAST({_rate_case()} AS DOUBLE)')} AS target_rate "
+        "FROM k GROUP BY lang ORDER BY lang"
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+
+_PACK_RANGE_WIDTH = 256
+
+
+def pack_sequences(docs: DataFrame, budget: int = 512) -> DataFrame:
+    """(doc_id, n_tokens, start_offset, bin_id) — contiguous token-budget
+    packing plan: documents in doc_id order are laid into fixed-size
+    training windows of ``budget`` tokens; ``bin_id`` is the window the
+    document STARTS in (documents may straddle a boundary — the packing
+    plan records offsets, the batch writer slices).
+
+    Two-level cumulative sum (see module docstring): within-range window
+    cumsum + broadcast range-offset join, identical to the oracle's
+    global prefix sum.
+    """
+    d = docs.select("doc_id", F.size("tokens").cast("long").alias("n_tokens"))
+    d = d.withColumn("range_id", F.expr(f"doc_id DIV {_PACK_RANGE_WIDTH}"))
+    w_in = (
+        Window.partitionBy("range_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = d.withColumn("cum_in", F.sum("n_tokens").over(w_in))
+    totals = d.groupBy("range_id").agg(F.sum("n_tokens").alias("range_total"))
+    w_r = Window.orderBy("range_id").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "range_id",
+        F.coalesce(F.sum("range_total").over(w_r), F.lit(0)).alias("range_offset"),
+    )
+    out = d.join(F.broadcast(offsets), "range_id").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("range_offset") + F.col("cum_in") - F.col("n_tokens"))
+        .cast("long")
+        .alias("start_offset"),
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        F.expr(f"start_offset DIV {budget}").cast("long").alias("bin_id"),
+    ).orderBy("doc_id")
+
+
+def pack_sequences_sql(table_toks_cte: str, budget: int = 512) -> str:
+    return (
+        f"WITH {table_toks_cte}, "
+        "d AS (SELECT doc_id, len(toks) AS n_tokens FROM docs), "
+        "c AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER "
+        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "AS start_offset FROM d) "
+        "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+        "CAST(start_offset AS BIGINT) AS start_offset, "
+        f"CAST(start_offset // {budget} AS BIGINT) AS bin_id "
+        "FROM c ORDER BY doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}-555-\d{4}\b"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def scrub_text_col(col: F.Column) -> F.Column:
+    """Redact emails, then phone numbers, then IPv4 addresses (in that
+    order: the email pattern consumes the dotted domain before the IP
+    pattern can see it)."""
+    c = F.regexp_replace(col, PII_EMAIL, "<EMAIL>")
+    c = F.regexp_replace(c, PII_PHONE, "<PHONE>")
+    return F.regexp_replace(c, PII_IP, "<IP>")
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_emails, n_phones, n_ips, clean_hash) — PII counts and
+    the md5 of the redacted text (the hash, not the full scrubbed body,
+    keeps the gate rows narrow while still pinning every replaced byte).
+    """
+
+    def _n(pat: str) -> F.Column:
+        return F.expr(
+            f"size(regexp_extract_all({text_col}, '{pat}', 0))"
+        ).cast("long")
+
+    return docs.select(
+        "doc_id",
+        _n(PII_EMAIL.replace("\\", "\\\\")).alias("n_emails"),
+        _n(PII_PHONE.replace("\\", "\\\\")).alias("n_phones"),
+        _n(PII_IP.replace("\\", "\\\\")).alias("n_ips"),
+        F.md5(F.encode(scrub_text_col(F.col(text_col)), "utf-8")).alias("clean_hash"),
+    ).orderBy("doc_id")
+
+
+# doc_id-derived synthetic PII appended to every row, written once and
+# rendered into BOTH engines' expressions so the gate exercises real
+# redactions on a corpus that contains no organic PII. Counts vary by
+# row: every doc gets 1 email + 1 phone + 1 ip; doc_id%3==0 adds a
+# second email, doc_id%5==0 a second ip.
+def _pii_augment_spark() -> F.Column:
+    return F.expr(
+        "concat(text, ' contact user', CAST(doc_id AS STRING), '@mail',"
+        " CAST(doc_id % 7 AS STRING), '.example.com call ',"
+        " CAST(200 + doc_id % 700 AS STRING), '-555-',"
+        " lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' ip 10.',"
+        " CAST(doc_id % 256 AS STRING), '.0.', CAST(doc_id % 250 + 1 AS STRING),"
+        " CASE WHEN doc_id % 3 = 0 THEN concat(' cc user', CAST(doc_id AS STRING),"
+        " 'b@example.org') ELSE '' END,"
+        " CASE WHEN doc_id % 5 = 0 THEN concat(' via 192.168.0.',"
+        " CAST(doc_id % 200 + 1 AS STRING)) ELSE '' END)"
+    )
+
+
+_PII_AUGMENT_SQL = (
+    "text || ' contact user' || doc_id::VARCHAR || '@mail' ||"
+    " (doc_id % 7)::VARCHAR || '.example.com call ' ||"
+    " (200 + doc_id % 700)::VARCHAR || '-555-' ||"
+    " lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' ip 10.' ||"
+    " (doc_id % 256)::VARCHAR || '.0.' || (doc_id % 250 + 1)::VARCHAR ||"
+    " CASE WHEN doc_id % 3 = 0 THEN ' cc user' || doc_id::VARCHAR ||"
+    " 'b@example.org' ELSE '' END ||"
+    " CASE WHEN doc_id % 5 = 0 THEN ' via 192.168.0.' ||"
+    " (doc_id % 200 + 1)::VARCHAR ELSE '' END"
+)
+
+
+def pii_scrub_augmented(documents: DataFrame) -> DataFrame:
+    """Gate wrapper: augment each corpus row with deterministic
+    doc_id-derived PII, then run the scrubber."""
+    return pii_scrub(
+        documents.select("doc_id", _pii_augment_spark().alias("text"))
+    )
+
+
+def pii_scrub_sql(table: str = "documents") -> str:
+    def _n(pat: str) -> str:
+        return f"len(regexp_extract_all(aug, '{pat}'))"
+
+    clean = (
+        f"regexp_replace(regexp_replace(regexp_replace(aug, "
+        f"'{PII_EMAIL}', '<EMAIL>', 'g'), "
+        f"'{PII_PHONE}', '<PHONE>', 'g'), "
+        f"'{PII_IP}', '<IP>', 'g')"
+    )
+    return (
+        f"WITH a AS (SELECT doc_id, {_PII_AUGMENT_SQL} AS aug FROM {table}) "
+        f"SELECT doc_id, CAST({_n(PII_EMAIL)} AS BIGINT) AS n_emails, "
+        f"CAST({_n(PII_PHONE)} AS BIGINT) AS n_phones, "
+        f"CAST({_n(PII_IP)} AS BIGINT) AS n_ips, "
+        f"md5({clean}) AS clean_hash FROM a ORDER BY doc_id"
+    )

@@ -1,0 +1,99 @@
+"""Semantics tests for the corpus-curation operators
+(operators/pipeline.py) — the Spark/DuckDB parity is covered by the
+driver gate; these pin the behaviors the gate's corpus can't show
+(explicit bench sets, bin straddling, handcrafted PII)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from distributedcodesearchengine_spark.operators import pipeline as pl
+
+
+def _toks(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, tokens=t) for i, t in rows], "doc_id long, tokens array<string>"
+    )
+
+
+def test_decontaminate_flags_shared_ngram(spark):
+    shared = ["the", "quick", "brown", "fox", "jumps", "over", "lazy", "dogs"]
+    docs = _toks(
+        spark,
+        [
+            (1, shared + ["extra", "tail"]),  # one window == the bench 8-gram
+            (2, ["totally", "different", "words", "number", "nine", "ten", "eleven", "twelve"]),
+            (3, ["pad"] + shared),  # contaminated via offset window
+        ],
+    )
+    bench = _toks(spark, [(100, shared)])
+    out = pl.decontaminate(docs, n=8, bench_docs=bench).collect()
+    assert [(r.doc_id, r.n_hit_grams) for r in out] == [(1, 1), (3, 1)]
+
+
+def test_decontaminate_self_split_excludes_bench_docs(spark):
+    shared = list("abcdefgh")
+    docs = _toks(spark, [(0, shared), (7, shared), (1, shared)])
+    # bench_mod=7 -> docs 0 and 7 are the bench slice; only doc 1 reports
+    out = pl.decontaminate(docs, n=8, bench_mod=7).collect()
+    assert [(r.doc_id, r.n_hit_grams) for r in out] == [(1, 1)]
+
+
+def test_pack_sequences_offsets_and_bins(spark):
+    # budget 10: doc 0 fills [0,4), doc 1 [4,12) straddles bin 0->1 but
+    # is assigned the bin it STARTS in; doc 2 starts at 12 -> bin 1
+    docs = _toks(
+        spark,
+        [(0, ["x"] * 4), (1, ["x"] * 8), (2, ["x"] * 3)],
+    )
+    out = pl.pack_sequences(docs, budget=10).collect()
+    assert [(r.doc_id, r.n_tokens, r.start_offset, r.bin_id) for r in out] == [
+        (0, 4, 0, 0),
+        (1, 8, 4, 0),
+        (2, 3, 12, 1),
+    ]
+
+
+def test_pack_sequences_crosses_range_boundary(spark):
+    # doc_ids straddle the 256-wide internal range partitioning: the
+    # two-level cumsum must compose to the same global prefix sum
+    rows = [(250 + i, ["x"] * (i + 1)) for i in range(12)]  # ids 250..261
+    out = pl.pack_sequences(_toks(spark, rows), budget=7).collect()
+    expected_start = 0
+    for r, (_, toks) in zip(out, rows):
+        assert r.start_offset == expected_start
+        assert r.bin_id == expected_start // 7
+        expected_start += len(toks)
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang=l) for i in range(200) for l in ("en", "zh")],
+        "doc_id long, lang string",
+    )
+    out = {r.lang: r for r in pl.mixture_sample(docs).collect()}
+    assert out["en"].n_kept == out["en"].n_total  # rate 1.0 keeps all
+    assert 0 < out["zh"].n_kept < out["zh"].n_total  # rate 0.25 thins
+    assert out["zh"].target_rate == pytest.approx(0.25)
+    # keep decision is a pure doc_id hash: re-running yields identical counts
+    again = {r.lang: r for r in pl.mixture_sample(docs).collect()}
+    assert again["zh"].n_kept == out["zh"].n_kept
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(
+                doc_id=1,
+                text="mail a.user+tag@sub.example.co.uk or 212-555-0142 from 10.1.2.3 end",
+            ),
+            Row(doc_id=2, text="no pii here"),
+        ]
+    )
+    out = {r.doc_id: r for r in pl.pii_scrub(docs).collect()}
+    assert (out[1].n_emails, out[1].n_phones, out[1].n_ips) == (1, 1, 1)
+    assert (out[2].n_emails, out[2].n_phones, out[2].n_ips) == (0, 0, 0)
+    scrubbed = docs.filter("doc_id = 1").select(
+        pl.scrub_text_col(F.col("text")).alias("t")
+    ).first().t
+    assert scrubbed == "mail <EMAIL> or <PHONE> from <IP> end"
