@@ -134,6 +134,17 @@ def _registry():
     reg["pack_sequences"] = (_docs_op(pl.pack_sequences), pl.pack_sequences_sql(cte))
     reg["pii_scrub"] = (_tbl_op(pl.pii_scrub_augmented), pl.pii_scrub_sql())
 
+    def _curate_op(spark, sf_dir):
+        from distributedcodesearchengine_spark.functions.udfs import tokenize_udf
+        from distributedcodesearchengine_spark.sources.tables import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        return pl.curate_corpus(
+            d.select("doc_id", "text", "lang", tokenize_udf("text").alias("tokens"))
+        )
+
+    reg["curate_corpus"] = (_curate_op, pl.curate_corpus_sql())
+
     # positional index / exact-phrase queries (fulltext-tier extension)
     from distributedcodesearchengine_spark.operators import phrase as ph
 

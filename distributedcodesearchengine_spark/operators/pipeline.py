@@ -190,18 +190,34 @@ def mixture_sample_sql(table: str = "documents") -> str:
 _PACK_RANGE_WIDTH = 256
 
 
-def pack_sequences(docs: DataFrame, budget: int = 512) -> DataFrame:
-    """(doc_id, n_tokens, start_offset, bin_id) — contiguous token-budget
-    packing plan: documents in doc_id order are laid into fixed-size
-    training windows of ``budget`` tokens; ``bin_id`` is the window the
-    document STARTS in (documents may straddle a boundary — the packing
-    plan records offsets, the batch writer slices).
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 512,
+    carry: tuple = (),
+    materialize: bool = True,
+) -> DataFrame:
+    """(doc_id, *carry, n_tokens, start_offset, bin_id) — contiguous
+    token-budget packing plan: documents in doc_id order are laid into
+    fixed-size training windows of ``budget`` tokens; ``bin_id`` is the
+    window the document STARTS in (documents may straddle a boundary —
+    the packing plan records offsets, the batch writer slices).
+    ``carry`` names passthrough columns (e.g. lang for a downstream
+    mixture report) so callers don't need a re-join on doc_id.
 
     Two-level cumulative sum (see module docstring): within-range window
     cumsum + broadcast range-offset join, identical to the oracle's
-    global prefix sum.
+    global prefix sum. The cumsum necessarily references its input twice
+    (per-doc rows AND per-range totals) — without a lineage cut Spark
+    recomputes the whole upstream subtree per reference (for
+    ``curate_corpus`` that would tokenize the corpus twice), so the slim
+    (doc_id, carry, n_tokens) projection is lazily localCheckpoint-ed
+    first: the upstream plan runs once, both references read the
+    materialized rows. ``materialize=False`` opts out for composition
+    into a caller that manages its own persistence.
     """
-    d = docs.select("doc_id", F.size("tokens").cast("long").alias("n_tokens"))
+    d = docs.select("doc_id", *carry, F.size("tokens").cast("long").alias("n_tokens"))
+    if materialize:
+        d = d.localCheckpoint(eager=False)
     d = d.withColumn("range_id", F.expr(f"doc_id DIV {_PACK_RANGE_WIDTH}"))
     w_in = (
         Window.partitionBy("range_id")
@@ -217,6 +233,7 @@ def pack_sequences(docs: DataFrame, budget: int = 512) -> DataFrame:
     )
     out = d.join(F.broadcast(offsets), "range_id").select(
         "doc_id",
+        *carry,
         "n_tokens",
         (F.col("range_offset") + F.col("cum_in") - F.col("n_tokens"))
         .cast("long")
@@ -224,6 +241,7 @@ def pack_sequences(docs: DataFrame, budget: int = 512) -> DataFrame:
     )
     return out.select(
         "doc_id",
+        *carry,
         "n_tokens",
         "start_offset",
         F.expr(f"start_offset DIV {budget}").cast("long").alias("bin_id"),
@@ -238,6 +256,103 @@ def pack_sequences_sql(table_toks_cte: str, budget: int = 512) -> str:
         "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
         "AS start_offset FROM d) "
         "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+        "CAST(start_offset AS BIGINT) AS start_offset, "
+        f"CAST(start_offset // {budget} AS BIGINT) AS bin_id "
+        "FROM c ORDER BY doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# the composed curation funnel
+
+CURATE_MIN_TOKENS = 25
+
+
+def curate_corpus(
+    docs: DataFrame,
+    min_tokens: int = CURATE_MIN_TOKENS,
+    n: int = 8,
+    bench_mod: int = 7,
+    budget: int = 512,
+) -> DataFrame:
+    """(doc_id, lang, n_tokens, start_offset, bin_id) — the full
+    curation funnel as ONE lazy DataFrame plan:
+
+        exact-dedup -> quality floor -> benchmark decontamination ->
+        mixture sampling -> sequence packing
+
+    ``docs`` must carry (doc_id, text, lang, tokens). Each stage is the
+    standalone operator's logic inlined on the survivor set, so Catalyst
+    sees the whole funnel at once: the dedup groupBy and the gram
+    semi-join are the only corpus-sized shuffles; quality/mixture are
+    per-row filters fused into the scans around them; packing shuffles
+    only the (already thinned) survivor set. Contamination is decided
+    on the candidate's full gram set, so pre-filtering the candidate
+    side with the cheap stages first is result-identical (a dropped
+    duplicate's grams are its retained twin's grams) and strictly less
+    work — the order IS the optimization.
+    """
+    d = docs.withColumn("n_tokens", F.size("tokens").cast("long"))
+    # exact dedup: keep the min-doc_id representative per content hash
+    h = d.withColumn("h", F.md5(F.encode("text", "utf-8")))
+    reps = h.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    d1 = h.join(reps, ["h", "doc_id"]).drop("h")
+    # quality floor
+    d2 = d1.filter(F.col("n_tokens") >= min_tokens)
+    # decontamination: bench slice is eval data — drop it AND anything
+    # sharing an n-gram with it
+    bench_set = (
+        docs.filter(F.col("doc_id") % bench_mod == 0)
+        .select(F.explode(F.expr(_gram_expr(n))).alias("gram"))
+        .distinct()
+    )
+    cand = d2.filter(F.col("doc_id") % bench_mod != 0)
+    contaminated = (
+        cand.select("doc_id", F.explode(F.expr(_gram_expr(n))).alias("gram"))
+        .distinct()
+        .join(F.broadcast(bench_set), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    d3 = cand.join(contaminated, "doc_id", "left_anti")
+    # mixture sampling, then the packing plan over the survivor stream
+    d4 = d3.filter(mixture_keep_col())
+    return pack_sequences(
+        d4.select("doc_id", "lang", "tokens"), budget=budget, carry=("lang",)
+    )
+
+
+def curate_corpus_sql(
+    table: str = "documents",
+    min_tokens: int = CURATE_MIN_TOKENS,
+    n: int = 8,
+    bench_mod: int = 7,
+    budget: int = 512,
+) -> str:
+    from ..functions.sql_oracle import tokenize_col
+
+    gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    bucket = f"('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % {_MIX_BUCKETS}"
+    return (
+        f"WITH docs AS (SELECT doc_id, text, lang, {tokenize_col('text')} AS toks "
+        f"FROM {table}), "
+        "d AS (SELECT doc_id, lang, text, len(toks) AS n_tokens FROM docs), "
+        "reps AS (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM d GROUP BY 1), "
+        "d1 AS (SELECT d.* FROM d JOIN reps ON md5(d.text) = reps.h "
+        "AND d.doc_id = reps.doc_id), "
+        f"d2 AS (SELECT * FROM d1 WHERE n_tokens >= {min_tokens}), "
+        f"g AS (SELECT doc_id, {gram} AS gram FROM docs, "
+        f"unnest(generate_series(1, len(toks) - {n - 1})) AS _t(i)), "
+        f"bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {bench_mod} = 0), "
+        "contaminated AS (SELECT DISTINCT doc_id FROM g JOIN bench USING (gram) "
+        f"WHERE doc_id % {bench_mod} <> 0), "
+        f"d3 AS (SELECT * FROM d2 WHERE doc_id % {bench_mod} <> 0 "
+        "AND doc_id NOT IN (SELECT doc_id FROM contaminated)), "
+        f"d4 AS (SELECT * FROM d3 WHERE {bucket} < {_rate_case()} * {_MIX_BUCKETS}), "
+        "c AS (SELECT doc_id, lang, n_tokens, coalesce(sum(n_tokens) OVER "
+        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "AS start_offset FROM d4) "
+        "SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, "
         "CAST(start_offset AS BIGINT) AS start_offset, "
         f"CAST(start_offset // {budget} AS BIGINT) AS bin_id "
         "FROM c ORDER BY doc_id"

@@ -80,6 +80,33 @@ def test_mixture_sample_rates_and_determinism(spark):
     assert again["zh"].n_kept == out["zh"].n_kept
 
 
+def test_curate_corpus_funnel_stages(spark):
+    """Each funnel stage drops exactly the doc planted for it."""
+    base = [f"w{i}" for i in range(30)]  # 30 tokens: clears the quality floor
+    bench_toks = [f"b{i}" for i in range(30)]
+    rows = [
+        # doc 7: bench slice (7 % 7 == 0) -> excluded as eval data
+        (7, " ".join(bench_toks), "en", bench_toks),
+        # doc 1: clean survivor
+        (1, " ".join(base), "en", base),
+        # doc 8: exact duplicate of doc 1 -> deduped (rep is min doc_id)
+        (8, " ".join(base), "en", base),
+        # doc 2: too short -> quality-dropped
+        (2, "a b", "en", ["alpha", "beta"]),
+        # doc 3: shares an 8-gram with the bench doc -> decontaminated
+        (3, "x", "en", ["pre"] + bench_toks[:8] + [f"y{i}" for i in range(21)]),
+    ]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang=lg, tokens=tk) for i, t, lg, tk in rows],
+        "doc_id long, text string, lang string, tokens array<string>",
+    )
+    out = pl.curate_corpus(docs, min_tokens=25, n=8, bench_mod=7, budget=16).collect()
+    # en rate is 1.0, so mixture keeps every survivor; only doc 1 remains
+    assert [(r.doc_id, r.lang, r.n_tokens, r.start_offset, r.bin_id) for r in out] == [
+        (1, "en", 30, 0, 0)
+    ]
+
+
 def test_pii_scrub_redacts_and_counts(spark):
     docs = spark.createDataFrame(
         [
