@@ -61,6 +61,18 @@ def _build_parser() -> argparse.ArgumentParser:
         help="edit-distance-1 'did you mean' instead of prefix match",
     )
 
+    c = sub.add_parser(
+        "curate",
+        help="training-data curation funnel: dedup -> quality -> "
+        "decontaminate -> mixture-sample -> pack, written as parquet",
+    )
+    c.add_argument("--input", required=True, help="documents parquet (doc_id, text, lang)")
+    c.add_argument("--output", required=True, help="output directory for the packed survivor set")
+    c.add_argument("--min-tokens", type=int, default=25)
+    c.add_argument("--budget", type=int, default=512, help="tokens per training window")
+    c.add_argument("--bench-mod", type=int, default=7, help="doc_id modulus carving the held-out eval slice")
+    c.add_argument("--ngram", type=int, default=8, help="contamination n-gram width")
+
     v = sub.add_parser("serve", help="REST API over a persisted index")
     v.add_argument("--index", required=True)
     v.add_argument("--port", type=int, default=8099)
@@ -137,6 +149,45 @@ def main(argv=None, spark=None) -> int:
             for r in rows:
                 url = r["url"] if "url" in r.__fields__ else ""
                 print(f"{r['rank']:>3}  {r['score']:.6f}  {r['doc_id']:>10}  {url}")
+        return 0
+
+    if args.cmd == "curate":
+        from pyspark.sql import functions as F
+
+        from .functions.udfs import tokenize_udf
+        from .operators.pipeline import curate_corpus
+
+        d = spark.read.parquet(args.input)
+        missing = {"doc_id", "text", "lang"} - set(d.columns)
+        if missing:
+            print(f"error: input is missing columns {sorted(missing)}", file=sys.stderr)
+            return 2
+        packed = curate_corpus(
+            d.select("doc_id", "text", "lang", tokenize_udf("text").alias("tokens")),
+            min_tokens=args.min_tokens,
+            n=args.ngram,
+            bench_mod=args.bench_mod,
+            budget=args.budget,
+        )
+        packed.write.mode("overwrite").parquet(args.output)
+        out = spark.read.parquet(args.output)
+        report = out.agg(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.max("bin_id") + 1, F.lit(0)).alias("n_bins"),
+        ).first()
+        print(
+            json.dumps(
+                {
+                    "n_input": d.count(),
+                    "n_survivors": report["n_docs"],
+                    "n_tokens": report["n_tokens"],
+                    "n_bins": report["n_bins"],
+                    "budget": args.budget,
+                    "output": args.output,
+                }
+            )
+        )
         return 0
 
     if args.cmd == "suggest":

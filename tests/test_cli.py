@@ -205,3 +205,35 @@ def test_cli_build_phrase_index_and_quoted_search(spark, tmp_path_factory, capsy
     st = BuildState(spark, index_dir).read()
     n_pos_rows = st.where("stage = 'positional'").count()
     assert n_pos_rows == 1  # second run appended no new state row
+
+
+def test_cli_curate_writes_packed_survivors(spark, tmp_path_factory, capsys):
+    base = tmp_path_factory.mktemp("curate")
+    src, out = str(base / "docs"), str(base / "packed")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.parquet(src)
+    rc = main(
+        ["curate", "--input", src, "--output", out, "--budget", "256"],
+        spark=spark,
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report["n_input"] == 500
+    assert 0 < report["n_survivors"] < 500
+    packed = spark.read.parquet(out)
+    assert set(packed.columns) == {"doc_id", "lang", "n_tokens", "start_offset", "bin_id"}
+    rows = packed.orderBy("doc_id").collect()
+    # offsets are the prefix sum of survivor lengths, bins follow offsets
+    acc = 0
+    for r in rows:
+        assert r.start_offset == acc and r.bin_id == acc // 256
+        acc += r.n_tokens
+    assert report["n_tokens"] == acc
+
+
+def test_cli_curate_missing_columns_errors(spark, tmp_path_factory, capsys):
+    base = tmp_path_factory.mktemp("curate_bad")
+    src = str(base / "docs")
+    spark.range(5).write.parquet(src)
+    rc = main(["curate", "--input", src, "--output", str(base / "o")], spark=spark)
+    assert rc == 2
+    assert "missing columns" in capsys.readouterr().err
