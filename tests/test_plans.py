@@ -106,3 +106,34 @@ def test_docs_lang_partition_pruning(pidx):
     d = pidx.docs.where(F.col("lang") == "de")
     plan = explain_str(d)
     assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_curation_funnel_plan_shape(spark):
+    """The curation ops must keep their scale story in the physical
+    plan: the decontamination eval-set side is BROADCAST (never a
+    shuffled join against the corpus-sized gram stream), the funnel has
+    no cartesian product and no sort-merge join, and the mixture
+    sample's keep decision is a pure per-row filter (zero Exchange)."""
+    from pyspark.sql import Row
+
+    from distributedcodesearchengine_spark.operators import pipeline as pl
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=f"t {i}", lang="en", tokens=[f"w{j}" for j in range(30)])
+            for i in range(40)
+        ],
+        "doc_id long, text string, lang string, tokens array<string>",
+    )
+    decon = explain_str(pl.decontaminate(docs))
+    assert "BroadcastHashJoin" in decon, decon[:4000]
+    assert "SortMergeJoin" not in decon and "Cartesian" not in decon, decon[:4000]
+
+    funnel = explain_str(
+        pl.curate_corpus(docs, min_tokens=5), mode="simple"
+    )
+    assert "Cartesian" not in funnel and "SortMergeJoin" not in funnel, funnel[:4000]
+
+    sample = explain_str(docs.filter(pl.mixture_keep_col()).select("doc_id"))
+    assert "Exchange" not in sample, sample[:4000]
+    assert "EvalPython" not in sample, sample[:4000]
