@@ -144,6 +144,9 @@ def _registry():
         )
 
     reg["curate_corpus"] = (_curate_op, pl.curate_corpus_sql())
+    reg["chunk_documents"] = (
+        _docs_op(pl.chunk_documents), pl.chunk_documents_sql(cte),
+    )
 
     # positional index / exact-phrase queries (fulltext-tier extension)
     from distributedcodesearchengine_spark.operators import phrase as ph

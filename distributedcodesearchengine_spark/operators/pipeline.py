@@ -263,6 +263,52 @@ def pack_sequences_sql(table_toks_cte: str, budget: int = 512) -> str:
 
 
 # ---------------------------------------------------------------------------
+# token-window chunking
+
+
+def chunk_documents(docs: DataFrame, size: int = 32, overlap: int = 8) -> DataFrame:
+    """(doc_id, chunk_id, start_tok, n_tokens, chunk_text) — overlapping
+    token windows for an embedding pipeline (chunk → embed → ANN index):
+    windows of ``size`` tokens every ``size - overlap`` tokens, last
+    partial window kept. Pure per-row array expressions (sequence →
+    posexplode → slice) — embarrassingly parallel, no shuffle before the
+    caller's sink.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    stride = size - overlap
+    starts = (
+        f"CASE WHEN size(tokens) > 0 THEN "
+        f"sequence(0, size(tokens) - 1, {stride}) ELSE array() END"
+    )
+    d = docs.select(
+        "doc_id", "tokens", F.posexplode(F.expr(starts)).alias("chunk_id", "start_tok")
+    )
+    return d.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.expr(f"least({size}, size(tokens) - start_tok)").cast("long").alias("n_tokens"),
+        F.expr(f"array_join(slice(tokens, start_tok + 1, {size}), ' ')").alias(
+            "chunk_text"
+        ),
+    ).orderBy("doc_id", "chunk_id")
+
+
+def chunk_documents_sql(table_toks_cte: str, size: int = 32, overlap: int = 8) -> str:
+    stride = size - overlap
+    return (
+        f"WITH {table_toks_cte} "
+        f"SELECT doc_id, CAST((s - 1) // {stride} AS BIGINT) AS chunk_id, "
+        "CAST(s - 1 AS BIGINT) AS start_tok, "
+        f"CAST(least({size}, len(toks) - s + 1) AS BIGINT) AS n_tokens, "
+        f"array_to_string(toks[s:s + {size - 1}], ' ') AS chunk_text "
+        f"FROM docs, unnest(generate_series(1, len(toks), {stride})) AS _t(s) "
+        "ORDER BY doc_id, chunk_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # the composed curation funnel
 
 CURATE_MIN_TOKENS = 25

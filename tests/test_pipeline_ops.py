@@ -80,6 +80,24 @@ def test_mixture_sample_rates_and_determinism(spark):
     assert again["zh"].n_kept == out["zh"].n_kept
 
 
+def test_chunk_documents_windows(spark):
+    toks = [f"t{i}" for i in range(10)]
+    docs = _toks(spark, [(1, toks), (2, ["solo"]), (3, [])])
+    out = pl.chunk_documents(docs, size=4, overlap=2).collect()
+    got = [(r.doc_id, r.chunk_id, r.start_tok, r.n_tokens, r.chunk_text) for r in out]
+    assert got == [
+        (1, 0, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 2, 4, "t2 t3 t4 t5"),
+        (1, 2, 4, 4, "t4 t5 t6 t7"),
+        (1, 3, 6, 4, "t6 t7 t8 t9"),
+        (1, 4, 8, 2, "t8 t9"),  # partial tail window kept
+        (2, 0, 0, 1, "solo"),
+        # doc 3 (empty) yields no chunks
+    ]
+    with pytest.raises(ValueError):
+        pl.chunk_documents(docs, size=4, overlap=4)
+
+
 def test_curate_corpus_funnel_stages(spark):
     """Each funnel stage drops exactly the doc planted for it."""
     base = [f"w{i}" for i in range(30)]  # 30 tokens: clears the quality floor
