@@ -309,6 +309,105 @@ def chunk_documents_sql(table_toks_cte: str, size: int = 32, overlap: int = 8) -
 
 
 # ---------------------------------------------------------------------------
+# chunk-level semantic search (chunk -> hash-embed -> cosine top-k)
+
+_EMBED_LANES = 8  # sha256 = 32 bytes = 8 big-endian uint32 lanes
+
+
+def _lane_exprs(engine: str, hexcol: str = "h") -> list:
+    """The mock embedder's per-lane arithmetic (functions/embed.py
+    mock_embed_text: uint32/2^32*2-1 per 4-byte group), written as the
+    SAME expression text for both engines modulo the hex-to-int idiom —
+    Spark ``conv(_, 16, 10)`` vs DuckDB ``('0x' || _)::BIGINT`` — so the
+    doubles agree bit-for-bit."""
+    out = []
+    for i in range(_EMBED_LANES):
+        sub = f"substr({hexcol}, {1 + 8 * i}, 8)"
+        num = (
+            f"CAST(conv({sub}, 16, 10) AS DOUBLE)"
+            if engine == "spark"
+            else f"CAST(('0x' || {sub})::BIGINT AS DOUBLE)"
+        )
+        out.append(f"(({num} / CAST(4294967296 AS DOUBLE)) * 2 - 1)")
+    return out
+
+
+def _q_literals(qvec) -> list:
+    return [f"CAST({float(q)!r} AS DOUBLE)" for q in qvec[:_EMBED_LANES]]
+
+
+def chunk_semantic_topk(
+    docs: DataFrame,
+    qvec,
+    k: int = 10,
+    size: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """(rank, doc_id, chunk_id, score) — semantic retrieval at CHUNK
+    granularity: overlapping token windows, the deterministic sha256
+    mock embedding computed per chunk ENTIRELY in JVM expressions
+    (sha2 + base-conv — no Python in the plan at all), cosine against
+    the unit query vector, global top-k with (doc_id, chunk_id)
+    tiebreak. ``qvec`` is a normalized query embedding
+    (functions/embed.mock_embed_text output; only the first 8 lanes are
+    nonzero by construction).
+
+    The real-model path swaps the hash-embed projection for
+    functions/embed.embed_documents over chunk_text — the chunking,
+    scoring, and top-k plan is unchanged.
+    """
+    lanes = _lane_exprs("spark")
+    qs = _q_literals(qvec)
+    ch = chunk_documents(docs, size=size, overlap=overlap)
+    h = ch.select("doc_id", "chunk_id", F.expr("sha2(chunk_text, 256)").alias("h"))
+    e = h.select(
+        "doc_id", "chunk_id", *[F.expr(x).alias(f"e{i}") for i, x in enumerate(lanes)]
+    )
+    sq = " + ".join(f"e{i} * e{i}" for i in range(_EMBED_LANES))
+    n = e.withColumn("nrm", F.expr(f"sqrt({sq})"))
+    dot = " + ".join(f"(e{i} / nrm) * {q}" for i, q in enumerate(qs))
+    scored = n.select(
+        "doc_id",
+        "chunk_id",
+        F.expr(f"CASE WHEN nrm > 0 THEN {dot} ELSE 0.0 END").alias("score"),
+    )
+    top = scored.orderBy(F.desc("score"), "doc_id", "chunk_id").limit(k)
+    w = Window.orderBy(F.desc("score"), "doc_id", "chunk_id")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "chunk_id", round6("score").alias("score")
+    )
+
+
+def chunk_semantic_topk_sql(
+    table_toks_cte: str,
+    qvec,
+    k: int = 10,
+    size: int = 32,
+    overlap: int = 8,
+) -> str:
+    stride = size - overlap
+    lanes = _lane_exprs("duckdb")
+    qs = _q_literals(qvec)
+    e_defs = ", ".join(f"{x} AS e{i}" for i, x in enumerate(lanes))
+    sq = " + ".join(f"e{i} * e{i}" for i in range(_EMBED_LANES))
+    dot = " + ".join(f"(e{i} / nrm) * {q}" for i, q in enumerate(qs))
+    return (
+        f"WITH {table_toks_cte}, "
+        f"ch AS (SELECT doc_id, CAST((s - 1) // {stride} AS BIGINT) AS chunk_id, "
+        f"array_to_string(toks[s:s + {size - 1}], ' ') AS chunk_text "
+        f"FROM docs, unnest(generate_series(1, len(toks), {stride})) AS _t(s)), "
+        "h1 AS (SELECT doc_id, chunk_id, sha256(chunk_text) AS h FROM ch), "
+        f"e AS (SELECT doc_id, chunk_id, {e_defs} FROM h1), "
+        f"n AS (SELECT *, sqrt({sq}) AS nrm FROM e), "
+        "sc AS (SELECT doc_id, chunk_id, "
+        f"CASE WHEN nrm > 0 THEN {dot} ELSE 0.0 END AS score FROM n) "
+        "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id, chunk_id) AS INT) "
+        f"AS rank, doc_id, chunk_id, {round6_sql('score')} AS score "
+        f"FROM sc ORDER BY score DESC, doc_id, chunk_id LIMIT {k}"
+    )
+
+
+# ---------------------------------------------------------------------------
 # the composed curation funnel
 
 CURATE_MIN_TOKENS = 25

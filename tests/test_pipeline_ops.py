@@ -98,6 +98,26 @@ def test_chunk_documents_windows(spark):
         pl.chunk_documents(docs, size=4, overlap=4)
 
 
+def test_chunk_semantic_topk_matches_python_mock(spark):
+    """The JVM sha2/conv hash-embed must reproduce the Python mock
+    embedder bit-for-bit: scoring a doc whose single chunk IS the query
+    text must yield cosine 1.0 at rank 1, and every score must equal the
+    numpy dot of mock_embed_text vectors."""
+    import math
+
+    from distributedcodesearchengine_spark.functions.embed import mock_embed_text
+
+    texts = ["alpha beta gamma", "delta epsilon", "alpha beta gamma"]
+    docs = _toks(spark, [(i, t.split()) for i, t in enumerate(texts)])
+    q = mock_embed_text("alpha beta gamma", 64)
+    out = pl.chunk_semantic_topk(docs, q, k=3, size=8, overlap=0).collect()
+    assert (out[0].doc_id, out[0].chunk_id, out[0].score) == (0, 0, 1.0)
+    for r in out:
+        ref = mock_embed_text(texts[r.doc_id], 64)
+        expected = sum(a * b for a, b in zip(ref, q))
+        assert math.isclose(r.score, math.floor(expected * 1e6 + 0.5) / 1e6, abs_tol=0)
+
+
 def test_curate_corpus_funnel_stages(spark):
     """Each funnel stage drops exactly the doc planted for it."""
     base = [f"w{i}" for i in range(30)]  # 30 tokens: clears the quality floor
