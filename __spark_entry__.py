@@ -43,6 +43,18 @@ def _registry():
     reg["lang_histogram"] = (eq.lang_histogram, oq.lang_histogram_sql())
     reg["highlights"] = (partial(eq.highlights, k=50), oq.highlights_sql(50))
 
+    # Core reference-parity BM25 entries run EARLY (right after the
+    # index-warming stats entries): the round-2 driver truncated the
+    # registry tail on wall-time budget, and a cut must land on the
+    # auxiliary suites below, never on the engine's heart.
+    for key, kw in _BM25_CASES:
+        reg[key] = (
+            partial(eq.bm25_query, **kw),
+            oq.bm25_topk_sql(
+                kw["query"], k=kw.get("k", 10), lang=kw.get("lang"), source=kw.get("source")
+            ),
+        )
+
     from distributedcodesearchengine_spark.functions.embed import mock_embed_text
 
     _qv = mock_embed_text("distributed table scan", 64)
@@ -69,6 +81,24 @@ def _registry():
             f"SELECT {qid} AS query_id, * FROM ({oq.bm25_topk_sql(q, 10)})"
             for qid, q in eq.BATCH_QUERIES.items()
         ),
+    )
+    # core serving paths (sharded layout + quoted-phrase BM25) stay in
+    # the truncation-safe prefix with the other engine-heart entries
+    reg["bm25_topk_sharded_healthy"] = (
+        partial(eq.bm25_sharded_query, query="dup scan", k=10),
+        oq.bm25_topk_sql("dup scan", k=10),
+    )
+    reg["bm25_topk_sharded_degenerate"] = (
+        partial(eq.bm25_sharded_query, query="table row", k=10),
+        oq.bm25_topk_sql("table row", k=10),
+    )
+    reg["bm25_phrase_healthy"] = (
+        partial(eq.bm25_phrase_query, query="small dup", k=10),
+        oq.bm25_topk_sql("small dup", k=10, phrase="small dup"),
+    )
+    reg["bm25_phrase_degenerate"] = (
+        partial(eq.bm25_phrase_query, query="table table", k=10),
+        oq.bm25_topk_sql("table table", k=10, phrase="table table"),
     )
 
     # --- training-data pipeline suite (dedup / similarity / text stats)
@@ -192,29 +222,6 @@ def _registry():
         sn.query_snippets_sql(oq.bm25_topk_sql(_snip_q, k=10), _snip_terms),
     )
 
-    # sharded serving path: healthy query served shard-locally, and a
-    # degenerate one exercising the documented exact-path fallback —
-    # both rank-identical to scorer v1, so they share its oracle
-    reg["bm25_topk_sharded_healthy"] = (
-        partial(eq.bm25_sharded_query, query="dup scan", k=10),
-        oq.bm25_topk_sql("dup scan", k=10),
-    )
-    reg["bm25_topk_sharded_degenerate"] = (
-        partial(eq.bm25_sharded_query, query="table row", k=10),
-        oq.bm25_topk_sql("table row", k=10),
-    )
-
-    # quoted-query BM25: one healthy-regime phrase ('dup' carries the
-    # corpus's positive idf) and one degenerate-regime phrase
-    reg["bm25_phrase_healthy"] = (
-        partial(eq.bm25_phrase_query, query="small dup", k=10),
-        oq.bm25_topk_sql("small dup", k=10, phrase="small dup"),
-    )
-    reg["bm25_phrase_degenerate"] = (
-        partial(eq.bm25_phrase_query, query="table table", k=10),
-        oq.bm25_topk_sql("table table", k=10, phrase="table table"),
-    )
-
     # time-series operator family over the events table (as-of join,
     # sessionization, hypertable rollup, JSON extraction)
     from distributedcodesearchengine_spark.operators import timeseries as tsr
@@ -237,13 +244,6 @@ def _registry():
     reg["multimodal_features"] = (eq.multimodal_features, mm.media_features_sql("image"))
     reg["multimodal_frame_sample"] = (eq.frame_sample_q, mm.frame_sample_sql("video", 8))
     reg["multimodal_resize"] = (eq.multimodal_resize, mm.resize_plan_sql("image", 224, 224))
-    for key, kw in _BM25_CASES:
-        reg[key] = (
-            partial(eq.bm25_query, **kw),
-            oq.bm25_topk_sql(
-                kw["query"], k=kw.get("k", 10), lang=kw.get("lang"), source=kw.get("source")
-            ),
-        )
     return reg
 
 
