@@ -1,6 +1,7 @@
 """Corpus-curation operators for a training-data pipeline:
 benchmark decontamination, deterministic mixture sampling, sequence
-packing, and PII scrubbing.
+packing, PII scrubbing, token-window chunking, chunk-level semantic
+search, and the composed curation funnel (``curate_corpus``).
 
 Like the rest of the training-data suite (textstats/dedup), every
 operator has a Spark implementation and a colocated DuckDB SQL builder
