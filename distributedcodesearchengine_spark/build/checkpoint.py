@@ -163,8 +163,17 @@ def build_index_persisted(
     phrase_shard_width: int = 65536,
     sharded_index: bool = False,
     sharded_width: int = 65536,
+    docs_src: Optional[DataFrame] = None,
 ) -> Index:
     """Build (or resume) the persisted index at ``index_dir``.
+
+    ``docs_src``: pre-extracted docs rows (doc_id, url, site, lang,
+    *meta_cols, tokens, doc_len) that become the ``docs`` stage
+    VERBATIM — no extract/tokenize pass, ids preserved. This is the
+    compaction input seam (``compact_incremental``): a streamed
+    incremental index already paid for extraction and holds
+    arrival-order ids that must survive into the serving layout.
+    ``pages`` is ignored when ``docs_src`` is given.
 
     ``priorities``: optional {bucket: 0-10} (higher first) — the analog
     of the reference's priority queue (queue/publisher.py:68-75);
@@ -183,12 +192,20 @@ def build_index_persisted(
     # input fingerprint = row count + order-insensitive content
     # signature (url + html crc sums), so re-running with resume=True
     # over CHANGED content of the same cardinality rebuilds instead of
-    # silently returning a stale index
-    sig = pages.agg(
-        F.count("*").alias("n"),
-        F.sum(F.crc32(F.col("url"))).alias("us"),
-        F.sum(F.crc32(F.col("html"))).alias("hs"),
-    ).first()
+    # silently returning a stale index. For the docs_src (compaction)
+    # path the token stream stands in for html as the content signal.
+    if docs_src is not None:
+        sig = docs_src.agg(
+            F.count("*").alias("n"),
+            F.sum(F.crc32(F.col("url"))).alias("us"),
+            F.sum(F.crc32(F.concat_ws(" ", F.col("tokens")))).alias("hs"),
+        ).first()
+    else:
+        sig = pages.agg(
+            F.count("*").alias("n"),
+            F.sum(F.crc32(F.col("url"))).alias("us"),
+            F.sum(F.crc32(F.col("html"))).alias("hs"),
+        ).first()
     fp = _fingerprint(
         n_pages=int(sig["n"]),
         url_sig=int(sig["us"] or 0),
@@ -219,7 +236,7 @@ def build_index_persisted(
     # reference's keyword payload indexes on the filter columns,
     # vector_store.py:135-149: lang-filtered queries prune partitions)
     def _docs(out):
-        d = build_docs(pages, meta_cols=meta_cols)
+        d = docs_src if docs_src is not None else build_docs(pages, meta_cols=meta_cols)
         d.write.mode("overwrite").partitionBy("lang").parquet(out)
         return spark.read.parquet(out).count()
 
@@ -463,6 +480,30 @@ def build_metrics_rollup(spark: SparkSession, index_dir: str) -> DataFrame:
             F.max("updated_at").alias("last_update"),
         )
         .orderBy("stage", "status")
+    )
+
+
+def compact_incremental(
+    spark: SparkSession, stream_dir: str, index_dir: str, **build_kw
+) -> Index:
+    """Compact a streamed incremental index (streaming/incremental.py)
+    into the full persisted serving layout — postings segments, and
+    optionally the sharded / positional layouts — WITHOUT re-extracting:
+    the accumulated stream docs (already extracted + tokenized, with
+    arrival-order insertion ids) become the build's ``docs`` stage
+    verbatim via ``docs_src``, and every downstream stage runs with the
+    standard per-bucket lineage, resume, and DLQ semantics.
+
+    This is the merge policy the incremental module's docstring
+    promises: micro-batches keep the index queryable on the exact
+    scorer; compaction batches the idf-dependent segment build
+    (block-max scores depend on global idf, so segments are rebuilt in
+    bulk, not per-batch — the same reasoning as real engines' tiered
+    merges).
+    """
+    docs = spark.read.parquet(os.path.join(stream_dir, "docs"))
+    return build_index_persisted(
+        spark, pages=None, index_dir=index_dir, docs_src=docs, **build_kw
     )
 
 

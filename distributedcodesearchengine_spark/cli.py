@@ -38,6 +38,18 @@ def _build_parser() -> argparse.ArgumentParser:
         "(enables search --scorer sharded, the low-latency path)",
     )
 
+    k = sub.add_parser(
+        "compact",
+        help="compact a streamed incremental index into the full "
+        "persisted serving layout (no re-extraction)",
+    )
+    k.add_argument("--stream-index", required=True, help="incremental index directory")
+    k.add_argument("--index", required=True, help="output persisted index directory")
+    k.add_argument("--no-resume", action="store_true")
+    k.add_argument("--n-buckets", type=int, default=None)
+    k.add_argument("--phrase-index", action="store_true")
+    k.add_argument("--sharded-index", action="store_true")
+
     s = sub.add_parser("search", help="query a persisted index")
     s.add_argument("query")
     s.add_argument("--index", required=True)
@@ -117,6 +129,22 @@ def main(argv=None, spark=None) -> int:
             kw["sharded_index"] = True
         idx = build_index_persisted(
             spark, pages, args.index, resume=not args.no_resume, **kw
+        )
+        print(json.dumps({"n_docs": idx.n_docs, "avgdl": idx.avgdl, "index": args.index}))
+        return 0
+
+    if args.cmd == "compact":
+        from .build.checkpoint import compact_incremental
+
+        kw = {}
+        if args.n_buckets:
+            kw["n_buckets"] = args.n_buckets
+        if args.phrase_index:
+            kw["phrase_index"] = True
+        if args.sharded_index:
+            kw["sharded_index"] = True
+        idx = compact_incremental(
+            spark, args.stream_index, args.index, resume=not args.no_resume, **kw
         )
         print(json.dumps({"n_docs": idx.n_docs, "avgdl": idx.avgdl, "index": args.index}))
         return 0

@@ -97,3 +97,55 @@ def test_same_batch_id_redelivery(spark, tmp_path):
     assert after.n_docs == base.n_docs
     pages.unpersist()
     b1.unpersist()
+
+
+def test_compact_incremental_to_serving_layout(spark, tmp_path, capsys):
+    """Lifecycle close: stream-ingest -> compact (no re-extraction,
+    arrival-order ids preserved) -> serve from the compressed postings
+    (WAND) and sharded layouts, rank-identical to the exact scorer over
+    the stream index."""
+    import json
+
+    from distributedcodesearchengine_spark.build.checkpoint import load_index
+    from distributedcodesearchengine_spark.cli import main
+    from distributedcodesearchengine_spark.operators.wand import wand_topk
+
+    input_dir = str(tmp_path / "in")
+    stream_dir = str(tmp_path / "stream")
+    index_dir = str(tmp_path / "compacted")
+    generate_pages(spark, 200, seed=31, parts=2).write.parquet(input_dir)
+    q, indexer = start_incremental_index(
+        spark, input_dir, stream_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+    streamed = indexer.load()
+    assert streamed.n_docs == 200
+
+    rc = main(
+        ["compact", "--stream-index", stream_dir, "--index", index_dir,
+         "--sharded-index"],
+        spark=spark,
+    )
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out)["n_docs"] == 200
+
+    compacted = load_index(spark, index_dir)
+    assert compacted.n_docs == 200
+    for query in QUERIES:
+        exact = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in bm25_topk(streamed, query, k=10).collect()
+        ]
+        wand = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in wand_topk(compacted, query, k=10).collect()
+        ]
+        # ids preserved through compaction -> exact tuple identity
+        assert exact == wand, query
+    # resume no-op: a second compact over the same stream is instant
+    rc = main(
+        ["compact", "--stream-index", stream_dir, "--index", index_dir,
+         "--sharded-index"],
+        spark=spark,
+    )
+    assert rc == 0
