@@ -177,10 +177,10 @@ def _registry():
     reg["chunk_documents"] = (
         _docs_op(pl.chunk_documents), pl.chunk_documents_sql(cte),
     )
-    _cqv = mock_embed_text("distributed table scan", 64)
+    # same query vector as cosine_topk (_qv) — one source of truth
     reg["chunk_semantic_topk"] = (
-        _docs_op(partial(pl.chunk_semantic_topk, qvec=_cqv, k=10)),
-        pl.chunk_semantic_topk_sql(cte, _cqv, k=10),
+        _docs_op(partial(pl.chunk_semantic_topk, qvec=_qv, k=10)),
+        pl.chunk_semantic_topk_sql(cte, _qv, k=10),
     )
 
     # positional index / exact-phrase queries (fulltext-tier extension)

@@ -195,9 +195,15 @@ def build_index_persisted(
     # silently returning a stale index. For the docs_src (compaction)
     # path the token stream stands in for html as the content signal.
     if docs_src is not None:
+        # doc_id is part of the identity here: the same content
+        # re-streamed in a different arrival order assigns different
+        # ids, and a resume that kept the old id layout would break the
+        # "arrival-order ids preserved" contract silently
         sig = docs_src.agg(
             F.count("*").alias("n"),
-            F.sum(F.crc32(F.col("url"))).alias("us"),
+            F.sum(
+                F.crc32(F.concat_ws("|", F.col("doc_id").cast("string"), F.col("url")))
+            ).alias("us"),
             F.sum(F.crc32(F.concat_ws(" ", F.col("tokens")))).alias("hs"),
         ).first()
     else:
@@ -501,7 +507,10 @@ def compact_incremental(
     bulk, not per-batch — the same reasoning as real engines' tiered
     merges).
     """
-    docs = spark.read.parquet(os.path.join(stream_dir, "docs"))
+    # the stream layout is docs/batch=<id>/ subdirs: partition discovery
+    # infers a spurious `batch` column that must not leak into the
+    # serving docs schema
+    docs = spark.read.parquet(os.path.join(stream_dir, "docs")).drop("batch")
     return build_index_persisted(
         spark, pages=None, index_dir=index_dir, docs_src=docs, **build_kw
     )

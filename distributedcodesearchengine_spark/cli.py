@@ -202,7 +202,11 @@ def main(argv=None, spark=None) -> int:
         report = out.agg(
             F.count("*").alias("n_docs"),
             F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("n_tokens"),
-            F.coalesce(F.max("bin_id") + 1, F.lit(0)).alias("n_bins"),
+            # bins the packed stream OCCUPIES (a straddling last doc
+            # spills past max(bin_id), which is only where it starts)
+            F.coalesce(
+                F.ceil(F.sum("n_tokens") / F.lit(args.budget)), F.lit(0)
+            ).alias("n_bins"),
         ).first()
         print(
             json.dumps(

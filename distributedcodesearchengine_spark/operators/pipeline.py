@@ -526,19 +526,32 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, n_emails, n_phones, n_ips, clean_hash) — PII counts and
     the md5 of the redacted text (the hash, not the full scrubbed body,
     keeps the gate rows narrow while still pinning every replaced byte).
+
+    Counts are measured on the SAME staged text each replacement runs
+    on (phones counted after the email pass, IPs after the phone pass),
+    so every count equals an actual redaction — a pattern swallowed by
+    an earlier stage (an IP-shaped domain inside an already-redacted
+    email) is not reported as a replacement that never happened.
     """
 
-    def _n(pat: str) -> F.Column:
-        return F.expr(
-            f"size(regexp_extract_all({text_col}, '{pat}', 0))"
-        ).cast("long")
+    def _n(col: str, pat: str) -> F.Column:
+        esc = pat.replace("\\", "\\\\")
+        return F.expr(f"size(regexp_extract_all({col}, '{esc}', 0))").cast("long")
 
-    return docs.select(
+    s1 = docs.select(
         "doc_id",
-        _n(PII_EMAIL.replace("\\", "\\\\")).alias("n_emails"),
-        _n(PII_PHONE.replace("\\", "\\\\")).alias("n_phones"),
-        _n(PII_IP.replace("\\", "\\\\")).alias("n_ips"),
-        F.md5(F.encode(scrub_text_col(F.col(text_col)), "utf-8")).alias("clean_hash"),
+        F.col(text_col).alias("t0"),
+        F.regexp_replace(F.col(text_col), PII_EMAIL, "<EMAIL>").alias("t1"),
+    )
+    s2 = s1.withColumn("t2", F.regexp_replace(F.col("t1"), PII_PHONE, "<PHONE>"))
+    return s2.select(
+        "doc_id",
+        _n("t0", PII_EMAIL).alias("n_emails"),
+        _n("t1", PII_PHONE).alias("n_phones"),
+        _n("t2", PII_IP).alias("n_ips"),
+        F.md5(
+            F.encode(F.regexp_replace(F.col("t2"), PII_IP, "<IP>"), "utf-8")
+        ).alias("clean_hash"),
     ).orderBy("doc_id")
 
 
@@ -583,19 +596,18 @@ def pii_scrub_augmented(documents: DataFrame) -> DataFrame:
 
 
 def pii_scrub_sql(table: str = "documents") -> str:
-    def _n(pat: str) -> str:
-        return f"len(regexp_extract_all(aug, '{pat}'))"
+    def _n(col: str, pat: str) -> str:
+        return f"len(regexp_extract_all({col}, '{pat}'))"
 
-    clean = (
-        f"regexp_replace(regexp_replace(regexp_replace(aug, "
-        f"'{PII_EMAIL}', '<EMAIL>', 'g'), "
-        f"'{PII_PHONE}', '<PHONE>', 'g'), "
-        f"'{PII_IP}', '<IP>', 'g')"
-    )
     return (
-        f"WITH a AS (SELECT doc_id, {_PII_AUGMENT_SQL} AS aug FROM {table}) "
-        f"SELECT doc_id, CAST({_n(PII_EMAIL)} AS BIGINT) AS n_emails, "
-        f"CAST({_n(PII_PHONE)} AS BIGINT) AS n_phones, "
-        f"CAST({_n(PII_IP)} AS BIGINT) AS n_ips, "
-        f"md5({clean}) AS clean_hash FROM a ORDER BY doc_id"
+        f"WITH a AS (SELECT doc_id, {_PII_AUGMENT_SQL} AS aug FROM {table}), "
+        f"s1 AS (SELECT doc_id, aug AS t0, "
+        f"regexp_replace(aug, '{PII_EMAIL}', '<EMAIL>', 'g') AS t1 FROM a), "
+        f"s2 AS (SELECT *, regexp_replace(t1, '{PII_PHONE}', '<PHONE>', 'g') AS t2 "
+        "FROM s1) "
+        f"SELECT doc_id, CAST({_n('t0', PII_EMAIL)} AS BIGINT) AS n_emails, "
+        f"CAST({_n('t1', PII_PHONE)} AS BIGINT) AS n_phones, "
+        f"CAST({_n('t2', PII_IP)} AS BIGINT) AS n_ips, "
+        f"md5(regexp_replace(t2, '{PII_IP}', '<IP>', 'g')) AS clean_hash "
+        "FROM s2 ORDER BY doc_id"
     )

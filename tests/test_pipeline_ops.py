@@ -162,3 +162,15 @@ def test_pii_scrub_redacts_and_counts(spark):
         pl.scrub_text_col(F.col("text")).alias("t")
     ).first().t
     assert scrubbed == "mail <EMAIL> or <PHONE> from <IP> end"
+
+
+def test_pii_scrub_counts_match_actual_replacements(spark):
+    """An IP-shaped domain inside an email is consumed by the email
+    pass — it must NOT be reported as an IP redaction (counts are
+    measured on the staged text each replacement actually runs on)."""
+    docs = spark.createDataFrame([Row(doc_id=1, text="x a@10.1.2.3.com y")])
+    r = pl.pii_scrub(docs).first()
+    assert (r.n_emails, r.n_phones, r.n_ips) == (1, 0, 0)
+    scrubbed = docs.select(pl.scrub_text_col(F.col("text")).alias("t")).first().t
+    assert scrubbed == "x <EMAIL> y"
+    assert scrubbed.count("<IP>") == r.n_ips
