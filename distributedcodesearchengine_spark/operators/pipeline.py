@@ -188,7 +188,7 @@ def mixture_sample_sql(table: str = "documents") -> str:
 # ---------------------------------------------------------------------------
 # sequence packing
 
-_PACK_RANGE_WIDTH = 256
+_PACK_RANGE_WIDTH = 1 << 20
 
 
 def pack_sequences(
@@ -196,6 +196,7 @@ def pack_sequences(
     budget: int = 512,
     carry: tuple = (),
     materialize: bool = True,
+    range_width: int = _PACK_RANGE_WIDTH,
 ) -> DataFrame:
     """(doc_id, *carry, n_tokens, start_offset, bin_id) — contiguous
     token-budget packing plan: documents in doc_id order are laid into
@@ -215,11 +216,20 @@ def pack_sequences(
     first: the upstream plan runs once, both references read the
     materialized rows. ``materialize=False`` opts out for composition
     into a caller that manages its own persistence.
+
+    ``range_width`` bounds BOTH window levels: within-range windows hold
+    at most ``range_width`` rows (parallel across ranges) and the
+    range-offset window holds ``max_doc_id / range_width`` rows in one
+    tiny task. Size it near sqrt(max_doc_id) for the design point — the
+    2^20 default keeps the offset window at ~10^6 rows for a 10^12-doc
+    corpus while each range stays a bounded in-memory window. The
+    decomposition is offset-invariant, so any width yields identical
+    output (regression-tested across a range boundary).
     """
     d = docs.select("doc_id", *carry, F.size("tokens").cast("long").alias("n_tokens"))
     if materialize:
         d = d.localCheckpoint(eager=False)
-    d = d.withColumn("range_id", F.expr(f"doc_id DIV {_PACK_RANGE_WIDTH}"))
+    d = d.withColumn("range_id", F.expr(f"doc_id DIV {range_width}"))
     w_in = (
         Window.partitionBy("range_id")
         .orderBy("doc_id")

@@ -55,10 +55,10 @@ def test_pack_sequences_offsets_and_bins(spark):
 
 
 def test_pack_sequences_crosses_range_boundary(spark):
-    # doc_ids straddle the 256-wide internal range partitioning: the
+    # doc_ids straddle an explicit 256-wide range partitioning: the
     # two-level cumsum must compose to the same global prefix sum
     rows = [(250 + i, ["x"] * (i + 1)) for i in range(12)]  # ids 250..261
-    out = pl.pack_sequences(_toks(spark, rows), budget=7).collect()
+    out = pl.pack_sequences(_toks(spark, rows), budget=7, range_width=256).collect()
     expected_start = 0
     for r, (_, toks) in zip(out, rows):
         assert r.start_offset == expected_start
