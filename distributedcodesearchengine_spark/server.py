@@ -23,6 +23,13 @@ Endpoints (JSON responses):
                        all queries scored in ONE DataFrame plan
                        (bm25_topk_batch — the throughput path; queries
                        whose max score is non-positive return [])
+    POST /search/local {"input": DIR, "query": "...", "limit": 10} ->
+                       ad-hoc BM25 over a pages directory that is not
+                       the served index; first use (or a path change)
+                       builds an in-memory index for it (the reference's
+                       POST /search/local LocalSearchEngine semantics,
+                       api/server.py:291-352)
+    GET  /api          endpoint info map (api/server.py:101-108)
 
 On completion the serving engine atomically swaps to the new index.
 Validation semantics mirror the reference API (server.py:122-133):
@@ -154,6 +161,30 @@ class IndexJobManager:
 
 
 def make_handler(engine, stats_fn, index_manager=None):
+    # POST /search/local state: one ad-hoc BM25-only index over the last
+    # requested pages directory, rebuilt when the path changes (the
+    # reference's LocalSearchEngine re-index-on-path-change semantics,
+    # api/server.py:291-352 / engine.py:413-500)
+    local_cache: dict = {}
+
+    def _local_index(input_dir: str):
+        if local_cache.get("path") != input_dir:
+            from .build.indexer import build_index_inmem
+            from .sources.tables import read_input_table
+
+            old = local_cache.pop("index", None)
+            if old is not None:
+                for df in (old.tf, old.docs, old.terms):
+                    try:
+                        df.unpersist()
+                    except Exception:  # noqa: BLE001 - cache hygiene only
+                        pass
+            local_cache["index"] = build_index_inmem(
+                engine.index.spark, read_input_table(engine.index.spark, input_dir)
+            )
+            local_cache["path"] = input_dir
+        return local_cache["index"]
+
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict) -> None:
             body = json.dumps(payload, default=str).encode("utf-8")
@@ -200,6 +231,28 @@ def make_handler(engine, stats_fn, index_manager=None):
                     return self._send(200, {"results": out})
                 except Exception as e:  # noqa: BLE001 - reference: no 500 bodies
                     return self._send(200, {"results": {}, "error": str(e)})
+            if url.path == "/search/local":
+                # ad-hoc BM25 search over a pages directory that is not
+                # the served index; first use (or a path change) builds
+                # an in-memory index for it (reference POST /search/local)
+                if not isinstance(body, dict) or not body.get("input") or not body.get("query"):
+                    return self._send(
+                        400, {"error": "need 'input' (pages dir) and 'query'"}
+                    )
+                try:
+                    from .operators.scorer import bm25_topk
+
+                    idx = _local_index(str(body["input"]))
+                    rows = bm25_topk(
+                        idx, str(body["query"]), k=int(body.get("limit", 10))
+                    ).collect()
+                    return self._send(200, {
+                        "query": body["query"], "input": body["input"],
+                        "indexed_docs": idx.n_docs,
+                        "results": [r.asDict() for r in rows],
+                    })
+                except Exception as e:  # noqa: BLE001 - reference: no 500 bodies
+                    return self._send(200, {"results": [], "error": str(e)})
             if url.path in ("/index", "/index/sync"):
                 if index_manager is None:
                     return self._send(
@@ -253,6 +306,21 @@ def make_handler(engine, stats_fn, index_manager=None):
                         200,
                         {"name": "spark-bm25 API", "gui": "static/index.html missing"},
                     )
+                if url.path == "/api":
+                    # API info map (reference api/server.py:101-108)
+                    return self._send(200, {
+                        "name": "spark-bm25 API",
+                        "endpoints": {
+                            "GET /search": "query the served index",
+                            "GET /suggest": "term autocomplete",
+                            "GET /stats": "corpus + build/job status",
+                            "GET /health": "liveness",
+                            "POST /search/batch": "multi-query, one plan",
+                            "POST /search/local": "ad-hoc dir search",
+                            "POST /index": "queue a build",
+                            "POST /index/sync": "blocking build",
+                        },
+                    })
                 if url.path == "/health":
                     return self._send(200, {"status": "ok"})
                 if url.path == "/stats":

@@ -276,3 +276,38 @@ def test_post_index_bad_input_dir_fails_job(isrv):
     # server still healthy
     code, health = _get(base, "/health")
     assert code == 200 and health["status"] == "ok"
+
+
+def test_api_info(srv):
+    code, body = _get(srv, "/api")
+    assert code == 200
+    assert "POST /search/local" in body["endpoints"]
+
+
+def test_search_local_builds_and_reindexes_on_path_change(srv, spark, tmp_path_factory):
+    """POST /search/local: ad-hoc BM25 over a directory that is NOT the
+    served index, rebuilt when the path changes (reference
+    api/server.py:291-352 LocalSearchEngine semantics)."""
+    base = tmp_path_factory.mktemp("local")
+    d1, d2 = str(base / "p1"), str(base / "p2")
+    generate_pages(spark, 40, seed=51, parts=1).write.parquet(d1)
+    generate_pages(spark, 25, seed=52, parts=1).write.parquet(d2)
+
+    code, body = _post(srv, "/search/local", {"input": d1, "query": "parse json"})
+    assert code == 200 and body["indexed_docs"] == 40
+    assert body["results"] and body["results"][0]["rank"] == 1
+    # same path again: served from the cached ad-hoc index
+    code, body = _post(srv, "/search/local", {"input": d1, "query": "http request"})
+    assert code == 200 and body["indexed_docs"] == 40
+    # path change: re-index
+    code, body = _post(srv, "/search/local", {"input": d2, "query": "parse json"})
+    assert code == 200 and body["indexed_docs"] == 25
+
+
+def test_search_local_missing_fields_is_400_and_bad_dir_is_empty(srv):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(srv, "/search/local", {"input": "/tmp/x"})
+    assert e.value.code == 400
+    # reference error semantics: bad input dir -> empty results, not 500
+    code, body = _post(srv, "/search/local", {"input": "/nonexistent/dir", "query": "q"})
+    assert code == 200 and body["results"] == [] and "error" in body
