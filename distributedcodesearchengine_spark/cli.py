@@ -89,6 +89,32 @@ def _build_parser() -> argparse.ArgumentParser:
     v.add_argument("--index", required=True)
     v.add_argument("--port", type=int, default=8099)
     v.add_argument("--host", default="127.0.0.1")
+
+    w = sub.add_parser(
+        "worker",
+        help="incremental-index worker: drain a pages directory into a "
+        "queryable streaming index (the reference queue-consumer loop)",
+    )
+    w.add_argument("--input", required=True, help="watched pages parquet directory")
+    w.add_argument("--index", required=True, help="streaming index directory")
+    w.add_argument("--checkpoint", required=True, help="stream checkpoint directory")
+    w.add_argument(
+        "--follow", action="store_true",
+        help="keep consuming new files (default drains what exists and exits, "
+        "the reference worker's run_once)",
+    )
+
+    u = sub.add_parser(
+        "queue",
+        help="publish an index-build job to a running server "
+        "(thin client for POST /index)",
+    )
+    u.add_argument("--server", required=True, help="base url, e.g. http://127.0.0.1:8099")
+    u.add_argument("--input", required=True, help="pages parquet directory to index")
+    u.add_argument("--priority", type=int, default=5)
+    u.add_argument("--sync", action="store_true", help="block until built (POST /index/sync)")
+
+    sub.add_parser("version", help="engine version")
     return p
 
 
@@ -109,11 +135,54 @@ def _stats_dict(spark, idx, index_dir: str) -> dict:
     }
 
 
+VERSION = "0.3.0"  # round-numbered: bumped each driver round
+
+
 def main(argv=None, spark=None) -> int:
     args = _build_parser().parse_args(argv)
+
+    if args.cmd == "version":
+        print(json.dumps({"name": "spark-bm25", "version": VERSION}))
+        return 0
+
+    if args.cmd == "queue":
+        # no SparkSession needed — pure HTTP client (the reference's
+        # `queue` publishes to the broker, cli/main.py:363-398)
+        import urllib.request
+
+        path = "/index/sync" if args.sync else "/index"
+        req = urllib.request.Request(
+            args.server.rstrip("/") + path,
+            data=json.dumps(
+                {"input": args.input, "priority": args.priority}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req) as r:
+                print(r.read().decode())
+            return 0
+        except OSError as e:
+            body = getattr(e, "read", lambda: b"")()
+            print(f"error: {e}" + (f" {body.decode()}" if body else ""), file=sys.stderr)
+            return 2
+
     from .session import get_spark
 
     spark = spark or get_spark("dcse-cli")
+
+    if args.cmd == "worker":
+        from .streaming.incremental import start_incremental_index
+
+        q, indexer = start_incremental_index(
+            spark, args.input, args.index, args.checkpoint,
+            available_now=not args.follow,
+        )
+        q.awaitTermination()
+        idx = indexer.load()
+        print(json.dumps({"n_docs": idx.n_docs, "avgdl": idx.avgdl, "index": args.index}))
+        return 0
 
     if args.cmd == "build":
         from .build.checkpoint import build_index_persisted

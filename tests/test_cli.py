@@ -237,3 +237,26 @@ def test_cli_curate_missing_columns_errors(spark, tmp_path_factory, capsys):
     rc = main(["curate", "--input", src, "--output", str(base / "o")], spark=spark)
     assert rc == 2
     assert "missing columns" in capsys.readouterr().err
+
+
+def test_cli_version(capsys):
+    rc = main(["version"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["name"] == "spark-bm25" and out["version"]
+
+
+def test_cli_worker_drains_pages_dir(spark, tmp_path_factory, capsys):
+    """`worker` is the reference queue-consumer loop: drain what exists
+    (run_once mode) into a queryable streaming index."""
+    base = tmp_path_factory.mktemp("worker")
+    pages_dir = str(base / "pages")
+    generate_pages(spark, 80, seed=61, parts=2).write.parquet(pages_dir)
+    rc = main(
+        ["worker", "--input", pages_dir, "--index", str(base / "sidx"),
+         "--checkpoint", str(base / "ckpt")],
+        spark=spark,
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report["n_docs"] == 80

@@ -311,3 +311,29 @@ def test_search_local_missing_fields_is_400_and_bad_dir_is_empty(srv):
     # reference error semantics: bad input dir -> empty results, not 500
     code, body = _post(srv, "/search/local", {"input": "/nonexistent/dir", "query": "q"})
     assert code == 200 and body["results"] == [] and "error" in body
+
+
+def test_cli_queue_publishes_to_server(isrv, spark, tmp_path_factory, capsys):
+    """`queue --sync` is the reference's job-publish CLI: a pure HTTP
+    client posting a build to the running server's job surface."""
+    from distributedcodesearchengine_spark.cli import main as cli_main
+
+    base, _ = isrv
+    pages_dir = str(tmp_path_factory.mktemp("qpub") / "pages")
+    generate_pages(spark, 60, seed=77, parts=1).write.parquet(pages_dir)
+    rc = cli_main(
+        ["queue", "--server", base, "--input", pages_dir, "--sync"], spark=spark
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["success"] is True and out["n_docs"] == 60
+
+
+def test_cli_queue_unreachable_server_errors(capsys):
+    from distributedcodesearchengine_spark.cli import main as cli_main
+
+    rc = cli_main(
+        ["queue", "--server", "http://127.0.0.1:1", "--input", "/tmp/x"]
+    )
+    assert rc == 2
+    assert "error" in capsys.readouterr().err
