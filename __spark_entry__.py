@@ -244,6 +244,14 @@ def _registry():
     reg["multimodal_features"] = (eq.multimodal_features, mm.media_features_sql("image"))
     reg["multimodal_frame_sample"] = (eq.frame_sample_q, mm.frame_sample_sql("video", 8))
     reg["multimodal_resize"] = (eq.multimodal_resize, mm.resize_plan_sql("image", 224, 224))
+
+    # web-corpus thinning passes: corpus-wide line-level dedup
+    # (boilerplate removal over deterministically multi-line-rendered
+    # pages) and per-domain contribution caps
+    reg["dedup_lines"] = (
+        _tbl_op(dd.dedup_lines_augmented), dd.dedup_lines_augmented_sql(),
+    )
+    reg["domain_cap"] = (_tbl_op(pl.domain_cap), pl.domain_cap_sql())
     return reg
 
 

@@ -359,3 +359,132 @@ def ngram_jaccard_sample_sql(table_toks_cte: str, max_doc: int = 40) -> str:
         "WHERE CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) > 0 "
         "ORDER BY doc_a, doc_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# line-level dedup (corpus-wide boilerplate removal)
+
+LINE_DUP_MIN = 3
+_LINE_GROUP = 6  # tokens per synthetic line in the gate augmentation
+
+
+def dedup_lines(
+    docs: DataFrame, min_dup: int = LINE_DUP_MIN, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_lines, n_removed, clean_hash) — corpus-wide LINE-level
+    dedup, the C4/RefinedWeb boilerplate-removal pass: a line occurring
+    ``min_dup``+ times anywhere in the corpus (nav menus, cookie
+    banners, copyright footers) is removed from EVERY document;
+    survivors are reassembled in original order and pinned by md5 (the
+    hash, not the body, keeps the gate rows narrow while pinning every
+    surviving byte and its order).
+
+    Scale shape: line frequencies are a groupBy with map-side combine —
+    a billion-copy boilerplate line collapses to one row per map task
+    BEFORE the shuffle, so hot lines cannot skew the aggregation — and
+    the count join back is a hash join on ``line`` that AQE skew-splits
+    on the hot keys; reassembly is one groupBy(doc_id) over
+    (pos, line) structs. Two shuffles total; no window over a skewed
+    key anywhere (a ``count() OVER (PARTITION BY line)`` formulation
+    would serialize every copy of a hot line through one task).
+    """
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"),
+    )
+    cnts = lines.groupBy("line").agg(F.count("*").alias("n_occ"))
+    j = lines.join(cnts, "line")
+    kept = F.when(F.col("n_occ") < min_dup, F.struct("pos", "line"))
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum((F.col("n_occ") >= min_dup).cast("int"))
+            .cast("long")
+            .alias("n_removed"),
+            F.md5(
+                F.encode(
+                    F.array_join(
+                        # collect_list drops the nulls from the removed
+                        # lines; array_sort on (pos, line) restores
+                        # document order
+                        F.transform(
+                            F.array_sort(F.collect_list(kept)), lambda x: x["line"]
+                        ),
+                        "\n",
+                    ),
+                    "utf-8",
+                )
+            ).alias("clean_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dedup_lines_sql(
+    augmented_cte: str, min_dup: int = LINE_DUP_MIN, text_col: str = "txt"
+) -> str:
+    """Oracle over ``augmented_cte`` = ``a AS (SELECT doc_id, ... AS txt
+    FROM ...)`` — the same two-shuffle plan as straight-line SQL."""
+    return (
+        f"WITH {augmented_cte}, "
+        f"l0 AS (SELECT doc_id, string_split({text_col}, chr(10)) AS ls FROM a), "
+        "l AS (SELECT doc_id, i AS pos, ls[i] AS line FROM l0, "
+        "unnest(generate_series(1, len(ls))) AS _t(i)), "
+        "c AS (SELECT line, count(*) AS n_occ FROM l GROUP BY 1), "
+        "j AS (SELECT l.doc_id, l.pos, l.line, c.n_occ FROM l JOIN c USING (line)) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines, "
+        f"CAST(sum(CASE WHEN n_occ >= {min_dup} THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_removed, "
+        "md5(coalesce(string_agg(line, chr(10) ORDER BY pos) "
+        f"FILTER (WHERE n_occ < {min_dup}), '')) AS clean_hash "
+        "FROM j GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
+# The corpus is single-line word-soup, so the gate wrapper (same
+# pattern as pipeline.pii_scrub_augmented) renders each document as a
+# multi-line page IDENTICALLY in both engines: a shared nav header,
+# the body split into 6-token lines, and one of two rotating footers —
+# the header/footers are the corpus-wide boilerplate the pass removes,
+# while body lines dedup only where content genuinely repeats.
+_LINE_HEADER = "site menu home about contact"
+_LINE_FOOT_A = "subscribe to our newsletter today"
+_LINE_FOOT_B = "copyright example corp all rights reserved"
+
+
+def _lines_augment_spark() -> F.Column:
+    g = _LINE_GROUP
+    return F.expr(
+        f"concat('{_LINE_HEADER}', chr(10), "
+        f"array_join(transform(sequence(0, (size(w) - 1) DIV {g}), "
+        f"g -> array_join(slice(w, g * {g} + 1, {g}), ' ')), chr(10)), chr(10), "
+        f"CASE WHEN doc_id % 3 = 0 THEN '{_LINE_FOOT_A}' "
+        f"ELSE '{_LINE_FOOT_B}' END)"
+    )
+
+
+def _lines_augment_sql(table: str = "documents") -> str:
+    g = _LINE_GROUP
+    return (
+        f"w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM {table}), "
+        f"a AS (SELECT doc_id, '{_LINE_HEADER}' || chr(10) || "
+        f"array_to_string(list_transform(generate_series(0, (len(w) - 1) // {g}), "
+        f"g -> array_to_string(w[g * {g} + 1:g * {g} + {g}], ' ')), chr(10)) "
+        f"|| chr(10) || CASE WHEN doc_id % 3 = 0 THEN '{_LINE_FOOT_A}' "
+        f"ELSE '{_LINE_FOOT_B}' END AS txt FROM w0)"
+    )
+
+
+def dedup_lines_augmented(documents: DataFrame) -> DataFrame:
+    """Gate wrapper: render the corpus as multi-line pages with shared
+    boilerplate, then run the line-dedup pass."""
+    return dedup_lines(
+        documents.select(
+            "doc_id", F.split("text", " ", -1).alias("w")
+        ).select("doc_id", _lines_augment_spark().alias("text"))
+    )
+
+
+def dedup_lines_augmented_sql(table: str = "documents") -> str:
+    return dedup_lines_sql(_lines_augment_sql(table))

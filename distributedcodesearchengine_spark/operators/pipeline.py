@@ -621,3 +621,80 @@ def pii_scrub_sql(table: str = "documents") -> str:
         f"md5(regexp_replace(t2, '{PII_IP}', '<IP>', 'g')) AS clean_hash "
         "FROM s2 ORDER BY doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# per-domain contribution caps (spam-domain thinning)
+
+DOMAIN_CAP = 7
+
+
+def apply_domain_cap(
+    documents: DataFrame, cap: int = DOMAIN_CAP, key: str = "source"
+) -> DataFrame:
+    """Keep at most ``cap`` documents per domain (lowest doc_id wins) —
+    the anti-spam / anti-SEO-farm thinning pass every web-corpus
+    pipeline runs so no single domain dominates the train mix.
+
+    Scale shape: a naive ``row_number() OVER (PARTITION BY domain ORDER
+    BY doc_id)`` sorts EVERY domain's rows, including the overwhelming
+    majority that are under the cap. Here the per-domain counts (one
+    groupBy, map-side combined) split the corpus first: under-cap
+    domains pass through untouched (a broadcast-able semi-join at real
+    cap rates), and only the hot tail — the handful of mega-domains the
+    cap exists for — pays the rank window. AQE handles their skew; the
+    union is result-identical to the naive window.
+    """
+    g = documents.groupBy(key).agg(F.count("*").alias("_n"))
+    under = documents.join(
+        F.broadcast(g.filter(F.col("_n") <= cap).select(key)), key, "leftsemi"
+    )
+    hot = documents.join(
+        F.broadcast(g.filter(F.col("_n") > cap).select(key)), key, "leftsemi"
+    )
+    w = Window.partitionBy(key).orderBy("doc_id")
+    capped = (
+        hot.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+    return under.unionByName(capped)
+
+
+def domain_cap(
+    documents: DataFrame, cap: int = DOMAIN_CAP, key: str = "source"
+) -> DataFrame:
+    """(source, n_docs, n_kept, at_cap) — the cap decision per domain,
+    with the surviving doc set pinned by the min/max doc_id actually
+    kept (so the gate checks WHICH rows survive, not just how many)."""
+    kept = apply_domain_cap(documents, cap=cap, key=key)
+    g = documents.groupBy(key).agg(F.count("*").cast("long").alias("n_docs"))
+    k = kept.groupBy(key).agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.min("doc_id").alias("first_kept"),
+        F.max("doc_id").alias("last_kept"),
+    )
+    return (
+        g.join(k, key)
+        .select(
+            key, "n_docs", "n_kept", (F.col("n_docs") > cap).alias("at_cap"),
+            "first_kept", "last_kept",
+        )
+        .orderBy(key)
+    )
+
+
+def domain_cap_sql(
+    table: str = "documents", cap: int = DOMAIN_CAP, key: str = "source"
+) -> str:
+    return (
+        f"WITH r AS (SELECT {key}, doc_id, row_number() OVER "
+        f"(PARTITION BY {key} ORDER BY doc_id) AS rn FROM {table}), "
+        f"k AS (SELECT {key}, count(*) AS n_kept, min(doc_id) AS first_kept, "
+        f"max(doc_id) AS last_kept FROM r WHERE rn <= {cap} GROUP BY {key}), "
+        f"g AS (SELECT {key}, count(*) AS n_docs FROM {table} GROUP BY {key}) "
+        f"SELECT g.{key}, CAST(g.n_docs AS BIGINT) AS n_docs, "
+        "CAST(k.n_kept AS BIGINT) AS n_kept, "
+        f"g.n_docs > {cap} AS at_cap, k.first_kept, k.last_kept "
+        f"FROM g JOIN k USING ({key}) ORDER BY {key}"
+    )

@@ -174,3 +174,68 @@ def test_pii_scrub_counts_match_actual_replacements(spark):
     scrubbed = docs.select(pl.scrub_text_col(F.col("text")).alias("t")).first().t
     assert scrubbed == "x <EMAIL> y"
     assert scrubbed.count("<IP>") == r.n_ips
+
+
+# ---------------------------------------------------------------------------
+# line-level dedup + domain caps (web-corpus thinning passes)
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in rows], "doc_id long, text string"
+    )
+
+
+def test_dedup_lines_removes_corpus_wide_boilerplate(spark):
+    from distributedcodesearchengine_spark.operators import dedup as dd
+
+    boiler = "subscribe to our newsletter"
+    docs = _pages(
+        spark,
+        [
+            (0, f"{boiler}\nunique zero\n{boiler}"),
+            (1, f"unique one\n{boiler}"),
+            (2, "unique two a\nunique two b"),
+        ],
+    )
+    out = {r.doc_id: r for r in dd.dedup_lines(docs, min_dup=3).collect()}
+    # boiler occurs 3x corpus-wide -> every copy removed, incl. both in doc 0
+    assert (out[0].n_lines, out[0].n_removed) == (3, 2)
+    assert (out[1].n_lines, out[1].n_removed) == (2, 1)
+    assert (out[2].n_lines, out[2].n_removed) == (2, 0)
+    import hashlib
+
+    assert out[0].clean_hash == hashlib.md5(b"unique zero").hexdigest()
+    assert out[1].clean_hash == hashlib.md5(b"unique one").hexdigest()
+    assert out[2].clean_hash == hashlib.md5(b"unique two a\nunique two b").hexdigest()
+
+
+def test_dedup_lines_preserves_order_and_handles_all_removed(spark):
+    from distributedcodesearchengine_spark.operators import dedup as dd
+
+    docs = _pages(
+        spark,
+        [(0, "dup\ndup"), (1, "dup\nkeep b\nkeep a"), (2, "dup")],
+    )
+    out = {r.doc_id: r for r in dd.dedup_lines(docs, min_dup=4).collect()}
+    import hashlib
+
+    # doc 0: every line removed -> hash of the empty reassembly
+    assert out[0].n_removed == 2
+    assert out[0].clean_hash == hashlib.md5(b"").hexdigest()
+    # doc 1: surviving lines keep ORIGINAL order (b before a)
+    assert out[1].clean_hash == hashlib.md5(b"keep b\nkeep a").hexdigest()
+
+
+def test_apply_domain_cap_under_over_union(spark):
+    rows = [(i, "hot" if i < 40 else ("mid" if i < 48 else "cold")) for i in range(52)]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = pl.apply_domain_cap(d, cap=7).collect()
+    by = {}
+    for r in kept:
+        by.setdefault(r.source, []).append(r.doc_id)
+    # hot (40 docs) and mid (8 docs) are over-cap: lowest doc_ids win;
+    # cold (4 docs) passes through the under-cap branch untouched
+    assert sorted(by["hot"]) == list(range(7))
+    assert sorted(by["mid"]) == list(range(40, 47))
+    assert sorted(by["cold"]) == list(range(48, 52))
