@@ -252,6 +252,21 @@ def _registry():
         _tbl_op(dd.dedup_lines_augmented), dd.dedup_lines_augmented_sql(),
     )
     reg["domain_cap"] = (_tbl_op(pl.domain_cap), pl.domain_cap_sql())
+
+    # result-set exploration: facet sidebar counts (healthy + degenerate
+    # threshold regimes) and more-like-this retrieval
+    reg["bm25_facets_healthy"] = (
+        partial(eq.bm25_facets_q, query="dup table"),
+        oq.bm25_facets_sql("dup table"),
+    )
+    reg["bm25_facets_degenerate"] = (
+        partial(eq.bm25_facets_q, query="table row"),
+        oq.bm25_facets_sql("table row"),
+    )
+    reg["more_like_this"] = (
+        partial(eq.more_like_this_q, seed_doc_id=42, m=5, k=10),
+        oq.more_like_this_sql(42, m=5, k=10),
+    )
     return reg
 
 

@@ -117,6 +117,29 @@ def bm25_query(
     ).orderBy("rank")
 
 
+def bm25_facets_q(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Facet sidebar counts over the BM25 kept set (operators/explore)."""
+    from .operators.explore import bm25_facets
+
+    idx = get_documents_index(spark, sf_dir)
+    return bm25_facets(idx, query)
+
+
+def more_like_this_q(
+    spark: SparkSession, sf_dir: str, seed_doc_id: int, m: int = 5, k: int = 10
+) -> DataFrame:
+    """MLT retrieval (operators/explore) — gate corpus doc ids equal the
+    table's doc_id (documents_as_pages), so the seed passes through and
+    result ids parse back from the url key like every BM25 entry."""
+    from .operators.explore import more_like_this
+
+    idx = get_documents_index(spark, sf_dir)
+    res = more_like_this(idx, seed_doc_id, m=m, k=k)
+    return res.select(
+        "rank", _orig_doc_id(), round6("score").alias("score")
+    ).orderBy("rank")
+
+
 def bm25_sharded_query(
     spark: SparkSession, sf_dir: str, query: str, k: int = 10
 ) -> DataFrame:

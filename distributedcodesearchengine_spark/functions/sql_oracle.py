@@ -288,3 +288,72 @@ def rrf_hybrid_sql(
         f"{round6_sql('semantic_score')} AS semantic_score, {round6_sql('bm25_score')} AS bm25_score "
         "FROM top ORDER BY rank"
     )
+
+
+def bm25_facets_sql(query: str) -> str:
+    """Facet counts over the BM25 kept set (operators/explore.bm25_facets):
+    the bm25_topk_sql CTE chain up to ``kept``, aggregated by
+    (lang, source) instead of ranked."""
+    toks = tokenize(query)
+    if not toks:
+        return (
+            "SELECT '' AS lang, '' AS source, 1::BIGINT AS n_docs, "
+            "0.0 AS max_score WHERE false"
+        )
+    from collections import Counter
+
+    counts = Counter(toks)
+    qvals = ", ".join(f"('{t}', {float(q)})" for t, q in sorted(counts.items()))
+    return (
+        f"WITH {_docs_cte()}, "
+        f"qt(term, qtf) AS (VALUES {qvals}), "
+        "contrib AS ("
+        "  SELECT tf.doc_id, tf.term, "
+        f"    qt.qtf * (idf.idf * (tf.tf * {K1 + 1.0} / "
+        f"      (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM stats))))) AS c "
+        "  FROM tf JOIN qt USING (term) JOIN idf USING (term) "
+        "  JOIN doclen dl ON dl.doc_id = tf.doc_id), "
+        "scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id), "
+        "mx AS (SELECT max(score) AS m FROM scored), "
+        "kept AS ("
+        "  SELECT d.doc_id, d.lang, d.source, coalesce(s.score, 0.0) AS score "
+        "  FROM doclen d LEFT JOIN scored s USING (doc_id) "
+        "  WHERE ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
+        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))) "
+        "SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs, "
+        f"{round6_sql('max(score)')} AS max_score "
+        "FROM kept GROUP BY lang, source ORDER BY lang, source"
+    )
+
+
+def more_like_this_sql(seed_doc_id: int, m: int = 5, k: int = 10) -> str:
+    """MLT (operators/explore.more_like_this): the seed doc's top-m
+    tf-idf terms (tf * ln(N/df), ties tfidf desc / term asc) as a
+    qtf=1 query through the standard BM25 chain, seed excluded from
+    both the matched set and the degenerate zero backfill."""
+    seed = int(seed_doc_id)
+    return (
+        f"WITH {_docs_cte()}, "
+        "kw AS (SELECT tf.term, "
+        "  CAST(tf.tf AS DOUBLE) * ln(CAST((SELECT n_docs FROM stats) AS DOUBLE) / dfreq.df) AS tfidf "
+        f"  FROM tf JOIN dfreq USING (term) WHERE tf.doc_id = {seed} "
+        f"  ORDER BY tfidf DESC, term ASC LIMIT {int(m)}), "
+        "qt AS (SELECT term, 1.0 AS qtf FROM kw), "
+        "contrib AS ("
+        "  SELECT tf.doc_id, tf.term, "
+        f"    qt.qtf * (idf.idf * (tf.tf * {K1 + 1.0} / "
+        f"      (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM stats))))) AS c "
+        "  FROM tf JOIN qt USING (term) JOIN idf USING (term) "
+        f"  JOIN doclen dl ON dl.doc_id = tf.doc_id WHERE tf.doc_id <> {seed}), "
+        "scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id), "
+        "mx AS (SELECT max(score) AS m FROM scored), "
+        "kept AS ("
+        "  SELECT d.doc_id, coalesce(s.score, 0.0) AS score "
+        "  FROM doclen d LEFT JOIN scored s USING (doc_id) "
+        f"  WHERE d.doc_id <> {seed} "
+        "    AND ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
+        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))) "
+        "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank, "
+        f"doc_id, {round6_sql('score')} AS score "
+        f"FROM kept ORDER BY score DESC, doc_id ASC LIMIT {int(k)}"
+    )

@@ -1,0 +1,100 @@
+"""Semantics tests for the result-set exploration surfaces
+(operators/explore.py) — Spark/DuckDB parity is covered by the driver
+gate; these pin branch behaviors on handcrafted corpora (empty query,
+degenerate threshold, seed exclusion in both MLT branches)."""
+
+from distributedcodesearchengine_spark.build.indexer import build_index_inmem
+from distributedcodesearchengine_spark.operators.explore import (
+    bm25_facets,
+    more_like_this,
+    seed_keywords,
+)
+
+
+def _index(spark, rows):
+    pages = spark.createDataFrame(
+        [
+            (
+                f"https://{site}.example/{i:04d}",
+                f"<html><body><p>{text}</p></body></html>".encode(),
+                text,
+                lang,
+                src,
+            )
+            for i, (text, lang, src, site) in enumerate(rows)
+        ],
+        "url string, html binary, text string, lang string, source string",
+    )
+    return build_index_inmem(spark, pages, meta_cols=("source",))
+
+
+def test_facets_empty_query_guard(spark):
+    idx = _index(spark, [("alpha beta", "en", "s1", "a")])
+    assert bm25_facets(idx, "!! ??").count() == 0
+
+
+def test_facets_healthy_counts_thresholded_set_only(spark):
+    # 'rare' hits docs 0,1 (en/s1, de/s2); doc 2 never matches and must
+    # NOT appear in a healthy-regime facet count
+    idx = _index(
+        spark,
+        [
+            ("rare words here indeed", "en", "s1", "a"),
+            ("rare other tokens again", "de", "s2", "b"),
+            ("совсем unrelated stuff here", "en", "s3", "c"),
+        ],
+    )
+    out = {(r.lang, r.source): r.n_docs for r in bm25_facets(idx, "rare").collect()}
+    assert out == {("en", "s1"): 1, ("de", "s2"): 1}
+
+
+def test_facets_degenerate_counts_whole_corpus(spark):
+    # unknown token -> all-zero regime -> every doc is in the result
+    # set at score 0, so facets describe the whole corpus
+    idx = _index(
+        spark,
+        [
+            ("alpha beta gamma delta", "en", "s1", "a"),
+            ("epsilon zeta eta theta", "en", "s1", "a"),
+            ("iota kappa lambda mu", "de", "s2", "b"),
+        ],
+    )
+    rows = bm25_facets(idx, "zzzzunknown").collect()
+    out = {(r.lang, r.source): (r.n_docs, r.max_score) for r in rows}
+    assert out == {("en", "s1"): (2, 0.0), ("de", "s2"): (1, 0.0)}
+
+
+def test_seed_keywords_rank_by_tfidf(spark):
+    # 'special' appears twice in doc 0 and nowhere else -> top keyword;
+    # 'shared' is in every doc -> tfidf 0 (ln(N/df)=ln(1)) -> last
+    idx = _index(
+        spark,
+        [
+            ("special special unique shared", "en", "s1", "a"),
+            ("other words shared", "en", "s1", "a"),
+            ("more words shared", "en", "s1", "a"),
+        ],
+    )
+    kw = seed_keywords(idx, 0, m=3)
+    assert kw[0][0] == "special"
+    assert [t for t, _ in kw][-1] == "shared"
+
+
+def test_more_like_this_excludes_seed_both_branches(spark):
+    idx = _index(
+        spark,
+        [
+            ("apple banana cherry damson", "en", "s1", "a"),
+            ("apple banana cherry elder", "en", "s1", "a"),
+            ("fig grape hazel walnut", "en", "s1", "a"),
+        ],
+    )
+    res = more_like_this(idx, 0, m=3, k=10).collect()
+    ids = [r.doc_id for r in res]
+    assert 0 not in ids  # seed excluded
+    assert ids[0] == 1  # the near-twin ranks first
+    # degenerate regime: tiny corpus can floor every idf non-positive ->
+    # all-score<=0 branch; the zero backfill must also exclude the seed
+    idx2 = _index(spark, [("same same", "en", "s1", "a"), ("same also", "en", "s1", "a")])
+    res2 = more_like_this(idx2, 0, m=2, k=10).collect()
+    assert 0 not in [r.doc_id for r in res2]
