@@ -235,3 +235,23 @@ class SearchEngine:
             "rank int, doc_id long, url string, score double, "
             "semantic_score double, bm25_score double",
         )
+
+    def facets(self, query: str, keys=None) -> DataFrame:
+        """Facet sidebar counts over the query's BM25 kept set
+        (operators/explore.bm25_facets). Default keys are whichever of
+        lang/site/source the served docs relation carries."""
+        from .operators.explore import bm25_facets
+
+        if keys is None:
+            keys = [
+                c for c in ("lang", "site", "source")
+                if c in self.index.docs.columns
+            ]
+        return bm25_facets(self.index, query, keys=keys)
+
+    def similar(self, doc_id: int, m: int = 5, limit: int = 10) -> DataFrame:
+        """More-like-this over the served index
+        (operators/explore.more_like_this)."""
+        from .operators.explore import more_like_this
+
+        return more_like_this(self.index, int(doc_id), m=m, k=limit)

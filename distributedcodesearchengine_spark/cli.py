@@ -114,6 +114,16 @@ def _build_parser() -> argparse.ArgumentParser:
     u.add_argument("--priority", type=int, default=5)
     u.add_argument("--sync", action="store_true", help="block until built (POST /index/sync)")
 
+    m = sub.add_parser(
+        "similar", help="more-like-this: rank docs similar to a seed doc_id"
+    )
+    m.add_argument("doc_id", type=int)
+    m.add_argument("--index", required=True)
+    m.add_argument("--limit", type=int, default=10)
+    m.add_argument("--terms", type=int, default=5,
+                   help="how many of the seed's top tf-idf terms form the query")
+    m.add_argument("--json", dest="as_json", action="store_true")
+
     sub.add_parser("version", help="engine version")
     return p
 
@@ -246,6 +256,20 @@ def main(argv=None, spark=None) -> int:
             for r in rows:
                 url = r["url"] if "url" in r.__fields__ else ""
                 print(f"{r['rank']:>3}  {r['score']:.6f}  {r['doc_id']:>10}  {url}")
+        return 0
+
+    if args.cmd == "similar":
+        from .api import SearchEngine
+        from .build.checkpoint import load_index
+
+        engine = SearchEngine(load_index(spark, args.index))
+        rows = engine.similar(args.doc_id, m=args.terms, limit=args.limit).collect()
+        if args.as_json:
+            for r in rows:
+                print(json.dumps(r.asDict()))
+        else:
+            for r in rows:
+                print(f"{r['rank']:>3}  {r['score']:.6f}  {r['doc_id']:>10}  {r['url']}")
         return 0
 
     if args.cmd == "curate":

@@ -10,6 +10,8 @@ Endpoints (JSON responses):
 
     GET  /search?q=...&limit=10&lang=en&site=...&source=...&hybrid=1&scorer=exact
     GET  /suggest?prefix=al&limit=10
+    GET  /facets?q=...               facet counts over the query's kept set
+    GET  /similar?doc_id=N&m=5&limit=10   more-like-this retrieval
     GET  /stats                      (+ "jobs": queued/running/complete builds)
     GET  /health
     POST /index        {"input": DIR, "priority": 0-10, "phrase_index": bool}
@@ -313,6 +315,8 @@ def make_handler(engine, stats_fn, index_manager=None):
                         "endpoints": {
                             "GET /search": "query the served index",
                             "GET /suggest": "term autocomplete",
+                            "GET /facets": "facet counts for a query",
+                            "GET /similar": "more-like-this for a doc_id",
                             "GET /stats": "corpus + build/job status",
                             "GET /health": "liveness",
                             "POST /search/batch": "multi-query, one plan",
@@ -347,6 +351,26 @@ def make_handler(engine, stats_fn, index_manager=None):
                         {"suggestions": [
                             {"term": r["term"], "df": r["df"]} for r in rows
                         ]},
+                    )
+                if url.path == "/facets":
+                    if "q" not in q:
+                        return self._send(400, {"error": "missing q"})
+                    rows = engine.facets(q["q"]).collect()
+                    return self._send(
+                        200,
+                        {"query": q["q"], "facets": [r.asDict() for r in rows]},
+                    )
+                if url.path == "/similar":
+                    if "doc_id" not in q:
+                        return self._send(400, {"error": "missing doc_id"})
+                    res = engine.similar(
+                        int(q["doc_id"]),
+                        m=int(q.get("m", 5)),
+                        limit=int(q.get("limit", 10)),
+                    )
+                    rows = [r.asDict() for r in res.collect()]
+                    return self._send(
+                        200, {"doc_id": int(q["doc_id"]), "results": rows}
                     )
                 if url.path == "/search":
                     if "q" not in q:

@@ -260,3 +260,14 @@ def test_cli_worker_drains_pages_dir(spark, tmp_path_factory, capsys):
     assert rc == 0
     report = json.loads(capsys.readouterr().out)
     assert report["n_docs"] == 80
+
+
+def test_cli_similar(spark, built, capsys):
+    rc = main(
+        ["similar", "2", "--index", built, "--limit", "5", "--json"],
+        spark=spark,
+    )
+    assert rc == 0
+    rows = [json.loads(line) for line in capsys.readouterr().out.splitlines()]
+    assert rows and rows[0]["rank"] == 1
+    assert all(r["doc_id"] != 2 for r in rows)

@@ -337,3 +337,28 @@ def test_cli_queue_unreachable_server_errors(capsys):
     )
     assert rc == 2
     assert "error" in capsys.readouterr().err
+
+
+def test_facets_endpoint(srv):
+    code, body = _get(srv, "/facets", q="parse json")
+    assert code == 200 and body["query"] == "parse json"
+    rows = body["facets"]
+    assert rows and all({"lang", "site", "n_docs", "max_score"} <= set(r) for r in rows)
+    assert sum(r["n_docs"] for r in rows) > 0
+    # missing q -> 400
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/facets")
+    assert ei.value.code == 400
+
+
+def test_similar_endpoint(srv):
+    code, body = _get(srv, "/similar", doc_id=3, limit=5)
+    assert code == 200 and body["doc_id"] == 3
+    rows = body["results"]
+    assert rows and rows[0]["rank"] == 1
+    assert all(r["doc_id"] != 3 for r in rows)  # seed excluded
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/similar")
+    assert ei.value.code == 400
