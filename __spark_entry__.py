@@ -253,6 +253,14 @@ def _registry():
     )
     reg["domain_cap"] = (_tbl_op(pl.domain_cap), pl.domain_cap_sql())
 
+    # duplicated-substring profiles (ExactSubstr family): exact
+    # every-position windows + the content-defined-anchoring scale path
+    reg["dup_spans"] = (_docs_op(dd.dup_spans), dd.dup_spans_sql(cte))
+    reg["dup_spans_anchored"] = (
+        _docs_op(partial(dd.dup_spans, anchor_mod=4)),
+        dd.dup_spans_sql(cte, anchor_mod=4),
+    )
+
     # result-set exploration: facet sidebar counts (healthy + degenerate
     # threshold regimes) and more-like-this retrieval
     reg["bm25_facets_healthy"] = (

@@ -488,3 +488,112 @@ def dedup_lines_augmented(documents: DataFrame) -> DataFrame:
 
 def dedup_lines_augmented_sql(table: str = "documents") -> str:
     return dedup_lines_sql(_lines_augment_sql(table))
+
+
+# ---------------------------------------------------------------------------
+# duplicated-substring detection (ExactSubstr-family profile)
+
+SPAN_W = 8
+
+
+def dup_spans(
+    docs: DataFrame, w: int = SPAN_W, anchor_mod: int = 1
+) -> DataFrame:
+    """(doc_id, n_windows, n_dup_windows, dup_frac, first_dup_tok) —
+    per-document duplicated-substring profile: every ``w``-token window
+    is fingerprinted (md5 of the joined window) and a window whose
+    fingerprint occurs 2+ times ANYWHERE in the corpus (other docs or
+    elsewhere in the same doc) counts as duplicated. The per-doc
+    duplicated fraction is the drop/trim signal of the ExactSubstr
+    dedup family (suffix-array substring dedup re-expressed as a
+    fingerprint frequency join); ``first_dup_tok`` (-1 if none) is
+    where a trimmer would start cutting.
+
+    ``anchor_mod`` is the scale knob: with 1 every position anchors a
+    window (exact, |tokens| rows). With s > 1 only positions whose
+    FIRST token hashes to 0 mod s do — CONTENT-DEFINED anchoring
+    (winnowing-style), so both copies of a duplicated span anchor at
+    the same tokens regardless of their offsets in their documents; a
+    fixed-stride subsample would misalign copies at different parities
+    and silently miss them. Expected row reduction ~s with recall on
+    spans containing >= 1 anchor.
+
+    Scale shape: one explode (|tokens|/s rows of 16-byte fingerprints),
+    one map-side-combined groupBy(h), one join back (AQE skew-splits a
+    mega-duplicated span's fingerprint), one groupBy(doc_id). Same
+    skeleton as minhash/dedup_lines — the canonical pattern.
+    """
+    anchor = (
+        ""
+        if anchor_mod <= 1
+        else (
+            f"filter(_starts0, i -> (conv(substring(md5(encode("
+            f"tokens[i], 'utf-8')), 1, 8), 16, 10) % {anchor_mod}) = 0)"
+        )
+    )
+    base = (
+        f"CASE WHEN size(tokens) >= {w} THEN "
+        f"sequence(0, size(tokens) - {w}) ELSE array() END"
+    )
+    d = docs.withColumn("_starts0", F.expr(base))
+    if anchor:
+        d = d.withColumn("_starts0", F.expr(anchor))
+    spans = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(_starts0, i -> struct(i AS pos, "
+                f"md5(encode(array_join(slice(tokens, i + 1, {w}), ' '), "
+                "'utf-8')) AS h))"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    cnts = spans.groupBy("h").agg(F.count("*").alias("n"))
+    j = spans.join(cnts, "h")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum((F.col("n") >= 2).cast("int")).cast("long").alias("n_dup_windows"),
+            F.min(F.when(F.col("n") >= 2, F.col("pos"))).alias("_first"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            round6(
+                F.col("n_dup_windows") * F.lit(1.0) / F.col("n_windows")
+            ).alias("dup_frac"),
+            F.coalesce(F.col("_first"), F.lit(-1)).cast("long").alias("first_dup_tok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dup_spans_sql(
+    table_toks_cte: str, w: int = SPAN_W, anchor_mod: int = 1
+) -> str:
+    anchor_pred = (
+        ""
+        if anchor_mod <= 1
+        else (
+            f" AND ('0x' || substr(md5(toks[i + 1]), 1, 8))::BIGINT "
+            f"% {anchor_mod} = 0"
+        )
+    )
+    return (
+        f"WITH {table_toks_cte}, "
+        f"g AS (SELECT doc_id, i AS pos, "
+        f"md5(array_to_string(toks[i + 1:i + {w}], ' ')) AS h "
+        f"FROM docs, unnest(generate_series(0, len(toks) - {w})) AS _t(i) "
+        f"WHERE len(toks) >= {w}{anchor_pred}), "
+        "c AS (SELECT h, count(*) AS n FROM g GROUP BY 1), "
+        "j AS (SELECT g.doc_id, g.pos, c.n FROM g JOIN c USING (h)) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows, "
+        "CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows, "
+        f"{round6_sql('sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*)')} "
+        "AS dup_frac, "
+        "CAST(coalesce(min(CASE WHEN n >= 2 THEN pos END), -1) AS BIGINT) "
+        "AS first_dup_tok "
+        "FROM j GROUP BY doc_id ORDER BY doc_id"
+    )

@@ -239,3 +239,43 @@ def test_apply_domain_cap_under_over_union(spark):
     assert sorted(by["hot"]) == list(range(7))
     assert sorted(by["mid"]) == list(range(40, 47))
     assert sorted(by["cold"]) == list(range(48, 52))
+
+
+def test_dup_spans_catches_planted_duplicate_and_offsets(spark):
+    from distributedcodesearchengine_spark.operators import dedup as dd
+
+    shared = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    uniq1 = [f"u{i}" for i in range(6)]
+    uniq2 = [f"v{i}" for i in range(9)]
+    docs = _toks(
+        spark,
+        [
+            (0, uniq1 + shared),            # shared span at offset 6
+            (1, uniq2 + shared + ["tail"]),  # same span at offset 9
+            (2, [f"w{i}" for i in range(12)]),  # fully unique
+        ],
+    )
+    out = {r.doc_id: r for r in dd.dup_spans(docs, w=8).collect()}
+    assert out[0].n_dup_windows == 1 and out[0].first_dup_tok == 6
+    assert out[1].n_dup_windows == 1 and out[1].first_dup_tok == 9
+    assert out[2].n_dup_windows == 0 and out[2].first_dup_tok == -1
+    assert out[2].dup_frac == 0.0
+
+
+def test_dup_spans_content_anchoring_is_offset_invariant(spark):
+    """A fixed-stride subsample would miss copies at different parities;
+    content-defined anchors fire at the same tokens in both copies."""
+    from distributedcodesearchengine_spark.operators import dedup as dd
+
+    shared = [f"s{i}" for i in range(20)]
+    docs = _toks(
+        spark,
+        [
+            (0, ["x0"] + shared),       # odd offset
+            (1, ["y0", "y1"] + shared),  # even offset
+        ],
+    )
+    out = {r.doc_id: r for r in dd.dup_spans(docs, w=8, anchor_mod=3).collect()}
+    # whatever anchors land inside the shared span land identically in
+    # both copies -> both docs report the same number of dup windows > 0
+    assert out[0].n_dup_windows == out[1].n_dup_windows > 0
