@@ -137,3 +137,52 @@ def test_curation_funnel_plan_shape(spark):
     sample = explain_str(docs.filter(pl.mixture_keep_col()).select("doc_id"))
     assert "Exchange" not in sample, sample[:4000]
     assert "EvalPython" not in sample, sample[:4000]
+
+
+def test_thinning_passes_plan_shapes(spark):
+    """The web-corpus thinning passes keep their documented shapes: no
+    cartesian/nested-loop join anywhere, the count-join skeleton of the
+    fingerprint passes stays a hash/broadcast join, and domain_cap's
+    under-cap branch carries no window (only the hot branch sorts)."""
+    from distributedcodesearchengine_spark.functions.udfs import tokenize_udf
+    from distributedcodesearchengine_spark.operators import dedup as dd
+    from distributedcodesearchengine_spark.operators import pipeline as pl
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} a b c d e f g h", "en", f"s{i % 3}")
+         for i in range(30)],
+        "doc_id long, text string, lang string, source string",
+    )
+    toks = docs.select("doc_id", tokenize_udf("text").alias("tokens"))
+    banned = ("CartesianProduct", "BroadcastNestedLoopJoin")
+    assert_plan(dd.dedup_lines_augmented(docs), must_not_contain=banned)
+    assert_plan(dd.dup_spans(toks), must_not_contain=banned)
+    assert_plan(dd.dup_spans(toks, anchor_mod=4), must_not_contain=banned)
+    assert_plan(pl.domain_cap(docs), must_not_contain=banned)
+    # the under-cap pass-through branch must not sort: exactly ONE
+    # Window (the hot branch's rank) in the applied plan
+    import re
+
+    plan = explain_str(pl.apply_domain_cap(docs))
+    n_window_ops = len(re.findall(r"\bWindow \(\d+\)", plan))
+    assert n_window_ops == 1, plan[:4000]
+
+
+def test_exploration_plan_shapes(spark):
+    """Facets in the healthy regime: term filter pushed to the tf scan,
+    query side broadcast (inherited from score_matched), no cartesian."""
+    from distributedcodesearchengine_spark.operators.explore import bm25_facets
+    from tests.test_explore import _index
+
+    idx = _index(
+        spark,
+        [("rare words here indeed", "en", "s1", "a"),
+         ("rare other tokens again", "de", "s2", "b"),
+         ("plain unrelated stuff here", "en", "s3", "c")],
+    )
+    out = bm25_facets(idx, "rare")
+    assert_plan(
+        out,
+        must_contain=["BroadcastHashJoin"],
+        must_not_contain=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
