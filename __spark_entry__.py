@@ -253,6 +253,18 @@ def _registry():
     )
     reg["domain_cap"] = (_tbl_op(pl.domain_cap), pl.domain_cap_sql())
 
+    # per-domain quality rollup -> blocklist candidates
+    def _domain_quality_op(spark, sf_dir):
+        from distributedcodesearchengine_spark.functions.udfs import tokenize_udf
+        from distributedcodesearchengine_spark.sources.tables import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        return ts.domain_quality(
+            d.select("doc_id", "text", "source", tokenize_udf("text").alias("tokens"))
+        )
+
+    reg["domain_quality"] = (_domain_quality_op, ts.domain_quality_sql(cte))
+
     # duplicated-substring profiles (ExactSubstr family): exact
     # every-position windows + the content-defined-anchoring scale path
     reg["dup_spans"] = (_docs_op(dd.dup_spans), dd.dup_spans_sql(cte))

@@ -350,3 +350,70 @@ def doc_keywords_sql(table_toks_cte: str, k: int = 5) -> str:
         f"{round6_sql('tfidf')} AS tfidf FROM rk WHERE rank <= {int(k)} "
         "ORDER BY doc_id, rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# per-domain quality rollup (blocklist derivation)
+
+DOMAIN_LOW_QUALITY = 0.55
+DOMAIN_FLAG_FRAC = 0.5
+
+
+def domain_quality(
+    docs: DataFrame,
+    low_quality: float = DOMAIN_LOW_QUALITY,
+    flag_frac: float = DOMAIN_FLAG_FRAC,
+    key: str = "source",
+) -> DataFrame:
+    """(source, n_docs, n_low, low_frac, flagged) — the FineWeb/C4-style
+    domain blocklist derivation: per-doc quality scores rolled up by
+    domain; a domain whose low-quality share exceeds ``flag_frac``
+    becomes a blocklist candidate. ``docs`` carries
+    (doc_id, text, tokens, ``key``).
+
+    Determinism note: the rollup aggregates only INTEGER counts (the
+    per-doc threshold test runs on the 6-dp-rounded quality, which the
+    gate proves bit-identical across engines) — never a float mean,
+    whose partial-aggregation order would differ between engines.
+    One groupBy; the quality expressions fuse into the scan.
+    """
+    q = quality_score(docs.select("doc_id", "text", "tokens")).select(
+        "doc_id", "quality"
+    )
+    j = q.join(docs.select("doc_id", key), "doc_id")
+    g = j.groupBy(key).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("quality") < F.lit(float(low_quality))).cast("int"))
+        .cast("long")
+        .alias("n_low"),
+    )
+    return g.select(
+        key,
+        "n_docs",
+        "n_low",
+        round6(F.col("n_low") * F.lit(1.0) / F.col("n_docs")).alias("low_frac"),
+        (F.col("n_low") * F.lit(1.0) / F.col("n_docs") > F.lit(float(flag_frac)))
+        .alias("flagged"),
+    ).orderBy(key)
+
+
+def domain_quality_sql(
+    table_toks_cte: str,
+    low_quality: float = DOMAIN_LOW_QUALITY,
+    flag_frac: float = DOMAIN_FLAG_FRAC,
+    table: str = "documents",
+) -> str:
+    base = quality_score_sql(table_toks_cte)
+    nlow = (
+        f"sum(CASE WHEN b.quality < CAST({low_quality} AS DOUBLE) "
+        "THEN 1 ELSE 0 END)"
+    )
+    return (
+        f"WITH base AS ({base}) "
+        "SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs, "
+        f"CAST({nlow} AS BIGINT) AS n_low, "
+        f"{round6_sql(f'{nlow} * 1.0 / count(*)')} AS low_frac, "
+        f"{nlow} * 1.0 / count(*) > CAST({flag_frac} AS DOUBLE) AS flagged "
+        f"FROM base b JOIN {table} d USING (doc_id) "
+        "GROUP BY d.source ORDER BY d.source"
+    )

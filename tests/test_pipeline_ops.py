@@ -279,3 +279,22 @@ def test_dup_spans_content_anchoring_is_offset_invariant(spark):
     # whatever anchors land inside the shared span land identically in
     # both copies -> both docs report the same number of dup windows > 0
     assert out[0].n_dup_windows == out[1].n_dup_windows > 0
+
+
+def test_domain_quality_flags_low_quality_domains(spark):
+    from distributedcodesearchengine_spark.operators import textstats as ts
+
+    # 'junk' domain: terse punctuation-heavy docs; 'good' domain: long
+    # stopword-bearing prose-ish docs
+    good = "the quick brown fox jumps over the lazy dog and then " * 12
+    junk = "@@ ## !! %% ^^ zz"
+    rows = [(i, good, "good") for i in range(4)] + [
+        (i + 10, junk, "junk") for i in range(4)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    from distributedcodesearchengine_spark.functions.udfs import tokenize_udf
+
+    d = d.select("doc_id", "text", "source", tokenize_udf("text").alias("tokens"))
+    out = {r.source: r for r in ts.domain_quality(d).collect()}
+    assert out["junk"].flagged and out["junk"].low_frac == 1.0
+    assert not out["good"].flagged and out["good"].n_low == 0
