@@ -265,6 +265,9 @@ def _registry():
 
     reg["domain_quality"] = (_domain_quality_op, ts.domain_quality_sql(cte))
 
+    # unigram-LM perplexity (CCNet-style quality signal)
+    reg["unigram_logppl"] = (_docs_op(ts.unigram_logppl), ts.unigram_logppl_sql(cte))
+
     # duplicated-substring profiles (ExactSubstr family): exact
     # every-position windows + the content-defined-anchoring scale path
     reg["dup_spans"] = (_docs_op(dd.dup_spans), dd.dup_spans_sql(cte))

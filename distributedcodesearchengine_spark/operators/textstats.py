@@ -417,3 +417,75 @@ def domain_quality_sql(
         f"FROM base b JOIN {table} d USING (doc_id) "
         "GROUP BY d.source ORDER BY d.source"
     )
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM perplexity (CCNet-style quality signal)
+
+
+def unigram_logppl(docs: DataFrame) -> DataFrame:
+    """(doc_id, doc_len, nll_per_tok, ppl) — the CCNet/Wikipedia-LM
+    quality signal of web-corpus curation: each document scored by the
+    mean negative log-likelihood of its tokens under the corpus's own
+    unigram LM (P(t) = ctf(t)/total, MLE — every doc token exists in
+    the corpus by construction, so no smoothing term to diverge on).
+    Low nll flags stereotypical/templated text, high nll flags
+    rare-token soup — the two tails a perplexity filter trims.
+
+    Scale: one explode, two hash aggs (per-doc tf; corpus ctf as a
+    map-side-combinable sum OVER the per-doc tf, never a second pass
+    on the exploded rows), a term-keyed join of relations already
+    partitioned by term, and the canonical term-sorted fold
+    (aggregate(array_sort(collect_list))) for engine-deterministic
+    doubles — the same discipline as the BM25 scorer. The 1-row total
+    enters as a broadcast cross join, not a driver collect.
+    """
+    tf2 = docs.select("doc_id", F.explode("tokens").alias("term"))
+    dtf = tf2.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    ctf = dtf.groupBy("term").agg(F.sum("tf").cast("long").alias("ctf"))
+    tot = ctf.agg(F.sum("ctf").cast("double").alias("_total"))
+    contrib = (
+        dtf.join(ctf, "term")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("c", F.col("tf") * F.log(F.col("_total") / F.col("ctf")))
+    )
+    agg = contrib.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("doc_len"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "c"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["c"],
+        ).alias("s"),
+    )
+    nll = F.coalesce(F.col("s") / F.col("doc_len"), F.lit(0.0))
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("doc_len"), F.lit(0)).cast("long").alias("doc_len"),
+            round6(nll).alias("nll_per_tok"),
+            round6(F.exp(nll)).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def unigram_logppl_sql(table_toks_cte: str) -> str:
+    nll = "coalesce(a.s / a.doc_len, 0.0)"
+    return (
+        f"WITH {table_toks_cte}, "
+        "tf2 AS (SELECT doc_id, unnest(toks) AS term FROM docs), "
+        "dtf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+        "  FROM tf2 GROUP BY 1, 2), "
+        "ctf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ctf FROM dtf GROUP BY 1), "
+        "tot AS (SELECT CAST(sum(ctf) AS DOUBLE) AS total FROM ctf), "
+        "contrib AS (SELECT doc_id, term, tf, "
+        "  tf * ln((SELECT total FROM tot) / ctf) AS c FROM dtf JOIN ctf USING (term)), "
+        "agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len, "
+        "  sum(c ORDER BY term) AS s FROM contrib GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(coalesce(a.doc_len, 0) AS BIGINT) AS doc_len, "
+        f"{round6_sql(nll)} AS nll_per_tok, "
+        f"{round6_sql(f'exp({nll})')} AS ppl "
+        "FROM docs d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"
+    )

@@ -298,3 +298,22 @@ def test_domain_quality_flags_low_quality_domains(spark):
     out = {r.source: r for r in ts.domain_quality(d).collect()}
     assert out["junk"].flagged and out["junk"].low_frac == 1.0
     assert not out["good"].flagged and out["good"].n_low == 0
+
+
+def test_unigram_logppl_separates_common_from_rare(spark):
+    from distributedcodesearchengine_spark.operators import textstats as ts
+
+    # 9 docs of pure boilerplate + 1 doc of corpus-rare tokens: the
+    # rare doc must carry the highest per-token surprise, boilerplate
+    # the lowest, and ppl must be exp(nll) after rounding
+    rows = [(i, ["the", "quick", "fox"] * 4) for i in range(9)]
+    rows.append((9, ["zyzzyva", "quux", "xylem", "the"]))
+    d = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    out = {r.doc_id: r for r in ts.unigram_logppl(d.withColumn("text", F.lit(""))).collect()}
+    assert len(out) == 10
+    assert out[9].nll_per_tok == max(r.nll_per_tok for r in out.values())
+    assert out[0].nll_per_tok == min(r.nll_per_tok for r in out.values())
+    assert out[0].doc_len == 12 and out[9].doc_len == 4
+    import math
+
+    assert abs(out[9].ppl - math.exp(out[9].nll_per_tok)) < 1e-4
