@@ -77,9 +77,12 @@ def lang_id_sql(table_toks_cte: str) -> str:
     )
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
+def quality_score(docs: DataFrame, keep: tuple = ()) -> DataFrame:
     """(doc_id, n_tokens, punct_ratio, stop_ratio, mean_tok_len, quality)
-    — length/punctuation/stopword quality heuristic."""
+    — length/punctuation/stopword quality heuristic. ``keep`` appends
+    passthrough columns (and skips the presentation sort) so rollups
+    like ``domain_quality`` stay single-scan instead of re-joining the
+    corpus for their grouping key."""
     d = docs.withColumn("n_chars", F.length("text")).withColumn(
         "n_tokens", F.size("tokens")
     )
@@ -107,14 +110,16 @@ def quality_score(docs: DataFrame) -> DataFrame:
             "+ 0.25 * least(1.0, mean_tok_len / 8.0)"
         ),
     )
-    return d.select(
+    out = d.select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         round6("punct_ratio").alias("punct_ratio"),
         round6("stop_ratio").alias("stop_ratio"),
         round6("mean_tok_len").alias("mean_tok_len"),
         round6("quality").alias("quality"),
-    ).orderBy("doc_id")
+        *keep,
+    )
+    return out if keep else out.orderBy("doc_id")
 
 
 def quality_score_sql(table_toks_cte: str) -> str:
@@ -375,12 +380,11 @@ def domain_quality(
     per-doc threshold test runs on the 6-dp-rounded quality, which the
     gate proves bit-identical across engines) — never a float mean,
     whose partial-aggregation order would differ between engines.
-    One groupBy; the quality expressions fuse into the scan.
+    ONE scan (the grouping key rides through ``quality_score(keep=)``
+    instead of a second corpus pass + self-join), one groupBy; the
+    quality expressions fuse into the scan.
     """
-    q = quality_score(docs.select("doc_id", "text", "tokens")).select(
-        "doc_id", "quality"
-    )
-    j = q.join(docs.select("doc_id", key), "doc_id")
+    j = quality_score(docs, keep=(key,)).select("doc_id", "quality", key)
     g = j.groupBy(key).agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum((F.col("quality") < F.lit(float(low_quality))).cast("int"))
@@ -442,6 +446,12 @@ def unigram_logppl(docs: DataFrame) -> DataFrame:
     """
     tf2 = docs.select("doc_id", F.explode("tokens").alias("term"))
     dtf = tf2.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    # dtf feeds the plan twice (ctf rollup + the scoring join): lazily
+    # localCheckpoint the slim (doc_id, term, tf) relation so the
+    # tokenize+explode+agg upstream runs once, not per reference —
+    # materializing it costs ~the tf relation the index build persists
+    # anyway, strictly cheaper than re-tokenizing the corpus
+    dtf = dtf.localCheckpoint(eager=False)
     ctf = dtf.groupBy("term").agg(F.sum("tf").cast("long").alias("ctf"))
     tot = ctf.agg(F.sum("ctf").cast("double").alias("_total"))
     contrib = (
