@@ -268,6 +268,12 @@ def _registry():
     # unigram-LM perplexity (CCNet-style quality signal)
     reg["unigram_logppl"] = (_docs_op(ts.unigram_logppl), ts.unigram_logppl_sql(cte))
 
+    # unicode normalization over deterministically mess-augmented rows
+    reg["normalize_text"] = (
+        _tbl_op(pl.normalize_text_augmented),
+        pl.normalize_text_sql(),
+    )
+
     # duplicated-substring profiles (ExactSubstr family): exact
     # every-position windows + the content-defined-anchoring scale path
     reg["dup_spans"] = (_docs_op(dd.dup_spans), dd.dup_spans_sql(cte))

@@ -79,3 +79,27 @@ def tokenize_expr(col):
     c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
     toks = F.split(F.trim(c), r"\s+")
     return F.filter(toks, lambda t: F.length(t) >= 2)
+
+
+# --- unicode normalization (web-corpus cleanup) ---------------------------
+# NFC has no JVM built-in in Spark; pandas' vectorized Series.str.normalize
+# (ICU-equivalent via CPython unicodedata) is the one justified Python
+# touchpoint, Arrow-batched like extract/tokenize. The regex steps mirror
+# the DuckDB oracle's RE2 patterns character-class-for-character-class.
+_ZERO_WIDTH = re.compile("[\u200b\u200c\u200d\ufeff]")
+_CONTROL = re.compile("[\x00-\x08\x0b\x0e-\x1f\x7f]")
+_WS_RUNS = re.compile("[ \t\n\r\f]+")
+
+
+def _normalize_series(s: pd.Series) -> pd.Series:
+    s = s.fillna("").str.normalize("NFC")
+    s = s.str.replace(_ZERO_WIDTH, "", regex=True)
+    s = s.str.replace(_CONTROL, "", regex=True)
+    s = s.str.replace(" ", " ", regex=False)
+    s = s.str.replace(_WS_RUNS, " ", regex=True)
+    return s.str.strip(" ")
+
+
+@pandas_udf(StringType())
+def normalize_text_udf(s: pd.Series) -> pd.Series:
+    return _normalize_series(s)

@@ -6,7 +6,10 @@ search, and the composed curation funnel (``curate_corpus``).
 Like the rest of the training-data suite (textstats/dedup), every
 operator has a Spark implementation and a colocated DuckDB SQL builder
 mirroring it operand-for-operand for the driver's side-by-side gate,
-and everything stays in JVM column expressions — no Python UDFs.
+and everything stays in JVM column expressions — no Python UDFs, with
+one justified exception: ``normalize_text``'s NFC step has no JVM
+built-in, so its whole cleanup chain runs in a single Arrow-batched
+pandas UDF (the same budget class as the extract/tokenize hot path).
 
 Scale shapes (the 100 TB story for each):
 
@@ -697,4 +700,87 @@ def domain_cap_sql(
         "CAST(k.n_kept AS BIGINT) AS n_kept, "
         f"g.n_docs > {cap} AS at_cap, k.first_kept, k.last_kept "
         f"FROM g JOIN k USING ({key}) ORDER BY {key}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# unicode text normalization (web-corpus cleanup)
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, text_norm, changed, n_chars_raw, n_chars_norm) — the
+    standard web-text cleanup pass that runs before tokenization /
+    dedup at corpus scale: NFC canonical composition (so 'e'+combining
+    acute and precomposed 'é' hash/dedup/tokenize identically), strip
+    zero-width characters (U+200B/C/D, BOM) and C0/DEL controls, map
+    NBSP to space, collapse ASCII whitespace runs, trim.
+
+    NFC is the one step with no JVM built-in, so the whole chain runs
+    in one Arrow-batched pandas UDF (functions/udfs.normalize_text_udf)
+    — a single Python crossing per batch, embarrassingly parallel,
+    zero shuffles. The two-step select keeps the UDF evaluated ONCE
+    (CollapseProject will not inline a multi-referenced non-trivial
+    expression), with changed/length derived from the alias JVM-side.
+    """
+    from ..functions.udfs import normalize_text_udf
+
+    base = docs.select(
+        "doc_id",
+        F.col(text_col).alias("_raw"),
+        normalize_text_udf(F.col(text_col)).alias("text_norm"),
+    )
+    return base.select(
+        "doc_id",
+        "text_norm",
+        (F.col("text_norm") != F.col("_raw")).alias("changed"),
+        F.length("_raw").cast("long").alias("n_chars_raw"),
+        F.length("text_norm").cast("long").alias("n_chars_norm"),
+    ).orderBy("doc_id")
+
+
+def _mess_augment_spark() -> F.Column:
+    """Deterministic doc_id-derived 'messy web text' augmentation: the
+    corpus is plain ASCII, so the gate entry grafts an NFD sequence
+    (e + combining acute), NBSP, zero-width space, a control char, tab
+    runs and edge spaces onto every row — byte-identically on both
+    engines (mirrors _MESS_AUGMENT_SQL's chr() chain) — so every
+    normalization lane is exercised on every row, not vacuously
+    green."""
+    return F.concat(
+        F.col("text"),
+        F.lit("\u00a0cafe\u0301\u200b v"),
+        F.col("doc_id").cast("string"),
+        F.lit("\x07 tab\t\tend  "),
+    )
+
+
+_MESS_AUGMENT_SQL = (
+    "text || chr(160) || 'cafe' || chr(769) || chr(8203) || ' v' || "
+    "doc_id::VARCHAR || chr(7) || ' tab' || chr(9) || chr(9) || 'end  '"
+)
+
+
+def normalize_text_augmented(documents: DataFrame) -> DataFrame:
+    """Gate wrapper: graft deterministic mess onto each row, then
+    normalize."""
+    return normalize_text(
+        documents.select("doc_id", _mess_augment_spark().alias("text"))
+    )
+
+
+def normalize_text_sql(table: str = "documents") -> str:
+    norm = (
+        "trim(regexp_replace(regexp_replace(regexp_replace("
+        "replace(nfc_normalize(aug), chr(160), ' '), "
+        r"'[\x{200b}\x{200c}\x{200d}\x{feff}]', '', 'g'), "
+        r"'[\x00-\x08\x0b\x0e-\x1f\x7f]', '', 'g'), "
+        r"'[ \t\n\r\f]+', ' ', 'g'), ' ')"
+    )
+    return (
+        f"WITH a AS (SELECT doc_id, {_MESS_AUGMENT_SQL} AS aug FROM {table}), "
+        f"n AS (SELECT doc_id, aug, {norm} AS text_norm FROM a) "
+        "SELECT doc_id, text_norm, text_norm <> aug AS changed, "
+        "CAST(length(aug) AS BIGINT) AS n_chars_raw, "
+        "CAST(length(text_norm) AS BIGINT) AS n_chars_norm "
+        "FROM n ORDER BY doc_id"
     )

@@ -317,3 +317,23 @@ def test_unigram_logppl_separates_common_from_rare(spark):
     import math
 
     assert abs(out[9].ppl - math.exp(out[9].nll_per_tok)) < 1e-4
+
+
+def test_normalize_text_lanes(spark):
+    rows = [
+        (0, "café one"),          # NFD -> NFC composition
+        (1, "a b​c"),         # NBSP -> space, zero-width dropped
+        (2, " lots\t\tof\n\nspace  "),  # runs collapse + trim
+        (3, "ctrl\x00\x07here"),        # C0 controls dropped
+        (4, "already clean"),
+        (5, None),                      # null-safe
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in pl.normalize_text(d).collect()}
+    assert out[0].text_norm == "café one" and out[0].changed
+    assert out[0].n_chars_raw == 9 and out[0].n_chars_norm == 8
+    assert out[1].text_norm == "a bc"
+    assert out[2].text_norm == "lots of space"
+    assert out[3].text_norm == "ctrlhere"
+    assert out[4].text_norm == "already clean" and not out[4].changed
+    assert out[5].text_norm == ""
