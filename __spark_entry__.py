@@ -274,6 +274,23 @@ def _registry():
         pl.normalize_text_sql(),
     )
 
+    # model-based quality classifier seam (mock model, oracle-checked)
+    def _classify_op(spark, sf_dir):
+        from distributedcodesearchengine_spark.functions.classify import (
+            classify_documents,
+        )
+        from distributedcodesearchengine_spark.functions.rounding import round6
+        from distributedcodesearchengine_spark.sources.tables import load_table
+
+        out = classify_documents(load_table(spark, sf_dir, "documents"))
+        return out.select(
+            "doc_id", round6(out["score"]).alias("score"), "keep"
+        ).orderBy("doc_id")
+
+    from distributedcodesearchengine_spark.functions.classify import classify_gate_sql
+
+    reg["classify_quality"] = (_classify_op, classify_gate_sql())
+
     # duplicated-substring profiles (ExactSubstr family): exact
     # every-position windows + the content-defined-anchoring scale path
     reg["dup_spans"] = (_docs_op(dd.dup_spans), dd.dup_spans_sql(cte))
