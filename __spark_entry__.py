@@ -291,6 +291,17 @@ def _registry():
 
     reg["classify_quality"] = (_classify_op, classify_gate_sql())
 
+    # corpus-level n-gram frequency table (top-30 bigrams + trigrams)
+    def _ngrams_op(spark, sf_dir):
+        d = eq.docs_with_tokens(spark, sf_dir)
+        return ts.corpus_ngrams(d, 2, 30).unionAll(ts.corpus_ngrams(d, 3, 30))
+
+    reg["corpus_ngrams"] = (
+        _ngrams_op,
+        f"SELECT * FROM ({ts.corpus_ngrams_sql(cte, 2, 30)}) "
+        f"UNION ALL SELECT * FROM ({ts.corpus_ngrams_sql(cte, 3, 30)})",
+    )
+
     # duplicated-substring profiles (ExactSubstr family): exact
     # every-position windows + the content-defined-anchoring scale path
     reg["dup_spans"] = (_docs_op(dd.dup_spans), dd.dup_spans_sql(cte))

@@ -499,3 +499,55 @@ def unigram_logppl_sql(table_toks_cte: str) -> str:
         f"{round6_sql(f'exp({nll})')} AS ppl "
         "FROM docs d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-level n-gram frequency table (the Google-ngrams-style LM artifact)
+
+
+def corpus_ngrams(docs: DataFrame, n: int = 2, k: int = 50) -> DataFrame:
+    """(n, gram, cnt, df) — the top-k corpus-wide token n-grams by
+    occurrence count with document frequency: the shared LM artifact
+    behind contamination checks, boilerplate lists, and n-gram LM
+    scoring. Tiebreak: cnt desc, gram asc (deterministic).
+
+    Scale shape: per-row gram generation in a JVM transform (no
+    Python), one explode, one corpus groupBy(gram) whose occurrence
+    count is map-side combinable (hot grams collapse before the
+    shuffle; the countDistinct(doc_id) lane is the expand-shuffle that
+    actually moves rows), then a distributed TakeOrdered for the top-k
+    — never a global sort or single-partition window.
+    """
+    gram = " || ' ' || ".join(f"tokens[i + {j}]" for j in range(n))
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(tokens) >= {n} THEN "
+                f"transform(sequence(0, size(tokens) - {n}), i -> {gram}) "
+                "ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+    agg = grams.groupBy("gram").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.countDistinct("doc_id").cast("long").alias("df"),
+    )
+    return (
+        agg.select(F.lit(int(n)).cast("int").alias("n"), "gram", "cnt", "df")
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(int(k))
+    )
+
+
+def corpus_ngrams_sql(table_toks_cte: str, n: int = 2, k: int = 50) -> str:
+    gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return (
+        f"WITH {table_toks_cte}, "
+        f"g AS (SELECT doc_id, {gram} AS gram FROM docs, "
+        f"unnest(generate_series(1, len(toks) - {n - 1})) AS _t(i)), "
+        "a AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt, "
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM g GROUP BY gram) "
+        f"SELECT CAST({int(n)} AS INT) AS n, gram, cnt, df FROM a "
+        f"ORDER BY cnt DESC, gram ASC LIMIT {int(k)}"
+    )

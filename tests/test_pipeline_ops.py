@@ -337,3 +337,20 @@ def test_normalize_text_lanes(spark):
     assert out[3].text_norm == "ctrlhere"
     assert out[4].text_norm == "already clean" and not out[4].changed
     assert out[5].text_norm == ""
+
+
+def test_corpus_ngrams_counts_and_tiebreak(spark):
+    from distributedcodesearchengine_spark.operators import textstats as ts
+
+    rows = [
+        (0, ["a", "b", "a", "b"]),   # "a b" x2, "b a" x1
+        (1, ["a", "b", "c"]),        # "a b", "b c"
+        (2, ["z"]),                  # too short for a bigram
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    out = ts.corpus_ngrams(d, n=2, k=10).collect()
+    got = {r.gram: (r.cnt, r.df) for r in out}
+    assert got["a b"] == (3, 2) and got["b a"] == (1, 1) and got["b c"] == (1, 1)
+    assert out[0].gram == "a b"            # top by count
+    assert [r.gram for r in out[1:]] == ["b a", "b c"]  # tie -> gram asc
+    assert all(r.n == 2 for r in out)
