@@ -354,3 +354,53 @@ def test_corpus_ngrams_counts_and_tiebreak(spark):
     assert out[0].gram == "a b"            # top by count
     assert [r.gram for r in out[1:]] == ["b a", "b c"]  # tie -> gram asc
     assert all(r.n == 2 for r in out)
+
+
+def test_normalize_series_matches_duckdb_oracle_property():
+    """Cross-engine property test for the normalization chain: the
+    pandas/Python pipeline (_normalize_series) must equal the DuckDB
+    RE2/nfc_normalize chain from normalize_text_sql character-for-
+    character over adversarial unicode — combining marks (NFD->NFC),
+    precomposed chars, CJK, zero-widths/BOM, NBSP, C0/DEL controls,
+    whitespace runs at every position.
+
+    NUL is excluded from the shared alphabet: DuckDB VARCHAR truncates
+    at an embedded NUL (losing the tail), while the engine strips just
+    the NUL and keeps the rest — asserted separately below. The gate's
+    augmented entry never carries NUL, so its oracle is unaffected."""
+    import duckdb
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from distributedcodesearchengine_spark.functions.udfs import _normalize_series
+
+    con = duckdb.connect()
+    norm_sql = (
+        "trim(regexp_replace(regexp_replace(regexp_replace("
+        "replace(nfc_normalize(?), chr(160), ' '), "
+        r"'[\x{200b}\x{200c}\x{200d}\x{feff}]', '', 'g'), "
+        r"'[\x00-\x08\x0b\x0e-\x1f\x7f]', '', 'g'), "
+        r"'[ \t\n\r\f]+', ' ', 'g'), ' ')"
+    )
+    alphabet = (
+        "abcXYZ09 \t\n\r\f"
+        "̧́̈"      # combining acute/diaeresis/cedilla
+        "éÅñÅ"               # precomposed + Angstrom sign (NFC -> Å)
+        "日本語中"                 # CJK
+        "​‌‍﻿ "  # zero-widths, BOM, NBSP
+        "\x07\x0b\x1f\x7f"        # C0 / DEL controls (NUL tested separately)
+        ".,!-_"
+    )
+
+    @given(st.text(alphabet=alphabet, max_size=40))
+    @settings(max_examples=300, deadline=None)
+    def check(s):
+        py = _normalize_series(pd.Series([s]))[0]
+        db = con.execute(f"select {norm_sql}", [s]).fetchone()[0]
+        assert py == db, (repr(s), repr(py), repr(db))
+
+    check()
+
+    # NUL lane (python side only; DuckDB truncates VARCHAR at NUL)
+    assert _normalize_series(pd.Series(["a\x00é b"]))[0] == "aé b"
