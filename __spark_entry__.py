@@ -302,6 +302,22 @@ def _registry():
         f"UNION ALL SELECT * FROM ({ts.corpus_ngrams_sql(cte, 3, 30)})",
     )
 
+    # curation funnel WITH the model-based classifier stage engaged
+    def _curate_clf_op(spark, sf_dir):
+        from distributedcodesearchengine_spark.functions.udfs import tokenize_udf
+        from distributedcodesearchengine_spark.sources.tables import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        return pl.curate_corpus(
+            d.select("doc_id", "text", "lang", tokenize_udf("text").alias("tokens")),
+            classifier_threshold=0.4,
+        )
+
+    reg["curate_corpus_classified"] = (
+        _curate_clf_op,
+        pl.curate_corpus_sql(classifier_threshold=0.4),
+    )
+
     # duplicated-substring profiles (ExactSubstr family): exact
     # every-position windows + the content-defined-anchoring scale path
     reg["dup_spans"] = (_docs_op(dd.dup_spans), dd.dup_spans_sql(cte))

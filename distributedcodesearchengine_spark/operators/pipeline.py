@@ -433,6 +433,8 @@ def curate_corpus(
     n: int = 8,
     bench_mod: int = 7,
     budget: int = 512,
+    classifier_threshold: Optional[float] = None,
+    classifier_loader=None,
 ) -> DataFrame:
     """(doc_id, lang, n_tokens, start_offset, bin_id) — the full
     curation funnel as ONE lazy DataFrame plan:
@@ -458,6 +460,27 @@ def curate_corpus(
     d1 = h.join(reps, ["h", "doc_id"]).drop("h")
     # quality floor
     d2 = d1.filter(F.col("n_tokens") >= min_tokens)
+    if classifier_threshold is not None:
+        # model-based quality stage (functions/classify.py seam): keep
+        # verdicts come from the RAW table scan, not the survivor set —
+        # referencing d2 twice would recompute the dedup shuffle per
+        # branch, while the raw scan is column-pruned and already
+        # re-read by the bench-gram side. Result-identical either way:
+        # a dedup twin shares its representative's text, hence its
+        # verdict. Inference rides mapInPandas; the verdict set joins
+        # back as an inner doc_id join (shuffle on the thinned key).
+        from ..functions.classify import classify_documents
+
+        verdicts = (
+            classify_documents(
+                docs.select("doc_id", "text"),
+                threshold=classifier_threshold,
+                loader=classifier_loader,
+            )
+            .filter("keep")
+            .select("doc_id")
+        )
+        d2 = d2.join(verdicts, "doc_id")
     # decontamination: bench slice is eval data — drop it AND anything
     # sharing an n-gram with it
     bench_set = (
@@ -487,11 +510,20 @@ def curate_corpus_sql(
     n: int = 8,
     bench_mod: int = 7,
     budget: int = 512,
+    classifier_threshold: Optional[float] = None,
 ) -> str:
     from ..functions.sql_oracle import tokenize_col
 
     gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
     bucket = f"('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % {_MIX_BUCKETS}"
+    clf = ""
+    if classifier_threshold is not None:
+        from ..functions.classify import mock_classify_sql_expr
+
+        clf = (
+            f" AND {mock_classify_sql_expr('text')} > "
+            f"CAST({float(classifier_threshold)} AS DOUBLE)"
+        )
     return (
         f"WITH docs AS (SELECT doc_id, text, lang, {tokenize_col('text')} AS toks "
         f"FROM {table}), "
@@ -499,7 +531,7 @@ def curate_corpus_sql(
         "reps AS (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM d GROUP BY 1), "
         "d1 AS (SELECT d.* FROM d JOIN reps ON md5(d.text) = reps.h "
         "AND d.doc_id = reps.doc_id), "
-        f"d2 AS (SELECT * FROM d1 WHERE n_tokens >= {min_tokens}), "
+        f"d2 AS (SELECT * FROM d1 WHERE n_tokens >= {min_tokens}{clf}), "
         f"g AS (SELECT doc_id, {gram} AS gram FROM docs, "
         f"unnest(generate_series(1, len(toks) - {n - 1})) AS _t(i)), "
         f"bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {bench_mod} = 0), "

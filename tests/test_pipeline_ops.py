@@ -404,3 +404,29 @@ def test_normalize_series_matches_duckdb_oracle_property():
 
     # NUL lane (python side only; DuckDB truncates VARCHAR at NUL)
     assert _normalize_series(pd.Series(["a\x00é b"]))[0] == "aé b"
+
+
+def test_curate_corpus_classifier_stage(spark):
+    """With a custom verdict model, exactly the below-threshold doc is
+    dropped; with the stage off the doc survives."""
+    base = [f"w{i}" for i in range(30)]
+    other = [f"v{i}" for i in range(30)]
+    rows = [
+        (1, " ".join(base), "en", base),
+        (2, " ".join(other), "en", other),
+    ]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang=lg, tokens=tk) for i, t, lg, tk in rows],
+        "doc_id long, text string, lang string, tokens array<string>",
+    )
+
+    def loader():
+        return lambda texts: [0.9 if t.startswith("w0") else 0.1 for t in texts]
+
+    kept = pl.curate_corpus(
+        docs, min_tokens=25, n=8, bench_mod=1000, budget=64,
+        classifier_threshold=0.5, classifier_loader=loader,
+    ).collect()
+    assert [r.doc_id for r in kept] == [1]
+    both = pl.curate_corpus(docs, min_tokens=25, n=8, bench_mod=1000, budget=64).collect()
+    assert [r.doc_id for r in both] == [1, 2]
