@@ -227,6 +227,7 @@ def _registry():
     from distributedcodesearchengine_spark.operators import timeseries as tsr
 
     reg["events_rollup"] = (_tbl_op(tsr.events_rollup, "events"), tsr.events_rollup_sql())
+    reg["events_latest"] = (_tbl_op(tsr.events_latest, "events"), tsr.events_latest_sql())
     reg["events_asof_join"] = (
         _tbl_op(tsr.events_asof_join, "events"), tsr.events_asof_join_sql(),
     )

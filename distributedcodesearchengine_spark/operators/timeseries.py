@@ -165,3 +165,40 @@ def events_json_extract_sql() -> str:
         r"CAST(sum(CAST(regexp_extract(props, '\"k\":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS total_k "
         "FROM events GROUP BY event_type ORDER BY event_type"
     )
+
+
+def events_latest(events: DataFrame) -> DataFrame:
+    """(user_id, ts_us, event_id, event_type, value) — newest event per
+    key: the crawl-snapshot dedup pattern (keep the latest version per
+    URL across recrawls) on this corpus's key space.
+
+    Scale shape: ONE groupBy with a map-side-combinable struct-max —
+    each partition reduces its versions to one candidate before the
+    shuffle, so the exchange carries one row per (partition, key), not
+    one per version. The naive ``row_number() OVER (PARTITION BY key
+    ORDER BY ts DESC)`` form shuffles and sorts EVERY version of every
+    key — at recrawl-heavy web scale that's the whole history moving.
+    Tiebreak: struct comparison is lexicographic (ts, then event_id),
+    deterministic for same-instant versions.
+    """
+    latest = events.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "event_type", "value")).alias("m")
+    )
+    return latest.select(
+        "user_id",
+        F.unix_micros(F.col("m.ts").cast("timestamp")).alias("ts_us"),
+        F.col("m.event_id").alias("event_id"),
+        F.col("m.event_type").alias("event_type"),
+        F.col("m.value").alias("value"),
+    ).orderBy("user_id")
+
+
+def events_latest_sql() -> str:
+    return (
+        "WITH r AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
+        "event_id, event_type, value, "
+        "row_number() OVER (PARTITION BY user_id "
+        "ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+        "SELECT user_id, ts_us, event_id, event_type, value "
+        "FROM r WHERE rn = 1 ORDER BY user_id"
+    )
