@@ -100,6 +100,18 @@ def _registry():
         partial(eq.bm25_phrase_query, query="table table", k=10),
         oq.bm25_topk_sql("table table", k=10, phrase="table table"),
     )
+    # boolean occur flags: healthy regime (dup is the corpus's only
+    # positive-idf term) with a required AND an excluded constraint;
+    # degenerate regime driven by a pure-exclusion query (all-zero
+    # backfill over the constrained universe)
+    reg["bm25_boolean_healthy"] = (
+        partial(eq.bm25_boolean_query_q, query="dup +table -row", k=10),
+        oq.bm25_boolean_sql("dup +table -row", k=10),
+    )
+    reg["bm25_boolean_excluded"] = (
+        partial(eq.bm25_boolean_query_q, query="table -dup", k=10),
+        oq.bm25_boolean_sql("table -dup", k=10),
+    )
 
     # --- training-data pipeline suite (dedup / similarity / text stats)
     from distributedcodesearchengine_spark.operators import dedup as dd

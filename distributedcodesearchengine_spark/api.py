@@ -123,6 +123,13 @@ class SearchEngine:
             return bm25_phrase_topk(
                 self.index, q[1:-1], k=limit, filters=filters or None
             )
+        # occur flags (+required / -excluded clauses) -> boolean search
+        from .operators.boolquery import bm25_boolean_topk, is_boolean_query
+
+        if is_boolean_query(q):
+            return bm25_boolean_topk(
+                self.index, q, k=limit, filters=filters or None
+            )
         if scorer == "sharded" and not filters and "sharded" in self.index.extras:
             # the low-latency serving path: shard-local scoring over the
             # persisted doc-range-sharded layout (build --sharded-index).

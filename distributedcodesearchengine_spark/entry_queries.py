@@ -181,6 +181,19 @@ def bm25_phrase_query(
     ).orderBy("rank")
 
 
+def bm25_boolean_query_q(
+    spark: SparkSession, sf_dir: str, query: str, k: int = 10
+) -> DataFrame:
+    """Boolean occur-flag gate entry: BM25 under +required/-excluded."""
+    from .operators.boolquery import bm25_boolean_topk
+
+    idx = get_documents_index(spark, sf_dir)
+    res = bm25_boolean_topk(idx, query, k=k)
+    return res.select(
+        "rank", _orig_doc_id(), round6("score").alias("score")
+    ).orderBy("rank")
+
+
 def query_snippets_q(
     spark: SparkSession, sf_dir: str, query: str, k: int = 10
 ) -> DataFrame:

@@ -152,6 +152,70 @@ def bm25_topk_sql(
     )
 
 
+def bm25_boolean_sql(query: str, k: int = 10) -> str:
+    """Boolean-occur-flag BM25 (mirror of operators/boolquery).
+
+    Constraints are PRE-threshold: ``scored`` is the constrained match
+    set (required all-of semi, excluded any-of anti) and the 1%-of-max
+    threshold is taken over it; the degenerate backfill universe is the
+    constrained doclen. Required tokens also score (positive includes
+    them), matching Lucene MUST semantics.
+    """
+    from collections import Counter
+
+    from ..operators.boolquery import parse_boolean_query
+
+    positive, required, excluded = parse_boolean_query(query)
+    if not positive and not excluded:
+        return "SELECT 1 AS rank, 1::BIGINT AS doc_id, 0.0 AS score WHERE false"
+    req_u = sorted(set(required))
+    exc_u = sorted(set(excluded))
+    cons = []
+    if req_u:
+        lst = ", ".join(f"'{t}'" for t in req_u)
+        cons.append(
+            "doc_id IN (SELECT doc_id FROM tf WHERE term IN (" + lst + ") "
+            f"GROUP BY doc_id HAVING count(*) = {len(req_u)})"
+        )
+    if exc_u:
+        lst = ", ".join(f"'{t}'" for t in exc_u)
+        cons.append(
+            "doc_id NOT IN (SELECT doc_id FROM tf WHERE term IN (" + lst + "))"
+        )
+    csql = " WHERE " + " AND ".join(cons) if cons else ""
+    if positive:
+        counts = Counter(positive)
+        qvals = ", ".join(f"('{t}', {float(q)})" for t, q in sorted(counts.items()))
+        scored0 = (
+            f"qt(term, qtf) AS (VALUES {qvals}), "
+            "contrib AS ("
+            "  SELECT tf.doc_id, tf.term, "
+            f"    qt.qtf * (idf.idf * (tf.tf * {K1 + 1.0} / "
+            f"      (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM stats))))) AS c "
+            "  FROM tf JOIN qt USING (term) JOIN idf USING (term) "
+            "  JOIN doclen dl ON dl.doc_id = tf.doc_id), "
+            "scored0 AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id), "
+        )
+    else:
+        # pure-exclusion query: nothing scores, mx is NULL
+        scored0 = "scored0 AS (SELECT doc_id, 0.0 AS score FROM doclen WHERE false), "
+    return (
+        f"WITH {_docs_cte()}, "
+        + scored0
+        + f"universe AS (SELECT * FROM doclen{csql}), "
+        "scored AS (SELECT s.* FROM scored0 s WHERE s.doc_id IN (SELECT doc_id FROM universe)), "
+        "mx AS (SELECT max(score) AS m FROM scored), "
+        "kept AS ("
+        "  SELECT u.doc_id, coalesce(s.score, 0.0) AS score "
+        "  FROM universe u LEFT JOIN scored s USING (doc_id) "
+        "  WHERE ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
+        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))) "
+        "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank, "
+        f"doc_id, {round6_sql('score')} AS score "
+        f"FROM kept ORDER BY score DESC, doc_id ASC LIMIT {k}"
+    )
+
+
 def removal_rebuild_sql(source: str = "src7") -> str:
     """Stats after delete-by-predicate (remove_by_repo analog)."""
     cte = _docs_cte(f"(SELECT * FROM documents WHERE source <> '{source}')")

@@ -1,0 +1,134 @@
+"""Boolean query operators: ``+required`` / ``-excluded`` clauses.
+
+The reference engine is a pure bag-of-words ranker — every query term
+is optional and only contributes score (``codesearch/storage/
+bm25_index.py:117-170``); there is no MUST / MUST_NOT surface anywhere.
+This module adds the other classic full-text query type (Lucene's
+``+term`` / ``-term`` occur flags) as a from-scratch Spark-native
+extension, composed from the existing scorer stages.
+
+Semantics (deterministic, engine-portable):
+
+* a ``+clause`` tokenizes through the standard tokenizer and the doc
+  must contain ALL of the clause's tokens (a camelCase clause expands
+  to several required tokens);
+* a ``-clause`` excludes docs containing ANY of its tokens;
+* plain clauses score as usual; required tokens are ALSO scored
+  (Lucene's MUST scores too — only MUST_NOT is score-free);
+* the boolean constraints define the MATCH SET, so the relative
+  threshold (F4's 1% of max) is computed over the CONSTRAINED scored
+  set — unlike the quoted-phrase predicate, which the engine applies
+  post-threshold at the F5 metadata-filter stage to preserve the
+  reference's unquoted ranking. A boolean query is a different query,
+  not a filtered view of its positive part;
+* a required token absent from the vocabulary matches nothing -> empty
+  result (never a silent drop of the constraint);
+* a pure-exclusion query (no positive tokens) falls into the
+  degenerate all-zero regime over the constrained universe: the k
+  lowest-doc_id surviving docs at score 0, mirroring the reference's
+  keep-everything branch.
+
+Scale shape: each constraint is derived from the CONSTRAINT TERMS'
+postings only — a term-pruned (pushdown-eligible) scan, one hash agg
+for the all-of count, then doc_id semi/anti joins against the scored
+candidates. The corpus is never scanned corpus-wide for a boolean
+query; candidate volume is bounded by the posting lists of the query's
+terms, exactly like scoring itself. At 10^12 docs the dominant cost is
+the same broadcast-join + per-doc agg the plain scorer pays.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..oracle.tokenizer import tokenize
+
+
+def parse_boolean_query(query: str) -> Tuple[List[str], List[str], List[str]]:
+    """query -> (positive_tokens, required_tokens, excluded_tokens).
+
+    Clauses split on whitespace; ``+``/``-`` prefixes mark occur flags,
+    everything else is optional. Tokens come from the standard
+    tokenizer, so flags compose with camelCase/punctuation exactly like
+    plain search text. positive = plain + required (both score).
+    """
+    plain: List[str] = []
+    required: List[str] = []
+    excluded: List[str] = []
+    for clause in query.split():
+        if clause.startswith("+") and len(clause) > 1:
+            required.extend(tokenize(clause[1:]))
+        elif clause.startswith("-") and len(clause) > 1:
+            excluded.extend(tokenize(clause[1:]))
+        else:
+            plain.extend(tokenize(clause))
+    return plain + required, required, excluded
+
+
+def is_boolean_query(query: str) -> bool:
+    """True when any clause carries an occur flag that yields tokens."""
+    for clause in query.split():
+        if clause[:1] in "+-" and len(clause) > 1 and tokenize(clause[1:]):
+            return True
+    return False
+
+
+def required_doc_set(index, required: List[str]) -> Optional[DataFrame]:
+    """(doc_id) of docs containing ALL required tokens.
+
+    One term-pruned postings scan + one count agg: tf is unique per
+    (term, doc_id), so a doc holding ``n_uniq`` rows over the required
+    subset holds every required term. An out-of-vocabulary required
+    term can reach count == n_uniq for no doc -> empty set, the correct
+    nothing-matches semantics.
+    """
+    uniq = sorted(set(required))
+    if not uniq:
+        return None
+    return (
+        index.tf.where(F.col("term").isin(uniq))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("_nreq"))
+        .where(F.col("_nreq") == len(uniq))
+        .select("doc_id")
+    )
+
+
+def excluded_doc_set(index, excluded: List[str]) -> Optional[DataFrame]:
+    """(doc_id) of docs containing ANY excluded token (anti-join side;
+    duplicates are harmless to left_anti, so no distinct)."""
+    uniq = sorted(set(excluded))
+    if not uniq:
+        return None
+    return index.tf.where(F.col("term").isin(uniq)).select("doc_id")
+
+
+def bm25_boolean_topk(
+    index,
+    query: str,
+    k: int = 10,
+    filters: Optional[Dict[str, str]] = None,
+) -> DataFrame:
+    """BM25 top-k under ``+``/``-`` occur flags ->
+    (rank, doc_id, url, score)."""
+    from .scorer import finalize_topk, query_term_weights, score_matched
+
+    spark = index.spark
+    positive, required, excluded = parse_boolean_query(query)
+    if not positive and not excluded:
+        # nothing to match or constrain (empty-query guard, F7)
+        return spark.createDataFrame(
+            [], "rank int, doc_id long, url string, score double"
+        )
+    semi = required_doc_set(index, required)
+    anti = excluded_doc_set(index, excluded)
+    # tokenize() is idempotent on its own output, so re-joining the
+    # token list reuses the pruned idf lookup unchanged
+    qweights = query_term_weights(index, " ".join(positive)) if positive else []
+    scored = score_matched(index, qweights) if qweights else None
+    return finalize_topk(
+        index, scored, k, filters, candidate_semi=semi, candidate_anti=anti
+    )

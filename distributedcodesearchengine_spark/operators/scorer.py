@@ -148,6 +148,8 @@ def finalize_topk(
     k: int,
     filters: Optional[Dict[str, str]] = None,
     doc_filter: Optional[DataFrame] = None,
+    candidate_semi: Optional[DataFrame] = None,
+    candidate_anti: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Shared post-scoring stage: relative threshold (on the UNfiltered
     max), degenerate all-zero handling, metadata filters, stable top-k,
@@ -160,8 +162,25 @@ def finalize_topk(
     ``doc_filter`` (a doc_id DataFrame) is a set-valued metadata filter
     applied at the SAME stage as the equality filters (F5,
     post-threshold) via left_semi join — the phrase predicate of a
-    quoted query uses this."""
+    quoted query uses this.
+
+    ``candidate_semi`` / ``candidate_anti`` (doc_id DataFrames) are
+    PRE-threshold constraints: they restrict the match set itself (both
+    the scored rows feeding the unfiltered max AND the degenerate
+    zero-backfill universe) — the boolean ``+``/``-`` occur flags of
+    operators/boolquery use these. Distinct stage from ``doc_filter``
+    by design: a boolean query is a different query whose max is taken
+    over its own match set; a phrase/metadata filter is a post-threshold
+    view of the unfiltered ranking (the reference's F4-before-F5
+    ordering)."""
     needed = list(filters or {})
+
+    def _constrain(df: DataFrame) -> DataFrame:
+        if candidate_semi is not None:
+            df = df.join(candidate_semi.select("doc_id"), "doc_id", "left_semi")
+        if candidate_anti is not None:
+            df = df.join(candidate_anti.select("doc_id"), "doc_id", "left_anti")
+        return df
 
     def _apply_all(df: DataFrame) -> DataFrame:
         df = _apply_filters(df, filters)
@@ -169,6 +188,7 @@ def finalize_topk(
             df = df.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
         return df
     if scored is not None:
+        scored = _constrain(scored)
         missing = [c for c in needed if c not in scored.columns]
         if missing:
             scored = scored.join(
@@ -188,7 +208,7 @@ def finalize_topk(
         # the k smallest-doc_id zero rows AFTER filters — a narrow
         # TakeOrderedAndProject, never a corpus-wide full-width sort
         # (at 10^12 docs an unknown-token query must not sort the corpus)
-        zeros = index.docs
+        zeros = _constrain(index.docs)
         if scored is not None:
             zeros = zeros.join(scored.select("doc_id"), "doc_id", "left_anti")
         zeros = _apply_all(

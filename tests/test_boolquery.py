@@ -1,0 +1,104 @@
+"""Boolean occur-flag query tests (operators/boolquery).
+
+Contract: for any +/- query, the result set equals a pure-Python
+filter over the SAME tokenizer output — docs containing ALL required
+tokens and NO excluded token — ranked by the standard BM25 scorer over
+the positive tokens, threshold taken over the constrained set.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributedcodesearchengine_spark.entry_queries import get_documents_index
+from distributedcodesearchengine_spark.operators.boolquery import (
+    bm25_boolean_topk,
+    is_boolean_query,
+    parse_boolean_query,
+)
+
+
+@pytest.fixture(scope="module")
+def idx(spark, sf_dir):
+    return get_documents_index(spark, sf_dir)
+
+
+def test_parse():
+    pos, req, exc = parse_boolean_query("dup +table -row plainWord")
+    assert req == ["table"] and exc == ["row"]
+    # positive = plain + required, camel clause expands
+    assert set(pos) == {"dup", "table", "plain", "word"}
+    # camelCase under a flag expands to multiple required tokens
+    _, req2, _ = parse_boolean_query("+camelCase")
+    assert req2 == ["camel", "case"]
+
+
+def test_is_boolean_query():
+    assert is_boolean_query("dup +table")
+    assert is_boolean_query("-row")
+    assert not is_boolean_query("plain query")
+    assert not is_boolean_query("state-of-the-art non-blocking")  # mid-word dashes
+    assert not is_boolean_query("-o")  # flag token too short to tokenize
+
+
+def _doc_sets(idx, required, excluded):
+    rows = idx.docs.select("doc_id", "tokens").collect()
+    keep = set()
+    for r in rows:
+        toks = set(r["tokens"])
+        if all(t in toks for t in required) and not any(t in toks for t in excluded):
+            keep.add(r["doc_id"])
+    return keep
+
+
+@pytest.mark.parametrize(
+    "query",
+    [
+        "dup +table -row",     # healthy: positive max, both constraints
+        "dup +table +row",     # two required terms
+        "table -dup",          # degenerate all-non-positive + exclusion
+        "-dup",                # pure exclusion (zero backfill universe)
+        "+zzznotaword dup",    # unknown required term -> empty result
+    ],
+)
+def test_result_set_respects_constraints(idx, query):
+    pos, req, exc = parse_boolean_query(query)
+    allowed = _doc_sets(idx, req, exc)
+    got = bm25_boolean_topk(idx, query, k=10).collect()
+    assert all(r["doc_id"] in allowed for r in got)
+    if not allowed:
+        assert got == []
+    else:
+        # healthy regime keeps only docs over the 1%-of-max threshold
+        # (no zero backfill when max > 0), so <= k rows come back; the
+        # degenerate regime backfills to min(k, |universe|)
+        assert 0 < len(got) <= min(10, len(allowed))
+
+
+def test_required_scores_match_plain_scorer(idx):
+    """A boolean query's surviving docs score exactly like the plain
+    bag-of-words query over its positive tokens (constraints select,
+    never rescale)."""
+    from distributedcodesearchengine_spark.operators.scorer import bm25_topk
+
+    bool_rows = {
+        r["doc_id"]: r["score"]
+        for r in bm25_boolean_topk(idx, "dup +table", k=10).collect()
+    }
+    plain_rows = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(idx, "dup table", k=500).collect()
+    }
+    assert bool_rows  # non-vacuous
+    for did, s in bool_rows.items():
+        if did in plain_rows:  # plain k cut can drop deep ties
+            assert abs(plain_rows[did] - s) < 1e-9
+
+
+def test_api_routing(spark, sf_dir, idx):
+    """SearchEngine.search auto-detects occur flags."""
+    from distributedcodesearchengine_spark.api import SearchEngine
+
+    eng = SearchEngine(idx)
+    got = eng.search("dup +table -row", limit=5).collect()
+    allowed = _doc_sets(idx, ["table"], ["row"])
+    assert got and all(r["doc_id"] in allowed for r in got)
