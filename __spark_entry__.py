@@ -213,6 +213,22 @@ def _registry():
         _docs_op(partial(pos.phrase_match_indexed, phrase="row scan")),
         ph.phrase_match_sql(cte, "row scan"),
     )
+    # proximity (NEAR) queries: tokens-scan window counts, the indexed
+    # serving path's doc set, and the BM25-ranked composition
+    from distributedcodesearchengine_spark.operators import proximity as px
+
+    reg["proximity_match"] = (
+        _docs_op(partial(px.proximity_windows, query="row scan", w=6)),
+        px.proximity_match_sql(cte, "row scan", 6),
+    )
+    reg["proximity_match_indexed"] = (
+        _docs_op(partial(px.proximity_match_indexed, query="row scan", w=6)),
+        px.proximity_docs_sql(cte, "row scan", 6),
+    )
+    reg["bm25_near_healthy"] = (
+        partial(eq.bm25_near_query_q, query="dup small", w=12, k=10),
+        oq.bm25_topk_sql("dup small", k=10, near=("dup small", 12)),
+    )
     # serving-surface extras: autocomplete + query-aware snippets
     from distributedcodesearchengine_spark.operators import snippets as sn
     from distributedcodesearchengine_spark.oracle.tokenizer import tokenize as _tok

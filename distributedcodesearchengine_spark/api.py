@@ -123,6 +123,14 @@ class SearchEngine:
             return bm25_phrase_topk(
                 self.index, q[1:-1], k=limit, filters=filters or None
             )
+        # '"terms"~w' -> proximity (NEAR) search
+        from .operators.proximity import bm25_proximity_topk, parse_near_query
+
+        near = parse_near_query(q)
+        if near is not None:
+            return bm25_proximity_topk(
+                self.index, near[0], near[1], k=limit, filters=filters or None
+            )
         # occur flags (+required / -excluded clauses) -> boolean search
         from .operators.boolquery import bm25_boolean_topk, is_boolean_query
 

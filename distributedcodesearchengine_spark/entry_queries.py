@@ -194,6 +194,19 @@ def bm25_boolean_query_q(
     ).orderBy("rank")
 
 
+def bm25_near_query_q(
+    spark: SparkSession, sf_dir: str, query: str, w: int, k: int = 10
+) -> DataFrame:
+    """NEAR gate entry: BM25 over docs with all terms in a w-window."""
+    from .operators.proximity import bm25_proximity_topk
+
+    idx = get_documents_index(spark, sf_dir)
+    res = bm25_proximity_topk(idx, query, w, k=k)
+    return res.select(
+        "rank", _orig_doc_id(), round6("score").alias("score")
+    ).orderBy("rank")
+
+
 def query_snippets_q(
     spark: SparkSession, sf_dir: str, query: str, k: int = 10
 ) -> DataFrame:

@@ -99,6 +99,7 @@ def bm25_topk_sql(
     lang: Optional[str] = None,
     source: Optional[str] = None,
     phrase: Optional[str] = None,
+    near: Optional[tuple] = None,
 ) -> str:
     """Full BM25 top-k with the reference's threshold-before-filter,
     degenerate all-zero handling, and doc-order tie-break.
@@ -106,6 +107,10 @@ def bm25_topk_sql(
     ``phrase`` adds the quoted-query predicate: restrict to docs
     containing the exact token phrase, applied WITH the metadata
     filters (post-threshold) — mirror of operators/phrase.bm25_phrase_topk.
+
+    ``near`` = (terms, w) adds the proximity predicate the same way
+    (post-threshold doc set) — mirror of
+    operators/proximity.bm25_proximity_topk.
     """
     toks = tokenize(query)
     if not toks:
@@ -125,6 +130,11 @@ def bm25_topk_sql(
 
         pocc = _phrase_occ_cte(phrase).replace("occ AS", "pocc AS", 1) + ", "
         where.append("doc_id IN (SELECT doc_id FROM pocc WHERE n_occur > 0)")
+    if near is not None:
+        from ..operators.proximity import _near_occ_cte
+
+        pocc = _near_occ_cte(near[0], near[1]) + ", "
+        where.append("doc_id IN (SELECT doc_id FROM pocc WHERE n_win > 0)")
     fsql = (" WHERE " + " AND ".join(where)) if where else ""
     return (
         f"WITH {_docs_cte()}, {pocc}"
