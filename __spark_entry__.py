@@ -104,6 +104,17 @@ def _registry():
     # positive-idf term) with a required AND an excluded constraint;
     # degenerate regime driven by a pure-exclusion query (all-zero
     # backfill over the constrained universe)
+    # wildcard prefix expansion: 's*' expands to 6 vocab terms, the
+    # max_expansions=4 cap exercises the deterministic (df desc, term)
+    # cut; 'dup' keeps the healthy regime
+    from distributedcodesearchengine_spark.operators.wildcard import (
+        bm25_wildcard_sql,
+    )
+
+    reg["bm25_wildcard"] = (
+        partial(eq.bm25_wildcard_query_q, query="dup s*", k=10, max_expansions=4),
+        bm25_wildcard_sql("dup s*", k=10, max_expansions=4),
+    )
     reg["bm25_boolean_healthy"] = (
         partial(eq.bm25_boolean_query_q, query="dup +table -row", k=10),
         oq.bm25_boolean_sql("dup +table -row", k=10),

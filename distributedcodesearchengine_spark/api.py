@@ -138,6 +138,13 @@ class SearchEngine:
             return bm25_boolean_topk(
                 self.index, q, k=limit, filters=filters or None
             )
+        # trailing-star clauses -> dictionary prefix expansion
+        from .operators.wildcard import bm25_wildcard_topk, is_wildcard_query
+
+        if is_wildcard_query(q):
+            return bm25_wildcard_topk(
+                self.index, q, k=limit, filters=filters or None
+            )
         if scorer == "sharded" and not filters and "sharded" in self.index.extras:
             # the low-latency serving path: shard-local scoring over the
             # persisted doc-range-sharded layout (build --sharded-index).

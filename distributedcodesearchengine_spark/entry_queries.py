@@ -207,6 +207,20 @@ def bm25_near_query_q(
     ).orderBy("rank")
 
 
+def bm25_wildcard_query_q(
+    spark: SparkSession, sf_dir: str, query: str, k: int = 10,
+    max_expansions: int = 16,
+) -> DataFrame:
+    """Wildcard gate entry: BM25 over capped prefix expansions."""
+    from .operators.wildcard import bm25_wildcard_topk
+
+    idx = get_documents_index(spark, sf_dir)
+    res = bm25_wildcard_topk(idx, query, k=k, max_expansions=max_expansions)
+    return res.select(
+        "rank", _orig_doc_id(), round6("score").alias("score")
+    ).orderBy("rank")
+
+
 def query_snippets_q(
     spark: SparkSession, sf_dir: str, query: str, k: int = 10
 ) -> DataFrame:
