@@ -146,6 +146,26 @@ def _registry():
     reg["dedup_minhash_lsh"] = (
         _docs_op(dd.lsh_candidate_pairs), dd.lsh_candidate_pairs_sql(cte),
     )
+    # cross-corpus incremental dedup (new batch vs accumulated corpus)
+    from distributedcodesearchengine_spark.operators.crossdedup import (
+        cross_dedup_sql,
+    )
+
+    _X_NEW = (
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1 "
+        "UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents "
+        "WHERE doc_id % 50 = 0)"
+    )
+    _X_OLD = "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)"
+    _tok = oq.tokenize_col("text")
+    reg["cross_dedup_pairs"] = (
+        eq.cross_dedup_pairs_q,
+        cross_dedup_sql(_X_NEW, _X_OLD, _tok, survivors=False),
+    )
+    reg["cross_dedup_survivors"] = (
+        eq.cross_dedup_survivors_q,
+        cross_dedup_sql(_X_NEW, _X_OLD, _tok, survivors=True),
+    )
     reg["dedup_simhash"] = (_docs_op(dd.simhash32), dd.simhash32_sql(cte))
     reg["dedup_clusters"] = (_docs_op(dd.dedup_clusters), dd.dedup_clusters_sql(cte))
     reg["ngram_jaccard"] = (

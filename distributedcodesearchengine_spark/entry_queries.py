@@ -324,6 +324,35 @@ def docs_with_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "text", tokenize_udf("text").alias("tokens"))
 
 
+def _cross_split(spark: SparkSession, sf_dir: str):
+    """Deterministic new/old corpus split for the cross-dedup gate:
+    old = even doc_ids; new = odd doc_ids PLUS re-keyed exact copies of
+    every 50th doc (those land in old, so the exact stage is
+    non-vacuous — the raw table has no exact twins) — near-dup 'dup'
+    twins straddle the parity split on their own."""
+    d = docs_with_tokens(spark, sf_dir)
+    old = d.where(F.col("doc_id") % 2 == 0)
+    copies = d.where(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(100000)
+    )
+    new = d.where(F.col("doc_id") % 2 == 1).unionByName(copies)
+    return new, old
+
+
+def cross_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.crossdedup import cross_lsh_pairs
+
+    new, old = _cross_split(spark, sf_dir)
+    return cross_lsh_pairs(new, old)
+
+
+def cross_dedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.crossdedup import cross_dedup_survivors
+
+    new, old = _cross_split(spark, sf_dir)
+    return cross_dedup_survivors(new, old)
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode plumbing over the pages adaptation (stubbed
     deterministic decoder; rows-only driver check — not SQL-expressible)."""
