@@ -166,6 +166,17 @@ def _registry():
         eq.cross_dedup_survivors_q,
         cross_dedup_sql(_X_NEW, _X_OLD, _tok, survivors=True),
     )
+    # SemDeDup: cluster embeddings to IVF cells, prune near-twins
+    # within each cell (min-id representative survives)
+    def _emb_op(fn):
+        from distributedcodesearchengine_spark.sources.tables import load_table
+
+        return lambda spark, sf_dir: fn(load_table(spark, sf_dir, "embeddings"))
+
+    reg["semdedup"] = (
+        _emb_op(partial(sim.semdedup, threshold=0.25)),
+        sim.semdedup_sql(threshold=0.25),
+    )
     reg["dedup_simhash"] = (_docs_op(dd.simhash32), dd.simhash32_sql(cte))
     reg["dedup_clusters"] = (_docs_op(dd.dedup_clusters), dd.dedup_clusters_sql(cte))
     reg["ngram_jaccard"] = (

@@ -360,3 +360,85 @@ def near_dup_pairs_sql(threshold: float = 0.25, limit: int = 50) -> str:
         f"SELECT vec_a, vec_b, {round6_sql('cos')} AS cos FROM p WHERE cos >= {threshold} "
         f"ORDER BY cos DESC, vec_a, vec_b LIMIT {limit}"
     )
+
+
+def semdedup(
+    embeddings: DataFrame, threshold: float = 0.25,
+    dim: int = 64, k_cells: int = N_IVF_CELLS, max_cell: int = 4000,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup -> surviving (vec_id, cell).
+
+    Cluster-then-prune (Abbas et al., SemDeDup): assign every vector to
+    its IVF cell (argmax centroid dot — pure JVM expressions, no
+    shuffle), then WITHIN each cell drop any vector that has a
+    lower-id cell-mate with cosine >= ``threshold``. The dominator
+    rule (exists ANY lower-id near-twin, dropped or not) is
+    deterministic and needs no iteration — unlike connected-components
+    it is a single join + EXISTS, and it keeps exactly the min-id
+    representative of every mutually-similar group.
+
+    Scale shape: the pairwise test is confined to cell-mates — the
+    cell is the partition key, so each comparison task sees one cell's
+    candidates, never a corpus crossJoin. Cells larger than
+    ``max_cell`` are exempt from pruning (kept verbatim): the safety
+    valve that bounds the worst per-cell product at max_cell^2 when a
+    degenerate centroid attracts everything; at 100 TB the real fix is
+    more/trained centroids, and the cap makes the failure mode
+    conservative (keep, never mass-drop).
+    """
+    cents = ivf_centroids(dim, k_cells)
+    d = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb"),
+        *[_dot(F.col(vec_col), c).alias(f"d{i}") for i, c in enumerate(cents)],
+    ).withColumn("cell", _cell_case([f"d{i}" for i in range(k_cells)]))
+    # the assignment subtree is 16 HOF dot expressions; referenced by
+    # three consumers (sizes, both join sides) Catalyst's constraint
+    # propagation goes combinatorial across the self-join — cut the
+    # lineage so the join sides see plain columns (and the 16-dot scan
+    # runs once, not three times)
+    cells = d.select("vec_id", "emb", "cell").localCheckpoint(eager=False)
+    sizes = (
+        cells.groupBy("cell").agg(F.count("*").alias("n"))
+    )
+    prunable = cells.join(
+        F.broadcast(sizes.where(F.col("n") <= max_cell).select("cell")), "cell"
+    )
+    a = prunable.select(
+        "cell", F.col("vec_id").alias("va"), F.col("emb").alias("ea")
+    )
+    b = prunable.select(
+        "cell", F.col("vec_id").alias("vec_id"), F.col("emb").alias("eb")
+    )
+    dropped = (
+        a.join(b, "cell")
+        .where(F.col("va") < F.col("vec_id"))
+        .where(_cos_expr("ea", "eb") >= threshold)
+        .select("vec_id")
+        .distinct()
+    )
+    return (
+        cells.join(dropped, "vec_id", "left_anti")
+        .select("vec_id", F.col("cell").cast("int").alias("cell"))
+        .orderBy("vec_id")
+    )
+
+
+def semdedup_sql(
+    threshold: float = 0.25, dim: int = 64,
+    k_cells: int = N_IVF_CELLS, max_cell: int = 4000,
+) -> str:
+    return (
+        f"WITH {_cell_sql(k_cells, dim)}, "
+        "sizes AS (SELECT cell, count(*) AS n FROM cells GROUP BY cell), "
+        "prunable AS (SELECT c.* FROM cells c JOIN sizes USING (cell) "
+        f"  WHERE n <= {max_cell}), "
+        "dropped AS (SELECT DISTINCT b.vec_id FROM prunable a "
+        "  JOIN prunable b ON a.cell = b.cell AND a.vec_id < b.vec_id "
+        "  WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+        "  (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+        "  sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) "
+        f"  >= {threshold}) "
+        "SELECT vec_id, CAST(cell AS INT) AS cell FROM cells "
+        "WHERE vec_id NOT IN (SELECT vec_id FROM dropped) ORDER BY vec_id"
+    )
