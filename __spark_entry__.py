@@ -115,6 +115,17 @@ def _registry():
         partial(eq.bm25_wildcard_query_q, query="dup s*", k=10, max_expansions=4),
         bm25_wildcard_sql("dup s*", k=10, max_expansions=4),
     )
+    # fuzzy expansion: 'sow~1' corrects to {row, slow} via SymSpell
+    # deletion-key candidates + levenshtein verify; 'dup' keeps the
+    # healthy regime
+    from distributedcodesearchengine_spark.operators.fuzzy import (
+        bm25_fuzzy_sql,
+    )
+
+    reg["bm25_fuzzy"] = (
+        partial(eq.bm25_fuzzy_query_q, query="dup sow~1", k=10),
+        bm25_fuzzy_sql("dup sow~1", k=10),
+    )
     reg["bm25_boolean_healthy"] = (
         partial(eq.bm25_boolean_query_q, query="dup +table -row", k=10),
         oq.bm25_boolean_sql("dup +table -row", k=10),

@@ -145,6 +145,13 @@ class SearchEngine:
             return bm25_wildcard_topk(
                 self.index, q, k=limit, filters=filters or None
             )
+        # 'word~' / 'word~1' / 'word~2' -> edit-distance expansion
+        from .operators.fuzzy import bm25_fuzzy_topk, is_fuzzy_query
+
+        if is_fuzzy_query(q):
+            return bm25_fuzzy_topk(
+                self.index, q, k=limit, filters=filters or None
+            )
         if scorer == "sharded" and not filters and "sharded" in self.index.extras:
             # the low-latency serving path: shard-local scoring over the
             # persisted doc-range-sharded layout (build --sharded-index).

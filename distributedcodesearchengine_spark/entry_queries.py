@@ -221,6 +221,20 @@ def bm25_wildcard_query_q(
     ).orderBy("rank")
 
 
+def bm25_fuzzy_query_q(
+    spark: SparkSession, sf_dir: str, query: str, k: int = 10,
+    max_expansions: int = 16,
+) -> DataFrame:
+    """Fuzzy gate entry: BM25 over edit-distance expansions."""
+    from .operators.fuzzy import bm25_fuzzy_topk
+
+    idx = get_documents_index(spark, sf_dir)
+    res = bm25_fuzzy_topk(idx, query, k=k, max_expansions=max_expansions)
+    return res.select(
+        "rank", _orig_doc_id(), round6("score").alias("score")
+    ).orderBy("rank")
+
+
 def query_snippets_q(
     spark: SparkSession, sf_dir: str, query: str, k: int = 10
 ) -> DataFrame:

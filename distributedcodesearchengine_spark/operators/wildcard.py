@@ -81,28 +81,25 @@ def expand_prefix(
     return [(r["term"], float(r["idf"])) for r in rows]
 
 
-def bm25_wildcard_topk(
+def expanded_or_topk(
     index,
-    query: str,
+    plain: List[str],
+    expansions: List[List[tuple]],
     k: int = 10,
     filters: Optional[Dict[str, str]] = None,
-    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
 ) -> DataFrame:
-    """Wildcard-expanded BM25 top-k -> (rank, doc_id, url, score)."""
+    """Shared multi-term-expansion scoring tail (wildcard + fuzzy):
+    ``plain`` tokens keep their multiplicity; each expansion list of
+    (term, idf) adds qtf = 1 per term; a term reached by several
+    clauses accumulates. Then the standard A3/F4/T1 chain."""
     from .scorer import finalize_topk, query_term_weights, score_matched
 
-    spark = index.spark
-    plain, prefixes = parse_wildcard_query(query)
-    if not plain and not prefixes:
-        return spark.createDataFrame(
-            [], "rank int, doc_id long, url string, score double"
-        )
     qtf: Counter = Counter(plain)
     idf_of: Dict[str, float] = {}
     for t, q, i in query_term_weights(index, " ".join(plain)) if plain else []:
         idf_of[t] = i
-    for p in prefixes:
-        for t, i in expand_prefix(index, p, max_expansions):
+    for exp in expansions:
+        for t, i in exp:
             qtf[t] += 1
             idf_of[t] = i
     qweights = [
@@ -112,33 +109,62 @@ def bm25_wildcard_topk(
     return finalize_topk(index, scored, k, filters)
 
 
+def bm25_wildcard_topk(
+    index,
+    query: str,
+    k: int = 10,
+    filters: Optional[Dict[str, str]] = None,
+    max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+) -> DataFrame:
+    """Wildcard-expanded BM25 top-k -> (rank, doc_id, url, score)."""
+    spark = index.spark
+    plain, prefixes = parse_wildcard_query(query)
+    if not plain and not prefixes:
+        return spark.createDataFrame(
+            [], "rank int, doc_id long, url string, score double"
+        )
+    expansions = [expand_prefix(index, p, max_expansions) for p in prefixes]
+    return expanded_or_topk(index, plain, expansions, k, filters)
+
+
 # --- DuckDB oracle builder (colocated) ---
 
 
 def bm25_wildcard_sql(
     query: str, k: int = 10, max_expansions: int = DEFAULT_MAX_EXPANSIONS
 ) -> str:
-    """Mirror of bm25_wildcard_topk over the shared _docs_cte chain:
-    the expansion is the same (df desc, term asc) capped dictionary
-    scan, clause weights sum per term, then the standard
-    threshold/degenerate/top-k chain."""
-    from ..functions.sql_oracle import K1, B, _docs_cte, round6_sql
-
+    """Mirror of bm25_wildcard_topk: the expansion is the same
+    (df desc, term asc) capped dictionary scan (starts_with, never
+    LIKE, so metacharacter prefixes cannot diverge)."""
     plain, prefixes = parse_wildcard_query(query)
     if not plain and not prefixes:
         return "SELECT 1 AS rank, 1::BIGINT AS doc_id, 0.0 AS score WHERE false"
-    parts = []
-    if plain:
-        vals = ", ".join(
-            f"('{t}', {float(q)})" for t, q in sorted(Counter(plain).items())
-        )
-        parts.append(f"SELECT * FROM (VALUES {vals}) v(term, qtf)")
+    parts = plain_qtf_parts(plain)
     for p in prefixes:
         parts.append(
             "SELECT term, 1.0 AS qtf FROM (SELECT term FROM idf "
             f"WHERE starts_with(term, '{p}') "
             f"ORDER BY df DESC, term ASC LIMIT {int(max_expansions)})"
         )
+    return expanded_bm25_sql(parts, k)
+
+
+def plain_qtf_parts(plain: List[str]) -> List[str]:
+    if not plain:
+        return []
+    vals = ", ".join(
+        f"('{t}', {float(q)})" for t, q in sorted(Counter(plain).items())
+    )
+    return [f"SELECT * FROM (VALUES {vals}) v(term, qtf)"]
+
+
+def expanded_bm25_sql(parts: List[str], k: int = 10) -> str:
+    """Shared oracle chain for expansion queries: ``parts`` are SQL
+    subqueries each yielding (term, qtf) rows (evaluated against the
+    _docs_cte relations); weights sum per term, then the standard
+    threshold/degenerate/top-k chain."""
+    from ..functions.sql_oracle import K1, B, _docs_cte, round6_sql
+
     union = " UNION ALL ".join(parts)
     return (
         f"WITH {_docs_cte()}, "
