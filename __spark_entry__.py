@@ -226,6 +226,10 @@ def _registry():
 
     reg["decontaminate"] = (_docs_op(pl.decontaminate), pl.decontaminate_sql(cte))
     reg["mixture_sample"] = (_tbl_op(pl.mixture_sample), pl.mixture_sample_sql())
+    reg["temperature_sample"] = (
+        _tbl_op(partial(pl.temperature_sample, alpha=0.5, target_frac=0.5)),
+        pl.temperature_sample_sql(alpha=0.5, target_frac=0.5),
+    )
     reg["pack_sequences"] = (_docs_op(pl.pack_sequences), pl.pack_sequences_sql(cte))
     reg["pii_scrub"] = (_tbl_op(pl.pii_scrub_augmented), pl.pii_scrub_sql())
 

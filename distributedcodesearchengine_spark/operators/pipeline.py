@@ -816,3 +816,104 @@ def normalize_text_sql(table: str = "documents") -> str:
         "CAST(length(text_norm) AS BIGINT) AS n_chars_norm "
         "FROM n ORDER BY doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature-based mixture resampling (UniMax / mT5-style)
+
+
+def temperature_rates(
+    documents: DataFrame, alpha: float = 0.5, target_frac: float = 0.5
+) -> DataFrame:
+    """(lang, n_l, rate) — per-language keep rates for temperature
+    sampling: target share q_l ∝ p_l^alpha over observed shares p_l,
+    keep rate r_l = min(1, q_l * T / n_l) for a T = target_frac * N
+    doc budget. alpha < 1 flattens the mixture toward low-resource
+    languages (mT5/UniMax practice); alpha = 1 is proportional
+    (no-op rates when target_frac = 1).
+
+    Engine-portable arithmetic: p^alpha is written exp(alpha * ln(p))
+    on BOTH engines (the ln/exp lanes whose bit-parity unigram_logppl
+    establishes), the cross-language normalizer folds in canonical
+    lang order, and all operand orders mirror the oracle text. The
+    rates relation is k rows (k = #languages) — the only aggregation
+    is one count per language; no corpus-wide shuffle beyond it.
+    """
+    counts = documents.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_l")
+    )
+    tot = counts.agg(F.sum("n_l").cast("long").alias("n_tot"))
+    c2 = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "num",
+        F.exp(F.lit(float(alpha)) * F.log(F.col("n_l") * F.lit(1.0) / F.col("n_tot"))),
+    )
+    denom = c2.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("lang", "num"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["num"],
+        ).alias("denom")
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.col("num") / F.col("denom")
+        * (F.lit(float(target_frac)) * F.col("n_tot"))
+        / F.col("n_l"),
+    )
+    return (
+        c2.crossJoin(F.broadcast(denom))
+        .select("lang", "n_l", rate.alias("rate"))
+    )
+
+
+def temperature_sample(
+    documents: DataFrame, alpha: float = 0.5, target_frac: float = 0.5
+) -> DataFrame:
+    """(lang, n_total, n_kept, rate) — summary of the deterministic
+    hash-threshold temperature sample: doc kept iff its md5 bucket
+    falls under the language's temperature rate (same portable bucket
+    lane as mixture_sample, zero shuffle on the corpus side — the
+    k-row rates relation broadcasts)."""
+    rates = temperature_rates(documents, alpha, target_frac)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _MIX_BUCKETS
+    )
+    d = documents.join(F.broadcast(rates), "lang").withColumn(
+        "keep", (bucket < F.col("rate") * _MIX_BUCKETS).cast("int")
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_total"),
+            F.sum("keep").cast("long").alias("n_kept"),
+            round6(F.first("rate")).alias("rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+def temperature_sample_sql(
+    table: str = "documents", alpha: float = 0.5, target_frac: float = 0.5
+) -> str:
+    bucket = f"('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % {_MIX_BUCKETS}"
+    return (
+        f"WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l FROM {table} GROUP BY lang), "
+        "t AS (SELECT CAST(sum(n_l) AS BIGINT) AS n_tot FROM c), "
+        f"c2 AS (SELECT lang, n_l, exp({float(alpha)!r} * ln(n_l * 1.0 / (SELECT n_tot FROM t))) AS num FROM c), "
+        "d AS (SELECT sum(num ORDER BY lang) AS denom FROM c2), "
+        "r AS (SELECT lang, least(1.0, num / (SELECT denom FROM d) * "
+        f"({float(target_frac)!r} * (SELECT n_tot FROM t)) / n_l) AS rate FROM c2), "
+        f"k AS (SELECT lang, rate, CASE WHEN {bucket} < rate * {_MIX_BUCKETS} "
+        f"THEN 1 ELSE 0 END AS keep FROM {table} JOIN r USING (lang)) "
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_total, "
+        "CAST(sum(keep) AS BIGINT) AS n_kept, "
+        f"{round6_sql('any_value(rate)')} AS rate "
+        "FROM k GROUP BY lang ORDER BY lang"
+    )
