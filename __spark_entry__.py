@@ -188,6 +188,19 @@ def _registry():
         _emb_op(partial(sim.semdedup, threshold=0.25)),
         sim.semdedup_sql(threshold=0.25),
     )
+    # mergeable sketches (portable md5 lanes -> bit-identical oracles);
+    # kmv k=16 < the 30-term vocab so the estimator branch is exercised
+    from distributedcodesearchengine_spark.operators import sketch as sk
+
+    # width=8 forces bucket collisions on the 30-term vocab so the
+    # min-over-depths over-estimate lane is non-vacuous
+    reg["cms_estimates"] = (
+        _docs_op(partial(sk.cms_estimates, width=8)),
+        sk.cms_estimates_sql(cte, width=8),
+    )
+    reg["kmv_distinct"] = (
+        _docs_op(partial(sk.kmv_distinct, k=16)), sk.kmv_distinct_sql(cte, k=16),
+    )
     reg["dedup_simhash"] = (_docs_op(dd.simhash32), dd.simhash32_sql(cte))
     reg["dedup_clusters"] = (_docs_op(dd.dedup_clusters), dd.dedup_clusters_sql(cte))
     reg["ngram_jaccard"] = (

@@ -1,0 +1,51 @@
+"""Sketch tests (operators/sketch): CMS one-sided bound + mergeability,
+KMV branches."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributedcodesearchengine_spark.entry_queries import docs_with_tokens
+from distributedcodesearchengine_spark.operators.sketch import (
+    cms_build,
+    cms_estimates,
+    kmv_distinct,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return docs_with_tokens(spark, sf_dir).persist()
+
+
+def test_cms_one_sided_bound(docs):
+    rows = cms_estimates(docs, width=8).collect()
+    assert rows
+    assert all(r["est"] >= r["ctf"] for r in rows)
+    assert any(r["est"] > r["ctf"] for r in rows)  # collisions happen at w=8
+
+
+def test_cms_wide_is_exact(docs):
+    """Width far above vocab -> no collisions -> est == ctf."""
+    rows = cms_estimates(docs, width=4096).collect()
+    assert all(r["est"] == r["ctf"] for r in rows)
+
+
+def test_cms_sketches_merge_by_addition(docs):
+    """CMS(all) == CMS(half1) + CMS(half2) — the shard-merge property."""
+    h1 = docs.where(F.col("doc_id") % 2 == 0)
+    h2 = docs.where(F.col("doc_id") % 2 == 1)
+    full = {(r["d"], r["bucket"]): r["cnt"] for r in cms_build(docs, width=8).collect()}
+    merged = {}
+    for part in (h1, h2):
+        for r in cms_build(part, width=8).collect():
+            merged[(r["d"], r["bucket"])] = merged.get((r["d"], r["bucket"]), 0) + r["cnt"]
+    assert merged == full
+
+
+def test_kmv_branches(docs):
+    exact = kmv_distinct(docs, k=10_000).first()  # k > vocab -> exact
+    assert exact["est"] == float(exact["n_distinct"])
+    est = kmv_distinct(docs, k=16).first()  # estimator branch
+    n = est["n_distinct"]
+    assert est["est"] != float(n)
+    assert 0.3 * n <= est["est"] <= 3 * n  # sane scale for k=16
