@@ -122,6 +122,16 @@ def _registry():
         bm25_fuzzy_sql,
     )
 
+    # click-prior boosting: BM25 reranked by the events engagement
+    # rollup (search x analytics join)
+    from distributedcodesearchengine_spark.operators.explore import (
+        bm25_clickboost_sql,
+    )
+
+    reg["bm25_clickboost"] = (
+        partial(eq.bm25_clickboost_q, query="dup table", k=10),
+        bm25_clickboost_sql("dup table", k=10),
+    )
     reg["bm25_fuzzy"] = (
         partial(eq.bm25_fuzzy_query_q, query="dup sow~1", k=10),
         bm25_fuzzy_sql("dup sow~1", k=10),

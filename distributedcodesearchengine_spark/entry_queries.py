@@ -235,6 +235,23 @@ def bm25_fuzzy_query_q(
     ).orderBy("rank")
 
 
+def bm25_clickboost_q(
+    spark: SparkSession, sf_dir: str, query: str, k: int = 10,
+    weight: float = 0.2,
+) -> DataFrame:
+    """Click-prior boosted BM25 gate entry (events join)."""
+    from .operators.explore import bm25_clickboost_topk
+
+    idx = get_documents_index(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    res = bm25_clickboost_topk(idx, query, events, k=k, weight=weight)
+    return (
+        res.join(idx.docs.select("doc_id", "url"), "doc_id")
+        .select("rank", _orig_doc_id(), "score", "n_clicks")
+        .orderBy("rank")
+    )
+
+
 def query_snippets_q(
     spark: SparkSession, sf_dir: str, query: str, k: int = 10
 ) -> DataFrame:

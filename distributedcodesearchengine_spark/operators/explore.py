@@ -139,3 +139,129 @@ def more_like_this(
     # (finalize_topk draws it from index.docs) — hand it a seedless view
     idx2 = replace(index, docs=index.docs.where(F.col("doc_id") != seed))
     return finalize_topk(idx2, scored, k)
+
+
+def click_prior(events: DataFrame, event_type: str = "click") -> DataFrame:
+    """events -> (doc_id, n_clicks) — the per-document engagement
+    prior: count of ``event_type`` events keyed by the event's document
+    reference (props.k). One map-side-combinable groupBy; at serving
+    scale this is a periodically refreshed doc-keyed artifact, not a
+    per-query scan."""
+    return (
+        events.where(F.col("event_type") == event_type)
+        .select(F.get_json_object("props", "$.k").cast("long").alias("doc_id"))
+        .where(F.col("doc_id").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_clicks"))
+    )
+
+
+def bm25_clickboost_topk(
+    index: Index,
+    query: str,
+    events: DataFrame,
+    k: int = 10,
+    weight: float = 0.2,
+    event_type: str = "click",
+) -> DataFrame:
+    """(rank, doc_id, score, n_clicks) — BM25 reranked by the
+    engagement prior: final = bm25 * (1 + weight * ln(1 + n_clicks)).
+
+    The boost applies AFTER the relative threshold (the kept set is the
+    reference's result array — popularity rescores what matched, it
+    never admits non-matching docs), mirroring the J3 boost stage's
+    position in the hybrid pipeline. ln is the engine-portable lane.
+    The prior joins onto the THRESHOLDED candidates only (bounded),
+    never corpus-wide; in the degenerate all-zero regime every final
+    score is 0 * boost = 0, so ranking stays doc_id order and the
+    operator returns the same rows plain BM25 would.
+    """
+    spark = index.spark
+    if not tokenize(query):
+        return spark.createDataFrame(
+            [], "rank int, doc_id long, score double, n_clicks long"
+        )
+    prior = click_prior(events, event_type)
+    qweights = query_term_weights(index, query)
+    scored = score_matched(index, qweights) if qweights else None
+    if scored is not None:
+        scored = scored.persist()
+        mx = scored.agg(F.max("score").alias("mx")).first()["mx"]
+    else:
+        mx = None
+    if mx is not None and mx > 0:
+        kept = scored.select("doc_id", "score").where(
+            F.col("score") >= F.lit(0.01 * mx)
+        )
+    else:
+        right = (
+            scored.select("doc_id", "score")
+            if scored is not None
+            else spark.createDataFrame([], "doc_id long, score double")
+        )
+        kept = (
+            index.docs.select("doc_id")
+            .join(right, "doc_id", "left")
+            .withColumn("score", F.coalesce(F.col("score"), F.lit(0.0)))
+        )
+    boosted = (
+        kept.join(prior, "doc_id", "left")
+        .withColumn("n_clicks", F.coalesce(F.col("n_clicks"), F.lit(0).cast("long")))
+        .withColumn(
+            "final",
+            F.col("score")
+            * (F.lit(1.0) + F.lit(float(weight)) * F.log(F.lit(1.0) + F.col("n_clicks"))),
+        )
+    )
+    top = boosted.orderBy(F.desc("final"), F.asc("doc_id")).limit(k)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("final"), F.asc("doc_id"))
+    out = top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", round6("final").alias("score"), "n_clicks"
+    )
+    if scored is not None:
+        scored.unpersist()
+    return out
+
+
+def bm25_clickboost_sql(
+    query: str, k: int = 10, weight: float = 0.2, event_type: str = "click"
+) -> str:
+    """Oracle mirror of bm25_clickboost_topk over the shared CTE chain."""
+    from collections import Counter
+
+    from ..functions.sql_oracle import K1, B, _docs_cte, round6_sql
+
+    toks = tokenize(query)
+    counts = Counter(toks)
+    qvals = ", ".join(f"('{t}', {float(q)})" for t, q in sorted(counts.items()))
+    return (
+        f"WITH {_docs_cte()}, "
+        f"qt(term, qtf) AS (VALUES {qvals}), "
+        "contrib AS ("
+        "  SELECT tf.doc_id, tf.term, "
+        f"    qt.qtf * (idf.idf * (tf.tf * {K1 + 1.0} / "
+        f"      (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM stats))))) AS c "
+        "  FROM tf JOIN qt USING (term) JOIN idf USING (term) "
+        "  JOIN doclen dl ON dl.doc_id = tf.doc_id), "
+        "scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id), "
+        "mx AS (SELECT max(score) AS m FROM scored), "
+        "kept AS ("
+        "  SELECT d.doc_id, coalesce(s.score, 0.0) AS score "
+        "  FROM doclen d LEFT JOIN scored s USING (doc_id) "
+        "  WHERE ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
+        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))), "
+        "prior AS (SELECT CAST(props->>'k' AS BIGINT) AS doc_id, "
+        "  CAST(count(*) AS BIGINT) AS n_clicks FROM events "
+        f"  WHERE event_type = '{event_type}' AND (props->>'k') IS NOT NULL "
+        "  GROUP BY 1), "
+        "boosted AS (SELECT kept.doc_id, "
+        "  kept.score * (1.0 + "
+        f"{float(weight)!r} * ln(1.0 + coalesce(prior.n_clicks, 0))) AS final, "
+        "  coalesce(prior.n_clicks, CAST(0 AS BIGINT)) AS n_clicks "
+        "  FROM kept LEFT JOIN prior USING (doc_id)) "
+        "SELECT CAST(row_number() OVER (ORDER BY final DESC, doc_id ASC) AS INT) AS rank, "
+        f"doc_id, {round6_sql('final')} AS score, n_clicks "
+        f"FROM boosted ORDER BY final DESC, doc_id ASC LIMIT {k}"
+    )
