@@ -66,10 +66,19 @@ class IncrementalIndexer:
         index_dir: str,
         meta_cols: tuple = (),
         run_tag: str = "run0",
+        content_dedup: bool = False,
     ):
         self.spark = spark
         self.index_dir = index_dir
         self.meta_cols = meta_cols
+        # content_dedup=True additionally drops pages whose EXTRACTED
+        # TEXT already entered the index under any url (recrawl
+        # mirrors / alias urls) — the streaming analog of the batch
+        # pipeline's exact dedup. Hashes live in a per-batch sidecar
+        # (hashes/batch=<tag>: url, h), NOT as a docs column: the docs
+        # schema feeds meta_columns()/compaction and must not grow a
+        # pseudo-metadata field.
+        self.content_dedup = content_dedup
         # batch subdirs are namespaced by the checkpoint-scoped run tag:
         # the SAME stream redelivering a batch id overwrites its own dir
         # (idempotent), while a different stream over the same index can
@@ -108,6 +117,34 @@ class IncrementalIndexer:
         row = self.spark.read.parquet(*dirs).agg(F.max("doc_id")).first()
         return (int(row[0]) + 1) if row[0] is not None else 0
 
+    def _content_hash_col(self):
+        return F.md5(F.encode(extract_text_udf(F.col("html")), "utf-8"))
+
+    def _content_dedup(self, batch: DataFrame, tag: str) -> DataFrame:
+        """Drop rows whose extracted-text hash is already indexed (any
+        url, any prior batch) or duplicated within the batch (min-url
+        representative survives — dropDuplicates would be
+        nondeterministic under redelivery)."""
+        h = batch.withColumn("_h", self._content_hash_col())
+        w = Window.partitionBy("_h").orderBy("url")
+        h = h.withColumn("_rn", F.row_number().over(w)).where(
+            F.col("_rn") == 1
+        ).drop("_rn")
+        prior = self._batch_subdirs("hashes", exclude=tag)
+        if prior:
+            seen = self.spark.read.parquet(*prior).select(
+                F.col("h").alias("_h")
+            )
+            h = h.join(seen, "_h", "left_anti")
+        return h.drop("_h")
+
+    def _write_hashes(self, admitted: DataFrame, tag: str) -> None:
+        """(url, h) sidecar for the batch's admitted rows — the
+        accumulated hash set future batches anti-join against."""
+        admitted.select(
+            "url", self._content_hash_col().alias("h")
+        ).write.mode("overwrite").parquet(self._path(f"hashes/batch={tag}"))
+
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         if not batch.head(1):
             return
@@ -127,10 +164,27 @@ class IncrementalIndexer:
             if prior:
                 seen = spark.read.parquet(*prior).select("url")
                 batch = batch.join(seen, "url", "left_anti")
+            if self.content_dedup:
+                batch = self._content_dedup(batch, tag)
             docs_delta = _docs_delta(batch, offset, self.meta_cols)
             # idempotent per-batch write: overwrite this batch's subdirs
             docs_delta.write.mode("overwrite").parquet(docs_sub)
             term_freqs(docs_delta).write.mode("overwrite").parquet(tf_sub)
+            if self.content_dedup:
+                self._write_hashes(batch, tag)
+        elif self.content_dedup and not os.path.exists(
+            os.path.join(self._path(f"hashes/batch={tag}"), "_SUCCESS")
+        ):
+            # heal the crash window between the docs commit and the
+            # sidecar write: recompute the admitted set from the
+            # redelivered batch (prior state is unchanged since the
+            # crash, so the same rows survive) and record its hashes —
+            # otherwise later batches would re-admit this content
+            prior = self._batch_subdirs("docs", exclude=tag)
+            if prior:
+                seen = spark.read.parquet(*prior).select("url")
+                batch = batch.join(seen, "url", "left_anti")
+            self._write_hashes(self._content_dedup(batch, tag), tag)
         # committed redelivery: the writes already happened — fall
         # through to the stats recompute (the crash may have hit between
         # the batch write and the stats swap)
@@ -172,6 +226,7 @@ def start_incremental_index(
     checkpoint_dir: str,
     meta_cols: tuple = (),
     available_now: bool = True,
+    content_dedup: bool = False,
 ):
     """readStream(pages parquet dir) -> foreachBatch incremental index.
 
@@ -182,7 +237,10 @@ def start_incremental_index(
     import hashlib
 
     run_tag = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
-    indexer = IncrementalIndexer(spark, index_dir, meta_cols, run_tag=run_tag)
+    indexer = IncrementalIndexer(
+        spark, index_dir, meta_cols, run_tag=run_tag,
+        content_dedup=content_dedup,
+    )
     stream = (
         spark.readStream.schema(PAGES)
         .option("maxFilesPerTrigger", 8)

@@ -149,3 +149,49 @@ def test_compact_incremental_to_serving_layout(spark, tmp_path, capsys):
         spark=spark,
     )
     assert rc == 0
+
+
+def test_streaming_content_dedup(spark, tmp_path):
+    """content_dedup=True drops re-crawled content at NEW urls across
+    micro-batches (and within a batch), while distinct content still
+    indexes; off by default, alias urls index as separate docs."""
+    from pyspark.sql import functions as F
+
+    from distributedcodesearchengine_spark.streaming.incremental import (
+        IncrementalIndexer,
+    )
+
+    pages = generate_pages(spark, 40, seed=21, parts=2).persist()
+    urls = sorted(r["url"] for r in pages.select("url").collect())
+    b1 = pages.filter(F.col("url").isin(urls[:20])).persist()
+    # batch 2: 10 fresh pages + 5 of batch 1's pages under alias urls
+    fresh = pages.filter(F.col("url").isin(urls[20:30]))
+    alias = (
+        pages.filter(F.col("url").isin(urls[:5]))
+        .withColumn("url", F.concat(F.lit("https://mirror.example/"), F.col("url")))
+    )
+    # in-batch twins: the same aliased content twice more
+    alias2 = alias.withColumn("url", F.concat(F.col("url"), F.lit("?x=1")))
+    b2 = fresh.unionByName(alias).unionByName(alias2).persist()
+
+    idx_dir = str(tmp_path / "dd")
+    ix = IncrementalIndexer(spark, idx_dir, run_tag="t", content_dedup=True)
+    ix.process_batch(b1, 0)
+    ix.process_batch(b2, 1)
+    got = ix.load()
+    # 20 + 10 fresh; all 10 alias rows (5 contents x 2 urls) dropped
+    assert got.n_docs == 30
+    urls = {r["url"] for r in got.docs.select("url").collect()}
+    assert not any("mirror.example" in u for u in urls)
+
+    # control: content_dedup off -> aliases index as separate docs
+    idx2 = str(tmp_path / "nodd")
+    ix2 = IncrementalIndexer(spark, idx2, run_tag="t")
+    ix2.process_batch(b1, 0)
+    ix2.process_batch(b2, 1)
+    assert ix2.load().n_docs == 40  # 20 + 10 + 10 alias rows
+
+    # redelivery of batch 1 stays a no-op with the sidecar present
+    ix.process_batch(b1, 0)
+    assert ix.load().n_docs == 30
+    pages.unpersist()
