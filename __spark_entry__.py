@@ -122,6 +122,14 @@ def _registry():
         bm25_fuzzy_sql,
     )
 
+    # federation: two independently-built parity-split indexes merged
+    # with exact global stats — identical to the monolithic oracle
+    reg["bm25_federated"] = (
+        partial(eq.bm25_federated_q, query="dup table", k=12),
+        "SELECT doc_id, score FROM ("
+        + oq.bm25_topk_sql("dup table", k=12)
+        + ") ORDER BY doc_id",
+    )
     # click-prior boosting: BM25 reranked by the events engagement
     # rollup (search x analytics join)
     from distributedcodesearchengine_spark.operators.explore import (

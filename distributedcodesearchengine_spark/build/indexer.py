@@ -14,6 +14,7 @@ per-document Python.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.postings import (
     DEFAULT_BLOCK,
@@ -94,3 +95,58 @@ def add_postings(
     index.postings = p.persist() if cache else p
     index.n_buckets = n_buckets
     return index
+
+
+def federate_indexes(indexes, shard_bits: int = 40) -> Index:
+    """N independently-built indexes -> ONE logical index with EXACT
+    global statistics — the distributed-serving composition (Lucene's
+    sharded IndexSearcher, or per-crawl indexes queried as one corpus).
+
+    Semantics contract (rank-identity-tested): a query over the
+    federation scores exactly like the same query over a monolithic
+    index built from the concatenated corpora —
+    - doc ids re-key to disjoint spaces (shard i << ``shard_bits``;
+      per-shard ids must stay under 2^shard_bits), a constant-time
+      per-row expression, no max() coordination between shards;
+    - N and per-term df merge as exact integer sums — df comes from the
+      shards' vocab-sized terms relations (one groupBy over k_i-row
+      inputs), NEVER by re-counting the unioned corpus-sized tf;
+    - avgdl recomputes from the exact integer doc_len sum over the
+      unioned docs (a column-pruned scan) — summing the shards'
+      avgdl_i * n_i would round differently than the monolithic build;
+    - idf re-derives from the merged df via the shared epsilon-floor
+      stage (operators/stats.idf_detail_from_df), because the floor's
+      vocabulary average is a GLOBAL quantity no shard knows alone.
+
+    The unioned docs/tf stay lazy partition-unions (no shuffle at
+    federation time); queries prune and score through them exactly as
+    over a single index.
+    """
+    spark = indexes[0].spark
+    if len(indexes) == 1:
+        return indexes[0]
+
+    def _rekey(df: DataFrame, i: int) -> DataFrame:
+        return df.withColumn(
+            "doc_id", (F.col("doc_id") + F.lit(i << shard_bits)).cast("long")
+        )
+
+    docs = tf = None
+    for i, idx in enumerate(indexes):
+        d, t = _rekey(idx.docs, i), _rekey(idx.tf, i)
+        docs = d if docs is None else docs.unionByName(d, allowMissingColumns=True)
+        tf = t if tf is None else tf.unionByName(t, allowMissingColumns=True)
+    n = sum(int(idx.n_docs) for idx in indexes)
+    total_len = docs.agg(F.sum("doc_len").alias("s")).first()["s"]
+    avgdl = float(total_len) / float(n)
+    dfs = None
+    for idx in indexes:
+        part = idx.terms.select("term", "df")
+        dfs = part if dfs is None else dfs.unionByName(part)
+    merged_df = dfs.groupBy("term").agg(F.sum("df").cast("long").alias("df"))
+    from ..operators.stats import idf_detail_from_df
+
+    terms = idf_detail_from_df(merged_df, n).select("term", "df", "idf")
+    return Index(
+        spark=spark, docs=docs, tf=tf, terms=terms, n_docs=n, avgdl=avgdl
+    )

@@ -252,6 +252,37 @@ def bm25_clickboost_q(
     )
 
 
+def bm25_federated_q(
+    spark: SparkSession, sf_dir: str, query: str, k: int = 10
+) -> DataFrame:
+    """Federation gate entry: split the corpus by doc_id parity, build
+    two INDEPENDENT indexes, federate, and search — the exact-global-
+    stats merge makes the result identical to the monolithic oracle
+    for healthy queries (original ids parse back from urls, so the
+    re-keyed federated id space never reaches the compare)."""
+    from .build.indexer import build_index_inmem, federate_indexes
+
+    key = f"fed|{sf_dir}|{id(spark)}"
+    if key not in _INDEX_CACHE:
+        pages = documents_as_pages(spark, sf_dir)
+        orig = F.regexp_extract("url", r"(\d+)$", 1).cast("long")
+        shards = [
+            build_index_inmem(
+                spark, pages.where(orig % 2 == i), meta_cols=("source",)
+            )
+            for i in (0, 1)
+        ]
+        _INDEX_CACHE[key] = federate_indexes(shards)
+    res = bm25_topk(_INDEX_CACHE[key], query, k=k)
+    # no rank column: exact score TIES order by internal doc_id, which
+    # is id-space-dependent under federation (the Lucene shard-order
+    # divergence) — the invariant vs the monolithic oracle is the kept
+    # set and its scores, not the within-tie permutation
+    return res.select(
+        _orig_doc_id(), round6("score").alias("score")
+    ).orderBy("doc_id")
+
+
 def query_snippets_q(
     spark: SparkSession, sf_dir: str, query: str, k: int = 10
 ) -> DataFrame:

@@ -52,7 +52,9 @@ def _docs_cte(table: str = "documents") -> str:
         "(SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY doc_id, term), "
         "dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
         "idf0 AS (SELECT term, df, ln((SELECT n_docs FROM stats) - df + 0.5) - ln(df + 0.5) AS idf_raw FROM dfreq), "
-        f"epsv AS (SELECT {EPSILON} * avg(idf_raw) AS eps FROM idf0), "
+        # canonical term-ordered sum, not avg(): mirrors the engine's
+        # deterministic epsilon-floor fold bit-for-bit
+        f"epsv AS (SELECT {EPSILON} * (sum(idf_raw ORDER BY term) / count(*)) AS eps FROM idf0), "
         "idf AS (SELECT term, df, CASE WHEN idf_raw < 0 THEN (SELECT eps FROM epsv) "
         "ELSE idf_raw END AS idf FROM idf0)"
     )

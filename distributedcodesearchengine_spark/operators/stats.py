@@ -138,19 +138,34 @@ def term_freqs(docs: DataFrame) -> DataFrame:
     )
 
 
-def terms_with_idf_detail(tf: DataFrame, n_docs: int) -> DataFrame:
-    """terms(term, df, idf_raw, idf) with the epsilon floor (A2).
-
-    The floor needs avg(idf) over the FULL vocabulary including negative
-    idfs — computed as a 1-row agg and broadcast back as a literal via
-    crossJoin so the whole thing stays one lazy plan.
-    """
+def idf_detail_from_df(df_rel: DataFrame, n_docs: int) -> DataFrame:
+    """(term, df) + N -> (term, df, idf_raw, idf) with the epsilon
+    floor (A2). The floor needs avg(idf) over the FULL vocabulary
+    including negative idfs — computed as a 1-row agg and broadcast
+    back as a literal via crossJoin so the whole thing stays one lazy
+    plan. Shared by the per-corpus build (df counted from tf) and
+    index federation (df = exact integer sum of the shards' dfs)."""
     n = float(n_docs)
-    terms = tf.groupBy("term").agg(F.count("*").alias("df"))
-    terms = terms.withColumn(
+    terms = df_rel.withColumn(
         "idf_raw", F.log(F.lit(n) - F.col("df") + 0.5) - F.log(F.col("df") + 0.5)
     )
-    avg_idf = terms.agg(F.avg("idf_raw").alias("avg_idf"))
+    # canonical term-sorted fold, NOT F.avg: a partial-sum-order average
+    # differs in the last ulp between plans (monolithic vs federated vs
+    # DuckDB), and an ulp-shifted epsilon floor flips membership at the
+    # 1%-of-max threshold boundary — a discrete, visible divergence.
+    # The fold holds the vocabulary in one task: bounded by dictionary
+    # size (the same bound the sharded dict-encode collect accepts); an
+    # ordered two-level tree fold would replace it at 10^9-term vocabs.
+    avg_idf = terms.agg(
+        (
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "idf_raw"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["idf_raw"],
+            )
+            / F.count("*")
+        ).alias("avg_idf")
+    )
     return (
         terms.crossJoin(F.broadcast(avg_idf))
         .withColumn(
@@ -160,6 +175,13 @@ def terms_with_idf_detail(tf: DataFrame, n_docs: int) -> DataFrame:
             ).otherwise(F.col("idf_raw")),
         )
         .select("term", "df", "idf_raw", "idf")
+    )
+
+
+def terms_with_idf_detail(tf: DataFrame, n_docs: int) -> DataFrame:
+    """terms(term, df, idf_raw, idf) — see idf_detail_from_df."""
+    return idf_detail_from_df(
+        tf.groupBy("term").agg(F.count("*").alias("df")), n_docs
     )
 
 

@@ -1,0 +1,81 @@
+"""Index federation: N shard indexes must score exactly like the
+monolithic index over the concatenated corpus."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributedcodesearchengine_spark.build.indexer import (
+    build_index_inmem,
+    federate_indexes,
+)
+from distributedcodesearchengine_spark.operators.scorer import bm25_topk
+from distributedcodesearchengine_spark.sources.corpus import generate_pages
+
+QUERIES = ["JSON parsing", "parseJSON HTTPClient2", "send HTTP request"]
+
+
+@pytest.fixture(scope="module")
+def setup(spark):
+    pages = generate_pages(spark, 300, seed=17, parts=3).persist()
+    urls = sorted(r["url"] for r in pages.select("url").collect())
+    shards = [
+        build_index_inmem(spark, pages.filter(F.col("url").isin(urls[i::3])))
+        for i in range(3)
+    ]
+    mono = build_index_inmem(spark, pages)
+    fed = federate_indexes(shards)
+    return mono, fed, shards
+
+
+def test_global_stats_merge_exactly(setup):
+    mono, fed, shards = setup
+    assert fed.n_docs == mono.n_docs
+    assert abs(fed.avgdl - mono.avgdl) < 1e-12
+    mdf = {r["term"]: r["df"] for r in mono.terms.select("term", "df").collect()}
+    fdf = {r["term"]: r["df"] for r in fed.terms.select("term", "df").collect()}
+    assert fdf == mdf
+
+
+def test_doc_id_spaces_disjoint(setup):
+    _, fed, shards = setup
+    n = fed.docs.count()
+    assert n == sum(s.n_docs for s in shards)
+    assert fed.docs.select("doc_id").distinct().count() == n
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_rank_identity_vs_monolithic(setup, query):
+    mono, fed, _ = setup
+    a = [
+        (r["url"], round(r["score"], 9))
+        for r in bm25_topk(fed, query, k=10).collect()
+    ]
+    b = [
+        (r["url"], round(r["score"], 9))
+        for r in bm25_topk(mono, query, k=10).collect()
+    ]
+    # ids differ by construction; (url, score) ranking must agree
+    assert sorted(a, key=lambda x: (-x[1], x[0])) == sorted(
+        b, key=lambda x: (-x[1], x[0])
+    )
+
+
+def test_degenerate_unknown_token(setup):
+    """Unknown-token queries take the zero-backfill branch; scores
+    agree (all 0.0) but the k surviving docs follow doc_id order,
+    which is id-space-dependent — the documented tie-break contract
+    (the same divergence a Lucene shard order change produces)."""
+    mono, fed, _ = setup
+    a = bm25_topk(fed, "zzz", k=10).collect()
+    b = bm25_topk(mono, "zzz", k=10).collect()
+    assert len(a) == len(b) == 10
+    assert all(r["score"] == 0.0 for r in a + b)
+
+
+def test_filtered_query(setup):
+    mono, fed, _ = setup
+    a = {r["url"] for r in bm25_topk(fed, "JSON parsing", k=10,
+                                     filters={"lang": "en"}).collect()}
+    b = {r["url"] for r in bm25_topk(mono, "JSON parsing", k=10,
+                                     filters={"lang": "en"}).collect()}
+    assert a == b
