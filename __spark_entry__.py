@@ -317,6 +317,22 @@ def _registry():
         partial(eq.bm25_near_query_q, query="dup small", w=12, k=10),
         oq.bm25_topk_sql("dup small", k=10, near=("dup small", 12)),
     )
+    # ordered NEAR (Surround W operator / SpanNear inOrder): the scan +
+    # indexed entries use a query where order genuinely thins the match
+    # set (ordered strictly-subset of unordered at both gate scales);
+    # the ranked entry keeps the healthy 'dup' regime
+    reg["proximity_ordered_match"] = (
+        _docs_op(partial(px.ordered_windows, query="row scan", w=6)),
+        px.ordered_match_sql(cte, "row scan", 6),
+    )
+    reg["proximity_ordered_indexed"] = (
+        _docs_op(partial(px.ordered_match_indexed, query="row scan", w=6)),
+        px.ordered_docs_sql(cte, "row scan", 6),
+    )
+    reg["bm25_near_ordered"] = (
+        partial(eq.bm25_ordered_near_query_q, query="small dup", w=8, k=10),
+        oq.bm25_topk_sql("small dup", k=10, ordered_near=("small dup", 8)),
+    )
     # serving-surface extras: autocomplete + query-aware snippets
     from distributedcodesearchengine_spark.operators import snippets as sn
     from distributedcodesearchengine_spark.oracle.tokenizer import tokenize as _tok

@@ -123,9 +123,20 @@ class SearchEngine:
             return bm25_phrase_topk(
                 self.index, q[1:-1], k=limit, filters=filters or None
             )
-        # '"terms"~w' -> proximity (NEAR) search
-        from .operators.proximity import bm25_proximity_topk, parse_near_query
+        # '"terms"~ow' -> ORDERED proximity (Surround W operator)
+        from .operators.proximity import (
+            bm25_ordered_near_topk,
+            bm25_proximity_topk,
+            parse_near_query,
+            parse_ordered_near_query,
+        )
 
+        onear = parse_ordered_near_query(q)
+        if onear is not None:
+            return bm25_ordered_near_topk(
+                self.index, onear[0], onear[1], k=limit, filters=filters or None
+            )
+        # '"terms"~w' -> proximity (NEAR) search
         near = parse_near_query(q)
         if near is not None:
             return bm25_proximity_topk(

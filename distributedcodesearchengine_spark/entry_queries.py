@@ -207,6 +207,20 @@ def bm25_near_query_q(
     ).orderBy("rank")
 
 
+def bm25_ordered_near_query_q(
+    spark: SparkSession, sf_dir: str, query: str, w: int, k: int = 10
+) -> DataFrame:
+    """Ordered-NEAR gate entry: BM25 over docs whose tokens contain the
+    query sequence IN ORDER within a w-window."""
+    from .operators.proximity import bm25_ordered_near_topk
+
+    idx = get_documents_index(spark, sf_dir)
+    res = bm25_ordered_near_topk(idx, query, w, k=k)
+    return res.select(
+        "rank", _orig_doc_id(), round6("score").alias("score")
+    ).orderBy("rank")
+
+
 def bm25_wildcard_query_q(
     spark: SparkSession, sf_dir: str, query: str, k: int = 10,
     max_expansions: int = 16,

@@ -102,6 +102,7 @@ def bm25_topk_sql(
     source: Optional[str] = None,
     phrase: Optional[str] = None,
     near: Optional[tuple] = None,
+    ordered_near: Optional[tuple] = None,
 ) -> str:
     """Full BM25 top-k with the reference's threshold-before-filter,
     degenerate all-zero handling, and doc-order tie-break.
@@ -136,6 +137,11 @@ def bm25_topk_sql(
         from ..operators.proximity import _near_occ_cte
 
         pocc = _near_occ_cte(near[0], near[1]) + ", "
+        where.append("doc_id IN (SELECT doc_id FROM pocc WHERE n_win > 0)")
+    if ordered_near is not None:
+        from ..operators.proximity import _ordered_occ_cte
+
+        pocc = _ordered_occ_cte(ordered_near[0], ordered_near[1]) + ", "
         where.append("doc_id IN (SELECT doc_id FROM pocc WHERE n_win > 0)")
     fsql = (" WHERE " + " AND ".join(where)) if where else ""
     return (
