@@ -144,6 +144,26 @@ def _registry():
         partial(eq.bm25_fuzzy_query_q, query="dup sow~1", k=10),
         bm25_fuzzy_sql("dup sow~1", k=10),
     )
+    # BM25F multi-field ranking: title = first-60-chars field at weight
+    # 2 (genuinely reranks vs plain BM25 — non-vacuity unit-tested);
+    # the body_only variant exercises the zero-weight field lane
+    from distributedcodesearchengine_spark.operators.fields import (
+        bm25f_topk_sql,
+    )
+
+    _BM25F_FIELDS = [("substr(text, 1, 60)", 2.0, 0.75), ("text", 1.0, 0.75)]
+    reg["bm25f_topk"] = (
+        partial(eq.bm25f_q, query="dup table", k=10),
+        bm25f_topk_sql("dup table", _BM25F_FIELDS, k=10),
+    )
+    reg["bm25f_body_only"] = (
+        partial(eq.bm25f_q, query="dup table row", k=10, w_title=0.0),
+        bm25f_topk_sql(
+            "dup table row",
+            [("substr(text, 1, 60)", 0.0, 0.75), ("text", 1.0, 0.75)],
+            k=10,
+        ),
+    )
     reg["bm25_boolean_healthy"] = (
         partial(eq.bm25_boolean_query_q, query="dup +table -row", k=10),
         oq.bm25_boolean_sql("dup +table -row", k=10),

@@ -249,6 +249,28 @@ def bm25_fuzzy_query_q(
     ).orderBy("rank")
 
 
+def bm25f_q(
+    spark: SparkSession, sf_dir: str, query: str, k: int = 10,
+    w_title: float = 2.0, w_body: float = 1.0, title_chars: int = 60,
+) -> DataFrame:
+    """BM25F gate entry: title := the first ``title_chars`` characters
+    of the text (deterministic on both engines; at weight 2 the short
+    field genuinely reranks vs single-field BM25 — asserted in
+    tests/test_bm25f.py), body := the full text."""
+    from .operators.fields import FieldSpec, bm25f_topk
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("text", 1, title_chars).alias("title"),
+        F.col("text").alias("body"),
+    )
+    fields = [FieldSpec("title", w_title, 0.75), FieldSpec("body", w_body, 0.75)]
+    res = bm25f_topk(d, query, fields, k=k)
+    return res.select("rank", "doc_id", round6("score").alias("score")).orderBy(
+        "rank"
+    )
+
+
 def bm25_clickboost_q(
     spark: SparkSession, sf_dir: str, query: str, k: int = 10,
     weight: float = 0.2,
