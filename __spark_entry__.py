@@ -239,6 +239,25 @@ def _registry():
     reg["kmv_distinct"] = (
         _docs_op(partial(sk.kmv_distinct, k=16)), sk.kmv_distinct_sql(cte, k=16),
     )
+
+    # DDSketch quantiles over the events value column (positive domain):
+    # log-bucket keys + midpoint estimates through the portable ln/exp
+    # lanes — deterministic, merged == rebuilt exactly
+    def _dd_op(spark, sf_dir):
+        from distributedcodesearchengine_spark.sources.tables import load_table
+
+        return sk.ddsketch_quantiles(
+            load_table(spark, sf_dir, "events"), "value",
+            [0.5, 0.9, 0.99], alpha=0.01,
+        )
+
+    reg["ddsketch_quantiles"] = (
+        _dd_op,
+        sk.ddsketch_quantiles_sql(
+            "SELECT value AS x FROM events WHERE value > 0",
+            [0.5, 0.9, 0.99], alpha=0.01,
+        ),
+    )
     reg["dedup_simhash"] = (_docs_op(dd.simhash32), dd.simhash32_sql(cte))
     reg["dedup_clusters"] = (_docs_op(dd.dedup_clusters), dd.dedup_clusters_sql(cte))
     reg["ngram_jaccard"] = (

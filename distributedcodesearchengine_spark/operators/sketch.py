@@ -152,6 +152,96 @@ def kmv_distinct(docs: DataFrame, k: int = KMV_K) -> DataFrame:
     )
 
 
+def _dd_consts(alpha: float):
+    import math
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    return math.log(gamma), gamma + 1.0
+
+
+def ddsketch_buckets(df: DataFrame, col: str, alpha: float = 0.01) -> DataFrame:
+    """DDSketch log-bucket histogram over a positive numeric column ->
+    (k, c) with k = ceil(ln(x)/ln(gamma)), gamma = (1+alpha)/(1-alpha)
+    (Masson, Rim & Lee, "DDSketch: A Fast and Fully-Mergeable Quantile
+    Sketch with Relative-Error Guarantees", VLDB 2019 — public paper).
+
+    One map-side-combinable groupBy; the sketch is a sum, so corpus
+    shards pre-combine before the shuffle and shard sketches merge by
+    bucket-count addition (``ddsketch_merge``) with NO approximation
+    added by the merge — unlike rank-based sketches (t-digest), the
+    bucket boundaries are data-independent, so merged == rebuilt,
+    exactly (integer counts; property-tested). Non-positive values are
+    out of the sketch's domain and are excluded (callers needing them
+    keep a separate sign store, as the paper does)."""
+    ln_g, _ = _dd_consts(alpha)
+    return (
+        df.where(F.col(col) > 0)
+        .select(
+            F.ceil(F.log(F.col(col).cast("double")) / F.lit(ln_g))
+            .cast("long")
+            .alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def ddsketch_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two bucket relations by addition — exact, associative."""
+    return a.unionByName(b).groupBy("k").agg(F.sum("c").cast("long").alias("c"))
+
+
+def ddsketch_quantiles(
+    df: DataFrame, col: str, qs: List[float], alpha: float = 0.01
+) -> DataFrame:
+    """(q, k, est, n): for each quantile q, the first bucket (ascending
+    key) whose cumulative count exceeds rank q*(n-1), and the bucket
+    midpoint estimate 2*gamma^k/(gamma+1) — within alpha relative error
+    of the exact rank item (asserted in tests). The cumulative window
+    runs over the BUCKET relation (fixed-size, bounded by
+    ln(max/min)/ln(gamma) buckets), never the data."""
+    from pyspark.sql.window import Window
+
+    ln_g, g1 = _dd_consts(alpha)
+    spark = df.sparkSession
+    b = ddsketch_buckets(df, col, alpha)
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    cum = b.withColumn("cum", F.sum("c").over(w))
+    tot = b.agg(F.sum("c").cast("long").alias("n"))
+    qdf = spark.createDataFrame([(float(q),) for q in sorted(qs)], "q double")
+    sel = (
+        qdf.crossJoin(F.broadcast(tot))
+        .join(cum, F.col("cum") > F.col("q") * (F.col("n") - 1))
+        .groupBy("q", "n")
+        .agg(F.min("k").cast("long").alias("k"))
+    )
+    est = F.lit(2.0) * F.exp(F.col("k") * F.lit(ln_g)) / F.lit(g1)
+    return sel.select(
+        "q", "k", round6(est).alias("est"), F.col("n")
+    ).orderBy("q")
+
+
+def ddsketch_quantiles_sql(
+    source_sql: str, qs: List[float], alpha: float = 0.01
+) -> str:
+    """DuckDB mirror: ``source_sql`` must yield one positive double
+    column ``x``. Same ln/exp lanes, same Python-computed literals."""
+    ln_g, g1 = _dd_consts(alpha)
+    qvals = ", ".join(f"({float(q)!r})" for q in sorted(qs))
+    return (
+        f"WITH v AS ({source_sql}), "
+        f"b AS (SELECT CAST(ceil(ln(x) / {ln_g!r}) AS BIGINT) AS k, "
+        "CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1), "
+        "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM b), "
+        "cum AS (SELECT k, c, sum(c) OVER (ORDER BY k) AS cum FROM b), "
+        f"qs(q) AS (VALUES {qvals}), "
+        "sel AS (SELECT q, (SELECT n FROM tot) AS n, CAST(min(k) AS BIGINT) AS k "
+        "FROM qs JOIN cum ON cum.cum > qs.q * ((SELECT n FROM tot) - 1) GROUP BY q) "
+        f"SELECT q, k, {round6_sql(f'2.0 * exp(k * {ln_g!r}) / {g1!r}')} AS est, n "
+        "FROM sel ORDER BY q"
+    )
+
+
 def kmv_distinct_sql(toks_cte: str, k: int = KMV_K) -> str:
     return (
         f"WITH {toks_cte}, "
