@@ -474,6 +474,12 @@ def _registry():
         f"UNION ALL SELECT * FROM ({ts.corpus_ngrams_sql(cte, 3, 30)})",
     )
 
+    # PMI bigram collocations (Church & Hanks association measure)
+    def _pmi_op(spark, sf_dir):
+        return ts.collocations_pmi(eq.docs_with_tokens(spark, sf_dir), 5, 40)
+
+    reg["collocations_pmi"] = (_pmi_op, ts.collocations_pmi_sql(cte, 5, 40))
+
     # curation funnel WITH the model-based classifier stage engaged
     def _curate_clf_op(spark, sf_dir):
         from distributedcodesearchengine_spark.functions.udfs import tokenize_udf

@@ -540,6 +540,90 @@ def corpus_ngrams(docs: DataFrame, n: int = 2, k: int = 50) -> DataFrame:
     )
 
 
+def collocations_pmi(
+    docs: DataFrame, min_count: int = 5, k: int = 50
+) -> DataFrame:
+    """(t1, t2, cnt, pmi) — top-k bigram collocations by pointwise
+    mutual information: pmi = ln( p(t1 t2) / (p(t1) p(t2)) ) with
+    p(t1 t2) = cnt/total_bigrams and p(t) = c(t)/total_tokens (the
+    classic Church & Hanks 1990 association measure — public corpus
+    linguistics; feeds phrase dictionaries, tokenizer-merge candidates
+    and stopword-pair lists in a training-data pipeline). ``min_count``
+    drops rare pairs whose PMI is dominated by noise.
+
+    Scale shape: unigram and bigram counts are two map-side-combinable
+    groupBys over a JVM transform (no Python); the PMI join is bigram
+    relation x the vocab-sized unigram relation on each side — term-
+    keyed shuffle joins, never a broadcast of the corpus; totals are
+    1-row aggs broadcast back via crossJoin; top-k is a distributed
+    TakeOrdered on the raw (bit-deterministic) PMI double.
+    """
+    uni = (
+        docs.select(F.explode("tokens").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    big = (
+        docs.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(tokens) >= 2 THEN "
+                    "transform(sequence(0, size(tokens) - 2), "
+                    "i -> struct(tokens[i] AS t1, tokens[i + 1] AS t2)) "
+                    "ELSE array() END"
+                )
+            ).alias("p")
+        )
+        .select("p.t1", "p.t2")
+        .groupBy("t1", "t2")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    tot = uni.agg(F.sum("c").cast("long").alias("t_uni"))
+    totb = big.agg(F.sum("cnt").cast("long").alias("t_big"))
+    j = (
+        big.where(F.col("cnt") >= min_count)
+        .join(uni.select(F.col("t").alias("t1"), F.col("c").alias("c1")), "t1")
+        .join(uni.select(F.col("t").alias("t2"), F.col("c").alias("c2")), "t2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(totb))
+    )
+    pmi = F.log(
+        (F.col("cnt").cast("double") / F.col("t_big"))
+        / (
+            (F.col("c1").cast("double") / F.col("t_uni"))
+            * (F.col("c2").cast("double") / F.col("t_uni"))
+        )
+    )
+    return (
+        j.withColumn("_pmi", pmi)
+        .orderBy(F.desc("_pmi"), F.asc("t1"), F.asc("t2"))
+        .limit(int(k))
+        .select("t1", "t2", "cnt", round6(F.col("_pmi")).alias("pmi"))
+    )
+
+
+def collocations_pmi_sql(
+    table_toks_cte: str, min_count: int = 5, k: int = 50
+) -> str:
+    return (
+        f"WITH {table_toks_cte}, "
+        "uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM "
+        "(SELECT unnest(toks) AS t FROM docs) GROUP BY t), "
+        "g AS (SELECT toks[i] AS t1, toks[i + 1] AS t2 FROM docs, "
+        "unnest(generate_series(1, len(toks) - 1)) AS _t(i)), "
+        "big AS (SELECT t1, t2, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY t1, t2), "
+        "tot AS (SELECT CAST(sum(c) AS BIGINT) AS t_uni FROM uni), "
+        "totb AS (SELECT CAST(sum(cnt) AS BIGINT) AS t_big FROM big), "
+        "j AS (SELECT b.t1, b.t2, b.cnt, "
+        "ln((b.cnt * 1.0 / (SELECT t_big FROM totb)) / "
+        "((u1.c * 1.0 / (SELECT t_uni FROM tot)) * (u2.c * 1.0 / (SELECT t_uni FROM tot)))) AS pmi "
+        "FROM big b JOIN uni u1 ON u1.t = b.t1 JOIN uni u2 ON u2.t = b.t2 "
+        f"WHERE b.cnt >= {int(min_count)}) "
+        f"SELECT t1, t2, cnt, {round6_sql('pmi')} AS pmi FROM j "
+        f"ORDER BY pmi DESC, t1 ASC, t2 ASC LIMIT {int(k)}"
+    )
+
+
 def corpus_ngrams_sql(table_toks_cte: str, n: int = 2, k: int = 50) -> str:
     gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
     return (

@@ -430,3 +430,57 @@ def test_curate_corpus_classifier_stage(spark):
     assert [r.doc_id for r in kept] == [1]
     both = pl.curate_corpus(docs, min_tokens=25, n=8, bench_mod=1000, budget=64).collect()
     assert [r.doc_id for r in both] == [1, 2]
+
+
+# --- PMI collocations -------------------------------------------------------
+
+def test_collocations_pmi_formula(spark):
+    import math
+
+    from distributedcodesearchengine_spark.functions.rounding import round6_py
+    from distributedcodesearchengine_spark.operators.textstats import (
+        collocations_pmi,
+    )
+
+    # 'aa bb' always adjacent (perfect collocation), 'cc'/'dd' scattered
+    rows = [
+        (1, ["aa", "bb", "cc", "dd"]),
+        (2, ["cc", "aa", "bb", "dd"]),
+        (3, ["dd", "cc", "aa", "bb"]),
+        (4, ["aa", "bb", "dd", "cc"]),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    got = {
+        (r["t1"], r["t2"]): (r["cnt"], r["pmi"])
+        for r in collocations_pmi(d, min_count=2, k=50).collect()
+    }
+    # python mirror
+    from collections import Counter
+
+    uni, big = Counter(), Counter()
+    for _, toks in rows:
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    t_uni, t_big = sum(uni.values()), sum(big.values())
+    for (a, b), cnt in big.items():
+        if cnt < 2:
+            assert (a, b) not in got
+            continue
+        pmi = math.log((cnt * 1.0 / t_big) / ((uni[a] * 1.0 / t_uni) * (uni[b] * 1.0 / t_uni)))
+        assert got[(a, b)] == (cnt, round6_py(pmi)), (a, b)
+    # the perfect collocation outranks every scattered pair
+    top = max(got.items(), key=lambda kv: kv[1][1])
+    assert top[0] == ("aa", "bb")
+
+
+def test_collocations_min_count_filter(spark):
+    from distributedcodesearchengine_spark.operators.textstats import (
+        collocations_pmi,
+    )
+
+    d = spark.createDataFrame(
+        [(1, ["xx", "yy", "xx", "yy", "xx", "yy"]), (2, ["zz", "qq"])],
+        "doc_id long, tokens array<string>",
+    )
+    pairs = {(r["t1"], r["t2"]) for r in collocations_pmi(d, min_count=2, k=50).collect()}
+    assert ("zz", "qq") not in pairs and ("xx", "yy") in pairs
