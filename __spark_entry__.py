@@ -82,6 +82,19 @@ def _registry():
             for qid, q in eq.BATCH_QUERIES.items()
         ),
     )
+    # retrieval-quality eval: nDCG@10 / MRR / recall@10 of the batch
+    # ranking against corpus-derived graded labels — labels, ranking
+    # and metrics all replicated on both engines
+    from distributedcodesearchengine_spark.operators import evalrank as er
+
+    _batch_res_sql = " UNION ALL ".join(
+        f"SELECT {qid} AS query_id, * FROM ({oq.bm25_topk_sql(q, 10)})"
+        for qid, q in eq.BATCH_QUERIES.items()
+    )
+    reg["retrieval_eval"] = (
+        eq.retrieval_eval_q,
+        er.eval_ranking_sql(_batch_res_sql, oq.toks_cte(), eq.BATCH_QUERIES, k=10),
+    )
     # core serving paths (sharded layout + quoted-phrase BM25) stay in
     # the truncation-safe prefix with the other engine-heart entries
     reg["bm25_topk_sharded_healthy"] = (

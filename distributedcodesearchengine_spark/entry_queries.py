@@ -415,6 +415,19 @@ def removal_rebuild(spark: SparkSession, sf_dir: str, source: str = "src7") -> D
     )
 
 
+def retrieval_eval_q(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """nDCG@k / MRR / recall@k of the batch BM25 ranking against the
+    corpus-derived graded labels (rel = distinct query terms present;
+    internal ids == table doc_ids on this corpus, sources/tables.py)."""
+    from .operators.evalrank import eval_ranking, relevance_labels
+    from .operators.scorer import bm25_topk_batch
+
+    idx = get_documents_index(spark, sf_dir)
+    res = bm25_topk_batch(idx, BATCH_QUERIES, k=k)
+    labels = relevance_labels(docs_with_tokens(spark, sf_dir), BATCH_QUERIES)
+    return eval_ranking(res, labels, k=k)
+
+
 def docs_with_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.udfs import tokenize_udf
 
