@@ -314,6 +314,12 @@ def _registry():
         pl.temperature_sample_sql(alpha=0.5, target_frac=0.5),
     )
     reg["pack_sequences"] = (_docs_op(pl.pack_sequences), pl.pack_sequences_sql(cte))
+    # export-sink audit manifest (token-budget shards + per-shard
+    # order-pinned content digest)
+    reg["export_manifest"] = (
+        _docs_op(partial(pl.export_manifest, budget=16384)),
+        pl.export_manifest_sql(16384),
+    )
     reg["pii_scrub"] = (_tbl_op(pl.pii_scrub_augmented), pl.pii_scrub_sql())
 
     def _curate_op(spark, sf_dir):

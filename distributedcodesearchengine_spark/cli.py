@@ -85,6 +85,15 @@ def _build_parser() -> argparse.ArgumentParser:
     c.add_argument("--bench-mod", type=int, default=7, help="doc_id modulus carving the held-out eval slice")
     c.add_argument("--ngram", type=int, default=8, help="contamination n-gram width")
 
+    x = sub.add_parser(
+        "export",
+        help="token-budget sharded corpus export with a JSON audit "
+        "manifest (shard-level order-pinned content digests)",
+    )
+    x.add_argument("--input", required=True, help="documents parquet (doc_id, text)")
+    x.add_argument("--output", required=True, help="export directory (data/ + manifest.json)")
+    x.add_argument("--shard-tokens", type=int, default=65536, help="token budget per shard")
+
     v = sub.add_parser("serve", help="REST API over a persisted index")
     v.add_argument("--index", required=True)
     v.add_argument("--port", type=int, default=8099)
@@ -313,6 +322,29 @@ def main(argv=None, spark=None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.cmd == "export":
+        from .functions.udfs import tokenize_udf
+        from .operators.pipeline import export_shards
+
+        d = spark.read.parquet(args.input)
+        missing = {"doc_id", "text"} - set(d.columns)
+        if missing:
+            print(f"error: input is missing columns {sorted(missing)}", file=sys.stderr)
+            return 2
+        manifest = export_shards(
+            d.withColumn("tokens", tokenize_udf("text")),
+            args.output,
+            budget=args.shard_tokens,
+        )
+        print(json.dumps({
+            "n_shards": manifest["n_shards"],
+            "n_docs": sum(s["n_docs"] for s in manifest["shards"]),
+            "n_tokens": sum(s["n_tokens"] for s in manifest["shards"]),
+            "budget": manifest["budget"],
+            "output": args.output,
+        }))
         return 0
 
     if args.cmd == "suggest":

@@ -277,6 +277,108 @@ def pack_sequences_sql(table_toks_cte: str, budget: int = 512) -> str:
 
 
 # ---------------------------------------------------------------------------
+# training-data export sink
+
+
+def export_manifest(docs: DataFrame, budget: int = 65536) -> DataFrame:
+    """(shard_id, n_docs, n_tokens, min_doc, max_doc, content_md5) —
+    the audit manifest of a token-budget sharded export: shard_id is
+    the ``pack_sequences`` bin the document STARTS in (contiguous
+    doc_id-ordered layout, every shard ~``budget`` tokens), content_md5
+    is md5 over the doc_id-ordered concatenation of per-doc text md5s —
+    the shard-level integrity line a downstream training job (or a
+    re-run) verifies before trusting the files. Deterministic:
+    manifest(re-export) == manifest(export) byte-for-byte.
+
+    Scale shape: the assignment reuses pack_sequences' two-level cumsum
+    (bounded windows); the rollup is one groupBy(shard) whose hash fold
+    holds ~budget/avgdl per-doc digests per shard — bounded by the
+    shard size the caller chose, never corpus-wide."""
+    asg = pack_sequences(docs, budget=budget).select("doc_id", "n_tokens", "bin_id")
+    hashes = docs.select(
+        "doc_id", F.md5(F.encode(F.col("text"), "utf-8")).alias("h")
+    )
+    j = asg.join(hashes, "doc_id")
+    return (
+        j.groupBy(F.col("bin_id").alias("shard_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.md5(
+                F.encode(
+                    F.aggregate(
+                        F.array_sort(F.collect_list(F.struct("doc_id", "h"))),
+                        F.lit(""),
+                        lambda acc, x: F.concat(acc, x["h"]),
+                    ),
+                    "utf-8",
+                )
+            ).alias("content_md5"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+def export_manifest_sql(budget: int = 65536, table: str = "documents") -> str:
+    from ..functions.sql_oracle import tokenize_col
+
+    return (
+        f"WITH d AS (SELECT doc_id, len({tokenize_col('text')}) AS n_tokens, "
+        f"md5(text) AS h FROM {table}), "
+        "c AS (SELECT doc_id, n_tokens, h, coalesce(sum(n_tokens) OVER "
+        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "AS start_offset FROM d) "
+        f"SELECT CAST(start_offset // {int(budget)} AS BIGINT) AS shard_id, "
+        "CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens, "
+        "min(doc_id) AS min_doc, max(doc_id) AS max_doc, "
+        "md5(string_agg(h, '' ORDER BY doc_id)) AS content_md5 "
+        "FROM c GROUP BY 1 ORDER BY shard_id"
+    )
+
+
+def export_shards(
+    docs: DataFrame,
+    out_dir: str,
+    budget: int = 65536,
+    carry: tuple = ("lang", "source"),
+) -> dict:
+    """Write the corpus as token-budget shards + a JSON manifest.
+
+    Layout: ``{out_dir}/data/shard_id=N/*.parquet`` (one file per
+    shard: rows for a shard are clustered into one task by the
+    repartition-on-key before the partitionBy writer) and
+    ``{out_dir}/manifest.json`` written AFTER the data commits — the
+    manifest doubles as the success marker, so a crashed export (data
+    present, no manifest) is visibly incomplete and a re-run simply
+    overwrites. Returns the manifest as a dict.
+    """
+    import json
+    import os
+
+    keep = [c for c in carry if c in docs.columns]
+    asg = pack_sequences(docs, budget=budget).select(
+        "doc_id", F.col("bin_id").alias("shard_id")
+    )
+    data = docs.select("doc_id", "text", *keep).join(asg, "doc_id")
+    (
+        data.repartition(F.col("shard_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(f"{out_dir}/data")
+    )
+    man_rows = [r.asDict() for r in export_manifest(docs, budget=budget).collect()]
+    manifest = {"budget": int(budget), "n_shards": len(man_rows), "shards": man_rows}
+    tmp = f"{out_dir}/manifest.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, f"{out_dir}/manifest.json")
+    return manifest
+
+
+# ---------------------------------------------------------------------------
 # token-window chunking
 
 
