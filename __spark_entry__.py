@@ -82,6 +82,12 @@ def _registry():
             for qid, q in eq.BATCH_QUERIES.items()
         ),
     )
+    # score explain: per-term breakdown of the top-k (Lucene
+    # Explanation / ES explain=true analog)
+    reg["bm25_explain"] = (
+        partial(eq.explain_q, query="dup table", k=10),
+        oq.explain_topk_sql("dup table", k=10),
+    )
     # retrieval-quality eval: nDCG@10 / MRR / recall@10 of the batch
     # ranking against corpus-derived graded labels — labels, ranking
     # and metrics all replicated on both engines

@@ -415,6 +415,14 @@ def removal_rebuild(spark: SparkSession, sf_dir: str, source: str = "src7") -> D
     )
 
 
+def explain_q(spark: SparkSession, sf_dir: str, query: str, k: int = 10) -> DataFrame:
+    """Score-explain gate entry (per-term breakdown of the top-k)."""
+    from .operators.scorer import explain_topk
+
+    idx = get_documents_index(spark, sf_dir)
+    return explain_topk(idx, query, k=k)
+
+
 def retrieval_eval_q(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     """nDCG@k / MRR / recall@k of the batch BM25 ranking against the
     corpus-derived graded labels (rel = distinct query terms present;

@@ -170,6 +170,48 @@ def bm25_topk_sql(
     )
 
 
+def explain_topk_sql(query: str, k: int = 10) -> str:
+    """Per-term score breakdown of the top-k (operators/scorer
+    .explain_topk): the bm25_topk_sql CTE chain with the contribution
+    factors carried through and the ranked top-k joined back onto the
+    matched rows (inner — backfill docs have nothing to explain)."""
+    toks = tokenize(query)
+    if not toks:
+        return (
+            "SELECT 1 AS rank, 1::BIGINT AS doc_id, '' AS term, 0.0 AS qtf, "
+            "1::BIGINT AS tf, 1::BIGINT AS doc_len, 0.0 AS idf, "
+            "0.0 AS contrib, 0.0 AS score WHERE false"
+        )
+    from collections import Counter
+
+    counts = Counter(toks)
+    qvals = ", ".join(f"('{t}', {float(q)})" for t, q in sorted(counts.items()))
+    return (
+        f"WITH {_docs_cte()}, "
+        f"qt(term, qtf) AS (VALUES {qvals}), "
+        "contrib AS ("
+        "  SELECT tf.doc_id, tf.term, qt.qtf, tf.tf, dl.doc_len, idf.idf, "
+        f"    qt.qtf * (idf.idf * (tf.tf * {K1 + 1.0} / "
+        f"      (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM stats))))) AS c "
+        "  FROM tf JOIN qt USING (term) JOIN idf USING (term) "
+        "  JOIN doclen dl ON dl.doc_id = tf.doc_id), "
+        "scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id), "
+        "mx AS (SELECT max(score) AS m FROM scored), "
+        "kept AS ("
+        "  SELECT d.doc_id, coalesce(s.score, 0.0) AS score "
+        "  FROM doclen d LEFT JOIN scored s USING (doc_id) "
+        "  WHERE ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
+        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))), "
+        "top AS (SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank, "
+        f"  doc_id, score FROM kept ORDER BY score DESC, doc_id ASC LIMIT {int(k)}) "
+        "SELECT top.rank, c.doc_id, c.term, c.qtf, CAST(c.tf AS BIGINT) AS tf, "
+        f"CAST(c.doc_len AS BIGINT) AS doc_len, {round6_sql('c.idf')} AS idf, "
+        f"{round6_sql('c.c')} AS contrib, {round6_sql('top.score')} AS score "
+        "FROM contrib c JOIN top ON top.doc_id = c.doc_id "
+        "ORDER BY top.rank, c.term"
+    )
+
+
 def bm25_boolean_sql(query: str, k: int = 10) -> str:
     """Boolean-occur-flag BM25 (mirror of operators/boolquery).
 

@@ -316,6 +316,61 @@ def bm25_topk_batch(index: Index, queries: Dict[int, str], k: int = 10) -> DataF
     )
 
 
+_EXPLAIN_SCHEMA = (
+    "rank int, doc_id long, term string, qtf double, tf long, doc_len long, "
+    "idf double, contrib double, score double"
+)
+
+
+def explain_topk(index: Index, query: str, k: int = 10) -> DataFrame:
+    """Per-term score breakdown for the query's top-k docs — the Lucene
+    ``Explanation`` / Elasticsearch ``explain=true`` surface: one row
+    per (ranked doc, matched query term) with every factor of the BM25
+    product (qtf, tf, doc_len, idf, contribution) plus the doc's rank
+    and total score, ordered (rank, term). Zero-score backfill docs of
+    a degenerate query have no matched terms and therefore no rows
+    (nothing to explain) — mirrored by the oracle's inner join.
+
+    Plan: the ranked top-k (a k-row relation) broadcasts against the
+    term-pruned matched-contribution rows — the scorer's own join
+    shape, never a corpus scan beyond the pushed term filter."""
+    spark = index.spark
+    if not tokenize(query):
+        return spark.createDataFrame([], _EXPLAIN_SCHEMA)
+    qweights = query_term_weights(index, query)
+    if not qweights:
+        return spark.createDataFrame([], _EXPLAIN_SCHEMA)
+    top = bm25_topk(index, query, k=k).select("rank", "doc_id", "score")
+    qdf = spark.createDataFrame(
+        [(t, float(q), i) for t, q, i in qweights],
+        "term string, qtf double, idf double",
+    )
+    uniq_terms = [t for t, _, _ in qweights]
+    matched = (
+        index.tf.where(F.col("term").isin(uniq_terms))
+        .join(F.broadcast(qdf), "term")
+        .withColumn("_avgdl", F.lit(index.avgdl))
+        .withColumn("contrib", contribution_col())
+    )
+    from ..functions.rounding import round6
+
+    return (
+        matched.join(F.broadcast(top), "doc_id")
+        .select(
+            "rank",
+            "doc_id",
+            "term",
+            "qtf",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("doc_len").cast("long").alias("doc_len"),
+            round6("idf").alias("idf"),
+            round6("contrib").alias("contrib"),
+            round6("score").alias("score"),
+        )
+        .orderBy("rank", "term")
+    )
+
+
 def bm25_topk(
     index: Index,
     query: str,

@@ -80,3 +80,42 @@ def test_stats_match_oracle(oracle_and_index):
     assert len(got_idf) == len(oracle.idf)
     for t, v in oracle.idf.items():
         assert abs(got_idf[t] - v) < 1e-9, t
+
+
+def test_explain_contributions_sum_to_score(oracle_and_index):
+    """explain rows decompose the ranked score exactly: per-doc
+    canonical term-ordered sum of raw contributions == ranked score."""
+    import math
+
+    from distributedcodesearchengine_spark.functions.rounding import round6_py
+    from distributedcodesearchengine_spark.operators.scorer import (
+        bm25_topk,
+        explain_topk,
+    )
+
+    _, _, index, _ = oracle_and_index
+    q = "parse json table"
+    top = {r["doc_id"]: (r["rank"], r["score"]) for r in bm25_topk(index, q, k=5).collect()}
+    rows = explain_topk(index, q, k=5).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+        assert (r["rank"], round6_py(top[r["doc_id"]][1])) == (
+            top[r["doc_id"]][0],
+            r["score"],
+        )
+    for doc_id, rs in by_doc.items():
+        # the displayed contribs are rounded; recompute raw from factors
+        total = 0.0
+        for r in sorted(rs, key=lambda x: x["term"]):
+            total += r["contrib"]
+        assert math.isclose(total, top[doc_id][1], rel_tol=0, abs_tol=5e-6 * len(rs))
+
+
+def test_explain_empty_on_unknown_tokens(oracle_and_index):
+    from distributedcodesearchengine_spark.operators.scorer import explain_topk
+
+    _, _, index, _ = oracle_and_index
+    assert explain_topk(index, "zzzzunknowntoken").count() == 0
+    assert explain_topk(index, "!! ??").count() == 0
