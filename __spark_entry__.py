@@ -326,6 +326,8 @@ def _registry():
         _docs_op(partial(pl.export_manifest, budget=16384)),
         pl.export_manifest_sql(16384),
     )
+    # deterministic salted train/val/test split (holdout-stable)
+    reg["dataset_split"] = (_tbl_op(pl.dataset_split), pl.dataset_split_sql())
     reg["pii_scrub"] = (_tbl_op(pl.pii_scrub_augmented), pl.pii_scrub_sql())
 
     def _curate_op(spark, sf_dir):

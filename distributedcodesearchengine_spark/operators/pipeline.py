@@ -189,6 +189,96 @@ def mixture_sample_sql(table: str = "documents") -> str:
 
 
 # ---------------------------------------------------------------------------
+# train/val/test split
+
+_SPLIT_WEIGHTS = (("train", 0.9), ("val", 0.05))  # remainder -> test
+_SPLIT_SALT = "split"
+
+
+def split_label_col(
+    weights=_SPLIT_WEIGHTS, salt: str = _SPLIT_SALT, buckets: int = _MIX_BUCKETS
+) -> F.Column:
+    """Deterministic dataset-split label per row: the md5 bucket of
+    ``salt|doc_id`` against cumulative weight thresholds. Salted so the
+    split hash is INDEPENDENT of the mixture-sampling hash (an unsalted
+    doc_id hash would make 'val' a biased slice of the sampled corpus);
+    zero-shuffle, stable across runs and cluster sizes, and a doc can
+    never change split when the corpus grows — the holdout stays
+    holdout (the leakage property train/test contamination checks
+    assume)."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.encode(
+                        F.concat(
+                            F.lit(salt + "|"), F.col("doc_id").cast("string")
+                        ),
+                        "utf-8",
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % buckets
+    )
+    expr = None
+    cum = 0.0
+    for name, w in weights:
+        cum += float(w)
+        cond = bucket < F.lit(cum * buckets)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return expr.otherwise("test")
+
+
+def dataset_split(documents: DataFrame) -> DataFrame:
+    """(lang, split, n_docs, frac) — per-stratum summary of the
+    deterministic split (frac within the language)."""
+    d = documents.withColumn("split", split_label_col())
+    counts = d.groupBy("lang", "split").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang")
+    return (
+        counts.withColumn("_tot", F.sum("n_docs").over(w))
+        .select(
+            "lang",
+            "split",
+            "n_docs",
+            round6(F.col("n_docs") * F.lit(1.0) / F.col("_tot")).alias("frac"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+def dataset_split_sql(table: str = "documents") -> str:
+    buckets = _MIX_BUCKETS
+    bucket = (
+        f"('0x' || substr(md5('{_SPLIT_SALT}|' || doc_id::VARCHAR), 1, 8))::BIGINT "
+        f"% {buckets}"
+    )
+    whens = []
+    cum = 0.0
+    for name, w in _SPLIT_WEIGHTS:
+        cum += float(w)
+        whens.append(f"WHEN {bucket} < {cum * buckets!r} THEN '{name}'")
+    case = "CASE " + " ".join(whens) + " ELSE 'test' END"
+    return (
+        f"WITH s AS (SELECT lang, {case} AS split FROM {table}), "
+        "c AS (SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs "
+        "FROM s GROUP BY lang, split) "
+        "SELECT lang, split, n_docs, "
+        f"{round6_sql('n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY lang)')} AS frac "
+        "FROM c ORDER BY lang, split"
+    )
+
+
+# ---------------------------------------------------------------------------
 # sequence packing
 
 _PACK_RANGE_WIDTH = 1 << 20

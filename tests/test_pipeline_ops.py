@@ -484,3 +484,55 @@ def test_collocations_min_count_filter(spark):
     )
     pairs = {(r["t1"], r["t2"]) for r in collocations_pmi(d, min_count=2, k=50).collect()}
     assert ("zz", "qq") not in pairs and ("xx", "yy") in pairs
+
+
+# --- train/val/test split ---------------------------------------------------
+
+def test_split_is_deterministic_partition(spark):
+    from distributedcodesearchengine_spark.operators.pipeline import split_label_col
+
+    d = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["s"] for r in d.select("doc_id", split_label_col().alias("s")).collect()}
+    b = {r["doc_id"]: r["s"] for r in d.select("doc_id", split_label_col().alias("s")).collect()}
+    assert a == b
+    assert set(a.values()) == {"train", "val", "test"}
+    # approximate proportions at n=2000
+    n = len(a)
+    frac_train = sum(1 for v in a.values() if v == "train") / n
+    assert 0.85 < frac_train < 0.95
+
+
+def test_split_is_growth_stable(spark):
+    """A doc's split never changes when the corpus grows — the holdout
+    stays holdout."""
+    from distributedcodesearchengine_spark.operators.pipeline import split_label_col
+
+    small = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 3000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["s"] for r in small.select("doc_id", split_label_col().alias("s")).collect()}
+    b = {r["doc_id"]: r["s"] for r in big.select("doc_id", split_label_col().alias("s")).collect()}
+    assert all(b[i] == a[i] for i in a)
+
+
+def test_split_salt_differs_from_mixture_hash(spark):
+    """The split bucket is salted: it must not be the mixture-sampling
+    bucket in disguise (an unsalted hash would correlate the two)."""
+    from distributedcodesearchengine_spark.operators.pipeline import (
+        mixture_keep_col,
+        split_label_col,
+    )
+    from pyspark.sql import functions as F
+
+    d = (
+        spark.range(0, 4000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("lang", F.lit("en"))
+    )
+    j = d.select("doc_id", split_label_col().alias("s"), mixture_keep_col().alias("k"))
+    rows = j.collect()
+    kept = [r for r in rows if r["k"]]
+    # under independence, train-share among mixture-kept docs tracks the
+    # global 0.9 (an unsalted hash would nest val/test inside the
+    # mixture-dropped set and push this to ~1.0)
+    share = sum(1 for r in kept if r["s"] == "train") / len(kept)
+    assert 0.85 < share < 0.95
