@@ -88,6 +88,20 @@ def _registry():
         partial(eq.explain_q, query="dup table", k=10),
         oq.explain_topk_sql("dup table", k=10),
     )
+    # total-hits count ('About N results'): healthy kept-set size +
+    # filtered variant; degenerate regime counts the whole corpus
+    reg["bm25_count_healthy"] = (
+        partial(eq.count_q, query="dup table"),
+        oq.bm25_count_sql("dup table"),
+    )
+    reg["bm25_count_filtered"] = (
+        partial(eq.count_q, query="dup table", lang="en"),
+        oq.bm25_count_sql("dup table", lang="en"),
+    )
+    reg["bm25_count_degenerate"] = (
+        partial(eq.count_q, query="table row"),
+        oq.bm25_count_sql("table row"),
+    )
     # retrieval-quality eval: nDCG@10 / MRR / recall@10 of the batch
     # ranking against corpus-derived graded labels — labels, ranking
     # and metrics all replicated on both engines

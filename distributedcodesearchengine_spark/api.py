@@ -195,12 +195,18 @@ class SearchEngine:
         enhance: bool = True,
         normalize: bool = True,
         on_invalid: str = "error",
+        offset: int = 0,
     ) -> DataFrame:
         """``on_invalid`` (F8 entry validation): 'error' raises
         ValueError for an unknown scorer or a lang value absent from the
         index (the reference CLI behavior, cli/main.py:69-85); 'drop'
         silently ignores the invalid filter (the reference API behavior,
-        api/server.py:122-133). An unknown scorer always errors."""
+        api/server.py:122-133). An unknown scorer always errors.
+
+        ``offset`` pages the ranked list: rows offset+1..offset+limit
+        with their ABSOLUTE ranks (and, under ``normalize``, scores
+        still normalized by the page-1 top score — page 2 of the same
+        query is the same ranking, just a later window)."""
         if scorer not in VALID_SCORERS:
             raise ValueError(f"unknown scorer {scorer!r}; valid: {VALID_SCORERS}")
         filters: Dict[str, str] = {}
@@ -218,14 +224,16 @@ class SearchEngine:
             filters["source"] = source
 
         if not use_hybrid:
-            res = self._bm25(query, limit, filters, scorer)
-            if not normalize:
-                return res
-            # LocalSearchEngine normalization: divide by top score if > 0
-            mx_row = res.orderBy("rank").limit(1).collect()
-            mx = mx_row[0]["score"] if mx_row else None
-            if mx is not None and mx > 0:
-                res = res.withColumn("score", F.col("score") / F.lit(mx))
+            res = self._bm25(query, limit + offset, filters, scorer)
+            if normalize:
+                # LocalSearchEngine normalization: divide by top score
+                # if > 0 (the ABSOLUTE top, also when paging)
+                mx_row = res.orderBy("rank").limit(1).collect()
+                mx = mx_row[0]["score"] if mx_row else None
+                if mx is not None and mx > 0:
+                    res = res.withColumn("score", F.col("score") / F.lit(mx))
+            if offset:
+                res = res.where(F.col("rank") > offset)
             return res
 
         # hybrid: overfetch both branches at 2*limit (engine.py:207,214)
@@ -241,15 +249,17 @@ class SearchEngine:
             for c, v in filters.items():
                 docs_f = docs_f.where(F.col(c) == v)
             emb = emb.join(docs_f.select("doc_id"), "doc_id", "left_semi")
-        sem = cosine_topk(emb, qvec, 2 * limit, id_col="doc_id")
-        bm = self._bm25(query, 2 * limit, filters, scorer).select("rank", "doc_id", "score")
+        sem = cosine_topk(emb, qvec, 2 * (limit + offset), id_col="doc_id")
+        bm = self._bm25(query, 2 * (limit + offset), filters, scorer).select(
+            "rank", "doc_id", "score"
+        )
         merged = rrf_merge(
             sem.select("rank", "doc_id", "score"),
             bm,
             id_col="doc_id",
             semantic_weight=semantic_weight,
             query=query,
-            limit=limit,
+            limit=limit + offset,
         )
         # merged is k local rows (rrf_merge's limit tail): attach urls
         # via a pushed doc_id-IN point lookup — never a per-query pass
@@ -269,12 +279,35 @@ class SearchEngine:
             )
             for r in sorted(rows, key=lambda r: r["rank"])
             if int(r["doc_id"]) in urls  # inner-join semantics preserved
+            and r["rank"] > offset
         ]
         return self.index.spark.createDataFrame(
             data,
             "rank int, doc_id long, url string, score double, "
             "semantic_score double, bm25_score double",
         )
+
+    def explain(self, query: str, limit: int = 10) -> DataFrame:
+        """Per-term score breakdown of the top-k
+        (operators/scorer.explain_topk — the ES explain=true surface)."""
+        from .operators.scorer import explain_topk
+
+        return explain_topk(self.index, query, k=limit)
+
+    def count(self, query: str, lang=None, site=None, source=None) -> dict:
+        """Total-hits count over the kept set ('About N results') ->
+        {'n_hits': N, 'max_score': s} (operators/scorer.bm25_count)."""
+        from .operators.scorer import bm25_count
+
+        filters = {}
+        if lang:
+            filters["lang"] = lang
+        if site:
+            filters["site"] = site
+        if source:
+            filters["source"] = source
+        row = bm25_count(self.index, query, filters or None).first()
+        return {"n_hits": int(row["n_hits"]), "max_score": float(row["max_score"])}
 
     def facets(self, query: str, keys=None) -> DataFrame:
         """Facet sidebar counts over the query's BM25 kept set

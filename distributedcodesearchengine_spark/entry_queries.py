@@ -415,6 +415,17 @@ def removal_rebuild(spark: SparkSession, sf_dir: str, source: str = "src7") -> D
     )
 
 
+def count_q(
+    spark: SparkSession, sf_dir: str, query: str, lang: str = None
+) -> DataFrame:
+    """Total-hits gate entry (n_hits, max_score over the kept set)."""
+    from .operators.scorer import bm25_count
+
+    idx = get_documents_index(spark, sf_dir)
+    filters = {"lang": lang} if lang else None
+    return bm25_count(idx, query, filters)
+
+
 def explain_q(spark: SparkSession, sf_dir: str, query: str, k: int = 10) -> DataFrame:
     """Score-explain gate entry (per-term breakdown of the top-k)."""
     from .operators.scorer import explain_topk

@@ -170,6 +170,46 @@ def bm25_topk_sql(
     )
 
 
+def bm25_count_sql(
+    query: str, lang: Optional[str] = None, source: Optional[str] = None
+) -> str:
+    """Total-hits count (operators/scorer.bm25_count): the bm25_topk_sql
+    kept/filtered chain aggregated to (n_hits, max_score)."""
+    toks = tokenize(query)
+    if not toks:
+        return "SELECT 0::BIGINT AS n_hits, 0.0 AS max_score"
+    from collections import Counter
+
+    counts = Counter(toks)
+    qvals = ", ".join(f"('{t}', {float(q)})" for t, q in sorted(counts.items()))
+    where = []
+    if lang:
+        where.append(f"lang = '{lang}'")
+    if source:
+        where.append(f"source = '{source}'")
+    fsql = (" WHERE " + " AND ".join(where)) if where else ""
+    return (
+        f"WITH {_docs_cte()}, "
+        f"qt(term, qtf) AS (VALUES {qvals}), "
+        "contrib AS ("
+        "  SELECT tf.doc_id, tf.term, "
+        f"    qt.qtf * (idf.idf * (tf.tf * {K1 + 1.0} / "
+        f"      (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM stats))))) AS c "
+        "  FROM tf JOIN qt USING (term) JOIN idf USING (term) "
+        "  JOIN doclen dl ON dl.doc_id = tf.doc_id), "
+        "scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id), "
+        "mx AS (SELECT max(score) AS m FROM scored), "
+        "kept AS ("
+        "  SELECT d.doc_id, d.lang, d.source, coalesce(s.score, 0.0) AS score "
+        "  FROM doclen d LEFT JOIN scored s USING (doc_id) "
+        "  WHERE ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
+        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))), "
+        f"filtered AS (SELECT * FROM kept{fsql}) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_hits, "
+        f"{round6_sql('coalesce(max(score), 0.0)')} AS max_score FROM filtered"
+    )
+
+
 def explain_topk_sql(query: str, k: int = 10) -> str:
     """Per-term score breakdown of the top-k (operators/scorer
     .explain_topk): the bm25_topk_sql CTE chain with the contribution

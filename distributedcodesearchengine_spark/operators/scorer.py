@@ -316,6 +316,58 @@ def bm25_topk_batch(index: Index, queries: Dict[int, str], k: int = 10) -> DataF
     )
 
 
+def bm25_count(
+    index: Index, query: str, filters: Optional[Dict[str, str]] = None
+) -> DataFrame:
+    """Total-hits count — 1 row (n_hits, max_score): the size of the
+    threshold-kept set AFTER metadata filters plus its max score (the
+    'About N results' line; the reference returns only top-k, so this
+    is the missing aggregate view of the same kept set). Semantics
+    mirror finalize_topk exactly: relative threshold on the unfiltered
+    max, degenerate all-zero regime counts the whole filtered universe
+    (every doc 'matches' at score 0, reference array semantics)."""
+    from ..functions.rounding import round6_py
+
+    spark = index.spark
+    out_schema = "n_hits long, max_score double"
+    if not tokenize(query):
+        return spark.createDataFrame([(0, 0.0)], out_schema)
+    qweights = query_term_weights(index, query)
+    needed = list(filters or {})
+    if not qweights:
+        n = _apply_filters(index.docs, filters).count()
+        return spark.createDataFrame([(int(n), 0.0)], out_schema)
+    scored = score_matched(index, qweights)
+    missing = [c for c in needed if c not in scored.columns]
+    if missing:
+        scored = scored.join(index.docs.select("doc_id", *missing), "doc_id")
+    scored = _cache_scored(index, scored)
+    mx = scored.agg(F.max("score").alias("m")).first()["m"]
+    if mx is not None and mx > 0:
+        row = (
+            _apply_filters(scored.where(F.col("score") >= F.lit(0.01 * mx)), filters)
+            .agg(F.count("*").alias("n"), F.max("score").alias("m"))
+            .first()
+        )
+        return spark.createDataFrame(
+            [(int(row["n"]), float(round6_py(row["m"])))], out_schema
+        )
+    # all-zero / non-positive: filtered universe, zero rows cap the max
+    row = _apply_filters(scored, filters).agg(
+        F.count("*").alias("n"), F.max("score").alias("m")
+    ).first()
+    zeros_n = (
+        _apply_filters(index.docs, filters)
+        .join(scored.select("doc_id"), "doc_id", "left_anti")
+        .count()
+    )
+    n = int(row["n"]) + int(zeros_n)
+    m = float(row["m"]) if row["m"] is not None else 0.0
+    if zeros_n > 0:
+        m = max(m, 0.0)
+    return spark.createDataFrame([(n, float(round6_py(m)))], out_schema)
+
+
 _EXPLAIN_SCHEMA = (
     "rank int, doc_id long, term string, qtf double, tf long, doc_len long, "
     "idf double, contrib double, score double"

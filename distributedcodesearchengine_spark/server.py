@@ -8,7 +8,9 @@ is one engine call).
 
 Endpoints (JSON responses):
 
-    GET  /search?q=...&limit=10&lang=en&site=...&source=...&hybrid=1&scorer=exact
+    GET  /search?q=...&limit=10&offset=0&lang=en&site=...&source=...&hybrid=1&scorer=exact
+    GET  /count?q=...                     total hits over the kept set
+    GET  /explain?q=...&limit=10          per-term score breakdown
     GET  /suggest?prefix=al&limit=10
     GET  /facets?q=...               facet counts over the query's kept set
     GET  /similar?doc_id=N&m=5&limit=10   more-like-this retrieval
@@ -313,7 +315,10 @@ def make_handler(engine, stats_fn, index_manager=None):
                     return self._send(200, {
                         "name": "spark-bm25 API",
                         "endpoints": {
-                            "GET /search": "query the served index",
+                            "GET /search": "query the served index "
+                            "(offset= pages the ranked list)",
+                            "GET /count": "total hits over the kept set",
+                            "GET /explain": "per-term score breakdown",
                             "GET /suggest": "term autocomplete",
                             "GET /facets": "facet counts for a query",
                             "GET /similar": "more-like-this for a doc_id",
@@ -372,6 +377,24 @@ def make_handler(engine, stats_fn, index_manager=None):
                     return self._send(
                         200, {"doc_id": int(q["doc_id"]), "results": rows}
                     )
+                if url.path == "/count":
+                    if "q" not in q:
+                        return self._send(400, {"error": "missing q"})
+                    out = engine.count(
+                        q["q"], lang=q.get("lang"), site=q.get("site"),
+                        source=q.get("source"),
+                    )
+                    return self._send(200, {"query": q["q"], **out})
+                if url.path == "/explain":
+                    if "q" not in q:
+                        return self._send(400, {"error": "missing q"})
+                    rows = engine.explain(
+                        q["q"], limit=int(q.get("limit", 10))
+                    ).collect()
+                    return self._send(
+                        200,
+                        {"query": q["q"], "explanations": [r.asDict() for r in rows]},
+                    )
                 if url.path == "/search":
                     if "q" not in q:
                         return self._send(400, {"error": "missing q"})
@@ -384,6 +407,7 @@ def make_handler(engine, stats_fn, index_manager=None):
                         use_hybrid=q.get("hybrid", "0") in ("1", "true"),
                         scorer=q.get("scorer", "exact"),
                         on_invalid="drop",  # reference API semantics
+                        offset=int(q.get("offset", 0)),
                     )
                     rows = [r.asDict() for r in res.collect()]
                     return self._send(200, {"query": q["q"], "results": rows})

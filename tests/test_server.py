@@ -362,3 +362,40 @@ def test_similar_endpoint(srv):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(srv, "/similar")
     assert ei.value.code == 400
+
+
+def test_count_endpoint(srv):
+    code, body = _get(srv, "/count", q="parse json")
+    assert code == 200 and body["query"] == "parse json"
+    assert body["n_hits"] > 0 and body["max_score"] > 0
+    # count agrees with an oversized search page
+    code, full = _get(srv, "/search", q="parse json", limit=10_000)
+    assert body["n_hits"] == len(full["results"])
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/count")
+    assert ei.value.code == 400
+
+
+def test_explain_endpoint(srv):
+    code, body = _get(srv, "/explain", q="parse json", limit=3)
+    assert code == 200
+    rows = body["explanations"]
+    assert rows and {"rank", "doc_id", "term", "tf", "idf", "contrib", "score"} <= set(rows[0])
+    assert {r["term"] for r in rows} <= {"parse", "json"}
+    # every explained doc is one of the top-3 ranks
+    assert {r["rank"] for r in rows} <= {1, 2, 3}
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/explain")
+    assert ei.value.code == 400
+
+
+def test_search_offset_pages_the_ranked_list(srv):
+    _, p1 = _get(srv, "/search", q="parse json", limit=5)
+    _, p2 = _get(srv, "/search", q="parse json", limit=5, offset=5)
+    _, full = _get(srv, "/search", q="parse json", limit=10)
+    r1 = [(r["rank"], r["doc_id"], r["score"]) for r in p1["results"]]
+    r2 = [(r["rank"], r["doc_id"], r["score"]) for r in p2["results"]]
+    rf = [(r["rank"], r["doc_id"], r["score"]) for r in full["results"]]
+    assert r1 + r2 == rf                      # pages tile the full list
+    assert [r[0] for r in r2] == [6, 7, 8, 9, 10]  # absolute ranks
+    assert r1[0][2] == 1.0                    # page-1 top normalized to 1
