@@ -78,3 +78,54 @@ def start_event_rate_stream(
         .option("path", out_dir)
         .start()
     )
+
+
+def start_windowed_sketch_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "30 minutes",
+    window: str = "1 hour",
+    alpha: float = 0.01,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming DDSketch: per-window log-bucket value histograms over
+    the event stream -> append-mode parquet rows (bucket = window
+    start, k = sketch bucket key, c = count).
+
+    The streaming twin of ``operators/sketch.ddsketch_buckets`` — the
+    same bucket-key expression, so each finalized window's rows equal
+    the batch sketch over that window's on-time events EXACTLY
+    (asserted in tests), and because the sketch merges by integer
+    addition a downstream consumer can fold windows into any coarser
+    granularity (or the whole stream) without re-reading events.
+    State per the watermark contract is (windows in horizon) x (bucket
+    keys) — fixed-size rows, unbounded-stream-safe."""
+    from ..operators.sketch import _dd_consts
+
+    ln_g, _ = _dd_consts(alpha)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .where(F.col("value") > 0)
+        .withColumn(
+            "k",
+            F.ceil(F.log(F.col("value").cast("double")) / F.lit(ln_g)).cast("long"),
+        )
+        .groupBy(F.window("ts", window).alias("win"), "k")
+        .agg(F.count("*").cast("long").alias("c"))
+        .select(F.unix_timestamp(F.col("win.start")).alias("bucket"), "k", "c")
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )
