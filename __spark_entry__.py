@@ -88,6 +88,16 @@ def _registry():
         partial(eq.explain_q, query="dup table", k=10),
         oq.explain_topk_sql("dup table", k=10),
     )
+    # two-stage rerank: BM25 top-20 re-scored by the (mock)
+    # cross-encoder pair model — rank order genuinely reshuffles
+    from distributedcodesearchengine_spark.functions.rerank import (
+        cross_rerank_sql,
+    )
+
+    reg["bm25_rerank"] = (
+        partial(eq.rerank_q, query="dup table", k=10, depth=20),
+        cross_rerank_sql("dup table", k=10, depth=20),
+    )
     # total-hits count ('About N results'): healthy kept-set size +
     # filtered variant; degenerate regime counts the whole corpus
     reg["bm25_count_healthy"] = (

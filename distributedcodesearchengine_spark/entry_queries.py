@@ -415,6 +415,17 @@ def removal_rebuild(spark: SparkSession, sf_dir: str, source: str = "src7") -> D
     )
 
 
+def rerank_q(
+    spark: SparkSession, sf_dir: str, query: str, k: int = 10, depth: int = 20
+) -> DataFrame:
+    """Cross-encoder rerank gate entry (BM25 recall -> pair-model
+    precision; deterministic mock model)."""
+    from .functions.rerank import cross_rerank
+
+    idx = get_documents_index(spark, sf_dir)
+    return cross_rerank(idx, query, k=k, depth=depth)
+
+
 def count_q(
     spark: SparkSession, sf_dir: str, query: str, lang: str = None
 ) -> DataFrame:
