@@ -352,6 +352,23 @@ def _registry():
     )
     # deterministic salted train/val/test split (holdout-stable)
     reg["dataset_split"] = (_tbl_op(pl.dataset_split), pl.dataset_split_sql())
+
+    # URL canonicalization + url-identity dedup over deterministically
+    # mess-augmented urls (every canonicalization lane exercised)
+    def _url_dedup_op(spark, sf_dir):
+        from distributedcodesearchengine_spark.operators import urltools as ut
+        from distributedcodesearchengine_spark.sources.tables import load_table
+
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", ut.messy_url_col().alias("url")
+        )
+        return ut.url_dedup_summary(d)
+
+    from distributedcodesearchengine_spark.operators.urltools import (
+        url_dedup_gate_sql,
+    )
+
+    reg["url_dedup"] = (_url_dedup_op, url_dedup_gate_sql())
     reg["pii_scrub"] = (_tbl_op(pl.pii_scrub_augmented), pl.pii_scrub_sql())
 
     def _curate_op(spark, sf_dir):
