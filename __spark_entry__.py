@@ -369,6 +369,19 @@ def _registry():
     )
 
     reg["url_dedup"] = (_url_dedup_op, url_dedup_gate_sql())
+
+    # percolator (reverse search: docs vs a stored query set; all-of
+    # conjunction semantics). Query 3 shares terms with 1 so overlap
+    # and containment regimes both occur; query 9 matches nothing.
+    from distributedcodesearchengine_spark.operators import percolate as pc
+
+    _PERC_QUERIES = {1: "dup table", 3: "dup table row", 7: "dup merge", 9: "zzznope"}
+    reg["percolate"] = (
+        lambda spark, sf_dir: pc.percolate(
+            eq.docs_with_tokens(spark, sf_dir), _PERC_QUERIES
+        ),
+        pc.percolate_sql(oq.toks_cte(), _PERC_QUERIES),
+    )
     reg["pii_scrub"] = (_tbl_op(pl.pii_scrub_augmented), pl.pii_scrub_sql())
 
     def _curate_op(spark, sf_dir):
