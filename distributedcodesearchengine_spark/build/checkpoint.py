@@ -516,6 +516,38 @@ def compact_incremental(
     )
 
 
+def merge_indexes_persisted(
+    spark: SparkSession, index_dirs, out_dir: str, **build_kw
+) -> Index:
+    """Merge N persisted indexes into ONE on-disk serving index — the
+    Lucene ``IndexWriter.addIndexes`` analog (query-time federation's
+    offline counterpart, ``build/indexer.federate_indexes``).
+
+    Id layout is Lucene's: shard 0 keeps its ids, shard i offsets by
+    the cumulative doc count (dense ``bases``), so the merged id space
+    stays contiguous for the range-sharded serving layouts — and when
+    the shards partition a corpus by url order, the merged ids equal
+    the monolithic build's url-rank ids exactly (tuple-identity
+    tested). The already-extracted docs rows flow through the
+    checkpointed builder's ``docs_src`` seam — NO re-extraction — and
+    every downstream stage (tf, terms, postings, sharded, positional)
+    rebuilds over the merged corpus, so block-max bounds and idf are
+    GLOBAL quantities of the merged index, never stale per-shard ones
+    (the reason real engines rebuild segments on merge rather than
+    concatenating them)."""
+    from .indexer import federate_indexes
+
+    idxs = [load_index(spark, d) for d in index_dirs]
+    bases, acc = [], 0
+    for idx in idxs:
+        bases.append(acc)
+        acc += int(idx.n_docs)
+    fed = federate_indexes(idxs, bases=bases) if len(idxs) > 1 else idxs[0]
+    return build_index_persisted(
+        spark, pages=None, index_dir=out_dir, docs_src=fed.docs, **build_kw
+    )
+
+
 def load_index(spark: SparkSession, index_dir: str) -> Index:
     srow = spark.read.parquet(os.path.join(index_dir, "stats")).first()
     post_dir = os.path.join(index_dir, "postings")

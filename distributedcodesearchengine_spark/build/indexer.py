@@ -97,7 +97,7 @@ def add_postings(
     return index
 
 
-def federate_indexes(indexes, shard_bits: int = 40) -> Index:
+def federate_indexes(indexes, shard_bits: int = 40, bases=None) -> Index:
     """N independently-built indexes -> ONE logical index with EXACT
     global statistics — the distributed-serving composition (Lucene's
     sharded IndexSearcher, or per-crawl indexes queried as one corpus).
@@ -121,14 +121,23 @@ def federate_indexes(indexes, shard_bits: int = 40) -> Index:
     The unioned docs/tf stay lazy partition-unions (no shuffle at
     federation time); queries prune and score through them exactly as
     over a single index.
+
+    ``bases``: optional explicit per-shard id offsets replacing the
+    ``i << shard_bits`` spaces — the OFFLINE merge path passes dense
+    cumulative doc counts (Lucene's addIndexes id layout: shard 0 keeps
+    its ids, shard 1 starts at n_0, ...), which keeps the merged id
+    space contiguous for the range-sharded serving layouts. Query-time
+    federation keeps the default shifted spaces (constant-time, no
+    cross-shard coordination needed).
     """
     spark = indexes[0].spark
     if len(indexes) == 1:
         return indexes[0]
+    offsets = bases if bases is not None else [i << shard_bits for i in range(len(indexes))]
 
     def _rekey(df: DataFrame, i: int) -> DataFrame:
         return df.withColumn(
-            "doc_id", (F.col("doc_id") + F.lit(i << shard_bits)).cast("long")
+            "doc_id", (F.col("doc_id") + F.lit(int(offsets[i]))).cast("long")
         )
 
     docs = tf = None

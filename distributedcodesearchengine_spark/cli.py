@@ -85,6 +85,20 @@ def _build_parser() -> argparse.ArgumentParser:
     c.add_argument("--bench-mod", type=int, default=7, help="doc_id modulus carving the held-out eval slice")
     c.add_argument("--ngram", type=int, default=8, help="contamination n-gram width")
 
+    mg = sub.add_parser(
+        "merge",
+        help="merge N persisted indexes into one serving index "
+        "(Lucene addIndexes: dense id offsets, segments rebuilt with "
+        "global idf, no re-extraction)",
+    )
+    mg.add_argument("--indexes", required=True,
+                    help="comma-separated persisted index directories, merge order")
+    mg.add_argument("--index", required=True, help="output index directory")
+    mg.add_argument("--no-resume", action="store_true")
+    mg.add_argument("--n-buckets", type=int, default=None)
+    mg.add_argument("--phrase-index", action="store_true")
+    mg.add_argument("--sharded-index", action="store_true")
+
     x = sub.add_parser(
         "export",
         help="token-budget sharded corpus export with a JSON audit "
@@ -322,6 +336,29 @@ def main(argv=None, spark=None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.cmd == "merge":
+        from .build.checkpoint import merge_indexes_persisted
+
+        kw = {}
+        if args.n_buckets:
+            kw["n_buckets"] = args.n_buckets
+        idx = merge_indexes_persisted(
+            spark,
+            [p for p in args.indexes.split(",") if p],
+            args.index,
+            resume=not args.no_resume,
+            phrase_index=args.phrase_index,
+            sharded_index=args.sharded_index,
+            **kw,
+        )
+        print(json.dumps({
+            "n_docs": idx.n_docs,
+            "avgdl": round(idx.avgdl, 4),
+            "merged": len(args.indexes.split(",")),
+            "index": args.index,
+        }))
         return 0
 
     if args.cmd == "export":
