@@ -352,6 +352,10 @@ def _registry():
     )
     # deterministic salted train/val/test split (holdout-stable)
     reg["dataset_split"] = (_tbl_op(pl.dataset_split), pl.dataset_split_sql())
+    # train/holdout 8-gram leakage audit over the split
+    reg["split_leakage"] = (
+        _docs_op(partial(pl.split_leakage, n=8)), pl.split_leakage_sql(cte, n=8),
+    )
 
     # URL canonicalization + url-identity dedup over deterministically
     # mess-augmented urls (every canonicalization lane exercised)

@@ -111,6 +111,83 @@ def decontaminate_sql(table_toks_cte: str, n: int = 8, bench_mod: int = 7) -> st
     )
 
 
+def split_leakage(docs: DataFrame, n: int = 8) -> DataFrame:
+    """(split, n_docs, n_leaked, leak_frac) — the train/holdout leakage
+    audit: for each non-train split of the deterministic dataset split
+    (``split_label_col``), how many of its documents share at least one
+    token ``n``-gram with the TRAIN split. The cross-check a pipeline
+    runs after export: near-duplicate pages straddling the split are
+    exactly how eval numbers get silently inflated, and the hash split
+    alone cannot see content-level leakage.
+
+    Scale shape: one gram explode, train grams distinct into the join's
+    build side, candidate (doc, gram) distinct semi-joined against it
+    — the decontaminate skeleton keyed by the split label instead of
+    the bench slice; the summary is a 2-row rollup."""
+    d = docs.withColumn("split", split_label_col())
+    grams = d.select(
+        "doc_id", "split", F.explode(F.expr(_gram_expr(n))).alias("gram")
+    )
+    train_set = grams.where(F.col("split") == "train").select("gram").distinct()
+    holdout = grams.where(F.col("split") != "train")
+    leaked = (
+        holdout.select("doc_id", "split", "gram")
+        .join(train_set, "gram", "left_semi")
+        .select("doc_id", "split")
+        .distinct()
+        .groupBy("split")
+        .agg(F.count("*").cast("long").alias("n_leaked"))
+    )
+    totals = (
+        d.where(F.col("split") != "train")
+        .groupBy("split")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    return (
+        totals.join(leaked, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            F.coalesce(F.col("n_leaked"), F.lit(0)).cast("long").alias("n_leaked"),
+            round6(
+                F.coalesce(F.col("n_leaked"), F.lit(0)) * F.lit(1.0) / F.col("n_docs")
+            ).alias("leak_frac"),
+        )
+        .orderBy("split")
+    )
+
+
+def split_leakage_sql(table_toks_cte: str, n: int = 8) -> str:
+    # the split CASE inline, same literals as dataset_split_sql
+    buckets = _MIX_BUCKETS
+    bucket = (
+        f"('0x' || substr(md5('{_SPLIT_SALT}|' || doc_id::VARCHAR), 1, 8))::BIGINT "
+        f"% {buckets}"
+    )
+    whens = []
+    cum = 0.0
+    for name, w in _SPLIT_WEIGHTS:
+        cum += float(w)
+        whens.append(f"WHEN {bucket} < {cum * buckets!r} THEN '{name}'")
+    case = "CASE " + " ".join(whens) + " ELSE 'test' END"
+    gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return (
+        f"WITH {table_toks_cte}, "
+        f"s AS (SELECT doc_id, {case} AS split, toks FROM docs), "
+        f"g AS (SELECT doc_id, split, {gram} AS gram FROM s, "
+        f"unnest(generate_series(1, len(toks) - {n - 1})) AS _t(i)), "
+        "tr AS (SELECT DISTINCT gram FROM g WHERE split = 'train'), "
+        "lk AS (SELECT split, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_leaked "
+        "FROM g JOIN tr USING (gram) WHERE split <> 'train' GROUP BY split), "
+        "tot AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs FROM s "
+        "WHERE split <> 'train' GROUP BY split) "
+        "SELECT tot.split, tot.n_docs, "
+        "CAST(coalesce(lk.n_leaked, 0) AS BIGINT) AS n_leaked, "
+        f"{round6_sql('coalesce(lk.n_leaked, 0) * 1.0 / tot.n_docs')} AS leak_frac "
+        "FROM tot LEFT JOIN lk USING (split) ORDER BY tot.split"
+    )
+
+
 # ---------------------------------------------------------------------------
 # deterministic mixture sampling
 

@@ -536,3 +536,30 @@ def test_split_salt_differs_from_mixture_hash(spark):
     # mixture-dropped set and push this to ~1.0)
     share = sum(1 for r in kept if r["s"] == "train") / len(kept)
     assert 0.85 < share < 0.95
+
+
+def test_split_leakage_detects_crossing_ngrams(spark):
+    from distributedcodesearchengine_spark.operators.pipeline import (
+        split_label_col,
+        split_leakage,
+    )
+
+    base = [(i, [f"tok{i}_{j}" for j in range(10)]) for i in range(400)]
+    d0 = spark.createDataFrame(base, "doc_id long, tokens array<string>")
+    labels = {r["doc_id"]: r["s"] for r in d0.select("doc_id", split_label_col().alias("s")).collect()}
+    train_ids = [i for i, s in labels.items() if s == "train"]
+    test_ids = [i for i, s in labels.items() if s == "test"]
+    assert train_ids and test_ids
+    # copy one train doc's token stream onto one test doc -> that test
+    # doc leaks; all other docs have globally unique grams -> no leak
+    rows = [
+        (i, base[train_ids[0]][1] if i == test_ids[0] else toks)
+        for i, toks in base
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    got = {r["split"]: (r["n_docs"], r["n_leaked"]) for r in split_leakage(d, n=8).collect()}
+    assert got["test"][1] == 1
+    assert got.get("val", (0, 0))[1] == 0
+    # control: without the graft nothing leaks
+    clean = {r["split"]: r["n_leaked"] for r in split_leakage(d0, n=8).collect()}
+    assert set(clean.values()) == {0}
