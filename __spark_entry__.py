@@ -88,6 +88,16 @@ def _registry():
         partial(eq.explain_q, query="dup table", k=10),
         oq.explain_topk_sql("dup table", k=10),
     )
+    # numeric range filter at the F5 stage (doc_len window), healthy +
+    # degenerate regimes
+    reg["bm25_range_healthy"] = (
+        partial(eq.bm25_range_q, query="dup table", lo=40, hi=90),
+        oq.bm25_topk_sql("dup table", k=10, doc_len_range=(40, 90)),
+    )
+    reg["bm25_range_degenerate"] = (
+        partial(eq.bm25_range_q, query="table row", lo=None, hi=60),
+        oq.bm25_topk_sql("table row", k=10, doc_len_range=(None, 60)),
+    )
     # two-stage rerank: BM25 top-20 re-scored by the (mock)
     # cross-encoder pair model — rank order genuinely reshuffles
     from distributedcodesearchengine_spark.functions.rerank import (

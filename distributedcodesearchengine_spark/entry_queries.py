@@ -415,6 +415,19 @@ def removal_rebuild(spark: SparkSession, sf_dir: str, source: str = "src7") -> D
     )
 
 
+def bm25_range_q(
+    spark: SparkSession, sf_dir: str, query: str, lo=None, hi=None, k: int = 10
+) -> DataFrame:
+    """Range-filtered BM25 gate entry (doc_len between lo and hi)."""
+    from .operators.scorer import bm25_topk_range
+
+    idx = get_documents_index(spark, sf_dir)
+    res = bm25_topk_range(idx, query, k=k, ranges={"doc_len": (lo, hi)})
+    return res.select(
+        "rank", _orig_doc_id(), round6("score").alias("score")
+    ).orderBy("rank")
+
+
 def rerank_q(
     spark: SparkSession, sf_dir: str, query: str, k: int = 10, depth: int = 20
 ) -> DataFrame:

@@ -103,6 +103,7 @@ def bm25_topk_sql(
     phrase: Optional[str] = None,
     near: Optional[tuple] = None,
     ordered_near: Optional[tuple] = None,
+    doc_len_range: Optional[tuple] = None,
 ) -> str:
     """Full BM25 top-k with the reference's threshold-before-filter,
     degenerate all-zero handling, and doc-order tie-break.
@@ -127,6 +128,18 @@ def bm25_topk_sql(
         where.append(f"lang = '{lang}'")
     if source:
         where.append(f"source = '{source}'")
+    if doc_len_range is not None:
+        lo, hi = doc_len_range
+        conds = []
+        if lo is not None:
+            conds.append(f"doc_len >= {int(lo)}")
+        if hi is not None:
+            conds.append(f"doc_len <= {int(hi)}")
+        # mirror of the Spark doc_filter left_semi (scorer.bm25_topk_range)
+        where.append(
+            "doc_id IN (SELECT doc_id FROM doclen WHERE "
+            + " AND ".join(conds) + ")"
+        )
     pocc = ""
     if phrase is not None:
         from ..operators.phrase import _phrase_occ_cte

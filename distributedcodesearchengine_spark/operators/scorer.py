@@ -316,6 +316,41 @@ def bm25_topk_batch(index: Index, queries: Dict[int, str], k: int = 10) -> DataF
     )
 
 
+def bm25_topk_range(
+    index: Index,
+    query: str,
+    k: int = 10,
+    filters: Optional[Dict[str, str]] = None,
+    ranges: Optional[Dict[str, tuple]] = None,
+) -> DataFrame:
+    """BM25 top-k with numeric RANGE filters (the date/length-range
+    facet every search surface carries beside the equality filters):
+    ``ranges`` maps a docs column to an inclusive (lo, hi) bound —
+    either side None for open-ended. Ranges apply at the same F5
+    post-threshold stage as the equality filters, via the set-valued
+    ``doc_filter`` mechanism the phrase predicate uses (a left_semi
+    join of the bounded doc set onto the thresholded candidates — the
+    doc-side predicate pushes to the docs scan, candidates stay the
+    small side)."""
+    spark = index.spark
+    if not tokenize(query):
+        return spark.createDataFrame(
+            [], "rank int, doc_id long, url string, score double"
+        )
+    doc_filter = None
+    if ranges:
+        d = index.docs
+        for col, (lo, hi) in sorted(ranges.items()):
+            if lo is not None:
+                d = d.where(F.col(col) >= lo)
+            if hi is not None:
+                d = d.where(F.col(col) <= hi)
+        doc_filter = d.select("doc_id")
+    qweights = query_term_weights(index, query)
+    scored = score_matched(index, qweights) if qweights else None
+    return finalize_topk(index, scored, k, filters, doc_filter=doc_filter)
+
+
 def bm25_count(
     index: Index, query: str, filters: Optional[Dict[str, str]] = None
 ) -> DataFrame:

@@ -119,3 +119,29 @@ def test_explain_empty_on_unknown_tokens(oracle_and_index):
     _, _, index, _ = oracle_and_index
     assert explain_topk(index, "zzzzunknowntoken").count() == 0
     assert explain_topk(index, "!! ??").count() == 0
+
+
+def test_range_filter_semantics(oracle_and_index):
+    """Range filter is post-threshold: every kept doc satisfies the
+    bound, ranks recompute over the survivors, and the unfiltered
+    ranking's bounded prefix is preserved in order."""
+    from distributedcodesearchengine_spark.operators.scorer import (
+        bm25_topk,
+        bm25_topk_range,
+    )
+
+    _, _, index, local = oracle_and_index
+    q = "parse json"
+    lo, hi = 150, 260
+    lens = {
+        r["doc_id"]: r["doc_len"]
+        for r in index.docs.select("doc_id", "doc_len").collect()
+    }
+    got = bm25_topk_range(index, q, k=10, ranges={"doc_len": (lo, hi)}).collect()
+    assert got and all(lo <= lens[r["doc_id"]] <= hi for r in got)
+    base = [r["doc_id"] for r in bm25_topk(index, q, k=200).collect()
+            if lo <= lens[r["doc_id"]] <= hi][:10]
+    assert [r["doc_id"] for r in got] == base
+    # open-ended side
+    open_hi = bm25_topk_range(index, q, k=10, ranges={"doc_len": (lo, None)}).collect()
+    assert all(lens[r["doc_id"]] >= lo for r in open_hi)
