@@ -88,6 +88,29 @@ def _registry():
         partial(eq.explain_q, query="dup table", k=10),
         oq.explain_topk_sql("dup table", k=10),
     )
+    # field-collapse diversification (ES collapse: at most n results
+    # per source)
+    def _collapse_op(spark, sf_dir):
+        from distributedcodesearchengine_spark.operators.explore import (
+            bm25_collapse_topk,
+        )
+
+        idx = eq.get_documents_index(spark, sf_dir)
+        res = bm25_collapse_topk(idx, "dup table", collapse="source", per_group=1, k=10)
+        from distributedcodesearchengine_spark.functions.rounding import round6
+
+        return res.select(
+            "rank", "doc_id", "source", round6("score").alias("score")
+        ).orderBy("rank")
+
+    from distributedcodesearchengine_spark.operators.explore import (
+        bm25_collapse_sql,
+    )
+
+    reg["bm25_collapse"] = (
+        _collapse_op,
+        bm25_collapse_sql("dup table", collapse="source", per_group=1, k=10),
+    )
     # numeric range filter at the F5 stage (doc_len window), healthy +
     # degenerate regimes
     reg["bm25_range_healthy"] = (

@@ -265,3 +265,114 @@ def bm25_clickboost_sql(
         f"doc_id, {round6_sql('final')} AS score, n_clicks "
         f"FROM boosted ORDER BY final DESC, doc_id ASC LIMIT {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# field-collapse diversification
+
+
+def bm25_collapse_topk(
+    index, query: str, collapse: str = "source", per_group: int = 1, k: int = 10
+):
+    """Diversified top-k (the Elasticsearch ``collapse`` analog): at
+    most ``per_group`` results per value of the ``collapse`` field —
+    the anti-domination control a web SERP runs so one domain can't
+    fill the page. Semantics: rank the kept set exactly as bm25_topk
+    would, keep each group's best ``per_group`` rows (per-group rank by
+    score desc, doc_id asc), then the global top-k of the survivors
+    with ranks renumbered.
+
+    Plan: the per-group rank is a window PARTITIONED BY the collapse
+    key over the thresholded candidate set — parallel across groups,
+    bounded by candidates, never a corpus-wide single-partition sort;
+    the global top-k is the usual TakeOrderedAndProject.
+    """
+    from pyspark.sql.window import Window
+
+    from ..oracle.tokenizer import tokenize
+    from .scorer import query_term_weights, score_matched
+
+    spark = index.spark
+    out_schema = f"rank int, doc_id long, {collapse} string, score double"
+    if not tokenize(query):
+        return spark.createDataFrame([], out_schema)
+    qweights = query_term_weights(index, query)
+    scored = score_matched(index, qweights) if qweights else None
+    if scored is not None:
+        mx = scored.agg(F.max("score").alias("m")).first()["m"]
+    else:
+        mx = None
+    if mx is not None and mx > 0:
+        kept = scored.where(F.col("score") >= F.lit(0.01 * mx))
+    else:
+        zeros = index.docs
+        if scored is not None:
+            zeros = zeros.join(scored.select("doc_id"), "doc_id", "left_anti")
+        zeros = zeros.select(
+            "doc_id", *[c for c in [collapse] if c in index.docs.columns],
+            F.lit(0.0).alias("score"),
+        )
+        kept = (
+            scored.select("doc_id", collapse, "score").unionByName(zeros)
+            if scored is not None
+            else zeros
+        )
+    if collapse not in kept.columns:
+        kept = kept.join(index.docs.select("doc_id", collapse), "doc_id")
+    wg = Window.partitionBy(collapse).orderBy(F.desc("score"), F.asc("doc_id"))
+    surv = (
+        kept.withColumn("_g", F.row_number().over(wg))
+        .where(F.col("_g") <= int(per_group))
+    )
+    wr = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        surv.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(k))
+        .withColumn("rank", F.row_number().over(wr))
+        .select("rank", "doc_id", collapse, "score")
+    )
+
+
+def bm25_collapse_sql(
+    query: str, collapse: str = "source", per_group: int = 1, k: int = 10
+) -> str:
+    """DuckDB mirror of ``bm25_collapse_topk`` (kept chain + per-group
+    window + global top-k)."""
+    from collections import Counter
+
+    from ..functions.rounding import round6_sql
+    from ..functions.sql_oracle import _docs_cte
+    from ..oracle.tokenizer import tokenize
+
+    K1, B = 1.5, 0.75
+    toks = tokenize(query)
+    if not toks:
+        return (
+            f"SELECT 1 AS rank, 1::BIGINT AS doc_id, '' AS {collapse}, "
+            "0.0 AS score WHERE false"
+        )
+    counts = Counter(toks)
+    qvals = ", ".join(f"('{t}', {float(q)})" for t, q in sorted(counts.items()))
+    return (
+        f"WITH {_docs_cte()}, "
+        f"qt(term, qtf) AS (VALUES {qvals}), "
+        "contrib AS ("
+        "  SELECT tf.doc_id, tf.term, "
+        f"    qt.qtf * (idf.idf * (tf.tf * {K1 + 1.0} / "
+        f"      (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM stats))))) AS c "
+        "  FROM tf JOIN qt USING (term) JOIN idf USING (term) "
+        "  JOIN doclen dl ON dl.doc_id = tf.doc_id), "
+        "scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id), "
+        "mx AS (SELECT max(score) AS m FROM scored), "
+        "kept AS ("
+        f"  SELECT d.doc_id, d.{collapse}, coalesce(s.score, 0.0) AS score "
+        "  FROM doclen d LEFT JOIN scored s USING (doc_id) "
+        "  WHERE ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
+        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))), "
+        "surv AS (SELECT * FROM (SELECT kept.*, row_number() OVER "
+        f"(PARTITION BY {collapse} ORDER BY score DESC, doc_id ASC) AS _g FROM kept) "
+        f"WHERE _g <= {int(per_group)}) "
+        "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank, "
+        f"doc_id, {collapse}, {round6_sql('score')} AS score "
+        f"FROM surv ORDER BY score DESC, doc_id ASC LIMIT {int(k)}"
+    )

@@ -98,3 +98,40 @@ def test_more_like_this_excludes_seed_both_branches(spark):
     idx2 = _index(spark, [("same same", "en", "s1", "a"), ("same also", "en", "s1", "a")])
     res2 = more_like_this(idx2, 0, m=2, k=10).collect()
     assert 0 not in [r.doc_id for r in res2]
+
+
+def test_collapse_diversifies(spark):
+    """At most per_group results per collapse value; survivors are each
+    group's best; global order preserved among survivors."""
+    from collections import Counter
+
+    from distributedcodesearchengine_spark.operators.explore import (
+        bm25_collapse_topk,
+    )
+    from distributedcodesearchengine_spark.operators.scorer import bm25_topk
+
+    from distributedcodesearchengine_spark.build.indexer import build_index_inmem
+    from distributedcodesearchengine_spark.sources.corpus import generate_pages
+
+    bm_index = build_index_inmem(spark, generate_pages(spark, 120, seed=3, parts=2))
+    q = "parse json"
+    col = [r for r in bm25_collapse_topk(bm_index, q, collapse="site", per_group=1, k=10).collect()]
+    assert col
+    sites = [r["site"] for r in col]
+    assert max(Counter(sites).values()) == 1
+    # survivors = first-per-site prefix of the full ranking
+    full = bm25_topk(bm_index, q, k=500).collect()
+    meta = {r["doc_id"]: r["site"] for r in bm_index.docs.select("doc_id", "site").collect()}
+    seen, exp = set(), []
+    for r in full:
+        s = meta[r["doc_id"]]
+        if s in seen:
+            continue
+        seen.add(s)
+        exp.append(r["doc_id"])
+        if len(exp) == 10:
+            break
+    assert [r["doc_id"] for r in col] == exp
+    # per_group=2 keeps at most two per site and is a superset ordering
+    col2 = bm25_collapse_topk(bm_index, q, collapse="site", per_group=2, k=10).collect()
+    assert max(Counter(r["site"] for r in col2).values()) <= 2
