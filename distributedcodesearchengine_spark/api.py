@@ -287,6 +287,34 @@ class SearchEngine:
             "semantic_score double, bm25_score double",
         )
 
+    def collapse(
+        self, query: str, field: str = "source", per_group: int = 1, limit: int = 10
+    ) -> DataFrame:
+        """Diversified top-k: at most ``per_group`` results per value
+        of ``field`` (operators/explore.bm25_collapse_topk)."""
+        from .operators.explore import bm25_collapse_topk
+
+        return bm25_collapse_topk(
+            self.index, query, collapse=field, per_group=per_group, k=limit
+        )
+
+    def search_range(
+        self,
+        query: str,
+        limit: int = 10,
+        ranges: Optional[Dict[str, tuple]] = None,
+        **filters,
+    ) -> DataFrame:
+        """BM25 top-k with numeric range filters at the F5 stage
+        (operators/scorer.bm25_topk_range)."""
+        from .operators.scorer import bm25_topk_range
+
+        return bm25_topk_range(
+            self.index, query, k=limit,
+            filters={k: v for k, v in filters.items() if v} or None,
+            ranges=ranges,
+        )
+
     def explain(self, query: str, limit: int = 10) -> DataFrame:
         """Per-term score breakdown of the top-k
         (operators/scorer.explain_topk — the ES explain=true surface)."""

@@ -316,7 +316,8 @@ def make_handler(engine, stats_fn, index_manager=None):
                         "name": "spark-bm25 API",
                         "endpoints": {
                             "GET /search": "query the served index "
-                            "(offset= pages the ranked list)",
+                            "(offset= pages; collapse=<field>&per_group=n "
+                            "diversifies; len_min/len_max range-filter)",
                             "GET /count": "total hits over the kept set",
                             "GET /explain": "per-term score breakdown",
                             "GET /suggest": "term autocomplete",
@@ -398,6 +399,24 @@ def make_handler(engine, stats_fn, index_manager=None):
                 if url.path == "/search":
                     if "q" not in q:
                         return self._send(400, {"error": "missing q"})
+                    if "collapse" in q:
+                        res = engine.collapse(
+                            q["q"], field=q["collapse"],
+                            per_group=int(q.get("per_group", 1)),
+                            limit=int(q.get("limit", 10)),
+                        )
+                        rows = [r.asDict() for r in res.collect()]
+                        return self._send(200, {"query": q["q"], "results": rows})
+                    if "len_min" in q or "len_max" in q:
+                        lo = int(q["len_min"]) if "len_min" in q else None
+                        hi = int(q["len_max"]) if "len_max" in q else None
+                        res = engine.search_range(
+                            q["q"], limit=int(q.get("limit", 10)),
+                            ranges={"doc_len": (lo, hi)},
+                            lang=q.get("lang"), source=q.get("source"),
+                        )
+                        rows = [r.asDict() for r in res.collect()]
+                        return self._send(200, {"query": q["q"], "results": rows})
                     res = engine.search(
                         q["q"],
                         limit=int(q.get("limit", 10)),

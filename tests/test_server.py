@@ -399,3 +399,12 @@ def test_search_offset_pages_the_ranked_list(srv):
     assert r1 + r2 == rf                      # pages tile the full list
     assert [r[0] for r in r2] == [6, 7, 8, 9, 10]  # absolute ranks
     assert r1[0][2] == 1.0                    # page-1 top normalized to 1
+
+
+def test_search_collapse_and_range_params(srv):
+    code, body = _get(srv, "/search", q="parse json", collapse="site", limit=5)
+    assert code == 200
+    sites = [r["site"] for r in body["results"]]
+    assert sites and len(sites) == len(set(sites))  # one per site
+    code, body = _get(srv, "/search", q="parse json", len_min=150, len_max=260, limit=5)
+    assert code == 200 and body["results"]
