@@ -47,7 +47,7 @@ from __future__ import annotations
 from collections import Counter
 from dataclasses import dataclass
 from functools import reduce
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F

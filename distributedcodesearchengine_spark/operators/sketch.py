@@ -27,7 +27,7 @@ suite established, so the DuckDB oracles agree bit-for-bit — no
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
