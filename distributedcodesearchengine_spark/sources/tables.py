@@ -15,7 +15,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def read_input_table(spark: SparkSession, path_or_ident: str) -> DataFrame:
+def read_input_table(
+    spark: SparkSession,
+    path_or_ident: str,
+    snapshot_id: int = None,
+    as_of_ts_ms: int = None,
+) -> DataFrame:
     """Corpus-input reader (north rule: Iceberg tables of web pages).
 
     ``DCSE_TABLE_FORMAT=iceberg`` reads through the Iceberg DataSource
@@ -24,11 +29,25 @@ def read_input_table(spark: SparkSession, path_or_ident: str) -> DataFrame:
     isolation for free); the sandbox default is plain parquet (no
     Iceberg runtime jars here). The engine's own index layout stays
     parquet-partitioned regardless — segment files are engine-internal,
-    like Lucene's, and never read by user SQL."""
+    like Lucene's, and never read by user SQL.
+
+    ``snapshot_id`` / ``as_of_ts_ms`` pin an Iceberg SNAPSHOT (time
+    travel — the public ``snapshot-id`` / ``as-of-timestamp`` read
+    options): a rebuild over yesterday's corpus state is then exactly
+    reproducible even while the crawl keeps appending, which is what
+    makes an index build auditable against a moving table. Ignored on
+    the parquet path (plain directories have no snapshot lineage)."""
     fmt = os.environ.get("DCSE_TABLE_FORMAT", "parquet")
     if fmt == "iceberg":
+        reader = spark.read.format("iceberg")
+        if snapshot_id is not None:
+            reader = reader.option("snapshot-id", int(snapshot_id))
+        elif as_of_ts_ms is not None:
+            reader = reader.option("as-of-timestamp", int(as_of_ts_ms))
         if "/" in path_or_ident:
-            return spark.read.format("iceberg").load(path_or_ident)
+            return reader.load(path_or_ident)
+        if snapshot_id is not None or as_of_ts_ms is not None:
+            return reader.load(path_or_ident)
         return spark.read.table(path_or_ident)
     return spark.read.parquet(path_or_ident)
 

@@ -73,6 +73,21 @@ def test_iceberg_pages_roundtrip_and_build(tmp_path):
         idx = build_index_inmem(spark, got)
         res = bm25_topk(idx, "parse json", k=5).collect()
         assert len(res) == 5 and res[0]["rank"] == 1
+
+        # snapshot time travel: append a second batch, then pin the
+        # pre-append snapshot — the build input must be the original
+        # 100 rows even though the live table moved
+        snap = (
+            spark.sql("SELECT snapshot_id FROM local.web.pages.snapshots "
+                      "ORDER BY committed_at DESC LIMIT 1")
+            .first()["snapshot_id"]
+        )
+        generate_pages(spark, 40, seed=6, parts=1).writeTo(
+            "local.web.pages"
+        ).append()
+        assert read_input_table(spark, "local.web.pages").count() == 140
+        pinned = read_input_table(spark, "local.web.pages", snapshot_id=snap)
+        assert pinned.count() == 100
     finally:
         os.environ.pop("DCSE_TABLE_FORMAT", None)
         spark.stop()
