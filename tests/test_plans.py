@@ -186,3 +186,75 @@ def test_exploration_plan_shapes(spark):
         must_contain=["BroadcastHashJoin"],
         must_not_contain=["CartesianProduct", "BroadcastNestedLoopJoin"],
     )
+
+
+def test_round3_operators_have_no_cartesian(pidx, spark, sf_dir):
+    """None of the round's new operators may plan a cartesian product
+    or nested-loop join; the broadcast claims hold."""
+    from distributedcodesearchengine_spark.entry_queries import docs_with_tokens
+    from distributedcodesearchengine_spark.operators.evalrank import (
+        eval_ranking,
+        relevance_labels,
+    )
+    from distributedcodesearchengine_spark.operators.explore import (
+        bm25_collapse_topk,
+    )
+    from distributedcodesearchengine_spark.operators.fields import (
+        FieldSpec,
+        bm25f_topk,
+    )
+    from distributedcodesearchengine_spark.operators.percolate import percolate
+    from distributedcodesearchengine_spark.operators.scorer import (
+        bm25_topk_batch,
+        bm25_topk_range,
+        explain_topk,
+    )
+    from distributedcodesearchengine_spark.operators.urltools import (
+        messy_url_col,
+        url_dedup_summary,
+    )
+    from pyspark.sql import functions as F
+
+    d = docs_with_tokens(spark, sf_dir)
+    fields = [FieldSpec("title", 2.0, 0.75), FieldSpec("body", 1.0, 0.75)]
+    dd = d.select(
+        "doc_id",
+        F.substring("text", 1, 60).alias("title"),
+        F.col("text").alias("body"),
+    )
+    queries = {1: "dup", 2: "dup table"}
+    plans = {
+        "bm25f": bm25f_topk(dd, "dup table", fields, k=5),
+        "explain": explain_topk(pidx, "parse json", k=5),
+        "range": bm25_topk_range(pidx, "parse json", k=5, ranges={"doc_len": (10, 400)}),
+        "collapse": bm25_collapse_topk(pidx, "parse json", collapse="site", k=5),
+        "percolate": percolate(d, queries),
+        "url_dedup": url_dedup_summary(
+            d.select("doc_id", messy_url_col().alias("url"))
+        ),
+        "eval": eval_ranking(
+            bm25_topk_batch(_docs_index(spark, sf_dir), queries, k=5),
+            relevance_labels(d, queries),
+        ),
+    }
+    # bm25f and eval carry the engine's deliberate 1-row scalar
+    # crossJoin (the broadcast avg-idf / totals fold), which Spark
+    # plans as a BroadcastNestedLoopJoin of a 1-row side — allowed
+    # there, forbidden everywhere else; a true CartesianProduct is
+    # forbidden everywhere
+    scalar_cross = {"bm25f", "eval"}
+    for name, df in plans.items():
+        forbid = ["CartesianProduct"]
+        if name not in scalar_cross:
+            forbid.append("BroadcastNestedLoopJoin")
+        assert_plan(df, must_not_contain=forbid), name
+    # the percolate query side must broadcast
+    assert "BroadcastHashJoin" in explain_str(plans["percolate"]), "percolate"
+
+
+def _docs_index(spark, sf_dir):
+    from distributedcodesearchengine_spark.entry_queries import (
+        get_documents_index,
+    )
+
+    return get_documents_index(spark, sf_dir)
