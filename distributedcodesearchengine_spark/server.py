@@ -319,6 +319,7 @@ def make_handler(engine, stats_fn, index_manager=None):
                             "(offset= pages; collapse=<field>&per_group=n "
                             "diversifies; len_min/len_max range-filter)",
                             "GET /count": "total hits over the kept set",
+                            "GET /rerank": "two-stage cross-encoder rerank",
                             "GET /explain": "per-term score breakdown",
                             "GET /suggest": "term autocomplete",
                             "GET /facets": "facet counts for a query",
@@ -377,6 +378,19 @@ def make_handler(engine, stats_fn, index_manager=None):
                     rows = [r.asDict() for r in res.collect()]
                     return self._send(
                         200, {"doc_id": int(q["doc_id"]), "results": rows}
+                    )
+                if url.path == "/rerank":
+                    if "q" not in q:
+                        return self._send(400, {"error": "missing q"})
+                    from .functions.rerank import cross_rerank
+
+                    rows = cross_rerank(
+                        engine.index, q["q"],
+                        k=int(q.get("limit", 10)),
+                        depth=int(q.get("depth", 30)),
+                    ).collect()
+                    return self._send(
+                        200, {"query": q["q"], "results": [r.asDict() for r in rows]}
                     )
                 if url.path == "/count":
                     if "q" not in q:

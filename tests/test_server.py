@@ -408,3 +408,16 @@ def test_search_collapse_and_range_params(srv):
     assert sites and len(sites) == len(set(sites))  # one per site
     code, body = _get(srv, "/search", q="parse json", len_min=150, len_max=260, limit=5)
     assert code == 200 and body["results"]
+
+
+def test_rerank_endpoint(srv):
+    code, body = _get(srv, "/rerank", q="parse json", limit=5, depth=15)
+    assert code == 200
+    rows = body["results"]
+    assert len(rows) == 5 and rows[0]["rank"] == 1
+    assert {"rerank_score", "bm25_rank", "bm25_score"} <= set(rows[0])
+    scores = [r["rerank_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/rerank")
+    assert ei.value.code == 400
