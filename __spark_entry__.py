@@ -88,6 +88,31 @@ def _registry():
         partial(eq.explain_q, query="dup table", k=10),
         oq.explain_topk_sql("dup table", k=10),
     )
+    # query-time synonym expansion (analyzer synonym filter: synonyms
+    # score with the source token's multiplicity; 'dup dup' -> row and
+    # scan at qtf 2, a weighting no plain query can produce)
+    def _syn_op(spark, sf_dir):
+        from distributedcodesearchengine_spark.functions.rounding import round6
+        from distributedcodesearchengine_spark.operators.synonyms import (
+            bm25_synonyms_topk,
+        )
+
+        idx = eq.get_documents_index(spark, sf_dir)
+        res = bm25_synonyms_topk(
+            idx, "dup dup table", {"dup": ["row", "scan"]}, k=10
+        )
+        return res.select(
+            "rank", eq._orig_doc_id(), round6("score").alias("score")
+        ).orderBy("rank")
+
+    from distributedcodesearchengine_spark.operators.synonyms import (
+        bm25_synonyms_sql,
+    )
+
+    reg["bm25_synonyms"] = (
+        _syn_op,
+        bm25_synonyms_sql("dup dup table", {"dup": ["row", "scan"]}, k=10),
+    )
     # field-collapse diversification (ES collapse: at most n results
     # per source)
     def _collapse_op(spark, sf_dir):

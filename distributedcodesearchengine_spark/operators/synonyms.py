@@ -1,0 +1,83 @@
+"""Query-time synonym expansion — the analyzer-level synonym filter of
+Lucene/Elasticsearch (public semantics: synonyms inject at the same
+position as the source token, so they score with the source token's
+QUERY multiplicity, unlike the qtf=1 dictionary expansions of the
+wildcard/fuzzy operators).
+
+Given a synonym table {token: [synonyms...]}, each query token t with
+multiplicity m contributes qtf m for itself AND qtf m for every synonym
+(normalized through the house tokenizer); a synonym colliding with
+another query token accumulates. Unknown terms drop at the idf lookup
+(J5 inner-join semantics). Scoring then runs the engine's standard
+A3/F4/T1 chain — one term-pruned broadcast join, no new shuffle shape.
+
+The synonym table is a driver-side constant (in production a small
+broadcast artifact curated from the PMI collocation table or an
+external thesaurus), so the DuckDB oracle receives the SAME expanded
+(term, qtf) rows and the whole operator reduces to the proven expanded
+scoring chain.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame
+
+from ..oracle.tokenizer import tokenize
+
+
+def expand_query(query: str, synonyms: Dict[str, List[str]]) -> Counter:
+    """Query string -> expanded {term: qtf} under the synonym table."""
+    qtf: Counter = Counter(tokenize(query))
+    for t, m in list(qtf.items()):
+        for s in synonyms.get(t, []):
+            for st in tokenize(s):
+                if st != t:
+                    qtf[st] += m
+    return qtf
+
+
+def bm25_synonyms_topk(
+    index,
+    query: str,
+    synonyms: Dict[str, List[str]],
+    k: int = 10,
+    filters: Optional[Dict[str, str]] = None,
+) -> DataFrame:
+    """BM25 top-k under query-time synonym expansion ->
+    (rank, doc_id, url, score)."""
+    from pyspark.sql import functions as F
+
+    from .scorer import finalize_topk, score_matched
+
+    spark = index.spark
+    qtf = expand_query(query, synonyms)
+    if not qtf:
+        return spark.createDataFrame(
+            [], "rank int, doc_id long, url string, score double"
+        )
+    uniq = sorted(qtf)
+    idf_rows = (
+        index.terms.where(F.col("term").isin(uniq)).select("term", "idf").collect()
+    )
+    idf = {r["term"]: float(r["idf"]) for r in idf_rows}
+    qweights = [(t, float(qtf[t]), idf[t]) for t in uniq if t in idf]
+    scored = score_matched(index, qweights) if qweights else None
+    return finalize_topk(index, scored, k, filters)
+
+
+def bm25_synonyms_sql(
+    query: str, synonyms: Dict[str, List[str]], k: int = 10
+) -> str:
+    """DuckDB mirror: the same driver-side expansion feeds the shared
+    expanded scoring chain (operators/wildcard.expanded_bm25_sql)."""
+    from .wildcard import expanded_bm25_sql
+
+    qtf = expand_query(query, synonyms)
+    if not qtf:
+        return "SELECT 1 AS rank, 1::BIGINT AS doc_id, 0.0 AS score WHERE false"
+    qvals = ", ".join(f"('{t}', {float(m)})" for t, m in sorted(qtf.items()))
+    part = f"SELECT term, qtf FROM (VALUES {qvals}) AS q(term, qtf)"
+    return expanded_bm25_sql([part], k=k)
