@@ -85,6 +85,16 @@ def _build_parser() -> argparse.ArgumentParser:
     c.add_argument("--bench-mod", type=int, default=7, help="doc_id modulus carving the held-out eval slice")
     c.add_argument("--ngram", type=int, default=8, help="contamination n-gram width")
 
+    ev = sub.add_parser(
+        "eval",
+        help="retrieval-quality eval (nDCG@k / MRR / recall@k) of the "
+        "index's ranking against corpus-derived graded labels",
+    )
+    ev.add_argument("--index", required=True)
+    ev.add_argument("--queries", required=True,
+                    help='JSON object {"id": "query text", ...} or a path to one')
+    ev.add_argument("--k", type=int, default=10)
+
     mg = sub.add_parser(
         "merge",
         help="merge N persisted indexes into one serving index "
@@ -336,6 +346,33 @@ def main(argv=None, spark=None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.cmd == "eval":
+        import os
+
+        from .build.checkpoint import load_index
+        from .operators.evalrank import eval_ranking, relevance_labels
+        from .operators.scorer import bm25_topk_batch
+
+        raw = args.queries
+        if os.path.exists(raw):
+            with open(raw) as f:
+                raw = f.read()
+        try:
+            qmap = {int(k): str(v) for k, v in json.loads(raw).items()}
+        except (ValueError, AttributeError) as e:
+            print(f"error: --queries must be JSON {{id: query}}: {e}", file=sys.stderr)
+            return 2
+        idx = load_index(spark, args.index)
+        res = bm25_topk_batch(idx, qmap, k=args.k)
+        labels = relevance_labels(idx.docs, qmap)
+        rows = eval_ranking(res, labels, k=args.k).collect()
+        print(json.dumps({
+            "k": args.k,
+            "queries": {str(qid): q for qid, q in qmap.items()},
+            "metrics": [r.asDict() for r in rows],
+        }))
         return 0
 
     if args.cmd == "merge":

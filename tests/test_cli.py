@@ -271,3 +271,19 @@ def test_cli_similar(spark, built, capsys):
     rows = [json.loads(line) for line in capsys.readouterr().out.splitlines()]
     assert rows and rows[0]["rank"] == 1
     assert all(r["doc_id"] != 2 for r in rows)
+
+
+def test_cli_eval_metrics(built, spark, capsys):
+    import json as _json
+
+    rc = main(
+        ["eval", "--index", built, "--queries", '{"1": "parse json"}', "--k", "5"],
+        spark=spark,
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    m = out["metrics"][0]
+    assert m["query_id"] == 1 and 0.0 <= m["ndcg"] <= 1.0 and 0.0 <= m["recall"] <= 1.0
+    # malformed queries -> exit 2 with an error line
+    rc = main(["eval", "--index", built, "--queries", "not json"], spark=spark)
+    assert rc == 2
