@@ -535,6 +535,11 @@ def _registry():
         partial(eq.query_snippets_q, query=_snip_q, k=10),
         sn.query_snippets_sql(oq.bm25_topk_sql(_snip_q, k=10), _snip_terms),
     )
+    # ES-highlighter marked fragments (<em> around each term hit)
+    reg["highlighted_snippets"] = (
+        partial(eq.highlighted_snippets_q, query=_snip_q, k=10),
+        sn.highlighted_snippets_sql(oq.bm25_topk_sql(_snip_q, k=10), _snip_terms),
+    )
 
     # time-series operator family over the events table (as-of join,
     # sessionization, hypertable rollup, JSON extraction)

@@ -336,6 +336,21 @@ def query_snippets_q(
     return query_snippets(res, load_table(spark, sf_dir, "documents"), seen)
 
 
+def highlighted_snippets_q(
+    spark: SparkSession, sf_dir: str, query: str, k: int = 10
+) -> DataFrame:
+    """(rank, doc_id, fragment): marked snippets for the BM25 top-k."""
+    from .operators.snippets import highlighted_snippets
+    from .oracle.tokenizer import tokenize
+
+    res = bm25_query(spark, sf_dir, query, k=k)
+    seen: list = []
+    for t in tokenize(query):
+        if t not in seen:
+            seen.append(t)
+    return highlighted_snippets(res, load_table(spark, sf_dir, "documents"), seen)
+
+
 def term_suggest_q(
     spark: SparkSession, sf_dir: str, prefix: str, k: int = 10
 ) -> DataFrame:

@@ -126,6 +126,65 @@ def query_snippets_sql(
     )
 
 
+def highlight_expr(col, terms: Sequence[str], tag: str = "em"):
+    """Wrap every occurrence of a query term (case-insensitive, token
+    boundaries) in ``<tag>..</tag>`` — the ES highlighter's marked
+    fragment. Tokens are ``[a-z0-9]+`` by construction so the
+    alternation needs no escaping; ``(?i)`` and ``\\b`` behave
+    identically for this ASCII class under Java regex and RE2 (the
+    cross-engine envelope the other regexp lanes rely on)."""
+    alt = "|".join(sorted(set(terms)))
+    return F.regexp_replace(
+        col, f"(?i)\\b({alt})\\b", f"<{tag}>$1</{tag}>"
+    )
+
+
+def highlight_sql_expr(expr: str, terms: Sequence[str], tag: str = "em") -> str:
+    alt = "|".join(sorted(set(terms)))
+    return (
+        f"regexp_replace({expr}, '(?i)\\b({alt})\\b', "
+        f"'<{tag}>\\1</{tag}>', 'g')"
+    )
+
+
+def highlighted_snippets(
+    results: DataFrame,
+    documents: DataFrame,
+    terms_ordered: Sequence[str],
+    before: int = 30,
+    width: int = 120,
+) -> DataFrame:
+    """query_snippets with match markers: (rank, doc_id, fragment) —
+    the snippet window with every query-term hit wrapped in <em>."""
+    return (
+        documents.select("doc_id", "text")
+        .join(F.broadcast(results.select("rank", "doc_id")), "doc_id")
+        .select(
+            "rank",
+            "doc_id",
+            highlight_expr(
+                snippet_col(terms_ordered, before, width), terms_ordered
+            ).alias("fragment"),
+        )
+        .orderBy("rank")
+    )
+
+
+def highlighted_snippets_sql(
+    bm25_sql: str,
+    terms_ordered: Sequence[str],
+    before: int = 30,
+    width: int = 120,
+) -> str:
+    frag = highlight_sql_expr(
+        f"({snippet_sql_expr(terms_ordered, before, width)})", terms_ordered
+    )
+    return (
+        f"SELECT res.rank, res.doc_id, {frag} AS fragment "
+        f"FROM ({bm25_sql}) res JOIN documents USING (doc_id) ORDER BY res.rank"
+    )
+
+
 def spell_suggest(
     terms: DataFrame, word: str, k: int = 10, max_dist: int = 1
 ) -> DataFrame:

@@ -279,3 +279,16 @@ def test_spell_symspell_equals_baseline(spark, sf_dir):
             for r in spell_suggest_symspell(terms, word, k=20).collect()
         ]
         assert sym == base, word
+
+
+def test_highlight_expr_marks_matches(spark):
+    from distributedcodesearchengine_spark.operators.snippets import highlight_expr
+    from pyspark.sql import functions as F
+
+    d = spark.createDataFrame(
+        [(1, "Dup rows and the dup table; duplicate stays")],
+        "doc_id long, text string",
+    )
+    got = d.select(highlight_expr(F.col("text"), ["dup", "table"]).alias("f")).first()["f"]
+    # case-insensitive, token-boundary: 'duplicate' must NOT match
+    assert got == "<em>Dup</em> rows and the <em>dup</em> <em>table</em>; duplicate stays"
