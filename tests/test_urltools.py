@@ -52,3 +52,41 @@ def test_seam_merge_equivalence(spark):
     rows = url_dedup_summary(d).collect()
     assert len(rows) == 1
     assert rows[0]["n_variants"] == 3 and rows[0]["keep_doc_id"] == 1
+
+
+def test_cross_engine_property_urls(spark):
+    """Adversarial Spark-vs-DuckDB parity for the canonicalizer: urls
+    assembled from hostile fragments (tracking runs, mixed case, ports,
+    fragments, metacharacter-ish params) must canonicalize identically
+    through the Java-regex and RE2 lanes."""
+    import itertools
+
+    import duckdb
+
+    from distributedcodesearchengine_spark.operators.urltools import (
+        canonical_url_sql,
+    )
+
+    schemes = ["https://", "HTTP://", "ftp://"]
+    hosts = ["www.A.Example", "a.example:443", "b.example:80", "c.example:8080"]
+    paths = ["", "/", "/P/x", "/p%20q"]
+    queries = [
+        "", "?utm_a=1", "?utm_a=1&b=2", "?b=2&utm_c=3&d=4", "?ref=rss",
+        "?utm_a=1&utm_b=2", "?a=b+c&gclid=xyz", "?x=%3F&utm_y=1",
+    ]
+    frags = ["", "#f", "#utm_a=1"]
+    urls = [
+        s + h + p + q + f
+        for s, h, p, q, f in itertools.product(schemes, hosts, paths, queries, frags)
+    ][:600]
+    urls += ["not a url", "", "weird#only", "?lonely=1"]
+    d = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i long, url string")
+    from distributedcodesearchengine_spark.operators.urltools import canonical_url_col
+
+    got = {r["i"]: r["c"] for r in d.select("i", canonical_url_col("url").alias("c")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u (i BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?, ?)", list(enumerate(urls)))
+    exp = dict(con.execute(f"SELECT i, {canonical_url_sql('url')} FROM u").fetchall())
+    diffs = [(urls[i], got[i], exp[i]) for i in got if got[i] != exp[i]]
+    assert not diffs, diffs[:5]
