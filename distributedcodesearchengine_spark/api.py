@@ -288,14 +288,23 @@ class SearchEngine:
         )
 
     def collapse(
-        self, query: str, field: str = "source", per_group: int = 1, limit: int = 10
+        self, query: str, field: str = "source", per_group: int = 1, limit: int = 10,
+        **filters,
     ) -> DataFrame:
         """Diversified top-k: at most ``per_group`` results per value
-        of ``field`` (operators/explore.bm25_collapse_topk)."""
+        of ``field`` (operators/explore.bm25_collapse_topk). Extra
+        keyword args are equality metadata filters (lang/site/source),
+        applied at the F5 stage like the plain search path; an unknown
+        lang is silently dropped (the API's on_invalid='drop'
+        semantics)."""
         from .operators.explore import bm25_collapse_topk
 
+        fs = {k: v for k, v in filters.items() if v}
+        if fs.get("lang") and fs["lang"] not in self._known_langs():
+            del fs["lang"]
         return bm25_collapse_topk(
-            self.index, query, collapse=field, per_group=per_group, k=limit
+            self.index, query, collapse=field, per_group=per_group, k=limit,
+            filters=fs or None,
         )
 
     def search_range(

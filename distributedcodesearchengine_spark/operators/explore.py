@@ -272,7 +272,8 @@ def bm25_clickboost_sql(
 
 
 def bm25_collapse_topk(
-    index, query: str, collapse: str = "source", per_group: int = 1, k: int = 10
+    index, query: str, collapse: str = "source", per_group: int = 1, k: int = 10,
+    filters=None,
 ):
     """Diversified top-k (the Elasticsearch ``collapse`` analog): at
     most ``per_group`` results per value of the ``collapse`` field —
@@ -308,17 +309,26 @@ def bm25_collapse_topk(
         zeros = index.docs
         if scored is not None:
             zeros = zeros.join(scored.select("doc_id"), "doc_id", "left_anti")
-        zeros = zeros.select(
-            "doc_id", *[c for c in [collapse] if c in index.docs.columns],
-            F.lit(0.0).alias("score"),
-        )
+        # union on (doc_id, score) only — score_matched output is slim
+        # (no metadata columns), the collapse column joins on below,
+        # exactly as the healthy branch does
+        zeros = zeros.select("doc_id", F.lit(0.0).alias("score"))
         kept = (
-            scored.select("doc_id", collapse, "score").unionByName(zeros)
+            scored.select("doc_id", "score").unionByName(zeros)
             if scored is not None
             else zeros
         )
-    if collapse not in kept.columns:
-        kept = kept.join(index.docs.select("doc_id", collapse), "doc_id")
+    # metadata columns join from docs on the thresholded candidates only
+    # (docvalues lookup); equality filters apply at the F5 stage — after
+    # the unfiltered-max threshold, before the per-group window — the
+    # same ordering finalize_topk uses
+    from .scorer import _apply_filters
+
+    need = [c for c in dict.fromkeys([collapse, *(filters or {})])
+            if c not in kept.columns]
+    if need:
+        kept = kept.join(index.docs.select("doc_id", *need), "doc_id")
+    kept = _apply_filters(kept, filters)
     wg = Window.partitionBy(collapse).orderBy(F.desc("score"), F.asc("doc_id"))
     surv = (
         kept.withColumn("_g", F.row_number().over(wg))
@@ -334,7 +344,8 @@ def bm25_collapse_topk(
 
 
 def bm25_collapse_sql(
-    query: str, collapse: str = "source", per_group: int = 1, k: int = 10
+    query: str, collapse: str = "source", per_group: int = 1, k: int = 10,
+    filters=None,
 ) -> str:
     """DuckDB mirror of ``bm25_collapse_topk`` (kept chain + per-group
     window + global top-k)."""
@@ -368,7 +379,11 @@ def bm25_collapse_sql(
         f"  SELECT d.doc_id, d.{collapse}, coalesce(s.score, 0.0) AS score "
         "  FROM doclen d LEFT JOIN scored s USING (doc_id) "
         "  WHERE ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
-        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))), "
+        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))"
+        + "".join(
+            f" AND d.{c} = '{v}'" for c, v in sorted((filters or {}).items())
+        )
+        + "), "
         "surv AS (SELECT * FROM (SELECT kept.*, row_number() OVER "
         f"(PARTITION BY {collapse} ORDER BY score DESC, doc_id ASC) AS _g FROM kept) "
         f"WHERE _g <= {int(per_group)}) "

@@ -384,8 +384,11 @@ def bm25_count(
             .agg(F.count("*").alias("n"), F.max("score").alias("m"))
             .first()
         )
+        # filters can eliminate every kept row -> max over zero rows is
+        # NULL; mirror the oracle's coalesce(max(score), 0.0)
+        m = row["m"] if row["m"] is not None else 0.0
         return spark.createDataFrame(
-            [(int(row["n"]), float(round6_py(row["m"])))], out_schema
+            [(int(row["n"]), float(round6_py(m)))], out_schema
         )
     # all-zero / non-positive: filtered universe, zero rows cap the max
     row = _apply_filters(scored, filters).agg(

@@ -418,6 +418,8 @@ def make_handler(engine, stats_fn, index_manager=None):
                             q["q"], field=q["collapse"],
                             per_group=int(q.get("per_group", 1)),
                             limit=int(q.get("limit", 10)),
+                            lang=q.get("lang"), site=q.get("site"),
+                            source=q.get("source"),
                         )
                         rows = [r.asDict() for r in res.collect()]
                         return self._send(200, {"query": q["q"], "results": rows})
@@ -427,7 +429,8 @@ def make_handler(engine, stats_fn, index_manager=None):
                         res = engine.search_range(
                             q["q"], limit=int(q.get("limit", 10)),
                             ranges={"doc_len": (lo, hi)},
-                            lang=q.get("lang"), source=q.get("source"),
+                            lang=q.get("lang"), site=q.get("site"),
+                            source=q.get("source"),
                         )
                         rows = [r.asDict() for r in res.collect()]
                         return self._send(200, {"query": q["q"], "results": rows})

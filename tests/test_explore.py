@@ -135,3 +135,78 @@ def test_collapse_diversifies(spark):
     # per_group=2 keeps at most two per site and is a superset ordering
     col2 = bm25_collapse_topk(bm_index, q, collapse="site", per_group=2, k=10).collect()
     assert max(Counter(r["site"] for r in col2).values()) <= 2
+
+
+def test_collapse_degenerate_regime(spark):
+    """max score <= 0 (every idf epsilon-floored negative): the whole
+    corpus backfills at score 0 and the collapse column still resolves
+    — regression for the UNRESOLVED_COLUMN crash on the slim
+    score_matched output (ADVICE r3 #1)."""
+    from distributedcodesearchengine_spark.operators.explore import (
+        bm25_collapse_topk,
+    )
+
+    # every term appears in both docs -> every idf_raw < 0 -> eps < 0
+    # -> all scores negative -> degenerate branch with scored not None
+    idx = _index(
+        spark,
+        [("same also", "en", "s1", "a"), ("also same", "en", "s2", "b")],
+    )
+    rows = bm25_collapse_topk(
+        idx, "same", collapse="source", per_group=1, k=10
+    ).collect()
+    # matched docs keep their (negative) scores, exactly like the
+    # bm25_topk kept set and the DuckDB mirror's coalesce(s.score, 0.0)
+    assert {(r.doc_id, r.source) for r in rows} == {(0, "s1"), (1, "s2")}
+    assert all(r.score <= 0.0 for r in rows)
+    # scored-is-None flavor (unknown token) hits the same branch
+    rows2 = bm25_collapse_topk(
+        idx, "zzzunknown", collapse="source", per_group=1, k=10
+    ).collect()
+    assert len(rows2) == 2 and all(r.score == 0.0 for r in rows2)
+
+
+def test_collapse_filters_apply_at_f5(spark):
+    """Equality filters thread through collapse in both regimes and do
+    not change the threshold (it stays on the unfiltered max)."""
+    from distributedcodesearchengine_spark.operators.explore import (
+        bm25_collapse_topk,
+    )
+
+    idx = _index(
+        spark,
+        [
+            ("rare words here indeed", "en", "s1", "a"),
+            ("rare other tokens again", "de", "s2", "b"),
+            ("plain unrelated stuff here", "en", "s3", "c"),
+        ],
+    )
+    rows = bm25_collapse_topk(
+        idx, "rare", collapse="source", per_group=1, k=10,
+        filters={"lang": "de"},
+    ).collect()
+    assert [(r.doc_id, r.source) for r in rows] == [(1, "s2")]
+    # degenerate regime: filter narrows the zero-backfill universe
+    rows2 = bm25_collapse_topk(
+        idx, "zzzunknown", collapse="source", per_group=1, k=10,
+        filters={"lang": "en"},
+    ).collect()
+    assert {r.doc_id for r in rows2} == {0, 2}
+
+
+def test_count_filter_eliminates_all_kept_rows(spark):
+    """Healthy-regime count with a filter matching nothing returns
+    (0, 0.0) like the oracle's coalesce(max(score), 0.0) — regression
+    for round6_py(None) TypeError (ADVICE r3 #2)."""
+    from distributedcodesearchengine_spark.operators.scorer import bm25_count
+
+    idx = _index(
+        spark,
+        [
+            ("rare words here indeed", "en", "s1", "a"),
+            ("rare other tokens again", "de", "s2", "b"),
+            ("plain unrelated stuff here", "en", "s3", "c"),
+        ],
+    )
+    row = bm25_count(idx, "rare", {"lang": "zz"}).first()
+    assert (row["n_hits"], row["max_score"]) == (0, 0.0)

@@ -410,6 +410,25 @@ def test_search_collapse_and_range_params(srv):
     assert code == 200 and body["results"]
 
 
+def test_search_collapse_honors_filters(srv):
+    # the collapse branch forwards lang like the plain branch (ADVICE
+    # r3 #3): a valid lang filters, an unknown lang silently drops
+    code, body = _get(
+        srv, "/search", q="parse json", collapse="site", lang="de", limit=5
+    )
+    assert code == 200 and body["results"]
+    ids = [r["doc_id"] for r in body["results"]]
+    _, plain = _get(srv, "/search", q="parse json", lang="de", limit=50)
+    assert set(ids) <= {r["doc_id"] for r in plain["results"]}
+    _, unfiltered = _get(srv, "/search", q="parse json", collapse="site", limit=5)
+    _, dropped = _get(
+        srv, "/search", q="parse json", collapse="site", lang="xx", limit=5
+    )
+    assert [r["doc_id"] for r in dropped["results"]] == [
+        r["doc_id"] for r in unfiltered["results"]
+    ]
+
+
 def test_rerank_endpoint(srv):
     code, body = _get(srv, "/rerank", q="parse json", limit=5, depth=15)
     assert code == 200
