@@ -943,19 +943,18 @@ def apply_domain_cap(
     Scale shape: a naive ``row_number() OVER (PARTITION BY domain ORDER
     BY doc_id)`` sorts EVERY domain's rows, including the overwhelming
     majority that are under the cap. Here the per-domain counts (one
-    groupBy, map-side combined) split the corpus first: under-cap
-    domains pass through untouched (a broadcast-able semi-join at real
-    cap rates), and only the hot tail — the handful of mega-domains the
-    cap exists for — pays the rank window. AQE handles their skew; the
-    union is result-identical to the naive window.
+    groupBy, map-side combined) split the corpus first, and ONLY the
+    over-cap (hot) key set is ever broadcast — at web scale the
+    under-cap domains are the majority of keys (hundreds of millions),
+    so the under side is the hot set's anti-join, guaranteed-small
+    broadcast on one side only. Only the hot tail — the handful of
+    mega-domains the cap exists for — pays the rank window. AQE handles
+    their skew; the union is result-identical to the naive window.
     """
     g = documents.groupBy(key).agg(F.count("*").alias("_n"))
-    under = documents.join(
-        F.broadcast(g.filter(F.col("_n") <= cap).select(key)), key, "leftsemi"
-    )
-    hot = documents.join(
-        F.broadcast(g.filter(F.col("_n") > cap).select(key)), key, "leftsemi"
-    )
+    hot_keys = g.filter(F.col("_n") > cap).select(key)
+    under = documents.join(F.broadcast(hot_keys), key, "left_anti")
+    hot = documents.join(F.broadcast(hot_keys), key, "leftsemi")
     w = Window.partitionBy(key).orderBy("doc_id")
     capped = (
         hot.withColumn("_rn", F.row_number().over(w))

@@ -60,14 +60,18 @@ def build_sharded_postings(
     shuffle/Arrow bytes for this — the most bandwidth-bound — stage),
     and each shard recovers strings/stats from a broadcast vocab array,
     one lookup per UNIQUE term per shard, never per row. Larger
-    vocabularies fall back to the broadcast-join path."""
+    vocabularies fall back to a plain shuffle hash join — above the
+    dict threshold the vocab is by definition too big to broadcast
+    (a 10^8-term broadcast is itself the OOM), so the fallback must
+    NOT hint broadcast; AQE picks the join strategy."""
     if terms.count() <= dict_vocab_max:
         return _build_sharded_dict(
             tf, terms, avgdl, shard_width, block_size, n_buckets
         )
     tf2 = (
-        # broadcast the small vocab table (never shuffle tf for the join)
-        tf.join(F.broadcast(terms.select("term", "df", "idf")), "term")
+        # vocab exceeds the broadcast-safe threshold: shuffle join on
+        # term (tf is term-keyed already; AQE coalesces/skew-splits)
+        tf.join(terms.select("term", "df", "idf"), "term")
         .withColumn("range_id", (F.col("doc_id") / F.lit(shard_width)).cast("long"))
         .select("term", "doc_id", "tf", "doc_len", "df", "idf", "range_id")
     )

@@ -286,6 +286,11 @@ def wand_topk(
             .limit(k)
             .agg(F.min("ps").alias("kth"), F.count("*").alias("nk"))
         )
+        # limit(_C_CAP+1) bounds the driver pull BEFORE the cap check: a
+        # degenerate query (candidates ~ the corpus) must decide the
+        # fallback from at most _C_CAP+1 rows, never materialize the
+        # oversized set on the driver. Under the cap the limit is a
+        # no-op (the full candidate set is smaller than the bound).
         cand_rows = (
             per_doc.crossJoin(F.broadcast(kth_df))
             .where(
@@ -296,6 +301,7 @@ def wand_topk(
                 )
             )
             .select("doc_id")
+            .limit(_C_CAP + 1)
             .collect()
         )
         cand = np.sort(np.array([r["doc_id"] for r in cand_rows], dtype=np.int64))

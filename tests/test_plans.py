@@ -166,6 +166,12 @@ def test_thinning_passes_plan_shapes(spark):
     plan = explain_str(pl.apply_domain_cap(docs))
     n_window_ops = len(re.findall(r"\bWindow \(\d+\)", plan))
     assert n_window_ops == 1, plan[:4000]
+    # only the (tiny) over-cap key set is ever broadcast; the under-cap
+    # majority side is that set's anti-join — no '_n <= cap' key filter
+    # may exist anywhere (at web scale under-cap domains are the bulk
+    # of all keys and broadcasting them is the OOM). The only <= cap
+    # comparison left is the hot branch's _rn window filter.
+    assert not re.search(r"_n#\d+L? <= 7", plan), plan[:4000]
 
 
 def test_exploration_plan_shapes(spark):

@@ -58,6 +58,24 @@ def test_dict_and_join_builds_identical(spark):
     ))
     assert a == b and a
 
+    # the fallback fires precisely because the vocab EXCEEDS the
+    # broadcast-safe threshold, so it must not carry a broadcast hint:
+    # with auto-broadcast off the plan degrades to a shuffle join
+    # (SortMergeJoin/ShuffledHashJoin), proving no hint survives
+    from distributedcodesearchengine_spark.plans.audit import explain_str
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = explain_str(build_sharded_postings(
+            idx.tf, idx.terms, idx.n_docs, idx.avgdl, shard_width=64,
+            block_size=16, dict_vocab_max=0,
+        ))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "BroadcastHashJoin" not in plan, plan[:4000]
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:4000]
+
 
 def test_sharded_matches_batch(spark):
     pages = generate_pages(spark, 500, seed=44, parts=4)

@@ -78,6 +78,22 @@ def test_row_postings_bounded(skew_index):
     assert mx <= 4 * 64
 
 
+def test_degenerate_candidate_set_falls_back_bounded(skew_index, monkeypatch):
+    """A query whose candidate set exceeds _C_CAP must take the exact
+    fallback — and decide it from a bounded (cap+1-row) driver pull,
+    never by materializing the oversized candidate set. Forcing the cap
+    to 1 makes every real query degenerate; results must still equal
+    the exact scorer (fallback correctness), and the pull bound is
+    structural (limit precedes collect in wand_topk)."""
+    from distributedcodesearchengine_spark.operators import wand as wd
+
+    monkeypatch.setattr(wd, "_C_CAP", 1)
+    for q in ["parse json", HOT_TERM]:
+        v1 = _rows(bm25_topk(skew_index, q, k=10))
+        v2 = _rows(wd.wand_topk(skew_index, q, k=10, prune=True))
+        assert v1 == v2, q
+
+
 def test_blocks_are_compressed(skew_index):
     row = (
         skew_index.postings.where(F.col("term") == HOT_TERM)
