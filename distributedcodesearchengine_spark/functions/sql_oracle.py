@@ -52,9 +52,14 @@ def _docs_cte(table: str = "documents") -> str:
         "(SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY doc_id, term), "
         "dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
         "idf0 AS (SELECT term, df, ln((SELECT n_docs FROM stats) - df + 0.5) - ln(df + 0.5) AS idf_raw FROM dfreq), "
-        # canonical term-ordered sum, not avg(): mirrors the engine's
-        # deterministic epsilon-floor fold bit-for-bit
-        f"epsv AS (SELECT {EPSILON} * (sum(idf_raw ORDER BY term) / count(*)) AS eps FROM idf0), "
+        # canonical two-level md5-bucket fold, not avg(): mirrors the
+        # engine's deterministic epsilon-floor fold (stats.py
+        # idf_detail_from_df) — per-bucket term-ordered sums, then a
+        # bucket-ordered sum over the <=4096 bucket sums
+        f"epsv AS (SELECT {EPSILON} * (sum(s ORDER BY b) / sum(n)) AS eps FROM "
+        "(SELECT substr(md5(term), 1, 3) AS b, "
+        "sum(idf_raw ORDER BY term) AS s, count(*) AS n "
+        "FROM idf0 GROUP BY 1)), "
         "idf AS (SELECT term, df, CASE WHEN idf_raw < 0 THEN (SELECT eps FROM epsv) "
         "ELSE idf_raw END AS idf FROM idf0)"
     )

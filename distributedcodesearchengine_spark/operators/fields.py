@@ -242,7 +242,12 @@ def bm25f_topk_sql(
         "dfreq AS (SELECT term, count(*) AS df FROM tfp GROUP BY term), "
         "idf0 AS (SELECT term, df, ln((SELECT n_docs FROM stats) - df + 0.5) "
         "- ln(df + 0.5) AS idf_raw FROM dfreq), "
-        f"epsv AS (SELECT {EPSILON} * (sum(idf_raw ORDER BY term) / count(*)) AS eps FROM idf0), "
+        # two-level md5-bucket fold — same canonical order as
+        # stats.idf_detail_from_df and the main oracle's epsv lane
+        f"epsv AS (SELECT {EPSILON} * (sum(s ORDER BY b) / sum(n)) AS eps FROM "
+        "(SELECT substr(md5(term), 1, 3) AS b, "
+        "sum(idf_raw ORDER BY term) AS s, count(*) AS n "
+        "FROM idf0 GROUP BY 1)), "
         "idf AS (SELECT term, CASE WHEN idf_raw < 0 THEN (SELECT eps FROM epsv) "
         "ELSE idf_raw END AS idf FROM idf0), "
         f"qt(term, qtf) AS (VALUES {qvals}), "

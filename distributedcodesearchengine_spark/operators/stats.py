@@ -149,21 +149,39 @@ def idf_detail_from_df(df_rel: DataFrame, n_docs: int) -> DataFrame:
     terms = df_rel.withColumn(
         "idf_raw", F.log(F.lit(n) - F.col("df") + 0.5) - F.log(F.col("df") + 0.5)
     )
-    # canonical term-sorted fold, NOT F.avg: a partial-sum-order average
-    # differs in the last ulp between plans (monolithic vs federated vs
-    # DuckDB), and an ulp-shifted epsilon floor flips membership at the
-    # 1%-of-max threshold boundary — a discrete, visible divergence.
-    # The fold holds the vocabulary in one task: bounded by dictionary
-    # size (the same bound the sharded dict-encode collect accepts); an
-    # ordered two-level tree fold would replace it at 10^9-term vocabs.
-    avg_idf = terms.agg(
+    # canonical TWO-LEVEL tree fold, NOT F.avg: a partial-sum-order
+    # average differs in the last ulp between plans (monolithic vs
+    # federated vs DuckDB), and an ulp-shifted epsilon floor flips
+    # membership at the 1%-of-max threshold boundary — a discrete,
+    # visible divergence. Canonical definition (fixed fold order at BOTH
+    # levels, replicated verbatim by the DuckDB epsv lane and the
+    # two-level reference in tests):
+    #   bucket(t) = first 3 hex chars of md5(t)      (4096 buckets)
+    #   s_b  = left fold of idf_raw over terms of b, term-ascending
+    #   total = left fold of s_b over buckets, bucket-ascending
+    #   avg  = total / |vocab|
+    # Unlike the former single collect_list of the WHOLE vocabulary
+    # (one task owning 10^9 structs at web scale — the build path's
+    # single point of scale failure), each first-level task holds only
+    # ~|vocab|/4096 terms and the second level exactly <=4096 sums.
+    bsums = terms.groupBy(
+        F.substring(F.md5("term"), 1, 3).alias("_b")
+    ).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "idf_raw"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["idf_raw"],
+        ).alias("_s"),
+        F.count("*").alias("_n"),
+    )
+    avg_idf = bsums.agg(
         (
             F.aggregate(
-                F.array_sort(F.collect_list(F.struct("term", "idf_raw"))),
+                F.array_sort(F.collect_list(F.struct("_b", "_s"))),
                 F.lit(0.0),
-                lambda acc, x: acc + x["idf_raw"],
+                lambda acc, x: acc + x["_s"],
             )
-            / F.count("*")
+            / F.sum("_n")
         ).alias("avg_idf")
     )
     return (

@@ -145,3 +145,43 @@ def test_range_filter_semantics(oracle_and_index):
     # open-ended side
     open_hi = bm25_topk_range(index, q, k=10, ranges={"doc_len": (lo, None)}).collect()
     assert all(lens[r["doc_id"]] >= lo for r in open_hi)
+
+
+def test_avg_idf_two_level_fold_is_canonical(oracle_and_index):
+    """The epsilon-floor average idf is the canonical TWO-LEVEL fold
+    (md5-prefix buckets, term-ordered within, bucket-ordered across) —
+    a pure-Python replication of that exact definition must match the
+    engine BIT-FOR-BIT, and the corpus must genuinely span many
+    buckets (the scale property the fold exists for)."""
+    import hashlib
+
+    from distributedcodesearchengine_spark.operators.stats import EPSILON
+
+    _, _, index, _ = oracle_and_index
+    detail = index.extras.get("terms_detail")
+    if detail is None:
+        from distributedcodesearchengine_spark.operators.stats import (
+            terms_with_idf_detail,
+        )
+
+        detail = terms_with_idf_detail(index.tf, index.n_docs)
+    rows = detail.select("term", "idf_raw", "idf").collect()
+    idf_raw = {r["term"]: r["idf_raw"] for r in rows}
+    floored = [r for r in rows if r["idf_raw"] < 0]
+    assert floored, "corpus must floor at least one term for this to bind"
+
+    buckets: dict = {}
+    for t, v in idf_raw.items():
+        buckets.setdefault(hashlib.md5(t.encode()).hexdigest()[:3], []).append(
+            (t, v)
+        )
+    assert len(buckets) > 1, "vocab must span multiple md5 buckets"
+    total = 0.0
+    for b in sorted(buckets):
+        s = 0.0
+        for _, v in sorted(buckets[b]):
+            s += v
+        total += s
+    avg = total / len(idf_raw)
+    for r in floored:
+        assert r["idf"] == EPSILON * avg, (r["term"], r["idf"], EPSILON * avg)
