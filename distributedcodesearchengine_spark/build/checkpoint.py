@@ -163,6 +163,7 @@ def build_index_persisted(
     phrase_shard_width: int = 65536,
     sharded_index: bool = False,
     sharded_width: int = 65536,
+    fuzzy_index: bool = False,
     docs_src: Optional[DataFrame] = None,
 ) -> Index:
     """Build (or resume) the persisted index at ``index_dir``.
@@ -300,6 +301,28 @@ def build_index_persisted(
 
     run_stage("terms", _terms)
     terms = spark.read.parquet(os.path.join(index_dir, "terms"))
+
+    # --- stage: fuzzy_keys (optional) — the SymSpell deletion-key
+    # relation (operators/fuzzy.deletion_key_relation), built ONCE
+    # beside the term dictionary so fuzzy queries point-probe a
+    # key-prefix-partitioned artifact instead of exploding the whole
+    # vocabulary per query. Key-sorted within partitions: the pushed
+    # key-IN predicate then prunes row groups via min/max stats.
+    if fuzzy_index:
+        from ..operators.fuzzy import deletion_key_relation
+
+        def _fuzzy(out):
+            (
+                deletion_key_relation(terms)
+                .repartition("key_pfx")
+                .sortWithinPartitions("key")
+                .write.mode("overwrite")
+                .partitionBy("key_pfx")
+                .parquet(out)
+            )
+            return spark.read.parquet(out).count()
+
+        run_stage("fuzzy_keys", _fuzzy)
 
     # --- stage: positional (optional) — the compressed phrase index.
     # shard_width is a LAYOUT property of this stage (doc_id = off +
@@ -465,6 +488,9 @@ def build_index_persisted(
     if sharded_index:
         idx.extras["sharded"] = spark.read.parquet(shard_dir)
         idx.extras["sharded_width"] = sharded_width
+    fz_dir = os.path.join(index_dir, "fuzzy_keys")
+    if os.path.exists(fz_dir):
+        idx.extras["fuzzy_keys"] = spark.read.parquet(fz_dir)
     return idx
 
 
@@ -582,4 +608,7 @@ def load_index(spark: SparkSession, index_dir: str) -> Index:
     if os.path.exists(shard_dir):
         idx.extras["sharded"] = spark.read.parquet(shard_dir)
         idx.extras["sharded_width"] = int(meta.get("sharded_width", 65536))
+    fz_dir = os.path.join(index_dir, "fuzzy_keys")
+    if os.path.exists(fz_dir):
+        idx.extras["fuzzy_keys"] = spark.read.parquet(fz_dir)
     return idx

@@ -14,13 +14,15 @@ Semantics (deterministic, engine-portable):
 * an empty expansion follows the engine's unknown-token zero-backfill
   convention, like wildcard.
 
-Scale shape: for d = 1 candidates come from SymSpell deletion keys —
-an equality probe against the (deletion-key, term) relation (the same
-precomputable sorted artifact operators/snippets.spell_suggest_symspell
-uses), verified with exact levenshtein; never a dictionary-wide edit-
-distance scan. d = 2 falls back to the levenshtein dictionary scan
-(the documented baseline — at 10^9-term vocabularies precompute
-2-deletion keys the same way). The expansion collects <= M rows; the
+Scale shape: candidates come from the PRECOMPUTED SymSpell deletion-
+key relation (``deletion_key_relation`` — key-prefix-partitioned,
+built once per index: a build stage beside the term dictionary for
+persisted indexes, a cached lazy relation otherwise), point-probed by
+the query word's own deletion keys and verified with exact
+levenshtein — never a per-query dictionary-wide explode or edit-
+distance scan. d = 2 probes the same relation's two-deletion keys
+(SymSpell completeness: lev(a,b) <= d implies a shared key after <= d
+deletions on each side). The expansion collects <= M rows; the
 scoring plan is then exactly the plain scorer's.
 """
 
@@ -64,6 +66,77 @@ def is_fuzzy_query(query: str) -> bool:
     return bool(parse_fuzzy_query(query)[1])
 
 
+FUZZY_KEY_DEPTH = 2
+
+# one-deletion keys of a term, as a SQL array expression (tokenizer
+# terms are always length >= 2, so the sequences below never descend)
+_D1_EXPR = (
+    "transform(sequence(1, length(term)), "
+    "i -> concat(substring(term, 1, i - 1), substring(term, i + 1)))"
+)
+# two-deletion keys: delete positions i < j
+_D2_EXPR = (
+    "flatten(transform(sequence(1, length(term) - 1), "
+    "i -> transform(sequence(i + 1, length(term)), "
+    "j -> concat(substring(term, 1, i - 1), "
+    "substring(term, i + 1, j - i - 1), substring(term, j + 1)))))"
+)
+
+
+def deletion_key_relation(terms: DataFrame, depth: int = FUZZY_KEY_DEPTH) -> DataFrame:
+    """terms(term, df, idf) -> (key, key_pfx, term, df, idf): the
+    SymSpell deletion-key dictionary, one row per distinct deletion key
+    per term (depth 1: the term + every single deletion; depth 2 adds
+    every two-deletion). ``key_pfx`` (leading char; '' for the empty
+    key) is the partition column when persisted, so a query probe
+    prunes to a handful of partition directories.
+
+    This is a BUILD-TIME artifact (~(1 + L + L(L-1)/2) slim rows per
+    term at depth 2): computed once beside the term dictionary, never
+    per query — the per-query cost is a point probe with |deletions(q)|
+    keys."""
+    keys = F.array_union(F.array(F.col("term")), F.expr(_D1_EXPR))
+    if depth >= 2:
+        keys = F.array_union(keys, F.expr(_D2_EXPR))
+    return terms.select(
+        "term", "df", "idf", F.explode(F.array_distinct(keys)).alias("key")
+    ).withColumn(
+        # '~' sentinel for the empty key (2-char terms fully deleted at
+        # depth 2): an empty partition value would round-trip as the
+        # Hive default partition (null) and break the probe
+        "key_pfx",
+        F.when(F.length("key") == 0, F.lit("~")).otherwise(
+            F.substring("key", 1, 1)
+        ),
+    )
+
+
+def _deletions_py(word: str, depth: int) -> List[str]:
+    """All distinct strings reachable from ``word`` by <= depth
+    character deletions (including word itself) — the query-side probe
+    keys, computed driver-side (a query word is a few chars)."""
+    out = {word}
+    frontier = {word}
+    for _ in range(depth):
+        frontier = {
+            w[:i] + w[i + 1:] for w in frontier for i in range(len(w))
+        }
+        out |= frontier
+    return sorted(out)
+
+
+def get_fuzzy_keys(index, depth: int = FUZZY_KEY_DEPTH) -> DataFrame:
+    """The index's deletion-key relation: the persisted ``fuzzy_keys``
+    build stage when present (load_index attaches it), else built
+    lazily ONCE from the term dictionary and cached on the handle —
+    either way, queries only ever point-probe it."""
+    cached = index.extras.get("fuzzy_keys")
+    if cached is None:
+        cached = deletion_key_relation(index.terms, depth=depth).persist()
+        index.extras["fuzzy_keys"] = cached
+    return cached
+
+
 def expand_fuzzy(
     index, word: str, max_dist: int = 1,
     max_expansions: int = DEFAULT_MAX_EXPANSIONS,
@@ -71,28 +144,19 @@ def expand_fuzzy(
     """[(term, idf)] — dictionary terms within ``max_dist`` of
     ``word``, ranked (dist asc, df desc, term asc), capped.
 
-    d=1: SymSpell deletion-key candidate probe + exact levenshtein
-    verify (candidate set, not the dictionary). d=2: levenshtein scan
-    baseline."""
-    if max_dist <= 1:
-        keyed = index.terms.select(
-            "term", "df", "idf",
-            F.explode(
-                F.array_union(
-                    F.array(F.col("term")),
-                    F.expr(
-                        "transform(sequence(1, length(term)), "
-                        "i -> concat(substring(term, 1, i - 1), substring(term, i + 1)))"
-                    ),
-                )
-            ).alias("key"),
-        )
-        qkeys = [word] + [word[:i] + word[i + 1:] for i in range(len(word))]
-        cand = keyed.where(F.col("key").isin(qkeys)).select(
-            "term", "df", "idf"
-        ).distinct()
-    else:
-        cand = index.terms.select("term", "df", "idf")
+    SymSpell deletion-key point probe (both distances) + exact
+    levenshtein verify on the candidate set — the dictionary itself is
+    never scanned or exploded at query time."""
+    keyed = get_fuzzy_keys(index)
+    qkeys = _deletions_py(word, min(int(max_dist), FUZZY_KEY_DEPTH))
+    pfxs = sorted({k[:1] if k else "~" for k in qkeys})
+    cand = (
+        keyed
+        # key_pfx first: prunes partitions of the persisted relation
+        .where(F.col("key_pfx").isin(pfxs) & F.col("key").isin(qkeys))
+        .select("term", "df", "idf")
+        .distinct()
+    )
     d = F.levenshtein(F.col("term"), F.lit(word))
     rows = (
         cand.withColumn("dist", d)

@@ -55,6 +55,82 @@ def test_fuzzy_equals_expanded_or_query(idx):
     assert a == b
 
 
+def test_symspell_d2_equals_levenshtein_scan(idx):
+    """d=2 two-deletion-key probe == brute dictionary levenshtein scan
+    (SymSpell depth-2 completeness, now that d=2 no longer scans)."""
+    got = [t for t, _ in expand_fuzzy(idx, "tble", 2, 100)]
+    rows = idx.terms.select(
+        "term", "df", F.levenshtein("term", F.lit("tble")).alias("d")
+    ).where(F.col("d") <= 2).collect()
+    want = [t for t, _, _ in sorted(
+        ((r["term"], r["df"], r["d"]) for r in rows),
+        key=lambda x: (x[2], -x[1], x[0]),
+    )]
+    assert got == want and len(got) >= 2
+
+
+def test_query_plan_probes_not_explodes(idx):
+    """The query-time candidate plan probes the cached deletion-key
+    relation — the full-vocab explode happens once at relation-build
+    time, never per query (no Generate in the probe plan)."""
+    from distributedcodesearchengine_spark.operators.fuzzy import (
+        _deletions_py,
+        get_fuzzy_keys,
+    )
+    from distributedcodesearchengine_spark.plans.audit import explain_str
+
+    keyed = get_fuzzy_keys(idx)  # warm the cache (builds + persists)
+    keyed.count()
+    qkeys = _deletions_py("sow", 1)
+    probe = keyed.where(F.col("key").isin(qkeys))
+    plan = explain_str(probe)
+    assert "InMemoryTableScan" in plan or "Scan parquet" in plan, plan[:3000]
+    # the cached relation's own BUILD lineage (below the cache scan)
+    # legitimately contains the one-time explode; the executed portion
+    # above the cache scan must not
+    executed_prefix = plan.split("InMemoryTableScan")[0]
+    assert "Generate" not in executed_prefix, plan[:3000]
+
+
+def test_persisted_fuzzy_keys_stage_roundtrip(spark, tmp_path):
+    """fuzzy_index=True writes the deletion-key relation as a build
+    stage; load_index attaches it and fuzzy queries point-probe the
+    parquet artifact (partition-pruned on key_pfx) with results
+    identical to the lazily-built relation."""
+    from distributedcodesearchengine_spark.build.checkpoint import (
+        build_index_persisted,
+        load_index,
+    )
+    from distributedcodesearchengine_spark.plans.audit import explain_str
+    from distributedcodesearchengine_spark.sources.corpus import generate_pages
+
+    base = str(tmp_path / "fzidx")
+    pages = generate_pages(spark, 120, seed=5, parts=2)
+    built = build_index_persisted(spark, pages, base, fuzzy_index=True)
+    assert "fuzzy_keys" in built.extras
+    idx2 = load_index(spark, base)
+    assert "fuzzy_keys" in idx2.extras
+    got = expand_fuzzy(idx2, "jsonn", 1, 10)
+    # reference: brute levenshtein over the persisted dictionary
+    rows = idx2.terms.select(
+        "term", "df", "idf", F.levenshtein("term", F.lit("jsonn")).alias("d")
+    ).where(F.col("d") <= 1).collect()
+    want = [(r["term"], float(r["idf"])) for r in sorted(
+        rows, key=lambda r: (r["d"], -r["df"], r["term"])
+    )][:10]
+    assert got == want and got
+    # probe plan partition-prunes the persisted artifact
+    from distributedcodesearchengine_spark.operators.fuzzy import _deletions_py
+
+    qkeys = _deletions_py("jsonn", 1)
+    pfxs = sorted({k[:1] for k in qkeys})
+    probe = idx2.extras["fuzzy_keys"].where(
+        F.col("key_pfx").isin(pfxs) & F.col("key").isin(qkeys)
+    )
+    plan = explain_str(probe)
+    assert "PartitionFilters" in plan and "key_pfx" in plan, plan[:3000]
+
+
 def test_api_routing(spark, idx):
     from distributedcodesearchengine_spark.api import SearchEngine
 
