@@ -70,11 +70,111 @@ N_IVF_CELLS = 16
 
 
 def ivf_centroids(dim: int = 64, k: int = N_IVF_CELLS) -> List[List[float]]:
-    """Deterministic coarse-quantizer centroids (mock-embed derived unit
-    vectors, so Spark and DuckDB share exact literals). A production
-    build would k-means these on a sample; the assignment/probe plumbing
-    is identical either way."""
+    """Deterministic FIXED-BASIS coarse-quantizer centroids (mock-embed
+    derived unit vectors, so Spark and DuckDB share exact literals) —
+    the default when no trained centroids are injected. At web scale
+    fixed directions attract everything into a few mega-cells (every
+    cell over ``max_cell`` -> SemDeDup's conservative cap keeps
+    everything); ``train_centroids`` is the production seam."""
     return [mock_embed_text(f"ivf-centroid-{i}", dim) for i in range(k)]
+
+
+def train_centroids(
+    embeddings: DataFrame,
+    k: int | None = None,
+    dim: int = 64,
+    sample_n: int = 8192,
+    iters: int = 10,
+    max_cell: int = 4000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> List[List[float]]:
+    """Deterministic sampled spherical k-means coarse quantizer — the
+    trained-centroid seam for ``ivf_cells`` / ``ivf_topk`` /
+    ``semdedup`` (inject the returned list via their ``centroids``
+    argument; persist with ``save_centroids`` the way the
+    embed/classify/rerank seams persist their model artifacts).
+
+    Determinism (same input table -> bit-identical centroids, any
+    partitioning): the sample is the ``sample_n`` lowest md5(vec_id)
+    rows (a total order independent of physical layout), init takes the
+    first k distinct sampled vectors in that same order, and Lloyd
+    iterations run driver-side in float64 numpy with argmax-dot
+    assignment (lowest index wins ties) — the EXACT criterion
+    ``ivf_cells`` applies at assignment time (spherical: centroids are
+    re-normalized every round, so argmax dot == min angle).
+
+    ``k`` defaults to ceil(n / max_cell) clamped to [2, 4096]: cells
+    sized so the expected occupancy sits under SemDeDup's ``max_cell``
+    exemption instead of tripping it.
+
+    Scale shape: ONE column-pruned pass for the count (when k is
+    auto-sized), one TakeOrdered for the sample; training never touches
+    more than ``sample_n`` vectors and the cluster loop is
+    O(sample_n * k * dim) on the driver — the corpus-sized work stays
+    the assignment pass, which is the same JVM expression chain as the
+    fixed basis."""
+    import numpy as np
+
+    if k is None:
+        n = embeddings.count()
+        k = max(2, min(4096, -(-n // max(1, max_cell))))
+    rows = (
+        embeddings.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(int(sample_n))
+        .collect()
+    )
+    sample = np.array([list(map(float, r[vec_col])) for r in rows], dtype=np.float64)
+    if sample.shape[0] == 0:
+        return ivf_centroids(dim, int(k))
+    k = int(min(k, sample.shape[0]))
+    # init: first k DISTINCT vectors in hash order (duplicates would
+    # seed dead centroids)
+    seen: set = set()
+    init = []
+    for v in sample:
+        key = v.tobytes()
+        if key not in seen:
+            seen.add(key)
+            init.append(v)
+        if len(init) == k:
+            break
+    k = len(init)
+    cents = np.stack(init)
+
+    def _unit(m):
+        nrm = np.sqrt((m * m).sum(axis=1, keepdims=True))
+        nrm[nrm == 0] = 1.0
+        return m / nrm
+
+    cents = _unit(cents)
+    for _ in range(int(iters)):
+        assign = np.argmax(sample @ cents.T, axis=1)  # lowest index wins ties
+        nxt = cents.copy()
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                nxt[c] = members.mean(axis=0)
+        cents = _unit(nxt)
+    return [[float(x) for x in c] for c in cents]
+
+
+def save_centroids(path: str, centroids: List[List[float]]) -> None:
+    """Persist a trained centroid artifact (json — a k x dim float
+    table small enough for the driver, like the seam model files)."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump(centroids, f)
+
+
+def load_centroids(path: str) -> List[List[float]]:
+    import json
+
+    with open(path) as f:
+        return [[float(x) for x in c] for c in json.load(f)]
 
 
 def _cell_case(dot_cols: List[str]):
@@ -90,11 +190,15 @@ def _cell_case(dot_cols: List[str]):
 def ivf_cells(
     embeddings: DataFrame, dim: int = 64, k: int = N_IVF_CELLS,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: List[List[float]] | None = None,
 ) -> DataFrame:
     """(vec_id, cell) — IVF coarse assignment: cell = argmax_i dot(v, c_i).
     Pure JVM expressions, no shuffle; at build time this is the
-    partition/bucket column of the vector table."""
-    cents = ivf_centroids(dim, k)
+    partition/bucket column of the vector table. ``centroids`` injects
+    a trained quantizer (train_centroids/load_centroids); default is
+    the fixed deterministic basis."""
+    cents = centroids if centroids is not None else ivf_centroids(dim, k)
+    k = len(cents)
     d = embeddings.select(
         F.col(id_col), *[_dot(F.col(vec_col), c).alias(f"d{i}") for i, c in enumerate(cents)]
     )
@@ -107,6 +211,7 @@ def ivf_topk(
     embeddings: DataFrame, qvec: Sequence[float], topk: int = 10,
     nprobe: int = 4, dim: int = 64, k_cells: int = N_IVF_CELLS,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: List[List[float]] | None = None,
 ) -> DataFrame:
     """(rank, vec_id, score) — IVF-probed ANN: rank centroids by
     query-dot on the driver, scan ONLY the top-``nprobe`` cells'
@@ -117,7 +222,8 @@ def ivf_topk(
     cartesian)."""
     import math
 
-    cents = ivf_centroids(dim, k_cells)
+    cents = centroids if centroids is not None else ivf_centroids(dim, k_cells)
+    k_cells = len(cents)
     qdots = [sum(float(a) * float(b) for a, b in zip(qvec, c)) for c in cents]
     probe = sorted(range(k_cells), key=lambda i: (-qdots[i], i))[:nprobe]
     d = embeddings.select(
@@ -155,8 +261,11 @@ def ivf_topk(
     )
 
 
-def _cell_sql(k_cells: int, dim: int) -> str:
-    cents = ivf_centroids(dim, k_cells)
+def _cell_sql(
+    k_cells: int, dim: int, centroids: List[List[float]] | None = None
+) -> str:
+    cents = centroids if centroids is not None else ivf_centroids(dim, k_cells)
+    k_cells = len(cents)
     dots = ", ".join(
         "list_dot_product(embedding::DOUBLE[], ["
         + ", ".join(repr(float(x)) for x in c)
@@ -173,9 +282,12 @@ def _cell_sql(k_cells: int, dim: int) -> str:
     )
 
 
-def ivf_cells_sql(dim: int = 64, k_cells: int = N_IVF_CELLS) -> str:
+def ivf_cells_sql(
+    dim: int = 64, k_cells: int = N_IVF_CELLS,
+    centroids: List[List[float]] | None = None,
+) -> str:
     return (
-        f"WITH {_cell_sql(k_cells, dim)} "
+        f"WITH {_cell_sql(k_cells, dim, centroids)} "
         "SELECT vec_id, CAST(cell AS INT) AS cell FROM cells ORDER BY vec_id"
     )
 
@@ -183,17 +295,19 @@ def ivf_cells_sql(dim: int = 64, k_cells: int = N_IVF_CELLS) -> str:
 def ivf_topk_sql(
     qvec: Sequence[float], topk: int = 10, nprobe: int = 4,
     dim: int = 64, k_cells: int = N_IVF_CELLS,
+    centroids: List[List[float]] | None = None,
 ) -> str:
     import math
 
-    cents = ivf_centroids(dim, k_cells)
+    cents = centroids if centroids is not None else ivf_centroids(dim, k_cells)
+    k_cells = len(cents)
     qdots = [sum(float(a) * float(b) for a, b in zip(qvec, c)) for c in cents]
     probe = sorted(range(k_cells), key=lambda i: (-qdots[i], i))[:nprobe]
     qnorm = math.sqrt(sum(float(x) * float(x) for x in qvec))
     v = "[" + ", ".join(repr(float(x)) for x in qvec) + "]"
     plist = ", ".join(str(int(p)) for p in probe)
     return (
-        f"WITH {_cell_sql(k_cells, dim)}, "
+        f"WITH {_cell_sql(k_cells, dim, centroids)}, "
         f"cand AS (SELECT vec_id, embedding FROM cells WHERE cell IN ({plist})), "
         "scored AS (SELECT vec_id, "
         f"list_dot_product(embedding::DOUBLE[], {v}) / "
@@ -366,6 +480,7 @@ def semdedup(
     embeddings: DataFrame, threshold: float = 0.25,
     dim: int = 64, k_cells: int = N_IVF_CELLS, max_cell: int = 4000,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: List[List[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup -> surviving (vec_id, cell).
 
@@ -383,11 +498,14 @@ def semdedup(
     candidates, never a corpus crossJoin. Cells larger than
     ``max_cell`` are exempt from pruning (kept verbatim): the safety
     valve that bounds the worst per-cell product at max_cell^2 when a
-    degenerate centroid attracts everything; at 100 TB the real fix is
-    more/trained centroids, and the cap makes the failure mode
+    degenerate centroid attracts everything; at 100 TB inject TRAINED
+    centroids sized ~corpus/max_cell (``train_centroids`` — the fixed
+    basis over-caps every cell at web scale and this pass degrades to
+    keep-everything), and the cap makes the residual failure mode
     conservative (keep, never mass-drop).
     """
-    cents = ivf_centroids(dim, k_cells)
+    cents = centroids if centroids is not None else ivf_centroids(dim, k_cells)
+    k_cells = len(cents)
     d = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb"),
         *[_dot(F.col(vec_col), c).alias(f"d{i}") for i, c in enumerate(cents)],
@@ -427,9 +545,10 @@ def semdedup(
 def semdedup_sql(
     threshold: float = 0.25, dim: int = 64,
     k_cells: int = N_IVF_CELLS, max_cell: int = 4000,
+    centroids: List[List[float]] | None = None,
 ) -> str:
     return (
-        f"WITH {_cell_sql(k_cells, dim)}, "
+        f"WITH {_cell_sql(k_cells, dim, centroids)}, "
         "sizes AS (SELECT cell, count(*) AS n FROM cells GROUP BY cell), "
         "prunable AS (SELECT c.* FROM cells c JOIN sizes USING (cell) "
         f"  WHERE n <= {max_cell}), "

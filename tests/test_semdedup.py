@@ -60,3 +60,116 @@ def test_synthetic_twins(spark):
     )
     kept = {r["vec_id"] for r in semdedup(df, threshold=0.95).collect()}
     assert 1 in kept and 2 not in kept
+
+
+def _twin_corpus(spark):
+    """4 direction clusters x 6 scaled copies, all within a few degrees
+    of one base direction: the fixed basis funnels ALL of them into one
+    mega-cell, trained centroids separate the 4 sub-directions."""
+    import numpy as np
+
+    from distributedcodesearchengine_spark.functions.embed import (
+        mock_embed_text,
+    )
+
+    base = np.array(mock_embed_text("cluster-base", 64), dtype=np.float64)
+    rows = []
+    vid = 0
+    for j in range(4):
+        pert = np.array(mock_embed_text(f"dir-{j}", 64), dtype=np.float64)
+        d = base + 0.05 * pert
+        d = d / np.sqrt((d * d).sum())
+        for i in range(6):
+            rows.append((vid, [float(x) for x in d * (1.0 + 0.001 * i)]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_trained_centroids_prune_where_fixed_basis_over_caps(spark):
+    """The round-3 gap scenario: with the fixed basis every vector
+    lands in one cell, the over-cap exemption fires and SemDeDup keeps
+    everything; trained centroids split the directions into under-cap
+    cells and the near-twins actually prune."""
+    from distributedcodesearchengine_spark.operators.similarity import (
+        train_centroids,
+    )
+
+    df = _twin_corpus(spark)
+    fixed = semdedup(df, threshold=0.999, max_cell=12)
+    assert fixed.count() == 24  # precondition: cap exemption, no pruning
+
+    cents = train_centroids(df, k=4, sample_n=100, iters=10)
+    kept = {
+        r["vec_id"]
+        for r in semdedup(
+            df, threshold=0.999, max_cell=12, centroids=cents
+        ).collect()
+    }
+    # scaled copies share a direction (cos ~ 1 >= .999) -> essentially
+    # only each cluster's min id survives (float32 storage can nudge a
+    # borderline vector into its own cell, where it survives as that
+    # cell's min — allow a one-or-two-vector tail, but pruning must
+    # have genuinely fired, unlike the fixed basis)
+    assert {0, 6, 12, 18} <= kept, kept
+    assert len(kept) <= 6, kept
+
+
+def test_train_centroids_deterministic_and_roundtrip(spark, tmp_path):
+    from distributedcodesearchengine_spark.operators.similarity import (
+        load_centroids,
+        save_centroids,
+        train_centroids,
+    )
+
+    df = _twin_corpus(spark)
+    a = train_centroids(df, k=4, sample_n=100)
+    b = train_centroids(df.repartition(7), k=4, sample_n=100)
+    assert a == b  # layout-independent, bit-identical
+    p = str(tmp_path / "cents.json")
+    save_centroids(p, a)
+    assert load_centroids(p) == a
+
+
+def test_trained_centroids_duckdb_parity(spark, sf_dir):
+    """semdedup with TRAINED centroids still hash-matches the DuckDB
+    mirror (the seam keeps the oracle contract: centroids are plain
+    literals on both engines)."""
+    import duckdb
+
+    from distributedcodesearchengine_spark.operators.similarity import (
+        semdedup_sql,
+        train_centroids,
+    )
+    from distributedcodesearchengine_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_centroids(emb, k=8, sample_n=512, iters=5)
+    got = [
+        (r["vec_id"], r["cell"])
+        for r in semdedup(emb, threshold=0.25, centroids=cents).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    want = [
+        (int(v), int(c))
+        for v, c in con.execute(
+            semdedup_sql(threshold=0.25, centroids=cents)
+        ).fetchall()
+    ]
+    assert got == want and got
+
+
+def test_auto_k_sizes_cells_to_corpus(spark, sf_dir):
+    """k defaults to ceil(n / max_cell) — the sizing rule that keeps
+    expected occupancy under the SemDeDup exemption."""
+    from distributedcodesearchengine_spark.operators.similarity import (
+        train_centroids,
+    )
+    from distributedcodesearchengine_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cents = train_centroids(emb, max_cell=100, sample_n=256, iters=2)
+    assert len(cents) == max(2, min(4096, -(-n // 100)))
