@@ -257,19 +257,49 @@ def main() -> None:
         return tm, cp, index
 
     t_wall0 = time.monotonic()
-    timings, cpu, index = run_build()
-    build_reps = [timings["index_build_total"]]
-    # adaptive second rep: if the load gate never opened, or ambient
-    # load rose during the build, one re-measure under whatever window
-    # exists — min-of-reps is the recorded capability (the phantom-load
-    # variance otherwise lands in the driver-visible artifact)
-    load_after_build = round(os.getloadavg()[0], 2)
-    if (not gate["window_opened"]) or load_after_build > load_max:
-        index.docs.unpersist()
-        tm2, cp2, index = run_build()
-        build_reps.append(tm2["index_build_total"])
-        if tm2["index_build_total"] < timings["index_build_total"]:
-            timings, cpu = tm2, cp2
+    # PER-REP load gating (round-3 lesson: one opening gate is not
+    # enough — load can spike mid-run and the artifact then records the
+    # phantom-load lottery instead of engine capability). Each rep
+    # re-gates and records load at its own start AND end. 'clean' means
+    # the rep STARTED under the threshold — the only moment where load
+    # is observable ambient load: our own 32-thread build legitimately
+    # drives the 1-min loadavg to ~16+, so load_end mixes self-load
+    # with any phantom and cannot gate (it stays in the trace as
+    # evidence). All reps run (min improves monotonically with
+    # cache/JIT warmth); docs_per_sec reports min over clean reps when
+    # any exist, else min over all, and the embedded attempts trace is
+    # the proof of whether a quiet window ever existed.
+    max_build_reps = int(os.environ.get("SPARK_GRAFT_BENCH_BUILD_REPS", "3"))
+    rep_wait = float(os.environ.get("SPARK_GRAFT_BENCH_REP_LOAD_WAIT", "120"))
+    build_attempts = []
+    best = best_clean = None
+    index = None
+    for rep in range(max(1, max_build_reps)):
+        if rep > 0:
+            wait_for_quiet(rep_wait, load_max)
+        load_start = round(os.getloadavg()[0], 2)
+        if index is not None:
+            index.docs.unpersist()
+        tm, cp, index = run_build()
+        load_end = round(os.getloadavg()[0], 2)
+        clean = load_start < load_max
+        build_attempts.append(
+            {
+                "wall": tm["index_build_total"],
+                "load_start": load_start,
+                "load_end": load_end,
+                "clean": clean,
+            }
+        )
+        if best is None or tm["index_build_total"] < best[0]["index_build_total"]:
+            best = (tm, cp)
+        if clean and (
+            best_clean is None
+            or tm["index_build_total"] < best_clean[0]["index_build_total"]
+        ):
+            best_clean = (tm, cp)
+    timings, cpu = best_clean if best_clean is not None else best
+    build_reps = [a["wall"] for a in build_attempts]
     t_build = timings["index_build_total"]
 
     # --- warm the serving layout (NOT part of the build metric): pin
@@ -336,6 +366,8 @@ def main() -> None:
         "load_avg_1m": round(os.getloadavg()[0], 2),
         "load_gate": gate,
         "build_reps": build_reps,
+        "build_attempts": build_attempts,
+        "build_capability_clean": best_clean is not None,
         "batch_reps": batch_reps,
         "sf": sf,
         "n_docs": n_pages,
