@@ -270,13 +270,20 @@ def main() -> None:
     # any exist, else min over all, and the embedded attempts trace is
     # the proof of whether a quiet window ever existed.
     max_build_reps = int(os.environ.get("SPARK_GRAFT_BENCH_BUILD_REPS", "3"))
-    rep_wait = float(os.environ.get("SPARK_GRAFT_BENCH_REP_LOAD_WAIT", "120"))
+    rep_wait = float(os.environ.get("SPARK_GRAFT_BENCH_REP_LOAD_WAIT", "210"))
+    # the inter-rep wait targets a TIGHTER threshold than the clean
+    # criterion: after our own ~16-load build the 1-min loadavg needs
+    # ~60*ln(16/2)s to decay, and a rep that starts at 5.9 is still
+    # half-contaminated by the previous rep's tail
+    rep_load_max = float(
+        os.environ.get("SPARK_GRAFT_BENCH_REP_LOAD_MAX", str(min(load_max, 2.0)))
+    )
     build_attempts = []
     best = best_clean = None
     index = None
     for rep in range(max(1, max_build_reps)):
         if rep > 0:
-            wait_for_quiet(rep_wait, load_max)
+            wait_for_quiet(rep_wait, rep_load_max)
         load_start = round(os.getloadavg()[0], 2)
         if index is not None:
             index.docs.unpersist()
@@ -322,6 +329,10 @@ def main() -> None:
     # index: shard-local numpy scoring, tiny global top-k merge.
     # min-of-reps: the batch is cheap to repeat and the phantom load is
     # not — each rep is a full 100-query batch
+    # gate the serving section too: the batch otherwise starts under the
+    # build's own decaying 1-min load (~14) compounded by any phantom,
+    # and the min-of-reps records a load draw, not serving capability
+    serve_gate_wait, serve_gate_trace = wait_for_quiet(rep_wait, rep_load_max)
     query_set = build_query_set(100)
     c2 = tree_cpu_seconds()
     batch_reps = []
@@ -365,6 +376,10 @@ def main() -> None:
         "cpu_seconds": cpu,
         "load_avg_1m": round(os.getloadavg()[0], 2),
         "load_gate": gate,
+        "serve_gate": {
+            "wait_sec": serve_gate_wait,
+            "load_at_start": serve_gate_trace[-1],
+        },
         "build_reps": build_reps,
         "build_attempts": build_attempts,
         "build_capability_clean": best_clean is not None,

@@ -130,6 +130,13 @@ def main() -> None:
           + ", ".join(f"{k}={v.get('total_sec')}s" for k, v in slow))
     print(f"{len(out) - len(bad)}/{len(out)} green; failing: {bad}")
 
+    # release the per-(sf_dir, session) persisted gate indexes — a no-op
+    # for this short-lived process, but keeps the harness a correct
+    # usage example for long-lived embedders of entry_queries
+    from distributedcodesearchengine_spark.entry_queries import clear_index_cache
+
+    clear_index_cache()
+
 
 if __name__ == "__main__":
     main()
