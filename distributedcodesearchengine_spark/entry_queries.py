@@ -298,6 +298,8 @@ def bm25_federated_q(
     re-keyed federated id space never reaches the compare)."""
     from .build.indexer import build_index_inmem, federate_indexes
 
+    from .operators.scorer import query_term_weights, score_matched
+
     key = f"fed|{sf_dir}|{id(spark)}"
     if key not in _INDEX_CACHE:
         pages = documents_as_pages(spark, sf_dir)
@@ -309,13 +311,41 @@ def bm25_federated_q(
             for i in (0, 1)
         ]
         _INDEX_CACHE[key] = federate_indexes(shards)
-    res = bm25_topk(_INDEX_CACHE[key], query, k=k)
-    # no rank column: exact score TIES order by internal doc_id, which
-    # is id-space-dependent under federation (the Lucene shard-order
-    # divergence) — the invariant vs the monolithic oracle is the kept
-    # set and its scores, not the within-tie permutation
-    return res.select(
-        _orig_doc_id(), round6("score").alias("score")
+    fed = _INDEX_CACHE[key]
+    # The top-k CUT must happen in the original id space: federated ids
+    # re-key per shard, so an exact-score tie AT the k boundary would
+    # keep a different doc than the monolithic oracle if cut by internal
+    # id (observed at sf0.1: two docs tied at the kth score, one per
+    # parity shard). Scores are bit-identical to monolithic (exact
+    # merged stats + canonical fold), so re-expressing only the cut on
+    # (score desc, original id asc) — the oracle's ordering — makes the
+    # kept SET shard-layout-independent. No rank column: within-tie
+    # rank is still presentation-order, the compare key is (doc_id,
+    # score).
+    ocol = F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("orig")
+    qw = query_term_weights(fed, query)
+    cand = mx = None
+    if qw:
+        cand = (
+            score_matched(fed, qw)
+            .join(fed.docs.select("doc_id", "url"), "doc_id")
+            .select(ocol, "score")
+        )
+        mx = cand.agg(F.max("score").alias("m")).first()["m"]
+    if mx is not None and mx > 0:
+        kept = cand.where(F.col("score") >= F.lit(0.01 * mx))
+    else:
+        # degenerate regime mirrors finalize_topk's zero-backfill, on
+        # original ids: k smallest-orig zero rows via a narrow TakeOrdered
+        zeros = fed.docs.select(ocol, F.lit(0.0).alias("score"))
+        if cand is not None:
+            zeros = zeros.join(cand.select("orig"), "orig", "left_anti")
+            kept = cand.unionByName(zeros.orderBy("orig").limit(k))
+        else:
+            kept = zeros.orderBy("orig").limit(k)
+    top = kept.orderBy(F.desc("score"), F.asc("orig")).limit(k)
+    return top.select(
+        F.col("orig").alias("doc_id"), round6("score").alias("score")
     ).orderBy("doc_id")
 
 

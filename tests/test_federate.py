@@ -79,3 +79,32 @@ def test_filtered_query(setup):
     b = {r["url"] for r in bm25_topk(mono, "JSON parsing", k=10,
                                      filters={"lang": "en"}).collect()}
     assert a == b
+
+
+def test_gate_entry_kboundary_tie_cut_on_original_ids(spark, tmp_path):
+    """A k-boundary EXACT-score tie spanning shards: the gate entry's
+    top-k cut must keep the smaller ORIGINAL id (the monolithic
+    oracle's ordering), not the smaller federated internal id.
+    Regression for the sf0.1 divergence (docs 2551 vs 2770 tied at the
+    kth score; the internal-id cut kept 2770 because its even parity
+    put it in the offset-0 shard). Docs 5 and 8 have identical text
+    (exact raw-score tie); 8 is even (shard 0, small internal id), 5 is
+    odd (shard 1, huge internal id) — the internal-id cut would keep 8."""
+    from distributedcodesearchengine_spark.entry_queries import bm25_federated_q
+
+    rows = []
+    for i in range(10):
+        if i == 3:
+            text = "zeta zeta zeta filler words here"
+        elif i in (5, 8):
+            text = "zeta common tail words"  # identical -> exact tie
+        else:
+            text = f"unrelated filler block{i} words"
+        rows.append((i, text, "en", "web"))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    res = bm25_federated_q(spark, str(tmp_path), "zeta", k=2).collect()
+    assert [r["doc_id"] for r in res] == [3, 5]
