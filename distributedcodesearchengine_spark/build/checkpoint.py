@@ -312,9 +312,16 @@ def build_index_persisted(
         from ..operators.fuzzy import deletion_key_relation
 
         def _fuzzy(out):
+            # range-partition on the full key, NOT hash-on-key_pfx: the
+            # prefix has <= 37 distinct values, so repartition("key_pfx")
+            # would funnel the entire O(|vocab|*L^2) relation through at
+            # most 37 tasks. Ranging on key keeps full parallelism, each
+            # task stays key-sorted (row-group pruning intact), and a
+            # task's rows map to 1-2 Hive key_pfx partitions — multiple
+            # files per partition is fine for the pruned point-probe read.
             (
                 deletion_key_relation(terms)
-                .repartition("key_pfx")
+                .repartitionByRange("key")
                 .sortWithinPartitions("key")
                 .write.mode("overwrite")
                 .partitionBy("key_pfx")

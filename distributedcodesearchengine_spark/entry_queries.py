@@ -322,6 +322,12 @@ def bm25_federated_q(
     # kept SET shard-layout-independent. No rank column: within-tie
     # rank is still presentation-order, the compare key is (doc_id,
     # score).
+    from .oracle.tokenizer import tokenize as _tok
+
+    if not _tok(query):
+        # empty-query guard, mirroring bm25_topk (and the oracle):
+        # a query with no tokens returns NO rows, not a zero backfill
+        return spark.createDataFrame([], "doc_id long, score double")
     ocol = F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("orig")
     qw = query_term_weights(fed, query)
     cand = mx = None

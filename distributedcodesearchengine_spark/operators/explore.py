@@ -306,18 +306,24 @@ def bm25_collapse_topk(
     if mx is not None and mx > 0:
         kept = scored.where(F.col("score") >= F.lit(0.01 * mx))
     else:
+        need0 = [c for c in dict.fromkeys([collapse, *(filters or {})])]
         zeros = index.docs
         if scored is not None:
             zeros = zeros.join(scored.select("doc_id"), "doc_id", "left_anti")
-        # union on (doc_id, score) only — score_matched output is slim
-        # (no metadata columns), the collapse column joins on below,
-        # exactly as the healthy branch does
-        zeros = zeros.select("doc_id", F.lit(0.0).alias("score"))
-        kept = (
-            scored.select("doc_id", "score").unionByName(zeros)
-            if scored is not None
-            else zeros
-        )
+        # the zero rows take their metadata straight from the docs
+        # projection — joining the corpus-sized zero set back onto docs
+        # for columns docs already has would be a corpus-scale self-join
+        zeros = zeros.select("doc_id", *need0, F.lit(0.0).alias("score"))
+        if scored is not None:
+            # only the (slim, candidate-sized) scored side joins for
+            # metadata it lacks
+            s = scored
+            miss = [c for c in need0 if c not in s.columns]
+            if miss:
+                s = s.join(index.docs.select("doc_id", *miss), "doc_id")
+            kept = s.select("doc_id", *need0, "score").unionByName(zeros)
+        else:
+            kept = zeros
     # metadata columns join from docs on the thresholded candidates only
     # (docvalues lookup); equality filters apply at the F5 stage — after
     # the unfiltered-max threshold, before the per-group window — the

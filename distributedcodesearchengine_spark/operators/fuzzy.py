@@ -147,6 +147,16 @@ def expand_fuzzy(
     SymSpell deletion-key point probe (both distances) + exact
     levenshtein verify on the candidate set — the dictionary itself is
     never scanned or exploded at query time."""
+    if int(max_dist) > FUZZY_KEY_DEPTH:
+        # the deletion-key relation is complete only to its build depth;
+        # probing it for a larger distance would return an arbitrary
+        # partial candidate set — refuse rather than silently under-match
+        # (the query surface caps at ~2 via _FUZZY_RE already)
+        raise ValueError(
+            f"max_dist {max_dist} exceeds the deletion-key depth "
+            f"{FUZZY_KEY_DEPTH}; fuzzy matching supports distances <= "
+            f"{FUZZY_KEY_DEPTH}"
+        )
     keyed = get_fuzzy_keys(index)
     qkeys = _deletions_py(word, min(int(max_dist), FUZZY_KEY_DEPTH))
     pfxs = sorted({k[:1] if k else "~" for k in qkeys})

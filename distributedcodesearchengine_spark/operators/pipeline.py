@@ -952,9 +952,14 @@ def apply_domain_cap(
     their skew; the union is result-identical to the naive window.
     """
     g = documents.groupBy(key).agg(F.count("*").alias("_n"))
-    hot_keys = g.filter(F.col("_n") > cap).select(key)
-    under = documents.join(F.broadcast(hot_keys), key, "left_anti")
-    hot = documents.join(F.broadcast(hot_keys), key, "leftsemi")
+    hot_keys = g.filter(F.col("_n") > cap).select(F.col(key).alias("_hk"))
+    # null-safe split: a NULL domain is a group too (the SQL window the
+    # result must match partitions NULLs together), and a plain equality
+    # anti-join would wave every null-key row through uncapped — the
+    # exact flood the cap exists to stop
+    cond = documents[key].eqNullSafe(hot_keys["_hk"])
+    under = documents.join(F.broadcast(hot_keys), cond, "left_anti")
+    hot = documents.join(F.broadcast(hot_keys), cond, "leftsemi")
     w = Window.partitionBy(key).orderBy("doc_id")
     capped = (
         hot.withColumn("_rn", F.row_number().over(w))

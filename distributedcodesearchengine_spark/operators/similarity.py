@@ -177,14 +177,46 @@ def load_centroids(path: str) -> List[List[float]]:
         return [[float(x) for x in c] for c in json.load(f)]
 
 
-def _cell_case(dot_cols: List[str]):
-    gmax = F.greatest(*[F.col(c) for c in dot_cols])
-    cell = None
-    # ties resolve to the LOWEST index (first match wins), both engines
-    for i, c in enumerate(dot_cols):
-        branch = F.when(F.col(c) == gmax, F.lit(i))
-        cell = branch if cell is None else cell.when(F.col(c) == gmax, F.lit(i))
-    return cell
+_CELL_EXPR_MAX_K = 128
+
+
+def _cell_col(cents: List[List[float]], vec_col: str):
+    """argmax_i dot(vec, c_i) as a Column, ties to the LOWEST index.
+
+    Small k: pure JVM — an array of the k dots, then
+    ``array_position(dots, array_max(dots)) - 1`` (first occurrence =
+    lowest index). O(k·dim) expression nodes; the earlier per-branch
+    CASE re-embedded ``greatest`` over all k columns in each of the k
+    branches, an O(k²)-node tree that stalls Catalyst at the k≈4096
+    auto-sizes ``train_centroids`` produces for web-scale corpora.
+
+    Large k (> ``_CELL_EXPR_MAX_K``): an Arrow-vectorized pandas UDF —
+    one batched float64 matmul + argmax per Arrow batch (np.argmax also
+    ties to the lowest index). Expression-tree size O(1); the centroid
+    matrix ships once per worker in the UDF closure, which is the same
+    broadcast-the-model shape as the embed/classify seams."""
+    k = len(cents)
+    if k <= _CELL_EXPR_MAX_K:
+        darr = F.array(*[_dot(F.col(vec_col), c) for c in cents])
+        return (F.array_position(darr, F.array_max(darr)) - F.lit(1)).cast("int")
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    m = np.array([[float(x) for x in c] for c in cents], dtype=np.float64)
+
+    def _assign_fn(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        return pd.Series(np.argmax(mat @ m.T, axis=1).astype("int32"))
+
+    # unannotated + explicit returnType: the module's postponed
+    # annotations (PEP 563) stringify type hints, which PySpark's
+    # signature inference cannot resolve
+    _assign = pandas_udf(_assign_fn, "int")
+    return _assign(F.col(vec_col).cast("array<double>"))
 
 
 def ivf_cells(
@@ -198,12 +230,8 @@ def ivf_cells(
     a trained quantizer (train_centroids/load_centroids); default is
     the fixed deterministic basis."""
     cents = centroids if centroids is not None else ivf_centroids(dim, k)
-    k = len(cents)
-    d = embeddings.select(
-        F.col(id_col), *[_dot(F.col(vec_col), c).alias(f"d{i}") for i, c in enumerate(cents)]
-    )
-    return d.select(
-        id_col, _cell_case([f"d{i}" for i in range(k)]).alias("cell")
+    return embeddings.select(
+        F.col(id_col), _cell_col(cents, vec_col).alias("cell")
     ).orderBy(id_col)
 
 
@@ -227,9 +255,8 @@ def ivf_topk(
     qdots = [sum(float(a) * float(b) for a, b in zip(qvec, c)) for c in cents]
     probe = sorted(range(k_cells), key=lambda i: (-qdots[i], i))[:nprobe]
     d = embeddings.select(
-        F.col(id_col), F.col(vec_col),
-        *[_dot(F.col(vec_col), c).alias(f"d{i}") for i, c in enumerate(cents)],
-    ).withColumn("cell", _cell_case([f"d{i}" for i in range(k_cells)]))
+        F.col(id_col), F.col(vec_col), _cell_col(cents, vec_col).alias("cell")
+    )
     cand = d.where(F.col("cell").isin([int(p) for p in probe]))
     qnorm = math.sqrt(sum(float(x) * float(x) for x in qvec))
     qarr = F.array(*[F.lit(float(x)) for x in qvec])
@@ -272,13 +299,16 @@ def _cell_sql(
         + f"]) AS d{i}"
         for i, c in enumerate(cents)
     )
+    # gmax is computed ONCE in its own CTE stage — inlining it into
+    # every CASE branch (the earlier form) makes the SQL text O(k^2)
     gmax = "greatest(" + ", ".join(f"d{i}" for i in range(k_cells)) + ")"
     case = "CASE " + " ".join(
-        f"WHEN d{i} = {gmax} THEN {i}" for i in range(k_cells)
+        f"WHEN d{i} = gmax THEN {i}" for i in range(k_cells)
     ) + " END"
     return (
         f"dd AS (SELECT vec_id, embedding, {dots} FROM embeddings), "
-        f"cells AS (SELECT vec_id, embedding, {case} AS cell FROM dd)"
+        f"dg AS (SELECT *, {gmax} AS gmax FROM dd), "
+        f"cells AS (SELECT vec_id, embedding, {case} AS cell FROM dg)"
     )
 
 
@@ -505,15 +535,14 @@ def semdedup(
     conservative (keep, never mass-drop).
     """
     cents = centroids if centroids is not None else ivf_centroids(dim, k_cells)
-    k_cells = len(cents)
     d = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb"),
-        *[_dot(F.col(vec_col), c).alias(f"d{i}") for i, c in enumerate(cents)],
-    ).withColumn("cell", _cell_case([f"d{i}" for i in range(k_cells)]))
-    # the assignment subtree is 16 HOF dot expressions; referenced by
+        _cell_col(cents, vec_col).alias("cell"),
+    )
+    # the assignment subtree is k HOF dot expressions; referenced by
     # three consumers (sizes, both join sides) Catalyst's constraint
     # propagation goes combinatorial across the self-join — cut the
-    # lineage so the join sides see plain columns (and the 16-dot scan
+    # lineage so the join sides see plain columns (and the k-dot scan
     # runs once, not three times)
     cells = d.select("vec_id", "emb", "cell").localCheckpoint(eager=False)
     sizes = (

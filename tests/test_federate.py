@@ -108,3 +108,17 @@ def test_gate_entry_kboundary_tie_cut_on_original_ids(spark, tmp_path):
 
     res = bm25_federated_q(spark, str(tmp_path), "zeta", k=2).collect()
     assert [r["doc_id"] for r in res] == [3, 5]
+
+
+def test_gate_entry_empty_query_returns_no_rows(spark, tmp_path):
+    """An empty-tokenizing query returns an EMPTY frame (the monolithic
+    bm25_topk guard and the oracle agree), never a zero backfill."""
+    from distributedcodesearchengine_spark.entry_queries import bm25_federated_q
+
+    rows = [(i, f"some words block{i}", "en", "web") for i in range(6)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    res = bm25_federated_q(spark, str(tmp_path), "!! ??", k=5)
+    assert res.count() == 0
+    assert [f.name for f in res.schema.fields] == ["doc_id", "score"]

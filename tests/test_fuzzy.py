@@ -138,3 +138,14 @@ def test_api_routing(spark, idx):
     got = eng.search("dup sow~1", limit=5).collect()
     want = bm25_fuzzy_topk(idx, "dup sow~1", k=5).collect()
     assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+
+
+def test_max_dist_beyond_key_depth_refused(idx):
+    """The deletion-key relation is complete only to its build depth —
+    a deeper probe would silently under-match, so it must refuse."""
+    import pytest as _pytest
+
+    from distributedcodesearchengine_spark.operators.fuzzy import expand_fuzzy
+
+    with _pytest.raises(ValueError, match="deletion-key depth"):
+        expand_fuzzy(idx, "duplcate", max_dist=3)

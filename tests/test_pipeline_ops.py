@@ -563,3 +563,15 @@ def test_split_leakage_detects_crossing_ngrams(spark):
     # control: without the graft nothing leaks
     clean = {r["split"]: r["n_leaked"] for r in split_leakage(d0, n=8).collect()}
     assert set(clean.values()) == {0}
+
+
+def test_apply_domain_cap_null_keys_are_a_group(spark):
+    """NULL domains form a window partition in the SQL the result must
+    match — the equality anti-join would wave every null-key row
+    through uncapped (the exact spam flood the cap exists to stop)."""
+    rows = [(i, None) for i in range(12)] + [(100 + i, "ok") for i in range(3)]
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = pl.apply_domain_cap(d, cap=7).collect()
+    nulls = sorted(r.doc_id for r in kept if r.source is None)
+    assert nulls == list(range(7))  # capped, lowest doc_ids win
+    assert sorted(r.doc_id for r in kept if r.source == "ok") == [100, 101, 102]

@@ -173,3 +173,19 @@ def test_auto_k_sizes_cells_to_corpus(spark, sf_dir):
     n = emb.count()
     cents = train_centroids(emb, max_cell=100, sample_n=256, iters=2)
     assert len(cents) == max(2, min(4096, -(-n // 100)))
+
+
+def test_large_k_pandas_assignment_matches_jvm(emb, monkeypatch):
+    """Above _CELL_EXPR_MAX_K the cell assignment switches to the
+    Arrow-vectorized matmul path; with well-separated centroids the
+    two paths must assign identically (the JVM fold and the numpy
+    matmul can differ only at ulp level, which distinct dots ignore).
+    Regression: the old per-branch CASE was O(k^2) expression nodes,
+    unusable at the k≈4096 train_centroids auto-sizes for web scale."""
+    from distributedcodesearchengine_spark.operators import similarity as sim
+
+    cents = sim.train_centroids(emb, k=8, sample_n=512)
+    jvm = {r.vec_id: r.cell for r in ivf_cells(emb, centroids=cents).collect()}
+    monkeypatch.setattr(sim, "_CELL_EXPR_MAX_K", 4)
+    pdu = {r.vec_id: r.cell for r in ivf_cells(emb, centroids=cents).collect()}
+    assert pdu == jvm
