@@ -56,7 +56,10 @@ class SearchEngine:
         ``POST /index`` build overwrites the parquet beneath, searches
         keep reading the old in-memory copy until the atomic swap."""
         idx = self.index
-        rels = [idx.docs, idx.terms]
+        # tf included: the default exact scorer scans it on every query
+        # (scorer.score_matched), so leaving it on parquet would defeat
+        # both jobs above for the most common path
+        rels = [idx.docs, idx.tf, idx.terms]
         if idx.postings is not None:
             rels.append(idx.postings)
         for key in ("sharded", "positional"):
@@ -94,9 +97,16 @@ class SearchEngine:
                 pass
         if warm:
             SearchEngine(index).warm()
+        # the new index handle is published FIRST: a request thread that
+        # reads the engine mid-swap then sees (new index, cleared
+        # caches) — it rebuilds a derived cache from the new index — and
+        # never (old index, cleared caches), which would let a stale
+        # derived cache be rebuilt from the OLD index and assigned after
+        # the swap. Request paths snapshot self.index once at entry, so
+        # an in-flight search keeps one consistent handle throughout.
+        self.index = index
         self.embeddings = None
         self._langs = None
-        self.index = index
 
     def _known_langs(self) -> set:
         """Valid lang filter values (F8). lang is a partition column of
@@ -108,12 +118,24 @@ class SearchEngine:
             }
         return self._langs
 
-    def _ensure_embeddings(self):
-        if self.embeddings is None:
-            self.embeddings = build_doc_embeddings(self.index, self.dim).persist()
-        return self.embeddings
+    def _ensure_embeddings(self, index: Optional[Index] = None):
+        idx = index if index is not None else self.index
+        emb = self.embeddings
+        if emb is None:
+            emb = build_doc_embeddings(idx, self.dim).persist()
+            # cache only while the handle is still the served one: a
+            # reload_index racing this build must not end up with OLD-id
+            # embeddings cached against the NEW index
+            if self.index is idx:
+                self.embeddings = emb
+        return emb
 
-    def _bm25(self, query: str, limit: int, filters, scorer: str) -> DataFrame:
+    def _bm25(
+        self, query: str, limit: int, filters, scorer: str,
+        index: Optional[Index] = None,
+    ) -> DataFrame:
+        if index is None:
+            index = self.index
         # quoted query -> exact-phrase search (BM25-ranked over docs
         # containing the phrase; operators/phrase.bm25_phrase_topk)
         q = query.strip()
@@ -121,7 +143,7 @@ class SearchEngine:
             from .operators.phrase import bm25_phrase_topk
 
             return bm25_phrase_topk(
-                self.index, q[1:-1], k=limit, filters=filters or None
+                index, q[1:-1], k=limit, filters=filters or None
             )
         # '"terms"~ow' -> ORDERED proximity (Surround W operator)
         from .operators.proximity import (
@@ -134,36 +156,36 @@ class SearchEngine:
         onear = parse_ordered_near_query(q)
         if onear is not None:
             return bm25_ordered_near_topk(
-                self.index, onear[0], onear[1], k=limit, filters=filters or None
+                index, onear[0], onear[1], k=limit, filters=filters or None
             )
         # '"terms"~w' -> proximity (NEAR) search
         near = parse_near_query(q)
         if near is not None:
             return bm25_proximity_topk(
-                self.index, near[0], near[1], k=limit, filters=filters or None
+                index, near[0], near[1], k=limit, filters=filters or None
             )
         # occur flags (+required / -excluded clauses) -> boolean search
         from .operators.boolquery import bm25_boolean_topk, is_boolean_query
 
         if is_boolean_query(q):
             return bm25_boolean_topk(
-                self.index, q, k=limit, filters=filters or None
+                index, q, k=limit, filters=filters or None
             )
         # trailing-star clauses -> dictionary prefix expansion
         from .operators.wildcard import bm25_wildcard_topk, is_wildcard_query
 
         if is_wildcard_query(q):
             return bm25_wildcard_topk(
-                self.index, q, k=limit, filters=filters or None
+                index, q, k=limit, filters=filters or None
             )
         # 'word~' / 'word~1' / 'word~2' -> edit-distance expansion
         from .operators.fuzzy import bm25_fuzzy_topk, is_fuzzy_query
 
         if is_fuzzy_query(q):
             return bm25_fuzzy_topk(
-                self.index, q, k=limit, filters=filters or None
+                index, q, k=limit, filters=filters or None
             )
-        if scorer == "sharded" and not filters and "sharded" in self.index.extras:
+        if scorer == "sharded" and not filters and "sharded" in index.extras:
             # the low-latency serving path: shard-local scoring over the
             # persisted doc-range-sharded layout (build --sharded-index).
             # Metadata filters need the F4 unfiltered-threshold + F5
@@ -174,13 +196,13 @@ class SearchEngine:
 
             from .operators.sharded import sharded_single_topk
 
-            sidx = replace(self.index, postings=self.index.extras["sharded"])
+            sidx = replace(index, postings=index.extras["sharded"])
             return sharded_single_topk(
                 sidx, query, k=limit,
-                shard_width=self.index.extras.get("sharded_width", 65536),
+                shard_width=index.extras.get("sharded_width", 65536),
             )
         fn = wand_topk if scorer == "wand" else bm25_topk
-        return fn(self.index, query, k=limit, filters=filters or None)
+        return fn(index, query, k=limit, filters=filters or None)
 
     def search(
         self,
@@ -223,21 +245,35 @@ class SearchEngine:
         if source:
             filters["source"] = source
 
+        # one handle for the whole request: a concurrent reload_index
+        # must not mix old and new relations inside a single search
+        idx = self.index
         if not use_hybrid:
-            res = self._bm25(query, limit + offset, filters, scorer)
+            res = self._bm25(query, limit + offset, filters, scorer, index=idx)
             if normalize:
                 # LocalSearchEngine normalization: divide by top score
-                # if > 0 (the ABSOLUTE top, also when paging)
-                mx_row = res.orderBy("rank").limit(1).collect()
-                mx = mx_row[0]["score"] if mx_row else None
-                if mx is not None and mx > 0:
-                    res = res.withColumn("score", F.col("score") / F.lit(mx))
+                # if > 0 (the ABSOLUTE top, also when paging — the rank-1
+                # row is always among the fetched rows since _bm25
+                # fetched from rank 1). Folded into the plan as a window
+                # over the <= limit+offset result rows: a separate
+                # rank-1 collect would execute the scoring job twice
+                from pyspark.sql.window import Window
+
+                mx = F.max(
+                    F.when(F.col("rank") == 1, F.col("score"))
+                ).over(Window.partitionBy())
+                res = res.withColumn(
+                    "score",
+                    F.when(mx > 0, F.col("score") / mx).otherwise(
+                        F.col("score")
+                    ),
+                )
             if offset:
                 res = res.where(F.col("rank") > offset)
             return res
 
         # hybrid: overfetch both branches at 2*limit (engine.py:207,214)
-        emb = self._ensure_embeddings()
+        emb = self._ensure_embeddings(idx)
         qvec = mock_embed_text(enhance_query(query) if enhance else query, self.dim)
         # filters apply BEFORE the cosine top-k (the reference passes
         # filters into vector_store.search, engine.py:205-209): the
@@ -245,12 +281,14 @@ class SearchEngine:
         # ranks — filtering the unfiltered top-2k afterwards would feed
         # RRF fewer candidates with gapped ranks
         if filters:
-            docs_f = self.index.docs
+            docs_f = idx.docs
             for c, v in filters.items():
                 docs_f = docs_f.where(F.col(c) == v)
             emb = emb.join(docs_f.select("doc_id"), "doc_id", "left_semi")
         sem = cosine_topk(emb, qvec, 2 * (limit + offset), id_col="doc_id")
-        bm = self._bm25(query, 2 * (limit + offset), filters, scorer).select(
+        bm = self._bm25(
+            query, 2 * (limit + offset), filters, scorer, index=idx
+        ).select(
             "rank", "doc_id", "score"
         )
         merged = rrf_merge(
@@ -268,7 +306,7 @@ class SearchEngine:
         ids = [int(r["doc_id"]) for r in rows]
         urls = {
             r["doc_id"]: r["url"]
-            for r in self.index.docs.where(F.col("doc_id").isin(ids))
+            for r in idx.docs.where(F.col("doc_id").isin(ids))
             .select("doc_id", "url")
             .collect()
         }
@@ -281,7 +319,7 @@ class SearchEngine:
             if int(r["doc_id"]) in urls  # inner-join semantics preserved
             and r["rank"] > offset
         ]
-        return self.index.spark.createDataFrame(
+        return idx.spark.createDataFrame(
             data,
             "rank int, doc_id long, url string, score double, "
             "semantic_score double, bm25_score double",
@@ -318,10 +356,13 @@ class SearchEngine:
         (operators/scorer.bm25_topk_range)."""
         from .operators.scorer import bm25_topk_range
 
+        fs = {k: v for k, v in filters.items() if v}
+        # on_invalid='drop' consistency with search()/collapse(): an
+        # unknown lang is dropped, not applied verbatim to an empty set
+        if fs.get("lang") and fs["lang"] not in self._known_langs():
+            del fs["lang"]
         return bm25_topk_range(
-            self.index, query, k=limit,
-            filters={k: v for k, v in filters.items() if v} or None,
-            ranges=ranges,
+            self.index, query, k=limit, filters=fs or None, ranges=ranges,
         )
 
     def explain(self, query: str, limit: int = 10) -> DataFrame:
@@ -337,7 +378,10 @@ class SearchEngine:
         from .operators.scorer import bm25_count
 
         filters = {}
-        if lang:
+        # on_invalid='drop' consistency: 'About N results' must agree
+        # with the result list for identical params, so an unknown lang
+        # drops here exactly as it does in search()
+        if lang and lang in self._known_langs():
             filters["lang"] = lang
         if site:
             filters["site"] = site

@@ -381,9 +381,10 @@ def main(argv=None, spark=None) -> int:
         kw = {}
         if args.n_buckets:
             kw["n_buckets"] = args.n_buckets
+        srcs = [p for p in args.indexes.split(",") if p]
         idx = merge_indexes_persisted(
             spark,
-            [p for p in args.indexes.split(",") if p],
+            srcs,
             args.index,
             resume=not args.no_resume,
             phrase_index=args.phrase_index,
@@ -393,7 +394,7 @@ def main(argv=None, spark=None) -> int:
         print(json.dumps({
             "n_docs": idx.n_docs,
             "avgdl": round(idx.avgdl, 4),
-            "merged": len(args.indexes.split(",")),
+            "merged": len(srcs),
             "index": args.index,
         }))
         return 0

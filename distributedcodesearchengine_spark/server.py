@@ -126,7 +126,19 @@ class IndexJobManager:
             try:
                 _, job_id = self._q.get(timeout=30)
             except _queue.Empty:
-                return  # idle worker exits; next submit restarts one
+                # idle-exit handshake under the manager lock: submit()
+                # enqueues then checks worker liveness under the same
+                # lock, so either this worker sees the job (non-empty
+                # queue -> keep draining) or it has already cleared
+                # self._worker and submit starts a fresh one. Without
+                # the handshake a job enqueued in the exit window would
+                # strand 'queued' forever and wedge /index/sync.
+                with self._lock:
+                    if not self._q.empty():
+                        continue
+                    if self._worker is threading.current_thread():
+                        self._worker = None
+                    return
             self._run(job_id)
 
     def _run(self, job_id: int) -> None:
@@ -176,6 +188,11 @@ def make_handler(engine, stats_fn, index_manager=None):
             from .build.indexer import build_index_inmem
             from .sources.tables import read_input_table
 
+            # invalidate BOTH keys before building: a failed build must
+            # leave an empty cache, not a 'path' with no 'index' (which
+            # would poison every later request for the old working path
+            # with a KeyError instead of rebuilding it)
+            local_cache.pop("path", None)
             old = local_cache.pop("index", None)
             if old is not None:
                 for df in (old.tf, old.docs, old.terms):

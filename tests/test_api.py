@@ -85,3 +85,15 @@ def test_reload_same_dir_keeps_warm_cache(spark, tmp_path):
     assert engine.index.terms.is_cached
     rows = engine.search("parse json", limit=3).collect()
     assert len(rows) == 3 and rows[0]["rank"] == 1
+
+
+def test_count_and_range_drop_unknown_lang(engine):
+    """on_invalid='drop' consistency: 'About N results' and the range
+    path must agree with search() for identical params — an unknown
+    lang drops instead of filtering to an empty set."""
+    base = engine.count("parse json")
+    assert engine.count("parse json", lang="zz") == base
+    with_range = engine.search_range(
+        "parse json", limit=5, ranges={"doc_len": (1, 10**9)}, lang="zz"
+    ).collect()
+    assert len(with_range) > 0

@@ -440,3 +440,26 @@ def test_rerank_endpoint(srv):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(srv, "/rerank")
     assert ei.value.code == 400
+
+
+def test_search_local_failed_build_does_not_poison_previous_path(
+    srv, spark, tmp_path_factory
+):
+    """A failed ad-hoc build must leave the cache EMPTY: previously a
+    bad path request popped 'index' but kept 'path', so every later
+    request for the old working path skipped the rebuild and KeyError'd
+    forever."""
+    base = tmp_path_factory.mktemp("localpoison")
+    good = str(base / "good")
+    generate_pages(spark, 30, seed=61, parts=1).write.parquet(good)
+
+    code, body = _post(srv, "/search/local", {"input": good, "query": "parse json"})
+    assert code == 200 and body["indexed_docs"] == 30
+    # failed build for a bad path (error surfaced, not 500)
+    code, body = _post(
+        srv, "/search/local", {"input": "/nonexistent/poison", "query": "q"}
+    )
+    assert code == 200 and "error" in body
+    # the old working path must rebuild cleanly, not KeyError
+    code, body = _post(srv, "/search/local", {"input": good, "query": "parse json"})
+    assert code == 200 and body.get("indexed_docs") == 30 and "error" not in body
