@@ -187,7 +187,10 @@ def merge_postings(
                 cur_blocks, cur_n, cur_max, cur_rid = [], 0, -math.inf, None
             if cur_rid is None:
                 cur_rid = int(row["range_id"])
-            cur_blocks = cur_blocks + list(row["blocks"])
+            # extend, never rebuild: cur_blocks + list(...) recopies the
+            # accumulated list per input row — quadratic exactly on the
+            # many-small-segments hot terms this path exists to compact
+            cur_blocks.extend(row["blocks"])
             cur_n += int(row["n_postings"])
             cur_max = max(cur_max, float(row["global_max"]))
         if cur_n:

@@ -44,7 +44,7 @@ class Index:
 
     spark: SparkSession
     docs: DataFrame  # (doc_id, url, site, lang, tokens, doc_len)
-    tf: DataFrame  # (term, doc_id, tf, doc_len, lang, site)
+    tf: DataFrame  # (term, doc_id, tf, doc_len) — slim; meta joins from docs
     terms: DataFrame  # (term, df, idf)
     n_docs: int
     avgdl: float

@@ -64,9 +64,19 @@ def build_sharded_postings(
     dict threshold the vocab is by definition too big to broadcast
     (a 10^8-term broadcast is itself the OOM), so the fallback must
     NOT hint broadcast; AQE picks the join strategy."""
-    if terms.count() <= dict_vocab_max:
+    # ONE vocabulary action instead of two (a count, then a re-collect
+    # of the same uncached vocabulary lineage): probe for at most
+    # dict_vocab_max+1 ordered rows — a short result IS the dictionary
+    # the dict path needs
+    vocab_rows = (
+        terms.select("term", "df", "idf")
+        .orderBy("term")
+        .limit(dict_vocab_max + 1)
+        .collect()
+    )
+    if len(vocab_rows) <= dict_vocab_max:
         return _build_sharded_dict(
-            tf, terms, avgdl, shard_width, block_size, n_buckets
+            tf, vocab_rows, avgdl, shard_width, block_size, n_buckets
         )
     tf2 = (
         # vocab exceeds the broadcast-safe threshold: shuffle join on
@@ -171,7 +181,7 @@ def _pack_shard(
 
 def _build_sharded_dict(
     tf: DataFrame,
-    terms: DataFrame,
+    vocab_rows: list,
     avgdl: float,
     shard_width: int,
     block_size: int,
@@ -189,7 +199,7 @@ def _build_sharded_dict(
     as DRAM-bandwidth-bound (BENCH/BASELINE.md). Bit-identical output to
     the join path (tested)."""
     spark = tf.sparkSession
-    rows = terms.select("term", "df", "idf").orderBy("term").collect()
+    rows = vocab_rows  # pre-collected term-ordered (term, df, idf)
     term_list = [r["term"] for r in rows]
     df_arr = np.array([r["df"] for r in rows], dtype=np.int64)
     idf_arr = np.array([r["idf"] for r in rows], dtype=np.float64)
@@ -382,13 +392,20 @@ def sharded_batch_topk(
         for qid, entries in q_entries.items():
             if not entries:
                 continue
+            S_q = sum(qtf * tmax[ti] for ti, qtf in entries)
+            # S_q > 0 mirrors wand's pruning gate: at S_q == 0 every
+            # contribution in this shard is exactly 0.0, and the
+            # nonzero-score candidate cut would drop the matched docs
+            # the exact batch scorer returns in its (_mx <= 0) regime
             prune_ok = (
-                do_prune and kk > 0 and all(idf_a[ti] >= 0 for ti, _ in entries)
+                do_prune
+                and kk > 0
+                and all(idf_a[ti] >= 0 for ti, _ in entries)
+                and S_q > 0
             )
             if not prune_ok:
                 q_plan[qid] = (entries, None)
                 continue
-            S_q = sum(qtf * tmax[ti] for ti, qtf in entries)
             # tau0: decode only each term's single best block; per-doc
             # max single-block contribution lower-bounds the true score
             m = np.zeros(sw)
@@ -412,7 +429,11 @@ def sharded_batch_topk(
         # vectorized add over the term's concatenated postings (the
         # common case for multi-query batches, where pruning rarely
         # fires) — per-block adds only when the mask actually prunes.
-        ps = np.zeros((nq, sw))
+        # rows only for queries with >=1 term IN THIS SHARD: sizing the
+        # accumulator by the whole batch (nq x sw) would make per-task
+        # memory scale with total batch size regardless of shard overlap
+        active = {qid: i for i, qid in enumerate(sorted(q_plan))}
+        ps = np.zeros((len(active), sw))
         ubx: Dict[int, np.ndarray] = {}
         term_cat: dict = {}
 
@@ -427,7 +448,7 @@ def sharded_batch_topk(
             return hit
 
         for qid, (entries, kept) in q_plan.items():
-            qi = qpos_b[qid]
+            qi = active[qid]
             for ei, (ti, qtf) in enumerate(entries):
                 kmask = kept[ei] if kept is not None else None
                 if kmask is None or kmask.all():
@@ -448,12 +469,21 @@ def sharded_batch_topk(
 
         out_q, out_d, out_s = [], [], []
         for qid, (entries, kept) in q_plan.items():
-            qi = qpos_b[qid]
+            qi = active[qid]
             s = ps[qi]
             if kept is None or qi not in ubx:
                 # everything decoded: ps is exact and in canonical order
                 cand_ids = np.flatnonzero(s != 0.0)
                 cand_s = s[cand_ids]
+                if len(cand_s) == 0 or cand_s.max() <= 0.0:
+                    # degenerate all-nonpositive regime: matched docs can
+                    # score exactly 0.0 (zero idf), which the nonzero cut
+                    # misses — surface the full matched set, as the exact
+                    # batch scorer's merge ((_mx <= 0) branch) returns
+                    ids_list = [get_term(ti)[0] for ti, _ in entries]
+                    if ids_list:
+                        cand_ids = np.unique(np.concatenate(ids_list))
+                        cand_s = s[cand_ids]
             else:
                 ub_extra = np.cumsum(ubx[qi][:sw])
                 nz_ids = np.flatnonzero((s != 0.0) | (ub_extra > 0.0))

@@ -11,8 +11,9 @@
   vocab-average is the one global barrier in the build — a single cheap
   pass over the terms table.
 
-doc_len / lang / site are denormalized into the tf rows so the query path
-never joins back to the corpus table.
+doc_len is denormalized into the tf rows so scoring never joins back to
+the corpus table; metadata (lang/site) stays on docs and joins onto the
+thresholded candidates only (scorer.finalize_topk's docvalues lookup).
 """
 
 from __future__ import annotations
@@ -45,7 +46,7 @@ def build_docs(
     """
     slim = pages.select(
         "url",
-        F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("site"),
+        F.regexp_extract("url", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)", 1).alias("site"),
         "lang",
         *meta_cols,
         "html",

@@ -230,6 +230,8 @@ def wand_topk(
     counts = Counter(tokenize(query))
     terms = sorted(counts)
     prows = _query_postings(index, terms).persist()
+    decoded_p = None  # released in the finally — a failed collect must
+    # not leak the persisted pruned-decode relation in a serving session
     try:
         stat_rows = (
             prows.groupBy("term")
@@ -250,6 +252,13 @@ def wand_topk(
             and not filters
             and k > 0
             and all(v[1] >= 0 for v in qmap.values())
+            # S > 0 <=> some term has a positive best block <=> the true
+            # max score is positive. At S == 0 (every matched idf exactly
+            # 0) all scores are 0.0 — the degenerate regime whose
+            # zero-backfill only finalize_topk implements; the pruned
+            # path would return matched docs only and diverge from
+            # bm25_topk/the oracle
+            and S > 0
         )
         if not can_prune:
             decoded = _decode_contribs(prows, qmap, index.avgdl)
@@ -275,6 +284,7 @@ def wand_topk(
             t: tau0 - (S - v[0] * v[2]) - _PAD for t, v in qmap.items()
         }
         decoded = _decode_contribs(prows, qmap, index.avgdl, keep_thresh=keep_thresh).persist()
+        decoded_p = decoded
         per_doc = decoded.groupBy("doc_id").agg(
             F.sum("contrib").alias("ps"), F.sum("cmax").alias("seen_cmax")
         )
@@ -306,6 +316,7 @@ def wand_topk(
         )
         cand = np.sort(np.array([r["doc_id"] for r in cand_rows], dtype=np.int64))
         decoded.unpersist()
+        decoded_p = None
 
         if len(cand) > _C_CAP:
             exact = _decode_contribs(prows, qmap, index.avgdl)
@@ -316,6 +327,8 @@ def wand_topk(
         return _finalize_candidates(index, scored, k)
     finally:
         prows.unpersist()
+        if decoded_p is not None:
+            decoded_p.unpersist()
 
 
 def _finalize_candidates(index: Index, scored: DataFrame, k: int) -> DataFrame:

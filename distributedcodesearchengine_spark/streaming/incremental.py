@@ -47,7 +47,7 @@ def _docs_delta(batch: DataFrame, offset: int, meta_cols: tuple) -> DataFrame:
         .withColumn("text", extract_text_udf(F.col("html")))
         .withColumn("tokens", tokenize_udf(F.col("text")))
         .withColumn("doc_len", F.size("tokens").cast("int"))
-        .withColumn("site", F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1))
+        .withColumn("site", F.regexp_extract("url", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)", 1))
     )
     # arrival-order ids within the batch (micro-batches are small; the
     # single-partition window here is bounded by batch size, not corpus)

@@ -56,7 +56,7 @@ def start_site_totals_stream(
     StreamingQuery."""
     stream = spark.readStream.schema(PAGES).parquet(input_dir)
     sites = stream.select(
-        F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("site"), "text"
+        F.regexp_extract("url", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)", 1).alias("site"), "text"
     )
     totals = sites.groupBy("site").applyInPandasWithState(
         _update_site_totals,

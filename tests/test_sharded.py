@@ -126,3 +126,30 @@ def test_sharded_matches_batch(spark):
         v2 = [(r["rank"], r["doc_id"], round(r["score"], 9))
               for r in wand_topk(idx, q, k=10).collect()]
         assert v1 == v2, q
+
+
+def test_zero_idf_batch_query_matches_exact(spark):
+    """idf == 0 term (df == N/2): both batch scorers must agree in the
+    degenerate all-zero regime — previously the sharded path's
+    nonzero-score candidate cut dropped the matched docs the exact
+    batch scorer returns."""
+    from pyspark.sql import functions as F
+
+    pages = spark.createDataFrame(
+        [
+            ("https://z.example/0", "banana apple", "en"),
+            ("https://z.example/1", "apple cherry", "en"),
+            ("https://z.example/2", "banana cherry", "en"),
+            ("https://z.example/3", "apple apple", "en"),
+        ],
+        "url string, text string, lang string",
+    ).withColumn("html", F.encode(F.col("text"), "utf-8"))
+    idx = build_index_inmem(spark, pages)
+    idx.postings = build_sharded_postings(
+        idx.tf, idx.terms, idx.n_docs, idx.avgdl, shard_width=WIDTH, block_size=4
+    ).persist()
+    qs = {0: "banana", 1: "banana apple"}
+    a = _by_query(bm25_topk_batch(idx, qs, k=10).collect())
+    b = _by_query(sharded_batch_topk(idx, qs, k=10, shard_width=WIDTH).collect())
+    assert a == b
+    assert len(a[0]) == 2  # the two matched docs surface at score 0.0

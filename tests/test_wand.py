@@ -104,3 +104,26 @@ def test_blocks_are_compressed(skew_index):
     # delta-varint: dense-ish doc ids in a range => ~1-2 bytes per delta
     for r in row:
         assert r["nbytes"] <= 3 * r["n"]
+
+
+def test_zero_idf_query_matches_exact_backfill(spark):
+    """A term in exactly N/2 docs has idf == 0 (the epsilon floor only
+    lifts NEGATIVE idf): every matched score is 0.0, the degenerate
+    regime. The pruned path must disable itself (S == 0 gate) and fall
+    through to finalize_topk's zero-backfill — previously it returned
+    only the matched docs while bm25_topk returned ALL docs by id."""
+    pages = spark.createDataFrame(
+        [
+            ("https://a.example/0", "banana apple", "en"),
+            ("https://a.example/1", "apple cherry", "en"),
+            ("https://a.example/2", "banana cherry", "en"),
+            ("https://a.example/3", "apple apple", "en"),
+        ],
+        "url string, text string, lang string",
+    ).withColumn("html", F.encode(F.col("text"), "utf-8"))
+    idx = add_postings(build_index_inmem(spark, pages), block_size=4,
+                       target_row_postings=8)
+    v1 = _rows(bm25_topk(idx, "banana", k=10))
+    v2 = _rows(wand_topk(idx, "banana", k=10, prune=True))
+    assert v1 == v2
+    assert len(v1) == 4  # all docs backfilled at 0.0, ranked by doc_id
