@@ -200,23 +200,32 @@ def build_index_persisted(
         # re-streamed in a different arrival order assigns different
         # ids, and a resume that kept the old id layout would break the
         # "arrival-order ids preserved" contract silently
+        meta_vals = [F.col(c).cast("string") for c in ("lang", *meta_cols)]
         sig = docs_src.agg(
             F.count("*").alias("n"),
             F.sum(
                 F.crc32(F.concat_ws("|", F.col("doc_id").cast("string"), F.col("url")))
             ).alias("us"),
             F.sum(F.crc32(F.concat_ws(" ", F.col("tokens")))).alias("hs"),
+            F.sum(F.crc32(F.concat_ws("|", *meta_vals))).alias("ms"),
         ).first()
     else:
+        # lang + meta VALUES are content too: a metadata-only change
+        # (one row's lang flips) must rebuild, not resume — lang feeds
+        # filters/facets/partitioning and the old fingerprint only
+        # covered url + html
+        meta_vals = [F.col(c).cast("string") for c in ("lang", *meta_cols)]
         sig = pages.agg(
             F.count("*").alias("n"),
             F.sum(F.crc32(F.col("url"))).alias("us"),
             F.sum(F.crc32(F.col("html"))).alias("hs"),
+            F.sum(F.crc32(F.concat_ws("|", *meta_vals))).alias("ms"),
         ).first()
     fp = _fingerprint(
         n_pages=int(sig["n"]),
         url_sig=int(sig["us"] or 0),
         html_sig=int(sig["hs"] or 0),
+        meta_sig=int(sig["ms"] or 0),
         meta_cols=list(meta_cols),
         block_size=block_size,
         target=target_row_postings,
@@ -375,6 +384,17 @@ def build_index_persisted(
     all_buckets = list(range(n_buckets))
     missing = [b for b in all_buckets if b not in done_buckets]
     if missing:
+        if not done_buckets and os.path.exists(post_dir):
+            # fresh postings build for THIS fingerprint into a dir
+            # holding a previous build's partitions: dynamic overwrite
+            # only replaces buckets the new build writes, so partitions
+            # the new bucket set never touches (n_buckets reduced, or a
+            # bucket empty under the new vocabulary) would survive and
+            # serve stale postings — wipe first. A mid-build resume
+            # (done_buckets non-empty) keeps its partial lineage.
+            import shutil
+
+            shutil.rmtree(post_dir)
         # ST1 priority scheduling: higher-priority buckets land in
         # earlier (contiguous) groups, so an interrupt after group k has
         # completed the k highest-priority slices first
@@ -498,6 +518,11 @@ def build_index_persisted(
     fz_dir = os.path.join(index_dir, "fuzzy_keys")
     if os.path.exists(fz_dir):
         idx.extras["fuzzy_keys"] = spark.read.parquet(fz_dir)
+    emb_dir = os.path.join(index_dir, "embeddings")
+    if os.path.exists(emb_dir):
+        # match load_index: the freshly built handle serves the semantic
+        # path without recomputing the embeddings stage it just wrote
+        idx.extras["embeddings"] = spark.read.parquet(emb_dir)
     return idx
 
 

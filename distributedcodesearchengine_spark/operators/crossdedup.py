@@ -50,12 +50,17 @@ def _content_hash(docs: DataFrame) -> DataFrame:
 def cross_exact_survivors(new_docs: DataFrame, old_docs: DataFrame) -> DataFrame:
     """new docs (all columns) whose content hash is absent from old."""
     kill = _content_hash(old_docs).select("h").distinct()
-    newh = new_docs.join(_content_hash(new_docs).select("doc_id", "h"), "doc_id")
+    # the hash is derivable IN PLACE — joining new_docs against its own
+    # hash projection would shuffle the full new batch on doc_id just
+    # to add a column
+    newh = new_docs.withColumn(
+        "h", F.md5(F.encode(F.col("text"), "utf-8"))
+    )
     return newh.join(kill, "h", "left_anti").drop("h")
 
 
 def _bands_of(docs: DataFrame) -> DataFrame:
-    sigs = minhash_signatures(docs).select("doc_id", *_band_cols())
+    sigs = minhash_signatures(docs, ordered=False).select("doc_id", *_band_cols())
     bands = None
     for b in range(N_BANDS):
         part = sigs.select(
@@ -134,7 +139,13 @@ def cross_dedup_survivors(
     max_bucket: int = 2000,
 ) -> DataFrame:
     """(doc_id) — new docs surviving both stages, ordered."""
-    stage1 = cross_exact_survivors(new_docs, old_docs)
+    # stage1 feeds BOTH the LSH candidate side and the final anti-join:
+    # cut the lineage so the exact-stage anti-join runs once, not per
+    # consumer (at the 10^12-doc design point a repeated corpus-scale
+    # anti-join is a material cost)
+    stage1 = cross_exact_survivors(new_docs, old_docs).localCheckpoint(
+        eager=False
+    )
     near = (
         cross_lsh_pairs(stage1, old_docs, jaccard_min, max_bucket)
         .select(F.col("new_id").alias("doc_id"))
@@ -189,7 +200,11 @@ def cross_dedup_sql(
     """
     new_side = (
         f"stage1 AS (SELECT n.doc_id, n.text FROM {new_expr} n "
-        f"WHERE md5(n.text) NOT IN (SELECT md5(text) FROM {old_expr})), "
+        # NOT EXISTS, not NOT IN: one NULL text in old would make the
+        # NOT IN NULL for every row (empty survivors) while the Spark
+        # left_anti keeps non-matching rows — SQL three-valued logic
+        f"WHERE NOT EXISTS (SELECT 1 FROM {old_expr} o "
+        "WHERE md5(o.text) = md5(n.text))), "
         if survivors
         else f"stage1 AS (SELECT doc_id, text FROM {new_expr}), "
     )

@@ -70,9 +70,16 @@ def with_shingles(docs: DataFrame) -> DataFrame:
     return docs.withColumn("shingles", F.expr(SHINGLES_EXPR))
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = N_HASHES, ordered: bool = True
+) -> DataFrame:
     """(doc_id, mh0..mh{n-1}) — min over shingles of md5(i || '|' || s).
-    Docs with no shingles (< 3 tokens) are excluded."""
+    Docs with no shingles (< 3 tokens) are excluded.
+
+    ``ordered=False`` skips the final global sort — the LSH/cross-dedup
+    pipelines immediately re-shuffle by band bucket, so paying a
+    corpus-wide range sort there buys nothing; ordering is an
+    oracle-comparison concern only."""
     sh = (
         with_shingles(docs)
         .where(F.size("shingles") > 0)
@@ -82,7 +89,8 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
         F.min(F.md5(F.encode(F.concat(F.lit(f"{i}|"), F.col("sh")), "utf-8"))).alias(f"mh{i}")
         for i in range(n_hashes)
     ]
-    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+    out = sh.groupBy("doc_id").agg(*aggs)
+    return out.orderBy("doc_id") if ordered else out
 
 
 def minhash_signatures_sql(table_toks_cte: str, n_hashes: int = N_HASHES) -> str:
@@ -114,7 +122,7 @@ def lsh_candidate_pairs(
     that collide an entire band) from candidate generation so no bucket
     can go quadratic in the self-join; the cap is mirrored in the DuckDB
     oracle, and capped content still pairs through its other bands."""
-    sigs = minhash_signatures(docs).select("doc_id", *_band_cols())
+    sigs = minhash_signatures(docs, ordered=False).select("doc_id", *_band_cols())
     bands = None
     for b in range(N_BANDS):
         part = sigs.select(
@@ -251,6 +259,7 @@ def min_label_propagation(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .persist()
     )
     prev_sum = labels.agg(F.sum("lab")).first()[0]
+    converged = False
     for it in range(max_iter):
         nbr = (
             edges.join(labels.withColumnRenamed("doc_id", "doc_b"), "doc_b")
@@ -274,9 +283,21 @@ def min_label_propagation(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
     edges.unpersist()
+    if not converged:
+        # min propagates ONE hop per round: a component whose diameter
+        # exceeds max_iter (a 30-doc near-dup chain of incrementally
+        # edited boilerplate) would otherwise return silently WRONG
+        # multi-label components while the recursive-CTE oracle computes
+        # the true ones — fail loudly instead of under-deduping
+        raise RuntimeError(
+            f"min_label_propagation did not converge in {max_iter} "
+            "rounds (component diameter exceeds max_iter); raise "
+            "max_iter for this graph"
+        )
     return labels
 
 

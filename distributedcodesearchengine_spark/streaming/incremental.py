@@ -41,9 +41,23 @@ from ..functions.udfs import extract_text_udf, tokenize_udf
 from ..schemas import PAGES
 
 
+def _dedup_urls(batch: DataFrame) -> DataFrame:
+    """One row per url, DETERMINISTICALLY: the min-content-hash variant
+    survives. dropDuplicates picks an arbitrary row, so a url recrawled
+    twice within one micro-batch could index variant A while a separate
+    evaluation of the same plan (tf, the hashes sidecar) saw variant B —
+    every consumer of the batch must see the same surviving rows."""
+    w = Window.partitionBy("url").orderBy(F.md5(F.col("html")))
+    return (
+        batch.withColumn("_urn", F.row_number().over(w))
+        .where(F.col("_urn") == 1)
+        .drop("_urn")
+    )
+
+
 def _docs_delta(batch: DataFrame, offset: int, meta_cols: tuple) -> DataFrame:
     d = (
-        batch.dropDuplicates(["url"])
+        _dedup_urls(batch)
         .withColumn("text", extract_text_udf(F.col("html")))
         .withColumn("tokens", tokenize_udf(F.col("text")))
         .withColumn("doc_len", F.size("tokens").cast("int"))
@@ -107,6 +121,12 @@ class IncrementalIndexer:
                 continue
             if exclude is not None and d == f"batch={exclude}":
                 continue
+            # committed means _SUCCESS — a PREDECESSOR run's crash can
+            # leave a partial dir under a different run tag that the
+            # exclude mechanism cannot name; reading it would count
+            # phantom ids and mark partially-written urls as indexed
+            if not os.path.exists(os.path.join(p, "_SUCCESS")):
+                continue
             out.append(p)
         return out
 
@@ -156,6 +176,12 @@ class IncrementalIndexer:
             os.path.exists(os.path.join(tf_sub, "_SUCCESS"))
         )
         if not committed:
+            # url-dedup FIRST, deterministically, so docs / tf / the
+            # hashes sidecar (three independent evaluations) all see the
+            # same surviving row per url — otherwise a url recrawled
+            # twice in one batch could record the dropped variant's
+            # hash as indexed while docs holds the other variant
+            batch = _dedup_urls(batch)
             # prior batches only — never this batch's own partial write
             prior = self._batch_subdirs("docs", exclude=tag)
             offset = self.current_offset(exclude=tag)
@@ -169,7 +195,12 @@ class IncrementalIndexer:
             docs_delta = _docs_delta(batch, offset, self.meta_cols)
             # idempotent per-batch write: overwrite this batch's subdirs
             docs_delta.write.mode("overwrite").parquet(docs_sub)
-            term_freqs(docs_delta).write.mode("overwrite").parquet(tf_sub)
+            # tf derives from the COMMITTED docs rows (read-back), never
+            # a re-evaluation of the extract/tokenize plan — docs and tf
+            # are consistent by construction and the UDF pass runs once
+            term_freqs(spark.read.parquet(docs_sub)).write.mode(
+                "overwrite"
+            ).parquet(tf_sub)
             if self.content_dedup:
                 self._write_hashes(batch, tag)
         elif self.content_dedup and not os.path.exists(
@@ -180,6 +211,7 @@ class IncrementalIndexer:
             # redelivered batch (prior state is unchanged since the
             # crash, so the same rows survive) and record its hashes —
             # otherwise later batches would re-admit this content
+            batch = _dedup_urls(batch)
             prior = self._batch_subdirs("docs", exclude=tag)
             if prior:
                 seen = spark.read.parquet(*prior).select("url")
@@ -188,9 +220,11 @@ class IncrementalIndexer:
         # committed redelivery: the writes already happened — fall
         # through to the stats recompute (the crash may have hit between
         # the batch write and the stats swap)
-        # global stats recompute over the accumulated corpus
-        docs = spark.read.parquet(self._path("docs"))
-        tf = spark.read.parquet(self._path("tf"))
+        # global stats recompute over the accumulated corpus —
+        # COMMITTED subdirs only (the base-dir read would also pick up a
+        # crashed predecessor run's partial, un-_SUCCESS-ed batch dirs)
+        docs = spark.read.parquet(*self._batch_subdirs("docs"))
+        tf = spark.read.parquet(*self._batch_subdirs("tf"))
         n, avgdl = corpus_stats(docs)
         terms_with_idf(tf, n).write.mode("overwrite").parquet(
             self._path("terms.tmp")
@@ -210,8 +244,9 @@ class IncrementalIndexer:
         srow = spark.read.parquet(self._path("stats")).first()
         return Index(
             spark=spark,
-            docs=spark.read.parquet(self._path("docs")),
-            tf=spark.read.parquet(self._path("tf")),
+            # committed subdirs only — never a crashed run's partials
+            docs=spark.read.parquet(*self._batch_subdirs("docs")),
+            tf=spark.read.parquet(*self._batch_subdirs("tf")),
             terms=spark.read.parquet(self._path("terms")),
             n_docs=int(srow["n_docs"]),
             avgdl=float(srow["avgdl"]),

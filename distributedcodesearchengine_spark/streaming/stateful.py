@@ -36,7 +36,10 @@ def _update_site_totals(
     n, total = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        total += int(pdf["text"].str.len().sum())
+        # fillna: a null text reaches the UDF as NaN from .str.len()
+        # (file sources ignore nullable=False) and int(NaN) would
+        # crash-loop the stream on checkpoint replay of the same file
+        total += int(pdf["text"].str.len().fillna(0).sum())
     state.update((int(n), int(total)))
     yield pd.DataFrame({"site": [key[0]], "n_docs": [n], "total_chars": [total]})
 

@@ -89,3 +89,26 @@ def test_text_complexity_goldens(spark):
     assert rows[1]["complexity"] == 1 + 2 + 2
     assert rows[2]["complexity"] == 1
     assert rows[3]["complexity"] == 1
+
+
+def test_min_label_propagation_raises_on_nonconvergence(spark):
+    """A component whose diameter exceeds max_iter must fail loudly —
+    silently returning multi-label components under-dedups and
+    diverges from the recursive-CTE oracle."""
+    import pytest as _pytest
+
+    from distributedcodesearchengine_spark.operators.dedup import (
+        min_label_propagation,
+    )
+
+    # a path 0-1-2-...-9: min needs ~9 rounds to reach the tail
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        min_label_propagation(pairs, max_iter=3)
+    labs = {
+        r.doc_id: r.lab
+        for r in min_label_propagation(pairs, max_iter=15).collect()
+    }
+    assert set(labs.values()) == {0}
