@@ -318,8 +318,6 @@ def dataset_split(documents: DataFrame) -> DataFrame:
     counts = d.groupBy("lang", "split").agg(
         F.count("*").cast("long").alias("n_docs")
     )
-    from pyspark.sql.window import Window
-
     w = Window.partitionBy("lang")
     return (
         counts.withColumn("_tot", F.sum("n_docs").over(w))
@@ -447,7 +445,9 @@ def pack_sequences_sql(table_toks_cte: str, budget: int = 512) -> str:
 # training-data export sink
 
 
-def export_manifest(docs: DataFrame, budget: int = 65536) -> DataFrame:
+def export_manifest(
+    docs: DataFrame, budget: int = 65536, assignment: Optional[DataFrame] = None
+) -> DataFrame:
     """(shard_id, n_docs, n_tokens, min_doc, max_doc, content_md5) —
     the audit manifest of a token-budget sharded export: shard_id is
     the ``pack_sequences`` bin the document STARTS in (contiguous
@@ -460,8 +460,18 @@ def export_manifest(docs: DataFrame, budget: int = 65536) -> DataFrame:
     Scale shape: the assignment reuses pack_sequences' two-level cumsum
     (bounded windows); the rollup is one groupBy(shard) whose hash fold
     holds ~budget/avgdl per-doc digests per shard — bounded by the
-    shard size the caller chose, never corpus-wide."""
-    asg = pack_sequences(docs, budget=budget).select("doc_id", "n_tokens", "bin_id")
+    shard size the caller chose, never corpus-wide.
+
+    ``assignment``: a precomputed pack_sequences projection
+    (doc_id, n_tokens, bin_id) — export_shards passes its own so the
+    two-level cumsum runs once per export, not once per consumer."""
+    asg = (
+        assignment
+        if assignment is not None
+        else pack_sequences(docs, budget=budget).select(
+            "doc_id", "n_tokens", "bin_id"
+        )
+    )
     hashes = docs.select(
         "doc_id", F.md5(F.encode(F.col("text"), "utf-8")).alias("h")
     )
@@ -525,10 +535,17 @@ def export_shards(
     import os
 
     keep = [c for c in carry if c in docs.columns]
-    asg = pack_sequences(docs, budget=budget).select(
-        "doc_id", F.col("bin_id").alias("shard_id")
+    # ONE packing plan for both consumers (the shard writer and the
+    # manifest rollup) — the lineage cut makes the two-level cumsum run
+    # once per export instead of once per consumer
+    asg = (
+        pack_sequences(docs, budget=budget)
+        .select("doc_id", "n_tokens", "bin_id")
+        .localCheckpoint(eager=False)
     )
-    data = docs.select("doc_id", "text", *keep).join(asg, "doc_id")
+    data = docs.select("doc_id", "text", *keep).join(
+        asg.select("doc_id", F.col("bin_id").alias("shard_id")), "doc_id"
+    )
     (
         data.repartition(F.col("shard_id"))
         .sortWithinPartitions("doc_id")
@@ -536,7 +553,10 @@ def export_shards(
         .partitionBy("shard_id")
         .parquet(f"{out_dir}/data")
     )
-    man_rows = [r.asDict() for r in export_manifest(docs, budget=budget).collect()]
+    man_rows = [
+        r.asDict()
+        for r in export_manifest(docs, budget=budget, assignment=asg).collect()
+    ]
     manifest = {"budget": int(budget), "n_shards": len(man_rows), "shards": man_rows}
     tmp = f"{out_dir}/manifest.json.tmp"
     with open(tmp, "w") as f:
@@ -684,9 +704,13 @@ def chunk_semantic_topk_sql(
         f"n AS (SELECT *, sqrt({sq}) AS nrm FROM e), "
         "sc AS (SELECT doc_id, chunk_id, "
         f"CASE WHEN nrm > 0 THEN {dot} ELSE 0.0 END AS score FROM n) "
+        # the outer ORDER BY names sc.score explicitly: a bare 'score'
+        # binds to the rounded SELECT alias in DuckDB while the window
+        # (and Spark) rank by the RAW score — a 6-dp collision at the
+        # LIMIT boundary would cut a different chunk across engines
         "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id, chunk_id) AS INT) "
         f"AS rank, doc_id, chunk_id, {round6_sql('score')} AS score "
-        f"FROM sc ORDER BY score DESC, doc_id, chunk_id LIMIT {k}"
+        f"FROM sc ORDER BY sc.score DESC, doc_id, chunk_id LIMIT {k}"
     )
 
 

@@ -24,7 +24,11 @@ STOPWORDS = {
     "fr": ["le", "la", "les", "et", "est", "un", "une", "des"],
 }
 
-BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"
+# explicit whitespace class everywhere instead of \s: Java includes
+# vertical tab \x0B in \s, RE2 (DuckDB) does not — \s-based lanes
+# silently diverge on any corpus containing \x0B
+WS_CLASS = r"[ \t\n\x0B\f\r]"
 
 
 def _stop_ratio_expr(lang: str) -> str:
@@ -147,7 +151,7 @@ def token_counts(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id",
         F.expr(
-            r"CAST(size(filter(split(text, '\\s+'), x -> x != '')) AS BIGINT)"
+            r"CAST(size(filter(split(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x != '')) AS BIGINT)"
         ).alias("ws_tokens"),
         # F.lit pattern avoids SQL-parser backslash mangling of \s
         F.size(F.regexp_extract_all("text", F.lit(BPE_REGEX), F.lit(0)))
@@ -159,7 +163,7 @@ def token_counts(documents: DataFrame) -> DataFrame:
 def token_counts_sql() -> str:
     return (
         "SELECT doc_id, "
-        r"CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS BIGINT) AS ws_tokens, "
+        r"CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'), x -> x != '')) AS BIGINT) AS ws_tokens, "
         f"CAST(len(regexp_extract_all(text, '{BPE_REGEX}')) AS BIGINT) AS bpe_tokens "
         "FROM documents ORDER BY doc_id"
     )
@@ -169,9 +173,11 @@ def text_complexity(documents: DataFrame) -> DataFrame:
     """(doc_id, n_sentences, n_clauses, n_specials, complexity) — the
     web-text analog of the reference's per-function cyclomatic
     complexity metadata (P7, codesearch/parser/python_parser.py /
-    javascript_parser.py complexity fields): 1 + count of structural
-    branch points (sentence ends, clause separators, code-ish special
-    runs), stored as per-doc metadata alongside the index."""
+    javascript_parser.py complexity fields): complexity = 1 + n_sentences + n_clauses
+    (sentence ends and clause separators are the counted branch points;
+    n_specials — code-ish special runs — is reported as its own signal
+    but NOT folded into the formula), stored as per-doc metadata
+    alongside the index."""
     sent = "CAST(size(regexp_extract_all(text, '[.!?]', 0)) AS BIGINT)"
     clause = "CAST(size(regexp_extract_all(text, '[,;:]', 0)) AS BIGINT)"
     spec = "CAST(size(regexp_extract_all(text, '[_/()\\\\[\\\\]{}-]', 0)) AS BIGINT)"
@@ -201,7 +207,14 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id",
         F.md5(
-            F.encode(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), "utf-8")
+            F.encode(
+                F.trim(
+                    F.regexp_replace(
+                        F.lower(F.col("text")), WS_CLASS + "+", " "
+                    )
+                ),
+                "utf-8",
+            )
         ).alias("fingerprint"),
     ).orderBy("doc_id")
 
@@ -209,7 +222,7 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
 def doc_fingerprint_sql() -> str:
     return (
         "SELECT doc_id, "
-        r"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint "
+        r"md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fingerprint "
         "FROM documents ORDER BY doc_id"
     )
 
@@ -253,6 +266,10 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
 
     Docs too short for an n-gram get 0.0 fractions (no signal).
     """
+    # FOUR consumers reference the docs subtree (three gram explodes +
+    # the doc_id spine): cut the lineage once so the upstream tokenize
+    # pass runs once, not four times per invocation
+    docs = docs.select("doc_id", "tokens").localCheckpoint(eager=False)
     g1 = _gram_counts(docs, 1).select(
         "doc_id",
         F.col("n_grams").alias("n_tokens"),
@@ -321,14 +338,27 @@ def doc_keywords(docs: DataFrame, k: int = 5) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    n_docs = docs.count()
-    tf2 = docs.select("doc_id", F.explode("tokens").alias("term"))
+    # one scan feeds both aggregations — cut the lineage so the
+    # tokenize/explode subtree runs once, not per consumer
+    tf2 = docs.select(
+        "doc_id", F.explode("tokens").alias("term")
+    ).localCheckpoint(eager=False)
     tfc = tf2.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # NO broadcast hint: dfc is vocabulary-sized (the repo rule — a
+    # corpus vocabulary is too big to broadcast at the design point;
+    # the term-keyed shuffle join is the scale shape). n_docs folds in
+    # as a 1-row broadcast instead of a separate eager count() action.
+    # ALL docs, like the oracle's count(*) — empty-token docs count in N
+    nd = docs.agg(F.count("*").cast("double").alias("_n"))
     dfc = tf2.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tfc.join(F.broadcast(dfc), "term").withColumn(
-        "tfidf",
-        F.col("tf").cast("double")
-        * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+    scored = (
+        tfc.join(dfc, "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * F.log(F.col("_n") / F.col("df").cast("double")),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (
@@ -619,8 +649,12 @@ def collocations_pmi_sql(
         "((u1.c * 1.0 / (SELECT t_uni FROM tot)) * (u2.c * 1.0 / (SELECT t_uni FROM tot)))) AS pmi "
         "FROM big b JOIN uni u1 ON u1.t = b.t1 JOIN uni u2 ON u2.t = b.t2 "
         f"WHERE b.cnt >= {int(min_count)}) "
+        # ORDER BY the RAW pmi (a bare 'pmi' would bind to the rounded
+        # SELECT alias in DuckDB, while Spark orders by raw _pmi — a
+        # 6-dp round-collision at the LIMIT boundary would then cut a
+        # different row set across engines)
         f"SELECT t1, t2, cnt, {round6_sql('pmi')} AS pmi FROM j "
-        f"ORDER BY pmi DESC, t1 ASC, t2 ASC LIMIT {int(k)}"
+        f"ORDER BY j.pmi DESC, t1 ASC, t2 ASC LIMIT {int(k)}"
     )
 
 
