@@ -86,7 +86,8 @@ def rrf_merge(
     """Merge two ranked lists -> (doc_id, score, semantic_score,
     bm25_score) with the reference's combined/normalized scores.
 
-    ``semantic``/``bm25``: (id_col, score [, rank]) ranked lists.
+    ``semantic``/``bm25``: (id_col, score [, rank]) ranked lists; at
+    least one is required.
     ``boost``: optional (id_col, boost) DataFrame (built e.g. from
     metadata with ``boost_col``); joined in and applied only when
     ``query_mentions_http(query)``, like the reference.
@@ -129,6 +130,8 @@ def rrf_merge(
         else None
     )
 
+    if sem_side is None and bm_side is None:
+        raise ValueError("rrf_merge: at least one ranked list required")
     if sem_side is not None and bm_side is not None:
         joined = sem_side.join(bm_side, id_col, "full_outer")
     elif sem_side is not None:
@@ -203,7 +206,12 @@ def rrf_merge(
         )
         return spark.createDataFrame(data, schema)
 
-    # unbounded merge: stay lazy (never collect an unbounded set)
+    # unbounded merge: stay lazy (never collect an unbounded set).
+    # localCheckpoint first: the mx action below materializes the merge
+    # subtree, and the returned plan reads the materialized rows — the
+    # old form unpersisted sem after the eager action, so the caller's
+    # action recomputed the whole join/rank subtree uncached
+    merged = merged.localCheckpoint(eager=False)
     mx = merged.agg(F.max("score")).first()[0]
     if mx is not None and mx > 0:
         merged = merged.withColumn("score", F.col("score") / F.lit(mx))

@@ -67,14 +67,23 @@ def cms_build(
 ) -> DataFrame:
     """docs(doc_id, tokens) -> (d, bucket, cnt) — the CMS counter
     matrix over token OCCURRENCES (ctf). depth*width rows max."""
+    # pre-aggregate occurrences per term BEFORE the depth explode: the
+    # md5 bucket pipeline then runs depth*|vocab| times instead of
+    # depth*total_occurrences (the sketch is a sum of per-term counts,
+    # so weighting the bucket agg by ctf is count-identical)
     tok = docs.select(F.explode("tokens").alias("term"))
-    deep = tok.select(
-        "term", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
+    ctf = tok.groupBy("term").agg(F.count("*").alias("ctf"))
+    deep = ctf.select(
+        "term", "ctf",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
     )
     return (
-        deep.select("d", _bucket_col(F.col("d"), F.col("term"), width).alias("bucket"))
+        deep.select(
+            "d", "ctf",
+            _bucket_col(F.col("d"), F.col("term"), width).alias("bucket"),
+        )
         .groupBy("d", "bucket")
-        .agg(F.count("*").cast("long").alias("cnt"))
+        .agg(F.sum("ctf").cast("long").alias("cnt"))
     )
 
 
@@ -132,7 +141,10 @@ def kmv_distinct(docs: DataFrame, k: int = KMV_K) -> DataFrame:
     partial top-k, no global sort); the exact count is one agg and is
     reported for the gate's side-by-side only — a production sketch
     run would keep just the k-row bottom."""
-    terms = docs.select(F.explode("tokens").alias("term")).distinct()
+    # persist: count() and the bottom-k collect are two actions over
+    # the same corpus-tokenize + distinct lineage — without the pin the
+    # dominant cost of the sketch build runs twice
+    terms = docs.select(F.explode("tokens").alias("term")).distinct().persist()
     hashed = terms.select(
         F.conv(F.substring(F.md5(F.encode(F.col("term"), "utf-8")), 1, 8), 16, 10)
         .cast("long")
@@ -140,6 +152,7 @@ def kmv_distinct(docs: DataFrame, k: int = KMV_K) -> DataFrame:
     )
     n = terms.count()
     bottom = [r["h"] for r in hashed.orderBy("h").limit(k).collect()]
+    terms.unpersist()
     if len(bottom) >= k:
         est = (k - 1) / (float(bottom[-1]) / _HASH_SPACE)
     else:
@@ -229,7 +242,10 @@ def ddsketch_quantiles_sql(
     ln_g, g1 = _dd_consts(alpha)
     qvals = ", ".join(f"({float(q)!r})" for q in sorted(qs))
     return (
-        f"WITH v AS ({source_sql}), "
+        # x > 0 mirrors the Spark side's filter — without it one
+        # non-positive source value crashes ln() in DuckDB while Spark
+        # silently sketches the positive subset
+        f"WITH v AS (SELECT x FROM ({source_sql}) WHERE x > 0), "
         f"b AS (SELECT CAST(ceil(ln(x) / {ln_g!r}) AS BIGINT) AS k, "
         "CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1), "
         "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM b), "
