@@ -185,7 +185,14 @@ def bm25_clickboost_topk(
     qweights = query_term_weights(index, query)
     scored = score_matched(index, qweights) if qweights else None
     if scored is not None:
-        scored = scored.persist()
+        # LRU-1 persist parked on the index handle (the _cache_scored
+        # discipline): the max action below AND the caller's collect of
+        # the returned lazy top-k both read the scored subtree — the old
+        # form unpersisted before return, so the caller's action
+        # recomputed the whole scoring join uncached
+        from .scorer import _cache_scored
+
+        scored = _cache_scored(index, scored)
         mx = scored.agg(F.max("score").alias("mx")).first()["mx"]
     else:
         mx = None
@@ -217,12 +224,9 @@ def bm25_clickboost_topk(
     from pyspark.sql.window import Window
 
     w = Window.orderBy(F.desc("final"), F.asc("doc_id"))
-    out = top.withColumn("rank", F.row_number().over(w)).select(
+    return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "doc_id", round6("final").alias("score"), "n_clicks"
     )
-    if scored is not None:
-        scored.unpersist()
-    return out
 
 
 def bm25_clickboost_sql(
