@@ -43,12 +43,22 @@ def assign_doc_ids(
     num_partitions: int | None = None,
     dedup: bool = False,
     samples_per_partition: int = 200,
+    dedup_tie=None,
 ) -> DataFrame:
     """Add a dense 0-based ``doc_id`` = rank of ``order_col``.
 
     ``dedup=True`` also drops duplicate keys inside the same shuffle
     (equal keys share a ``_pid``, so a lag window finds them locally) —
-    the reference's first-wins add-time dedup (bm25_index.py:91-92).
+    the reference's add-time identity dedup (bm25_index.py:91-92).
+    "First wins" has no stable meaning under distributed evaluation, so
+    the survivor among equal keys is pinned by ``dedup_tie`` (a Column;
+    the MIN tie value wins — pass e.g. ``F.md5(F.col('html'))`` to keep
+    the min-content-hash variant, the same rule the streaming ingest
+    uses, streaming/incremental.py:_dedup_urls). Without a tie column
+    the pick among differing duplicate rows is arbitrary (only safe when
+    duplicates are full-row identical). The tie key extends the rank
+    window's sort too — a no-op for ranks, since keys are unique after
+    dedup — so both window functions ride ONE sort.
 
     Returns a persisted DataFrame (caller should write it out or
     unpersist when done).
@@ -76,7 +86,10 @@ def assign_doc_ids(
         pid = F.lit(0)
 
     d = df.withColumn("_pid", pid).repartition(n_part, F.col("_pid"))
-    w = Window.partitionBy("_pid").orderBy(order_col)
+    sort_cols = [F.col(order_col)]
+    if dedup and dedup_tie is not None:
+        sort_cols.append(dedup_tie)
+    w = Window.partitionBy("_pid").orderBy(*sort_cols)
     if dedup:
         d = d.withColumn("_prev", F.lag(order_col).over(w)).where(
             F.col("_prev").isNull() | (F.col("_prev") != F.col(order_col))

@@ -57,7 +57,13 @@ def build_docs(
     # shuffle would re-execute the UDF in the partitioner's sampling
     # pass. url-dedup rides the same shuffle (no separate
     # dropDuplicates exchange over raw pages).
-    ids = assign_doc_ids(slim, "url", num_partitions, dedup=True)
+    # min-md5(html) survivor among recrawled urls — the same
+    # deterministic rule as streaming ingest (_dedup_urls); an arbitrary
+    # pick would make the built index a nondeterministic function of its
+    # input partitioning whenever a url appears with differing html
+    ids = assign_doc_ids(
+        slim, "url", num_partitions, dedup=True, dedup_tie=F.md5(F.col("html"))
+    )
     docs = (
         # fused extract+tokenize: html crosses to Python once, only the
         # token arrays come back (the extracted text itself never does)
