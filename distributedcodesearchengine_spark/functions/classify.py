@@ -126,11 +126,11 @@ def classify_documents(
 def classify_gate_sql(table: str = "documents", threshold: float = 0.5) -> str:
     """DuckDB oracle for the gate entry: mock scores, 6dp-rounded, keep
     decided on the unrounded double exactly like the Spark side."""
-    from .rounding import round6_sql
+    from .rounding import round6_sql, sql_double
 
     e = mock_classify_sql_expr("text")
     return (
         f"SELECT doc_id, {round6_sql(e)} AS score, "
-        f"{e} > CAST({float(threshold)} AS DOUBLE) AS keep "
+        f"{e} > CAST({sql_double(threshold)} AS DOUBLE) AS keep "
         f"FROM {table} ORDER BY doc_id"
     )

@@ -35,3 +35,24 @@ def round6_sql(expr: str) -> str:
 def round6_py(x: float) -> float:
     """Driver-side 6-dp rounding of a Python float (same arithmetic)."""
     return math.floor(x * _SCALE + 0.5) / _SCALE
+
+
+def sql_double(x: float) -> str:
+    """Embed a Python float in DuckDB SQL so the engine reconstructs the
+    IDENTICAL IEEE-754 double.
+
+    A bare decimal literal is typed DECIMAL first and the
+    DECIMAL->DOUBLE conversion is off by 1 ulp whenever the scaled
+    integer exceeds 2^53 (observed: 360287970.23653245 parses to
+    0x...65 vs Python's 0x...64; ~1% of the repo's sha-derived
+    hyperplane/centroid components hit this). One wrong ulp flips
+    sign/argmax/threshold comparisons — integer outputs like LSH bucket
+    bits or DDSketch buckets, which no display rounding hides. A
+    scientific-notation literal is typed DOUBLE at parse and goes
+    through the correctly-rounded string->double path (verified in
+    tests/test_rounding.py over hypothesis-generated doubles), so this
+    appends ``e0`` when repr carries no exponent."""
+    r = repr(float(x))
+    if "e" in r or "E" in r or "inf" in r or "nan" in r:
+        return r
+    return r + "e0"

@@ -15,7 +15,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 from ..oracle.tokenizer import tokenize
-from .rounding import round6_sql
+from .rounding import round6_sql, sql_double
 
 K1, B, EPSILON = 1.5, 0.75, 0.25
 
@@ -362,7 +362,7 @@ def highlights_sql(k: int = 50) -> str:
 
 
 def _fmt_vec(qvec: Sequence[float]) -> str:
-    return "[" + ", ".join(repr(float(x)) for x in qvec) + "]"
+    return "[" + ", ".join(sql_double(x) for x in qvec) + "]"
 
 
 def cosine_topk_sql(qvec: Sequence[float], k: int = 10) -> str:
@@ -374,7 +374,7 @@ def cosine_topk_sql(qvec: Sequence[float], k: int = 10) -> str:
     return (
         "WITH scored AS (SELECT vec_id, "
         f"list_dot_product(embedding::DOUBLE[], {v}) / "
-        f"(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * {qnorm!r}) AS score "
+        f"(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * {sql_double(qnorm)}) AS score "
         "FROM embeddings) "
         "SELECT CAST(row_number() OVER (ORDER BY score DESC, vec_id ASC) AS INT) AS rank, "
         f"vec_id, {round6_sql('score')} AS score FROM scored ORDER BY score DESC, vec_id ASC LIMIT {k}"
@@ -395,7 +395,7 @@ def _boost_case_sql() -> str:
             conds.append(f"contains(lower(d.source), '{src_pat}')")
         if lang_pat is not None:
             conds.append(f"contains(lower(d.lang), '{lang_pat}')")
-        whens.append(f"WHEN {' AND '.join(conds)} THEN {float(factor)}")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN {sql_double(factor)}")
     return "CASE " + " ".join(whens) + " ELSE 1.0 END"
 
 
@@ -445,7 +445,7 @@ def rrf_hybrid_sql(
         f"  FROM bkept ORDER BY score DESC, doc_id ASC LIMIT {overfetch}), "
         "sscored AS (SELECT vec_id AS doc_id, "
         f"  list_dot_product(embedding::DOUBLE[], {v}) / "
-        f"  (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * {qnorm!r}) AS score "
+        f"  (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * {sql_double(qnorm)}) AS score "
         "  FROM embeddings), "
         "semtop AS (SELECT doc_id, score, "
         "  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) - 1 AS rank0 "

@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.rounding import round6, round6_sql
+from ..functions.rounding import round6, round6_sql, sql_double
 from ..oracle.tokenizer import tokenize
 
 LN2 = math.log(2.0)
@@ -145,8 +145,8 @@ def eval_ranking_sql(
         for t in sorted(set(tokenize(q))):
             qrows.append(f"({int(qid)}, '{t}')")
     qvals = ", ".join(qrows)
-    gain = f"(2.0 ^ rel - 1.0) / (ln(rank + 1.0) / {LN2!r})"
-    igain = f"(2.0 ^ rel - 1.0) / (ln(irank + 1.0) / {LN2!r})"
+    gain = f"(2.0 ^ rel - 1.0) / (ln(rank + 1.0) / {sql_double(LN2)})"
+    igain = f"(2.0 ^ rel - 1.0) / (ln(irank + 1.0) / {sql_double(LN2)})"
     return (
         f"WITH {toks_cte}, "
         f"res AS ({results_sql}), "

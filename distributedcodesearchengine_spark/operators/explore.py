@@ -34,7 +34,7 @@ from typing import Sequence, Tuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.rounding import round6
+from ..functions.rounding import round6, sql_double
 from ..oracle.tokenizer import tokenize
 from .scorer import Index, finalize_topk, query_term_weights, score_matched
 
@@ -262,7 +262,7 @@ def bm25_clickboost_sql(
         "  GROUP BY 1), "
         "boosted AS (SELECT kept.doc_id, "
         "  kept.score * (1.0 + "
-        f"{float(weight)!r} * ln(1.0 + coalesce(prior.n_clicks, 0))) AS final, "
+        f"{sql_double(weight)} * ln(1.0 + coalesce(prior.n_clicks, 0))) AS final, "
         "  coalesce(prior.n_clicks, CAST(0 AS BIGINT)) AS n_clicks "
         "  FROM kept LEFT JOIN prior USING (doc_id)) "
         "SELECT CAST(row_number() OVER (ORDER BY final DESC, doc_id ASC) AS INT) AS rank, "

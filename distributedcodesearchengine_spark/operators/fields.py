@@ -203,7 +203,7 @@ def bm25f_topk_sql(
     the SAME order as the Spark ``fields`` — every literal ((1-b), w,
     avgdl guard, threshold) is written so both engines evaluate the
     identical IEEE-754 operand sequence."""
-    from ..functions.rounding import round6_sql
+    from ..functions.rounding import round6_sql, sql_double
     from ..functions.sql_oracle import EPSILON, tokenize_col
 
     toks = tokenize(query)
@@ -229,8 +229,8 @@ def bm25f_topk_sql(
         for i in range(nf)
     )
     tfw = " + ".join(
-        f"({float(w)!r} * (tfp.tf_{i} / "
-        f"({float(1.0 - b)!r} + {float(b)!r} * lens.len_{i} / (SELECT avg_{i} FROM stats))))"
+        f"({sql_double(w)} * (tfp.tf_{i} / "
+        f"({sql_double(1.0 - b)} + {sql_double(b)} * lens.len_{i} / (SELECT avg_{i} FROM stats))))"
         for i, (_, w, b) in enumerate(fields_sql)
     )
     return (
@@ -252,7 +252,7 @@ def bm25f_topk_sql(
         "ELSE idf_raw END AS idf FROM idf0), "
         f"qt(term, qtf) AS (VALUES {qvals}), "
         "contrib AS (SELECT tfp.doc_id, tfp.term, "
-        f"  qt.qtf * (idf.idf * (({tfw}) / ({float(k1)!r} + ({tfw})))) AS c "
+        f"  qt.qtf * (idf.idf * (({tfw}) / ({sql_double(k1)} + ({tfw})))) AS c "
         "  FROM tfp JOIN qt USING (term) JOIN idf USING (term) "
         "  JOIN lens ON lens.doc_id = tfp.doc_id), "
         "scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id), "

@@ -46,7 +46,7 @@ from typing import Dict, Optional
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.rounding import round6, round6_sql
+from ..functions.rounding import round6, round6_sql, sql_double
 
 # ---------------------------------------------------------------------------
 # benchmark decontamination
@@ -168,7 +168,7 @@ def split_leakage_sql(table_toks_cte: str, n: int = 8) -> str:
     cum = 0.0
     for name, w in _SPLIT_WEIGHTS:
         cum += float(w)
-        whens.append(f"WHEN {bucket} < {cum * buckets!r} THEN '{name}'")
+        whens.append(f"WHEN {bucket} < {sql_double(cum * buckets)} THEN '{name}'")
     case = "CASE " + " ".join(whens) + " ELSE 'test' END"
     gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
     return (
@@ -341,7 +341,7 @@ def dataset_split_sql(table: str = "documents") -> str:
     cum = 0.0
     for name, w in _SPLIT_WEIGHTS:
         cum += float(w)
-        whens.append(f"WHEN {bucket} < {cum * buckets!r} THEN '{name}'")
+        whens.append(f"WHEN {bucket} < {sql_double(cum * buckets)} THEN '{name}'")
     case = "CASE " + " ".join(whens) + " ELSE 'test' END"
     return (
         f"WITH s AS (SELECT lang, {case} AS split FROM {table}), "
@@ -636,7 +636,7 @@ def _lane_exprs(engine: str, hexcol: str = "h") -> list:
 
 
 def _q_literals(qvec) -> list:
-    return [f"CAST({float(q)!r} AS DOUBLE)" for q in qvec[:_EMBED_LANES]]
+    return [f"CAST({sql_double(q)} AS DOUBLE)" for q in qvec[:_EMBED_LANES]]
 
 
 def chunk_semantic_topk(
@@ -815,7 +815,7 @@ def curate_corpus_sql(
 
         clf = (
             f" AND {mock_classify_sql_expr('text')} > "
-            f"CAST({float(classifier_threshold)} AS DOUBLE)"
+            f"CAST({sql_double(classifier_threshold)} AS DOUBLE)"
         )
     return (
         f"WITH docs AS (SELECT doc_id, text, lang, {tokenize_col('text')} AS toks "
@@ -1203,10 +1203,10 @@ def temperature_sample_sql(
     return (
         f"WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l FROM {table} GROUP BY lang), "
         "t AS (SELECT CAST(sum(n_l) AS BIGINT) AS n_tot FROM c), "
-        f"c2 AS (SELECT lang, n_l, exp({float(alpha)!r} * ln(n_l * 1.0 / (SELECT n_tot FROM t))) AS num FROM c), "
+        f"c2 AS (SELECT lang, n_l, exp({sql_double(alpha)} * ln(n_l * 1.0 / (SELECT n_tot FROM t))) AS num FROM c), "
         "d AS (SELECT sum(num ORDER BY lang) AS denom FROM c2), "
         "r AS (SELECT lang, least(1.0, num / (SELECT denom FROM d) * "
-        f"({float(target_frac)!r} * (SELECT n_tot FROM t)) / n_l) AS rate FROM c2), "
+        f"({sql_double(target_frac)} * (SELECT n_tot FROM t)) / n_l) AS rate FROM c2), "
         f"k AS (SELECT lang, rate, CASE WHEN {bucket} < rate * {_MIX_BUCKETS} "
         f"THEN 1 ELSE 0 END AS keep FROM {table} JOIN r USING (lang)) "
         "SELECT lang, CAST(count(*) AS BIGINT) AS n_total, "

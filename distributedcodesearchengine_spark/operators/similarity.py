@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.embed import mock_embed_text
-from ..functions.rounding import round6, round6_sql
+from ..functions.rounding import round6, round6_sql, sql_double
 
 N_PLANES = 8
 
@@ -59,7 +59,7 @@ def hyperplane_buckets_sql(dim: int = 64, n_planes: int = N_PLANES) -> str:
     planes = hyperplanes(dim, n_planes)
     bits = " + ".join(
         "CASE WHEN list_dot_product(embedding::DOUBLE[], ["
-        + ", ".join(repr(float(x)) for x in p)
+        + ", ".join(sql_double(x) for x in p)
         + f"]) >= 0 THEN CAST({2 ** i} AS BIGINT) ELSE 0 END"
         for i, p in enumerate(planes)
     )
@@ -295,7 +295,7 @@ def _cell_sql(
     k_cells = len(cents)
     dots = ", ".join(
         "list_dot_product(embedding::DOUBLE[], ["
-        + ", ".join(repr(float(x)) for x in c)
+        + ", ".join(sql_double(x) for x in c)
         + f"]) AS d{i}"
         for i, c in enumerate(cents)
     )
@@ -334,14 +334,14 @@ def ivf_topk_sql(
     qdots = [sum(float(a) * float(b) for a, b in zip(qvec, c)) for c in cents]
     probe = sorted(range(k_cells), key=lambda i: (-qdots[i], i))[:nprobe]
     qnorm = math.sqrt(sum(float(x) * float(x) for x in qvec))
-    v = "[" + ", ".join(repr(float(x)) for x in qvec) + "]"
+    v = "[" + ", ".join(sql_double(x) for x in qvec) + "]"
     plist = ", ".join(str(int(p)) for p in probe)
     return (
         f"WITH {_cell_sql(k_cells, dim, centroids)}, "
         f"cand AS (SELECT vec_id, embedding FROM cells WHERE cell IN ({plist})), "
         "scored AS (SELECT vec_id, "
         f"list_dot_product(embedding::DOUBLE[], {v}) / "
-        f"(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * {qnorm!r}) AS score "
+        f"(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * {sql_double(qnorm)}) AS score "
         "FROM cand) "
         "SELECT CAST(row_number() OVER (ORDER BY score DESC, vec_id ASC) AS INT) AS rank, "
         f"vec_id, {round6_sql('score')} AS score FROM scored "
@@ -469,7 +469,7 @@ def near_dup_pairs_lsh_sql(
     planes = hyperplanes(dim, n_planes)
     bits = " + ".join(
         "CASE WHEN list_dot_product(embedding::DOUBLE[], ["
-        + ", ".join(repr(float(x)) for x in p)
+        + ", ".join(sql_double(x) for x in p)
         + f"]) >= 0 THEN CAST({2 ** i} AS BIGINT) ELSE 0 END"
         for i, p in enumerate(planes)
     )

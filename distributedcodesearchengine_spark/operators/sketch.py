@@ -32,7 +32,7 @@ from typing import List
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.rounding import round6, round6_sql
+from ..functions.rounding import round6, round6_sql, sql_double
 
 CMS_DEPTH = 4
 CMS_WIDTH = 256
@@ -240,20 +240,20 @@ def ddsketch_quantiles_sql(
     """DuckDB mirror: ``source_sql`` must yield one positive double
     column ``x``. Same ln/exp lanes, same Python-computed literals."""
     ln_g, g1 = _dd_consts(alpha)
-    qvals = ", ".join(f"({float(q)!r})" for q in sorted(qs))
+    qvals = ", ".join(f"({sql_double(q)})" for q in sorted(qs))
     return (
         # x > 0 mirrors the Spark side's filter — without it one
         # non-positive source value crashes ln() in DuckDB while Spark
         # silently sketches the positive subset
         f"WITH v AS (SELECT x FROM ({source_sql}) WHERE x > 0), "
-        f"b AS (SELECT CAST(ceil(ln(x) / {ln_g!r}) AS BIGINT) AS k, "
+        f"b AS (SELECT CAST(ceil(ln(x) / {sql_double(ln_g)}) AS BIGINT) AS k, "
         "CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1), "
         "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM b), "
         "cum AS (SELECT k, c, sum(c) OVER (ORDER BY k) AS cum FROM b), "
         f"qs(q) AS (VALUES {qvals}), "
         "sel AS (SELECT q, (SELECT n FROM tot) AS n, CAST(min(k) AS BIGINT) AS k "
         "FROM qs JOIN cum ON cum.cum > qs.q * ((SELECT n FROM tot) - 1) GROUP BY q) "
-        f"SELECT q, k, {round6_sql(f'2.0 * exp(k * {ln_g!r}) / {g1!r}')} AS est, n "
+        f"SELECT q, k, {round6_sql(f'2.0 * exp(k * {sql_double(ln_g)}) / {sql_double(g1)}')} AS est, n "
         "FROM sel ORDER BY q"
     )
 
@@ -266,5 +266,5 @@ def kmv_distinct_sql(toks_cte: str, k: int = KMV_K) -> str:
         f"bottom AS (SELECT h FROM hashed ORDER BY h LIMIT {k}), "
         "kth AS (SELECT max(h) AS hk, count(*) AS nb FROM bottom) "
         "SELECT (SELECT CAST(count(*) AS BIGINT) FROM terms) AS n_distinct, "
-        f"{round6_sql(f'CASE WHEN (SELECT nb FROM kth) >= {k} THEN ({k} - 1) / (CAST((SELECT hk FROM kth) AS DOUBLE) / {_HASH_SPACE!r}) ELSE CAST((SELECT nb FROM kth) AS DOUBLE) END')} AS est"
+        f"{round6_sql(f'CASE WHEN (SELECT nb FROM kth) >= {k} THEN ({k} - 1) / (CAST((SELECT hk FROM kth) AS DOUBLE) / {sql_double(_HASH_SPACE)}) ELSE CAST((SELECT nb FROM kth) AS DOUBLE) END')} AS est"
     )
