@@ -12,7 +12,8 @@ candidate set is the only data that moves). The default model is a
 deterministic md5-derived pair scorer so the pipeline runs — and is
 oracle-checkable bit-for-bit — in this container; a real cross-encoder
 (sentence-transformers ``CrossEncoder``) drops in as
-``loader=lambda: model_predict_fn``.
+``loader=lambda query: model_predict_fn`` (the factory receives the
+query string, like ``_default_loader``).
 
 The candidate text is the searchable-text projection (tokens joined by
 a single space — the same reconstruction the embedding branch uses,

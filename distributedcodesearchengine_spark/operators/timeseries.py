@@ -160,9 +160,14 @@ def events_json_extract(events: DataFrame) -> DataFrame:
 
 
 def events_json_extract_sql() -> str:
+    # TRY_CAST, not CAST: regexp_extract yields '' when props carries no
+    # "k" and CAST('' AS BIGINT) throws — Spark's get_json_object returns
+    # NULL in that regime, which sum() skips on both engines. The
+    # whitespace class is JSON-spec whitespace (space/tab/LF/CR), the
+    # set the real JSON parser on the Spark side accepts there
     return (
         "SELECT event_type, "
-        r"CAST(sum(CAST(regexp_extract(props, '\"k\":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS total_k "
+        r"CAST(sum(TRY_CAST(regexp_extract(props, '\"k\":[ \t\n\r]*(\d+)', 1) AS BIGINT)) AS BIGINT) AS total_k "
         "FROM events GROUP BY event_type ORDER BY event_type"
     )
 
