@@ -666,6 +666,22 @@ def _registry():
         partial(eq.more_like_this_q, seed_doc_id=42, m=5, k=10),
         oq.more_like_this_sql(42, m=5, k=10),
     )
+
+    # significant-terms aggregation (ES significant_terms analog): the
+    # JLH-scored over-represented terms of the kept set vs the corpus
+    # background; healthy + degenerate (empty-by-construction) regimes
+    from distributedcodesearchengine_spark.operators.significant import (
+        significant_terms_sql,
+    )
+
+    reg["significant_terms"] = (
+        partial(eq.significant_terms_q, query="dup table", k=20, min_fg=2),
+        significant_terms_sql("dup table", k=20, min_fg=2),
+    )
+    reg["significant_terms_degenerate"] = (
+        partial(eq.significant_terms_q, query="table row", k=20, min_fg=2),
+        significant_terms_sql("table row", k=20, min_fg=2),
+    )
     return _rotate(reg)
 
 

@@ -125,6 +125,17 @@ def bm25_facets_q(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     return bm25_facets(idx, query)
 
 
+def significant_terms_q(
+    spark: SparkSession, sf_dir: str, query: str, k: int = 20, min_fg: int = 2
+) -> DataFrame:
+    """Significant-terms aggregation over the BM25 kept set
+    (operators/significant): term-space result-set analytics."""
+    from .operators.significant import significant_terms
+
+    idx = get_documents_index(spark, sf_dir)
+    return significant_terms(idx, query, k=k, min_fg=min_fg)
+
+
 def more_like_this_q(
     spark: SparkSession, sf_dir: str, seed_doc_id: int, m: int = 5, k: int = 10
 ) -> DataFrame:
