@@ -409,3 +409,14 @@ class SearchEngine:
         from .operators.explore import more_like_this
 
         return more_like_this(self.index, int(doc_id), m=m, k=limit)
+
+    def significant(
+        self, query: str, limit: int = 20, min_fg: int = 2
+    ) -> DataFrame:
+        """Significant-terms aggregation over the query's BM25 kept set
+        (operators/significant.significant_terms)."""
+        from .operators.significant import significant_terms
+
+        return significant_terms(
+            self.index, query, k=int(limit), min_fg=int(min_fg)
+        )

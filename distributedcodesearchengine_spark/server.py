@@ -13,6 +13,8 @@ Endpoints (JSON responses):
     GET  /explain?q=...&limit=10          per-term score breakdown
     GET  /suggest?prefix=al&limit=10
     GET  /facets?q=...               facet counts over the query's kept set
+    GET  /significant?q=...&limit=20&min_fg=2   significant terms of the
+                       query's kept set vs the corpus background (JLH)
     GET  /similar?doc_id=N&m=5&limit=10   more-like-this retrieval
     GET  /stats                      (+ "jobs": queued/running/complete builds)
     GET  /health
@@ -340,6 +342,8 @@ def make_handler(engine, stats_fn, index_manager=None):
                             "GET /explain": "per-term score breakdown",
                             "GET /suggest": "term autocomplete",
                             "GET /facets": "facet counts for a query",
+                            "GET /significant": "significant terms of the "
+                            "query's result set",
                             "GET /similar": "more-like-this for a doc_id",
                             "GET /stats": "corpus + build/job status",
                             "GET /health": "liveness",
@@ -383,6 +387,18 @@ def make_handler(engine, stats_fn, index_manager=None):
                     return self._send(
                         200,
                         {"query": q["q"], "facets": [r.asDict() for r in rows]},
+                    )
+                if url.path == "/significant":
+                    if "q" not in q:
+                        return self._send(400, {"error": "missing q"})
+                    rows = engine.significant(
+                        q["q"],
+                        limit=int(q.get("limit", 20)),
+                        min_fg=int(q.get("min_fg", 2)),
+                    ).collect()
+                    return self._send(
+                        200,
+                        {"query": q["q"], "terms": [r.asDict() for r in rows]},
                     )
                 if url.path == "/similar":
                     if "doc_id" not in q:

@@ -353,6 +353,24 @@ def test_facets_endpoint(srv):
     assert ei.value.code == 400
 
 
+def test_significant_endpoint(srv):
+    code, body = _get(srv, "/significant", q="parse json", limit=5, min_fg=1)
+    assert code == 200 and body["query"] == "parse json"
+    rows = body["terms"]
+    # degenerate corpora may return []; when rows exist they carry the
+    # full schema and are capped at limit
+    assert len(rows) <= 5
+    for r in rows:
+        assert {"term", "fg_count", "bg_count", "score"} <= set(r)
+        assert r["fg_count"] >= 1
+    # missing q -> 400
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/significant")
+    assert ei.value.code == 400
+
+
 def test_similar_endpoint(srv):
     code, body = _get(srv, "/similar", doc_id=3, limit=5)
     assert code == 200 and body["doc_id"] == 3
