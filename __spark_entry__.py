@@ -682,6 +682,18 @@ def _registry():
         partial(eq.significant_terms_q, query="table row", k=20, min_fg=2),
         significant_terms_sql("table row", k=20, min_fg=2),
     )
+
+    # keyset ("search_after") pagination: page 2 via the (score, doc_id)
+    # cursor cut must equal the rank window k+1..2k row-for-row, in both
+    # threshold regimes
+    reg["bm25_search_after"] = (
+        partial(eq.bm25_search_after_q, query="dup table", k=10),
+        oq.bm25_topk_after_sql("dup table", k=10),
+    )
+    reg["bm25_search_after_degenerate"] = (
+        partial(eq.bm25_search_after_q, query="table row", k=10),
+        oq.bm25_topk_after_sql("table row", k=10),
+    )
     return _rotate(reg)
 
 

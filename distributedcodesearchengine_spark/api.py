@@ -410,6 +410,40 @@ class SearchEngine:
 
         return more_like_this(self.index, int(doc_id), m=m, k=limit)
 
+    def search_after(
+        self,
+        query: str,
+        limit: int = 20,
+        after_score: Optional[float] = None,
+        after_doc: Optional[int] = None,
+        lang: Optional[str] = None,
+        site: Optional[str] = None,
+        source: Optional[str] = None,
+    ) -> DataFrame:
+        """Keyset pagination (operators/scorer.bm25_topk_after): the
+        next ``limit`` rows strictly after the (after_score, after_doc)
+        cursor — RAW scores in and out (no page-1 normalization: the
+        cursor must cut the unnormalized total order), so deep paging
+        costs a plain top-``limit`` regardless of depth. Without a
+        cursor this is the unnormalized first page. Unknown lang drops,
+        like search()/count() ('About N results' consistency)."""
+        from .operators.scorer import bm25_topk_after
+
+        filters: Dict[str, str] = {}
+        if lang and lang in self._known_langs():
+            filters["lang"] = lang
+        if site:
+            filters["site"] = site
+        if source:
+            filters["source"] = source
+        after = None
+        if after_score is not None and after_doc is not None:
+            after = (float(after_score), int(after_doc))
+        return bm25_topk_after(
+            self.index, query, k=int(limit), after=after,
+            filters=filters or None,
+        )
+
     def significant(
         self, query: str, limit: int = 20, min_fg: int = 2
     ) -> DataFrame:

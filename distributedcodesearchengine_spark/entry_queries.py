@@ -136,6 +136,30 @@ def significant_terms_q(
     return significant_terms(idx, query, k=k, min_fg=min_fg)
 
 
+def bm25_search_after_q(
+    spark: SparkSession, sf_dir: str, query: str, k: int = 10
+) -> DataFrame:
+    """Keyset-paginated page 2 (operators/scorer.bm25_topk_after): run
+    page 1, take its last row's RAW (score, doc_id) as the cursor, and
+    fetch the next page through the keyset cut. The oracle reaches the
+    same rows as the rank window k+1..2k, so this entry pins
+    keyset == offset-window row-for-row across engines."""
+    from .operators.scorer import bm25_topk, bm25_topk_after
+
+    idx = get_documents_index(spark, sf_dir)
+    page1 = bm25_topk(idx, query, k=k).orderBy("rank").collect()
+    if len(page1) < k:
+        # a first page shorter than k has no continuation
+        return spark.createDataFrame([], "rank int, doc_id long, score double")
+    last = page1[-1]
+    res = bm25_topk_after(
+        idx, query, k=k, after=(float(last["score"]), int(last["doc_id"]))
+    )
+    return res.select(
+        "rank", _orig_doc_id(), round6("score").alias("score")
+    ).orderBy("rank")
+
+
 def more_like_this_q(
     spark: SparkSession, sf_dir: str, seed_doc_id: int, m: int = 5, k: int = 10
 ) -> DataFrame:

@@ -188,6 +188,19 @@ def bm25_topk_sql(
     )
 
 
+def bm25_topk_after_sql(query: str, k: int = 10) -> str:
+    """Oracle for keyset pagination (scorer.bm25_topk_after): page 2 of
+    the ranking as the RANK WINDOW rows k+1..2k with page-relative
+    ranks — the Spark side reaches the same rows through the
+    (score, doc_id) cursor cut, so this pins keyset == offset-window
+    row-for-row, including ties at the page boundary."""
+    inner = bm25_topk_sql(query, k=2 * int(k))
+    return (
+        f"SELECT CAST(rank - {int(k)} AS INT) AS rank, doc_id, score "
+        f"FROM ({inner}) WHERE rank > {int(k)} ORDER BY rank"
+    )
+
+
 def bm25_count_sql(
     query: str, lang: Optional[str] = None, source: Optional[str] = None
 ) -> str:

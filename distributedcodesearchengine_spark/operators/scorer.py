@@ -237,6 +237,96 @@ def finalize_topk(
     )
 
 
+def bm25_topk_after(
+    index: Index,
+    query: str,
+    k: int = 10,
+    after: Optional[tuple] = None,
+    filters: Optional[Dict[str, str]] = None,
+) -> DataFrame:
+    """Keyset ("search_after") pagination — the Elasticsearch
+    search_after analog: the next ``k`` rows of the SAME total ranking
+    strictly after the cursor ``after = (score, doc_id)`` (the last row
+    of the previous page, RAW unrounded score), without the
+    offset-paging cost of re-fetching ``offset + k`` rows.
+
+    (score, doc_id) is the ranking's total order (score desc, doc_id
+    asc — T1), so "after the cursor" is exactly
+    ``score < s OR (score = s AND doc_id > d)`` — an exact cut even
+    through score ties at the page boundary. The plan's top-k stays
+    ``limit k`` REGARDLESS of page depth (offset paging's
+    TakeOrdered(k + offset) grows with depth — at page 1000 of a
+    10^12-doc corpus that difference is the serving cost). Threshold /
+    degenerate / filter semantics match bm25_topk row-for-row: page
+    continuation is a pure window of the same ranking (the gate oracle
+    pins page 2 against the rank-window formulation). ``after=None``
+    degrades to the plain first page. Returned ``rank`` is the
+    PAGE-RELATIVE position (1..k) — absolute ranks are what keyset
+    paging gives up, exactly like Elasticsearch.
+    """
+    spark = index.spark
+    if not tokenize(query):
+        return spark.createDataFrame(
+            [], "rank int, doc_id long, url string, score double"
+        )
+    qweights = query_term_weights(index, query)
+    scored = score_matched(index, qweights) if qweights else None
+
+    def _after(df: DataFrame) -> DataFrame:
+        if after is None:
+            return df
+        s, d = float(after[0]), int(after[1])
+        return df.where(
+            (F.col("score") < F.lit(s))
+            | ((F.col("score") == F.lit(s)) & (F.col("doc_id") > F.lit(d)))
+        )
+
+    needed = list(filters or {})
+    if scored is not None:
+        missing = [c for c in needed if c not in scored.columns]
+        if missing:
+            scored = scored.join(index.docs.select("doc_id", *missing), "doc_id")
+        scored = _cache_scored(index, scored)
+        mx = scored.agg(F.max("score").alias("mx")).first()["mx"]
+    else:
+        mx = None
+    if mx is not None and mx > 0:
+        res = _after(
+            _apply_filters(scored.where(F.col("score") >= F.lit(0.01 * mx)), filters)
+        )
+    else:
+        # degenerate regime: the keyset predicate applies BEFORE the
+        # narrow zero cut, so the k smallest-doc_id zeros AFTER the
+        # cursor survive — still a TakeOrdered limit k, never a
+        # corpus-wide sort
+        zeros = index.docs
+        if scored is not None:
+            zeros = zeros.join(scored.select("doc_id"), "doc_id", "left_anti")
+        zeros = _after(
+            _apply_filters(
+                zeros.select("doc_id", *needed, F.lit(0.0).alias("score")), filters
+            )
+        ).orderBy("doc_id").limit(k)
+        if scored is not None:
+            res = _after(
+                _apply_filters(scored.select("doc_id", *needed, "score"), filters)
+            ).unionByName(zeros.select("doc_id", *needed, "score"))
+        else:
+            res = zeros
+    top_small = res.select("doc_id", "score").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    ).limit(k)
+    top = index.docs.select("doc_id", "url").join(
+        F.broadcast(top_small), "doc_id", "inner"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "url", "score"
+    )
+
+
 def attach_urls_ranked(index: Index, ranked: List[tuple]) -> DataFrame:
     """``ranked``: the k winners as (doc_id, score), already
     thresholded/ordered driver-side -> (rank, doc_id, url, score).

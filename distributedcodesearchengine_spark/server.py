@@ -15,6 +15,10 @@ Endpoints (JSON responses):
     GET  /facets?q=...               facet counts over the query's kept set
     GET  /significant?q=...&limit=20&min_fg=2   significant terms of the
                        query's kept set vs the corpus background (JLH)
+    GET  /search_after?q=...&limit=20[&after_score=S&after_doc=D]
+                       keyset pagination: the next page strictly after
+                       the cursor (raw scores; "next" carries the
+                       follow-up cursor)
     GET  /similar?doc_id=N&m=5&limit=10   more-like-this retrieval
     GET  /stats                      (+ "jobs": queued/running/complete builds)
     GET  /health
@@ -344,6 +348,8 @@ def make_handler(engine, stats_fn, index_manager=None):
                             "GET /facets": "facet counts for a query",
                             "GET /significant": "significant terms of the "
                             "query's result set",
+                            "GET /search_after": "keyset pagination "
+                            "(after_score+after_doc cursor, raw scores)",
                             "GET /similar": "more-like-this for a doc_id",
                             "GET /stats": "corpus + build/job status",
                             "GET /health": "liveness",
@@ -387,6 +393,36 @@ def make_handler(engine, stats_fn, index_manager=None):
                     return self._send(
                         200,
                         {"query": q["q"], "facets": [r.asDict() for r in rows]},
+                    )
+                if url.path == "/search_after":
+                    if "q" not in q:
+                        return self._send(400, {"error": "missing q"})
+                    has_s, has_d = "after_score" in q, "after_doc" in q
+                    if has_s != has_d:
+                        return self._send(
+                            400,
+                            {"error": "after_score and after_doc must be "
+                             "passed together"},
+                        )
+                    res = engine.search_after(
+                        q["q"],
+                        limit=int(q.get("limit", 20)),
+                        after_score=float(q["after_score"]) if has_s else None,
+                        after_doc=int(q["after_doc"]) if has_d else None,
+                        lang=q.get("lang"),
+                        site=q.get("site"),
+                        source=q.get("source"),
+                    )
+                    rows = [r.asDict() for r in res.collect()]
+                    nxt = None
+                    if rows:
+                        nxt = {
+                            "after_score": rows[-1]["score"],
+                            "after_doc": rows[-1]["doc_id"],
+                        }
+                    return self._send(
+                        200,
+                        {"query": q["q"], "results": rows, "next": nxt},
                     )
                 if url.path == "/significant":
                     if "q" not in q:

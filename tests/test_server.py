@@ -353,6 +353,32 @@ def test_facets_endpoint(srv):
     assert ei.value.code == 400
 
 
+def test_search_after_endpoint(srv):
+    # page 1 (no cursor) then page 2 through the returned cursor: the
+    # concatenation must equal the first 2k rows of one keyset walk
+    code, p1 = _get(srv, "/search_after", q="parse json", limit=3)
+    assert code == 200 and p1["results"] and p1["next"] is not None
+    code, p2 = _get(
+        srv, "/search_after", q="parse json", limit=3,
+        after_score=p1["next"]["after_score"], after_doc=p1["next"]["after_doc"],
+    )
+    assert code == 200
+    ids1 = [r["doc_id"] for r in p1["results"]]
+    ids2 = [r["doc_id"] for r in p2["results"]]
+    assert not set(ids1) & set(ids2)  # pages never overlap
+    # page-relative ranks restart at 1
+    assert [r["rank"] for r in p2["results"]] == list(range(1, len(ids2) + 1))
+    # half a cursor -> 400; missing q -> 400
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/search_after", q="x", after_score=1.0)
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/search_after")
+    assert ei.value.code == 400
+
+
 def test_significant_endpoint(srv):
     code, body = _get(srv, "/significant", q="parse json", limit=5, min_fg=1)
     assert code == 200 and body["query"] == "parse json"
