@@ -264,3 +264,39 @@ def _docs_index(spark, sf_dir):
     )
 
     return get_documents_index(spark, sf_dir)
+
+
+def test_round4_operators_plan_shapes(spark, sf_dir):
+    """significant_terms: no cartesian, no vocab broadcast on the
+    terms-join side (the dictionary joins via shuffle; the only allowed
+    BNLJ is the 1-row |fg| scalar fold). search_after: the top-k stays
+    TakeOrderedAndProject at limit k regardless of cursor depth — the
+    whole point of keyset paging."""
+    from distributedcodesearchengine_spark.operators.scorer import bm25_topk_after
+    from distributedcodesearchengine_spark.operators.significant import (
+        significant_terms,
+    )
+
+    idx = _docs_index(spark, sf_dir)
+    sig = significant_terms(idx, "dup table", k=20, min_fg=2)
+    plan = explain_str(sig)
+    assert "CartesianProduct" not in plan
+    # BNLJs are allowed ONLY in the engine's 1-row scalar-fold shape
+    # (Cross BuildRight of a 1-row aggregate: the |fg| fold here plus
+    # the terms relation's own avg-idf folds) — a genuine nested-loop
+    # theta join would plan as Inner/BuildLeft with a condition
+    import re
+
+    for line in re.findall(r"BroadcastNestedLoopJoin[^\n(]*\([0-9]+\)", plan):
+        assert "Cross BuildRight" in line, (line, plan[:4000])
+
+    after = bm25_topk_after(idx, "dup table", k=7, after=(0.5, 123))
+    aplan = explain_str(after)
+    assert "CartesianProduct" not in aplan
+    # the keyset page's top-k is a limit-7 TakeOrdered — never k+offset
+    # (formatted explain carries the limit in the node details:
+    # "TakeOrderedAndProject\nInput...\nArguments: 7, [...]")
+    m = re.search(
+        r"\(\d+\) TakeOrderedAndProject\n[^\n]*\nArguments: (\d+),", aplan
+    )
+    assert m and m.group(1) == "7", aplan[:4000]
