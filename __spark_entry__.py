@@ -265,6 +265,17 @@ def _registry():
             k=10,
         ),
     )
+    # DisMax (best_fields): per-field BM25 statistics, max + tie * rest
+    # combiner — tie=0.3 exercises the blend (tie=0 would leave the
+    # non-best field's whole chain untested at the value level)
+    from distributedcodesearchengine_spark.operators.fields import (
+        dismax_topk_sql,
+    )
+
+    reg["dismax_topk"] = (
+        partial(eq.dismax_q, query="dup table", k=10, tie=0.3),
+        dismax_topk_sql("dup table", _BM25F_FIELDS, k=10, tie=0.3),
+    )
     reg["bm25_boolean_healthy"] = (
         partial(eq.bm25_boolean_query_q, query="dup +table -row", k=10),
         oq.bm25_boolean_sql("dup +table -row", k=10),

@@ -306,6 +306,28 @@ def bm25f_q(
     )
 
 
+def dismax_q(
+    spark: SparkSession, sf_dir: str, query: str, k: int = 10,
+    tie: float = 0.0, w_title: float = 2.0, w_body: float = 1.0,
+    title_chars: int = 60,
+) -> DataFrame:
+    """DisMax (best_fields) gate entry over the same synthetic
+    title/body split as bm25f_q — each field scored as its own BM25
+    index, combined max + tie * rest."""
+    from .operators.fields import FieldSpec, dismax_topk
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("text", 1, title_chars).alias("title"),
+        F.col("text").alias("body"),
+    )
+    fields = [FieldSpec("title", w_title, 0.75), FieldSpec("body", w_body, 0.75)]
+    res = dismax_topk(d, query, fields, k=k, tie=tie)
+    return res.select("rank", "doc_id", round6("score").alias("score")).orderBy(
+        "rank"
+    )
+
+
 def bm25_clickboost_q(
     spark: SparkSession, sf_dir: str, query: str, k: int = 10,
     weight: float = 0.2,

@@ -265,3 +265,272 @@ def bm25f_topk_sql(
         f"doc_id, {round6_sql('score')} AS score "
         f"FROM kept ORDER BY score DESC, doc_id ASC LIMIT {int(k)}"
     )
+
+
+def dismax_topk(
+    docs: DataFrame,
+    query: str,
+    fields: Sequence[FieldSpec],
+    k: int = 10,
+    tie: float = 0.0,
+    k1: float = K1,
+) -> DataFrame:
+    """DisMax ("best_fields") multi-field top-k over ``docs(doc_id,
+    <field text columns...>)`` -> (rank, doc_id, score), raw scores.
+
+    The OTHER classic multi-field combiner (Lucene
+    DisjunctionMaxQuery / Elasticsearch multi_match type=best_fields):
+    where BM25F blends term frequencies across fields BEFORE saturation
+    (a doc matching a little everywhere accumulates), DisMax scores
+    each field as its OWN BM25 index — per-field df, per-field idf
+    (epsilon-floor fold over that field's term space), per-field length
+    normalization — and combines per document as
+
+        score = max_f(w_f * S_f) + tie * (sum_f(w_f * S_f) - max_f(...))
+
+    so the single best-matching field dominates and ``tie`` (0..1)
+    controls how much the other fields contribute (tie=0 is pure
+    dismax; tie=1 degrades to the weighted sum). The right choice when
+    fields are DISJOINT descriptions of the same thing (title vs body:
+    a doc matching the whole query in its title should not be outranked
+    by one matching half the query in both).
+
+    Threshold / degenerate / (score desc, doc_id asc) conventions match
+    the house BM25 contract. Scale shape is bm25f_topk's: one tokenize
+    pass per field over a lazily-checkpointed stacked relation, ONE
+    (doc_id, term) shuffle with per-field conditional-sum tf columns,
+    term-pruned broadcast query join, candidates-only joins after.
+    """
+    spark = docs.sparkSession
+    toks = tokenize(query)
+    if not toks:
+        return spark.createDataFrame([], _EMPTY)
+    counts = Counter(toks)
+    uniq = sorted(counts)
+    nf = len(fields)
+
+    from ..functions.udfs import tokenize_udf
+
+    parts = [
+        docs.select(
+            "doc_id", F.lit(i).alias("fld"), tokenize_udf(F.col(fs.name)).alias("toks")
+        )
+        for i, fs in enumerate(fields)
+    ]
+    stacked = reduce(DataFrame.unionByName, parts)
+    slim = stacked.select(
+        "doc_id", "fld", F.size("toks").alias("flen"), "toks"
+    ).localCheckpoint(eager=False)
+
+    srows = slim.groupBy("fld").agg(
+        F.sum("flen").alias("s"), F.count("*").alias("n")
+    ).collect()
+    by = {int(r["fld"]): r for r in srows}
+    if not by:
+        return spark.createDataFrame([], _EMPTY)
+    n_docs = int(by[0]["n"])
+    avgdl = [
+        (float(by[i]["s"]) * 1.0 / n_docs) if by[i]["s"] else 1.0 for i in range(nf)
+    ]
+
+    lens = slim.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("fld") == i, F.col("flen")))
+            .cast("long")
+            .alias(f"len_{i}")
+            for i in range(nf)
+        ]
+    )
+    tfp = (
+        slim.where(F.col("flen") > 0)
+        .select("doc_id", "fld", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(
+            *[
+                F.sum(F.when(F.col("fld") == i, 1).otherwise(0))
+                .cast("long")
+                .alias(f"tf_{i}")
+                for i in range(nf)
+            ]
+        )
+    )
+    # PER-FIELD document frequencies and idf (each field is its own
+    # index: the fold runs over that field's term space)
+    idfs = []
+    for i in range(nf):
+        df_i = (
+            tfp.where(F.col(f"tf_{i}") > 0)
+            .groupBy("term")
+            .agg(F.count("*").alias("df"))
+        )
+        idfs.append(
+            idf_detail_from_df(df_i, n_docs)
+            .select("term", F.col("idf").alias(f"idf_{i}"))
+        )
+
+    qdf = spark.createDataFrame(
+        [(t, float(counts[t])) for t in uniq], "term string, qtf double"
+    )
+    cand = (
+        tfp.where(F.col("term").isin(uniq))
+        .join(F.broadcast(qdf), "term")
+        .join(lens, "doc_id")
+    )
+    for i in range(nf):
+        cand = cand.join(
+            idfs[i].where(F.col("term").isin(uniq)), "term", "left"
+        )
+    # per-field BM25 contribution; tf_i = 0 rows contribute exactly 0
+    # (coalesce keeps the NULL idf of a field-absent term from
+    # poisoning the fold — the product is 0 either way)
+    for i, fs in enumerate(fields):
+        bi = F.lit(1.0 - fs.b) + F.lit(fs.b) * F.col(f"len_{i}").cast(
+            "double"
+        ) / F.lit(avgdl[i])
+        cand = cand.withColumn(
+            f"c_{i}",
+            F.col("qtf")
+            * (
+                F.coalesce(F.col(f"idf_{i}"), F.lit(0.0))
+                * (
+                    F.col(f"tf_{i}").cast("double") * F.lit(k1 + 1.0)
+                    / (F.col(f"tf_{i}").cast("double") + F.lit(k1) * bi)
+                )
+            ),
+        )
+    def _fold(i: int):
+        # closure factory, NOT a default-arg lambda: pyspark maps the
+        # lambda's parameter count onto the HOF signature, so a bound
+        # `i=i` third parameter breaks the 2-arg aggregate merge fn
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", f"c_{i}"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x[f"c_{i}"],
+        ).alias(f"s_{i}")
+
+    scored = cand.groupBy("doc_id").agg(*[_fold(i) for i in range(nf)])
+    fscores = [F.lit(fields[i].weight) * F.col(f"s_{i}") for i in range(nf)]
+    dis = fscores[0] if nf == 1 else F.greatest(*fscores)
+    tot = fscores[0]
+    for fs_col in fscores[1:]:
+        tot = tot + fs_col
+    scored = scored.select(
+        "doc_id", (dis + F.lit(float(tie)) * (tot - dis)).alias("score")
+    )
+    mxv = scored.agg(F.max("score").alias("m")).first()["m"]
+    if mxv is not None and mxv > 0:
+        res = scored.where(F.col("score") >= F.lit(0.01 * mxv))
+    else:
+        zeros = (
+            docs.select("doc_id")
+            .join(scored.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id", F.lit(0.0).alias("score"))
+            .orderBy("doc_id")
+            .limit(k)
+        )
+        res = scored.select("doc_id", "score").unionByName(zeros)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        res.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", "score")
+    )
+
+
+def dismax_topk_sql(
+    query: str,
+    fields_sql: Sequence[Tuple[str, float, float]],
+    k: int = 10,
+    tie: float = 0.0,
+    k1: float = K1,
+    table: str = "documents",
+) -> str:
+    """DuckDB mirror of ``dismax_topk``: per-field dfreq/idf chains
+    (each with the canonical two-level epsilon fold over that field's
+    term space), per-field ordered contribution sums, then the
+    greatest + tie blend written operand-for-operand like the Spark
+    column expression."""
+    from ..functions.rounding import round6_sql, sql_double
+    from ..functions.sql_oracle import EPSILON, tokenize_col
+
+    toks = tokenize(query)
+    if not toks:
+        return "SELECT 1 AS rank, 1::BIGINT AS doc_id, 0.0 AS score WHERE false"
+    counts = Counter(toks)
+    qvals = ", ".join(f"('{t}', {float(q)})" for t, q in sorted(counts.items()))
+    nf = len(fields_sql)
+    tok_cols = ", ".join(
+        f"{tokenize_col(expr)} AS t{i}" for i, (expr, _, _) in enumerate(fields_sql)
+    )
+    len_cols = ", ".join(f"len(t{i}) AS len_{i}" for i in range(nf))
+    avg_cols = ", ".join(
+        f"CASE WHEN sum(len_{i}) = 0 OR sum(len_{i}) IS NULL THEN 1.0 "
+        f"ELSE sum(len_{i}) * 1.0 / count(*) END AS avg_{i}"
+        for i in range(nf)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS fld, unnest(t{i}) AS term FROM f" for i in range(nf)
+    )
+    tf_cols = ", ".join(
+        f"CAST(sum(CASE WHEN fld = {i} THEN 1 ELSE 0 END) AS BIGINT) AS tf_{i}"
+        for i in range(nf)
+    )
+    idf_ctes = []
+    for i in range(nf):
+        idf_ctes.append(
+            f"dfreq{i} AS (SELECT term, count(*) AS df FROM tfp "
+            f"WHERE tf_{i} > 0 GROUP BY term), "
+            f"idf0_{i} AS (SELECT term, df, "
+            "ln((SELECT n_docs FROM stats) - df + 0.5) - ln(df + 0.5) AS idf_raw "
+            f"FROM dfreq{i}), "
+            f"epsv{i} AS (SELECT {EPSILON} * (sum(s ORDER BY b) / sum(n)) AS eps FROM "
+            "(SELECT substr(md5(term), 1, 3) AS b, "
+            "sum(idf_raw ORDER BY term) AS s, count(*) AS n "
+            f"FROM idf0_{i} GROUP BY 1)), "
+            f"idf{i} AS (SELECT term, CASE WHEN idf_raw < 0 THEN "
+            f"(SELECT eps FROM epsv{i}) ELSE idf_raw END AS idf FROM idf0_{i})"
+        )
+    c_cols = []
+    for i, (_, _, b) in enumerate(fields_sql):
+        bi = (
+            f"{sql_double(1.0 - b)} + {sql_double(b)} * lens.len_{i} "
+            f"/ (SELECT avg_{i} FROM stats)"
+        )
+        c_cols.append(
+            f"qt.qtf * (coalesce(idf{i}.idf, 0.0) * "
+            f"(tfp.tf_{i} * {k1 + 1.0} / (tfp.tf_{i} + {k1} * ({bi})))) AS c_{i}"
+        )
+    idf_joins = " ".join(
+        f"LEFT JOIN idf{i} ON idf{i}.term = tfp.term" for i in range(nf)
+    )
+    s_cols = ", ".join(f"sum(c_{i} ORDER BY term) AS s_{i}" for i in range(nf))
+    fscores = [
+        f"({sql_double(w)} * s_{i})" for i, (_, w, _) in enumerate(fields_sql)
+    ]
+    dis = fscores[0] if nf == 1 else "greatest(" + ", ".join(fscores) + ")"
+    tot = " + ".join(fscores)
+    final = f"({dis}) + {sql_double(tie)} * (({tot}) - ({dis}))"
+    return (
+        f"WITH f AS (SELECT doc_id, {tok_cols} FROM {table}), "
+        f"lens AS (SELECT doc_id, {len_cols} FROM f), "
+        f"stats AS (SELECT count(*) AS n_docs, {avg_cols} FROM lens), "
+        f"u AS ({unions}), "
+        f"tfp AS (SELECT doc_id, term, {tf_cols} FROM u GROUP BY doc_id, term), "
+        + ", ".join(idf_ctes) + ", "
+        f"qt(term, qtf) AS (VALUES {qvals}), "
+        f"contrib AS (SELECT tfp.doc_id, tfp.term, {', '.join(c_cols)} "
+        f"  FROM tfp JOIN qt ON qt.term = tfp.term "
+        f"  {idf_joins} "
+        "  JOIN lens ON lens.doc_id = tfp.doc_id), "
+        f"persum AS (SELECT doc_id, {s_cols} FROM contrib GROUP BY doc_id), "
+        f"scored AS (SELECT doc_id, {final} AS score FROM persum), "
+        "mx AS (SELECT max(score) AS m FROM scored), "
+        "kept AS (SELECT d.doc_id, coalesce(s.score, 0.0) AS score "
+        "  FROM lens d LEFT JOIN scored s USING (doc_id) "
+        "  WHERE ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
+        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))) "
+        "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank, "
+        f"doc_id, {round6_sql('score')} AS score "
+        f"FROM kept ORDER BY score DESC, doc_id ASC LIMIT {int(k)}"
+    )
