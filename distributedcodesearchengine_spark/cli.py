@@ -64,6 +64,14 @@ def _build_parser() -> argparse.ArgumentParser:
     t = sub.add_parser("stats", help="corpus + build-lineage rollup")
     t.add_argument("--index", required=True)
 
+    fk = sub.add_parser(
+        "fsck",
+        help="offline index integrity verification (Lucene CheckIndex "
+        "analog): stats/doc-id/tf/terms/bucket invariants; exit 2 on "
+        "any failed check",
+    )
+    fk.add_argument("--index", required=True)
+
     g = sub.add_parser("suggest", help="term autocomplete under a prefix")
     g.add_argument("prefix")
     g.add_argument("--index", required=True)
@@ -441,6 +449,13 @@ def main(argv=None, spark=None) -> int:
         idx = load_index(spark, args.index)
         print(json.dumps(_stats_dict(spark, idx, args.index), default=str, indent=2))
         return 0
+
+    if args.cmd == "fsck":
+        from .build.fsck import fsck_index
+
+        report = fsck_index(spark, args.index)
+        print(json.dumps(report, indent=2))
+        return 0 if report["ok"] else 2
 
     if args.cmd == "serve":
         from .api import SearchEngine
