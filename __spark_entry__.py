@@ -694,6 +694,13 @@ def _registry():
         significant_terms_sql("table row", k=20, min_fg=2),
     )
 
+    # minimum_should_match (pre-threshold match-set constraint like the
+    # boolean occur flags): 2-of-3 distinct terms over a healthy query
+    reg["bm25_msm"] = (
+        partial(eq.bm25_msm_q, query="dup table row", k=10, msm=2),
+        oq.bm25_msm_sql("dup table row", k=10, msm=2),
+    )
+
     # keyset ("search_after") pagination: page 2 via the (score, doc_id)
     # cursor cut must equal the rank window k+1..2k row-for-row, in both
     # threshold regimes

@@ -410,6 +410,33 @@ class SearchEngine:
 
         return more_like_this(self.index, int(doc_id), m=m, k=limit)
 
+    def search_msm(
+        self,
+        query: str,
+        limit: int = 20,
+        msm: int = 2,
+        lang: Optional[str] = None,
+        site: Optional[str] = None,
+        source: Optional[str] = None,
+    ) -> DataFrame:
+        """minimum_should_match search
+        (operators/boolquery.bm25_topk_msm): at least ``msm`` of the
+        query's distinct terms must be present. Unknown lang drops,
+        like search()/count()."""
+        from .operators.boolquery import bm25_topk_msm
+
+        filters: Dict[str, str] = {}
+        if lang and lang in self._known_langs():
+            filters["lang"] = lang
+        if site:
+            filters["site"] = site
+        if source:
+            filters["source"] = source
+        return bm25_topk_msm(
+            self.index, query, k=int(limit), msm=int(msm),
+            filters=filters or None,
+        )
+
     def search_after(
         self,
         query: str,

@@ -229,6 +229,19 @@ def bm25_boolean_query_q(
     ).orderBy("rank")
 
 
+def bm25_msm_q(
+    spark: SparkSession, sf_dir: str, query: str, k: int = 10, msm: int = 2
+) -> DataFrame:
+    """minimum_should_match gate entry (operators/boolquery)."""
+    from .operators.boolquery import bm25_topk_msm
+
+    idx = get_documents_index(spark, sf_dir)
+    res = bm25_topk_msm(idx, query, k=k, msm=msm)
+    return res.select(
+        "rank", _orig_doc_id(), round6("score").alias("score")
+    ).orderBy("rank")
+
+
 def bm25_near_query_q(
     spark: SparkSession, sf_dir: str, query: str, w: int, k: int = 10
 ) -> DataFrame:

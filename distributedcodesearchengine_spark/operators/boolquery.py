@@ -106,6 +106,62 @@ def excluded_doc_set(index, excluded: List[str]) -> Optional[DataFrame]:
     return index.tf.where(F.col("term").isin(uniq)).select("doc_id")
 
 
+def msm_doc_set(index, terms: List[str], msm: int) -> Optional[DataFrame]:
+    """(doc_id) of docs containing at least ``msm`` DISTINCT terms of
+    ``terms`` — the minimum_should_match match set. Same one-scan shape
+    as required_doc_set (tf is unique per (term, doc_id), so count(*)
+    over the term subset counts distinct present terms); msm beyond the
+    distinct-term count matches nothing, msm <= 1 is no constraint
+    (returns None so the caller skips the join entirely)."""
+    uniq = sorted(set(terms))
+    if not uniq or int(msm) <= 1:
+        return None
+    return (
+        index.tf.where(F.col("term").isin(uniq))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("_nm"))
+        .where(F.col("_nm") >= int(msm))
+        .select("doc_id")
+    )
+
+
+def bm25_topk_msm(
+    index,
+    query: str,
+    k: int = 10,
+    msm: int = 1,
+    filters: Optional[Dict[str, str]] = None,
+) -> DataFrame:
+    """BM25 top-k under ``minimum_should_match`` (the Lucene/ES knob:
+    a doc matches only if it contains at least ``msm`` of the query's
+    distinct terms) -> (rank, doc_id, url, score).
+
+    Like the boolean occur flags — and unlike the post-threshold
+    phrase/metadata filters — msm defines the MATCH SET itself, so it
+    lands at the candidate_semi (pre-threshold) stage: the 1%-of-max
+    threshold and the degenerate backfill universe are both taken over
+    the constrained set (a doc with 1 of 3 terms is not a match at
+    msm=2, so it must not anchor the threshold either). msm=1 is
+    exactly bm25_topk (every scored doc has >= 1 term — tested
+    identical); msm > the distinct-term count matches nothing. An OOV
+    query term can never be present in a doc, so it counts toward the
+    requirement but never toward a doc's tally — ES's clause-counting
+    semantics."""
+    from ..oracle.tokenizer import tokenize as _tok
+    from .scorer import finalize_topk, query_term_weights, score_matched
+
+    spark = index.spark
+    toks = _tok(query)
+    if not toks:
+        return spark.createDataFrame(
+            [], "rank int, doc_id long, url string, score double"
+        )
+    semi = msm_doc_set(index, toks, msm)
+    qweights = query_term_weights(index, query)
+    scored = score_matched(index, qweights) if qweights else None
+    return finalize_topk(index, scored, k, filters, candidate_semi=semi)
+
+
 def bm25_boolean_topk(
     index,
     query: str,

@@ -340,7 +340,8 @@ def make_handler(engine, stats_fn, index_manager=None):
                         "endpoints": {
                             "GET /search": "query the served index "
                             "(offset= pages; collapse=<field>&per_group=n "
-                            "diversifies; len_min/len_max range-filter)",
+                            "diversifies; len_min/len_max range-filter; "
+                            "msm=N minimum_should_match)",
                             "GET /count": "total hits over the kept set",
                             "GET /rerank": "two-stage cross-encoder rerank",
                             "GET /explain": "per-term score breakdown",
@@ -487,6 +488,15 @@ def make_handler(engine, stats_fn, index_manager=None):
                             q["q"], field=q["collapse"],
                             per_group=int(q.get("per_group", 1)),
                             limit=int(q.get("limit", 10)),
+                            lang=q.get("lang"), site=q.get("site"),
+                            source=q.get("source"),
+                        )
+                        rows = [r.asDict() for r in res.collect()]
+                        return self._send(200, {"query": q["q"], "results": rows})
+                    if "msm" in q:
+                        res = engine.search_msm(
+                            q["q"], limit=int(q.get("limit", 10)),
+                            msm=int(q["msm"]),
                             lang=q.get("lang"), site=q.get("site"),
                             source=q.get("source"),
                         )

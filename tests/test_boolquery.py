@@ -102,3 +102,70 @@ def test_api_routing(spark, sf_dir, idx):
     got = eng.search("dup +table -row", limit=5).collect()
     allowed = _doc_sets(idx, ["table"], ["row"])
     assert got and all(r["doc_id"] in allowed for r in got)
+
+
+# --- minimum_should_match ---------------------------------------------------
+
+
+def test_msm_one_is_plain_bm25(spark):
+    from distributedcodesearchengine_spark.operators.boolquery import (
+        bm25_topk_msm,
+    )
+    from distributedcodesearchengine_spark.operators.scorer import bm25_topk
+    from tests.test_search_after import _index
+
+    idx = _index(spark, [
+        "rare signal one", "rare other two words", "signal three",
+        "filler a", "filler b",
+    ])
+    a = bm25_topk(idx, "rare signal", k=5).orderBy("rank").collect()
+    b = bm25_topk_msm(idx, "rare signal", k=5, msm=1).orderBy("rank").collect()
+    assert [(r["rank"], r["doc_id"], r["score"]) for r in a] == [
+        (r["rank"], r["doc_id"], r["score"]) for r in b
+    ]
+
+
+def test_msm_restricts_match_set_pre_threshold(spark):
+    from distributedcodesearchengine_spark.operators.boolquery import (
+        bm25_topk_msm,
+    )
+    from tests.test_search_after import _index
+
+    idx = _index(spark, [
+        "rare signal one",        # both terms
+        "rare other two words",   # rare only
+        "signal three",           # signal only
+        "filler a", "filler b",
+    ])
+    got = bm25_topk_msm(idx, "rare signal", k=5, msm=2).collect()
+    assert [r["doc_id"] for r in got] == [0]  # only the 2-of-2 doc matches
+
+
+def test_msm_all_equals_boolean_required(spark):
+    from distributedcodesearchengine_spark.operators.boolquery import (
+        bm25_boolean_topk,
+        bm25_topk_msm,
+    )
+    from tests.test_search_after import _index
+
+    idx = _index(spark, [
+        "rare signal one", "rare signal two words", "rare three",
+        "signal four", "filler a", "filler b",
+    ])
+    # msm == number of distinct terms == MUST-all boolean with every
+    # term required (required tokens also score): same ranking
+    a = bm25_topk_msm(idx, "rare signal", k=5, msm=2).collect()
+    b = bm25_boolean_topk(idx, "+rare +signal", k=5).collect()
+    assert [(r["rank"], r["doc_id"], r["score"]) for r in a] == [
+        (r["rank"], r["doc_id"], r["score"]) for r in b
+    ]
+
+
+def test_msm_beyond_terms_matches_nothing(spark):
+    from distributedcodesearchengine_spark.operators.boolquery import (
+        bm25_topk_msm,
+    )
+    from tests.test_search_after import _index
+
+    idx = _index(spark, ["rare signal one", "filler a"])
+    assert bm25_topk_msm(idx, "rare signal", k=5, msm=3).count() == 0

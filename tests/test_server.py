@@ -353,6 +353,21 @@ def test_facets_endpoint(srv):
     assert ei.value.code == 400
 
 
+def test_search_msm_param(srv):
+    # msm=1 must equal the plain search result set; a high msm narrows
+    code, plain = _get(srv, "/search", q="parse json", limit=10)
+    code, m1 = _get(srv, "/search", q="parse json", limit=10, msm=1)
+    assert code == 200
+    assert [r["doc_id"] for r in m1["results"]] == [
+        r["doc_id"] for r in plain["results"]
+    ]
+    code, m2 = _get(srv, "/search", q="parse json", limit=10, msm=2)
+    assert code == 200
+    # msm pages carry the standard result schema
+    for r in m2["results"]:
+        assert {"rank", "doc_id", "url", "score"} <= set(r)
+
+
 def test_search_after_endpoint(srv):
     # page 1 (no cursor) then page 2 through the returned cursor: the
     # concatenation must equal the first 2k rows of one keyset walk
