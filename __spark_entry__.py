@@ -694,6 +694,17 @@ def _registry():
         significant_terms_sql("table row", k=20, min_fg=2),
     )
 
+    # query-time clause boosts (Lucene term^w): the boosted query is the
+    # plain query with scaled qtf through the shared expanded chain
+    from distributedcodesearchengine_spark.operators.boostquery import (
+        bm25_boosted_sql,
+    )
+
+    reg["bm25_boosted_query"] = (
+        partial(eq.bm25_boosted_q, query="dup^2.5 table", k=10),
+        bm25_boosted_sql("dup^2.5 table", k=10),
+    )
+
     # minimum_should_match (pre-threshold match-set constraint like the
     # boolean occur flags): 2-of-3 distinct terms over a healthy query
     reg["bm25_msm"] = (

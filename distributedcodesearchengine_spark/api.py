@@ -185,6 +185,13 @@ class SearchEngine:
             return bm25_fuzzy_topk(
                 index, q, k=limit, filters=filters or None
             )
+        # 'word^2.5' -> query-time clause boosts (Lucene boost syntax)
+        from .operators.boostquery import bm25_boosted_topk, is_boosted_query
+
+        if is_boosted_query(q):
+            return bm25_boosted_topk(
+                index, q, k=limit, filters=filters or None
+            )
         if scorer == "sharded" and not filters and "sharded" in index.extras:
             # the low-latency serving path: shard-local scoring over the
             # persisted doc-range-sharded layout (build --sharded-index).

@@ -229,6 +229,19 @@ def bm25_boolean_query_q(
     ).orderBy("rank")
 
 
+def bm25_boosted_q(
+    spark: SparkSession, sf_dir: str, query: str, k: int = 10
+) -> DataFrame:
+    """Query-time clause-boost gate entry (operators/boostquery)."""
+    from .operators.boostquery import bm25_boosted_topk
+
+    idx = get_documents_index(spark, sf_dir)
+    res = bm25_boosted_topk(idx, query, k=k)
+    return res.select(
+        "rank", _orig_doc_id(), round6("score").alias("score")
+    ).orderBy("rank")
+
+
 def bm25_msm_q(
     spark: SparkSession, sf_dir: str, query: str, k: int = 10, msm: int = 2
 ) -> DataFrame:
