@@ -678,6 +678,21 @@ def _registry():
         oq.more_like_this_sql(42, m=5, k=10),
     )
 
+    # histogram aggregation (ES histogram agg): doc_len bucketed over
+    # the kept set, healthy + degenerate branch coverage
+    from distributedcodesearchengine_spark.operators.explore import (
+        bm25_histogram_sql,
+    )
+
+    reg["bm25_histogram"] = (
+        partial(eq.bm25_histogram_q, query="dup table", interval=10),
+        bm25_histogram_sql("dup table", interval=10),
+    )
+    reg["bm25_histogram_degenerate"] = (
+        partial(eq.bm25_histogram_q, query="table row", interval=10),
+        bm25_histogram_sql("table row", interval=10),
+    )
+
     # significant-terms aggregation (ES significant_terms analog): the
     # JLH-scored over-represented terms of the kept set vs the corpus
     # background; healthy + degenerate (empty-by-construction) regimes

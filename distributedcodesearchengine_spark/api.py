@@ -410,6 +410,15 @@ class SearchEngine:
             ]
         return bm25_facets(self.index, query, keys=keys)
 
+    def histogram(
+        self, query: str, col: str = "doc_len", interval: int = 50
+    ) -> DataFrame:
+        """Histogram aggregation over the query's BM25 kept set
+        (operators/explore.bm25_histogram)."""
+        from .operators.explore import bm25_histogram
+
+        return bm25_histogram(self.index, query, col=col, interval=int(interval))
+
     def similar(self, doc_id: int, m: int = 5, limit: int = 10) -> DataFrame:
         """More-like-this over the served index
         (operators/explore.more_like_this)."""

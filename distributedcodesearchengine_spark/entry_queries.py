@@ -125,6 +125,16 @@ def bm25_facets_q(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     return bm25_facets(idx, query)
 
 
+def bm25_histogram_q(
+    spark: SparkSession, sf_dir: str, query: str, interval: int = 50
+) -> DataFrame:
+    """Histogram aggregation over the BM25 kept set (operators/explore)."""
+    from .operators.explore import bm25_histogram
+
+    idx = get_documents_index(spark, sf_dir)
+    return bm25_histogram(idx, query, col="doc_len", interval=interval)
+
+
 def significant_terms_q(
     spark: SparkSession, sf_dir: str, query: str, k: int = 20, min_fg: int = 2
 ) -> DataFrame:

@@ -401,3 +401,100 @@ def bm25_collapse_sql(
         f"doc_id, {collapse}, {round6_sql('score')} AS score "
         f"FROM surv ORDER BY score DESC, doc_id ASC LIMIT {int(k)}"
     )
+
+
+def bm25_histogram(
+    index: Index, query: str, col: str = "doc_len", interval: int = 50
+) -> DataFrame:
+    """(bucket, n_docs, max_score) — the ES ``histogram`` aggregation
+    over the BM25 kept set: numeric bucketing of ``col`` (a docs
+    column) at fixed ``interval`` width, bucket = (col DIV interval) *
+    interval (integer arithmetic — engine-parity-trivial). Branch
+    semantics mirror bm25_facets: healthy joins ``col`` onto the
+    thresholded candidates only; degenerate aggregates the whole-corpus
+    zero-backfill result array."""
+    spark = index.spark
+    meta = index.docs.select("doc_id", col)
+    empty = spark.createDataFrame(
+        [], "bucket long, n_docs long, max_score double"
+    )
+    if not tokenize(query):
+        return empty  # F7 guard
+    qweights = query_term_weights(index, query)
+    scored = score_matched(index, qweights) if qweights else None
+    if scored is not None:
+        scored = scored.persist()
+        mx = scored.agg(F.max("score").alias("mx")).first()["mx"]
+    else:
+        mx = None
+    if mx is not None and mx > 0:
+        kept = scored.where(F.col("score") >= F.lit(0.01 * mx)).join(meta, "doc_id")
+    else:
+        right = (
+            scored.select("doc_id", "score")
+            if scored is not None
+            else spark.createDataFrame([], "doc_id long, score double")
+        )
+        kept = meta.join(right, "doc_id", "left").withColumn(
+            "score", F.coalesce(F.col("score"), F.lit(0.0))
+        )
+    bucket = F.expr(f"CAST(({col} DIV {int(interval)}) * {int(interval)} AS BIGINT)")
+    out = (
+        kept.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            round6(F.max("score")).alias("max_score"),
+        )
+        .orderBy("bucket")
+    )
+    if scored is not None:
+        old = index.extras.pop("_scored_cache", None)
+        if old is not None:
+            try:
+                old.unpersist()
+            except Exception:  # noqa: BLE001 - already gone / dead session
+                pass
+        index.extras["_scored_cache"] = scored
+    return out
+
+
+def bm25_histogram_sql(
+    query: str, col: str = "doc_len", interval: int = 50
+) -> str:
+    """DuckDB mirror of bm25_histogram: the facets kept chain bucketed
+    by (col // interval) * interval. ``col`` must be a doclen-relation
+    column (doc_len) or a documents column reachable through it."""
+    from collections import Counter
+
+    from ..functions.rounding import round6_sql
+    from ..functions.sql_oracle import B, K1, _docs_cte
+
+    toks = tokenize(query)
+    if not toks:
+        return (
+            "SELECT 1::BIGINT AS bucket, 1::BIGINT AS n_docs, "
+            "0.0 AS max_score WHERE false"
+        )
+    counts = Counter(toks)
+    qvals = ", ".join(f"('{t}', {float(q)})" for t, q in sorted(counts.items()))
+    return (
+        f"WITH {_docs_cte()}, "
+        f"qt(term, qtf) AS (VALUES {qvals}), "
+        "contrib AS ("
+        "  SELECT tf.doc_id, tf.term, "
+        f"    qt.qtf * (idf.idf * (tf.tf * {K1 + 1.0} / "
+        f"      (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM stats))))) AS c "
+        "  FROM tf JOIN qt USING (term) JOIN idf USING (term) "
+        "  JOIN doclen dl ON dl.doc_id = tf.doc_id), "
+        "scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id), "
+        "mx AS (SELECT max(score) AS m FROM scored), "
+        "kept AS ("
+        f"  SELECT d.doc_id, d.{col}, coalesce(s.score, 0.0) AS score "
+        "  FROM doclen d LEFT JOIN scored s USING (doc_id) "
+        "  WHERE ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
+        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))) "
+        f"SELECT CAST(({col} // {int(interval)}) * {int(interval)} AS BIGINT) AS bucket, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        f"{round6_sql('max(score)')} AS max_score "
+        "FROM kept GROUP BY 1 ORDER BY bucket"
+    )

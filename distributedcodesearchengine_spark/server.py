@@ -13,6 +13,8 @@ Endpoints (JSON responses):
     GET  /explain?q=...&limit=10          per-term score breakdown
     GET  /suggest?prefix=al&limit=10
     GET  /facets?q=...               facet counts over the query's kept set
+    GET  /histogram?q=...&col=doc_len&interval=50   ES histogram agg over
+                       the kept set (bucket = (col DIV interval) * interval)
     GET  /significant?q=...&limit=20&min_fg=2   significant terms of the
                        query's kept set vs the corpus background (JLH)
     GET  /search_after?q=...&limit=20[&after_score=S&after_doc=D]
@@ -347,6 +349,8 @@ def make_handler(engine, stats_fn, index_manager=None):
                             "GET /explain": "per-term score breakdown",
                             "GET /suggest": "term autocomplete",
                             "GET /facets": "facet counts for a query",
+                            "GET /histogram": "numeric-bucket histogram "
+                            "over the query's kept set",
                             "GET /significant": "significant terms of the "
                             "query's result set",
                             "GET /search_after": "keyset pagination "
@@ -394,6 +398,18 @@ def make_handler(engine, stats_fn, index_manager=None):
                     return self._send(
                         200,
                         {"query": q["q"], "facets": [r.asDict() for r in rows]},
+                    )
+                if url.path == "/histogram":
+                    if "q" not in q:
+                        return self._send(400, {"error": "missing q"})
+                    rows = engine.histogram(
+                        q["q"],
+                        col=q.get("col", "doc_len"),
+                        interval=int(q.get("interval", 50)),
+                    ).collect()
+                    return self._send(
+                        200,
+                        {"query": q["q"], "buckets": [r.asDict() for r in rows]},
                     )
                 if url.path == "/search_after":
                     if "q" not in q:

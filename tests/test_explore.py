@@ -210,3 +210,49 @@ def test_count_filter_eliminates_all_kept_rows(spark):
     )
     row = bm25_count(idx, "rare", {"lang": "zz"}).first()
     assert (row["n_hits"], row["max_score"]) == (0, 0.0)
+
+
+# --- histogram aggregation --------------------------------------------------
+
+
+def test_histogram_healthy_buckets_thresholded_set_only(spark):
+    from distributedcodesearchengine_spark.operators.explore import (
+        bm25_histogram,
+    )
+
+    # 'rare' hits docs 0,1 (doc_len 4 and 8 -> buckets 0 and 5 at
+    # interval 5); doc 2 never matches and must not appear
+    idx = _index(
+        spark,
+        [
+            ("rare words here indeed", "en", "s1", "a"),
+            ("rare other tokens again and padding to eight", "de", "s2", "b"),
+            ("plain unrelated stuff here", "en", "s3", "c"),
+        ],
+    )
+    out = {r["bucket"]: r["n_docs"] for r in bm25_histogram(idx, "rare", interval=5).collect()}
+    assert out == {0: 1, 5: 1}
+
+
+def test_histogram_degenerate_covers_corpus(spark):
+    from distributedcodesearchengine_spark.operators.explore import (
+        bm25_histogram,
+    )
+
+    idx = _index(
+        spark,
+        [("alpha beta", "en", "s1", "a"), ("gamma delta", "en", "s1", "b")],
+    )
+    out = bm25_histogram(idx, "zzzznotaword", interval=10).collect()
+    # unknown term -> all-zero backfill: every doc lands in a bucket
+    assert sum(r["n_docs"] for r in out) == 2
+    assert all(r["max_score"] == 0.0 for r in out)
+
+
+def test_histogram_empty_query_guard(spark):
+    from distributedcodesearchengine_spark.operators.explore import (
+        bm25_histogram,
+    )
+
+    idx = _index(spark, [("alpha beta", "en", "s1", "a")])
+    assert bm25_histogram(idx, "!! ??").count() == 0

@@ -394,6 +394,19 @@ def test_search_after_endpoint(srv):
     assert ei.value.code == 400
 
 
+def test_histogram_endpoint(srv):
+    code, body = _get(srv, "/histogram", q="parse json", interval=100)
+    assert code == 200 and body["query"] == "parse json"
+    rows = body["buckets"]
+    assert rows and all({"bucket", "n_docs", "max_score"} <= set(r) for r in rows)
+    assert all(r["bucket"] % 100 == 0 for r in rows)
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/histogram")
+    assert ei.value.code == 400
+
+
 def test_significant_endpoint(srv):
     code, body = _get(srv, "/significant", q="parse json", limit=5, min_fg=1)
     assert code == 200 and body["query"] == "parse json"
