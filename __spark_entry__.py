@@ -693,6 +693,17 @@ def _registry():
         bm25_histogram_sql("table row", interval=10),
     )
 
+    # stats aggregation (ES stats agg): one-row min/max/sum/avg of
+    # doc_len over the kept set
+    from distributedcodesearchengine_spark.operators.explore import (
+        bm25_stats_agg_sql,
+    )
+
+    reg["bm25_stats_agg"] = (
+        partial(eq.bm25_stats_agg_q, query="dup table"),
+        bm25_stats_agg_sql("dup table"),
+    )
+
     # significant-terms aggregation (ES significant_terms analog): the
     # JLH-scored over-represented terms of the kept set vs the corpus
     # background; healthy + degenerate (empty-by-construction) regimes

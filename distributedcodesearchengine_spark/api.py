@@ -419,6 +419,14 @@ class SearchEngine:
 
         return bm25_histogram(self.index, query, col=col, interval=int(interval))
 
+    def stats_agg(self, query: str, col: str = "doc_len") -> DataFrame:
+        """Stats aggregation (min/max/sum/avg of a numeric docs column)
+        over the query's BM25 kept set
+        (operators/explore.bm25_stats_agg)."""
+        from .operators.explore import bm25_stats_agg
+
+        return bm25_stats_agg(self.index, query, col=col)
+
     def similar(self, doc_id: int, m: int = 5, limit: int = 10) -> DataFrame:
         """More-like-this over the served index
         (operators/explore.more_like_this)."""

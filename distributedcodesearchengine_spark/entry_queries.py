@@ -135,6 +135,16 @@ def bm25_histogram_q(
     return bm25_histogram(idx, query, col="doc_len", interval=interval)
 
 
+def bm25_stats_agg_q(
+    spark: SparkSession, sf_dir: str, query: str
+) -> DataFrame:
+    """Stats aggregation over the BM25 kept set (operators/explore)."""
+    from .operators.explore import bm25_stats_agg
+
+    idx = get_documents_index(spark, sf_dir)
+    return bm25_stats_agg(idx, query, col="doc_len")
+
+
 def significant_terms_q(
     spark: SparkSession, sf_dir: str, query: str, k: int = 20, min_fg: int = 2
 ) -> DataFrame:

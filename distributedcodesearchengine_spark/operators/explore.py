@@ -41,45 +41,58 @@ from .scorer import Index, finalize_topk, query_term_weights, score_matched
 FACET_KEYS: Tuple[str, str] = ("lang", "source")
 
 
-def bm25_facets(
-    index: Index, query: str, keys: Sequence[str] = FACET_KEYS
-) -> DataFrame:
-    """(*keys, n_docs, max_score) — facet counts over the BM25 kept set.
+def _kept_with_cols(index: Index, query: str, cols: Sequence[str]):
+    """The BM25 kept set with the requested docs columns attached ->
+    (doc_id, *cols, score), or None for an empty-tokenizing query (F7).
 
-    Mirrors finalize_topk's branch structure: healthy max (> 0) keeps
-    only thresholded matched docs (metadata joined onto the candidates),
+    Shared spine of the aggregation family (facets / histogram / stats):
+    mirrors finalize_topk's branch structure — healthy max (> 0) keeps
+    only thresholded matched docs (a docvalues join on candidates only),
     degenerate/all-zero keeps every document with unmatched rows at
-    score 0 — the reference's result array, aggregated by facet key.
+    score 0 (the reference's result array; corpus-sized by definition,
+    so the corpus-wide left join IS the minimal plan there). The scored
+    candidate set persists via the scorer's LRU-1 handle discipline so
+    the caller's action reads the cache, and the next query evicts it.
     """
+    from .scorer import _cache_scored
+
     spark = index.spark
-    meta = index.docs.select("doc_id", *keys)
-    empty = spark.createDataFrame(
-        [], ", ".join(f"{c} string" for c in keys) + ", n_docs long, max_score double"
-    )
     if not tokenize(query):
-        return empty  # empty-query guard (F7)
+        return None
+    meta = index.docs.select("doc_id", *cols)
     qweights = query_term_weights(index, query)
     scored = score_matched(index, qweights) if qweights else None
     if scored is not None:
-        scored = scored.persist()
+        scored = _cache_scored(index, scored)
         mx = scored.agg(F.max("score").alias("mx")).first()["mx"]
     else:
         mx = None
+    slim = scored.select("doc_id", "score") if scored is not None else None
     if mx is not None and mx > 0:
-        kept = scored.where(F.col("score") >= F.lit(0.01 * mx)).join(meta, "doc_id")
-    else:
-        # degenerate: every doc is in the result set, unmatched at 0.0 —
-        # corpus-sized by definition, so the corpus-wide left join IS
-        # the minimal plan here (never taken by a healthy query)
-        right = (
-            scored.select("doc_id", "score")
-            if scored is not None
-            else spark.createDataFrame([], "doc_id long, score double")
+        return slim.where(F.col("score") >= F.lit(0.01 * mx)).join(meta, "doc_id")
+    right = (
+        slim
+        if slim is not None
+        else spark.createDataFrame([], "doc_id long, score double")
+    )
+    return meta.join(right, "doc_id", "left").withColumn(
+        "score", F.coalesce(F.col("score"), F.lit(0.0))
+    )
+
+
+def bm25_facets(
+    index: Index, query: str, keys: Sequence[str] = FACET_KEYS
+) -> DataFrame:
+    """(*keys, n_docs, max_score) — facet counts over the BM25 kept set
+    (see _kept_with_cols for the branch semantics)."""
+    kept = _kept_with_cols(index, query, keys)
+    if kept is None:
+        return index.spark.createDataFrame(
+            [],
+            ", ".join(f"{c} string" for c in keys)
+            + ", n_docs long, max_score double",
         )
-        kept = meta.join(right, "doc_id", "left").withColumn(
-            "score", F.coalesce(F.col("score"), F.lit(0.0))
-        )
-    out = (
+    return (
         kept.groupBy(*keys)
         .agg(
             F.count("*").cast("long").alias("n_docs"),
@@ -87,17 +100,6 @@ def bm25_facets(
         )
         .orderBy(*keys)
     )
-    if scored is not None:
-        # the persist handle stays on the index for LRU-1 eviction by
-        # the next scorer call (same discipline as _cache_scored)
-        old = index.extras.pop("_scored_cache", None)
-        if old is not None:
-            try:
-                old.unpersist()
-            except Exception:  # noqa: BLE001 - already gone / dead session
-                pass
-        index.extras["_scored_cache"] = scored
-    return out
 
 
 def seed_keywords(index: Index, seed_doc_id: int, m: int = 5) -> list:
@@ -410,36 +412,14 @@ def bm25_histogram(
     over the BM25 kept set: numeric bucketing of ``col`` (a docs
     column) at fixed ``interval`` width, bucket = (col DIV interval) *
     interval (integer arithmetic — engine-parity-trivial). Branch
-    semantics mirror bm25_facets: healthy joins ``col`` onto the
-    thresholded candidates only; degenerate aggregates the whole-corpus
-    zero-backfill result array."""
-    spark = index.spark
-    meta = index.docs.select("doc_id", col)
-    empty = spark.createDataFrame(
-        [], "bucket long, n_docs long, max_score double"
-    )
-    if not tokenize(query):
-        return empty  # F7 guard
-    qweights = query_term_weights(index, query)
-    scored = score_matched(index, qweights) if qweights else None
-    if scored is not None:
-        scored = scored.persist()
-        mx = scored.agg(F.max("score").alias("mx")).first()["mx"]
-    else:
-        mx = None
-    if mx is not None and mx > 0:
-        kept = scored.where(F.col("score") >= F.lit(0.01 * mx)).join(meta, "doc_id")
-    else:
-        right = (
-            scored.select("doc_id", "score")
-            if scored is not None
-            else spark.createDataFrame([], "doc_id long, score double")
-        )
-        kept = meta.join(right, "doc_id", "left").withColumn(
-            "score", F.coalesce(F.col("score"), F.lit(0.0))
+    semantics are _kept_with_cols's (the facets spine)."""
+    kept = _kept_with_cols(index, query, [col])
+    if kept is None:
+        return index.spark.createDataFrame(
+            [], "bucket long, n_docs long, max_score double"
         )
     bucket = F.expr(f"CAST(({col} DIV {int(interval)}) * {int(interval)} AS BIGINT)")
-    out = (
+    return (
         kept.groupBy(bucket.alias("bucket"))
         .agg(
             F.count("*").cast("long").alias("n_docs"),
@@ -447,15 +427,32 @@ def bm25_histogram(
         )
         .orderBy("bucket")
     )
-    if scored is not None:
-        old = index.extras.pop("_scored_cache", None)
-        if old is not None:
-            try:
-                old.unpersist()
-            except Exception:  # noqa: BLE001 - already gone / dead session
-                pass
-        index.extras["_scored_cache"] = scored
-    return out
+
+
+def bm25_stats_agg(
+    index: Index, query: str, col: str = "doc_len"
+) -> DataFrame:
+    """(n_docs, min_v, max_v, sum_v, avg_v) — the ES ``stats``
+    aggregation of a numeric docs column over the BM25 kept set (one
+    row). min/max/sum are exact integers; avg = sum * 1.0 / n computed
+    with the identical operand sequence on both engines. An empty kept
+    set (possible only via the empty-query guard — the degenerate
+    branch keeps the whole corpus) yields zero rows."""
+    kept = _kept_with_cols(index, query, [col])
+    if kept is None:
+        return index.spark.createDataFrame(
+            [],
+            "n_docs long, min_v long, max_v long, sum_v long, avg_v double",
+        )
+    return kept.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min(col).cast("long").alias("min_v"),
+        F.max(col).cast("long").alias("max_v"),
+        F.sum(col).cast("long").alias("sum_v"),
+        round6(
+            F.sum(col).cast("double") * F.lit(1.0) / F.count("*")
+        ).alias("avg_v"),
+    )
 
 
 def bm25_histogram_sql(
@@ -497,4 +494,45 @@ def bm25_histogram_sql(
         "CAST(count(*) AS BIGINT) AS n_docs, "
         f"{round6_sql('max(score)')} AS max_score "
         "FROM kept GROUP BY 1 ORDER BY bucket"
+    )
+
+
+def bm25_stats_agg_sql(query: str, col: str = "doc_len") -> str:
+    """DuckDB mirror of bm25_stats_agg: the facets kept chain reduced
+    to one stats row; avg written as sum * 1.0 / count(*) — the same
+    operand sequence as the Spark column expression."""
+    from collections import Counter
+
+    from ..functions.rounding import round6_sql
+    from ..functions.sql_oracle import B, K1, _docs_cte
+
+    toks = tokenize(query)
+    if not toks:
+        return (
+            "SELECT 1::BIGINT AS n_docs, 1::BIGINT AS min_v, 1::BIGINT AS max_v, "
+            "1::BIGINT AS sum_v, 0.0 AS avg_v WHERE false"
+        )
+    counts = Counter(toks)
+    qvals = ", ".join(f"('{t}', {float(q)})" for t, q in sorted(counts.items()))
+    return (
+        f"WITH {_docs_cte()}, "
+        f"qt(term, qtf) AS (VALUES {qvals}), "
+        "contrib AS ("
+        "  SELECT tf.doc_id, tf.term, "
+        f"    qt.qtf * (idf.idf * (tf.tf * {K1 + 1.0} / "
+        f"      (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM stats))))) AS c "
+        "  FROM tf JOIN qt USING (term) JOIN idf USING (term) "
+        "  JOIN doclen dl ON dl.doc_id = tf.doc_id), "
+        "scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id), "
+        "mx AS (SELECT max(score) AS m FROM scored), "
+        "kept AS ("
+        f"  SELECT d.doc_id, d.{col}, coalesce(s.score, 0.0) AS score "
+        "  FROM doclen d LEFT JOIN scored s USING (doc_id) "
+        "  WHERE ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
+        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+        f"CAST(min({col}) AS BIGINT) AS min_v, CAST(max({col}) AS BIGINT) AS max_v, "
+        f"CAST(sum({col}) AS BIGINT) AS sum_v, "
+        f"{round6_sql(f'sum({col}) * 1.0 / count(*)')} AS avg_v "
+        "FROM kept"
     )

@@ -351,6 +351,8 @@ def make_handler(engine, stats_fn, index_manager=None):
                             "GET /facets": "facet counts for a query",
                             "GET /histogram": "numeric-bucket histogram "
                             "over the query's kept set",
+                            "GET /stats_agg": "min/max/sum/avg stats of a "
+                            "numeric column over the kept set",
                             "GET /significant": "significant terms of the "
                             "query's result set",
                             "GET /search_after": "keyset pagination "
@@ -398,6 +400,17 @@ def make_handler(engine, stats_fn, index_manager=None):
                     return self._send(
                         200,
                         {"query": q["q"], "facets": [r.asDict() for r in rows]},
+                    )
+                if url.path == "/stats_agg":
+                    if "q" not in q:
+                        return self._send(400, {"error": "missing q"})
+                    row = engine.stats_agg(
+                        q["q"], col=q.get("col", "doc_len")
+                    ).first()
+                    return self._send(
+                        200,
+                        {"query": q["q"],
+                         "stats": row.asDict() if row is not None else None},
                     )
                 if url.path == "/histogram":
                     if "q" not in q:

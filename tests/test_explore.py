@@ -256,3 +256,27 @@ def test_histogram_empty_query_guard(spark):
 
     idx = _index(spark, [("alpha beta", "en", "s1", "a")])
     assert bm25_histogram(idx, "!! ??").count() == 0
+
+
+def test_stats_agg_healthy_and_degenerate(spark):
+    from distributedcodesearchengine_spark.operators.explore import (
+        bm25_stats_agg,
+    )
+
+    idx = _index(
+        spark,
+        [
+            ("rare words here indeed", "en", "s1", "a"),            # len 4
+            ("rare other tokens again and padding line", "de", "s2", "b"),
+            ("plain unrelated stuff here", "en", "s3", "c"),
+        ],
+    )
+    row = bm25_stats_agg(idx, "rare").first()
+    # healthy: only the two 'rare' docs
+    assert row["n_docs"] == 2 and row["min_v"] == 4 and row["max_v"] == 7
+    assert row["sum_v"] == 11 and abs(row["avg_v"] - 5.5) < 1e-9
+    # degenerate (unknown term): whole corpus
+    row = bm25_stats_agg(idx, "zzzznotaword").first()
+    assert row["n_docs"] == 3
+    # empty query guard
+    assert bm25_stats_agg(idx, "!! ??").count() == 0

@@ -394,6 +394,19 @@ def test_search_after_endpoint(srv):
     assert ei.value.code == 400
 
 
+def test_stats_agg_endpoint(srv):
+    code, body = _get(srv, "/stats_agg", q="parse json")
+    assert code == 200 and body["query"] == "parse json"
+    s = body["stats"]
+    assert s and {"n_docs", "min_v", "max_v", "sum_v", "avg_v"} <= set(s)
+    assert s["min_v"] <= s["max_v"] and s["n_docs"] > 0
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/stats_agg")
+    assert ei.value.code == 400
+
+
 def test_histogram_endpoint(srv):
     code, body = _get(srv, "/histogram", q="parse json", interval=100)
     assert code == 200 and body["query"] == "parse json"
