@@ -749,6 +749,45 @@ def _registry():
         partial(eq.bm25_search_after_q, query="table row", k=10),
         oq.bm25_topk_after_sql("table row", k=10),
     )
+
+    # ES aggregation extensions (operators/aggs): filters (named
+    # equality buckets, always-present), range (explicit integer cut
+    # points on doc_len), terms+top_hits (independent per-lang rankings,
+    # healthy + degenerate regimes), rare_terms (kept-set long tail)
+    from distributedcodesearchengine_spark.operators.aggs import (
+        bm25_filters_agg_sql,
+        bm25_range_agg_sql,
+        bm25_rare_terms_sql,
+        bm25_top_hits_sql,
+    )
+
+    _fa_buckets = {"de": ("lang", "de"), "en": ("lang", "en"),
+                   "s7": ("source", "src7")}
+    reg["bm25_filters_agg"] = (
+        partial(eq.bm25_filters_agg_q, query="dup table"),
+        bm25_filters_agg_sql("dup table", _fa_buckets),
+    )
+    reg["bm25_range_agg"] = (
+        partial(eq.bm25_range_agg_q, query="dup table", cuts=(20, 40)),
+        bm25_range_agg_sql("dup table", cuts=(20, 40)),
+    )
+    reg["bm25_top_hits"] = (
+        partial(eq.bm25_top_hits_q, query="dup table", per_bucket=3),
+        bm25_top_hits_sql("dup table", per_bucket=3),
+    )
+    reg["bm25_top_hits_degenerate"] = (
+        partial(eq.bm25_top_hits_q, query="table row", per_bucket=2),
+        bm25_top_hits_sql("table row", per_bucket=2),
+    )
+    # max_df is generous on purpose: kept-set term counts scale with sf
+    # (the synthetic vocab is small), so a tight absolute floor returns
+    # zero rows at some scales — the floor semantics are pinned by the
+    # handcrafted-corpus unit test; the gate pins count + rarest-first
+    # ranking + the deterministic k-cut at every scale
+    reg["bm25_rare_terms"] = (
+        partial(eq.bm25_rare_terms_q, query="dup table", max_df=100000000, k=15),
+        bm25_rare_terms_sql("dup table", max_df=100000000, k=15),
+    )
     return _rotate(reg)
 
 

@@ -427,6 +427,43 @@ class SearchEngine:
 
         return bm25_stats_agg(self.index, query, col=col)
 
+    def filters_agg(self, query: str, buckets) -> DataFrame:
+        """Named-filter-bucket counts over the query's BM25 kept set
+        (operators/aggs.bm25_filters_agg — the ES filters agg).
+        ``buckets`` maps name -> (docs column, value)."""
+        from .operators.aggs import bm25_filters_agg
+
+        return bm25_filters_agg(self.index, query, buckets)
+
+    def range_agg(
+        self, query: str, col: str = "doc_len", cuts=(20, 40)
+    ) -> DataFrame:
+        """Explicit-bounds range buckets over the query's BM25 kept set
+        (operators/aggs.bm25_range_agg — the ES range agg)."""
+        from .operators.aggs import bm25_range_agg
+
+        return bm25_range_agg(self.index, query, col=col, cuts=cuts)
+
+    def top_hits(
+        self, query: str, key: str = "lang", per_bucket: int = 3
+    ) -> DataFrame:
+        """Per-bucket independent top-n rankings over the query's BM25
+        kept set (operators/aggs.bm25_top_hits — ES terms + top_hits)."""
+        from .operators.aggs import bm25_top_hits
+
+        return bm25_top_hits(self.index, query, key=key,
+                             per_bucket=int(per_bucket))
+
+    def rare_terms(
+        self, query: str, max_df: int = 2, limit: int = 20
+    ) -> DataFrame:
+        """Rarest terms of the query's BM25 kept set
+        (operators/aggs.bm25_rare_terms — the ES rare_terms agg)."""
+        from .operators.aggs import bm25_rare_terms
+
+        return bm25_rare_terms(self.index, query, max_df=int(max_df),
+                               k=int(limit))
+
     def similar(self, doc_id: int, m: int = 5, limit: int = 10) -> DataFrame:
         """More-like-this over the served index
         (operators/explore.more_like_this)."""

@@ -145,6 +145,55 @@ def bm25_stats_agg_q(
     return bm25_stats_agg(idx, query, col="doc_len")
 
 
+def bm25_filters_agg_q(
+    spark: SparkSession, sf_dir: str, query: str
+) -> DataFrame:
+    """Named-filter-bucket counts over the BM25 kept set
+    (operators/aggs.bm25_filters_agg — the ES filters agg)."""
+    from .operators.aggs import bm25_filters_agg
+
+    idx = get_documents_index(spark, sf_dir)
+    return bm25_filters_agg(
+        idx,
+        query,
+        buckets={"de": ("lang", "de"), "en": ("lang", "en"),
+                 "s7": ("source", "src7")},
+    )
+
+
+def bm25_range_agg_q(
+    spark: SparkSession, sf_dir: str, query: str, cuts=(20, 40)
+) -> DataFrame:
+    """Explicit-bounds range buckets of doc_len over the BM25 kept set
+    (operators/aggs.bm25_range_agg — the ES range agg)."""
+    from .operators.aggs import bm25_range_agg
+
+    idx = get_documents_index(spark, sf_dir)
+    return bm25_range_agg(idx, query, col="doc_len", cuts=cuts)
+
+
+def bm25_top_hits_q(
+    spark: SparkSession, sf_dir: str, query: str, per_bucket: int = 3
+) -> DataFrame:
+    """Per-lang independent top-n rankings over the BM25 kept set
+    (operators/aggs.bm25_top_hits — ES terms agg + top_hits)."""
+    from .operators.aggs import bm25_top_hits
+
+    idx = get_documents_index(spark, sf_dir)
+    return bm25_top_hits(idx, query, key="lang", per_bucket=per_bucket)
+
+
+def bm25_rare_terms_q(
+    spark: SparkSession, sf_dir: str, query: str, max_df: int = 2, k: int = 20
+) -> DataFrame:
+    """Rarest terms of the BM25 kept set (operators/aggs.bm25_rare_terms
+    — the ES rare_terms agg)."""
+    from .operators.aggs import bm25_rare_terms
+
+    idx = get_documents_index(spark, sf_dir)
+    return bm25_rare_terms(idx, query, max_df=max_df, k=k)
+
+
 def significant_terms_q(
     spark: SparkSession, sf_dir: str, query: str, k: int = 20, min_fg: int = 2
 ) -> DataFrame:

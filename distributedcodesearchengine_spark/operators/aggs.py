@@ -1,0 +1,469 @@
+"""Elasticsearch-family aggregations over the BM25 kept set, beyond the
+facets/histogram/stats trio in operators/explore.py:
+
+- ``bm25_filters_agg``: the ES ``filters`` aggregation — named buckets,
+  each defined by an equality predicate on a docs column, counted over
+  the kept set. Every named bucket appears in the result (ES returns
+  doc_count 0 for empty buckets); ``max_score`` is 0.0 for an empty
+  bucket (the coalesce both engines spell identically).
+- ``bm25_range_agg``: the ES ``range`` aggregation — ordered disjoint
+  ranges defined by integer cut points over a numeric docs column;
+  first range is unbounded below, last unbounded above, interior ranges
+  are [lo, hi). All ranges appear, empty ones at n_docs 0.
+- ``bm25_top_hits``: the ES ``terms`` aggregation with a ``top_hits``
+  sub-aggregation — for each value of a docs column present in the kept
+  set, the top-``per_bucket`` documents by (score desc, doc_id asc).
+  Unlike ``bm25_collapse_topk`` (which dedups groups inside ONE global
+  ranking), top_hits returns an independent ranking per bucket.
+- ``bm25_rare_terms``: the ES ``rare_terms`` aggregation — terms whose
+  kept-set document count is at most ``max_df``, ranked ascending by
+  count (rarest first), term asc tiebreak. The long-tail complement of
+  significant_terms' JLH head.
+
+All four ride the aggregation-family spine ``explore._kept_with_cols``
+(healthy regime = thresholded candidates only, a docvalues join on
+survivors; degenerate all-zero regime = the whole corpus at score 0 —
+the reference's result array; empty-tokenizing query = zero rows, F7).
+Reference parity: the reference exposes result-set metadata through the
+same post-threshold array these aggregate (bm25_index.py:149-164).
+
+Scale notes: filters/range reduce the kept set in ONE conditional-agg
+pass (a single 1-row agg job; the bucket fan-out is a driver-side
+``stack`` over that row — no per-bucket scan). top_hits is a window
+top-n per key: one shuffle on the key column, per-partition sort,
+rank filter — the standard grouped-top-n shape at any scale. rare_terms
+is a tf semi-join against the (candidate-bounded) kept doc ids plus a
+map-side-combinable count; its TakeOrdered k-cut never global-sorts.
+
+Cross-engine parity follows the house conventions: integer counts are
+exact; max/score columns round via round6/round6_sql only at the output
+boundary; orders and limits bind the RAW columns, never rounded
+aliases; bucket names/values are validated before being embedded in
+either engine's literal position.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.rounding import round6
+from ..oracle.tokenizer import tokenize
+from .explore import _kept_with_cols
+from .scorer import Index
+
+_NAME_RE = re.compile(r"^[A-Za-z0-9_]+$")
+_VALUE_RE = re.compile(r"^[A-Za-z0-9_\-./:]*$")
+
+
+def _check_name(s: str, what: str) -> str:
+    if not _NAME_RE.match(s):
+        raise ValueError(f"unsafe {what}: {s!r}")
+    return s
+
+
+def _check_value(s: str) -> str:
+    # values reach the DuckDB mirror inside single quotes; the engine
+    # side binds them as literals — keep the two surfaces equally strict
+    if not _VALUE_RE.match(s):
+        raise ValueError(f"unsafe filter value: {s!r}")
+    return s
+
+
+# ---------------------------------------------------------------------------
+# filters aggregation
+# ---------------------------------------------------------------------------
+
+
+def bm25_filters_agg(
+    index: Index, query: str, buckets: Dict[str, Tuple[str, str]]
+) -> DataFrame:
+    """(bucket, n_docs, max_score) — the ES ``filters`` agg: for each
+    named bucket (an equality predicate ``col == value`` on a docs
+    column), the kept-set document count and best score. Every bucket
+    appears (n_docs 0, max_score 0.0 when empty); rows order by bucket
+    name."""
+    spark = index.spark
+    items = sorted(buckets.items())
+    if not items:
+        raise ValueError("filters aggregation requires at least one bucket")
+    for name, (col, _val) in items:
+        _check_name(name, "bucket name")
+        _check_name(col, "column name")
+    if not tokenize(query):
+        return spark.createDataFrame(
+            [], "bucket string, n_docs long, max_score double"
+        )
+    cols = list(dict.fromkeys(c for _, (c, _) in items))
+    kept = _kept_with_cols(index, query, cols)
+    aggs = []
+    for i, (_name, (col, val)) in enumerate(items):
+        pred = F.col(col) == F.lit(val)
+        aggs.append(
+            F.sum(F.when(pred, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"n_{i}")
+        )
+        aggs.append(
+            F.coalesce(F.max(F.when(pred, F.col("score"))), F.lit(0.0)).alias(
+                f"m_{i}"
+            )
+        )
+    row = kept.agg(*aggs)
+    stack_items = ", ".join(
+        f"'{name}', n_{i}, m_{i}" for i, (name, _) in enumerate(items)
+    )
+    return (
+        row.selectExpr(
+            f"stack({len(items)}, {stack_items}) AS (bucket, n_docs, max_score)"
+        )
+        .select("bucket", "n_docs", round6("max_score").alias("max_score"))
+        .orderBy("bucket")
+    )
+
+
+def bm25_filters_agg_sql(query: str, buckets: Dict[str, Tuple[str, str]]) -> str:
+    """DuckDB mirror of bm25_filters_agg: the facets kept chain reduced
+    by one conditional aggregation per named bucket (FILTER clauses),
+    unpivoted via UNION ALL, coalesce(max, 0.0) for empty buckets."""
+    from collections import Counter
+
+    from ..functions.rounding import round6_sql
+    from ..functions.sql_oracle import B, K1, _docs_cte
+
+    items = sorted(buckets.items())
+    if not items:
+        raise ValueError("filters aggregation requires at least one bucket")
+    cols = list(dict.fromkeys(c for _, (c, _) in items))
+    for name, (col, val) in items:
+        _check_name(name, "bucket name")
+        _check_name(col, "column name")
+        _check_value(val)
+    toks = tokenize(query)
+    if not toks:
+        return (
+            "SELECT '' AS bucket, 1::BIGINT AS n_docs, 0.0 AS max_score "
+            "WHERE false"
+        )
+    counts = Counter(toks)
+    qvals = ", ".join(f"('{t}', {float(q)})" for t, q in sorted(counts.items()))
+    col_sel = "".join(f"d.{c}, " for c in cols)
+    selects = []
+    for name, (col, val) in items:
+        pred = f"{col} = '{val}'"
+        selects.append(
+            f"SELECT '{name}' AS bucket, "
+            f"CAST(count(*) FILTER (WHERE {pred}) AS BIGINT) AS n_docs, "
+            f"{round6_sql(f'coalesce(max(score) FILTER (WHERE {pred}), 0.0)')} "
+            "AS max_score FROM kept"
+        )
+    union = " UNION ALL ".join(selects)
+    return (
+        f"WITH {_docs_cte()}, "
+        f"qt(term, qtf) AS (VALUES {qvals}), "
+        "contrib AS ("
+        "  SELECT tf.doc_id, tf.term, "
+        f"    qt.qtf * (idf.idf * (tf.tf * {K1 + 1.0} / "
+        f"      (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM stats))))) AS c "
+        "  FROM tf JOIN qt USING (term) JOIN idf USING (term) "
+        "  JOIN doclen dl ON dl.doc_id = tf.doc_id), "
+        "scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id), "
+        "mx AS (SELECT max(score) AS m FROM scored), "
+        "kept AS ("
+        f"  SELECT d.doc_id, {col_sel}coalesce(s.score, 0.0) AS score "
+        "  FROM doclen d LEFT JOIN scored s USING (doc_id) "
+        "  WHERE ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
+        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))) "
+        f"SELECT * FROM ({union}) ORDER BY bucket"
+    )
+
+
+# ---------------------------------------------------------------------------
+# range aggregation
+# ---------------------------------------------------------------------------
+
+
+def _ranges(cuts: Sequence[int]) -> List[Tuple[int, object, object]]:
+    cs = [int(c) for c in cuts]
+    if cs != sorted(cs) or len(set(cs)) != len(cs) or not cs:
+        raise ValueError(f"cuts must be non-empty strictly increasing: {cuts!r}")
+    bounds: List[Tuple[int, object, object]] = []
+    lo: object = None
+    for i, c in enumerate(cs):
+        bounds.append((i, lo, c))
+        lo = c
+    bounds.append((len(cs), lo, None))
+    return bounds
+
+
+def bm25_range_agg(
+    index: Index, query: str, col: str = "doc_len", cuts: Sequence[int] = (20, 40)
+) -> DataFrame:
+    """(range_idx, lo, hi, n_docs, max_score) — the ES ``range`` agg:
+    the kept set bucketed by ordered integer cut points on a numeric
+    docs column. Range i is [cuts[i-1], cuts[i]) with the first
+    unbounded below and the last unbounded above (ES's from-inclusive /
+    to-exclusive convention). All ranges appear; empty ones carry
+    n_docs 0 / max_score 0.0. One conditional-agg pass; the per-range
+    fan-out is a stack over the single agg row."""
+    spark = index.spark
+    _check_name(col, "column name")
+    bounds = _ranges(cuts)
+    if not tokenize(query):
+        return spark.createDataFrame(
+            [],
+            "range_idx int, lo long, hi long, n_docs long, max_score double",
+        )
+    kept = _kept_with_cols(index, query, [col])
+    aggs = []
+    for i, lo, hi in bounds:
+        pred = F.lit(True)
+        if lo is not None:
+            pred = pred & (F.col(col) >= F.lit(int(lo)))
+        if hi is not None:
+            pred = pred & (F.col(col) < F.lit(int(hi)))
+        aggs.append(
+            F.sum(F.when(pred, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"n_{i}")
+        )
+        aggs.append(
+            F.coalesce(F.max(F.when(pred, F.col("score"))), F.lit(0.0)).alias(
+                f"m_{i}"
+            )
+        )
+    row = kept.agg(*aggs)
+
+    def _b(v: object) -> str:
+        return "CAST(NULL AS BIGINT)" if v is None else f"CAST({int(v)} AS BIGINT)"
+
+    stack_items = ", ".join(
+        f"{i}, {_b(lo)}, {_b(hi)}, n_{i}, m_{i}" for i, lo, hi in bounds
+    )
+    return (
+        row.selectExpr(
+            f"stack({len(bounds)}, {stack_items}) "
+            "AS (range_idx, lo, hi, n_docs, max_score)"
+        )
+        .select(
+            F.col("range_idx").cast("int").alias("range_idx"),
+            "lo",
+            "hi",
+            "n_docs",
+            round6("max_score").alias("max_score"),
+        )
+        .orderBy("range_idx")
+    )
+
+
+def bm25_range_agg_sql(
+    query: str, col: str = "doc_len", cuts: Sequence[int] = (20, 40)
+) -> str:
+    """DuckDB mirror of bm25_range_agg: the kept chain reduced by one
+    FILTER-ed aggregate per range, unpivoted via UNION ALL. ``col``
+    must be a doclen-relation column (doc_len)."""
+    from collections import Counter
+
+    from ..functions.rounding import round6_sql
+    from ..functions.sql_oracle import B, K1, _docs_cte
+
+    _check_name(col, "column name")
+    bounds = _ranges(cuts)
+    toks = tokenize(query)
+    if not toks:
+        return (
+            "SELECT 1::INT AS range_idx, 1::BIGINT AS lo, 1::BIGINT AS hi, "
+            "1::BIGINT AS n_docs, 0.0 AS max_score WHERE false"
+        )
+    counts = Counter(toks)
+    qvals = ", ".join(f"('{t}', {float(q)})" for t, q in sorted(counts.items()))
+    selects = []
+    for i, lo, hi in bounds:
+        preds = ["true"]
+        if lo is not None:
+            preds.append(f"{col} >= {int(lo)}")
+        if hi is not None:
+            preds.append(f"{col} < {int(hi)}")
+        pred = " AND ".join(preds)
+        lo_s = "CAST(NULL AS BIGINT)" if lo is None else f"{int(lo)}::BIGINT"
+        hi_s = "CAST(NULL AS BIGINT)" if hi is None else f"{int(hi)}::BIGINT"
+        selects.append(
+            f"SELECT {i}::INT AS range_idx, {lo_s} AS lo, {hi_s} AS hi, "
+            f"CAST(count(*) FILTER (WHERE {pred}) AS BIGINT) AS n_docs, "
+            f"{round6_sql(f'coalesce(max(score) FILTER (WHERE {pred}), 0.0)')} "
+            "AS max_score FROM kept"
+        )
+    union = " UNION ALL ".join(selects)
+    return (
+        f"WITH {_docs_cte()}, "
+        f"qt(term, qtf) AS (VALUES {qvals}), "
+        "contrib AS ("
+        "  SELECT tf.doc_id, tf.term, "
+        f"    qt.qtf * (idf.idf * (tf.tf * {K1 + 1.0} / "
+        f"      (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM stats))))) AS c "
+        "  FROM tf JOIN qt USING (term) JOIN idf USING (term) "
+        "  JOIN doclen dl ON dl.doc_id = tf.doc_id), "
+        "scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id), "
+        "mx AS (SELECT max(score) AS m FROM scored), "
+        "kept AS ("
+        f"  SELECT d.doc_id, d.{col}, coalesce(s.score, 0.0) AS score "
+        "  FROM doclen d LEFT JOIN scored s USING (doc_id) "
+        "  WHERE ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
+        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))) "
+        f"SELECT * FROM ({union}) ORDER BY range_idx"
+    )
+
+
+# ---------------------------------------------------------------------------
+# terms + top_hits aggregation
+# ---------------------------------------------------------------------------
+
+
+def bm25_top_hits(
+    index: Index, query: str, key: str = "lang", per_bucket: int = 3
+) -> DataFrame:
+    """(key, rank, doc_id, score) — the ES ``terms`` agg with a
+    ``top_hits`` sub-agg: for each value of ``key`` present in the kept
+    set, an independent top-``per_bucket`` ranking by (score desc,
+    doc_id asc). rank restarts at 1 inside each bucket; rows order by
+    (key asc, rank asc). Only values that occur appear (terms-agg
+    semantics — contrast filters_agg's always-present named buckets).
+
+    Scale: one shuffle on ``key`` + per-partition sort + rank filter —
+    the standard grouped-top-n window shape; the rank predicate prunes
+    to at most per_bucket rows per key before anything leaves the
+    exchange."""
+    spark = index.spark
+    _check_name(key, "column name")
+    if not tokenize(query):
+        return spark.createDataFrame(
+            [], f"{key} string, rank int, doc_id long, score double"
+        )
+    kept = _kept_with_cols(index, query, [key])
+    w = Window.partitionBy(key).orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        kept.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(per_bucket))
+        .select(
+            key,
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            round6("score").alias("score"),
+        )
+        .orderBy(F.asc(key), F.asc("rank"))
+    )
+
+
+def bm25_top_hits_sql(query: str, key: str = "lang", per_bucket: int = 3) -> str:
+    """DuckDB mirror of bm25_top_hits: the kept chain + a per-key
+    row_number window on the RAW score (rounding only at the output
+    projection). ``key`` must be a doclen-relation column."""
+    from collections import Counter
+
+    from ..functions.rounding import round6_sql
+    from ..functions.sql_oracle import B, K1, _docs_cte
+
+    _check_name(key, "column name")
+    toks = tokenize(query)
+    if not toks:
+        return (
+            f"SELECT '' AS {key}, 1::INT AS rank, 1::BIGINT AS doc_id, "
+            "0.0 AS score WHERE false"
+        )
+    counts = Counter(toks)
+    qvals = ", ".join(f"('{t}', {float(q)})" for t, q in sorted(counts.items()))
+    return (
+        f"WITH {_docs_cte()}, "
+        f"qt(term, qtf) AS (VALUES {qvals}), "
+        "contrib AS ("
+        "  SELECT tf.doc_id, tf.term, "
+        f"    qt.qtf * (idf.idf * (tf.tf * {K1 + 1.0} / "
+        f"      (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM stats))))) AS c "
+        "  FROM tf JOIN qt USING (term) JOIN idf USING (term) "
+        "  JOIN doclen dl ON dl.doc_id = tf.doc_id), "
+        "scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id), "
+        "mx AS (SELECT max(score) AS m FROM scored), "
+        "kept AS ("
+        f"  SELECT d.doc_id, d.{key}, coalesce(s.score, 0.0) AS score "
+        "  FROM doclen d LEFT JOIN scored s USING (doc_id) "
+        "  WHERE ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
+        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))), "
+        "ranked AS ("
+        f"  SELECT {key}, CAST(row_number() OVER "
+        f"    (PARTITION BY {key} ORDER BY score DESC, doc_id ASC) AS INT) AS rank, "
+        "    doc_id, score FROM kept) "
+        f"SELECT {key}, rank, doc_id, {round6_sql('score')} AS score "
+        f"FROM ranked WHERE rank <= {int(per_bucket)} "
+        f"ORDER BY {key} ASC, rank ASC"
+    )
+
+
+# ---------------------------------------------------------------------------
+# rare_terms aggregation
+# ---------------------------------------------------------------------------
+
+
+def bm25_rare_terms(
+    index: Index, query: str, max_df: int = 2, k: int = 20
+) -> DataFrame:
+    """(term, n_docs) — the ES ``rare_terms`` agg: terms whose kept-set
+    document count is at most ``max_df``, rarest first (n_docs asc,
+    term asc), top-k. The foreground count is one tf semi-join against
+    the kept doc ids (candidate-bounded in the healthy regime; the
+    degenerate regime's kept set is the corpus, where n_docs == df by
+    construction) plus a map-side-combinable groupBy; the k-cut is a
+    TakeOrdered, never a global sort."""
+    spark = index.spark
+    if not tokenize(query):
+        return spark.createDataFrame([], "term string, n_docs long")
+    kept = _kept_with_cols(index, query, [])
+    fg = (
+        index.tf.join(kept.select("doc_id"), "doc_id", "leftsemi")
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    return (
+        fg.where(F.col("n_docs") <= int(max_df))
+        .orderBy(F.asc("n_docs"), F.asc("term"))
+        .limit(int(k))
+    )
+
+
+def bm25_rare_terms_sql(query: str, max_df: int = 2, k: int = 20) -> str:
+    """DuckDB mirror of bm25_rare_terms: the kept chain's doc ids
+    semi-joined against tf, grouped, floored at max_df, ordered
+    (n_docs asc, term asc) — a total order, so the LIMIT boundary is
+    deterministic on both engines."""
+    from collections import Counter
+
+    from ..functions.sql_oracle import B, K1, _docs_cte
+
+    toks = tokenize(query)
+    if not toks:
+        return "SELECT '' AS term, 1::BIGINT AS n_docs WHERE false"
+    counts = Counter(toks)
+    qvals = ", ".join(f"('{t}', {float(q)})" for t, q in sorted(counts.items()))
+    return (
+        f"WITH {_docs_cte()}, "
+        f"qt(term, qtf) AS (VALUES {qvals}), "
+        "contrib AS ("
+        "  SELECT tf.doc_id, tf.term, "
+        f"    qt.qtf * (idf.idf * (tf.tf * {K1 + 1.0} / "
+        f"      (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM stats))))) AS c "
+        "  FROM tf JOIN qt USING (term) JOIN idf USING (term) "
+        "  JOIN doclen dl ON dl.doc_id = tf.doc_id), "
+        "scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id), "
+        "mx AS (SELECT max(score) AS m FROM scored), "
+        "kept AS ("
+        "  SELECT d.doc_id FROM doclen d LEFT JOIN scored s USING (doc_id) "
+        "  WHERE ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
+        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))) "
+        "SELECT tf.term, CAST(count(*) AS BIGINT) AS n_docs "
+        "FROM tf WHERE tf.doc_id IN (SELECT doc_id FROM kept) "
+        f"GROUP BY tf.term HAVING count(*) <= {int(max_df)} "
+        f"ORDER BY n_docs ASC, term ASC LIMIT {int(k)}"
+    )

@@ -15,6 +15,14 @@ Endpoints (JSON responses):
     GET  /facets?q=...               facet counts over the query's kept set
     GET  /histogram?q=...&col=doc_len&interval=50   ES histogram agg over
                        the kept set (bucket = (col DIV interval) * interval)
+    GET  /range_agg?q=...&col=doc_len&cuts=20,40    ES range agg: explicit
+                       [lo, hi) buckets from ordered integer cut points
+    GET  /filters_agg?q=...&buckets=name:col:value,...   ES filters agg:
+                       named equality buckets (always present, 0 if empty)
+    GET  /top_hits?q=...&key=lang&per_bucket=3      ES terms+top_hits:
+                       independent per-bucket top-n rankings
+    GET  /rare_terms?q=...&max_df=2&limit=20        ES rare_terms: the
+                       kept set's long-tail terms, rarest first
     GET  /significant?q=...&limit=20&min_fg=2   significant terms of the
                        query's kept set vs the corpus background (JLH)
     GET  /search_after?q=...&limit=20[&after_score=S&after_doc=D]
@@ -353,6 +361,14 @@ def make_handler(engine, stats_fn, index_manager=None):
                             "over the query's kept set",
                             "GET /stats_agg": "min/max/sum/avg stats of a "
                             "numeric column over the kept set",
+                            "GET /range_agg": "explicit-bounds range "
+                            "buckets over the kept set",
+                            "GET /filters_agg": "named equality-filter "
+                            "buckets over the kept set",
+                            "GET /top_hits": "per-bucket independent "
+                            "top-n rankings over the kept set",
+                            "GET /rare_terms": "rarest kept-set terms, "
+                            "ascending count",
                             "GET /significant": "significant terms of the "
                             "query's result set",
                             "GET /search_after": "keyset pagination "
@@ -423,6 +439,63 @@ def make_handler(engine, stats_fn, index_manager=None):
                     return self._send(
                         200,
                         {"query": q["q"], "buckets": [r.asDict() for r in rows]},
+                    )
+                if url.path == "/range_agg":
+                    if "q" not in q:
+                        return self._send(400, {"error": "missing q"})
+                    cuts = tuple(
+                        int(c) for c in q.get("cuts", "20,40").split(",") if c
+                    )
+                    rows = engine.range_agg(
+                        q["q"], col=q.get("col", "doc_len"), cuts=cuts
+                    ).collect()
+                    return self._send(
+                        200,
+                        {"query": q["q"], "buckets": [r.asDict() for r in rows]},
+                    )
+                if url.path == "/filters_agg":
+                    if "q" not in q:
+                        return self._send(400, {"error": "missing q"})
+                    # buckets=name:col:value,name:col:value
+                    try:
+                        buckets = {}
+                        for part in q.get("buckets", "").split(","):
+                            name, col, val = part.split(":")
+                            buckets[name] = (col, val)
+                    except ValueError:
+                        return self._send(
+                            400,
+                            {"error": "buckets must be "
+                             "name:col:value[,name:col:value...]"},
+                        )
+                    rows = engine.filters_agg(q["q"], buckets).collect()
+                    return self._send(
+                        200,
+                        {"query": q["q"], "buckets": [r.asDict() for r in rows]},
+                    )
+                if url.path == "/top_hits":
+                    if "q" not in q:
+                        return self._send(400, {"error": "missing q"})
+                    rows = engine.top_hits(
+                        q["q"],
+                        key=q.get("key", "lang"),
+                        per_bucket=int(q.get("per_bucket", 3)),
+                    ).collect()
+                    return self._send(
+                        200,
+                        {"query": q["q"], "hits": [r.asDict() for r in rows]},
+                    )
+                if url.path == "/rare_terms":
+                    if "q" not in q:
+                        return self._send(400, {"error": "missing q"})
+                    rows = engine.rare_terms(
+                        q["q"],
+                        max_df=int(q.get("max_df", 2)),
+                        limit=int(q.get("limit", 20)),
+                    ).collect()
+                    return self._send(
+                        200,
+                        {"query": q["q"], "terms": [r.asDict() for r in rows]},
                     )
                 if url.path == "/search_after":
                     if "q" not in q:

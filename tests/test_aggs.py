@@ -1,0 +1,226 @@
+"""Semantics tests for the ES aggregation extensions (operators/aggs.py)
+— Spark/DuckDB parity is covered by the driver gate; these pin branch
+behaviors on handcrafted corpora: always-present filters buckets,
+[lo, hi) range boundaries, per-bucket independent top_hits rankings,
+the rare_terms max_df floor, and the shared guards (empty query,
+unsafe names)."""
+
+import pytest
+
+from distributedcodesearchengine_spark.build.indexer import build_index_inmem
+from distributedcodesearchengine_spark.operators.aggs import (
+    bm25_filters_agg,
+    bm25_range_agg,
+    bm25_rare_terms,
+    bm25_top_hits,
+)
+
+
+def _index(spark, rows):
+    pages = spark.createDataFrame(
+        [
+            (
+                f"https://x.example/{i:04d}",
+                f"<html><body><p>{text}</p></body></html>".encode(),
+                text,
+                lang,
+                src,
+            )
+            for i, (text, lang, src) in enumerate(rows)
+        ],
+        "url string, html binary, text string, lang string, source string",
+    )
+    return build_index_inmem(spark, pages, meta_cols=("source",))
+
+
+# --- filters aggregation ----------------------------------------------------
+
+
+def test_filters_agg_counts_and_empty_bucket(spark):
+    # 'rare' matches docs 0 (en/s1) and 1 (de/s2); doc 2 never matches.
+    # The 'fr' bucket matches nothing kept -> still present at 0 / 0.0
+    idx = _index(
+        spark,
+        [
+            ("rare words here indeed", "en", "s1"),
+            ("rare other tokens again", "de", "s2"),
+            ("unrelated filler stuff here", "fr", "s3"),
+        ],
+    )
+    rows = {
+        r.bucket: (r.n_docs, r.max_score)
+        for r in bm25_filters_agg(
+            idx,
+            "rare",
+            {"en": ("lang", "en"), "de": ("lang", "de"), "fr": ("lang", "fr")},
+        ).collect()
+    }
+    assert set(rows) == {"en", "de", "fr"}
+    assert rows["en"][0] == 1 and rows["de"][0] == 1
+    assert rows["fr"] == (0, 0.0)
+    assert rows["en"][1] > 0 and rows["de"][1] > 0
+
+
+def test_filters_agg_degenerate_counts_corpus(spark):
+    idx = _index(
+        spark,
+        [
+            ("alpha beta gamma", "en", "s1"),
+            ("delta epsilon zeta", "en", "s1"),
+            ("eta theta iota", "de", "s2"),
+        ],
+    )
+    rows = {
+        r.bucket: (r.n_docs, r.max_score)
+        for r in bm25_filters_agg(
+            idx, "zzzunknown", {"en": ("lang", "en"), "de": ("lang", "de")}
+        ).collect()
+    }
+    assert rows == {"en": (2, 0.0), "de": (1, 0.0)}
+
+
+def test_filters_agg_guards(spark):
+    idx = _index(spark, [("alpha beta", "en", "s1")])
+    assert bm25_filters_agg(idx, "!! ??", {"en": ("lang", "en")}).count() == 0
+    with pytest.raises(ValueError):
+        bm25_filters_agg(idx, "alpha", {})
+    with pytest.raises(ValueError):
+        bm25_filters_agg(idx, "alpha", {"bad name": ("lang", "en")})
+    with pytest.raises(ValueError):
+        bm25_filters_agg(idx, "alpha", {"ok": ("lang; drop", "en")})
+
+
+# --- range aggregation ------------------------------------------------------
+
+
+def test_range_agg_boundaries_lo_inclusive_hi_exclusive(spark):
+    # doc_lens: 2, 4, 6 tokens; all match 'word' -> degenerate? no:
+    # every doc contains 'word' so scores are equal and positive ->
+    # healthy regime keeps all three
+    idx = _index(
+        spark,
+        [
+            ("word tok", "en", "s1"),
+            ("word tok tok tok", "en", "s1"),
+            ("word tok tok tok tok tok", "en", "s1"),
+        ],
+    )
+    rows = bm25_range_agg(idx, "word", col="doc_len", cuts=(4, 6)).collect()
+    by_idx = {r.range_idx: (r.lo, r.hi, r.n_docs) for r in rows}
+    # (-inf,4) -> doc_len 2; [4,6) -> doc_len 4; [6,inf) -> doc_len 6
+    assert by_idx == {0: (None, 4, 1), 1: (4, 6, 1), 2: (6, None, 1)}
+
+
+def test_range_agg_empty_range_present_at_zero(spark):
+    idx = _index(spark, [("word tok", "en", "s1")])
+    rows = bm25_range_agg(idx, "word", col="doc_len", cuts=(100, 200)).collect()
+    by_idx = {r.range_idx: (r.n_docs, r.max_score) for r in rows}
+    assert by_idx[1] == (0, 0.0) and by_idx[2] == (0, 0.0)
+    assert by_idx[0][0] == 1
+
+
+def test_range_agg_guards(spark):
+    idx = _index(spark, [("alpha", "en", "s1")])
+    assert bm25_range_agg(idx, "!! ??", cuts=(10,)).count() == 0
+    with pytest.raises(ValueError):
+        bm25_range_agg(idx, "alpha", cuts=())
+    with pytest.raises(ValueError):
+        bm25_range_agg(idx, "alpha", cuts=(5, 5))
+    with pytest.raises(ValueError):
+        bm25_range_agg(idx, "alpha", cuts=(10, 5))
+
+
+# --- terms + top_hits aggregation -------------------------------------------
+
+
+def test_top_hits_independent_per_bucket_rankings(spark):
+    # 'rare' matches docs 0,1 (en) and 2 (de): each lang bucket gets its
+    # own ranking starting at rank 1 — unlike collapse, which would keep
+    # only the global best per group inside one top-k
+    idx = _index(
+        spark,
+        [
+            ("rare rare words here", "en", "s1"),
+            ("rare other tokens again", "en", "s1"),
+            ("rare thing entirely new", "de", "s2"),
+        ],
+    )
+    rows = bm25_top_hits(idx, "rare", key="lang", per_bucket=2).collect()
+    langs = {}
+    for r in rows:
+        langs.setdefault(r.lang, []).append((r.rank, r.doc_id))
+    assert [rk for rk, _ in langs["en"]] == [1, 2]
+    assert [rk for rk, _ in langs["de"]] == [1]
+    # doc 0 has tf=2 for 'rare' -> best in the en bucket
+    assert langs["en"][0][1] == 0
+
+
+def test_top_hits_per_bucket_cut(spark):
+    idx = _index(
+        spark,
+        [(f"rare filler{i} words", "en", "s1") for i in range(5)],
+    )
+    rows = bm25_top_hits(idx, "rare", key="lang", per_bucket=3).collect()
+    assert len(rows) == 3
+    assert [r.rank for r in rows] == [1, 2, 3]
+
+
+def test_top_hits_degenerate_covers_corpus(spark):
+    idx = _index(
+        spark,
+        [
+            ("alpha beta", "en", "s1"),
+            ("gamma delta", "de", "s2"),
+        ],
+    )
+    rows = bm25_top_hits(idx, "zzzunknown", key="lang", per_bucket=5).collect()
+    assert {(r.lang, r.doc_id, r.score) for r in rows} == {
+        ("en", 0, 0.0),
+        ("de", 1, 0.0),
+    }
+
+
+def test_top_hits_empty_query_guard(spark):
+    idx = _index(spark, [("alpha", "en", "s1")])
+    assert bm25_top_hits(idx, "!! ??").count() == 0
+
+
+# --- rare_terms aggregation -------------------------------------------------
+
+
+def test_rare_terms_floor_and_ranking(spark):
+    # kept set = all three docs (every doc contains 'shared').
+    # Counts: shared=3, two=2 (docs 0,1), uniqa/uniqb/uniqc = 1 each.
+    idx = _index(
+        spark,
+        [
+            ("shared two uniqa", "en", "s1"),
+            ("shared two uniqb", "en", "s1"),
+            ("shared uniqc filler", "en", "s1"),
+        ],
+    )
+    rows = bm25_rare_terms(idx, "shared", max_df=2, k=10).collect()
+    got = [(r.term, r.n_docs) for r in rows]
+    # rarest first, term asc inside a count tie; 'shared' (3) excluded
+    assert got == [
+        ("filler", 1),
+        ("uniqa", 1),
+        ("uniqb", 1),
+        ("uniqc", 1),
+        ("two", 2),
+    ]
+
+
+def test_rare_terms_k_cut_deterministic(spark):
+    idx = _index(
+        spark,
+        [("shared alpha beta gamma", "en", "s1")],
+    )
+    rows = bm25_rare_terms(idx, "shared", max_df=5, k=2).collect()
+    # all counts are 1 -> term asc decides the cut
+    assert [r.term for r in rows] == ["alpha", "beta"]
+
+
+def test_rare_terms_empty_query_guard(spark):
+    idx = _index(spark, [("alpha", "en", "s1")])
+    assert bm25_rare_terms(idx, "!! ??").count() == 0

@@ -420,6 +420,69 @@ def test_histogram_endpoint(srv):
     assert ei.value.code == 400
 
 
+def test_range_agg_endpoint(srv):
+    code, body = _get(srv, "/range_agg", q="parse json", cuts="50,200")
+    assert code == 200 and body["query"] == "parse json"
+    rows = body["buckets"]
+    assert len(rows) == 3  # (-inf,50), [50,200), [200,inf)
+    assert [r["range_idx"] for r in rows] == [0, 1, 2]
+    assert rows[0]["lo"] is None and rows[2]["hi"] is None
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/range_agg")
+    assert ei.value.code == 400
+
+
+def test_filters_agg_endpoint(srv):
+    code, body = _get(
+        srv, "/filters_agg", q="parse json",
+        buckets="en:lang:en,de:lang:de,none:lang:zz",
+    )
+    assert code == 200
+    rows = {r["bucket"]: r for r in body["buckets"]}
+    assert set(rows) == {"en", "de", "none"}
+    assert rows["none"]["n_docs"] == 0 and rows["none"]["max_score"] == 0.0
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/filters_agg", q="x", buckets="brokenspec")
+    assert ei.value.code == 400
+
+
+def test_top_hits_endpoint(srv):
+    code, body = _get(srv, "/top_hits", q="parse json", key="lang",
+                      per_bucket=2)
+    assert code == 200
+    hits = body["hits"]
+    assert hits
+    per = {}
+    for r in hits:
+        per.setdefault(r["lang"], []).append(r["rank"])
+    for ranks in per.values():
+        assert ranks == list(range(1, len(ranks) + 1)) and len(ranks) <= 2
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/top_hits")
+    assert ei.value.code == 400
+
+
+def test_rare_terms_endpoint(srv):
+    code, body = _get(srv, "/rare_terms", q="parse json", max_df=1000000,
+                      limit=5)
+    assert code == 200
+    terms = body["terms"]
+    assert terms and len(terms) <= 5
+    counts = [r["n_docs"] for r in terms]
+    assert counts == sorted(counts)  # rarest first
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/rare_terms")
+    assert ei.value.code == 400
+
+
 def test_significant_endpoint(srv):
     code, body = _get(srv, "/significant", q="parse json", limit=5, min_fg=1)
     assert code == 200 and body["query"] == "parse json"
