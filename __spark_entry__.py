@@ -351,6 +351,15 @@ def _registry():
     reg["kmv_distinct"] = (
         _docs_op(partial(sk.kmv_distinct, k=16)), sk.kmv_distinct_sql(cte, k=16),
     )
+    # HLL cardinality (ES cardinality agg): p=12 (4096 registers) runs
+    # in the linear-counting regime on the small synthetic vocab; p=4
+    # (16 registers) exercises the raw harmonic-estimate branch
+    reg["hll_distinct"] = (
+        _docs_op(partial(sk.hll_distinct, p=12)), sk.hll_distinct_sql(cte, p=12),
+    )
+    reg["hll_distinct_raw"] = (
+        _docs_op(partial(sk.hll_distinct, p=4)), sk.hll_distinct_sql(cte, p=4),
+    )
 
     # DDSketch quantiles over the events value column (positive domain):
     # log-bucket keys + midpoint estimates through the portable ln/exp

@@ -23,6 +23,14 @@ suite established, so the DuckDB oracles agree bit-for-bit — no
   h_k the k-th minimum of the 32-bit md5-prefix lane. The k-row
   bottom is a distributed TakeOrdered (no global sort); shard sketches
   merge by keeping the k smallest of the union.
+
+* HyperLogLog (Flajolet et al. 2007 — the ES `cardinality` agg):
+  2^p registers, register = max leading-zero-run of the 48-bit md5
+  tail among keys hashing to that register; harmonic-mean estimate
+  with the paper's linear-counting small-range correction. Registers
+  merge by max. The leading-zero count runs on hex characters (strip
+  '0's + a 15-way first-digit CASE) so both engines compute it with
+  the same string ops — no bit_length/log2 float hazard.
 """
 
 from __future__ import annotations
@@ -267,4 +275,179 @@ def kmv_distinct_sql(toks_cte: str, k: int = KMV_K) -> str:
         "kth AS (SELECT max(h) AS hk, count(*) AS nb FROM bottom) "
         "SELECT (SELECT CAST(count(*) AS BIGINT) FROM terms) AS n_distinct, "
         f"{round6_sql(f'CASE WHEN (SELECT nb FROM kth) >= {k} THEN ({k} - 1) / (CAST((SELECT hk FROM kth) AS DOUBLE) / {sql_double(_HASH_SPACE)}) ELSE CAST((SELECT nb FROM kth) AS DOUBLE) END')} AS est"
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet, Fusy, Gandouet & Meunier, AofA 2007 — public
+# paper; the Elasticsearch `cardinality` aggregation's sketch)
+# ---------------------------------------------------------------------------
+
+HLL_P = 12  # 2^12 = 4096 registers, ~1.6% relative error
+_HLL_W_CHARS = 12  # 48-bit rho tail (12 hex chars), rho in 1..49
+
+
+def _hll_alpha(m: int) -> float:
+    # the paper's bias-correction constants
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _hll_check_p(p: int) -> int:
+    # hex-aligned register prefixes only: bucket = the first p/4 md5
+    # hex chars, rho tail = the NEXT 12 chars — both engines slice the
+    # same characters, so the sketch is bit-identical by construction
+    if p % 4 != 0 or not 4 <= p <= 16:
+        raise ValueError(f"p must be one of 4, 8, 12, 16: {p}")
+    return p
+
+
+# the engine-portable leading-zero count of the 48-bit rho tail: strip
+# leading '0' hex chars, then map the first surviving hex digit to its
+# in-digit leading-zero count. Spelled as ONE expression string used
+# verbatim by both engines (Spark F.expr / DuckDB SQL).
+_HLL_RHO_EXPR = (
+    "CASE WHEN t = '' THEN 49 ELSE 4 * (12 - length(t)) + "
+    "(CASE WHEN substr(t, 1, 1) = '1' THEN 3 "
+    "WHEN substr(t, 1, 1) IN ('2', '3') THEN 2 "
+    "WHEN substr(t, 1, 1) IN ('4', '5', '6', '7') THEN 1 "
+    "ELSE 0 END) + 1 END"
+)
+
+
+def hll_registers(docs: DataFrame, p: int = HLL_P) -> DataFrame:
+    """docs(doc_id, tokens) -> (bucket, rho) — the HLL register table
+    over the corpus's DISTINCT token set: bucket = the first p/4 md5
+    hex chars (2^p registers), rho = leading-zero count of the next
+    48 bits + 1, register value = max rho seen.
+
+    Scale shape: one explode + distinct (the only shuffle), then a
+    map-side-combinable max groupBy onto at most 2^p rows. Shard
+    sketches merge by register-wise max (hll_merge) — the estimate of
+    the merged table is exactly the estimate of the union corpus,
+    which is the whole point of carrying the sketch instead of the
+    distinct set."""
+    _hll_check_p(p)
+    terms = docs.select(F.explode("tokens").alias("term")).distinct()
+    return _hll_registers_from_terms(terms, p)
+
+
+def _hll_registers_from_terms(terms: DataFrame, p: int) -> DataFrame:
+    bc = p // 4
+    br = terms.select(
+        F.conv(F.substring(F.md5(F.encode(F.col("term"), "utf-8")), 1, bc), 16, 10)
+        .cast("long")
+        .alias("bucket"),
+        F.regexp_replace(
+            F.substring(
+                F.md5(F.encode(F.col("term"), "utf-8")), bc + 1, _HLL_W_CHARS
+            ),
+            "^0+",
+            "",
+        ).alias("t"),
+    )
+    return (
+        br.withColumn("rho", F.expr(_HLL_RHO_EXPR).cast("int"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(sketches: List[DataFrame]) -> DataFrame:
+    """Register-wise max of shard sketches — the HLL merge. The merged
+    table is identical to the sketch rebuilt over the union corpus
+    (max is associative/commutative over the per-term rho values)."""
+    if not sketches:
+        raise ValueError("hll_merge needs at least one sketch")
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(regs: DataFrame, p: int = HLL_P) -> DataFrame:
+    """register table -> 1 row (n_empty, est): the raw HLL harmonic
+    estimate alpha_m * m^2 / sum_j 2^-M[j] (empty registers contribute
+    2^0 = 1), with the paper's small-range linear-counting correction
+    (raw <= 2.5m and V > 0 -> m * ln(m / V)). The 2^-rho terms are
+    exact powers of two but their SUM is not order-free at 53-bit
+    mantissa, so both engines fold in bucket order (canonical fold —
+    the <=2^p-row collect is bounded by the sketch size, never the
+    corpus)."""
+    m = 1 << _hll_check_p(p)
+    md = float(m)
+    a = _hll_alpha(m) * md * md
+    one = regs.agg(
+        F.count("*").cast("long").alias("n_reg"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bucket", "rho"))),
+            F.lit(0.0),
+            lambda acc, x: acc + F.pow(F.lit(2.0), -x["rho"].cast("double")),
+        ).alias("s_reg"),
+    )
+    fin = one.select(
+        (F.lit(m).cast("long") - F.col("n_reg")).alias("n_empty"),
+        (F.lit(a) / F.expr(f"s_reg + ({m} - n_reg) * 1.0")).alias("raw"),
+    )
+    est = F.when(
+        (F.col("raw") <= F.lit(2.5 * md)) & (F.col("n_empty") > 0),
+        F.lit(md) * F.log(F.lit(md) / F.col("n_empty").cast("double")),
+    ).otherwise(F.col("raw"))
+    return fin.select("n_empty", round6(est).alias("est"))
+
+
+def hll_distinct(docs: DataFrame, p: int = HLL_P) -> DataFrame:
+    """1 row (n_distinct, n_empty, est) — exact distinct token count
+    beside the HLL estimate (the ES `cardinality` agg's sketch). The
+    exact count exists for the gate's side-by-side only; a production
+    run keeps just the 2^p-register table (hll_registers) and merges
+    shards by register max."""
+    _hll_check_p(p)
+    terms = docs.select(F.explode("tokens").alias("term")).distinct().persist()
+    try:
+        n = terms.count()
+        out = hll_estimate(_hll_registers_from_terms(terms, p), p)
+        row = out.first()
+    finally:
+        terms.unpersist()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        [(int(n), int(row["n_empty"]), float(row["est"]))],
+        "n_distinct long, n_empty long, est double",
+    )
+
+
+def hll_distinct_sql(toks_cte: str, p: int = HLL_P) -> str:
+    """DuckDB mirror of hll_distinct: identical md5 hex slices,
+    identical rho CASE text, bucket-ordered register fold, identical
+    correction-branch operand sequence."""
+    m = 1 << _hll_check_p(p)
+    bc = p // 4
+    md = float(m)
+    a = _hll_alpha(m) * md * md
+    correction = (
+        f"CASE WHEN raw <= {sql_double(2.5 * md)} AND n_empty > 0 "
+        f"THEN {sql_double(md)} * ln({sql_double(md)} / CAST(n_empty AS DOUBLE)) "
+        "ELSE raw END"
+    )
+    return (
+        f"WITH {toks_cte}, "
+        "terms AS (SELECT DISTINCT unnest(toks) AS term FROM docs), "
+        "hx AS (SELECT md5(term) AS hx FROM terms), "
+        f"br AS (SELECT ('0x' || substr(hx, 1, {bc}))::BIGINT AS bucket, "
+        f"regexp_replace(substr(hx, {bc + 1}, {_HLL_W_CHARS}), '^0+', '') AS t FROM hx), "
+        f"rho AS (SELECT bucket, {_HLL_RHO_EXPR} AS rho FROM br), "
+        "regs AS (SELECT bucket, max(rho) AS rho FROM rho GROUP BY bucket), "
+        "agg AS (SELECT CAST(count(*) AS BIGINT) AS n_reg, "
+        "coalesce(sum(pow(2.0, -rho) ORDER BY bucket), 0.0) AS s_reg FROM regs), "
+        f"fin AS (SELECT ({m} - n_reg) AS n_empty, "
+        f"{sql_double(a)} / (s_reg + ({m} - n_reg) * 1.0) AS raw FROM agg) "
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM terms) AS n_distinct, "
+        "CAST(n_empty AS BIGINT) AS n_empty, "
+        f"{round6_sql(correction)} AS est FROM fin"
     )
