@@ -770,6 +770,32 @@ def _registry():
         bm25_top_hits_sql,
     )
 
+    # result-set statistics family: extended_stats (exact moments +
+    # one fixed float tail), percentile_ranks (exact), value_count +
+    # cardinality (exact) — degenerate regimes covered where distinct
+    from distributedcodesearchengine_spark.operators.aggs import (
+        bm25_cardinality_sql,
+        bm25_extended_stats_sql,
+        bm25_percentile_ranks_sql,
+    )
+
+    reg["bm25_extended_stats"] = (
+        partial(eq.bm25_extended_stats_q, query="dup table"),
+        bm25_extended_stats_sql("dup table"),
+    )
+    reg["bm25_percentile_ranks"] = (
+        partial(eq.bm25_percentile_ranks_q, query="dup table", values=(20, 40)),
+        bm25_percentile_ranks_sql("dup table", values=(20, 40)),
+    )
+    reg["bm25_cardinality"] = (
+        partial(eq.bm25_cardinality_q, query="dup table"),
+        bm25_cardinality_sql("dup table"),
+    )
+    reg["bm25_cardinality_degenerate"] = (
+        partial(eq.bm25_cardinality_q, query="table row"),
+        bm25_cardinality_sql("table row"),
+    )
+
     _fa_buckets = {"de": ("lang", "de"), "en": ("lang", "en"),
                    "s7": ("source", "src7")}
     reg["bm25_filters_agg"] = (

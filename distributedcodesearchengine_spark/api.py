@@ -464,6 +464,29 @@ class SearchEngine:
         return bm25_rare_terms(self.index, query, max_df=int(max_df),
                                k=int(limit))
 
+    def extended_stats(self, query: str, col: str = "doc_len") -> DataFrame:
+        """Extended stats (exact moments + variance/std) over the
+        query's BM25 kept set (operators/aggs.bm25_extended_stats)."""
+        from .operators.aggs import bm25_extended_stats
+
+        return bm25_extended_stats(self.index, query, col=col)
+
+    def percentile_ranks(
+        self, query: str, col: str = "doc_len", values=(20, 40)
+    ) -> DataFrame:
+        """Exact percentile ranks of probe values over the query's BM25
+        kept set (operators/aggs.bm25_percentile_ranks)."""
+        from .operators.aggs import bm25_percentile_ranks
+
+        return bm25_percentile_ranks(self.index, query, col=col, values=values)
+
+    def cardinality(self, query: str, col: str = "source") -> DataFrame:
+        """Exact value_count + distinct count of a docs column over the
+        query's BM25 kept set (operators/aggs.bm25_cardinality)."""
+        from .operators.aggs import bm25_cardinality
+
+        return bm25_cardinality(self.index, query, col=col)
+
     def similar(self, doc_id: int, m: int = 5, limit: int = 10) -> DataFrame:
         """More-like-this over the served index
         (operators/explore.more_like_this)."""

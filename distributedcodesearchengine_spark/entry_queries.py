@@ -194,6 +194,39 @@ def bm25_rare_terms_q(
     return bm25_rare_terms(idx, query, max_df=max_df, k=k)
 
 
+def bm25_extended_stats_q(
+    spark: SparkSession, sf_dir: str, query: str
+) -> DataFrame:
+    """Extended stats (exact moments + variance/std) of doc_len over
+    the BM25 kept set (operators/aggs.bm25_extended_stats)."""
+    from .operators.aggs import bm25_extended_stats
+
+    idx = get_documents_index(spark, sf_dir)
+    return bm25_extended_stats(idx, query, col="doc_len")
+
+
+def bm25_percentile_ranks_q(
+    spark: SparkSession, sf_dir: str, query: str, values=(20, 40)
+) -> DataFrame:
+    """Exact percentile ranks of doc_len probes over the BM25 kept set
+    (operators/aggs.bm25_percentile_ranks)."""
+    from .operators.aggs import bm25_percentile_ranks
+
+    idx = get_documents_index(spark, sf_dir)
+    return bm25_percentile_ranks(idx, query, col="doc_len", values=values)
+
+
+def bm25_cardinality_q(
+    spark: SparkSession, sf_dir: str, query: str
+) -> DataFrame:
+    """Exact value_count + distinct count of source over the BM25 kept
+    set (operators/aggs.bm25_cardinality)."""
+    from .operators.aggs import bm25_cardinality
+
+    idx = get_documents_index(spark, sf_dir)
+    return bm25_cardinality(idx, query, col="source")
+
+
 def significant_terms_q(
     spark: SparkSession, sf_dir: str, query: str, k: int = 20, min_fg: int = 2
 ) -> DataFrame:

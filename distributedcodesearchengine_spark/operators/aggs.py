@@ -467,3 +467,246 @@ def bm25_rare_terms_sql(query: str, max_df: int = 2, k: int = 20) -> str:
         f"GROUP BY tf.term HAVING count(*) <= {int(max_df)} "
         f"ORDER BY n_docs ASC, term ASC LIMIT {int(k)}"
     )
+
+
+# ---------------------------------------------------------------------------
+# extended_stats aggregation
+# ---------------------------------------------------------------------------
+
+
+def bm25_extended_stats(
+    index: Index, query: str, col: str = "doc_len"
+) -> DataFrame:
+    """1 row (n_docs, sum_v, sum_sq, avg_v, variance, std_dev) — the ES
+    ``extended_stats`` agg of an integer docs column over the BM25 kept
+    set. The moments n / sum / sum-of-squares are EXACT integers; the
+    float tail (avg = sum * 1.0 / n, population variance =
+    sum_sq * 1.0 / n - avg * avg, std = sqrt(variance)) is one fixed
+    operand sequence both engines execute identically — sqrt is
+    correctly rounded per IEEE-754, so the chain is deterministic
+    end-to-end. Empty kept set is impossible outside the empty-query
+    guard (the degenerate branch keeps the whole corpus)."""
+    spark = index.spark
+    _check_name(col, "column name")
+    if not tokenize(query):
+        return spark.createDataFrame(
+            [],
+            "n_docs long, sum_v long, sum_sq long, avg_v double, "
+            "variance double, std_dev double",
+        )
+    kept = _kept_with_cols(index, query, [col])
+    one = kept.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(col).cast("long").alias("sum_v"),
+        F.sum(F.col(col).cast("long") * F.col(col).cast("long"))
+        .cast("long")
+        .alias("sum_sq"),
+    )
+    avg = F.col("sum_v").cast("double") * F.lit(1.0) / F.col("n_docs")
+    var = (
+        F.col("sum_sq").cast("double") * F.lit(1.0) / F.col("n_docs")
+        - avg * avg
+    )
+    return one.select(
+        "n_docs",
+        "sum_v",
+        "sum_sq",
+        round6(avg).alias("avg_v"),
+        round6(var).alias("variance"),
+        round6(F.sqrt(var)).alias("std_dev"),
+    )
+
+
+def bm25_extended_stats_sql(query: str, col: str = "doc_len") -> str:
+    """DuckDB mirror of bm25_extended_stats: identical integer moments,
+    identical float tail operand sequence (sum * 1.0 / n, sq * 1.0 / n
+    - avg * avg, sqrt)."""
+    from collections import Counter
+
+    from ..functions.rounding import round6_sql
+    from ..functions.sql_oracle import B, K1, _docs_cte
+
+    _check_name(col, "column name")
+    toks = tokenize(query)
+    if not toks:
+        return (
+            "SELECT 1::BIGINT AS n_docs, 1::BIGINT AS sum_v, "
+            "1::BIGINT AS sum_sq, 0.0 AS avg_v, 0.0 AS variance, "
+            "0.0 AS std_dev WHERE false"
+        )
+    counts = Counter(toks)
+    qvals = ", ".join(f"('{t}', {float(q)})" for t, q in sorted(counts.items()))
+    avg = "(CAST(sum_v AS DOUBLE) * 1.0 / n_docs)"
+    var = f"(CAST(sum_sq AS DOUBLE) * 1.0 / n_docs - {avg} * {avg})"
+    return (
+        f"WITH {_docs_cte()}, "
+        f"qt(term, qtf) AS (VALUES {qvals}), "
+        "contrib AS ("
+        "  SELECT tf.doc_id, tf.term, "
+        f"    qt.qtf * (idf.idf * (tf.tf * {K1 + 1.0} / "
+        f"      (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM stats))))) AS c "
+        "  FROM tf JOIN qt USING (term) JOIN idf USING (term) "
+        "  JOIN doclen dl ON dl.doc_id = tf.doc_id), "
+        "scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id), "
+        "mx AS (SELECT max(score) AS m FROM scored), "
+        "kept AS ("
+        f"  SELECT d.doc_id, d.{col} FROM doclen d LEFT JOIN scored s USING (doc_id) "
+        "  WHERE ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
+        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))), "
+        "one AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+        f"CAST(sum({col}) AS BIGINT) AS sum_v, "
+        f"CAST(sum(CAST({col} AS BIGINT) * CAST({col} AS BIGINT)) AS BIGINT) AS sum_sq "
+        "FROM kept) "
+        "SELECT n_docs, sum_v, sum_sq, "
+        f"{round6_sql(avg)} AS avg_v, "
+        f"{round6_sql(var)} AS variance, "
+        f"{round6_sql(f'sqrt({var})')} AS std_dev FROM one"
+    )
+
+
+# ---------------------------------------------------------------------------
+# percentile_ranks aggregation
+# ---------------------------------------------------------------------------
+
+
+def bm25_percentile_ranks(
+    index: Index, query: str, col: str = "doc_len",
+    values: Sequence[int] = (20, 40),
+) -> DataFrame:
+    """(value, pct) — the ES ``percentile_ranks`` agg, exact: for each
+    probe value v, the percentage of kept documents whose ``col`` <= v
+    (100.0 * count / n — one integer-count conditional-agg pass, one
+    float division per probe). Rows order by value."""
+    spark = index.spark
+    _check_name(col, "column name")
+    vals = [int(v) for v in values]
+    if not vals or vals != sorted(set(vals)):
+        raise ValueError(f"values must be non-empty strictly increasing: {values!r}")
+    if not tokenize(query):
+        return spark.createDataFrame([], "value long, pct double")
+    kept = _kept_with_cols(index, query, [col])
+    aggs = [F.count("*").cast("long").alias("n")]
+    for i, v in enumerate(vals):
+        aggs.append(
+            F.sum(F.when(F.col(col) <= F.lit(v), F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"c_{i}")
+        )
+    row = kept.agg(*aggs)
+    # CAST(100.0 AS DOUBLE) on both engines: a bare 100.0 literal is
+    # typed DECIMAL first (Spark and DuckDB both), and DECIMAL
+    # promotion rules differ between them — force the whole chain
+    # through double arithmetic with the identical operand sequence
+    stack_items = ", ".join(
+        f"CAST({v} AS BIGINT), CAST(100.0 AS DOUBLE) * c_{i} / n"
+        for i, v in enumerate(vals)
+    )
+    return (
+        row.selectExpr(f"stack({len(vals)}, {stack_items}) AS (value, pct)")
+        .select("value", round6("pct").alias("pct"))
+        .orderBy("value")
+    )
+
+
+def bm25_percentile_ranks_sql(
+    query: str, col: str = "doc_len", values: Sequence[int] = (20, 40)
+) -> str:
+    """DuckDB mirror of bm25_percentile_ranks: identical conditional
+    counts, identical 100.0 * c / n division per probe."""
+    from collections import Counter
+
+    from ..functions.rounding import round6_sql
+    from ..functions.sql_oracle import B, K1, _docs_cte
+
+    _check_name(col, "column name")
+    vals = [int(v) for v in values]
+    if not vals or vals != sorted(set(vals)):
+        raise ValueError(f"values must be non-empty strictly increasing: {values!r}")
+    toks = tokenize(query)
+    if not toks:
+        return "SELECT 1::BIGINT AS value, 0.0 AS pct WHERE false"
+    counts = Counter(toks)
+    qvals = ", ".join(f"('{t}', {float(q)})" for t, q in sorted(counts.items()))
+    selects = []
+    for v in vals:
+        selects.append(
+            f"SELECT {v}::BIGINT AS value, "
+            f"{round6_sql(f'CAST(100.0 AS DOUBLE) * count(*) FILTER (WHERE {col} <= {v}) / count(*)')} "
+            "AS pct FROM kept"
+        )
+    union = " UNION ALL ".join(selects)
+    return (
+        f"WITH {_docs_cte()}, "
+        f"qt(term, qtf) AS (VALUES {qvals}), "
+        "contrib AS ("
+        "  SELECT tf.doc_id, tf.term, "
+        f"    qt.qtf * (idf.idf * (tf.tf * {K1 + 1.0} / "
+        f"      (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM stats))))) AS c "
+        "  FROM tf JOIN qt USING (term) JOIN idf USING (term) "
+        "  JOIN doclen dl ON dl.doc_id = tf.doc_id), "
+        "scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id), "
+        "mx AS (SELECT max(score) AS m FROM scored), "
+        "kept AS ("
+        f"  SELECT d.doc_id, d.{col} FROM doclen d LEFT JOIN scored s USING (doc_id) "
+        "  WHERE ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
+        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))) "
+        f"SELECT * FROM ({union}) ORDER BY value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# value_count / cardinality aggregation
+# ---------------------------------------------------------------------------
+
+
+def bm25_cardinality(
+    index: Index, query: str, col: str = "source"
+) -> DataFrame:
+    """1 row (n_values, n_distinct) — the ES ``value_count`` +
+    ``cardinality`` aggs of a docs column over the BM25 kept set,
+    exact (non-null values counted; distinct over the kept set). The
+    candidate-bounded kept set makes exact distinct affordable at
+    query time — corpus-wide cardinality belongs to the HLL sketch
+    (operators/sketch.hll_distinct), not a per-query agg."""
+    spark = index.spark
+    _check_name(col, "column name")
+    if not tokenize(query):
+        return spark.createDataFrame([], "n_values long, n_distinct long")
+    kept = _kept_with_cols(index, query, [col])
+    return kept.agg(
+        F.count(col).cast("long").alias("n_values"),
+        F.count_distinct(F.col(col)).cast("long").alias("n_distinct"),
+    )
+
+
+def bm25_cardinality_sql(query: str, col: str = "source") -> str:
+    """DuckDB mirror of bm25_cardinality: exact integer counts over
+    the identical kept chain."""
+    from collections import Counter
+
+    from ..functions.sql_oracle import B, K1, _docs_cte
+
+    _check_name(col, "column name")
+    toks = tokenize(query)
+    if not toks:
+        return "SELECT 1::BIGINT AS n_values, 1::BIGINT AS n_distinct WHERE false"
+    counts = Counter(toks)
+    qvals = ", ".join(f"('{t}', {float(q)})" for t, q in sorted(counts.items()))
+    return (
+        f"WITH {_docs_cte()}, "
+        f"qt(term, qtf) AS (VALUES {qvals}), "
+        "contrib AS ("
+        "  SELECT tf.doc_id, tf.term, "
+        f"    qt.qtf * (idf.idf * (tf.tf * {K1 + 1.0} / "
+        f"      (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM stats))))) AS c "
+        "  FROM tf JOIN qt USING (term) JOIN idf USING (term) "
+        "  JOIN doclen dl ON dl.doc_id = tf.doc_id), "
+        "scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id), "
+        "mx AS (SELECT max(score) AS m FROM scored), "
+        "kept AS ("
+        f"  SELECT d.doc_id, d.{col} FROM doclen d LEFT JOIN scored s USING (doc_id) "
+        "  WHERE ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
+        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))) "
+        f"SELECT CAST(count({col}) AS BIGINT) AS n_values, "
+        f"CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct FROM kept"
+    )

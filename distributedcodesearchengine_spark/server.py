@@ -23,6 +23,12 @@ Endpoints (JSON responses):
                        independent per-bucket top-n rankings
     GET  /rare_terms?q=...&max_df=2&limit=20        ES rare_terms: the
                        kept set's long-tail terms, rarest first
+    GET  /extended_stats?q=...&col=doc_len          ES extended_stats:
+                       exact moments + variance/std over the kept set
+    GET  /percentile_ranks?q=...&col=doc_len&values=20,40   exact ES
+                       percentile_ranks of the probe values
+    GET  /cardinality?q=...&col=source              exact value_count +
+                       distinct count over the kept set
     GET  /significant?q=...&limit=20&min_fg=2   significant terms of the
                        query's kept set vs the corpus background (JLH)
     GET  /search_after?q=...&limit=20[&after_score=S&after_doc=D]
@@ -369,6 +375,12 @@ def make_handler(engine, stats_fn, index_manager=None):
                             "top-n rankings over the kept set",
                             "GET /rare_terms": "rarest kept-set terms, "
                             "ascending count",
+                            "GET /extended_stats": "exact moments + "
+                            "variance/std over the kept set",
+                            "GET /percentile_ranks": "exact percentile "
+                            "ranks of probe values",
+                            "GET /cardinality": "exact value_count + "
+                            "distinct count over the kept set",
                             "GET /significant": "significant terms of the "
                             "query's result set",
                             "GET /search_after": "keyset pagination "
@@ -496,6 +508,42 @@ def make_handler(engine, stats_fn, index_manager=None):
                     return self._send(
                         200,
                         {"query": q["q"], "terms": [r.asDict() for r in rows]},
+                    )
+                if url.path == "/extended_stats":
+                    if "q" not in q:
+                        return self._send(400, {"error": "missing q"})
+                    row = engine.extended_stats(
+                        q["q"], col=q.get("col", "doc_len")
+                    ).first()
+                    return self._send(
+                        200,
+                        {"query": q["q"],
+                         "stats": row.asDict() if row is not None else None},
+                    )
+                if url.path == "/percentile_ranks":
+                    if "q" not in q:
+                        return self._send(400, {"error": "missing q"})
+                    values = tuple(
+                        int(v) for v in q.get("values", "20,40").split(",") if v
+                    )
+                    rows = engine.percentile_ranks(
+                        q["q"], col=q.get("col", "doc_len"), values=values
+                    ).collect()
+                    return self._send(
+                        200,
+                        {"query": q["q"], "ranks": [r.asDict() for r in rows]},
+                    )
+                if url.path == "/cardinality":
+                    if "q" not in q:
+                        return self._send(400, {"error": "missing q"})
+                    row = engine.cardinality(
+                        q["q"], col=q.get("col", "source")
+                    ).first()
+                    return self._send(
+                        200,
+                        {"query": q["q"],
+                         "cardinality":
+                             row.asDict() if row is not None else None},
                     )
                 if url.path == "/search_after":
                     if "q" not in q:

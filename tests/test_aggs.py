@@ -224,3 +224,101 @@ def test_rare_terms_k_cut_deterministic(spark):
 def test_rare_terms_empty_query_guard(spark):
     idx = _index(spark, [("alpha", "en", "s1")])
     assert bm25_rare_terms(idx, "!! ??").count() == 0
+
+
+# --- extended_stats aggregation ---------------------------------------------
+
+
+def test_extended_stats_exact_moments(spark):
+    # doc_lens 2, 4, 6 over a healthy all-match query
+    idx = _index(
+        spark,
+        [
+            ("word tok", "en", "s1"),
+            ("word tok tok tok", "en", "s1"),
+            ("word tok tok tok tok tok", "en", "s1"),
+        ],
+    )
+    from distributedcodesearchengine_spark.operators.aggs import (
+        bm25_extended_stats,
+    )
+
+    r = bm25_extended_stats(idx, "word", col="doc_len").first()
+    assert (r.n_docs, r.sum_v, r.sum_sq) == (3, 12, 56)
+    assert r.avg_v == 4.0
+    # population variance: 56/3 - 16 = 8/3
+    assert abs(r.variance - 8.0 / 3.0) < 1e-6
+    assert abs(r.std_dev - (8.0 / 3.0) ** 0.5) < 1e-6
+
+
+def test_extended_stats_empty_query_guard(spark):
+    from distributedcodesearchengine_spark.operators.aggs import (
+        bm25_extended_stats,
+    )
+
+    idx = _index(spark, [("alpha", "en", "s1")])
+    assert bm25_extended_stats(idx, "!! ??").count() == 0
+
+
+# --- percentile_ranks aggregation -------------------------------------------
+
+
+def test_percentile_ranks_exact(spark):
+    idx = _index(
+        spark,
+        [
+            ("word tok", "en", "s1"),
+            ("word tok tok tok", "en", "s1"),
+            ("word tok tok tok tok tok", "en", "s1"),
+        ],
+    )
+    from distributedcodesearchengine_spark.operators.aggs import (
+        bm25_percentile_ranks,
+    )
+
+    rows = bm25_percentile_ranks(
+        idx, "word", col="doc_len", values=(2, 4, 6)
+    ).collect()
+    got = {r.value: r.pct for r in rows}
+    assert got[2] == pytest.approx(100.0 / 3.0, abs=1e-6)
+    assert got[4] == pytest.approx(200.0 / 3.0, abs=1e-6)
+    assert got[6] == 100.0
+
+
+def test_percentile_ranks_guards(spark):
+    from distributedcodesearchengine_spark.operators.aggs import (
+        bm25_percentile_ranks,
+    )
+
+    idx = _index(spark, [("alpha", "en", "s1")])
+    assert bm25_percentile_ranks(idx, "!! ??", values=(1,)).count() == 0
+    with pytest.raises(ValueError):
+        bm25_percentile_ranks(idx, "alpha", values=())
+    with pytest.raises(ValueError):
+        bm25_percentile_ranks(idx, "alpha", values=(5, 5))
+
+
+# --- value_count / cardinality aggregation ----------------------------------
+
+
+def test_cardinality_counts_kept_set_only(spark):
+    # 'rare' matches docs 0,1 (sources s1, s2); doc 2 (s3) not kept
+    idx = _index(
+        spark,
+        [
+            ("rare words here indeed", "en", "s1"),
+            ("rare other tokens again", "de", "s2"),
+            ("unrelated filler stuff here", "fr", "s3"),
+        ],
+    )
+    from distributedcodesearchengine_spark.operators.aggs import (
+        bm25_cardinality,
+    )
+
+    r = bm25_cardinality(idx, "rare", col="source").first()
+    assert (r.n_values, r.n_distinct) == (2, 2)
+    # degenerate: whole corpus
+    r = bm25_cardinality(idx, "zzzunknown", col="source").first()
+    assert (r.n_values, r.n_distinct) == (3, 3)
+    # empty query guard
+    assert bm25_cardinality(idx, "!! ??").count() == 0

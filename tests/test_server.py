@@ -611,3 +611,42 @@ def test_search_local_failed_build_does_not_poison_previous_path(
     # the old working path must rebuild cleanly, not KeyError
     code, body = _post(srv, "/search/local", {"input": good, "query": "parse json"})
     assert code == 200 and body.get("indexed_docs") == 30 and "error" not in body
+
+
+def test_extended_stats_endpoint(srv):
+    code, body = _get(srv, "/extended_stats", q="parse json")
+    assert code == 200
+    s = body["stats"]
+    assert {"n_docs", "sum_v", "sum_sq", "avg_v", "variance", "std_dev"} <= set(s)
+    assert s["variance"] >= 0 and s["std_dev"] >= 0
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/extended_stats")
+    assert ei.value.code == 400
+
+
+def test_percentile_ranks_endpoint(srv):
+    code, body = _get(srv, "/percentile_ranks", q="parse json",
+                      values="50,5000")
+    assert code == 200
+    ranks = {r["value"]: r["pct"] for r in body["ranks"]}
+    assert set(ranks) == {50, 5000}
+    assert 0.0 <= ranks[50] <= ranks[5000] <= 100.0
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/percentile_ranks")
+    assert ei.value.code == 400
+
+
+def test_cardinality_endpoint(srv):
+    code, body = _get(srv, "/cardinality", q="parse json", col="lang")
+    assert code == 200
+    c = body["cardinality"]
+    assert c["n_values"] >= c["n_distinct"] >= 1
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/cardinality")
+    assert ei.value.code == 400
