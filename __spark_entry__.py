@@ -770,6 +770,22 @@ def _registry():
         bm25_top_hits_sql,
     )
 
+    # decay function scoring (ES function_score gauss/linear): score *
+    # distance-decay of doc_len from an origin, applied post-threshold
+    # like the clickboost J3 stage
+    from distributedcodesearchengine_spark.operators.decay import (
+        bm25_decay_sql,
+    )
+
+    reg["bm25_decay_gauss"] = (
+        partial(eq.bm25_decay_q, query="dup table", decay="gauss"),
+        bm25_decay_sql("dup table", decay="gauss"),
+    )
+    reg["bm25_decay_linear"] = (
+        partial(eq.bm25_decay_q, query="dup table", decay="linear"),
+        bm25_decay_sql("dup table", decay="linear"),
+    )
+
     # result-set statistics family: extended_stats (exact moments +
     # one fixed float tail), percentile_ranks (exact), value_count +
     # cardinality (exact) — degenerate regimes covered where distinct

@@ -487,6 +487,24 @@ class SearchEngine:
 
         return bm25_cardinality(self.index, query, col=col)
 
+    def decay_search(
+        self,
+        query: str,
+        col: str = "doc_len",
+        origin: int = 30,
+        scale: int = 20,
+        decay: str = "gauss",
+        limit: int = 10,
+    ) -> DataFrame:
+        """BM25 rescored by an ES-style decay function of a numeric
+        docs column (operators/decay.bm25_decay_topk)."""
+        from .operators.decay import bm25_decay_topk
+
+        return bm25_decay_topk(
+            self.index, query, col=col, origin=int(origin),
+            scale=int(scale), decay=decay, k=int(limit),
+        )
+
     def similar(self, doc_id: int, m: int = 5, limit: int = 10) -> DataFrame:
         """More-like-this over the served index
         (operators/explore.more_like_this)."""

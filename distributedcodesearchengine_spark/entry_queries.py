@@ -227,6 +227,21 @@ def bm25_cardinality_q(
     return bm25_cardinality(idx, query, col="source")
 
 
+def bm25_decay_q(
+    spark: SparkSession, sf_dir: str, query: str, decay: str = "gauss",
+    origin: int = 30, scale: int = 20, k: int = 10
+) -> DataFrame:
+    """Decay function scoring (ES function_score gauss/linear) over the
+    BM25 kept set (operators/decay.bm25_decay_topk)."""
+    from .operators.decay import bm25_decay_topk
+
+    idx = get_documents_index(spark, sf_dir)
+    return bm25_decay_topk(
+        idx, query, col="doc_len", origin=origin, scale=scale,
+        decay=decay, k=k,
+    )
+
+
 def significant_terms_q(
     spark: SparkSession, sf_dir: str, query: str, k: int = 20, min_fg: int = 2
 ) -> DataFrame:

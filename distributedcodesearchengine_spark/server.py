@@ -29,6 +29,8 @@ Endpoints (JSON responses):
                        percentile_ranks of the probe values
     GET  /cardinality?q=...&col=source              exact value_count +
                        distinct count over the kept set
+    GET  /decay_search?q=...&col=doc_len&origin=30&scale=20&decay=gauss
+                       ES function_score decay: BM25 * distance decay
     GET  /significant?q=...&limit=20&min_fg=2   significant terms of the
                        query's kept set vs the corpus background (JLH)
     GET  /search_after?q=...&limit=20[&after_score=S&after_doc=D]
@@ -381,6 +383,8 @@ def make_handler(engine, stats_fn, index_manager=None):
                             "ranks of probe values",
                             "GET /cardinality": "exact value_count + "
                             "distinct count over the kept set",
+                            "GET /decay_search": "BM25 rescored by a "
+                            "gauss/linear decay of a numeric column",
                             "GET /significant": "significant terms of the "
                             "query's result set",
                             "GET /search_after": "keyset pagination "
@@ -544,6 +548,21 @@ def make_handler(engine, stats_fn, index_manager=None):
                         {"query": q["q"],
                          "cardinality":
                              row.asDict() if row is not None else None},
+                    )
+                if url.path == "/decay_search":
+                    if "q" not in q:
+                        return self._send(400, {"error": "missing q"})
+                    rows = engine.decay_search(
+                        q["q"],
+                        col=q.get("col", "doc_len"),
+                        origin=int(q.get("origin", 30)),
+                        scale=int(q.get("scale", 20)),
+                        decay=q.get("decay", "gauss"),
+                        limit=int(q.get("limit", 10)),
+                    ).collect()
+                    return self._send(
+                        200,
+                        {"query": q["q"], "results": [r.asDict() for r in rows]},
                     )
                 if url.path == "/search_after":
                     if "q" not in q:

@@ -650,3 +650,22 @@ def test_cardinality_endpoint(srv):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(srv, "/cardinality")
     assert ei.value.code == 400
+
+
+def test_decay_search_endpoint(srv):
+    code, body = _get(srv, "/decay_search", q="parse json", origin=100,
+                      scale=50, decay="linear", limit=5)
+    assert code == 200
+    rows = body["results"]
+    assert rows and len(rows) <= 5
+    assert all({"rank", "doc_id", "score", "mult"} <= set(r) for r in rows)
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/decay_search", q="x", decay="bogus")
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/decay_search")
+    assert ei.value.code == 400
