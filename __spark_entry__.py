@@ -770,6 +770,19 @@ def _registry():
         bm25_top_hits_sql,
     )
 
+    # whole-query spell correction (ES phrase-suggester shape): the
+    # SymSpell point probe must equal the oracle's brute levenshtein
+    # scan; the gate query covers all three regimes (exact / corrected /
+    # no-candidate)
+    from distributedcodesearchengine_spark.operators.snippets import (
+        did_you_mean_sql,
+    )
+
+    reg["did_you_mean"] = (
+        partial(eq.did_you_mean_q, query="dup tble zzzzqqq", max_dist=1),
+        did_you_mean_sql(cte, "dup tble zzzzqqq", max_dist=1),
+    )
+
     # decay function scoring (ES function_score gauss/linear): score *
     # distance-decay of doc_len from an origin, applied post-threshold
     # like the clickboost J3 stage

@@ -505,6 +505,13 @@ class SearchEngine:
             scale=int(scale), decay=decay, k=int(limit),
         )
 
+    def did_you_mean(self, query: str, max_dist: int = 1) -> DataFrame:
+        """Whole-query spell correction via the persisted SymSpell
+        deletion keys (operators/snippets.did_you_mean)."""
+        from .operators.snippets import did_you_mean
+
+        return did_you_mean(self.index, query, max_dist=int(max_dist))
+
     def similar(self, doc_id: int, m: int = 5, limit: int = 10) -> DataFrame:
         """More-like-this over the served index
         (operators/explore.more_like_this)."""

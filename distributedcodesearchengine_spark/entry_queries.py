@@ -242,6 +242,17 @@ def bm25_decay_q(
     )
 
 
+def did_you_mean_q(
+    spark: SparkSession, sf_dir: str, query: str, max_dist: int = 1
+) -> DataFrame:
+    """Whole-query spell correction (operators/snippets.did_you_mean)
+    via the persisted SymSpell deletion-key relation."""
+    from .operators.snippets import did_you_mean
+
+    idx = get_documents_index(spark, sf_dir)
+    return did_you_mean(idx, query, max_dist=max_dist)
+
+
 def significant_terms_q(
     spark: SparkSession, sf_dir: str, query: str, k: int = 20, min_fg: int = 2
 ) -> DataFrame:

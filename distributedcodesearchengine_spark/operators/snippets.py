@@ -253,3 +253,95 @@ def spell_suggest_symspell(terms: DataFrame, word: str, k: int = 10) -> DataFram
         .orderBy("dist", F.desc("df"), F.asc("term"))
         .limit(int(k))
     )
+
+
+def did_you_mean(index, query: str, max_dist: int = 1) -> DataFrame:
+    """Whole-query spell correction (the ES phrase-suggester shape):
+    (pos, original, suggestion, df, dist, corrected) — one row per
+    query token, where ``suggestion`` is the best dictionary candidate
+    within ``max_dist`` by (dist asc, df desc, term asc). An in-
+    dictionary token is its own best candidate (dist 0, corrected 0);
+    a token with no candidate keeps itself with df 0 / dist -1. A
+    corrected query string is just the suggestions joined in pos order.
+
+    Scale shape: one SymSpell deletion-key point probe per query token
+    (the fuzzy serving-path precedent, operators/fuzzy.expand_fuzzy —
+    a query has O(10) tokens and each probe touches only the keys'
+    partitions of the persisted relation, never the dictionary)."""
+    from ..oracle.tokenizer import tokenize
+    from .fuzzy import FUZZY_KEY_DEPTH, _deletions_py, get_fuzzy_keys
+
+    spark = index.spark
+    out_schema = (
+        "pos int, original string, suggestion string, df long, "
+        "dist int, corrected int"
+    )
+    if int(max_dist) > FUZZY_KEY_DEPTH:
+        raise ValueError(
+            f"max_dist {max_dist} exceeds the deletion-key depth "
+            f"{FUZZY_KEY_DEPTH}"
+        )
+    toks = tokenize(query)
+    if not toks:
+        return spark.createDataFrame([], out_schema)
+    keyed = get_fuzzy_keys(index)
+    rows = []
+    for pos, tok in enumerate(toks):
+        qkeys = _deletions_py(tok, int(max_dist))
+        pfxs = sorted({k[:1] if k else "~" for k in qkeys})
+        cand = (
+            keyed.where(F.col("key_pfx").isin(pfxs) & F.col("key").isin(qkeys))
+            .select("term", "df")
+            .distinct()
+        )
+        best = (
+            cand.withColumn("dist", F.levenshtein(F.col("term"), F.lit(tok)))
+            .where(F.col("dist") <= int(max_dist))
+            .orderBy("dist", F.desc("df"), F.asc("term"))
+            .limit(1)
+            .collect()
+        )
+        if best:
+            b = best[0]
+            rows.append(
+                (pos, tok, b["term"], int(b["df"]), int(b["dist"]),
+                 1 if int(b["dist"]) > 0 else 0)
+            )
+        else:
+            rows.append((pos, tok, tok, 0, -1, 0))
+    return spark.createDataFrame(rows, out_schema)
+
+
+def did_you_mean_sql(docs_cte: str, query: str, max_dist: int = 1) -> str:
+    """DuckDB mirror of did_you_mean: per-token best dictionary
+    candidate by (dist asc, df desc, term asc) over the full-dictionary
+    levenshtein scan — the brute-force oracle the SymSpell probe must
+    equal (completeness to the key depth)."""
+    from ..oracle.tokenizer import tokenize
+
+    toks = tokenize(query)
+    if not toks:
+        return (
+            "SELECT 1::INT AS pos, '' AS original, '' AS suggestion, "
+            "1::BIGINT AS df, 1::INT AS dist, 1::INT AS corrected WHERE false"
+        )
+    qvals = ", ".join(
+        f"({i}, '{t}')" for i, t in enumerate(toks)
+    )
+    return (
+        f"WITH {docs_cte}, "
+        "tf2 AS (SELECT doc_id, unnest(toks) AS term FROM docs), "
+        "dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf2 GROUP BY term), "
+        f"qt(pos, original) AS (VALUES {qvals}), "
+        "cand AS (SELECT qt.pos, d.term, CAST(d.df AS BIGINT) AS df, "
+        "  CAST(levenshtein(d.term, qt.original) AS INT) AS dist "
+        f"  FROM qt CROSS JOIN dfreq d WHERE levenshtein(d.term, qt.original) <= {int(max_dist)}), "
+        "best AS (SELECT *, row_number() OVER (PARTITION BY pos "
+        "  ORDER BY dist ASC, df DESC, term ASC) AS rn FROM cand) "
+        "SELECT CAST(qt.pos AS INT) AS pos, qt.original, "
+        "coalesce(b.term, qt.original) AS suggestion, "
+        "coalesce(b.df, 0)::BIGINT AS df, coalesce(b.dist, -1)::INT AS dist, "
+        "(CASE WHEN b.dist > 0 THEN 1 ELSE 0 END)::INT AS corrected "
+        "FROM qt LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (pos) "
+        "ORDER BY pos"
+    )

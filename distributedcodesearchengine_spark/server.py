@@ -31,6 +31,9 @@ Endpoints (JSON responses):
                        distinct count over the kept set
     GET  /decay_search?q=...&col=doc_len&origin=30&scale=20&decay=gauss
                        ES function_score decay: BM25 * distance decay
+    GET  /did_you_mean?q=...&max_dist=1   whole-query spell correction
+                       (per-term best dictionary candidate + corrected
+                       query string)
     GET  /significant?q=...&limit=20&min_fg=2   significant terms of the
                        query's kept set vs the corpus background (JLH)
     GET  /search_after?q=...&limit=20[&after_score=S&after_doc=D]
@@ -385,6 +388,8 @@ def make_handler(engine, stats_fn, index_manager=None):
                             "distinct count over the kept set",
                             "GET /decay_search": "BM25 rescored by a "
                             "gauss/linear decay of a numeric column",
+                            "GET /did_you_mean": "whole-query spell "
+                            "correction via SymSpell deletion keys",
                             "GET /significant": "significant terms of the "
                             "query's result set",
                             "GET /search_after": "keyset pagination "
@@ -563,6 +568,20 @@ def make_handler(engine, stats_fn, index_manager=None):
                     return self._send(
                         200,
                         {"query": q["q"], "results": [r.asDict() for r in rows]},
+                    )
+                if url.path == "/did_you_mean":
+                    if "q" not in q:
+                        return self._send(400, {"error": "missing q"})
+                    rows = engine.did_you_mean(
+                        q["q"], max_dist=int(q.get("max_dist", 1))
+                    ).collect()
+                    ordered = sorted(rows, key=lambda r: r["pos"])
+                    corrected = " ".join(r["suggestion"] for r in ordered)
+                    return self._send(
+                        200,
+                        {"query": q["q"], "corrected": corrected,
+                         "any_corrected": any(r["corrected"] for r in rows),
+                         "terms": [r.asDict() for r in ordered]},
                     )
                 if url.path == "/search_after":
                     if "q" not in q:

@@ -149,3 +149,51 @@ def test_max_dist_beyond_key_depth_refused(idx):
 
     with _pytest.raises(ValueError, match="deletion-key depth"):
         expand_fuzzy(idx, "duplcate", max_dist=3)
+
+
+# --- did_you_mean (whole-query spell correction) ----------------------------
+
+
+def test_did_you_mean_three_regimes(idx):
+    from distributedcodesearchengine_spark.operators.snippets import did_you_mean
+
+    rows = did_you_mean(idx, "dup tble zzzzqqq", max_dist=1).collect()
+    by_pos = {r.pos: r for r in rows}
+    assert len(rows) == 3
+    # exact: in-dictionary token is its own best candidate at dist 0
+    assert (by_pos[0].suggestion, by_pos[0].dist, by_pos[0].corrected) == (
+        "dup", 0, 0)
+    assert by_pos[0].df > 0
+    # corrected: 'tble' -> 'table' at dist 1
+    assert (by_pos[1].suggestion, by_pos[1].dist, by_pos[1].corrected) == (
+        "table", 1, 1)
+    # no candidate: token kept, df 0, dist -1
+    assert (by_pos[2].suggestion, by_pos[2].df, by_pos[2].dist,
+            by_pos[2].corrected) == ("zzzzqqq", 0, -1, 0)
+    corrected_query = " ".join(
+        r.suggestion for r in sorted(rows, key=lambda r: r.pos))
+    assert corrected_query == "dup table zzzzqqq"
+
+
+def test_did_you_mean_ties_break_by_df_then_term(idx):
+    from distributedcodesearchengine_spark.operators.snippets import did_you_mean
+
+    # 'sow' has multiple dist-1 dictionary candidates (sort, slow, row);
+    # the winner must match the brute scan's (dist, df desc, term asc)
+    row = did_you_mean(idx, "sow", max_dist=1).first()
+    rows = idx.terms.select(
+        "term", "df", F.levenshtein("term", F.lit("sow")).alias("d")
+    ).where(F.col("d") <= 1).collect()
+    want = sorted(
+        ((r["term"], r["df"]) for r in rows),
+        key=lambda x: (-x[1], x[0]),
+    )[0][0]
+    assert row.suggestion == want and row.corrected == 1
+
+
+def test_did_you_mean_guards(idx):
+    from distributedcodesearchengine_spark.operators.snippets import did_you_mean
+
+    assert did_you_mean(idx, "!! ??").count() == 0
+    with pytest.raises(ValueError, match="deletion-key depth"):
+        did_you_mean(idx, "dup", max_dist=5)

@@ -669,3 +669,16 @@ def test_decay_search_endpoint(srv):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(srv, "/decay_search")
     assert ei.value.code == 400
+
+
+def test_did_you_mean_endpoint(srv):
+    code, body = _get(srv, "/did_you_mean", q="parse json")
+    assert code == 200
+    assert body["corrected"] and len(body["terms"]) == 2
+    assert all({"pos", "original", "suggestion", "df", "dist", "corrected"}
+               <= set(t) for t in body["terms"])
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/did_you_mean")
+    assert ei.value.code == 400
