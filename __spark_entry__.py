@@ -770,6 +770,22 @@ def _registry():
         bm25_top_hits_sql,
     )
 
+    # composite aggregation (keyset-paginated buckets): page 1 and a
+    # fixed-cursor page, both against the identical lexicographic cut
+    from distributedcodesearchengine_spark.operators.aggs import (
+        bm25_composite_agg_sql,
+    )
+
+    reg["bm25_composite_agg"] = (
+        partial(eq.bm25_composite_agg_q, query="dup table", size=5),
+        bm25_composite_agg_sql("dup table", size=5),
+    )
+    reg["bm25_composite_agg_after"] = (
+        partial(eq.bm25_composite_agg_q, query="dup table", size=5,
+                after=("en", "src2")),
+        bm25_composite_agg_sql("dup table", size=5, after=("en", "src2")),
+    )
+
     # whole-query spell correction (ES phrase-suggester shape): the
     # SymSpell point probe must equal the oracle's brute levenshtein
     # scan; the gate query covers all three regimes (exact / corrected /

@@ -512,6 +512,18 @@ class SearchEngine:
 
         return did_you_mean(self.index, query, max_dist=int(max_dist))
 
+    def composite_agg(
+        self, query: str, keys=("lang", "source"), size: int = 10, after=None
+    ) -> DataFrame:
+        """Keyset-paginated facet buckets over the query's BM25 kept
+        set (operators/aggs.bm25_composite_agg — the ES composite
+        agg)."""
+        from .operators.aggs import bm25_composite_agg
+
+        return bm25_composite_agg(
+            self.index, query, keys=keys, size=int(size), after=after
+        )
+
     def similar(self, doc_id: int, m: int = 5, limit: int = 10) -> DataFrame:
         """More-like-this over the served index
         (operators/explore.more_like_this)."""

@@ -253,6 +253,19 @@ def did_you_mean_q(
     return did_you_mean(idx, query, max_dist=max_dist)
 
 
+def bm25_composite_agg_q(
+    spark: SparkSession, sf_dir: str, query: str, size: int = 5, after=None
+) -> DataFrame:
+    """Keyset-paginated (lang, source) facet buckets over the BM25 kept
+    set (operators/aggs.bm25_composite_agg — the ES composite agg)."""
+    from .operators.aggs import bm25_composite_agg
+
+    idx = get_documents_index(spark, sf_dir)
+    return bm25_composite_agg(
+        idx, query, keys=("lang", "source"), size=size, after=after
+    )
+
+
 def significant_terms_q(
     spark: SparkSession, sf_dir: str, query: str, k: int = 20, min_fg: int = 2
 ) -> DataFrame:

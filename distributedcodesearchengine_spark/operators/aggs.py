@@ -710,3 +710,136 @@ def bm25_cardinality_sql(query: str, col: str = "source") -> str:
         f"SELECT CAST(count({col}) AS BIGINT) AS n_values, "
         f"CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct FROM kept"
     )
+
+
+# ---------------------------------------------------------------------------
+# composite aggregation (keyset-paginated buckets)
+# ---------------------------------------------------------------------------
+
+
+def bm25_composite_agg(
+    index: Index,
+    query: str,
+    keys: Sequence[str] = ("lang", "source"),
+    size: int = 10,
+    after: Sequence[str] = None,
+) -> DataFrame:
+    """(*keys, n_docs, max_score) — the ES ``composite`` agg: facet
+    buckets in total (key-tuple asc) order, paginated by a keyset
+    cursor exactly like search_after paginates hits. ``after`` is the
+    last key tuple of the previous page (None for page 1); the next
+    page is the first ``size`` buckets STRICTLY after it.
+
+    This is the scale path for huge bucket spaces (the reason ES added
+    composite): page N costs the same bucket scan + TakeOrdered as
+    page 1 — no growing offset, no all-buckets collect. The bucket
+    relation itself is the facets groupBy (map-side-combinable counts
+    over the kept set)."""
+    spark = index.spark
+    keys = list(keys)
+    if not keys:
+        raise ValueError("composite aggregation requires at least one key")
+    for c in keys:
+        _check_name(c, "column name")
+    if after is not None and len(after) != len(keys):
+        raise ValueError(
+            f"after cursor must have {len(keys)} values: {after!r}"
+        )
+    if not tokenize(query):
+        return spark.createDataFrame(
+            [],
+            ", ".join(f"{c} string" for c in keys)
+            + ", n_docs long, max_score double",
+        )
+    kept = _kept_with_cols(index, query, keys)
+    buckets = kept.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.max("score").alias("_raw_max"),
+    )
+    if after is not None:
+        vals = [str(v) for v in after]
+        for v in vals:
+            _check_value(v)
+        # lexicographic strictly-after: (k1 > a1) OR (k1 = a1 AND k2 > a2) ...
+        pred = F.lit(False)
+        eq_chain = F.lit(True)
+        for c, v in zip(keys, vals):
+            pred = pred | (eq_chain & (F.col(c) > F.lit(v)))
+            eq_chain = eq_chain & (F.col(c) == F.lit(v))
+        buckets = buckets.where(pred)
+    return (
+        buckets.orderBy(*[F.asc(c) for c in keys])
+        .limit(int(size))
+        .select(*keys, "n_docs", round6("_raw_max").alias("max_score"))
+    )
+
+
+def bm25_composite_agg_sql(
+    query: str,
+    keys: Sequence[str] = ("lang", "source"),
+    size: int = 10,
+    after: Sequence[str] = None,
+) -> str:
+    """DuckDB mirror of bm25_composite_agg: the facets kept chain
+    grouped, cursor-cut with the identical lexicographic predicate,
+    ordered by the key tuple, limited."""
+    from collections import Counter
+
+    from ..functions.rounding import round6_sql
+    from ..functions.sql_oracle import B, K1, _docs_cte
+
+    keys = list(keys)
+    if not keys:
+        raise ValueError("composite aggregation requires at least one key")
+    for c in keys:
+        _check_name(c, "column name")
+    if after is not None and len(after) != len(keys):
+        raise ValueError(
+            f"after cursor must have {len(keys)} values: {after!r}"
+        )
+    toks = tokenize(query)
+    if not toks:
+        return (
+            "SELECT "
+            + ", ".join(f"'' AS {c}" for c in keys)
+            + ", 1::BIGINT AS n_docs, 0.0 AS max_score WHERE false"
+        )
+    counts = Counter(toks)
+    qvals = ", ".join(f"('{t}', {float(q)})" for t, q in sorted(counts.items()))
+    col_sel = "".join(f"d.{c}, " for c in keys)
+    key_list = ", ".join(keys)
+    cursor = ""
+    if after is not None:
+        vals = [str(v) for v in after]
+        for v in vals:
+            _check_value(v)
+        ors = []
+        eqs = []
+        for c, v in zip(keys, vals):
+            ors.append(
+                "(" + " AND ".join(eqs + [f"{c} > '{v}'"]) + ")"
+            )
+            eqs.append(f"{c} = '{v}'")
+        cursor = " WHERE " + " OR ".join(ors)
+    return (
+        f"WITH {_docs_cte()}, "
+        f"qt(term, qtf) AS (VALUES {qvals}), "
+        "contrib AS ("
+        "  SELECT tf.doc_id, tf.term, "
+        f"    qt.qtf * (idf.idf * (tf.tf * {K1 + 1.0} / "
+        f"      (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM stats))))) AS c "
+        "  FROM tf JOIN qt USING (term) JOIN idf USING (term) "
+        "  JOIN doclen dl ON dl.doc_id = tf.doc_id), "
+        "scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id), "
+        "mx AS (SELECT max(score) AS m FROM scored), "
+        "kept AS ("
+        f"  SELECT d.doc_id, {col_sel}coalesce(s.score, 0.0) AS score "
+        "  FROM doclen d LEFT JOIN scored s USING (doc_id) "
+        "  WHERE ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
+        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))), "
+        f"buckets AS (SELECT {key_list}, CAST(count(*) AS BIGINT) AS n_docs, "
+        f"max(score) AS _raw_max FROM kept GROUP BY {key_list})"
+        f" SELECT {key_list}, n_docs, {round6_sql('_raw_max')} AS max_score "
+        f"FROM (SELECT * FROM buckets{cursor}) "
+        f"ORDER BY {key_list} LIMIT {int(size)}"
+    )

@@ -34,6 +34,9 @@ Endpoints (JSON responses):
     GET  /did_you_mean?q=...&max_dist=1   whole-query spell correction
                        (per-term best dictionary candidate + corrected
                        query string)
+    GET  /composite_agg?q=...&keys=lang,source&size=10[&after=en,src2]
+                       ES composite agg: keyset-paginated facet buckets
+                       ("after" in the response carries the cursor)
     GET  /significant?q=...&limit=20&min_fg=2   significant terms of the
                        query's kept set vs the corpus background (JLH)
     GET  /search_after?q=...&limit=20[&after_score=S&after_doc=D]
@@ -390,6 +393,8 @@ def make_handler(engine, stats_fn, index_manager=None):
                             "gauss/linear decay of a numeric column",
                             "GET /did_you_mean": "whole-query spell "
                             "correction via SymSpell deletion keys",
+                            "GET /composite_agg": "keyset-paginated "
+                            "facet buckets (cursor in 'after')",
                             "GET /significant": "significant terms of the "
                             "query's result set",
                             "GET /search_after": "keyset pagination "
@@ -582,6 +587,27 @@ def make_handler(engine, stats_fn, index_manager=None):
                         {"query": q["q"], "corrected": corrected,
                          "any_corrected": any(r["corrected"] for r in rows),
                          "terms": [r.asDict() for r in ordered]},
+                    )
+                if url.path == "/composite_agg":
+                    if "q" not in q:
+                        return self._send(400, {"error": "missing q"})
+                    keys = tuple(
+                        k for k in q.get("keys", "lang,source").split(",") if k
+                    )
+                    after = None
+                    if "after" in q:
+                        after = tuple(q["after"].split(","))
+                    rows = engine.composite_agg(
+                        q["q"], keys=keys, size=int(q.get("size", 10)),
+                        after=after,
+                    ).collect()
+                    out = [r.asDict() for r in rows]
+                    nxt = None
+                    if out:
+                        nxt = ",".join(str(out[-1][k]) for k in keys)
+                    return self._send(
+                        200,
+                        {"query": q["q"], "buckets": out, "after": nxt},
                     )
                 if url.path == "/search_after":
                     if "q" not in q:

@@ -322,3 +322,52 @@ def test_cardinality_counts_kept_set_only(spark):
     assert (r.n_values, r.n_distinct) == (3, 3)
     # empty query guard
     assert bm25_cardinality(idx, "!! ??").count() == 0
+
+
+# --- composite aggregation (keyset-paginated buckets) -----------------------
+
+
+def test_composite_pages_stitch_to_full_order(spark):
+    from distributedcodesearchengine_spark.operators.aggs import (
+        bm25_composite_agg,
+    )
+
+    idx = _index(
+        spark,
+        [
+            ("word one", "en", "s1"),
+            ("word two", "en", "s2"),
+            ("word three", "de", "s1"),
+            ("word four", "de", "s2"),
+            ("word five", "fr", "s1"),
+        ],
+    )
+    full = bm25_composite_agg(
+        idx, "word", keys=("lang", "source"), size=100
+    ).collect()
+    assert [(r.lang, r.source) for r in full] == sorted(
+        (r.lang, r.source) for r in full
+    )
+    p1 = bm25_composite_agg(idx, "word", keys=("lang", "source"), size=2).collect()
+    cursor = (p1[-1].lang, p1[-1].source)
+    p2 = bm25_composite_agg(
+        idx, "word", keys=("lang", "source"), size=2, after=cursor
+    ).collect()
+    got = [(r.lang, r.source) for r in p1 + p2]
+    assert got == [(r.lang, r.source) for r in full[:4]]
+    assert not set(got[:2]) & set(got[2:])
+
+
+def test_composite_guards(spark):
+    from distributedcodesearchengine_spark.operators.aggs import (
+        bm25_composite_agg,
+    )
+
+    idx = _index(spark, [("alpha", "en", "s1")])
+    assert bm25_composite_agg(idx, "!! ??").count() == 0
+    with pytest.raises(ValueError):
+        bm25_composite_agg(idx, "alpha", keys=())
+    with pytest.raises(ValueError):
+        bm25_composite_agg(idx, "alpha", keys=("lang",), after=("a", "b"))
+    with pytest.raises(ValueError):
+        bm25_composite_agg(idx, "alpha", keys=("lang; drop",))

@@ -682,3 +682,21 @@ def test_did_you_mean_endpoint(srv):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(srv, "/did_you_mean")
     assert ei.value.code == 400
+
+
+def test_composite_agg_endpoint(srv):
+    code, p1 = _get(srv, "/composite_agg", q="parse json", keys="lang",
+                    size=2)
+    assert code == 200 and p1["buckets"]
+    if p1["after"]:
+        code, p2 = _get(srv, "/composite_agg", q="parse json", keys="lang",
+                        size=2, after=p1["after"])
+        assert code == 200
+        seen1 = {b["lang"] for b in p1["buckets"]}
+        seen2 = {b["lang"] for b in p2["buckets"]}
+        assert not seen1 & seen2
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/composite_agg")
+    assert ei.value.code == 400
