@@ -72,6 +72,22 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     fk.add_argument("--index", required=True)
 
+    sn = sub.add_parser(
+        "snapshot",
+        help="fsck-gated atomic index backup with a per-file (size, md5) "
+        "manifest (the ES snapshot-API analog); exit 2 on failure",
+    )
+    sn.add_argument("--index", required=True)
+    sn.add_argument("--out", required=True, help="snapshot dir (must not exist)")
+
+    rs = sub.add_parser(
+        "restore",
+        help="verify a snapshot's manifest inventory, swap it in "
+        "atomically, fsck the result; exit 2 on failure",
+    )
+    rs.add_argument("--snapshot", required=True)
+    rs.add_argument("--index", required=True)
+
     g = sub.add_parser("suggest", help="term autocomplete under a prefix")
     g.add_argument("prefix")
     g.add_argument("--index", required=True)
@@ -456,6 +472,34 @@ def main(argv=None, spark=None) -> int:
         report = fsck_index(spark, args.index)
         print(json.dumps(report, indent=2))
         return 0 if report["ok"] else 2
+
+    if args.cmd == "snapshot":
+        from .build.snapshot import snapshot_index
+
+        try:
+            manifest = snapshot_index(spark, args.index, args.out)
+        except (RuntimeError, FileExistsError) as e:
+            print(f"error: {e}")
+            return 2
+        print(json.dumps(
+            {"snapshot": args.out, "n_files": manifest["n_files"],
+             "total_bytes": manifest["total_bytes"],
+             "entries": manifest["entries"]}, indent=2))
+        return 0
+
+    if args.cmd == "restore":
+        from .build.snapshot import restore_index
+
+        try:
+            report = restore_index(spark, args.snapshot, args.index)
+        except RuntimeError as e:
+            print(f"error: {e}")
+            return 2
+        print(json.dumps(
+            {"restored": args.index,
+             "n_files": report["manifest"]["n_files"],
+             "total_bytes": report["manifest"]["total_bytes"]}, indent=2))
+        return 0
 
     if args.cmd == "serve":
         from .api import SearchEngine
