@@ -567,6 +567,12 @@ def _registry():
 
     reg["events_rollup"] = (_tbl_op(tsr.events_rollup, "events"), tsr.events_rollup_sql())
     reg["events_latest"] = (_tbl_op(tsr.events_latest, "events"), tsr.events_latest_sql())
+    # ES pipeline aggregations over the hourly date-histogram of one
+    # event type: cumulative_sum / derivative / moving-average(3)
+    reg["events_pipeline_aggs"] = (
+        _tbl_op(partial(tsr.events_pipeline_aggs, event_type="click"), "events"),
+        tsr.events_pipeline_aggs_sql("click"),
+    )
     reg["events_asof_join"] = (
         _tbl_op(tsr.events_asof_join, "events"), tsr.events_asof_join_sql(),
     )

@@ -207,3 +207,68 @@ def events_latest_sql() -> str:
         "SELECT user_id, ts_us, event_id, event_type, value "
         "FROM r WHERE rn = 1 ORDER BY user_id"
     )
+
+
+def events_pipeline_aggs(events: DataFrame, event_type: str = "click") -> DataFrame:
+    """(bucket, n_events, cum_n, delta_n, mavg3) — the ES pipeline
+    aggregations (cumulative_sum / derivative / moving average, window
+    3) over one event type's hourly date-histogram:
+
+    - ``cum_n``: running total of n_events in bucket order (exact);
+    - ``delta_n``: n_events - lag(n_events) (exact; first bucket 0 —
+      coalesced on both engines rather than ES's emit-nothing, which a
+      relational row can't express without a NULL-dtype hazard);
+    - ``mavg3``: sum over the last 3 observed buckets * 1.0 / their
+      count — exact integer frame sums, ONE float division.
+
+    Buckets are the observed ones (min_doc_count=1 semantics): the
+    derivative is per observed bucket, identical on both engines.
+
+    Scale note: the window runs over ONE series ordered by bucket —
+    its row count is bounded by the calendar (hours in the retention
+    window), not the corpus; at scale the same plan partitions by
+    series key (event_type here) and each partition stays
+    calendar-bounded. No corpus-sized single-partition sort exists."""
+    from pyspark.sql.window import Window
+
+    base = (
+        events.where(F.col("event_type") == event_type)
+        .groupBy(F.unix_timestamp(F.date_trunc("hour", "ts")).alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("bucket")
+    frame3 = w.rowsBetween(-2, 0)
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        base.select(
+            "bucket",
+            "n_events",
+            F.sum("n_events").over(cum).cast("long").alias("cum_n"),
+            F.coalesce(
+                F.col("n_events") - F.lag("n_events", 1).over(w), F.lit(0)
+            ).cast("long").alias("delta_n"),
+            round6(
+                F.sum("n_events").over(frame3).cast("double")
+                * F.lit(1.0)
+                / F.count("n_events").over(frame3)
+            ).alias("mavg3"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def events_pipeline_aggs_sql(event_type: str = "click") -> str:
+    """DuckDB mirror of events_pipeline_aggs: identical frames
+    (ROWS BETWEEN), identical coalesce for the first derivative,
+    identical sum * 1.0 / count operand sequence."""
+    et = event_type.replace("'", "''")
+    return (
+        "WITH base AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, "
+        "CAST(count(*) AS BIGINT) AS n_events FROM events "
+        f"WHERE event_type = '{et}' GROUP BY 1) "
+        "SELECT bucket, n_events, "
+        "CAST(sum(n_events) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n, "
+        "CAST(coalesce(n_events - lag(n_events, 1) OVER (ORDER BY bucket), 0) AS BIGINT) AS delta_n, "
+        f"{round6_sql('CAST(sum(n_events) OVER (ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) * 1.0 / count(n_events) OVER (ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)')} AS mavg3 "
+        "FROM base ORDER BY bucket"
+    )
