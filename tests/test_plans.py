@@ -300,3 +300,47 @@ def test_round4_operators_plan_shapes(spark, sf_dir):
         r"\(\d+\) TakeOrderedAndProject\n[^\n]*\nArguments: (\d+),", aplan
     )
     assert m and m.group(1) == "7", aplan[:4000]
+
+
+def test_new_agg_family_plan_shapes(spark, pidx):
+    """Round-4-late aggregation family: no cartesian anywhere; the
+    composite page compiles to a TakeOrdered at exactly its size (page
+    N costs page 1); rare_terms' k-cut is a TakeOrdered; every BNLJ is
+    the 1-row scalar-fold shape (Cross BuildRight)."""
+    import re
+
+    from distributedcodesearchengine_spark.operators.aggs import (
+        bm25_composite_agg,
+        bm25_filters_agg,
+        bm25_range_agg,
+        bm25_rare_terms,
+        bm25_top_hits,
+    )
+    from distributedcodesearchengine_spark.operators.decay import (
+        bm25_decay_topk,
+    )
+
+    plans = {
+        "filters": bm25_filters_agg(
+            pidx, "parse json", {"en": ("lang", "en")}),
+        "range": bm25_range_agg(pidx, "parse json", cuts=(50, 200)),
+        "top_hits": bm25_top_hits(pidx, "parse json", key="lang"),
+        "rare": bm25_rare_terms(pidx, "parse json", max_df=10**9, k=5),
+        "composite": bm25_composite_agg(
+            pidx, "parse json", keys=("lang",), size=4),
+        "decay": bm25_decay_topk(pidx, "parse json", origin=100, scale=50),
+    }
+    for name, df in plans.items():
+        plan = explain_str(df)
+        assert "CartesianProduct" not in plan, (name, plan[:2000])
+        for line in re.findall(
+            r"BroadcastNestedLoopJoin[^\n(]*\([0-9]+\)", plan
+        ):
+            assert "Cross BuildRight" in line, (name, line)
+    cplan = explain_str(plans["composite"])
+    m = re.search(
+        r"\(\d+\) TakeOrderedAndProject\n[^\n]*\nArguments: (\d+),", cplan
+    )
+    assert m and m.group(1) == "4", cplan[:4000]
+    rplan = explain_str(plans["rare"])
+    assert "TakeOrderedAndProject" in rplan
