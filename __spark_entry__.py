@@ -351,15 +351,6 @@ def _registry():
     reg["kmv_distinct"] = (
         _docs_op(partial(sk.kmv_distinct, k=16)), sk.kmv_distinct_sql(cte, k=16),
     )
-    # HLL cardinality (ES cardinality agg): p=12 (4096 registers) runs
-    # in the linear-counting regime on the small synthetic vocab; p=4
-    # (16 registers) exercises the raw harmonic-estimate branch
-    reg["hll_distinct"] = (
-        _docs_op(partial(sk.hll_distinct, p=12)), sk.hll_distinct_sql(cte, p=12),
-    )
-    reg["hll_distinct_raw"] = (
-        _docs_op(partial(sk.hll_distinct, p=4)), sk.hll_distinct_sql(cte, p=4),
-    )
 
     # DDSketch quantiles over the events value column (positive domain):
     # log-bucket keys + midpoint estimates through the portable ln/exp
@@ -567,12 +558,6 @@ def _registry():
 
     reg["events_rollup"] = (_tbl_op(tsr.events_rollup, "events"), tsr.events_rollup_sql())
     reg["events_latest"] = (_tbl_op(tsr.events_latest, "events"), tsr.events_latest_sql())
-    # ES pipeline aggregations over the hourly date-histogram of one
-    # event type: cumulative_sum / derivative / moving-average(3)
-    reg["events_pipeline_aggs"] = (
-        _tbl_op(partial(tsr.events_pipeline_aggs, event_type="click"), "events"),
-        tsr.events_pipeline_aggs_sql("click"),
-    )
     reg["events_asof_join"] = (
         _tbl_op(tsr.events_asof_join, "events"), tsr.events_asof_join_sql(),
     )
@@ -874,6 +859,24 @@ def _registry():
         partial(eq.bm25_rare_terms_q, query="dup table", max_df=100000000, k=15),
         bm25_rare_terms_sql("dup table", max_df=100000000, k=15),
     )
+    # HLL cardinality (ES cardinality agg; appended at the END per the
+    # registry-ordering rule): p=12 (4096 registers) runs in the
+    # linear-counting regime on the small synthetic vocab; p=4 (16
+    # registers) exercises the raw harmonic-estimate branch
+    reg["hll_distinct"] = (
+        _docs_op(partial(sk.hll_distinct, p=12)), sk.hll_distinct_sql(cte, p=12),
+    )
+    reg["hll_distinct_raw"] = (
+        _docs_op(partial(sk.hll_distinct, p=4)), sk.hll_distinct_sql(cte, p=4),
+    )
+
+    # ES pipeline aggregations over the hourly date-histogram of one
+    # event type: cumulative_sum / derivative / moving-average(3)
+    reg["events_pipeline_aggs"] = (
+        _tbl_op(partial(tsr.events_pipeline_aggs, event_type="click"), "events"),
+        tsr.events_pipeline_aggs_sql("click"),
+    )
+
     return _rotate(reg)
 
 

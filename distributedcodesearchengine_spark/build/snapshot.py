@@ -34,7 +34,6 @@ from typing import Dict, List
 
 SNAPSHOT_MANIFEST = "SNAPSHOT.json"
 _COPY_TOP_FILES = ("_meta.json",)
-_COPY_DIRS_OPTIONAL = ("_build_state",)
 
 
 def _md5_file(path: str) -> str:
@@ -173,9 +172,10 @@ def restore_index(spark, snap_dir: str, index_dir: str,
         fck = fsck_index(spark, index_dir)
         if not fck["ok"]:
             # the snapshot inventory passed but the restored index does
-            # not parse as a valid index — put the previous one back
+            # not parse as a valid index — never leave it installed:
+            # put the previous one back, or (fresh target) remove it
+            shutil.rmtree(index_dir, ignore_errors=True)
             if had_old:
-                shutil.rmtree(index_dir, ignore_errors=True)
                 os.rename(old, index_dir)
             bad = [c["name"] for c in fck["checks"] if not c["ok"]]
             raise RuntimeError(f"restored index fails fsck: {bad}")

@@ -478,7 +478,7 @@ def main(argv=None, spark=None) -> int:
 
         try:
             manifest = snapshot_index(spark, args.index, args.out)
-        except (RuntimeError, FileExistsError) as e:
+        except Exception as e:  # noqa: BLE001 - contract: error line + exit 2
             print(f"error: {e}")
             return 2
         print(json.dumps(
@@ -492,7 +492,7 @@ def main(argv=None, spark=None) -> int:
 
         try:
             report = restore_index(spark, args.snapshot, args.index)
-        except RuntimeError as e:
+        except Exception as e:  # noqa: BLE001 - contract: error line + exit 2
             print(f"error: {e}")
             return 2
         print(json.dumps(

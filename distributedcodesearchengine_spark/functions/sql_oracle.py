@@ -65,6 +65,47 @@ def _docs_cte(table: str = "documents") -> str:
     )
 
 
+def kept_cte_sql(query: str, cols: Sequence[str] = (),
+                 with_score: bool = True) -> Optional[str]:
+    """The aggregation family's shared kept-set CTE chain (the DuckDB
+    mirror of ``operators/explore._kept_with_cols``): ``_docs_cte`` +
+    the query-term BM25 scoring chain + the threshold/degenerate
+    ``kept`` relation carrying doc_id, the requested doclen-relation
+    columns, and (by default) the coalesced score. Returns None for an
+    empty-tokenizing query — the caller emits its own typed zero-row
+    select (F7). Every kept-set aggregation mirror composes on this ONE
+    chain, so the 1%-of-max threshold and the degenerate coalesce are
+    spelled in exactly one place."""
+    from collections import Counter
+
+    toks = tokenize(query)
+    if not toks:
+        return None
+    counts = Counter(toks)
+    qvals = ", ".join(f"('{t}', {float(q)})" for t, q in sorted(counts.items()))
+    items = ["d.doc_id"] + [f"d.{c}" for c in cols]
+    if with_score:
+        items.append("coalesce(s.score, 0.0) AS score")
+    sel = ", ".join(items)
+    return (
+        f"WITH {_docs_cte()}, "
+        f"qt(term, qtf) AS (VALUES {qvals}), "
+        "contrib AS ("
+        "  SELECT tf.doc_id, tf.term, "
+        f"    qt.qtf * (idf.idf * (tf.tf * {K1 + 1.0} / "
+        f"      (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM stats))))) AS c "
+        "  FROM tf JOIN qt USING (term) JOIN idf USING (term) "
+        "  JOIN doclen dl ON dl.doc_id = tf.doc_id), "
+        "scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id), "
+        "mx AS (SELECT max(score) AS m FROM scored), "
+        "kept AS ("
+        f"  SELECT {sel} "
+        "  FROM doclen d LEFT JOIN scored s USING (doc_id) "
+        "  WHERE ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
+        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx)))"
+    )
+
+
 def doc_token_stats_sql() -> str:
     """Per-doc token counts — tokenizer parity check."""
     return (
@@ -532,39 +573,20 @@ def rrf_hybrid_sql(
 
 def bm25_facets_sql(query: str) -> str:
     """Facet counts over the BM25 kept set (operators/explore.bm25_facets):
-    the bm25_topk_sql CTE chain up to ``kept``, aggregated by
-    (lang, source) instead of ranked."""
-    toks = tokenize(query)
-    if not toks:
+    the shared kept chain (kept_cte_sql) aggregated by (lang, source)
+    instead of ranked."""
+    chain = kept_cte_sql(query, ["lang", "source"])
+    if chain is None:
         return (
             "SELECT '' AS lang, '' AS source, 1::BIGINT AS n_docs, "
             "0.0 AS max_score WHERE false"
         )
-    from collections import Counter
-
-    counts = Counter(toks)
-    qvals = ", ".join(f"('{t}', {float(q)})" for t, q in sorted(counts.items()))
     return (
-        f"WITH {_docs_cte()}, "
-        f"qt(term, qtf) AS (VALUES {qvals}), "
-        "contrib AS ("
-        "  SELECT tf.doc_id, tf.term, "
-        f"    qt.qtf * (idf.idf * (tf.tf * {K1 + 1.0} / "
-        f"      (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM stats))))) AS c "
-        "  FROM tf JOIN qt USING (term) JOIN idf USING (term) "
-        "  JOIN doclen dl ON dl.doc_id = tf.doc_id), "
-        "scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id), "
-        "mx AS (SELECT max(score) AS m FROM scored), "
-        "kept AS ("
-        "  SELECT d.doc_id, d.lang, d.source, coalesce(s.score, 0.0) AS score "
-        "  FROM doclen d LEFT JOIN scored s USING (doc_id) "
-        "  WHERE ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
-        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))) "
+        f"{chain} "
         "SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs, "
         f"{round6_sql('max(score)')} AS max_score "
         "FROM kept GROUP BY lang, source ORDER BY lang, source"
     )
-
 
 def more_like_this_sql(seed_doc_id: int, m: int = 5, k: int = 10) -> str:
     """MLT (operators/explore.more_like_this): the seed doc's top-m

@@ -91,9 +91,13 @@ def bm25_filters_agg(
     items = sorted(buckets.items())
     if not items:
         raise ValueError("filters aggregation requires at least one bucket")
-    for name, (col, _val) in items:
+    for name, (col, val) in items:
         _check_name(name, "bucket name")
         _check_name(col, "column name")
+        # F.lit would be safe, but the SQL mirror rejects these values —
+        # keep the two surfaces equally strict so a bad bucket spec
+        # fails identically on both
+        _check_value(val)
     if not tokenize(query):
         return spark.createDataFrame(
             [], "bucket string, n_docs long, max_score double"
@@ -127,13 +131,12 @@ def bm25_filters_agg(
 
 
 def bm25_filters_agg_sql(query: str, buckets: Dict[str, Tuple[str, str]]) -> str:
-    """DuckDB mirror of bm25_filters_agg: the facets kept chain reduced
-    by one conditional aggregation per named bucket (FILTER clauses),
-    unpivoted via UNION ALL, coalesce(max, 0.0) for empty buckets."""
-    from collections import Counter
-
+    """DuckDB mirror of bm25_filters_agg: the shared kept chain
+    (sql_oracle.kept_cte_sql) reduced by one conditional aggregation per
+    named bucket (FILTER clauses), unpivoted via UNION ALL,
+    coalesce(max, 0.0) for empty buckets."""
     from ..functions.rounding import round6_sql
-    from ..functions.sql_oracle import B, K1, _docs_cte
+    from ..functions.sql_oracle import kept_cte_sql
 
     items = sorted(buckets.items())
     if not items:
@@ -143,15 +146,12 @@ def bm25_filters_agg_sql(query: str, buckets: Dict[str, Tuple[str, str]]) -> str
         _check_name(name, "bucket name")
         _check_name(col, "column name")
         _check_value(val)
-    toks = tokenize(query)
-    if not toks:
+    chain = kept_cte_sql(query, cols)
+    if chain is None:
         return (
             "SELECT '' AS bucket, 1::BIGINT AS n_docs, 0.0 AS max_score "
             "WHERE false"
         )
-    counts = Counter(toks)
-    qvals = ", ".join(f"('{t}', {float(q)})" for t, q in sorted(counts.items()))
-    col_sel = "".join(f"d.{c}, " for c in cols)
     selects = []
     for name, (col, val) in items:
         pred = f"{col} = '{val}'"
@@ -162,24 +162,7 @@ def bm25_filters_agg_sql(query: str, buckets: Dict[str, Tuple[str, str]]) -> str
             "AS max_score FROM kept"
         )
     union = " UNION ALL ".join(selects)
-    return (
-        f"WITH {_docs_cte()}, "
-        f"qt(term, qtf) AS (VALUES {qvals}), "
-        "contrib AS ("
-        "  SELECT tf.doc_id, tf.term, "
-        f"    qt.qtf * (idf.idf * (tf.tf * {K1 + 1.0} / "
-        f"      (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM stats))))) AS c "
-        "  FROM tf JOIN qt USING (term) JOIN idf USING (term) "
-        "  JOIN doclen dl ON dl.doc_id = tf.doc_id), "
-        "scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id), "
-        "mx AS (SELECT max(score) AS m FROM scored), "
-        "kept AS ("
-        f"  SELECT d.doc_id, {col_sel}coalesce(s.score, 0.0) AS score "
-        "  FROM doclen d LEFT JOIN scored s USING (doc_id) "
-        "  WHERE ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
-        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))) "
-        f"SELECT * FROM ({union}) ORDER BY bucket"
-    )
+    return f"{chain} SELECT * FROM ({union}) ORDER BY bucket"
 
 
 # ---------------------------------------------------------------------------
@@ -263,24 +246,20 @@ def bm25_range_agg(
 def bm25_range_agg_sql(
     query: str, col: str = "doc_len", cuts: Sequence[int] = (20, 40)
 ) -> str:
-    """DuckDB mirror of bm25_range_agg: the kept chain reduced by one
-    FILTER-ed aggregate per range, unpivoted via UNION ALL. ``col``
-    must be a doclen-relation column (doc_len)."""
-    from collections import Counter
-
+    """DuckDB mirror of bm25_range_agg: the shared kept chain reduced
+    by one FILTER-ed aggregate per range, unpivoted via UNION ALL.
+    ``col`` must be a doclen-relation column (doc_len)."""
     from ..functions.rounding import round6_sql
-    from ..functions.sql_oracle import B, K1, _docs_cte
+    from ..functions.sql_oracle import kept_cte_sql
 
     _check_name(col, "column name")
     bounds = _ranges(cuts)
-    toks = tokenize(query)
-    if not toks:
+    chain = kept_cte_sql(query, [col])
+    if chain is None:
         return (
             "SELECT 1::INT AS range_idx, 1::BIGINT AS lo, 1::BIGINT AS hi, "
             "1::BIGINT AS n_docs, 0.0 AS max_score WHERE false"
         )
-    counts = Counter(toks)
-    qvals = ", ".join(f"('{t}', {float(q)})" for t, q in sorted(counts.items()))
     selects = []
     for i, lo, hi in bounds:
         preds = ["true"]
@@ -298,24 +277,7 @@ def bm25_range_agg_sql(
             "AS max_score FROM kept"
         )
     union = " UNION ALL ".join(selects)
-    return (
-        f"WITH {_docs_cte()}, "
-        f"qt(term, qtf) AS (VALUES {qvals}), "
-        "contrib AS ("
-        "  SELECT tf.doc_id, tf.term, "
-        f"    qt.qtf * (idf.idf * (tf.tf * {K1 + 1.0} / "
-        f"      (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM stats))))) AS c "
-        "  FROM tf JOIN qt USING (term) JOIN idf USING (term) "
-        "  JOIN doclen dl ON dl.doc_id = tf.doc_id), "
-        "scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id), "
-        "mx AS (SELECT max(score) AS m FROM scored), "
-        "kept AS ("
-        f"  SELECT d.doc_id, d.{col}, coalesce(s.score, 0.0) AS score "
-        "  FROM doclen d LEFT JOIN scored s USING (doc_id) "
-        "  WHERE ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
-        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))) "
-        f"SELECT * FROM ({union}) ORDER BY range_idx"
-    )
+    return f"{chain} SELECT * FROM ({union}) ORDER BY range_idx"
 
 
 # ---------------------------------------------------------------------------
@@ -340,8 +302,9 @@ def bm25_top_hits(
     spark = index.spark
     _check_name(key, "column name")
     if not tokenize(query):
+        kt = index.docs.schema[key].dataType.simpleString()
         return spark.createDataFrame(
-            [], f"{key} string, rank int, doc_id long, score double"
+            [], f"{key} {kt}, rank int, doc_id long, score double"
         )
     kept = _kept_with_cols(index, query, [key])
     w = Window.partitionBy(key).orderBy(F.desc("score"), F.asc("doc_id"))
@@ -359,39 +322,21 @@ def bm25_top_hits(
 
 
 def bm25_top_hits_sql(query: str, key: str = "lang", per_bucket: int = 3) -> str:
-    """DuckDB mirror of bm25_top_hits: the kept chain + a per-key
-    row_number window on the RAW score (rounding only at the output
-    projection). ``key`` must be a doclen-relation column."""
-    from collections import Counter
-
+    """DuckDB mirror of bm25_top_hits: the shared kept chain + a
+    per-key row_number window on the RAW score (rounding only at the
+    output projection). ``key`` must be a doclen-relation column."""
     from ..functions.rounding import round6_sql
-    from ..functions.sql_oracle import B, K1, _docs_cte
+    from ..functions.sql_oracle import kept_cte_sql
 
     _check_name(key, "column name")
-    toks = tokenize(query)
-    if not toks:
+    chain = kept_cte_sql(query, [key])
+    if chain is None:
         return (
             f"SELECT '' AS {key}, 1::INT AS rank, 1::BIGINT AS doc_id, "
             "0.0 AS score WHERE false"
         )
-    counts = Counter(toks)
-    qvals = ", ".join(f"('{t}', {float(q)})" for t, q in sorted(counts.items()))
     return (
-        f"WITH {_docs_cte()}, "
-        f"qt(term, qtf) AS (VALUES {qvals}), "
-        "contrib AS ("
-        "  SELECT tf.doc_id, tf.term, "
-        f"    qt.qtf * (idf.idf * (tf.tf * {K1 + 1.0} / "
-        f"      (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM stats))))) AS c "
-        "  FROM tf JOIN qt USING (term) JOIN idf USING (term) "
-        "  JOIN doclen dl ON dl.doc_id = tf.doc_id), "
-        "scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id), "
-        "mx AS (SELECT max(score) AS m FROM scored), "
-        "kept AS ("
-        f"  SELECT d.doc_id, d.{key}, coalesce(s.score, 0.0) AS score "
-        "  FROM doclen d LEFT JOIN scored s USING (doc_id) "
-        "  WHERE ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
-        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))), "
+        f"{chain}, "
         "ranked AS ("
         f"  SELECT {key}, CAST(row_number() OVER "
         f"    (PARTITION BY {key} ORDER BY score DESC, doc_id ASC) AS INT) AS rank, "
@@ -434,34 +379,17 @@ def bm25_rare_terms(
 
 
 def bm25_rare_terms_sql(query: str, max_df: int = 2, k: int = 20) -> str:
-    """DuckDB mirror of bm25_rare_terms: the kept chain's doc ids
-    semi-joined against tf, grouped, floored at max_df, ordered
+    """DuckDB mirror of bm25_rare_terms: the shared kept chain's doc
+    ids semi-joined against tf, grouped, floored at max_df, ordered
     (n_docs asc, term asc) — a total order, so the LIMIT boundary is
     deterministic on both engines."""
-    from collections import Counter
+    from ..functions.sql_oracle import kept_cte_sql
 
-    from ..functions.sql_oracle import B, K1, _docs_cte
-
-    toks = tokenize(query)
-    if not toks:
+    chain = kept_cte_sql(query, [], with_score=False)
+    if chain is None:
         return "SELECT '' AS term, 1::BIGINT AS n_docs WHERE false"
-    counts = Counter(toks)
-    qvals = ", ".join(f"('{t}', {float(q)})" for t, q in sorted(counts.items()))
     return (
-        f"WITH {_docs_cte()}, "
-        f"qt(term, qtf) AS (VALUES {qvals}), "
-        "contrib AS ("
-        "  SELECT tf.doc_id, tf.term, "
-        f"    qt.qtf * (idf.idf * (tf.tf * {K1 + 1.0} / "
-        f"      (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM stats))))) AS c "
-        "  FROM tf JOIN qt USING (term) JOIN idf USING (term) "
-        "  JOIN doclen dl ON dl.doc_id = tf.doc_id), "
-        "scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id), "
-        "mx AS (SELECT max(score) AS m FROM scored), "
-        "kept AS ("
-        "  SELECT d.doc_id FROM doclen d LEFT JOIN scored s USING (doc_id) "
-        "  WHERE ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
-        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))) "
+        f"{chain} "
         "SELECT tf.term, CAST(count(*) AS BIGINT) AS n_docs "
         "FROM tf WHERE tf.doc_id IN (SELECT doc_id FROM kept) "
         f"GROUP BY tf.term HAVING count(*) <= {int(max_df)} "
@@ -518,41 +446,24 @@ def bm25_extended_stats(
 
 
 def bm25_extended_stats_sql(query: str, col: str = "doc_len") -> str:
-    """DuckDB mirror of bm25_extended_stats: identical integer moments,
-    identical float tail operand sequence (sum * 1.0 / n, sq * 1.0 / n
-    - avg * avg, sqrt)."""
-    from collections import Counter
-
+    """DuckDB mirror of bm25_extended_stats: the shared kept chain,
+    identical integer moments, identical float tail operand sequence
+    (sum * 1.0 / n, sq * 1.0 / n - avg * avg, sqrt)."""
     from ..functions.rounding import round6_sql
-    from ..functions.sql_oracle import B, K1, _docs_cte
+    from ..functions.sql_oracle import kept_cte_sql
 
     _check_name(col, "column name")
-    toks = tokenize(query)
-    if not toks:
+    chain = kept_cte_sql(query, [col], with_score=False)
+    if chain is None:
         return (
             "SELECT 1::BIGINT AS n_docs, 1::BIGINT AS sum_v, "
             "1::BIGINT AS sum_sq, 0.0 AS avg_v, 0.0 AS variance, "
             "0.0 AS std_dev WHERE false"
         )
-    counts = Counter(toks)
-    qvals = ", ".join(f"('{t}', {float(q)})" for t, q in sorted(counts.items()))
     avg = "(CAST(sum_v AS DOUBLE) * 1.0 / n_docs)"
     var = f"(CAST(sum_sq AS DOUBLE) * 1.0 / n_docs - {avg} * {avg})"
     return (
-        f"WITH {_docs_cte()}, "
-        f"qt(term, qtf) AS (VALUES {qvals}), "
-        "contrib AS ("
-        "  SELECT tf.doc_id, tf.term, "
-        f"    qt.qtf * (idf.idf * (tf.tf * {K1 + 1.0} / "
-        f"      (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM stats))))) AS c "
-        "  FROM tf JOIN qt USING (term) JOIN idf USING (term) "
-        "  JOIN doclen dl ON dl.doc_id = tf.doc_id), "
-        "scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id), "
-        "mx AS (SELECT max(score) AS m FROM scored), "
-        "kept AS ("
-        f"  SELECT d.doc_id, d.{col} FROM doclen d LEFT JOIN scored s USING (doc_id) "
-        "  WHERE ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
-        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))), "
+        f"{chain}, "
         "one AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, "
         f"CAST(sum({col}) AS BIGINT) AS sum_v, "
         f"CAST(sum(CAST({col} AS BIGINT) * CAST({col} AS BIGINT)) AS BIGINT) AS sum_sq "
@@ -611,22 +522,19 @@ def bm25_percentile_ranks(
 def bm25_percentile_ranks_sql(
     query: str, col: str = "doc_len", values: Sequence[int] = (20, 40)
 ) -> str:
-    """DuckDB mirror of bm25_percentile_ranks: identical conditional
-    counts, identical 100.0 * c / n division per probe."""
-    from collections import Counter
-
+    """DuckDB mirror of bm25_percentile_ranks: the shared kept chain,
+    identical conditional counts, identical
+    CAST(100.0 AS DOUBLE) * c / n division per probe."""
     from ..functions.rounding import round6_sql
-    from ..functions.sql_oracle import B, K1, _docs_cte
+    from ..functions.sql_oracle import kept_cte_sql
 
     _check_name(col, "column name")
     vals = [int(v) for v in values]
     if not vals or vals != sorted(set(vals)):
         raise ValueError(f"values must be non-empty strictly increasing: {values!r}")
-    toks = tokenize(query)
-    if not toks:
+    chain = kept_cte_sql(query, [col], with_score=False)
+    if chain is None:
         return "SELECT 1::BIGINT AS value, 0.0 AS pct WHERE false"
-    counts = Counter(toks)
-    qvals = ", ".join(f"('{t}', {float(q)})" for t, q in sorted(counts.items()))
     selects = []
     for v in vals:
         selects.append(
@@ -635,23 +543,7 @@ def bm25_percentile_ranks_sql(
             "AS pct FROM kept"
         )
     union = " UNION ALL ".join(selects)
-    return (
-        f"WITH {_docs_cte()}, "
-        f"qt(term, qtf) AS (VALUES {qvals}), "
-        "contrib AS ("
-        "  SELECT tf.doc_id, tf.term, "
-        f"    qt.qtf * (idf.idf * (tf.tf * {K1 + 1.0} / "
-        f"      (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM stats))))) AS c "
-        "  FROM tf JOIN qt USING (term) JOIN idf USING (term) "
-        "  JOIN doclen dl ON dl.doc_id = tf.doc_id), "
-        "scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id), "
-        "mx AS (SELECT max(score) AS m FROM scored), "
-        "kept AS ("
-        f"  SELECT d.doc_id, d.{col} FROM doclen d LEFT JOIN scored s USING (doc_id) "
-        "  WHERE ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
-        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))) "
-        f"SELECT * FROM ({union}) ORDER BY value"
-    )
+    return f"{chain} SELECT * FROM ({union}) ORDER BY value"
 
 
 # ---------------------------------------------------------------------------
@@ -680,33 +572,16 @@ def bm25_cardinality(
 
 
 def bm25_cardinality_sql(query: str, col: str = "source") -> str:
-    """DuckDB mirror of bm25_cardinality: exact integer counts over
-    the identical kept chain."""
-    from collections import Counter
-
-    from ..functions.sql_oracle import B, K1, _docs_cte
+    """DuckDB mirror of bm25_cardinality: exact integer counts over the
+    shared kept chain."""
+    from ..functions.sql_oracle import kept_cte_sql
 
     _check_name(col, "column name")
-    toks = tokenize(query)
-    if not toks:
+    chain = kept_cte_sql(query, [col], with_score=False)
+    if chain is None:
         return "SELECT 1::BIGINT AS n_values, 1::BIGINT AS n_distinct WHERE false"
-    counts = Counter(toks)
-    qvals = ", ".join(f"('{t}', {float(q)})" for t, q in sorted(counts.items()))
     return (
-        f"WITH {_docs_cte()}, "
-        f"qt(term, qtf) AS (VALUES {qvals}), "
-        "contrib AS ("
-        "  SELECT tf.doc_id, tf.term, "
-        f"    qt.qtf * (idf.idf * (tf.tf * {K1 + 1.0} / "
-        f"      (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM stats))))) AS c "
-        "  FROM tf JOIN qt USING (term) JOIN idf USING (term) "
-        "  JOIN doclen dl ON dl.doc_id = tf.doc_id), "
-        "scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id), "
-        "mx AS (SELECT max(score) AS m FROM scored), "
-        "kept AS ("
-        f"  SELECT d.doc_id, d.{col} FROM doclen d LEFT JOIN scored s USING (doc_id) "
-        "  WHERE ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
-        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))) "
+        f"{chain} "
         f"SELECT CAST(count({col}) AS BIGINT) AS n_values, "
         f"CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct FROM kept"
     )
@@ -746,10 +621,11 @@ def bm25_composite_agg(
             f"after cursor must have {len(keys)} values: {after!r}"
         )
     if not tokenize(query):
+        kts = ", ".join(
+            f"{c} {index.docs.schema[c].dataType.simpleString()}" for c in keys
+        )
         return spark.createDataFrame(
-            [],
-            ", ".join(f"{c} string" for c in keys)
-            + ", n_docs long, max_score double",
+            [], kts + ", n_docs long, max_score double"
         )
     kept = _kept_with_cols(index, query, keys)
     buckets = kept.groupBy(*keys).agg(
@@ -780,13 +656,11 @@ def bm25_composite_agg_sql(
     size: int = 10,
     after: Sequence[str] = None,
 ) -> str:
-    """DuckDB mirror of bm25_composite_agg: the facets kept chain
+    """DuckDB mirror of bm25_composite_agg: the shared kept chain
     grouped, cursor-cut with the identical lexicographic predicate,
     ordered by the key tuple, limited."""
-    from collections import Counter
-
     from ..functions.rounding import round6_sql
-    from ..functions.sql_oracle import B, K1, _docs_cte
+    from ..functions.sql_oracle import kept_cte_sql
 
     keys = list(keys)
     if not keys:
@@ -797,16 +671,13 @@ def bm25_composite_agg_sql(
         raise ValueError(
             f"after cursor must have {len(keys)} values: {after!r}"
         )
-    toks = tokenize(query)
-    if not toks:
+    chain = kept_cte_sql(query, keys)
+    if chain is None:
         return (
             "SELECT "
             + ", ".join(f"'' AS {c}" for c in keys)
             + ", 1::BIGINT AS n_docs, 0.0 AS max_score WHERE false"
         )
-    counts = Counter(toks)
-    qvals = ", ".join(f"('{t}', {float(q)})" for t, q in sorted(counts.items()))
-    col_sel = "".join(f"d.{c}, " for c in keys)
     key_list = ", ".join(keys)
     cursor = ""
     if after is not None:
@@ -822,21 +693,7 @@ def bm25_composite_agg_sql(
             eqs.append(f"{c} = '{v}'")
         cursor = " WHERE " + " OR ".join(ors)
     return (
-        f"WITH {_docs_cte()}, "
-        f"qt(term, qtf) AS (VALUES {qvals}), "
-        "contrib AS ("
-        "  SELECT tf.doc_id, tf.term, "
-        f"    qt.qtf * (idf.idf * (tf.tf * {K1 + 1.0} / "
-        f"      (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM stats))))) AS c "
-        "  FROM tf JOIN qt USING (term) JOIN idf USING (term) "
-        "  JOIN doclen dl ON dl.doc_id = tf.doc_id), "
-        "scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id), "
-        "mx AS (SELECT max(score) AS m FROM scored), "
-        "kept AS ("
-        f"  SELECT d.doc_id, {col_sel}coalesce(s.score, 0.0) AS score "
-        "  FROM doclen d LEFT JOIN scored s USING (doc_id) "
-        "  WHERE ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
-        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))), "
+        f"{chain}, "
         f"buckets AS (SELECT {key_list}, CAST(count(*) AS BIGINT) AS n_docs, "
         f"max(score) AS _raw_max FROM kept GROUP BY {key_list})"
         f" SELECT {key_list}, n_docs, {round6_sql('_raw_max')} AS max_score "

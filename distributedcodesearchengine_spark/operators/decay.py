@@ -112,38 +112,21 @@ def bm25_decay_sql(
     decay: str = "gauss",
     k: int = 10,
 ) -> str:
-    """DuckDB mirror of bm25_decay_topk: the kept chain with the
-    identical multiplier operand sequence, ordered on the RAW final."""
-    from collections import Counter
-
-    from ..functions.sql_oracle import B, K1, _docs_cte
+    """DuckDB mirror of bm25_decay_topk: the shared kept chain
+    (sql_oracle.kept_cte_sql) with the identical multiplier operand
+    sequence, ordered on the RAW final."""
+    from ..functions.sql_oracle import kept_cte_sql
 
     _check(col, origin, scale, decay)
-    toks = tokenize(query)
-    if not toks:
+    chain = kept_cte_sql(query, [col])
+    if chain is None:
         return (
             "SELECT 1::INT AS rank, 1::BIGINT AS doc_id, 0.0 AS score, "
             "0.0 AS mult WHERE false"
         )
-    counts = Counter(toks)
-    qvals = ", ".join(f"('{t}', {float(q)})" for t, q in sorted(counts.items()))
     mult = _mult_sql(col, origin, scale, decay)
     return (
-        f"WITH {_docs_cte()}, "
-        f"qt(term, qtf) AS (VALUES {qvals}), "
-        "contrib AS ("
-        "  SELECT tf.doc_id, tf.term, "
-        f"    qt.qtf * (idf.idf * (tf.tf * {K1 + 1.0} / "
-        f"      (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM stats))))) AS c "
-        "  FROM tf JOIN qt USING (term) JOIN idf USING (term) "
-        "  JOIN doclen dl ON dl.doc_id = tf.doc_id), "
-        "scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id), "
-        "mx AS (SELECT max(score) AS m FROM scored), "
-        "kept AS ("
-        f"  SELECT d.doc_id, d.{col}, coalesce(s.score, 0.0) AS score "
-        "  FROM doclen d LEFT JOIN scored s USING (doc_id) "
-        "  WHERE ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
-        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))), "
+        f"{chain}, "
         "boosted AS ("
         f"  SELECT doc_id, {mult} AS mult, score * ({mult}) AS final FROM kept) "
         "SELECT CAST(row_number() OVER (ORDER BY final DESC, doc_id ASC) AS INT) AS rank, "

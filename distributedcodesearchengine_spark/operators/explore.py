@@ -458,78 +458,42 @@ def bm25_stats_agg(
 def bm25_histogram_sql(
     query: str, col: str = "doc_len", interval: int = 50
 ) -> str:
-    """DuckDB mirror of bm25_histogram: the facets kept chain bucketed
-    by (col // interval) * interval. ``col`` must be a doclen-relation
-    column (doc_len) or a documents column reachable through it."""
-    from collections import Counter
-
+    """DuckDB mirror of bm25_histogram: the shared kept chain
+    (sql_oracle.kept_cte_sql) bucketed by (col // interval) * interval.
+    ``col`` must be a doclen-relation column (doc_len) or a documents
+    column reachable through it."""
     from ..functions.rounding import round6_sql
-    from ..functions.sql_oracle import B, K1, _docs_cte
+    from ..functions.sql_oracle import kept_cte_sql
 
-    toks = tokenize(query)
-    if not toks:
+    chain = kept_cte_sql(query, [col])
+    if chain is None:
         return (
             "SELECT 1::BIGINT AS bucket, 1::BIGINT AS n_docs, "
             "0.0 AS max_score WHERE false"
         )
-    counts = Counter(toks)
-    qvals = ", ".join(f"('{t}', {float(q)})" for t, q in sorted(counts.items()))
     return (
-        f"WITH {_docs_cte()}, "
-        f"qt(term, qtf) AS (VALUES {qvals}), "
-        "contrib AS ("
-        "  SELECT tf.doc_id, tf.term, "
-        f"    qt.qtf * (idf.idf * (tf.tf * {K1 + 1.0} / "
-        f"      (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM stats))))) AS c "
-        "  FROM tf JOIN qt USING (term) JOIN idf USING (term) "
-        "  JOIN doclen dl ON dl.doc_id = tf.doc_id), "
-        "scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id), "
-        "mx AS (SELECT max(score) AS m FROM scored), "
-        "kept AS ("
-        f"  SELECT d.doc_id, d.{col}, coalesce(s.score, 0.0) AS score "
-        "  FROM doclen d LEFT JOIN scored s USING (doc_id) "
-        "  WHERE ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
-        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))) "
+        f"{chain} "
         f"SELECT CAST(({col} // {int(interval)}) * {int(interval)} AS BIGINT) AS bucket, "
         "CAST(count(*) AS BIGINT) AS n_docs, "
         f"{round6_sql('max(score)')} AS max_score "
         "FROM kept GROUP BY 1 ORDER BY bucket"
     )
 
-
 def bm25_stats_agg_sql(query: str, col: str = "doc_len") -> str:
-    """DuckDB mirror of bm25_stats_agg: the facets kept chain reduced
+    """DuckDB mirror of bm25_stats_agg: the shared kept chain reduced
     to one stats row; avg written as sum * 1.0 / count(*) — the same
     operand sequence as the Spark column expression."""
-    from collections import Counter
-
     from ..functions.rounding import round6_sql
-    from ..functions.sql_oracle import B, K1, _docs_cte
+    from ..functions.sql_oracle import kept_cte_sql
 
-    toks = tokenize(query)
-    if not toks:
+    chain = kept_cte_sql(query, [col])
+    if chain is None:
         return (
             "SELECT 1::BIGINT AS n_docs, 1::BIGINT AS min_v, 1::BIGINT AS max_v, "
             "1::BIGINT AS sum_v, 0.0 AS avg_v WHERE false"
         )
-    counts = Counter(toks)
-    qvals = ", ".join(f"('{t}', {float(q)})" for t, q in sorted(counts.items()))
     return (
-        f"WITH {_docs_cte()}, "
-        f"qt(term, qtf) AS (VALUES {qvals}), "
-        "contrib AS ("
-        "  SELECT tf.doc_id, tf.term, "
-        f"    qt.qtf * (idf.idf * (tf.tf * {K1 + 1.0} / "
-        f"      (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM stats))))) AS c "
-        "  FROM tf JOIN qt USING (term) JOIN idf USING (term) "
-        "  JOIN doclen dl ON dl.doc_id = tf.doc_id), "
-        "scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id), "
-        "mx AS (SELECT max(score) AS m FROM scored), "
-        "kept AS ("
-        f"  SELECT d.doc_id, d.{col}, coalesce(s.score, 0.0) AS score "
-        "  FROM doclen d LEFT JOIN scored s USING (doc_id) "
-        "  WHERE ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
-        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))) "
+        f"{chain} "
         "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
         f"CAST(min({col}) AS BIGINT) AS min_v, CAST(max({col}) AS BIGINT) AS max_v, "
         f"CAST(sum({col}) AS BIGINT) AS sum_v, "

@@ -286,7 +286,11 @@ def did_you_mean(index, query: str, max_dist: int = 1) -> DataFrame:
         return spark.createDataFrame([], out_schema)
     keyed = get_fuzzy_keys(index)
     rows = []
+    memo = {}  # per distinct token: repeated terms probe once
     for pos, tok in enumerate(toks):
+        if tok in memo:
+            rows.append((pos, *memo[tok]))
+            continue
         qkeys = _deletions_py(tok, int(max_dist))
         pfxs = sorted({k[:1] if k else "~" for k in qkeys})
         cand = (
@@ -303,12 +307,12 @@ def did_you_mean(index, query: str, max_dist: int = 1) -> DataFrame:
         )
         if best:
             b = best[0]
-            rows.append(
-                (pos, tok, b["term"], int(b["df"]), int(b["dist"]),
-                 1 if int(b["dist"]) > 0 else 0)
-            )
+            entry = (tok, b["term"], int(b["df"]), int(b["dist"]),
+                     1 if int(b["dist"]) > 0 else 0)
         else:
-            rows.append((pos, tok, tok, 0, -1, 0))
+            entry = (tok, tok, 0, -1, 0)
+        memo[tok] = entry
+        rows.append((pos, *entry))
     return spark.createDataFrame(rows, out_schema)
 
 

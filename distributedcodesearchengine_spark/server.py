@@ -596,15 +596,24 @@ def make_handler(engine, stats_fn, index_manager=None):
                     )
                     after = None
                     if "after" in q:
-                        after = tuple(q["after"].split(","))
+                        # JSON-array cursor (round-trips any value the
+                        # operator accepts); bare comma form kept as a
+                        # convenience for simple values
+                        a = q["after"]
+                        if a.startswith("["):
+                            after = tuple(json.loads(a))
+                        else:
+                            after = tuple(a.split(","))
                     rows = engine.composite_agg(
                         q["q"], keys=keys, size=int(q.get("size", 10)),
                         after=after,
                     ).collect()
                     out = [r.asDict() for r in rows]
                     nxt = None
-                    if out:
-                        nxt = ",".join(str(out[-1][k]) for k in keys)
+                    # a NULL key value cannot be a keyset cursor — stop
+                    # paginating rather than emit a stringified None
+                    if out and all(out[-1][k] is not None for k in keys):
+                        nxt = json.dumps([out[-1][k] for k in keys])
                     return self._send(
                         200,
                         {"query": q["q"], "buckets": out, "after": nxt},
