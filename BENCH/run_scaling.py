@@ -179,9 +179,18 @@ def main() -> None:
         "```",
     ]
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    with open(out_path, "w") as f:
-        f.write("\n".join(lines) + "\n")
-    print(f"wrote {out_path}")
+    # Never clobber curated evidence: if the file already exists, append
+    # this run as a dated section (demote the generated H1 to an H2);
+    # only a missing file gets the full fresh document.
+    if os.path.exists(out_path):
+        lines[0] = f"## Auto-appended scaling run ({now})"
+        with open(out_path, "a") as f:
+            f.write("\n" + "\n".join(lines) + "\n")
+        print(f"appended to {out_path}")
+    else:
+        with open(out_path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":
