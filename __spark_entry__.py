@@ -877,6 +877,81 @@ def _registry():
         tsr.events_pipeline_aggs_sql("click"),
     )
 
+    # second ES-aggregation wave (appended at the END per the
+    # registry-ordering rule): multi_terms (compound-key buckets,
+    # count-ordered), adjacency_matrix (named filters + pairwise
+    # intersections, empty buckets omitted), weighted_avg (doc_len
+    # weighted by distinct-term count — exact integer moments),
+    # matrix_stats (covariance/correlation of (doc_len, distinct-term
+    # count) — exact moments + fixed float tail), boxplot (exact type-1
+    # quartiles via the grouped cumulative distribution, healthy +
+    # degenerate regimes — pure integer output)
+    from distributedcodesearchengine_spark.operators.aggs import (
+        bm25_adjacency_matrix_sql,
+        bm25_boxplot_sql,
+        bm25_matrix_stats_sql,
+        bm25_multi_terms_sql,
+        bm25_weighted_avg_sql,
+    )
+
+    reg["bm25_multi_terms"] = (
+        partial(eq.bm25_multi_terms_q, query="dup table", k=10),
+        bm25_multi_terms_sql("dup table", k=10),
+    )
+    _am_filters = {"de": ("lang", "de"), "en": ("lang", "en"),
+                   "s7": ("source", "src7")}
+    reg["bm25_adjacency_matrix"] = (
+        partial(eq.bm25_adjacency_matrix_q, query="dup table"),
+        bm25_adjacency_matrix_sql("dup table", _am_filters),
+    )
+    reg["bm25_weighted_avg"] = (
+        partial(eq.bm25_weighted_avg_q, query="dup table"),
+        bm25_weighted_avg_sql("dup table"),
+    )
+    reg["bm25_matrix_stats"] = (
+        partial(eq.bm25_matrix_stats_q, query="dup table"),
+        bm25_matrix_stats_sql("dup table"),
+    )
+    reg["bm25_boxplot"] = (
+        partial(eq.bm25_boxplot_q, query="dup table"),
+        bm25_boxplot_sql("dup table"),
+    )
+    reg["bm25_boxplot_degenerate"] = (
+        partial(eq.bm25_boxplot_q, query="table row"),
+        bm25_boxplot_sql("table row"),
+    )
+
+    # function_score variants beyond decay: field_value_factor (log1p
+    # and sqrt modifiers) and the seeded deterministic random_score
+    from distributedcodesearchengine_spark.operators.decay import (
+        bm25_fvf_sql,
+        bm25_random_sql,
+    )
+
+    reg["bm25_fvf_log1p"] = (
+        partial(eq.bm25_fvf_q, query="dup table", modifier="log1p"),
+        bm25_fvf_sql("dup table", modifier="log1p"),
+    )
+    reg["bm25_fvf_sqrt"] = (
+        partial(eq.bm25_fvf_q, query="dup table", modifier="sqrt"),
+        bm25_fvf_sql("dup table", modifier="sqrt"),
+    )
+    reg["bm25_random_score"] = (
+        partial(eq.bm25_random_q, query="dup table", seed="s1"),
+        bm25_random_sql("dup table", seed="s1"),
+    )
+
+    # per-document term vector (the ES _termvectors API): the index's
+    # stored tf + df for one doc vs the oracle's recount from raw text
+    from distributedcodesearchengine_spark.operators.termvectors import (
+        term_vectors_sql,
+    )
+
+    reg["term_vectors"] = (
+        partial(eq.term_vectors_q, doc_id=3),
+        term_vectors_sql(doc_id=3),
+    )
+
     return _rotate(reg)
 
 

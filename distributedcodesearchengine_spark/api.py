@@ -524,6 +524,80 @@ class SearchEngine:
             self.index, query, keys=keys, size=int(size), after=after
         )
 
+    def multi_terms(
+        self, query: str, keys=("lang", "source"), limit: int = 10
+    ) -> DataFrame:
+        """Compound-key buckets ordered by count over the query's BM25
+        kept set (operators/aggs.bm25_multi_terms — ES multi_terms)."""
+        from .operators.aggs import bm25_multi_terms
+
+        return bm25_multi_terms(self.index, query, keys=keys, k=int(limit))
+
+    def adjacency_matrix(self, query: str, filters) -> DataFrame:
+        """Named-filter + pairwise-intersection counts over the query's
+        BM25 kept set (operators/aggs.bm25_adjacency_matrix).
+        ``filters`` maps name -> (docs column, value)."""
+        from .operators.aggs import bm25_adjacency_matrix
+
+        return bm25_adjacency_matrix(self.index, query, filters)
+
+    def weighted_avg(self, query: str) -> DataFrame:
+        """doc_len weighted by distinct-term count over the query's
+        BM25 kept set (operators/aggs.bm25_weighted_avg)."""
+        from .operators.aggs import bm25_weighted_avg
+
+        return bm25_weighted_avg(self.index, query)
+
+    def matrix_stats(self, query: str) -> DataFrame:
+        """Covariance/correlation of (doc_len, distinct-term count)
+        over the query's BM25 kept set
+        (operators/aggs.bm25_matrix_stats)."""
+        from .operators.aggs import bm25_matrix_stats
+
+        return bm25_matrix_stats(self.index, query)
+
+    def boxplot(self, query: str, col: str = "doc_len") -> DataFrame:
+        """Exact type-1 quartiles of a numeric docs column over the
+        query's BM25 kept set (operators/aggs.bm25_boxplot)."""
+        from .operators.aggs import bm25_boxplot
+
+        return bm25_boxplot(self.index, query, col=col)
+
+    def fvf_search(
+        self,
+        query: str,
+        col: str = "doc_len",
+        factor: float = 0.5,
+        modifier: str = "log1p",
+        limit: int = 10,
+    ) -> DataFrame:
+        """BM25 rescored by an ES-style field_value_factor
+        (operators/decay.bm25_fvf_topk)."""
+        from .operators.decay import bm25_fvf_topk
+
+        return bm25_fvf_topk(
+            self.index, query, col=col, factor=float(factor),
+            modifier=modifier, k=int(limit),
+        )
+
+    def random_search(
+        self, query: str, seed: str = "0", limit: int = 10
+    ) -> DataFrame:
+        """BM25 rescored by the seeded deterministic random_score
+        (operators/decay.bm25_random_topk)."""
+        from .operators.decay import bm25_random_topk
+
+        return bm25_random_topk(self.index, query, seed=str(seed),
+                                k=int(limit))
+
+    def term_vectors(self, doc_id: int) -> DataFrame:
+        """Per-document term vector with corpus df
+        (operators/termvectors.term_vectors — the ES _termvectors
+        API)."""
+        from .operators.termvectors import term_vectors
+
+        return term_vectors(self.index, int(doc_id))
+
     def similar(self, doc_id: int, m: int = 5, limit: int = 10) -> DataFrame:
         """More-like-this over the served index
         (operators/explore.more_like_this)."""

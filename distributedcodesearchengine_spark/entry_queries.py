@@ -853,3 +853,101 @@ def rrf_hybrid(
         round6("semantic_score").alias("semantic_score"),
         round6("bm25_score").alias("bm25_score"),
     ).orderBy("rank")
+
+
+def bm25_multi_terms_q(
+    spark: SparkSession, sf_dir: str, query: str, k: int = 10
+) -> DataFrame:
+    """Compound-key (lang, source) buckets ordered by count over the
+    BM25 kept set (operators/aggs.bm25_multi_terms — ES multi_terms)."""
+    from .operators.aggs import bm25_multi_terms
+
+    idx = get_documents_index(spark, sf_dir)
+    return bm25_multi_terms(idx, query, keys=("lang", "source"), k=k)
+
+
+def bm25_adjacency_matrix_q(
+    spark: SparkSession, sf_dir: str, query: str
+) -> DataFrame:
+    """Named-filter intersection counts over the BM25 kept set
+    (operators/aggs.bm25_adjacency_matrix — ES adjacency_matrix)."""
+    from .operators.aggs import bm25_adjacency_matrix
+
+    idx = get_documents_index(spark, sf_dir)
+    return bm25_adjacency_matrix(
+        idx,
+        query,
+        filters={"de": ("lang", "de"), "en": ("lang", "en"),
+                 "s7": ("source", "src7")},
+    )
+
+
+def bm25_weighted_avg_q(
+    spark: SparkSession, sf_dir: str, query: str
+) -> DataFrame:
+    """doc_len weighted by distinct-term count over the BM25 kept set
+    (operators/aggs.bm25_weighted_avg — ES weighted_avg)."""
+    from .operators.aggs import bm25_weighted_avg
+
+    idx = get_documents_index(spark, sf_dir)
+    return bm25_weighted_avg(idx, query)
+
+
+def bm25_matrix_stats_q(
+    spark: SparkSession, sf_dir: str, query: str
+) -> DataFrame:
+    """Covariance/correlation of (doc_len, distinct-term count) over
+    the BM25 kept set (operators/aggs.bm25_matrix_stats — ES
+    matrix_stats)."""
+    from .operators.aggs import bm25_matrix_stats
+
+    idx = get_documents_index(spark, sf_dir)
+    return bm25_matrix_stats(idx, query)
+
+
+def bm25_boxplot_q(
+    spark: SparkSession, sf_dir: str, query: str
+) -> DataFrame:
+    """Exact type-1 quartiles of doc_len over the BM25 kept set
+    (operators/aggs.bm25_boxplot — ES boxplot agg)."""
+    from .operators.aggs import bm25_boxplot
+
+    idx = get_documents_index(spark, sf_dir)
+    return bm25_boxplot(idx, query, col="doc_len")
+
+
+def bm25_fvf_q(
+    spark: SparkSession, sf_dir: str, query: str,
+    factor: float = 0.5, modifier: str = "log1p", k: int = 10,
+) -> DataFrame:
+    """field_value_factor function scoring over the BM25 kept set
+    (operators/decay.bm25_fvf_topk — ES function_score)."""
+    from .operators.decay import bm25_fvf_topk
+
+    idx = get_documents_index(spark, sf_dir)
+    return bm25_fvf_topk(
+        idx, query, col="doc_len", factor=factor, modifier=modifier, k=k
+    )
+
+
+def bm25_random_q(
+    spark: SparkSession, sf_dir: str, query: str, seed: str = "0",
+    k: int = 10,
+) -> DataFrame:
+    """Seeded deterministic random_score over the BM25 kept set
+    (operators/decay.bm25_random_topk — ES function_score)."""
+    from .operators.decay import bm25_random_topk
+
+    idx = get_documents_index(spark, sf_dir)
+    return bm25_random_topk(idx, query, seed=seed, k=k)
+
+
+def term_vectors_q(
+    spark: SparkSession, sf_dir: str, doc_id: int = 3
+) -> DataFrame:
+    """Per-document term vector with corpus df (operators/termvectors
+    — the ES _termvectors API)."""
+    from .operators.termvectors import term_vectors
+
+    idx = get_documents_index(spark, sf_dir)
+    return term_vectors(idx, doc_id=doc_id)

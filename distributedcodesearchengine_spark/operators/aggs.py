@@ -700,3 +700,432 @@ def bm25_composite_agg_sql(
         f"FROM (SELECT * FROM buckets{cursor}) "
         f"ORDER BY {key_list} LIMIT {int(size)}"
     )
+
+# ---------------------------------------------------------------------------
+# multi_terms aggregation
+# ---------------------------------------------------------------------------
+
+
+def bm25_multi_terms(
+    index: Index, query: str, keys: Sequence[str] = ("lang", "source"),
+    k: int = 10,
+) -> DataFrame:
+    """(*keys, n_docs) — the ES ``multi_terms`` agg: buckets keyed by a
+    COMPOUND key tuple, ordered by doc_count desc (the terms-agg order,
+    contrast composite's key-tuple order), key-tuple asc tiebreak,
+    top-k. Only tuples that occur in the kept set appear (terms-agg
+    semantics).
+
+    Scale: one map-side-combinable groupBy on the kept set + a
+    TakeOrdered k-cut — page-deep bucket spaces belong to
+    ``bm25_composite_agg`` (keyset pagination); multi_terms is the
+    head-of-distribution view."""
+    spark = index.spark
+    keys = list(keys)
+    if not keys:
+        raise ValueError("multi_terms aggregation requires at least one key")
+    for c in keys:
+        _check_name(c, "column name")
+    if not tokenize(query):
+        kts = ", ".join(
+            f"{c} {index.docs.schema[c].dataType.simpleString()}" for c in keys
+        )
+        return spark.createDataFrame([], kts + ", n_docs long")
+    kept = _kept_with_cols(index, query, keys)
+    return (
+        kept.groupBy(*keys)
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), *[F.asc(c) for c in keys])
+        .limit(int(k))
+    )
+
+
+def bm25_multi_terms_sql(
+    query: str, keys: Sequence[str] = ("lang", "source"), k: int = 10
+) -> str:
+    """DuckDB mirror of bm25_multi_terms: the shared kept chain grouped
+    by the compound key, ordered (n_docs desc, keys asc) — a total
+    order, so the LIMIT boundary is deterministic on both engines."""
+    from ..functions.sql_oracle import kept_cte_sql
+
+    keys = list(keys)
+    if not keys:
+        raise ValueError("multi_terms aggregation requires at least one key")
+    for c in keys:
+        _check_name(c, "column name")
+    chain = kept_cte_sql(query, keys, with_score=False)
+    if chain is None:
+        return (
+            "SELECT "
+            + ", ".join(f"'' AS {c}" for c in keys)
+            + ", 1::BIGINT AS n_docs WHERE false"
+        )
+    key_list = ", ".join(keys)
+    order_keys = ", ".join(f"{c} ASC" for c in keys)
+    return (
+        f"{chain} "
+        f"SELECT {key_list}, CAST(count(*) AS BIGINT) AS n_docs FROM kept "
+        f"GROUP BY {key_list} ORDER BY n_docs DESC, {order_keys} LIMIT {int(k)}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# adjacency_matrix aggregation
+# ---------------------------------------------------------------------------
+
+
+def bm25_adjacency_matrix(
+    index: Index, query: str, filters: Dict[str, Tuple[str, str]]
+) -> DataFrame:
+    """(key, n_docs) — the ES ``adjacency_matrix`` agg: for named
+    equality predicates, one bucket per filter name plus one per pair
+    ``a&b`` (names joined in sorted order, the ES convention) counting
+    kept docs matching BOTH. Empty buckets are OMITTED (ES semantics —
+    contrast filters_agg's always-present buckets); rows order by key.
+
+    Scale: the names + pairs reduce in ONE conditional-agg pass over
+    the kept set (a single 1-row agg job; the bucket fan-out is a
+    driver-side stack over that row). ES caps the filter count for the
+    same n + n*(n-1)/2 reason — enforced here at 8."""
+    spark = index.spark
+    items = sorted(filters.items())
+    if not items:
+        raise ValueError("adjacency_matrix requires at least one filter")
+    if len(items) > 8:
+        raise ValueError("adjacency_matrix supports at most 8 filters")
+    for name, (col, val) in items:
+        _check_name(name, "filter name")
+        _check_name(col, "column name")
+        _check_value(val)
+    if not tokenize(query):
+        return spark.createDataFrame([], "key string, n_docs long")
+    cols = list(dict.fromkeys(c for _, (c, _) in items))
+    kept = _kept_with_cols(index, query, cols)
+    preds = {
+        name: (F.col(col) == F.lit(val)) for name, (col, val) in items
+    }
+    buckets: List[Tuple[str, object]] = [(n, preds[n]) for n, _ in items]
+    names = [n for n, _ in items]
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            buckets.append(
+                (f"{names[i]}&{names[j]}", preds[names[i]] & preds[names[j]])
+            )
+    aggs = [
+        F.sum(F.when(p, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias(f"n_{i}")
+        for i, (_k, p) in enumerate(buckets)
+    ]
+    row = kept.agg(*aggs)
+    stack_items = ", ".join(
+        f"'{name}', n_{i}" for i, (name, _p) in enumerate(buckets)
+    )
+    return (
+        row.selectExpr(
+            f"stack({len(buckets)}, {stack_items}) AS (key, n_docs)"
+        )
+        .where(F.col("n_docs") > 0)
+        .orderBy("key")
+    )
+
+
+def bm25_adjacency_matrix_sql(
+    query: str, filters: Dict[str, Tuple[str, str]]
+) -> str:
+    """DuckDB mirror of bm25_adjacency_matrix: the shared kept chain
+    reduced by one FILTER-ed count per name/pair, unpivoted via UNION
+    ALL, empty buckets dropped."""
+    from ..functions.sql_oracle import kept_cte_sql
+
+    items = sorted(filters.items())
+    if not items:
+        raise ValueError("adjacency_matrix requires at least one filter")
+    if len(items) > 8:
+        raise ValueError("adjacency_matrix supports at most 8 filters")
+    for name, (col, val) in items:
+        _check_name(name, "filter name")
+        _check_name(col, "column name")
+        _check_value(val)
+    chain = kept_cte_sql(query, list(dict.fromkeys(c for _, (c, _) in items)),
+                         with_score=False)
+    if chain is None:
+        return "SELECT '' AS key, 1::BIGINT AS n_docs WHERE false"
+    preds = {name: f"{col} = '{val}'" for name, (col, val) in items}
+    buckets = [(n, preds[n]) for n, _ in items]
+    names = [n for n, _ in items]
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            buckets.append(
+                (f"{names[i]}&{names[j]}",
+                 f"({preds[names[i]]}) AND ({preds[names[j]]})")
+            )
+    selects = [
+        f"SELECT '{name}' AS key, "
+        f"CAST(count(*) FILTER (WHERE {pred}) AS BIGINT) AS n_docs FROM kept"
+        for name, pred in buckets
+    ]
+    union = " UNION ALL ".join(selects)
+    return (
+        f"{chain} SELECT * FROM ({union}) WHERE n_docs > 0 ORDER BY key"
+    )
+
+
+# ---------------------------------------------------------------------------
+# weighted_avg aggregation
+# ---------------------------------------------------------------------------
+
+
+def bm25_weighted_avg(index: Index, query: str) -> DataFrame:
+    """1 row (n_docs, sum_w, sum_wx, wavg) — the ES ``weighted_avg``
+    agg over the BM25 kept set: doc_len (value) weighted by the doc's
+    DISTINCT-term count (weight) — average length weighted toward
+    lexically diverse documents. The moments sum(w) and sum(w*x) are
+    EXACT integers (tf is unique per (term, doc_id) — fsck-verified —
+    so count(*) per doc_id IS the distinct-term count); the single
+    float division CAST(sum_wx AS DOUBLE) * 1.0 / sum_w is the house
+    avg idiom both engines execute identically.
+
+    Scale: the weight relation is one map-side-combinable groupBy of tf
+    semi-joined against the kept doc ids (candidate-bounded in the
+    healthy regime), then a 1-row agg."""
+    spark = index.spark
+    if not tokenize(query):
+        return spark.createDataFrame(
+            [], "n_docs long, sum_w long, sum_wx long, wavg double"
+        )
+    kept = _kept_with_cols(index, query, ["doc_len"])
+    uniq = (
+        index.tf.join(kept.select("doc_id"), "doc_id", "leftsemi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    j = kept.join(uniq, "doc_id", "left").withColumn(
+        "w", F.coalesce(F.col("w"), F.lit(0).cast("long"))
+    )
+    one = j.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("sum_w"),
+        F.sum(F.col("w") * F.col("doc_len").cast("long"))
+        .cast("long")
+        .alias("sum_wx"),
+    )
+    wavg = F.col("sum_wx").cast("double") * F.lit(1.0) / F.col("sum_w")
+    return one.select("n_docs", "sum_w", "sum_wx", round6(wavg).alias("wavg"))
+
+
+def bm25_weighted_avg_sql(query: str) -> str:
+    """DuckDB mirror of bm25_weighted_avg: identical integer moments
+    (the uniq relation recounts tf per doc) and the identical division
+    operand sequence."""
+    from ..functions.rounding import round6_sql
+    from ..functions.sql_oracle import kept_cte_sql
+
+    chain = kept_cte_sql(query, ["doc_len"], with_score=False)
+    if chain is None:
+        return (
+            "SELECT 1::BIGINT AS n_docs, 1::BIGINT AS sum_w, "
+            "1::BIGINT AS sum_wx, 0.0 AS wavg WHERE false"
+        )
+    return (
+        f"{chain}, "
+        "uniq AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS w FROM tf "
+        "  WHERE doc_id IN (SELECT doc_id FROM kept) GROUP BY doc_id), "
+        "one AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+        "  CAST(sum(coalesce(u.w, 0)) AS BIGINT) AS sum_w, "
+        "  CAST(sum(coalesce(u.w, 0) * CAST(k.doc_len AS BIGINT)) AS BIGINT) AS sum_wx "
+        "  FROM kept k LEFT JOIN uniq u USING (doc_id)) "
+        "SELECT n_docs, sum_w, sum_wx, "
+        f"{round6_sql('CAST(sum_wx AS DOUBLE) * 1.0 / sum_w')} AS wavg FROM one"
+    )
+
+
+# ---------------------------------------------------------------------------
+# matrix_stats aggregation
+# ---------------------------------------------------------------------------
+
+
+def bm25_matrix_stats(index: Index, query: str) -> DataFrame:
+    """1 row (n_docs, mean_x, mean_y, var_x, var_y, cov_xy, corr) — the
+    ES ``matrix_stats`` agg over the BM25 kept set, for the field pair
+    x = doc_len, y = distinct-term count (lexical diversity): exact
+    integer moments (n, sx, sy, sxx, syy, sxy) reduced in ONE agg pass,
+    then a fixed float tail — mean = CAST(s AS DOUBLE) * 1.0 / n,
+    population variance = sq * 1.0 / n - mean * mean, covariance =
+    sxy * 1.0 / n - mean_x * mean_y, correlation = cov /
+    sqrt(var_x * var_y) — the identical operand sequence on both
+    engines (sqrt is IEEE-correctly-rounded, the extended_stats
+    precedent). A constant field (zero variance) yields a NULL/NaN
+    correlation on both engines; the gate corpus is non-constant."""
+    spark = index.spark
+    if not tokenize(query):
+        return spark.createDataFrame(
+            [],
+            "n_docs long, mean_x double, mean_y double, var_x double, "
+            "var_y double, cov_xy double, corr double",
+        )
+    kept = _kept_with_cols(index, query, ["doc_len"])
+    uniq = (
+        index.tf.join(kept.select("doc_id"), "doc_id", "leftsemi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    j = kept.join(uniq, "doc_id", "left").select(
+        F.col("doc_len").cast("long").alias("x"),
+        F.coalesce(F.col("w"), F.lit(0).cast("long")).alias("y"),
+    )
+    one = j.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    mean_x = F.col("sx").cast("double") * F.lit(1.0) / F.col("n_docs")
+    mean_y = F.col("sy").cast("double") * F.lit(1.0) / F.col("n_docs")
+    var_x = (
+        F.col("sxx").cast("double") * F.lit(1.0) / F.col("n_docs")
+        - mean_x * mean_x
+    )
+    var_y = (
+        F.col("syy").cast("double") * F.lit(1.0) / F.col("n_docs")
+        - mean_y * mean_y
+    )
+    cov = (
+        F.col("sxy").cast("double") * F.lit(1.0) / F.col("n_docs")
+        - mean_x * mean_y
+    )
+    corr = cov / F.sqrt(var_x * var_y)
+    return one.select(
+        "n_docs",
+        round6(mean_x).alias("mean_x"),
+        round6(mean_y).alias("mean_y"),
+        round6(var_x).alias("var_x"),
+        round6(var_y).alias("var_y"),
+        round6(cov).alias("cov_xy"),
+        round6(corr).alias("corr"),
+    )
+
+
+def bm25_matrix_stats_sql(query: str) -> str:
+    """DuckDB mirror of bm25_matrix_stats: identical integer moments
+    and the identical float tail operand sequence."""
+    from ..functions.rounding import round6_sql
+    from ..functions.sql_oracle import kept_cte_sql
+
+    chain = kept_cte_sql(query, ["doc_len"], with_score=False)
+    if chain is None:
+        return (
+            "SELECT 1::BIGINT AS n_docs, 0.0 AS mean_x, 0.0 AS mean_y, "
+            "0.0 AS var_x, 0.0 AS var_y, 0.0 AS cov_xy, 0.0 AS corr "
+            "WHERE false"
+        )
+    mx = "(CAST(sx AS DOUBLE) * 1.0 / n_docs)"
+    my = "(CAST(sy AS DOUBLE) * 1.0 / n_docs)"
+    vx = f"(CAST(sxx AS DOUBLE) * 1.0 / n_docs - {mx} * {mx})"
+    vy = f"(CAST(syy AS DOUBLE) * 1.0 / n_docs - {my} * {my})"
+    cv = f"(CAST(sxy AS DOUBLE) * 1.0 / n_docs - {mx} * {my})"
+    return (
+        f"{chain}, "
+        "uniq AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS w FROM tf "
+        "  WHERE doc_id IN (SELECT doc_id FROM kept) GROUP BY doc_id), "
+        "xy AS (SELECT CAST(k.doc_len AS BIGINT) AS x, "
+        "  coalesce(u.w, 0) AS y FROM kept k LEFT JOIN uniq u USING (doc_id)), "
+        "one AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+        "  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, "
+        "  CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy, "
+        "  CAST(sum(x * y) AS BIGINT) AS sxy FROM xy) "
+        "SELECT n_docs, "
+        f"{round6_sql(mx)} AS mean_x, {round6_sql(my)} AS mean_y, "
+        f"{round6_sql(vx)} AS var_x, {round6_sql(vy)} AS var_y, "
+        f"{round6_sql(cv)} AS cov_xy, "
+        f"{round6_sql(f'{cv} / sqrt({vx} * {vy})')} AS corr FROM one"
+    )
+
+
+# ---------------------------------------------------------------------------
+# boxplot aggregation (exact type-1 quantiles)
+# ---------------------------------------------------------------------------
+
+
+def bm25_boxplot(index: Index, query: str, col: str = "doc_len") -> DataFrame:
+    """(stat, value) — the ES ``boxplot`` agg of an integer docs column
+    over the BM25 kept set, EXACT: min / q1 / q2 / q3 / max where the
+    quartiles are type-1 (lower) quantiles — value at rank ceil(q*n) of
+    the sorted column. ES's boxplot is TDigest-approximate; the exact
+    type-1 choice keeps every output an integer actually present in
+    the data and the cross-engine surface float-free (ranks are pure
+    integer arithmetic: ceil(n/4) = (n+3) DIV 4 etc.).
+
+    Scale: the rank lookup runs over the GROUPED value distribution —
+    one map-side-combinable count per distinct value, a cumulative
+    window over the value space (bounded by the column's cardinality,
+    not the corpus — the calendar-bounded pipeline-aggs precedent),
+    and one conditional-min agg. No corpus-wide sort anywhere."""
+    spark = index.spark
+    _check_name(col, "column name")
+    if not tokenize(query):
+        return spark.createDataFrame([], "stat string, value long")
+    kept = _kept_with_cols(index, query, [col])
+    grouped = kept.groupBy(F.col(col).cast("long").alias("v")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grouped.withColumn("cum", F.sum("cnt").over(w))
+    n1 = cum.agg(F.sum("cnt").cast("long").alias("n"))
+    j = cum.crossJoin(F.broadcast(n1))
+    # type-1 quantile: min v with cum >= ceil(q*n); ceil via integer DIV
+    ranks = {
+        "min": "1",
+        "q1": "(n + 3) DIV 4",
+        "q2": "(n + 1) DIV 2",
+        "q3": "(3 * n + 3) DIV 4",
+        "max": "n",
+    }
+    aggs = [
+        F.min(F.when(F.col("cum") >= F.expr(expr), F.col("v")))
+        .cast("long")
+        .alias(f"v_{name}")
+        for name, expr in ranks.items()
+    ]
+    row = j.agg(*aggs)
+    stack_items = ", ".join(f"'{name}', v_{name}" for name in ranks)
+    return row.selectExpr(
+        f"stack({len(ranks)}, {stack_items}) AS (stat, value)"
+    ).orderBy("stat")
+
+
+def bm25_boxplot_sql(query: str, col: str = "doc_len") -> str:
+    """DuckDB mirror of bm25_boxplot: identical grouped cumulative
+    distribution and the identical integer rank arithmetic (DuckDB's
+    // is the DIV analog for positive integers)."""
+    from ..functions.sql_oracle import kept_cte_sql
+
+    _check_name(col, "column name")
+    chain = kept_cte_sql(query, [col], with_score=False)
+    if chain is None:
+        return "SELECT '' AS stat, 1::BIGINT AS value WHERE false"
+    ranks = {
+        "min": "1",
+        "q1": "(n + 3) // 4",
+        "q2": "(n + 1) // 2",
+        "q3": "(3 * n + 3) // 4",
+        "max": "n",
+    }
+    selects = [
+        f"SELECT '{name}' AS stat, CAST(min(v) FILTER (WHERE cum >= "
+        f"(SELECT {expr} FROM nrow)) AS BIGINT) AS value FROM cdist"
+        for name, expr in ranks.items()
+    ]
+    union = " UNION ALL ".join(selects)
+    return (
+        f"{chain}, "
+        f"grouped AS (SELECT CAST({col} AS BIGINT) AS v, "
+        "  CAST(count(*) AS BIGINT) AS cnt FROM kept GROUP BY 1), "
+        "cdist AS (SELECT v, sum(cnt) OVER (ORDER BY v "
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum "
+        "  FROM grouped), "
+        "nrow AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM grouped) "
+        f"SELECT * FROM ({union}) ORDER BY stat"
+    )

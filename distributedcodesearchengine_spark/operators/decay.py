@@ -133,3 +133,199 @@ def bm25_decay_sql(
         f"doc_id, {round6_sql('final')} AS score, {round6_sql('mult')} AS mult "
         f"FROM boosted ORDER BY final DESC, doc_id ASC LIMIT {int(k)}"
     )
+
+
+# ---------------------------------------------------------------------------
+# field_value_factor (ES function_score field_value_factor)
+# ---------------------------------------------------------------------------
+
+_MODIFIERS = ("log1p", "sqrt", "none")
+
+
+def _fvf_check(col: str, factor: float, modifier: str) -> None:
+    from .aggs import _check_name
+
+    _check_name(col, "column name")
+    if modifier not in _MODIFIERS:
+        raise ValueError(f"modifier must be one of {_MODIFIERS}: {modifier!r}")
+    if not (float(factor) > 0.0):
+        raise ValueError(f"factor must be positive: {factor!r}")
+
+
+def _fvf_mult_col(col: str, factor: float, modifier: str):
+    x = F.col(col).cast("double")
+    if modifier == "log1p":
+        m = F.log(F.lit(1.0) + x)
+    elif modifier == "sqrt":
+        m = F.sqrt(x)
+    else:
+        m = x
+    return F.lit(float(factor)) * m
+
+
+def _fvf_mult_sql(col: str, factor: float, modifier: str) -> str:
+    x = f"CAST({col} AS DOUBLE)"
+    if modifier == "log1p":
+        m = f"ln(1.0 + {x})"
+    elif modifier == "sqrt":
+        m = f"sqrt({x})"
+    else:
+        m = x
+    return f"{sql_double(float(factor))} * {m}"
+
+
+def bm25_fvf_topk(
+    index: Index,
+    query: str,
+    col: str = "doc_len",
+    factor: float = 0.5,
+    modifier: str = "log1p",
+    k: int = 10,
+) -> DataFrame:
+    """(rank, doc_id, score, mult) — the ES ``function_score``
+    ``field_value_factor`` with boost_mode multiply: final =
+    bm25 * (factor * modifier(col)), modifier one of log1p
+    (ln(1 + x), the ES default recommendation — saturates popularity
+    counters), sqrt, none. Applied AFTER the relative threshold like
+    decay/clickboost — it rescores what matched, never admits
+    non-matching docs; the degenerate all-zero regime returns plain-BM25
+    rows unchanged (0 * mult = 0). ln/sqrt are the proven bit-stable
+    libm lanes; factor embeds via F.lit / sql_double; ordering binds
+    the RAW final."""
+    _fvf_check(col, factor, modifier)
+    spark = index.spark
+    if not tokenize(query):
+        return spark.createDataFrame(
+            [], "rank int, doc_id long, score double, mult double"
+        )
+    kept = _kept_with_cols(index, query, [col])
+    mult = _fvf_mult_col(col, factor, modifier)
+    boosted = kept.select(
+        "doc_id", "score", mult.alias("mult"),
+        (F.col("score") * mult).alias("final"),
+    )
+    top = boosted.orderBy(F.desc("final"), F.asc("doc_id")).limit(int(k))
+    w = Window.orderBy(F.desc("final"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank",
+        "doc_id",
+        round6("final").alias("score"),
+        round6("mult").alias("mult"),
+    )
+
+
+def bm25_fvf_sql(
+    query: str,
+    col: str = "doc_len",
+    factor: float = 0.5,
+    modifier: str = "log1p",
+    k: int = 10,
+) -> str:
+    """DuckDB mirror of bm25_fvf_topk: the shared kept chain with the
+    identical multiplier operand sequence, ordered on the RAW final."""
+    from ..functions.sql_oracle import kept_cte_sql
+
+    _fvf_check(col, factor, modifier)
+    chain = kept_cte_sql(query, [col])
+    if chain is None:
+        return (
+            "SELECT 1::INT AS rank, 1::BIGINT AS doc_id, 0.0 AS score, "
+            "0.0 AS mult WHERE false"
+        )
+    mult = _fvf_mult_sql(col, factor, modifier)
+    return (
+        f"{chain}, "
+        "boosted AS ("
+        f"  SELECT doc_id, {mult} AS mult, score * ({mult}) AS final FROM kept) "
+        "SELECT CAST(row_number() OVER (ORDER BY final DESC, doc_id ASC) AS INT) AS rank, "
+        f"doc_id, {round6_sql('final')} AS score, {round6_sql('mult')} AS mult "
+        f"FROM boosted ORDER BY final DESC, doc_id ASC LIMIT {int(k)}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# random_score (ES function_score random_score, seeded)
+# ---------------------------------------------------------------------------
+
+_RAND_DENOM = 4294967296  # 2^32 — the 8-hex-char md5 prefix's range
+
+
+def _rand_mult_col(seed: str):
+    h = F.md5(
+        F.encode(
+            F.concat(F.lit(str(seed) + ":"), F.col("doc_id").cast("string")),
+            "utf-8",
+        )
+    )
+    num = F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
+    return num / F.lit(float(_RAND_DENOM))
+
+
+def _rand_mult_sql(seed: str) -> str:
+    h = f"md5('{seed}:' || CAST(doc_id AS VARCHAR))"
+    num = f"CAST(('0x' || substr({h}, 1, 8))::BIGINT AS DOUBLE)"
+    return f"{num} / CAST({_RAND_DENOM} AS DOUBLE)"
+
+
+def bm25_random_topk(
+    index: Index, query: str, seed: str = "0", k: int = 10
+) -> DataFrame:
+    """(rank, doc_id, score, mult) — the ES ``function_score``
+    ``random_score`` with a seed and boost_mode multiply: final =
+    bm25 * r where r in [0, 1) is the deterministic per-(seed, doc_id)
+    uniform md5(seed:doc_id) 8-hex-char prefix / 2^32 — the same
+    portable hash-bucket lane mixture_sample / minhash use, and the
+    reproducible-shuffle primitive a result-diversification A/B test
+    needs (same seed => same ranking forever, new seed => fresh
+    shuffle). Applied post-threshold like decay/fvf; the degenerate
+    all-zero regime returns plain-BM25 rows unchanged. The seed is
+    validated against the filter-value charset since it reaches the
+    oracle's literal position."""
+    from .aggs import _check_value
+
+    _check_value(str(seed))
+    spark = index.spark
+    if not tokenize(query):
+        return spark.createDataFrame(
+            [], "rank int, doc_id long, score double, mult double"
+        )
+    kept = _kept_with_cols(index, query, [])
+    mult = _rand_mult_col(seed)
+    boosted = kept.select(
+        "doc_id", "score", mult.alias("mult"),
+        (F.col("score") * mult).alias("final"),
+    )
+    top = boosted.orderBy(F.desc("final"), F.asc("doc_id")).limit(int(k))
+    w = Window.orderBy(F.desc("final"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank",
+        "doc_id",
+        round6("final").alias("score"),
+        round6("mult").alias("mult"),
+    )
+
+
+def bm25_random_sql(query: str, seed: str = "0", k: int = 10) -> str:
+    """DuckDB mirror of bm25_random_topk: identical hash lane
+    (('0x' || hex)::BIGINT is the DuckDB analog of Spark's
+    conv(hex, 16, 10) — the chunk-embed precedent), identical division,
+    ordered on the RAW final."""
+    from ..functions.sql_oracle import kept_cte_sql
+    from .aggs import _check_value
+
+    _check_value(str(seed))
+    chain = kept_cte_sql(query, [])
+    if chain is None:
+        return (
+            "SELECT 1::INT AS rank, 1::BIGINT AS doc_id, 0.0 AS score, "
+            "0.0 AS mult WHERE false"
+        )
+    mult = _rand_mult_sql(seed)
+    return (
+        f"{chain}, "
+        "boosted AS ("
+        f"  SELECT doc_id, {mult} AS mult, score * ({mult}) AS final FROM kept) "
+        "SELECT CAST(row_number() OVER (ORDER BY final DESC, doc_id ASC) AS INT) AS rank, "
+        f"doc_id, {round6_sql('final')} AS score, {round6_sql('mult')} AS mult "
+        f"FROM boosted ORDER BY final DESC, doc_id ASC LIMIT {int(k)}"
+    )

@@ -1,0 +1,58 @@
+"""Per-document term vectors — the Elasticsearch ``_termvectors`` API
+analog (and Lucene's TermVectors reader): for one document, every
+indexed term with its in-document frequency and corpus document
+frequency. The debugging / MLT-introspection surface a search engine
+ships next to ``explain``.
+
+Reference parity: the reference exposes per-result term-level detail
+only through its scoring explain (`codesearch/engine/bm25_index.py`);
+term_vectors generalizes that to the full indexed vector of ANY stored
+document, which is what the ES API provides.
+
+Scale notes: the Spark path is a doc_id equality filter on the tf
+relation (predicate pushdown into the parquet scan — tf is the slim
+(term, doc_id, tf) relation, never the corpus text) joined to the term
+dictionary for df — a |terms-in-doc|-row join, term-keyed, no
+vocabulary broadcast and no corpus scan. The DuckDB mirror recomputes
+both relations from the raw documents table (the oracle convention:
+the oracle never trusts the index it is checking).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .scorer import Index
+
+
+def term_vectors(index: Index, doc_id: int) -> DataFrame:
+    """(term, tf, df) for one document, term asc — the ES
+    ``_termvectors`` response body (term statistics enabled). A doc_id
+    with no indexed terms (or absent) returns zero rows, matching the
+    ES 'found: false / empty term_vectors' shape."""
+    d = int(doc_id)
+    return (
+        index.tf.where(F.col("doc_id") == F.lit(d))
+        .select("term", F.col("tf").cast("long").alias("tf"))
+        .join(
+            index.terms.select("term", F.col("df").cast("long").alias("df")),
+            "term",
+        )
+        .orderBy("term")
+    )
+
+
+def term_vectors_sql(doc_id: int) -> str:
+    """DuckDB mirror of term_vectors: tf and dfreq recomputed from the
+    raw documents table via the shared docs CTE chain."""
+    from ..functions.sql_oracle import _docs_cte
+
+    d = int(doc_id)
+    return (
+        f"WITH {_docs_cte()} "
+        "SELECT tf.term, CAST(tf.tf AS BIGINT) AS tf, "
+        "CAST(d.df AS BIGINT) AS df "
+        f"FROM tf JOIN dfreq d USING (term) WHERE tf.doc_id = {d} "
+        "ORDER BY term"
+    )

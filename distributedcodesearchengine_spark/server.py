@@ -34,6 +34,24 @@ Endpoints (JSON responses):
     GET  /did_you_mean?q=...&max_dist=1   whole-query spell correction
                        (per-term best dictionary candidate + corrected
                        query string)
+    GET  /multi_terms?q=...&keys=lang,source&limit=10   ES multi_terms:
+                       compound-key buckets ordered by count desc
+    GET  /adjacency_matrix?q=...&filters=name:col:value,...   ES
+                       adjacency_matrix: per-filter + pairwise "a&b"
+                       intersection counts (empty buckets omitted)
+    GET  /weighted_avg?q=...   ES weighted_avg: doc_len weighted by the
+                       doc's distinct-term count over the kept set
+    GET  /matrix_stats?q=...   ES matrix_stats: covariance/correlation
+                       of (doc_len, distinct-term count)
+    GET  /boxplot?q=...&col=doc_len   ES boxplot: exact type-1
+                       min/q1/q2/q3/max of a numeric column
+    GET  /fvf_search?q=...&col=doc_len&factor=0.5&modifier=log1p
+                       ES function_score field_value_factor: BM25 *
+                       (factor * modifier(col))
+    GET  /random_search?q=...&seed=s1   ES function_score random_score:
+                       BM25 * deterministic per-(seed, doc_id) uniform
+    GET  /termvectors?doc_id=N   ES _termvectors: the doc's indexed
+                       terms with tf and corpus df
     GET  /composite_agg?q=...&keys=lang,source&size=10[&after=en,src2]
                        ES composite agg: keyset-paginated facet buckets
                        ("after" in the response carries the cursor)
@@ -393,6 +411,22 @@ def make_handler(engine, stats_fn, index_manager=None):
                             "gauss/linear decay of a numeric column",
                             "GET /did_you_mean": "whole-query spell "
                             "correction via SymSpell deletion keys",
+                            "GET /multi_terms": "compound-key buckets "
+                            "ordered by count over the kept set",
+                            "GET /adjacency_matrix": "named filters + "
+                            "pairwise intersections (empty omitted)",
+                            "GET /weighted_avg": "doc_len weighted by "
+                            "distinct-term count over the kept set",
+                            "GET /matrix_stats": "covariance/correlation "
+                            "of (doc_len, distinct terms)",
+                            "GET /boxplot": "exact type-1 quartiles of a "
+                            "numeric column over the kept set",
+                            "GET /fvf_search": "BM25 * field_value_factor "
+                            "(log1p/sqrt/none modifier)",
+                            "GET /random_search": "BM25 * seeded "
+                            "deterministic random_score",
+                            "GET /termvectors": "per-document term vector "
+                            "with corpus df",
                             "GET /composite_agg": "keyset-paginated "
                             "facet buckets (cursor in 'after')",
                             "GET /significant": "significant terms of the "
@@ -573,6 +607,105 @@ def make_handler(engine, stats_fn, index_manager=None):
                     return self._send(
                         200,
                         {"query": q["q"], "results": [r.asDict() for r in rows]},
+                    )
+                if url.path == "/multi_terms":
+                    if "q" not in q:
+                        return self._send(400, {"error": "missing q"})
+                    keys = tuple(
+                        k for k in q.get("keys", "lang,source").split(",") if k
+                    )
+                    rows = engine.multi_terms(
+                        q["q"], keys=keys, limit=int(q.get("limit", 10))
+                    ).collect()
+                    return self._send(
+                        200,
+                        {"query": q["q"], "buckets": [r.asDict() for r in rows]},
+                    )
+                if url.path == "/adjacency_matrix":
+                    if "q" not in q:
+                        return self._send(400, {"error": "missing q"})
+                    # filters=name:col:value,name:col:value
+                    try:
+                        filters = {}
+                        for part in q.get("filters", "").split(","):
+                            name, col, val = part.split(":")
+                            filters[name] = (col, val)
+                    except ValueError:
+                        return self._send(
+                            400,
+                            {"error": "filters must be "
+                             "name:col:value[,name:col:value...]"},
+                        )
+                    rows = engine.adjacency_matrix(q["q"], filters).collect()
+                    return self._send(
+                        200,
+                        {"query": q["q"], "buckets": [r.asDict() for r in rows]},
+                    )
+                if url.path == "/weighted_avg":
+                    if "q" not in q:
+                        return self._send(400, {"error": "missing q"})
+                    row = engine.weighted_avg(q["q"]).first()
+                    return self._send(
+                        200,
+                        {"query": q["q"],
+                         "weighted_avg":
+                             row.asDict() if row is not None else None},
+                    )
+                if url.path == "/matrix_stats":
+                    if "q" not in q:
+                        return self._send(400, {"error": "missing q"})
+                    row = engine.matrix_stats(q["q"]).first()
+                    return self._send(
+                        200,
+                        {"query": q["q"],
+                         "matrix_stats":
+                             row.asDict() if row is not None else None},
+                    )
+                if url.path == "/boxplot":
+                    if "q" not in q:
+                        return self._send(400, {"error": "missing q"})
+                    rows = engine.boxplot(
+                        q["q"], col=q.get("col", "doc_len")
+                    ).collect()
+                    return self._send(
+                        200,
+                        {"query": q["q"],
+                         "boxplot": {r["stat"]: r["value"] for r in rows}},
+                    )
+                if url.path == "/fvf_search":
+                    if "q" not in q:
+                        return self._send(400, {"error": "missing q"})
+                    rows = engine.fvf_search(
+                        q["q"],
+                        col=q.get("col", "doc_len"),
+                        factor=float(q.get("factor", 0.5)),
+                        modifier=q.get("modifier", "log1p"),
+                        limit=int(q.get("limit", 10)),
+                    ).collect()
+                    return self._send(
+                        200,
+                        {"query": q["q"], "results": [r.asDict() for r in rows]},
+                    )
+                if url.path == "/random_search":
+                    if "q" not in q:
+                        return self._send(400, {"error": "missing q"})
+                    rows = engine.random_search(
+                        q["q"],
+                        seed=q.get("seed", "0"),
+                        limit=int(q.get("limit", 10)),
+                    ).collect()
+                    return self._send(
+                        200,
+                        {"query": q["q"], "results": [r.asDict() for r in rows]},
+                    )
+                if url.path == "/termvectors":
+                    if "doc_id" not in q:
+                        return self._send(400, {"error": "missing doc_id"})
+                    rows = engine.term_vectors(int(q["doc_id"])).collect()
+                    return self._send(
+                        200,
+                        {"doc_id": int(q["doc_id"]), "found": bool(rows),
+                         "terms": [r.asDict() for r in rows]},
                     )
                 if url.path == "/did_you_mean":
                     if "q" not in q:

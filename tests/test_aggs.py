@@ -371,3 +371,155 @@ def test_composite_guards(spark):
         bm25_composite_agg(idx, "alpha", keys=("lang",), after=("a", "b"))
     with pytest.raises(ValueError):
         bm25_composite_agg(idx, "alpha", keys=("lang; drop",))
+
+
+# --- multi_terms aggregation -------------------------------------------------
+
+
+def test_multi_terms_count_order_and_kcut(spark):
+    # three (lang, source) combos: en/s1 x2, de/s2 x1, fr/s3 x1 ->
+    # count desc puts en/s1 first; tie between de/s2 and fr/s3 breaks
+    # key-tuple asc; k=2 cuts after de/s2
+    from distributedcodesearchengine_spark.operators.aggs import (
+        bm25_multi_terms,
+    )
+
+    idx = _index(
+        spark,
+        [
+            ("word alpha beta", "en", "s1"),
+            ("word gamma delta", "en", "s1"),
+            ("word epsilon zeta", "de", "s2"),
+            ("word eta theta", "fr", "s3"),
+        ],
+    )
+    rows = bm25_multi_terms(idx, "word", keys=("lang", "source"), k=2).collect()
+    assert [(r.lang, r.source, r.n_docs) for r in rows] == [
+        ("en", "s1", 2),
+        ("de", "s2", 1),
+    ]
+    # empty-tokenizing query -> typed zero rows; empty keys -> error
+    assert bm25_multi_terms(idx, "; -", keys=("lang",)).count() == 0
+    with pytest.raises(ValueError):
+        bm25_multi_terms(idx, "word", keys=())
+    with pytest.raises(ValueError):
+        bm25_multi_terms(idx, "word", keys=("lang; drop",))
+
+
+# --- adjacency_matrix aggregation -------------------------------------------
+
+
+def test_adjacency_matrix_pairs_and_empty_omitted(spark):
+    # en&s1 intersect on docs 0,1; de&s1 never co-occur -> omitted;
+    # fr bucket matches nothing -> omitted entirely
+    from distributedcodesearchengine_spark.operators.aggs import (
+        bm25_adjacency_matrix,
+    )
+
+    idx = _index(
+        spark,
+        [
+            ("word alpha beta", "en", "s1"),
+            ("word gamma delta", "en", "s1"),
+            ("word epsilon zeta", "de", "s2"),
+        ],
+    )
+    rows = {
+        r.key: r.n_docs
+        for r in bm25_adjacency_matrix(
+            idx,
+            "word",
+            {"en": ("lang", "en"), "de": ("lang", "de"),
+             "s1": ("source", "s1"), "fr": ("lang", "fr")},
+        ).collect()
+    }
+    assert rows["en"] == 2 and rows["s1"] == 2 and rows["de"] == 1
+    assert rows["en&s1"] == 2  # names joined in sorted order
+    assert "de&s1" not in rows and "fr" not in rows  # empties omitted
+    with pytest.raises(ValueError):
+        bm25_adjacency_matrix(idx, "word", {})
+    with pytest.raises(ValueError):
+        bm25_adjacency_matrix(
+            idx, "word",
+            {f"f{i}": ("lang", "en") for i in range(9)},  # cap is 8
+        )
+
+
+# --- weighted_avg / matrix_stats ---------------------------------------------
+
+
+def test_weighted_avg_exact_moments(spark):
+    # doc_lens [3, 3, 4], distinct-term counts [3, 2, 4]:
+    # sum_w 9, sum_wx 3*3 + 2*3 + 4*4 = 31, wavg 31/9
+    from distributedcodesearchengine_spark.operators.aggs import (
+        bm25_weighted_avg,
+    )
+
+    idx = _index(
+        spark,
+        [
+            ("word aa bb", "en", "s1"),
+            ("word word aa", "en", "s1"),
+            ("word cc dd ee", "en", "s1"),
+        ],
+    )
+    row = bm25_weighted_avg(idx, "word").first()
+    assert (row.n_docs, row.sum_w, row.sum_wx) == (3, 9, 31)
+    assert row.wavg == pytest.approx(31.0 / 9.0, abs=1e-6)
+
+
+def test_matrix_stats_exact_moments(spark):
+    # x = doc_len [3, 3, 4], y = distinct terms [3, 2, 4]:
+    # var_x = 2/9, var_y = 2/3, cov = 1/3, corr = sqrt(3)/2
+    import math
+
+    from distributedcodesearchengine_spark.operators.aggs import (
+        bm25_matrix_stats,
+    )
+
+    idx = _index(
+        spark,
+        [
+            ("word aa bb", "en", "s1"),
+            ("word word aa", "en", "s1"),
+            ("word cc dd ee", "en", "s1"),
+        ],
+    )
+    row = bm25_matrix_stats(idx, "word").first()
+    assert row.n_docs == 3
+    assert row.mean_x == pytest.approx(10.0 / 3.0, abs=1e-6)
+    assert row.mean_y == pytest.approx(3.0, abs=1e-6)
+    assert row.var_x == pytest.approx(2.0 / 9.0, abs=1e-6)
+    assert row.var_y == pytest.approx(2.0 / 3.0, abs=1e-6)
+    assert row.cov_xy == pytest.approx(1.0 / 3.0, abs=1e-6)
+    assert row.corr == pytest.approx(math.sqrt(3.0) / 2.0, abs=1e-6)
+
+
+# --- boxplot aggregation ------------------------------------------------------
+
+
+def test_boxplot_type1_quartiles(spark):
+    # doc_lens [4, 8, 8, 12] (n=4): type-1 ranks ceil(n/4)=1,
+    # ceil(n/2)=2, ceil(3n/4)=3 -> q1=4, q2=8, q3=8
+    from distributedcodesearchengine_spark.operators.aggs import bm25_boxplot
+
+    idx = _index(
+        spark,
+        [
+            ("word aa bb cc", "en", "s1"),
+            ("word aa bb cc dd ee ff gg", "en", "s1"),
+            ("word hh ii jj kk ll mm nn", "en", "s1"),
+            ("word aa bb cc dd ee ff gg hh ii jj kk", "en", "s1"),
+        ],
+    )
+    rows = {r.stat: r.value for r in bm25_boxplot(idx, "word").collect()}
+    assert rows == {"min": 4, "q1": 4, "q2": 8, "q3": 8, "max": 12}
+
+
+def test_boxplot_single_doc_collapses(spark):
+    from distributedcodesearchengine_spark.operators.aggs import bm25_boxplot
+
+    idx = _index(spark, [("word aa bb cc", "en", "s1")])
+    rows = {r.stat: r.value for r in bm25_boxplot(idx, "word").collect()}
+    assert set(rows.values()) == {4}
+    assert bm25_boxplot(idx, "; -").count() == 0

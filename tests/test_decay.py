@@ -95,3 +95,103 @@ def test_decay_guards(spark):
         bm25_decay_topk(idx, "alpha", scale=0)
     with pytest.raises(ValueError):
         bm25_decay_topk(idx, "alpha", col="doc_len; drop")
+
+
+# --- field_value_factor --------------------------------------------------------
+
+
+def test_fvf_multiplier_and_final(spark):
+    import math
+
+    from distributedcodesearchengine_spark.operators.decay import bm25_fvf_topk
+
+    idx = _index(
+        spark,
+        [
+            "word aa bb cc",                          # doc_len 4
+            "word aa bb cc dd ee ff gg",              # doc_len 8
+        ],
+    )
+    rows = {
+        r.doc_id: r
+        for r in bm25_fvf_topk(
+            idx, "word", col="doc_len", factor=2.0, modifier="log1p"
+        ).collect()
+    }
+    assert rows[0].mult == pytest.approx(2.0 * math.log(5.0), abs=1e-6)
+    assert rows[1].mult == pytest.approx(2.0 * math.log(9.0), abs=1e-6)
+    # sqrt and none modifiers
+    rows = {
+        r.doc_id: r.mult
+        for r in bm25_fvf_topk(
+            idx, "word", col="doc_len", factor=1.0, modifier="sqrt"
+        ).collect()
+    }
+    assert rows[0] == pytest.approx(2.0, abs=1e-9)
+    rows = {
+        r.doc_id: r.mult
+        for r in bm25_fvf_topk(
+            idx, "word", col="doc_len", factor=0.5, modifier="none"
+        ).collect()
+    }
+    assert rows[0] == pytest.approx(2.0, abs=1e-9)
+
+
+def test_fvf_favors_long_docs_and_guards(spark):
+    # plain BM25's length norm favors the SHORT doc; a LINEAR field
+    # boost (modifier none) outgrows the norm's asymptotically-linear
+    # penalty and flips the order toward the long one (log1p cannot —
+    # ln grows slower than the norm, which is exactly why ES recommends
+    # it for popularity counters: it boosts without overturning rank)
+    from distributedcodesearchengine_spark.operators.decay import bm25_fvf_topk
+    from distributedcodesearchengine_spark.operators.scorer import bm25_topk
+
+    idx = _index(
+        spark,
+        [
+            "word aa bb cc",
+            "word aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp qq rr ss",
+            # filler docs keep df('word') < N/2 so idf stays positive
+            "filler one two three",
+            "filler four five six",
+            "filler seven eight nine",
+        ],
+    )
+    plain = [r.doc_id for r in bm25_topk(idx, "word", k=2).collect()]
+    assert plain[0] == 0
+    boosted = [
+        r.doc_id
+        for r in bm25_fvf_topk(
+            idx, "word", col="doc_len", factor=1.0, modifier="none"
+        ).collect()
+    ]
+    assert boosted[0] == 1
+    with pytest.raises(ValueError):
+        bm25_fvf_topk(idx, "word", modifier="log2")
+    with pytest.raises(ValueError):
+        bm25_fvf_topk(idx, "word", factor=0.0)
+    assert bm25_fvf_topk(idx, "; -").count() == 0
+
+
+# --- random_score ---------------------------------------------------------------
+
+
+def test_random_score_deterministic_and_seed_sensitive(spark):
+    from distributedcodesearchengine_spark.operators.decay import (
+        bm25_random_topk,
+    )
+
+    idx = _index(
+        spark,
+        [f"word filler{i:02d} other{i:02d}" for i in range(8)],
+    )
+    a1 = [(r.doc_id, r.mult) for r in bm25_random_topk(idx, "word", seed="s1").collect()]
+    a2 = [(r.doc_id, r.mult) for r in bm25_random_topk(idx, "word", seed="s1").collect()]
+    assert a1 == a2  # same seed -> identical ranking forever
+    assert all(0.0 <= m < 1.0 for _d, m in a1)
+    b = {d: m for d, m in
+         ((r.doc_id, r.mult) for r in bm25_random_topk(idx, "word", seed="s2").collect())}
+    assert any(b[d] != m for d, m in a1 if d in b)  # new seed -> new draw
+    with pytest.raises(ValueError):
+        bm25_random_topk(idx, "word", seed="s1'; drop")
+    assert bm25_random_topk(idx, "; -").count() == 0

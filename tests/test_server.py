@@ -700,3 +700,80 @@ def test_composite_agg_endpoint(srv):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(srv, "/composite_agg")
     assert ei.value.code == 400
+
+
+def test_multi_terms_endpoint(srv):
+    code, body = _get(srv, "/multi_terms", q="parse json",
+                      keys="lang,site", limit=5)
+    assert code == 200
+    rows = body["buckets"]
+    assert rows and len(rows) <= 5
+    assert all({"lang", "site", "n_docs"} <= set(r) for r in rows)
+    counts = [r["n_docs"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/multi_terms")
+    assert ei.value.code == 400
+
+
+def test_adjacency_matrix_endpoint(srv):
+    code, body = _get(
+        srv, "/adjacency_matrix", q="parse json",
+        filters="en:lang:en,de:lang:de",
+    )
+    assert code == 200
+    rows = {r["key"]: r["n_docs"] for r in body["buckets"]}
+    assert rows and all(n > 0 for n in rows.values())  # empties omitted
+    assert set(rows) <= {"de", "en", "de&en"}
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/adjacency_matrix", q="x", filters="badly-formed")
+    assert ei.value.code == 400
+
+
+def test_weighted_avg_and_matrix_stats_endpoints(srv):
+    code, body = _get(srv, "/weighted_avg", q="parse json")
+    assert code == 200
+    wa = body["weighted_avg"]
+    assert wa["n_docs"] > 0 and wa["sum_w"] > 0
+    assert wa["wavg"] == pytest.approx(wa["sum_wx"] / wa["sum_w"], abs=1e-5)
+    code, body = _get(srv, "/matrix_stats", q="parse json")
+    assert code == 200
+    ms = body["matrix_stats"]
+    assert ms["n_docs"] == wa["n_docs"]
+    assert -1.0 - 1e-9 <= ms["corr"] <= 1.0 + 1e-9
+
+
+def test_boxplot_endpoint(srv):
+    code, body = _get(srv, "/boxplot", q="parse json")
+    assert code == 200
+    bp = body["boxplot"]
+    assert set(bp) == {"min", "q1", "q2", "q3", "max"}
+    assert bp["min"] <= bp["q1"] <= bp["q2"] <= bp["q3"] <= bp["max"]
+
+
+def test_fvf_and_random_search_endpoints(srv):
+    code, body = _get(srv, "/fvf_search", q="parse json", factor=0.5,
+                      modifier="log1p", limit=5)
+    assert code == 200
+    rows = body["results"]
+    assert rows and all({"rank", "doc_id", "score", "mult"} <= set(r) for r in rows)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/fvf_search", q="x", modifier="bogus")
+    assert ei.value.code == 400
+    code, b1 = _get(srv, "/random_search", q="parse json", seed="s1", limit=5)
+    code, b2 = _get(srv, "/random_search", q="parse json", seed="s1", limit=5)
+    assert b1["results"] == b2["results"]  # same seed -> same page
+    assert all(0.0 <= r["mult"] < 1.0 for r in b1["results"])
+
+
+def test_termvectors_endpoint(srv):
+    code, body = _get(srv, "/termvectors", doc_id=3)
+    assert code == 200 and body["found"] is True
+    terms = body["terms"]
+    assert terms and all({"term", "tf", "df"} <= set(t) for t in terms)
+    assert all(t["df"] >= t["tf"] >= 1 or t["df"] >= 1 for t in terms)
+    code, body = _get(srv, "/termvectors", doc_id=99999999)
+    assert code == 200 and body["found"] is False and body["terms"] == []
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/termvectors")
+    assert ei.value.code == 400
