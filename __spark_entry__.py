@@ -952,6 +952,54 @@ def _registry():
         term_vectors_sql(doc_id=3),
     )
 
+    # second query-surface wave (operators/queryext): regexp query,
+    # constant_score, span_first, _analyze, sampler/diversified_sampler,
+    # native rescore
+    from distributedcodesearchengine_spark.operators.queryext import (
+        analyze_doc_sql,
+        bm25_regexp_sql,
+        bm25_rescore_sql,
+        bm25_span_first_sql,
+        constant_score_sql,
+        sampler_terms_sql,
+    )
+
+    reg["bm25_regexp"] = (
+        partial(eq.bm25_regexp_q, pattern="s(can|ort|low)", k=10,
+                max_expansions=4),
+        bm25_regexp_sql("s(can|ort|low)", k=10, max_expansions=4),
+    )
+    reg["constant_score"] = (
+        partial(eq.constant_score_q, query="dup table", boost=1.5, k=10),
+        constant_score_sql("dup table", boost=1.5, k=10),
+    )
+    reg["bm25_span_first"] = (
+        partial(eq.bm25_span_first_q, term="table", end=3, k=10),
+        bm25_span_first_sql("table", end=3, k=10),
+    )
+    reg["analyze_doc"] = (
+        partial(eq.analyze_doc_q, doc_id=3),
+        analyze_doc_sql(doc_id=3),
+    )
+    reg["sampler_terms"] = (
+        partial(eq.sampler_terms_q, query="dup table", key="source",
+                shard_size=50, k=10),
+        sampler_terms_sql("dup table", key="source", shard_size=50, k=10),
+    )
+    reg["sampler_diversified"] = (
+        partial(eq.sampler_terms_q, query="dup table", key="lang",
+                shard_size=30, k=10, dedup_field="source",
+                max_docs_per_value=2),
+        sampler_terms_sql("dup table", key="lang", shard_size=30, k=10,
+                          dedup_field="source", max_docs_per_value=2),
+    )
+    reg["bm25_rescore"] = (
+        partial(eq.bm25_rescore_q, query="small dup", phrase="small dup",
+                window_size=20, rescore_weight=2.0, k=10),
+        bm25_rescore_sql("small dup", phrase="small dup", window_size=20,
+                         rescore_weight=2.0, k=10),
+    )
+
     return _rotate(reg)
 
 

@@ -598,6 +598,80 @@ class SearchEngine:
 
         return term_vectors(self.index, int(doc_id))
 
+    def regexp_search(
+        self, pattern: str, limit: int = 10, max_expansions: int = 16
+    ) -> DataFrame:
+        """Whole-term regexp query over the capped dictionary expansion
+        (operators/queryext.bm25_regexp_topk — the ES regexp query)."""
+        from .operators.queryext import bm25_regexp_topk
+
+        return bm25_regexp_topk(
+            self.index, pattern, k=int(limit),
+            max_expansions=int(max_expansions),
+        )
+
+    def constant_score(
+        self, query: str, boost: float = 1.5, limit: int = 10
+    ) -> DataFrame:
+        """Filter-context search: every matching doc scores exactly
+        boost (operators/queryext.constant_score_topk — the ES
+        constant_score query)."""
+        from .operators.queryext import constant_score_topk
+
+        return constant_score_topk(
+            self.index, query, boost=float(boost), k=int(limit)
+        )
+
+    def span_first(self, term: str, end: int = 3, limit: int = 10) -> DataFrame:
+        """BM25 ranking restricted to docs where the term occurs within
+        the first ``end`` positions (operators/queryext
+        .bm25_span_first_topk — Lucene SpanFirstQuery)."""
+        from .operators.queryext import bm25_span_first_topk
+
+        return bm25_span_first_topk(self.index, term, end=int(end),
+                                    k=int(limit))
+
+    def analyze(self, text: Optional[str] = None,
+                doc_id: Optional[int] = None) -> DataFrame:
+        """The ES _analyze API: the analyzer's ordered (pos, token)
+        stream for raw text or a stored doc (operators/queryext)."""
+        from .operators.queryext import analyze_doc, analyze_text
+
+        if (text is None) == (doc_id is None):
+            raise ValueError("analyze takes exactly one of text / doc_id")
+        if doc_id is not None:
+            return analyze_doc(self.index, int(doc_id))
+        return analyze_text(self.index.spark, text)
+
+    def sampler(
+        self, query: str, key: str = "source", shard_size: int = 50,
+        limit: int = 10, dedup_field: Optional[str] = None,
+        max_docs_per_value: int = 1,
+    ) -> DataFrame:
+        """sampler / diversified_sampler terms agg over the best
+        shard_size kept docs (operators/queryext.sampler_terms)."""
+        from .operators.queryext import sampler_terms
+
+        return sampler_terms(
+            self.index, query, key=key, shard_size=int(shard_size),
+            k=int(limit), dedup_field=dedup_field,
+            max_docs_per_value=int(max_docs_per_value),
+        )
+
+    def rescore(
+        self, query: str, phrase: str, window_size: int = 20,
+        rescore_weight: float = 2.0, limit: int = 10,
+    ) -> DataFrame:
+        """ES native rescore: the top window re-ranks by base +
+        rescore_weight * phrase occurrences
+        (operators/queryext.bm25_rescore_topk)."""
+        from .operators.queryext import bm25_rescore_topk
+
+        return bm25_rescore_topk(
+            self.index, query, phrase, window_size=int(window_size),
+            rescore_weight=float(rescore_weight), k=int(limit),
+        )
+
     def similar(self, doc_id: int, m: int = 5, limit: int = 10) -> DataFrame:
         """More-like-this over the served index
         (operators/explore.more_like_this)."""

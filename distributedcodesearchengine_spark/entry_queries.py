@@ -951,3 +951,88 @@ def term_vectors_q(
 
     idx = get_documents_index(spark, sf_dir)
     return term_vectors(idx, doc_id=doc_id)
+
+
+def bm25_regexp_q(
+    spark: SparkSession, sf_dir: str, pattern: str, k: int = 10,
+    max_expansions: int = 16,
+) -> DataFrame:
+    """Regexp-query gate entry: BM25 over the capped whole-term regexp
+    expansion (operators/queryext.bm25_regexp_topk — the ES regexp
+    query)."""
+    from .operators.queryext import bm25_regexp_topk
+
+    idx = get_documents_index(spark, sf_dir)
+    res = bm25_regexp_topk(idx, pattern, k=k, max_expansions=max_expansions)
+    return res.select(
+        "rank", _orig_doc_id(), round6("score").alias("score")
+    ).orderBy("rank")
+
+
+def constant_score_q(
+    spark: SparkSession, sf_dir: str, query: str, boost: float = 1.5,
+    k: int = 10,
+) -> DataFrame:
+    """constant_score gate entry (operators/queryext — ES filter
+    context: every matching doc scores exactly boost)."""
+    from .operators.queryext import constant_score_topk
+
+    idx = get_documents_index(spark, sf_dir)
+    return constant_score_topk(idx, query, boost=boost, k=k)
+
+
+def bm25_span_first_q(
+    spark: SparkSession, sf_dir: str, term: str, end: int = 3, k: int = 10,
+) -> DataFrame:
+    """span_first gate entry (operators/queryext — Lucene
+    SpanFirstQuery composed with the BM25 chain as a doc_filter)."""
+    from .operators.queryext import bm25_span_first_topk
+
+    idx = get_documents_index(spark, sf_dir)
+    res = bm25_span_first_topk(idx, term, end=end, k=k)
+    return res.select(
+        "rank", _orig_doc_id(), round6("score").alias("score")
+    ).orderBy("rank")
+
+
+def analyze_doc_q(
+    spark: SparkSession, sf_dir: str, doc_id: int = 3
+) -> DataFrame:
+    """_analyze gate entry: the ordered token stream of a stored doc
+    (operators/queryext.analyze_doc — pins cross-engine tokenizer
+    ORDER agreement, which the tf bags cannot)."""
+    from .operators.queryext import analyze_doc
+
+    idx = get_documents_index(spark, sf_dir)
+    return analyze_doc(idx, doc_id=doc_id)
+
+
+def sampler_terms_q(
+    spark: SparkSession, sf_dir: str, query: str, key: str = "source",
+    shard_size: int = 50, k: int = 10, dedup_field=None,
+    max_docs_per_value: int = 1,
+) -> DataFrame:
+    """sampler / diversified_sampler agg gate entry
+    (operators/queryext.sampler_terms)."""
+    from .operators.queryext import sampler_terms
+
+    idx = get_documents_index(spark, sf_dir)
+    return sampler_terms(
+        idx, query, key=key, shard_size=shard_size, k=k,
+        dedup_field=dedup_field, max_docs_per_value=max_docs_per_value,
+    )
+
+
+def bm25_rescore_q(
+    spark: SparkSession, sf_dir: str, query: str, phrase: str,
+    window_size: int = 20, rescore_weight: float = 2.0, k: int = 10,
+) -> DataFrame:
+    """rescore gate entry (operators/queryext.bm25_rescore_topk — the
+    ES native rescore with a phrase rescorer over the top window)."""
+    from .operators.queryext import bm25_rescore_topk
+
+    idx = get_documents_index(spark, sf_dir)
+    return bm25_rescore_topk(
+        idx, query, phrase, window_size=window_size,
+        rescore_weight=rescore_weight, k=k,
+    )

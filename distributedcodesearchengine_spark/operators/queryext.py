@@ -1,0 +1,482 @@
+"""Second query-surface wave — five more classic Lucene/Elasticsearch
+query types plus the ``_analyze`` introspection API, each Spark-first
+with a colocated DuckDB mirror:
+
+* ``bm25_regexp_topk`` — the ES ``regexp`` query: a whole-term regular
+  expression expands against the term dictionary (capped, df desc) and
+  scores as an OR bag, riding the shared multi-term-expansion chain
+  the wildcard/fuzzy queries already use.
+* ``constant_score_topk`` — the ES ``constant_score`` query: filter
+  context, every matching doc scores exactly ``boost``.
+* ``bm25_span_first_topk`` — Lucene ``SpanFirstQuery``: the term must
+  occur within the first ``end`` positions of the document; matches
+  rank by the standard BM25 chain (doc_filter composition, exactly
+  how the quoted-phrase predicate composes).
+* ``analyze_doc`` / ``analyze_text`` — the ES ``_analyze`` API: the
+  analyzer's token stream with positions, for a stored doc or raw
+  text. Pins cross-engine tokenizer agreement on ORDER, which the tf
+  relation (bags) cannot.
+* ``sampler_terms`` — the ES ``sampler`` / ``diversified_sampler``
+  aggs: a terms agg computed over only the best ``shard_size`` docs of
+  the kept set, optionally deduplicated per ``dedup_field`` first.
+* ``bm25_rescore_topk`` — the ES native ``rescore``: the top
+  ``window_size`` BM25 hits re-rank by original + rescore_weight *
+  phrase-occurrence count; below-window docs keep their ranking.
+
+Reference parity: the reference engine is bag-of-words only
+(``codesearch/storage/bm25_index.py:117-170``) — these are the
+remaining standard query surfaces a Lucene-class engine ships, added
+Spark-first like the phrase/NEAR/wildcard/fuzzy wave before them.
+
+Cross-engine parity notes (the gate conventions): the regexp subset is
+restricted to syntax Java regex and RE2 interpret identically (alnum
+literals, ``.``, classes, alternation, grouping, greedy quantifiers —
+no escapes, no flags, no backreferences); floats embed via
+``sql_double``; ordering always binds RAW scores with rounding only at
+the output projection; the rescore blend spells the identical operand
+sequence ``score + rw * CAST(n AS DOUBLE)`` on both engines.
+
+Scale notes: the regexp expansion is a capped dictionary scan
+collecting <= max_expansions rows (a full-vocab regexp match is the
+scan Lucene also pays without a prefix; the cap bounds what moves);
+constant_score is one term-pruned distinct + TakeOrdered; span_first
+derives positions for ONE term via the positional relation path
+(term-pruned posexplode — or the persisted compressed positional index
+when present, same seam as phrase); the sampler windows are bounded by
+shard_size; rescore moves only window_size rows past the kept chain.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.rounding import round6, round6_sql, sql_double
+from ..oracle.tokenizer import tokenize
+from .scorer import Index, finalize_topk, query_term_weights, score_matched
+
+# --------------------------------------------------------------------------
+# regexp query
+# --------------------------------------------------------------------------
+
+# the Java-regex/RE2 common subset: lowercase-alnum literals, '.',
+# character classes (alnum + '-' ranges), alternation, non-capturing
+# grouping via plain parens, greedy * + ? quantifiers. No escapes, no
+# braces, no anchors (ES regexp is whole-term anchored implicitly).
+_SAFE_REGEXP_RE = re.compile(r"^[a-z0-9.*+?|()\[\]\-]{1,64}$")
+
+
+def parse_safe_regexp(pattern: str) -> str:
+    """Validate a whole-term regexp against the engine-portable subset
+    (raises ValueError). Returns the pattern unchanged."""
+    if not _SAFE_REGEXP_RE.match(pattern or ""):
+        raise ValueError(f"unsupported regexp (safe subset is [a-z0-9.*+?|()[]-], max 64 chars): {pattern!r}")
+    try:
+        re.compile(pattern)
+    except re.error as e:
+        raise ValueError(f"invalid regexp {pattern!r}: {e}") from e
+    return pattern
+
+
+def expand_regexp(
+    index: Index, pattern: str, max_expansions: int = 16
+) -> List[Tuple[str, float]]:
+    """[(term, idf)] — the top-``max_expansions`` dictionary terms fully
+    matching ``pattern``, ranked (df desc, term asc): the deterministic
+    capped multi-term expansion, same contract as the wildcard prefix
+    expansion. A <= M-row collect; the dictionary scan itself is the
+    price every regexp query pays in Lucene too."""
+    pat = parse_safe_regexp(pattern)
+    rows = (
+        index.terms.where(F.col("term").rlike(f"^(?:{pat})$"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(int(max_expansions))
+        .select("term", "idf")
+        .collect()
+    )
+    return [(r["term"], float(r["idf"])) for r in rows]
+
+
+def bm25_regexp_topk(
+    index: Index,
+    pattern: str,
+    k: int = 10,
+    filters=None,
+    max_expansions: int = 16,
+) -> DataFrame:
+    """Regexp-expanded BM25 top-k -> (rank, doc_id, url, score). An
+    expansion matching nothing behaves like an unknown token (the
+    engine's degenerate zero-backfill convention, same as wildcard)."""
+    from .wildcard import expanded_or_topk
+
+    expansion = expand_regexp(index, pattern, max_expansions)
+    return expanded_or_topk(index, [], [expansion], k, filters)
+
+
+def bm25_regexp_sql(pattern: str, k: int = 10, max_expansions: int = 16) -> str:
+    """DuckDB mirror: the identical (df desc, term asc) capped
+    expansion via regexp_full_match (RE2 whole-string semantics =
+    the Spark side's ^(?:pat)$ rlike anchor on this subset)."""
+    from .wildcard import expanded_bm25_sql
+
+    pat = parse_safe_regexp(pattern)
+    part = (
+        "SELECT term, 1.0 AS qtf FROM (SELECT term FROM idf "
+        f"WHERE regexp_full_match(term, '(?:{pat})') "
+        f"ORDER BY df DESC, term ASC LIMIT {int(max_expansions)})"
+    )
+    return expanded_bm25_sql([part], k)
+
+
+# --------------------------------------------------------------------------
+# constant_score query
+# --------------------------------------------------------------------------
+
+
+def constant_score_topk(
+    index: Index, query: str, boost: float = 1.5, k: int = 10
+) -> DataFrame:
+    """(rank, doc_id, score) — the ES ``constant_score`` query: filter
+    context (a doc matches when it contains ANY query term), every
+    match scores exactly ``boost``, ties rank in doc_id order (the
+    engine-wide tie-break). No relative threshold and no zero-backfill:
+    in filter context a non-matching doc is simply absent — scoring
+    semantics deliberately differ from the BM25 chain (that IS the
+    point of constant_score).
+
+    Plan: one term-pruned tf scan -> distinct doc_id -> TakeOrdered(k);
+    nothing corpus-scale moves."""
+    spark = index.spark
+    toks = sorted(set(tokenize(query)))
+    if not toks:
+        return spark.createDataFrame([], "rank int, doc_id long, score double")
+    w = Window.orderBy(F.asc("doc_id"))
+    return (
+        index.tf.where(F.col("term").isin(toks))
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+        .limit(int(k))
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", F.lit(float(boost)).alias("score"))
+    )
+
+
+def constant_score_sql(query: str, boost: float = 1.5, k: int = 10) -> str:
+    from ..functions.sql_oracle import _docs_cte
+
+    toks = sorted(set(tokenize(query)))
+    if not toks:
+        return (
+            "SELECT 1 AS rank, 1::BIGINT AS doc_id, 0.0 AS score WHERE false"
+        )
+    lst = ", ".join(f"'{t}'" for t in toks)
+    return (
+        f"WITH {_docs_cte()} "
+        "SELECT CAST(row_number() OVER (ORDER BY doc_id ASC) AS INT) AS rank, "
+        f"doc_id, {sql_double(float(boost))} AS score "
+        f"FROM (SELECT DISTINCT doc_id FROM tf WHERE term IN ({lst})) "
+        f"ORDER BY doc_id ASC LIMIT {int(k)}"
+    )
+
+
+# --------------------------------------------------------------------------
+# span_first query
+# --------------------------------------------------------------------------
+
+
+def span_first_docs(index: Index, term: str, end: int) -> DataFrame:
+    """doc_ids whose FIRST occurrence of ``term`` lies within the first
+    ``end`` token positions (1-based, inclusive) — Lucene
+    ``SpanFirstQuery``. One term-pruned position derivation: the doc's
+    token array is probed with array_position (first match only), no
+    posexplode and no shuffle — a corpus-parallel scan bounded by the
+    docs relation, the same cost as any tokens-column predicate."""
+    toks = tokenize(term)
+    if len(toks) != 1:
+        raise ValueError(f"span_first takes exactly one indexable term: {term!r}")
+    if int(end) < 1:
+        raise ValueError(f"end must be >= 1: {end!r}")
+    return (
+        index.docs.select(
+            "doc_id", F.array_position("tokens", toks[0]).alias("_p")
+        )
+        .where(F.col("_p").between(1, int(end)))
+        .select("doc_id")
+    )
+
+
+def bm25_span_first_topk(
+    index: Index, term: str, end: int = 3, k: int = 10, filters=None
+) -> DataFrame:
+    """(rank, doc_id, url, score): BM25 ranking of the term restricted
+    to docs where it appears within the first ``end`` positions — the
+    doc_filter composition contract (post-threshold, exactly how the
+    quoted-phrase predicate composes with the scoring chain)."""
+    occ = span_first_docs(index, term, end)
+    qweights = query_term_weights(index, term)
+    scored = score_matched(index, qweights) if qweights else None
+    return finalize_topk(index, scored, k, filters, doc_filter=occ)
+
+
+def bm25_span_first_sql(term: str, end: int = 3, k: int = 10) -> str:
+    """Mirror: shared kept chain + the list_position first-occurrence
+    predicate applied post-threshold (kept semi-join)."""
+    from ..functions.sql_oracle import kept_cte_sql
+
+    toks = tokenize(term)
+    if len(toks) != 1:
+        raise ValueError(f"span_first takes exactly one indexable term: {term!r}")
+    chain = kept_cte_sql(toks[0])
+    if chain is None:  # unreachable given the one-term guard; typed for safety
+        return "SELECT 1 AS rank, 1::BIGINT AS doc_id, 0.0 AS score WHERE false"
+    return (
+        f"{chain}, "
+        "sf AS (SELECT doc_id FROM docs "
+        f"WHERE coalesce(list_position(toks, '{toks[0]}'), 0) "
+        f"BETWEEN 1 AND {int(end)}) "
+        "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank, "
+        f"doc_id, {round6_sql('score')} AS score "
+        "FROM kept JOIN sf USING (doc_id) "
+        f"ORDER BY score DESC, doc_id ASC LIMIT {int(k)}"
+    )
+
+
+# --------------------------------------------------------------------------
+# _analyze API
+# --------------------------------------------------------------------------
+
+
+def analyze_doc(index: Index, doc_id: int) -> DataFrame:
+    """(pos int 1-based, token string) — the ES ``_analyze`` API over a
+    STORED document: the analyzer's ordered token stream. Pins the
+    tokenizers' cross-engine agreement on order (tf pins only the
+    bags). A missing doc returns zero rows. Plan: doc_id pushdown on
+    the docs relation + one posexplode of a single row."""
+    d = int(doc_id)
+    return (
+        index.docs.where(F.col("doc_id") == F.lit(d))
+        .select(F.posexplode("tokens").alias("pos0", "token"))
+        .select((F.col("pos0") + 1).cast("int").alias("pos"), "token")
+        .orderBy("pos")
+    )
+
+
+def analyze_doc_sql(doc_id: int) -> str:
+    from ..functions.sql_oracle import toks_cte
+
+    return (
+        f"WITH {toks_cte()} "
+        "SELECT CAST(unnest(generate_series(1, len(toks))) AS INT) AS pos, "
+        f"unnest(toks) AS token FROM docs WHERE doc_id = {int(doc_id)} "
+        "ORDER BY pos"
+    )
+
+
+def analyze_text(spark: SparkSession, text: str) -> DataFrame:
+    """(pos, token) for RAW text — the `_analyze` body form. Runs the
+    same Spark-side chain over a 1-row DataFrame (no driver-side
+    tokenize: the gate contract is that the engine's own tokenizer
+    lane produces the stream)."""
+    from ..functions.udfs import tokenize_udf
+
+    one = spark.createDataFrame([(text or "",)], "text string")
+    return (
+        one.select(tokenize_udf(F.col("text")).alias("tokens"))
+        .select(F.posexplode("tokens").alias("pos0", "token"))
+        .select((F.col("pos0") + 1).cast("int").alias("pos"), "token")
+        .orderBy("pos")
+    )
+
+
+# --------------------------------------------------------------------------
+# sampler / diversified_sampler aggregation
+# --------------------------------------------------------------------------
+
+
+def sampler_terms(
+    index: Index,
+    query: str,
+    key: str = "source",
+    shard_size: int = 50,
+    k: int = 10,
+    dedup_field: Optional[str] = None,
+    max_docs_per_value: int = 1,
+) -> DataFrame:
+    """(``key``, n_docs) — the ES ``sampler`` agg (and, with
+    ``dedup_field``, ``diversified_sampler``): a terms agg over only
+    the best ``shard_size`` docs of the BM25 kept set (score desc,
+    doc_id asc — a deterministic total order, so the sample is exact
+    on both engines), optionally keeping at most ``max_docs_per_value``
+    docs per ``dedup_field`` value BEFORE sampling. Buckets order
+    (n_docs desc, value asc), top-k.
+
+    Scale: the dedup stage is the grouped-top-n window (rank pruned in
+    the exchange); the sample is a TakeOrdered(shard_size); the agg
+    then touches shard_size rows."""
+    from .aggs import _check_name
+    from .explore import _kept_with_cols
+
+    spark = index.spark
+    _check_name(key, "column name")
+    if dedup_field is not None:
+        _check_name(dedup_field, "column name")
+    if int(shard_size) < 1 or int(k) < 1:
+        raise ValueError("shard_size and k must be >= 1")
+    if not tokenize(query):
+        kt = index.docs.schema[key].dataType.simpleString()
+        return spark.createDataFrame([], f"{key} {kt}, n_docs long")
+    cols = [key] if dedup_field in (None, key) else [key, dedup_field]
+    kept = _kept_with_cols(index, query, cols)
+    if dedup_field is not None:
+        wd = Window.partitionBy(dedup_field).orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        kept = (
+            kept.withColumn("_dv", F.row_number().over(wd))
+            .where(F.col("_dv") <= int(max_docs_per_value))
+            .drop("_dv")
+        )
+    samp = kept.orderBy(F.desc("score"), F.asc("doc_id")).limit(int(shard_size))
+    return (
+        samp.groupBy(key)
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc(key))
+        .limit(int(k))
+    )
+
+
+def sampler_terms_sql(
+    query: str,
+    key: str = "source",
+    shard_size: int = 50,
+    k: int = 10,
+    dedup_field: Optional[str] = None,
+    max_docs_per_value: int = 1,
+) -> str:
+    from ..functions.sql_oracle import kept_cte_sql
+    from .aggs import _check_name
+
+    _check_name(key, "column name")
+    if dedup_field is not None:
+        _check_name(dedup_field, "column name")
+    chain = kept_cte_sql(
+        query, [key] if dedup_field in (None, key) else [key, dedup_field]
+    )
+    if chain is None:
+        return f"SELECT '' AS {key}, 1::BIGINT AS n_docs WHERE false"
+    src = "kept"
+    dv = ""
+    if dedup_field is not None:
+        dv = (
+            ", dv AS (SELECT *, row_number() OVER "
+            f"(PARTITION BY {dedup_field} ORDER BY score DESC, doc_id ASC) AS _dv "
+            "FROM kept)"
+        )
+        src = f"(SELECT * FROM dv WHERE _dv <= {int(max_docs_per_value)})"
+    return (
+        f"{chain}{dv}, "
+        f"samp AS (SELECT * FROM {src} ORDER BY score DESC, doc_id ASC "
+        f"LIMIT {int(shard_size)}) "
+        f"SELECT {key}, CAST(count(*) AS BIGINT) AS n_docs FROM samp "
+        f"GROUP BY {key} ORDER BY n_docs DESC, {key} ASC LIMIT {int(k)}"
+    )
+
+
+# --------------------------------------------------------------------------
+# rescore
+# --------------------------------------------------------------------------
+
+
+def bm25_rescore_topk(
+    index: Index,
+    query: str,
+    phrase: str,
+    window_size: int = 20,
+    rescore_weight: float = 2.0,
+    k: int = 10,
+) -> DataFrame:
+    """(rank, doc_id, base, n_occur, score) — the ES native ``rescore``
+    with a phrase rescorer: the top ``window_size`` BM25 hits re-rank
+    by final = base + rescore_weight * n_occur(phrase); docs outside
+    the window keep their original ranking below it. With query_weight
+    fixed at the ES default 1.0 and rescore_weight >= 0, every
+    window doc's final >= its base >= any below-window base, so for
+    k <= window_size the global top-k IS the rescored window's top-k —
+    enforced, which is what keeps the operator one bounded window
+    instead of a corpus re-sort.
+
+    Scale: the kept chain's TakeOrdered(window_size) bounds what moves;
+    the phrase occurrences derive from the window's term-pruned
+    positional path only (the persisted compressed positional index
+    slots in exactly as it does for quoted queries)."""
+    from .explore import _kept_with_cols
+    from .phrase import phrase_occurrences
+
+    spark = index.spark
+    if int(k) > int(window_size):
+        raise ValueError(f"k ({k}) must be <= window_size ({window_size})")
+    if float(rescore_weight) < 0:
+        raise ValueError(f"rescore_weight must be >= 0: {rescore_weight!r}")
+    out = "rank int, doc_id long, base double, n_occur long, score double"
+    if not tokenize(query):
+        return spark.createDataFrame([], out)
+    kept = _kept_with_cols(index, query, [])
+    win = kept.orderBy(F.desc("score"), F.asc("doc_id")).limit(int(window_size))
+    occ = phrase_occurrences(index.docs, phrase)
+    n = F.coalesce(F.col("n_occur"), F.lit(0)).cast("long")
+    final = F.col("score") + F.lit(float(rescore_weight)) * n.cast("double")
+    blended = win.join(occ, "doc_id", "left").select(
+        "doc_id", F.col("score").alias("base"), n.alias("n_occur"),
+        final.alias("final"),
+    )
+    w = Window.orderBy(F.desc("final"), F.asc("doc_id"))
+    return (
+        blended.orderBy(F.desc("final"), F.asc("doc_id"))
+        .limit(int(k))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank", "doc_id", round6("base").alias("base"), "n_occur",
+            round6("final").alias("score"),
+        )
+    )
+
+
+def bm25_rescore_sql(
+    query: str,
+    phrase: str,
+    window_size: int = 20,
+    rescore_weight: float = 2.0,
+    k: int = 10,
+) -> str:
+    from ..functions.sql_oracle import kept_cte_sql
+    from .phrase import _phrase_occ_cte
+
+    if int(k) > int(window_size):
+        raise ValueError(f"k ({k}) must be <= window_size ({window_size})")
+    chain = kept_cte_sql(query)
+    if chain is None:
+        return (
+            "SELECT 1 AS rank, 1::BIGINT AS doc_id, 0.0 AS base, "
+            "1::BIGINT AS n_occur, 0.0 AS score WHERE false"
+        )
+    pocc = _phrase_occ_cte(phrase).replace("occ AS", "pocc AS", 1)
+    rw = sql_double(float(rescore_weight))
+    return (
+        f"{chain}, {pocc}, "
+        "win AS (SELECT doc_id, score FROM kept "
+        f"ORDER BY score DESC, doc_id ASC LIMIT {int(window_size)}), "
+        "blended AS (SELECT w.doc_id, w.score AS base, "
+        "CAST(coalesce(p.n_occur, 0) AS BIGINT) AS n_occur, "
+        f"w.score + {rw} * CAST(coalesce(p.n_occur, 0) AS DOUBLE) AS final "
+        "FROM win w LEFT JOIN (SELECT doc_id, n_occur FROM pocc "
+        "WHERE n_occur > 0) p USING (doc_id)) "
+        "SELECT CAST(row_number() OVER (ORDER BY final DESC, doc_id ASC) AS INT) AS rank, "
+        f"doc_id, {round6_sql('base')} AS base, n_occur, "
+        f"{round6_sql('final')} AS score "
+        f"FROM blended ORDER BY final DESC, doc_id ASC LIMIT {int(k)}"
+    )

@@ -427,6 +427,18 @@ def make_handler(engine, stats_fn, index_manager=None):
                             "deterministic random_score",
                             "GET /termvectors": "per-document term vector "
                             "with corpus df",
+                            "GET /regexp_search": "whole-term regexp query "
+                            "(capped dictionary expansion)",
+                            "GET /constant_score": "filter context: every "
+                            "match scores exactly boost",
+                            "GET /span_first": "term within the first N "
+                            "positions (Lucene SpanFirstQuery)",
+                            "GET /analyze": "ordered (pos, token) stream "
+                            "for text= or doc_id=",
+                            "GET /sampler": "terms agg over the best "
+                            "shard_size kept docs (dedup_field= diversifies)",
+                            "GET /rescore": "top-window re-rank by base + "
+                            "weight * phrase occurrences",
                             "GET /composite_agg": "keyset-paginated "
                             "facet buckets (cursor in 'after')",
                             "GET /significant": "significant terms of the "
@@ -706,6 +718,79 @@ def make_handler(engine, stats_fn, index_manager=None):
                         200,
                         {"doc_id": int(q["doc_id"]), "found": bool(rows),
                          "terms": [r.asDict() for r in rows]},
+                    )
+                if url.path == "/regexp_search":
+                    if "pattern" not in q:
+                        return self._send(400, {"error": "missing pattern"})
+                    rows = engine.regexp_search(
+                        q["pattern"], limit=int(q.get("limit", 10)),
+                        max_expansions=int(q.get("max_expansions", 16)),
+                    ).collect()
+                    return self._send(
+                        200,
+                        {"pattern": q["pattern"],
+                         "results": [r.asDict() for r in rows]},
+                    )
+                if url.path == "/constant_score":
+                    if "q" not in q:
+                        return self._send(400, {"error": "missing q"})
+                    rows = engine.constant_score(
+                        q["q"], boost=float(q.get("boost", 1.5)),
+                        limit=int(q.get("limit", 10)),
+                    ).collect()
+                    return self._send(
+                        200,
+                        {"query": q["q"], "results": [r.asDict() for r in rows]},
+                    )
+                if url.path == "/span_first":
+                    if "term" not in q:
+                        return self._send(400, {"error": "missing term"})
+                    rows = engine.span_first(
+                        q["term"], end=int(q.get("end", 3)),
+                        limit=int(q.get("limit", 10)),
+                    ).collect()
+                    return self._send(
+                        200,
+                        {"term": q["term"], "results": [r.asDict() for r in rows]},
+                    )
+                if url.path == "/analyze":
+                    if ("text" in q) == ("doc_id" in q):
+                        return self._send(
+                            400, {"error": "exactly one of text / doc_id"}
+                        )
+                    rows = engine.analyze(
+                        text=q.get("text"),
+                        doc_id=int(q["doc_id"]) if "doc_id" in q else None,
+                    ).collect()
+                    return self._send(
+                        200, {"tokens": [r.asDict() for r in rows]}
+                    )
+                if url.path == "/sampler":
+                    if "q" not in q:
+                        return self._send(400, {"error": "missing q"})
+                    rows = engine.sampler(
+                        q["q"], key=q.get("key", "source"),
+                        shard_size=int(q.get("shard_size", 50)),
+                        limit=int(q.get("limit", 10)),
+                        dedup_field=q.get("dedup_field"),
+                        max_docs_per_value=int(q.get("max_docs_per_value", 1)),
+                    ).collect()
+                    return self._send(
+                        200,
+                        {"query": q["q"], "buckets": [r.asDict() for r in rows]},
+                    )
+                if url.path == "/rescore":
+                    if "q" not in q or "phrase" not in q:
+                        return self._send(400, {"error": "missing q / phrase"})
+                    rows = engine.rescore(
+                        q["q"], q["phrase"],
+                        window_size=int(q.get("window", 20)),
+                        rescore_weight=float(q.get("weight", 2.0)),
+                        limit=int(q.get("limit", 10)),
+                    ).collect()
+                    return self._send(
+                        200,
+                        {"query": q["q"], "results": [r.asDict() for r in rows]},
                     )
                 if url.path == "/did_you_mean":
                     if "q" not in q:

@@ -777,3 +777,85 @@ def test_termvectors_endpoint(srv):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(srv, "/termvectors")
     assert ei.value.code == 400
+
+
+def test_regexp_search_endpoint(srv):
+    code, body = _get(srv, "/regexp_search", pattern="pars.")
+    assert code == 200
+    rows = body["results"]
+    assert rows and rows[0]["rank"] == 1 and rows[0]["score"] > 0
+    # unsafe pattern -> the F8 validation contract (400, like an
+    # unknown scorer enum)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/regexp_search", pattern="a\\d")
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/regexp_search")
+    assert ei.value.code == 400
+
+
+def test_constant_score_endpoint(srv):
+    code, body = _get(srv, "/constant_score", q="parse json", boost=3.0,
+                      limit=5)
+    assert code == 200
+    rows = body["results"]
+    assert rows and all(r["score"] == 3.0 for r in rows)
+    assert [r["doc_id"] for r in rows] == sorted(r["doc_id"] for r in rows)
+
+
+def test_span_first_endpoint(srv):
+    code, body = _get(srv, "/span_first", term="json", end=1000, limit=5)
+    assert code == 200
+    assert body["results"] and body["results"][0]["rank"] == 1
+    code, narrow = _get(srv, "/span_first", term="json", end=1)
+    assert code == 200  # possibly empty, but a valid response
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/span_first")
+    assert ei.value.code == 400
+
+
+def test_analyze_endpoint(srv):
+    code, body = _get(srv, "/analyze", text="FooBar baz a foo2")
+    assert code == 200
+    assert [(t["pos"], t["token"]) for t in body["tokens"]] == [
+        (1, "foo"), (2, "bar"), (3, "baz"), (4, "foo2")
+    ]
+    code, body = _get(srv, "/analyze", doc_id=0)
+    assert code == 200 and body["tokens"]
+    assert [t["pos"] for t in body["tokens"]] == list(
+        range(1, len(body["tokens"]) + 1)
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/analyze")  # neither text nor doc_id
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/analyze", text="x", doc_id=0)  # both
+    assert ei.value.code == 400
+
+
+def test_sampler_endpoint(srv):
+    code, body = _get(srv, "/sampler", q="parse json", key="lang",
+                      shard_size=20)
+    assert code == 200
+    buckets = body["buckets"]
+    assert buckets and sum(b["n_docs"] for b in buckets) <= 20
+    code, div = _get(srv, "/sampler", q="parse json", key="lang",
+                     shard_size=20, dedup_field="lang",
+                     max_docs_per_value=1)
+    assert code == 200
+    assert all(b["n_docs"] == 1 for b in div["buckets"])
+
+
+def test_rescore_endpoint(srv):
+    code, body = _get(srv, "/rescore", q="parse json", phrase="parse json",
+                      window=20, weight=2.0, limit=5)
+    assert code == 200
+    rows = body["results"]
+    assert rows and rows[0]["rank"] == 1
+    for r in rows:
+        assert r["score"] == pytest.approx(
+            r["base"] + 2.0 * r["n_occur"], abs=2e-6
+        )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/rescore", q="x")
+    assert ei.value.code == 400
