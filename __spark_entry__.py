@@ -1000,6 +1000,46 @@ def _registry():
                          rescore_weight=2.0, k=10),
     )
 
+    # third wave: match_phrase_prefix, _mget, auto_date_histogram, and
+    # the remaining ES pipeline-agg family (sibling stats_bucket /
+    # serial_diff / bucket_script+bucket_selector) over events
+    from distributedcodesearchengine_spark.operators.queryext import (
+        match_phrase_prefix_sql,
+    )
+    from distributedcodesearchengine_spark.operators.termvectors import (
+        mget_sql,
+    )
+
+    reg["match_phrase_prefix"] = (
+        partial(eq.match_phrase_prefix_q, query="small du", k=10,
+                max_expansions=4),
+        match_phrase_prefix_sql("small du", k=10, max_expansions=4),
+    )
+    reg["mget"] = (
+        partial(eq.mget_q, doc_ids=(1, 3, 7, 99999999)),
+        mget_sql((1, 3, 7, 99999999)),
+    )
+    reg["events_auto_histogram"] = (
+        _tbl_op(partial(tsr.auto_date_histogram, event_type="click",
+                        target_buckets=12), "events"),
+        tsr.auto_date_histogram_sql("click", target_buckets=12),
+    )
+    reg["events_bucket_stats"] = (
+        _tbl_op(partial(tsr.events_bucket_stats, event_type="click"),
+                "events"),
+        tsr.events_bucket_stats_sql("click"),
+    )
+    reg["events_serial_diff"] = (
+        _tbl_op(partial(tsr.events_serial_diff, event_type="click", lag=2),
+                "events"),
+        tsr.events_serial_diff_sql("click", lag=2),
+    )
+    reg["events_bucket_script"] = (
+        _tbl_op(partial(tsr.events_bucket_script, event_type="purchase",
+                        min_events=2), "events"),
+        tsr.events_bucket_script_sql("purchase", min_events=2),
+    )
+
     return _rotate(reg)
 
 

@@ -658,6 +658,26 @@ class SearchEngine:
             max_docs_per_value=int(max_docs_per_value),
         )
 
+    def phrase_prefix(
+        self, query: str, limit: int = 10, max_expansions: int = 8
+    ) -> DataFrame:
+        """match_phrase_prefix: the query's last token expands as a
+        prefix; docs must contain the phrase with any expansion in the
+        last slot (operators/queryext.match_phrase_prefix_topk)."""
+        from .operators.queryext import match_phrase_prefix_topk
+
+        return match_phrase_prefix_topk(
+            self.index, query, k=int(limit),
+            max_expansions=int(max_expansions),
+        )
+
+    def mget(self, doc_ids) -> DataFrame:
+        """Multi-document fetch by id (operators/termvectors.mget —
+        the ES _mget API)."""
+        from .operators.termvectors import mget
+
+        return mget(self.index, doc_ids)
+
     def rescore(
         self, query: str, phrase: str, window_size: int = 20,
         rescore_weight: float = 2.0, limit: int = 10,

@@ -1036,3 +1036,29 @@ def bm25_rescore_q(
         idx, query, phrase, window_size=window_size,
         rescore_weight=rescore_weight, k=k,
     )
+
+
+def match_phrase_prefix_q(
+    spark: SparkSession, sf_dir: str, query: str, k: int = 10,
+    max_expansions: int = 8,
+) -> DataFrame:
+    """match_phrase_prefix gate entry (operators/queryext — the ES
+    match_phrase_prefix query: last token expands as a prefix, docs
+    must contain the phrase with ANY expansion in the last slot)."""
+    from .operators.queryext import match_phrase_prefix_topk
+
+    idx = get_documents_index(spark, sf_dir)
+    res = match_phrase_prefix_topk(idx, query, k=k,
+                                   max_expansions=max_expansions)
+    return res.select(
+        "rank", _orig_doc_id(), round6("score").alias("score")
+    ).orderBy("rank")
+
+
+def mget_q(spark: SparkSession, sf_dir: str, doc_ids=(1, 3, 7)) -> DataFrame:
+    """_mget gate entry (operators/termvectors.mget — multi-document
+    fetch by id; pins the engine's url<->doc_id assignment)."""
+    from .operators.termvectors import mget
+
+    idx = get_documents_index(spark, sf_dir)
+    return mget(idx, doc_ids)

@@ -480,3 +480,104 @@ def bm25_rescore_sql(
         f"{round6_sql('final')} AS score "
         f"FROM blended ORDER BY final DESC, doc_id ASC LIMIT {int(k)}"
     )
+
+
+# --------------------------------------------------------------------------
+# match_phrase_prefix query
+# --------------------------------------------------------------------------
+
+
+def match_phrase_prefix_topk(
+    index: Index,
+    query: str,
+    k: int = 10,
+    max_expansions: int = 8,
+    filters=None,
+) -> DataFrame:
+    """(rank, doc_id, url, score) — the ES ``match_phrase_prefix``
+    query: the query's LAST token is a prefix; a doc matches when it
+    contains the exact phrase [base..., e] for ANY of the prefix's
+    top-``max_expansions`` dictionary expansions (df desc, term asc —
+    the same capped deterministic expansion the wildcard query uses).
+    Scoring follows the house phrase-composition contract
+    (bm25_phrase_topk): the bag of base tokens (with multiplicity) plus
+    each expansion at qtf 1 scores the standard chain, and the
+    phrase-prefix predicate composes post-threshold as a doc_filter.
+    No expansion => matches nothing (ES semantics).
+
+    Scale: the expansion is the capped dictionary probe; each
+    expansion's phrase check is a term-pruned position derivation over
+    [base..., e] only (<= max_expansions such passes, union-ed and
+    distinct-ed — the persisted compressed positional index slots in
+    per expansion exactly as it does for quoted queries)."""
+    from functools import reduce
+
+    from .phrase import phrase_occurrences
+    from .wildcard import expand_prefix, expanded_or_topk
+
+    spark = index.spark
+    toks = tokenize(query)
+    if not toks:
+        return spark.createDataFrame(
+            [], "rank int, doc_id long, url string, score double"
+        )
+    base, prefix = toks[:-1], toks[-1]
+    expansion = expand_prefix(index, prefix, max_expansions)
+    if not expansion:
+        doc_filter = spark.createDataFrame([], "doc_id long")
+    elif not base:
+        doc_filter = (
+            index.tf.where(F.col("term").isin([t for t, _ in expansion]))
+            .select("doc_id")
+            .distinct()
+        )
+    else:
+        occs = [
+            phrase_occurrences(index.docs, " ".join([*base, t])).select("doc_id")
+            for t, _ in expansion
+        ]
+        doc_filter = reduce(lambda a, b: a.unionByName(b), occs).distinct()
+    return expanded_or_topk(
+        index, base, [expansion], k, filters, doc_filter=doc_filter
+    )
+
+
+def match_phrase_prefix_sql(
+    query: str, k: int = 10, max_expansions: int = 8
+) -> str:
+    """DuckDB mirror: the identical capped expansion + the phrase
+    predicate with the last slot bound per expansion term (one
+    docs x expansions theta probe over the token-slice test the
+    quoted-phrase oracle already uses), semi-joined post-threshold."""
+    from .wildcard import expanded_bm25_sql, plain_qtf_parts
+
+    toks = tokenize(query)
+    if not toks:
+        return "SELECT 1 AS rank, 1::BIGINT AS doc_id, 0.0 AS score WHERE false"
+    base, prefix = toks[:-1], toks[-1]
+    m = int(max_expansions)
+    pfx = (
+        "pfx AS (SELECT term FROM idf "
+        f"WHERE starts_with(term, '{prefix}') "
+        f"ORDER BY df DESC, term ASC LIMIT {m})"
+    )
+    parts = plain_qtf_parts(base) + [
+        "SELECT term, 1.0 AS qtf FROM (SELECT term FROM idf "
+        f"WHERE starts_with(term, '{prefix}') "
+        f"ORDER BY df DESC, term ASC LIMIT {m})"
+    ]
+    b = len(base)
+    if b == 0:
+        dfil = (
+            f"{pfx}, dfil AS (SELECT DISTINCT tf.doc_id "
+            "FROM tf JOIN pfx USING (term))"
+        )
+    else:
+        base_lit = "[" + ", ".join(f"'{t}'" for t in base) + "]"
+        dfil = (
+            f"{pfx}, dfil AS (SELECT DISTINCT d.doc_id FROM docs d JOIN pfx p "
+            f"ON len(list_filter(generate_series(1, len(d.toks) - {b}), "
+            f"i -> d.toks[i:i+{b - 1}] = {base_lit} "
+            f"AND d.toks[i+{b}] = p.term)) > 0)"
+        )
+    return expanded_bm25_sql(parts, k, doc_filter_cte=dfil)

@@ -56,3 +56,53 @@ def term_vectors_sql(doc_id: int) -> str:
         f"FROM tf JOIN dfreq d USING (term) WHERE tf.doc_id = {d} "
         "ORDER BY term"
     )
+
+
+def mget(index, doc_ids) -> DataFrame:
+    """(doc_id, url, site, lang, doc_len) for the requested ids, id
+    order — the ES ``_mget`` API (multi-document fetch by id), over the
+    columns EVERY index carries (optional meta_cols vary per build).
+    Absent ids simply yield no row (the ES found:false entries). Plan:
+    one IN-pruned docs scan — a docvalues point-multiprobe, |ids|
+    bounded."""
+    ids = sorted({int(d) for d in doc_ids})
+    if not ids:
+        return index.spark.createDataFrame(
+            [], "doc_id long, url string, site string, lang string, "
+                "doc_len long"
+        )
+    return (
+        index.docs.where(F.col("doc_id").isin(ids))
+        .select(
+            "doc_id", "url", "site", "lang",
+            F.col("doc_len").cast("long").alias("doc_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def mget_sql(doc_ids) -> str:
+    """DuckDB mirror: the gate corpus's url key is the deterministic
+    zero-padded doc_id (sources/tables.documents_as_pages), so the
+    oracle reconstructs it with lpad — pinning that the engine's url
+    assignment preserved the table's own ids — and derives site with
+    the engine's own host regexp (stats.build_docs)."""
+    from ..functions.sql_oracle import _docs_cte
+
+    ids = sorted({int(d) for d in doc_ids})
+    if not ids:
+        return (
+            "SELECT 1::BIGINT AS doc_id, '' AS url, '' AS site, "
+            "'' AS lang, 1::BIGINT AS doc_len WHERE false"
+        )
+    lst = ", ".join(str(d) for d in ids)
+    return (
+        f"WITH {_docs_cte()}, m AS ("
+        "SELECT doc_id, "
+        "'doc://corpus/' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS url, "
+        "lang, CAST(doc_len AS BIGINT) AS doc_len "
+        f"FROM doclen WHERE doc_id IN ({lst})) "
+        "SELECT doc_id, url, "
+        "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)', 1) AS site, "
+        "lang, doc_len FROM m ORDER BY doc_id"
+    )

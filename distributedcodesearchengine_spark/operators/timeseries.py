@@ -272,3 +272,262 @@ def events_pipeline_aggs_sql(event_type: str = "click") -> str:
         f"{round6_sql('CAST(sum(n_events) OVER (ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) * 1.0 / count(n_events) OVER (ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)')} AS mavg3 "
         "FROM base ORDER BY bucket"
     )
+
+
+# --------------------------------------------------------------------------
+# auto_date_histogram
+# --------------------------------------------------------------------------
+
+# the ES auto_date_histogram interval ladder, in seconds (fixed-width
+# calendar approximations — week = 7d, month = 30d; fixed widths keep
+# the bucketing pure integer arithmetic on both engines)
+AUTO_INTERVALS_S = (60, 300, 600, 1800, 3600, 10800, 43200, 86400,
+                    604800, 2592000)
+
+
+def auto_date_histogram(
+    events: DataFrame, event_type: str = "click", target_buckets: int = 12
+) -> DataFrame:
+    """(bucket, n_events, interval_s) — the ES ``auto_date_histogram``:
+    pick the SMALLEST ladder interval whose bucket span fits
+    ``target_buckets``, then the observed-bucket histogram at that
+    interval. The span count is pure integer arithmetic over epoch
+    seconds (max_e DIV i - min_e DIV i + 1), so the interval choice is
+    bit-identical on both engines; if even the coarsest interval
+    overflows the target, the coarsest is used (ES's terminal-rounding
+    behavior).
+
+    Scale: the min/max is one map-side-combinable agg (2 longs to the
+    driver); the histogram is the standard bucket groupBy. Nothing
+    depends on bucket count beyond the output itself."""
+    if int(target_buckets) < 1:
+        raise ValueError(f"target_buckets must be >= 1: {target_buckets!r}")
+    base = events.where(F.col("event_type") == event_type).select(
+        F.unix_timestamp("ts").alias("e")
+    )
+    row = base.agg(F.min("e").alias("lo"), F.max("e").alias("hi")).first()
+    spark = events.sparkSession
+    out = "bucket long, n_events long, interval_s long"
+    if row["lo"] is None:
+        return spark.createDataFrame([], out)
+    lo, hi = int(row["lo"]), int(row["hi"])
+    interval = AUTO_INTERVALS_S[-1]
+    for i in AUTO_INTERVALS_S:
+        if (hi // i) - (lo // i) + 1 <= int(target_buckets):
+            interval = i
+            break
+    return (
+        base.groupBy(
+            ((F.col("e") - (F.col("e") % F.lit(interval)))).alias("bucket")
+        )
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            F.col("bucket").cast("long"),
+            "n_events",
+            F.lit(interval).cast("long").alias("interval_s"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def auto_date_histogram_sql(
+    event_type: str = "click", target_buckets: int = 12
+) -> str:
+    """DuckDB mirror: the ladder as VALUES, the identical integer span
+    rule picking min(interval), the identical e - e % i bucketing.
+    (Python's // and SQL's integer ops agree here because epoch seconds
+    are non-negative.)"""
+    et = event_type.replace("'", "''")
+    ladder = ", ".join(f"({i})" for i in AUTO_INTERVALS_S)
+    t = int(target_buckets)
+    coarsest = AUTO_INTERVALS_S[-1]
+    return (
+        f"WITH base AS (SELECT CAST(epoch(ts) AS BIGINT) AS e FROM events "
+        f"WHERE event_type = '{et}'), "
+        "mm AS (SELECT min(e) AS lo, max(e) AS hi FROM base), "
+        f"ladder(i) AS (VALUES {ladder}), "
+        "pick AS (SELECT min(i) AS interval_s FROM ladder, mm "
+        f"WHERE (hi // i) - (lo // i) + 1 <= {t}), "
+        f"iv AS (SELECT CAST(coalesce((SELECT interval_s FROM pick), {coarsest}) AS BIGINT) AS i) "
+        "SELECT CAST(e - (e % (SELECT i FROM iv)) AS BIGINT) AS bucket, "
+        "CAST(count(*) AS BIGINT) AS n_events, "
+        "(SELECT i FROM iv) AS interval_s "
+        "FROM base GROUP BY 1 ORDER BY bucket"
+    )
+
+
+# --------------------------------------------------------------------------
+# sibling pipeline aggregations (max/min/avg/sum/stats_bucket)
+# --------------------------------------------------------------------------
+
+
+def events_bucket_stats(
+    events: DataFrame, event_type: str = "click"
+) -> DataFrame:
+    """1 row (n_buckets, min_n, max_n, sum_n, avg_n, max_bucket,
+    min_bucket) — the ES SIBLING pipeline aggs (stats_bucket +
+    max_bucket/min_bucket over a date_histogram): the rollup OF the
+    hourly buckets, not of the events. ES's max_bucket returns the
+    keys achieving the max; the scalar-gate form reports the FIRST
+    (smallest epoch) such bucket on each side. Counts are exact
+    integers; avg_n is the house sum * 1.0 / count float tail.
+
+    Scale: one bucket groupBy (calendar-bounded output) + one
+    single-row rollup of those buckets."""
+    base = (
+        events.where(F.col("event_type") == event_type)
+        .groupBy(F.unix_timestamp(F.date_trunc("hour", "ts")).alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    one = base.agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.min("n").alias("min_n"),
+        F.max("n").alias("max_n"),
+        F.sum("n").cast("long").alias("sum_n"),
+        round6(
+            F.sum("n").cast("double") * F.lit(1.0) / F.count("*")
+        ).alias("avg_n"),
+    )
+    # extremal bucket keys via the 1-row scalar-fold broadcast (the
+    # house BNLJ Cross BuildRight shape), never a window over the set
+    ext = (
+        base.crossJoin(
+            F.broadcast(one.select(
+                F.col("max_n").alias("_mx"), F.col("min_n").alias("_mn")
+            ))
+        )
+        .agg(
+            F.min(
+                F.when(F.col("n") == F.col("_mx"), F.col("bucket"))
+            ).alias("max_bucket"),
+            F.min(
+                F.when(F.col("n") == F.col("_mn"), F.col("bucket"))
+            ).alias("min_bucket"),
+        )
+    )
+    return one.crossJoin(F.broadcast(ext))
+
+
+def events_bucket_stats_sql(event_type: str = "click") -> str:
+    et = event_type.replace("'", "''")
+    return (
+        "WITH base AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, "
+        "CAST(count(*) AS BIGINT) AS n FROM events "
+        f"WHERE event_type = '{et}' GROUP BY 1) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_buckets, "
+        "min(n) AS min_n, max(n) AS max_n, CAST(sum(n) AS BIGINT) AS sum_n, "
+        f"{round6_sql('CAST(sum(n) AS DOUBLE) * 1.0 / count(*)')} AS avg_n, "
+        "min(CASE WHEN n = (SELECT max(n) FROM base) THEN bucket END) AS max_bucket, "
+        "min(CASE WHEN n = (SELECT min(n) FROM base) THEN bucket END) AS min_bucket "
+        "FROM base"
+    )
+
+
+# --------------------------------------------------------------------------
+# serial_diff pipeline aggregation
+# --------------------------------------------------------------------------
+
+
+def events_serial_diff(
+    events: DataFrame, event_type: str = "click", lag: int = 2
+) -> DataFrame:
+    """(bucket, n_events, diff_n) — the ES ``serial_diff`` pipeline agg
+    at lag ``lag`` over the hourly date-histogram: n - lag_n(n) in
+    observed-bucket order, the seasonal-differencing primitive. The
+    first ``lag`` buckets coalesce to 0 (the delta_n precedent —
+    ES's emit-nothing has no NULL-dtype-safe relational analog).
+
+    Scale: one calendar-bounded window per series, same shape as
+    events_pipeline_aggs."""
+    if int(lag) < 1:
+        raise ValueError(f"lag must be >= 1: {lag!r}")
+    base = (
+        events.where(F.col("event_type") == event_type)
+        .groupBy(F.unix_timestamp(F.date_trunc("hour", "ts")).alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("bucket")
+    return (
+        base.select(
+            "bucket",
+            "n_events",
+            F.coalesce(
+                F.col("n_events") - F.lag("n_events", int(lag)).over(w),
+                F.lit(0),
+            ).cast("long").alias("diff_n"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def events_serial_diff_sql(event_type: str = "click", lag: int = 2) -> str:
+    et = event_type.replace("'", "''")
+    return (
+        "WITH base AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, "
+        "CAST(count(*) AS BIGINT) AS n_events FROM events "
+        f"WHERE event_type = '{et}' GROUP BY 1) "
+        "SELECT bucket, n_events, "
+        f"CAST(coalesce(n_events - lag(n_events, {int(lag)}) OVER (ORDER BY bucket), 0) AS BIGINT) AS diff_n "
+        "FROM base ORDER BY bucket"
+    )
+
+
+# --------------------------------------------------------------------------
+# bucket_script + bucket_selector pipeline aggregations
+# --------------------------------------------------------------------------
+
+
+def events_bucket_script(
+    events: DataFrame, event_type: str = "click", min_events: int = 2
+) -> DataFrame:
+    """(bucket, n_events, total_value, value_per_event) — the ES
+    ``bucket_script`` + ``bucket_selector`` pipeline aggs over the
+    hourly date-histogram: per bucket, the derived metric
+    total_value * 1.0 / n_events (the script), keeping only buckets
+    with n_events >= ``min_events`` (the selector — ES's HAVING).
+
+    Parity: total_value is a float sum, so it folds in canonical
+    event_id order on both engines (the house double-sum rule); the
+    script is ONE division on the folded total. Scale: one bucket
+    shuffle; the fold is per-bucket (bounded by bucket occupancy) and
+    map-side-combinable via the struct collect."""
+    if int(min_events) < 1:
+        raise ValueError(f"min_events must be >= 1: {min_events!r}")
+    base = (
+        events.where(F.col("event_type") == event_type)
+        .groupBy(F.unix_timestamp(F.date_trunc("hour", "ts")).alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("event_id", "value"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["value"],
+            ).alias("tv"),
+        )
+        .where(F.col("n_events") >= int(min_events))
+    )
+    return base.select(
+        "bucket",
+        "n_events",
+        round6("tv").alias("total_value"),
+        round6(F.col("tv") * F.lit(1.0) / F.col("n_events")).alias(
+            "value_per_event"
+        ),
+    ).orderBy("bucket")
+
+
+def events_bucket_script_sql(
+    event_type: str = "click", min_events: int = 2
+) -> str:
+    et = event_type.replace("'", "''")
+    return (
+        "WITH base AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, "
+        "CAST(count(*) AS BIGINT) AS n_events, "
+        "sum(value ORDER BY event_id) AS tv FROM events "
+        f"WHERE event_type = '{et}' GROUP BY 1 "
+        f"HAVING count(*) >= {int(min_events)}) "
+        "SELECT bucket, n_events, "
+        f"{round6_sql('tv')} AS total_value, "
+        f"{round6_sql('tv * 1.0 / n_events')} AS value_per_event "
+        "FROM base ORDER BY bucket"
+    )

@@ -87,11 +87,14 @@ def expanded_or_topk(
     expansions: List[List[tuple]],
     k: int = 10,
     filters: Optional[Dict[str, str]] = None,
+    doc_filter=None,
 ) -> DataFrame:
-    """Shared multi-term-expansion scoring tail (wildcard + fuzzy):
-    ``plain`` tokens keep their multiplicity; each expansion list of
-    (term, idf) adds qtf = 1 per term; a term reached by several
-    clauses accumulates. Then the standard A3/F4/T1 chain."""
+    """Shared multi-term-expansion scoring tail (wildcard + fuzzy +
+    regexp + phrase-prefix): ``plain`` tokens keep their multiplicity;
+    each expansion list of (term, idf) adds qtf = 1 per term; a term
+    reached by several clauses accumulates. Then the standard A3/F4/T1
+    chain. ``doc_filter`` (a doc_id DataFrame) composes post-threshold
+    exactly as in finalize_topk — the phrase-prefix predicate uses it."""
     from .scorer import finalize_topk, query_term_weights, score_matched
 
     qtf: Counter = Counter(plain)
@@ -106,7 +109,7 @@ def expanded_or_topk(
         (t, float(qtf[t]), idf_of[t]) for t in sorted(qtf) if t in idf_of
     ]
     scored = score_matched(index, qweights) if qweights else None
-    return finalize_topk(index, scored, k, filters)
+    return finalize_topk(index, scored, k, filters, doc_filter=doc_filter)
 
 
 def bm25_wildcard_topk(
@@ -158,14 +161,21 @@ def plain_qtf_parts(plain: List[str]) -> List[str]:
     return [f"SELECT * FROM (VALUES {vals}) v(term, qtf)"]
 
 
-def expanded_bm25_sql(parts: List[str], k: int = 10) -> str:
+def expanded_bm25_sql(
+    parts: List[str], k: int = 10, doc_filter_cte: Optional[str] = None
+) -> str:
     """Shared oracle chain for expansion queries: ``parts`` are SQL
     subqueries each yielding (term, qtf) rows (evaluated against the
     _docs_cte relations); weights sum per term, then the standard
-    threshold/degenerate/top-k chain."""
+    threshold/degenerate/top-k chain. ``doc_filter_cte``, when given,
+    must define a relation ``dfil(doc_id)``; the final select
+    semi-joins it POST-threshold — the mirror of finalize_topk's
+    doc_filter stage."""
     from ..functions.sql_oracle import K1, B, _docs_cte, round6_sql
 
     union = " UNION ALL ".join(parts)
+    dfil = f", {doc_filter_cte} " if doc_filter_cte else " "
+    fj = "JOIN dfil USING (doc_id) " if doc_filter_cte else ""
     return (
         f"WITH {_docs_cte()}, "
         f"qraw AS ({union}), "
@@ -182,8 +192,9 @@ def expanded_bm25_sql(parts: List[str], k: int = 10) -> str:
         "  SELECT d.doc_id, coalesce(s.score, 0.0) AS score "
         "  FROM doclen d LEFT JOIN scored s USING (doc_id) "
         "  WHERE ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
-        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))) "
+        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx)))"
+        f"{dfil}"
         "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank, "
         f"doc_id, {round6_sql('score')} AS score "
-        f"FROM kept ORDER BY score DESC, doc_id ASC LIMIT {k}"
+        f"FROM kept {fj}ORDER BY score DESC, doc_id ASC LIMIT {k}"
     )

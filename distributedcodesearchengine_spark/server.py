@@ -439,6 +439,9 @@ def make_handler(engine, stats_fn, index_manager=None):
                             "shard_size kept docs (dedup_field= diversifies)",
                             "GET /rescore": "top-window re-rank by base + "
                             "weight * phrase occurrences",
+                            "GET /phrase_prefix": "match_phrase_prefix: "
+                            "last token expands as a prefix",
+                            "GET /mget": "multi-document fetch by ids=1,2,3",
                             "GET /composite_agg": "keyset-paginated "
                             "facet buckets (cursor in 'after')",
                             "GET /significant": "significant terms of the "
@@ -778,6 +781,28 @@ def make_handler(engine, stats_fn, index_manager=None):
                     return self._send(
                         200,
                         {"query": q["q"], "buckets": [r.asDict() for r in rows]},
+                    )
+                if url.path == "/phrase_prefix":
+                    if "q" not in q:
+                        return self._send(400, {"error": "missing q"})
+                    rows = engine.phrase_prefix(
+                        q["q"], limit=int(q.get("limit", 10)),
+                        max_expansions=int(q.get("max_expansions", 8)),
+                    ).collect()
+                    return self._send(
+                        200,
+                        {"query": q["q"], "results": [r.asDict() for r in rows]},
+                    )
+                if url.path == "/mget":
+                    if "ids" not in q:
+                        return self._send(400, {"error": "missing ids"})
+                    try:
+                        ids = [int(x) for x in q["ids"].split(",") if x != ""]
+                    except ValueError:
+                        return self._send(400, {"error": "ids must be ints"})
+                    rows = engine.mget(ids).collect()
+                    return self._send(
+                        200, {"docs": [r.asDict() for r in rows]}
                     )
                 if url.path == "/rescore":
                     if "q" not in q or "phrase" not in q:

@@ -231,3 +231,169 @@ def test_rescore_guards(spark):
     with pytest.raises(ValueError):
         bm25_rescore_topk(idx, "aa", "aa bb", rescore_weight=-1.0)
     assert bm25_rescore_topk(idx, "!!", "aa bb").count() == 0
+
+
+# --- match_phrase_prefix ----------------------------------------------------
+
+
+def test_phrase_prefix_matches_any_expansion(spark):
+    from distributedcodesearchengine_spark.operators.queryext import (
+        match_phrase_prefix_topk,
+    )
+
+    idx = _index(
+        spark,
+        [
+            "small dup aa",      # 'small du*' -> small dup
+            "small dug bb",      # -> small dug
+            "small xx dup",      # phrase broken: no match
+            "dup small yy",      # wrong order: no match
+            "zz qq rr",
+        ],
+    )
+    rows = match_phrase_prefix_topk(idx, "small du").collect()
+    assert sorted(r.doc_id for r in rows) == [0, 1]
+
+
+def test_phrase_prefix_no_expansion_matches_nothing(spark):
+    from distributedcodesearchengine_spark.operators.queryext import (
+        match_phrase_prefix_topk,
+    )
+
+    idx = _index(spark, ["small dup aa", "bb cc dd"])
+    assert match_phrase_prefix_topk(idx, "small zz").count() == 0
+    assert match_phrase_prefix_topk(idx, "!!").count() == 0
+
+
+def test_phrase_prefix_bare_prefix_is_any_expansion_match(spark):
+    from distributedcodesearchengine_spark.operators.queryext import (
+        match_phrase_prefix_topk,
+    )
+
+    idx = _index(spark, ["dup aa", "dug bb", "cc dd", "ee ff", "gg hh"])
+    rows = match_phrase_prefix_topk(idx, "du").collect()
+    assert sorted(r.doc_id for r in rows if r.score > 0) == [0, 1]
+
+
+def test_phrase_prefix_expansion_cap(spark):
+    from distributedcodesearchengine_spark.operators.queryext import (
+        match_phrase_prefix_topk,
+    )
+
+    # dup appears in 3 docs, dug in 1 -> df-desc cap at 1 keeps only dup
+    idx = _index(
+        spark,
+        ["small dup aa", "small dug bb", "dup cc", "dup dd", "ee ff"],
+    )
+    rows = match_phrase_prefix_topk(idx, "small du", max_expansions=1).collect()
+    assert sorted(r.doc_id for r in rows) == [0]
+
+
+# --- mget -------------------------------------------------------------------
+
+
+def test_mget_fetches_in_id_order(spark):
+    from distributedcodesearchengine_spark.operators.termvectors import mget
+
+    idx = _index(spark, ["aa bb", "cc dd", "ee ff"])
+    rows = mget(idx, [2, 0, 99]).collect()
+    assert [r.doc_id for r in rows] == [0, 2]  # absent id 99 yields no row
+    assert rows[0].doc_len == 2 and rows[0].lang == "en"
+    assert mget(idx, []).count() == 0
+
+
+# --- events pipeline extensions ---------------------------------------------
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    )
+
+
+def test_auto_date_histogram_interval_pick(spark):
+    import datetime as dt
+
+    from distributedcodesearchengine_spark.operators.timeseries import (
+        auto_date_histogram,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    ev = _events(spark, [
+        (i, t0 + dt.timedelta(minutes=10 * i), 1, "click", 1.0, "{}")
+        for i in range(12)  # 110-minute span
+    ])
+    # target 12: 10-min buckets fit (12 buckets); target 2: needs >= 1h
+    fine = auto_date_histogram(ev, "click", target_buckets=12).collect()
+    assert fine[0].interval_s == 600 and len(fine) == 12
+    coarse = auto_date_histogram(ev, "click", target_buckets=2).collect()
+    assert coarse[0].interval_s == 3600 and len(coarse) == 2
+    assert sum(r.n_events for r in coarse) == 12
+    # no events of the type -> empty
+    assert auto_date_histogram(ev, "nope").count() == 0
+
+
+def test_events_bucket_stats_extremal_keys(spark):
+    import datetime as dt
+
+    from distributedcodesearchengine_spark.operators.timeseries import (
+        events_bucket_stats,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = (
+        [(i, t0, 1, "click", 1.0, "{}") for i in range(3)]              # h0: 3
+        + [(10 + i, t0 + dt.timedelta(hours=1), 1, "click", 1.0, "{}")  # h1: 1
+           for i in range(1)]
+        + [(20 + i, t0 + dt.timedelta(hours=2), 1, "click", 1.0, "{}")  # h2: 3
+           for i in range(3)]
+    )
+    r = events_bucket_stats(_events(spark, rows), "click").first()
+    assert (r.n_buckets, r.min_n, r.max_n, r.sum_n) == (3, 1, 3, 7)
+    assert r.avg_n == pytest.approx(7 / 3, abs=1e-6)
+    # ties on max resolve to the FIRST (smallest epoch) bucket
+    assert r.max_bucket == int(t0.timestamp())
+    assert r.min_bucket == int((t0 + dt.timedelta(hours=1)).timestamp())
+
+
+def test_events_serial_diff_lag(spark):
+    import datetime as dt
+
+    from distributedcodesearchengine_spark.operators.timeseries import (
+        events_serial_diff,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    counts = [1, 2, 4, 7]
+    eid = 0
+    for h, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, t0 + dt.timedelta(hours=h), 1, "click", 1.0, "{}"))
+            eid += 1
+    out = events_serial_diff(_events(spark, rows), "click", lag=2).collect()
+    assert [r.diff_n for r in out] == [0, 0, 3, 5]  # first `lag` coalesce to 0
+    with pytest.raises(ValueError):
+        events_serial_diff(_events(spark, rows), "click", lag=0)
+
+
+def test_events_bucket_script_and_selector(spark):
+    import datetime as dt
+
+    from distributedcodesearchengine_spark.operators.timeseries import (
+        events_bucket_script,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (0, t0, 1, "purchase", 10.0, "{}"),
+        (1, t0, 1, "purchase", 20.0, "{}"),
+        (2, t0 + dt.timedelta(hours=1), 1, "purchase", 99.0, "{}"),  # 1 event: dropped
+    ]
+    out = events_bucket_script(_events(spark, rows), "purchase",
+                               min_events=2).collect()
+    assert len(out) == 1  # the selector dropped the 1-event bucket
+    assert out[0].n_events == 2
+    assert out[0].total_value == pytest.approx(30.0, abs=1e-6)
+    assert out[0].value_per_event == pytest.approx(15.0, abs=1e-6)

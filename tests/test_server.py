@@ -859,3 +859,27 @@ def test_rescore_endpoint(srv):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(srv, "/rescore", q="x")
     assert ei.value.code == 400
+
+
+def test_phrase_prefix_endpoint(srv):
+    code, body = _get(srv, "/phrase_prefix", q="parse js", limit=5)
+    assert code == 200
+    rows = body["results"]
+    assert rows and rows[0]["rank"] == 1
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/phrase_prefix")
+    assert ei.value.code == 400
+
+
+def test_mget_endpoint(srv):
+    code, body = _get(srv, "/mget", ids="2,0,999999")
+    assert code == 200
+    docs = body["docs"]
+    assert [d["doc_id"] for d in docs] == [0, 2]
+    assert all("url" in d and "doc_len" in d for d in docs)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/mget", ids="1,bogus")
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/mget")
+    assert ei.value.code == 400
