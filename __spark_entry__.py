@@ -1040,6 +1040,24 @@ def _registry():
         tsr.events_bucket_script_sql("purchase", min_events=2),
     )
 
+    # the Lucene/ES query_string mini-language: ONE surface composing
+    # every house query primitive (+must -not "phrase" pre* w~1 t^2.5
+    # field:v). Three regimes: all clause types healthy, + a metadata
+    # field clause, and the degenerate zero-regime under constraints.
+    from distributedcodesearchengine_spark.operators.querystring import (
+        bm25_query_string_sql,
+    )
+
+    for key, qs in [
+        ("query_string_full", '+dup "small dup" ta* merg~1 -api table^2'),
+        ("query_string_filtered", '+dup "small dup" ta* merg~1 table^2 lang:de'),
+        ("query_string_degenerate", '+table -api ro* merg~1 table^2'),
+    ]:
+        reg[key] = (
+            partial(eq.query_string_q, query=qs, k=10),
+            bm25_query_string_sql(qs, k=10),
+        )
+
     return _rotate(reg)
 
 

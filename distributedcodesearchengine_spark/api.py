@@ -610,6 +610,31 @@ class SearchEngine:
             max_expansions=int(max_expansions),
         )
 
+    def query_string(
+        self,
+        query: str,
+        limit: int = 10,
+        lang=None,
+        site=None,
+        source=None,
+        max_expansions: int = 16,
+    ) -> DataFrame:
+        """The Lucene/ES query_string mini-language — ``+must -not
+        "phrase" pre* word~1 term^2.5 lang:en`` compiled onto the
+        house primitives (operators/querystring). Explicit filter
+        arguments outrank the query's own field clauses."""
+        from .operators.querystring import bm25_query_string_topk
+
+        filters = {
+            k: v
+            for k, v in (("lang", lang), ("site", site), ("source", source))
+            if v
+        }
+        return bm25_query_string_topk(
+            self.index, query, k=int(limit), filters=filters or None,
+            max_expansions=int(max_expansions),
+        )
+
     def constant_score(
         self, query: str, boost: float = 1.5, limit: int = 10
     ) -> DataFrame:

@@ -357,6 +357,20 @@ def bm25_phrase_query(
     ).orderBy("rank")
 
 
+def query_string_q(
+    spark: SparkSession, sf_dir: str, query: str, k: int = 10
+) -> DataFrame:
+    """query_string gate entry: the Lucene mini-language compiled onto
+    the house primitives (operators/querystring)."""
+    from .operators.querystring import bm25_query_string_topk
+
+    idx = get_documents_index(spark, sf_dir)
+    res = bm25_query_string_topk(idx, query, k=k)
+    return res.select(
+        "rank", _orig_doc_id(), round6("score").alias("score")
+    ).orderBy("rank")
+
+
 def bm25_boolean_query_q(
     spark: SparkSession, sf_dir: str, query: str, k: int = 10
 ) -> DataFrame:

@@ -427,6 +427,9 @@ def make_handler(engine, stats_fn, index_manager=None):
                             "deterministic random_score",
                             "GET /termvectors": "per-document term vector "
                             "with corpus df",
+                            "GET /query_string": "Lucene query_string "
+                            'mini-language: +must -not "phrase" pre* w~1 '
+                            "term^2.5 lang:en",
                             "GET /regexp_search": "whole-term regexp query "
                             "(capped dictionary expansion)",
                             "GET /constant_score": "filter context: every "
@@ -721,6 +724,20 @@ def make_handler(engine, stats_fn, index_manager=None):
                         200,
                         {"doc_id": int(q["doc_id"]), "found": bool(rows),
                          "terms": [r.asDict() for r in rows]},
+                    )
+                if url.path == "/query_string":
+                    if "q" not in q:
+                        return self._send(400, {"error": "missing q"})
+                    rows = engine.query_string(
+                        q["q"], limit=int(q.get("limit", 10)),
+                        lang=q.get("lang"), site=q.get("site"),
+                        source=q.get("source"),
+                        max_expansions=int(q.get("max_expansions", 16)),
+                    ).collect()
+                    return self._send(
+                        200,
+                        {"query": q["q"],
+                         "results": [r.asDict() for r in rows]},
                     )
                 if url.path == "/regexp_search":
                     if "pattern" not in q:

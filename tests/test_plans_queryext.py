@@ -122,3 +122,24 @@ def test_events_pipeline_extensions_plan_clean(spark, sf_dir):
         events_bucket_stats(ev, "click"),
         must_not_contain=["CartesianProduct"],
     )
+
+
+def test_query_string_plan_no_cartesian(pidx):
+    """The composed query_string plan — must/must_not doc sets, phrase
+    predicate, prefix+fuzzy expansions, weighted bag — stays free of
+    cartesians and unbounded BNLJs, and the k-cut is TakeOrdered."""
+    from distributedcodesearchengine_spark.operators.querystring import (
+        bm25_query_string_topk,
+    )
+
+    out = bm25_query_string_topk(
+        pidx, '+parse "parse json" js* pars~1 -zzqx json^2', k=10
+    )
+    plan = assert_plan(
+        out,
+        must_contain=["TakeOrderedAndProject"],
+        must_not_contain=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
+    # the scoring scan is term-pruned (pushdown-eligible), never
+    # corpus-wide
+    assert "In(term" in plan or "in(term" in plan.lower(), plan[:4000]
