@@ -1058,6 +1058,38 @@ def _registry():
             bm25_query_string_sql(qs, k=10),
         )
 
+    # the ES boosting query: positive BM25 ranking with docs matching
+    # the negative part demoted by negative_boost (post-threshold,
+    # function_score-family). nb=0 pins the sink-to-zero edge.
+    from distributedcodesearchengine_spark.operators.boosting import (
+        bm25_boosting_sql,
+    )
+
+    for key, pos, neg, nb in [
+        ("bm25_boosting", "dup table", "scan", 0.5),
+        ("bm25_boosting_zero", "dup table", "row", 0.0),
+    ]:
+        reg[key] = (
+            partial(eq.bm25_boosting_q, positive=pos, negative=neg,
+                    negative_boost=nb),
+            bm25_boosting_sql(pos, neg, nb, k=10),
+        )
+
+    # ES kNN-with-filter: exact cosine top-k over the FILTERED
+    # candidate set — label = embeddings-side parquet pushdown,
+    # lang = documents-side id semi-join (both the true restricted
+    # top-k, never a post-filtered global top-k)
+    reg["cosine_topk_label"] = (
+        partial(eq.cosine_topk_filtered_q, text="distributed table scan",
+                k=10, label=3),
+        oq.cosine_topk_filtered_sql(_qv, 10, label=3),
+    )
+    reg["cosine_topk_lang"] = (
+        partial(eq.cosine_topk_filtered_q, text="distributed table scan",
+                k=10, lang="de"),
+        oq.cosine_topk_filtered_sql(_qv, 10, lang="de"),
+    )
+
     return _rotate(reg)
 
 

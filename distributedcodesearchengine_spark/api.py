@@ -717,6 +717,47 @@ class SearchEngine:
             rescore_weight=float(rescore_weight), k=int(limit),
         )
 
+    def boosting(
+        self,
+        positive: str,
+        negative: str,
+        negative_boost: float = 0.5,
+        limit: int = 10,
+    ) -> DataFrame:
+        """The ES boosting query: BM25(positive) ranking with docs
+        matching the negative part demoted by negative_boost
+        (operators/boosting)."""
+        from .operators.boosting import bm25_boosting_topk
+
+        return bm25_boosting_topk(
+            self.index, positive, negative,
+            negative_boost=float(negative_boost), k=int(limit),
+        )
+
+    def knn(self, text: str, limit: int = 10, lang=None) -> DataFrame:
+        """ES kNN search (with optional filter): exact cosine top-k of
+        the query text's embedding over the doc embeddings, restricted
+        DURING the search to docs matching the filter
+        (functions/embed.cosine_topk_filtered)."""
+        from pyspark.sql import functions as F
+
+        from .functions.embed import cosine_topk_filtered, mock_embed_text
+
+        emb = self._ensure_embeddings()
+        qvec = mock_embed_text(text, self.dim)
+        id_filter = None
+        if lang:
+            if lang not in self._known_langs():
+                return self.index.spark.createDataFrame(
+                    [], "rank int, doc_id long, score double"
+                )
+            id_filter = self.index.docs.where(
+                F.col("lang") == lang
+            ).select("doc_id")
+        return cosine_topk_filtered(
+            emb, qvec, int(limit), id_filter=id_filter, id_col="doc_id"
+        )
+
     def similar(self, doc_id: int, m: int = 5, limit: int = 10) -> DataFrame:
         """More-like-this over the served index
         (operators/explore.more_like_this)."""

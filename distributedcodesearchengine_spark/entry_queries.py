@@ -242,6 +242,20 @@ def bm25_decay_q(
     )
 
 
+def bm25_boosting_q(
+    spark: SparkSession, sf_dir: str, positive: str, negative: str,
+    negative_boost: float = 0.5, k: int = 10,
+) -> DataFrame:
+    """ES boosting query gate entry: BM25(positive) with negative
+    matches demoted by negative_boost (operators/boosting)."""
+    from .operators.boosting import bm25_boosting_topk
+
+    idx = get_documents_index(spark, sf_dir)
+    return bm25_boosting_topk(
+        idx, positive, negative, negative_boost=negative_boost, k=k
+    )
+
+
 def did_you_mean_q(
     spark: SparkSession, sf_dir: str, query: str, max_dist: int = 1
 ) -> DataFrame:
@@ -663,6 +677,33 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str, text: str, k: int = 10) -> D
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = mock_embed_text(text, 64)
     res = cosine_topk(emb, qvec, k, id_col="vec_id")
+    return res.select("rank", "vec_id", round6("score").alias("score"))
+
+
+def cosine_topk_filtered_q(
+    spark: SparkSession, sf_dir: str, text: str, k: int = 10,
+    label: Optional[int] = None, lang: Optional[str] = None,
+) -> DataFrame:
+    """ES kNN-with-filter gate entry: exact cosine top-k over the
+    filtered candidate set (functions/embed.cosine_topk_filtered) —
+    label = embeddings-side pushdown filter, lang = documents-side
+    id semi-join."""
+    from pyspark.sql import functions as F
+
+    from .functions.embed import cosine_topk_filtered, mock_embed_text
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = mock_embed_text(text, 64)
+    id_filter = None
+    if lang is not None:
+        id_filter = (
+            load_table(spark, sf_dir, "documents")
+            .where(F.col("lang") == lang)
+            .select("doc_id")
+        )
+    res = cosine_topk_filtered(
+        emb, qvec, k, label=label, id_filter=id_filter, id_col="vec_id"
+    )
     return res.select("rank", "vec_id", round6("score").alias("score"))
 
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import hashlib
 import math
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -183,3 +183,35 @@ def cosine_topk(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", F.col(id_col), "score"
     )
+
+
+def cosine_topk_filtered(
+    embeddings: DataFrame,
+    qvec: Sequence[float],
+    k: int,
+    label: Optional[int] = None,
+    id_filter: Optional[DataFrame] = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The ES kNN-with-filter: exact cosine top-k over the FILTERED
+    candidate set (ES knn ``filter`` semantics — the filter applies
+    DURING the search, so the result is the true top-k of the
+    restricted set, never a post-filtered global top-k that can
+    return < k rows).
+
+    ``label`` is an equality predicate on the embeddings table's own
+    metadata column — a parquet pushdown filter, so the scan reads
+    only matching row groups. ``id_filter`` is a (vec_id) DataFrame of
+    admissible ids (typically a pushdown-filtered documents scan
+    projected to ids) applied as a left-semi join — at web scale the
+    filtered id set is large, so it stays a distributed join, never a
+    collect/broadcast of the filter side. Both compose (AND).
+    """
+    emb = embeddings
+    if label is not None:
+        emb = emb.where(F.col("label") == int(label))
+    if id_filter is not None:
+        ids = id_filter.select(F.col(id_filter.columns[0]).alias(id_col))
+        emb = emb.join(ids, id_col, "left_semi")
+    return cosine_topk(emb, qvec, k, id_col=id_col, vec_col=vec_col)

@@ -480,6 +480,38 @@ def cosine_topk_sql(qvec: Sequence[float], k: int = 10) -> str:
     )
 
 
+def cosine_topk_filtered_sql(
+    qvec: Sequence[float],
+    k: int = 10,
+    label: Optional[int] = None,
+    lang: Optional[str] = None,
+) -> str:
+    """Mirror of functions/embed.cosine_topk_filtered: exact cosine
+    top-k over the filtered candidate set — ``label`` filters the
+    embeddings table's own column, ``lang`` admits only vec_ids whose
+    documents row matches (the id_filter semi-join lane)."""
+    import math
+
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in qvec))
+    v = _fmt_vec(qvec)
+    conds = []
+    if label is not None:
+        conds.append(f"label = {int(label)}")
+    if lang is not None:
+        conds.append(
+            f"vec_id IN (SELECT doc_id FROM documents WHERE lang = '{lang}')"
+        )
+    where = (" WHERE " + " AND ".join(conds)) if conds else ""
+    return (
+        "WITH scored AS (SELECT vec_id, "
+        f"list_dot_product(embedding::DOUBLE[], {v}) / "
+        f"(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * {sql_double(qnorm)}) AS score "
+        f"FROM embeddings{where}) "
+        "SELECT CAST(row_number() OVER (ORDER BY score DESC, vec_id ASC) AS INT) AS rank, "
+        f"vec_id, {round6_sql('score')} AS score FROM scored ORDER BY score DESC, vec_id ASC LIMIT {k}"
+    )
+
+
 # boost rule table for the driver-gate RRF query: (source-contains,
 # lang-contains, factor), first match wins — the web analog of the
 # reference's api.py/sessions.py path boosts (engine.py:338-367)

@@ -430,6 +430,11 @@ def make_handler(engine, stats_fn, index_manager=None):
                             "GET /query_string": "Lucene query_string "
                             'mini-language: +must -not "phrase" pre* w~1 '
                             "term^2.5 lang:en",
+                            "GET /boosting": "ES boosting query: "
+                            "positive= ranking, negative= matches "
+                            "demoted by negative_boost=",
+                            "GET /knn": "exact cosine kNN of q='s "
+                            "embedding (lang= filters during search)",
                             "GET /regexp_search": "whole-term regexp query "
                             "(capped dictionary expansion)",
                             "GET /constant_score": "filter context: every "
@@ -724,6 +729,33 @@ def make_handler(engine, stats_fn, index_manager=None):
                         200,
                         {"doc_id": int(q["doc_id"]), "found": bool(rows),
                          "terms": [r.asDict() for r in rows]},
+                    )
+                if url.path == "/boosting":
+                    if "positive" not in q or "negative" not in q:
+                        return self._send(
+                            400, {"error": "need positive= and negative="}
+                        )
+                    rows = engine.boosting(
+                        q["positive"], q["negative"],
+                        negative_boost=float(q.get("negative_boost", 0.5)),
+                        limit=int(q.get("limit", 10)),
+                    ).collect()
+                    return self._send(
+                        200,
+                        {"positive": q["positive"], "negative": q["negative"],
+                         "results": [r.asDict() for r in rows]},
+                    )
+                if url.path == "/knn":
+                    if "q" not in q:
+                        return self._send(400, {"error": "missing q"})
+                    rows = engine.knn(
+                        q["q"], limit=int(q.get("limit", 10)),
+                        lang=q.get("lang"),
+                    ).collect()
+                    return self._send(
+                        200,
+                        {"query": q["q"],
+                         "results": [r.asDict() for r in rows]},
                     )
                 if url.path == "/query_string":
                     if "q" not in q:
