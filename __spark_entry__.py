@@ -1090,6 +1090,41 @@ def _registry():
         oq.cosine_topk_filtered_sql(_qv, 10, lang="de"),
     )
 
+    # the remaining ES agg family: date_range (named [from,to) epoch
+    # buckets, always-present, overlap-legal — ONE conditional-agg
+    # pass), rate (histogram count rescaled per unit), top_metrics
+    # (the sort-winner row's OTHER columns per bucket — struct-max,
+    # map-side-combinable), and t_test (Welch's unpaired t between two
+    # equality buckets — exact integer moments, fixed float tail).
+    _EV_RANGES = [("early", None, 1704844800),
+                  ("mid", 1704844800, 1705708800),
+                  ("late", 1705708800, None)]
+    reg["events_date_range"] = (
+        _tbl_op(partial(tsr.events_date_range, event_type="click",
+                        ranges=_EV_RANGES), "events"),
+        tsr.events_date_range_sql("click", _EV_RANGES),
+    )
+    reg["events_rate"] = (
+        _tbl_op(partial(tsr.events_rate, event_type="view",
+                        unit="minute"), "events"),
+        tsr.events_rate_sql("view", unit="minute"),
+    )
+    reg["events_top_metrics"] = (
+        _tbl_op(partial(tsr.events_top_metrics, event_type="purchase"),
+                "events"),
+        tsr.events_top_metrics_sql("purchase"),
+    )
+    from distributedcodesearchengine_spark.operators.aggs import (
+        t_test_docs,
+        t_test_docs_sql,
+    )
+
+    reg["t_test_lang"] = (
+        _tbl_op(partial(t_test_docs, col="n_chars", group_col="lang",
+                        a="en", b="de")),
+        t_test_docs_sql(col="n_chars", group_col="lang", a="en", b="de"),
+    )
+
     return _rotate(reg)
 
 

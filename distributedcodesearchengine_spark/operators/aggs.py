@@ -1129,3 +1129,117 @@ def bm25_boxplot_sql(query: str, col: str = "doc_len") -> str:
         "nrow AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM grouped) "
         f"SELECT * FROM ({union}) ORDER BY stat"
     )
+
+
+# ---------------------------------------------------------------------------
+# t_test aggregation (Welch's unpaired two-sample t)
+# ---------------------------------------------------------------------------
+
+
+def t_test_docs(
+    docs: DataFrame,
+    col: str = "n_chars",
+    group_col: str = "lang",
+    a: str = "en",
+    b: str = "de",
+) -> DataFrame:
+    """1 row (n_a, n_b, mean_a, mean_b, t_stat, df) — the ES ``t_test``
+    agg (heteroscedastic / Welch's unpaired variant, the ES default)
+    between two equality buckets of a numeric docs column: is the
+    column's mean different between the groups?
+
+    ES returns the p-value; the engine returns the t statistic and the
+    Welch–Satterthwaite degrees of freedom instead — the p-value needs
+    the regularized incomplete beta, which neither engine evaluates
+    with a portable bit-identical lane, while t and df are a fixed
+    float tail over exact integer moments (the matrix_stats contract):
+    mean = CAST(s AS DOUBLE) * 1.0 / n, sample variance s2 =
+    (CAST(sq AS DOUBLE) - mean * CAST(s AS DOUBLE)) * 1.0 / (n - 1),
+    se2 = s2a/na + s2b/nb, t = (mean_a - mean_b) / sqrt(se2),
+    df = se2^2 / ((s2a/na)^2/(na-1) + (s2b/nb)^2/(nb-1)) — the
+    identical operand sequence on both engines. Groups need n >= 2
+    (sample variance); smaller groups raise rather than divide by 0.
+
+    Scale shape: ONE conditional-agg pass over the group-pruned scan
+    (both equality predicates reach the parquet scan as pushed
+    filters); six integer moments cross the exchange, nothing else.
+    """
+    _check_name(col, "column name")
+    _check_name(group_col, "column name")
+    g = F.col(group_col)
+    x = F.col(col).cast("long")
+    one = docs.where(g.isin([a, b])).agg(
+        F.count(F.when(g == a, 1)).cast("long").alias("na"),
+        F.count(F.when(g == b, 1)).cast("long").alias("nb"),
+        F.coalesce(F.sum(F.when(g == a, x)), F.lit(0)).cast("long").alias("sa"),
+        F.coalesce(F.sum(F.when(g == b, x)), F.lit(0)).cast("long").alias("sb"),
+        F.coalesce(F.sum(F.when(g == a, x * x)), F.lit(0)).cast("long").alias("qa"),
+        F.coalesce(F.sum(F.when(g == b, x * x)), F.lit(0)).cast("long").alias("qb"),
+    )
+    row = one.first()
+    if int(row["na"]) < 2 or int(row["nb"]) < 2:
+        raise ValueError(
+            f"t_test needs n >= 2 per group: n_a={row['na']}, n_b={row['nb']}"
+        )
+    ma = F.col("sa").cast("double") * F.lit(1.0) / F.col("na")
+    mb = F.col("sb").cast("double") * F.lit(1.0) / F.col("nb")
+    s2a = (
+        (F.col("qa").cast("double") - ma * F.col("sa").cast("double"))
+        * F.lit(1.0) / (F.col("na") - F.lit(1))
+    )
+    s2b = (
+        (F.col("qb").cast("double") - mb * F.col("sb").cast("double"))
+        * F.lit(1.0) / (F.col("nb") - F.lit(1))
+    )
+    va = s2a * F.lit(1.0) / F.col("na")
+    vb = s2b * F.lit(1.0) / F.col("nb")
+    se2 = va + vb
+    t = (ma - mb) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        va * va / (F.col("na") - F.lit(1)) + vb * vb / (F.col("nb") - F.lit(1))
+    )
+    return one.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        round6(ma).alias("mean_a"),
+        round6(mb).alias("mean_b"),
+        round6(t).alias("t_stat"),
+        round6(df).alias("df"),
+    )
+
+
+def t_test_docs_sql(
+    col: str = "n_chars",
+    group_col: str = "lang",
+    a: str = "en",
+    b: str = "de",
+) -> str:
+    """DuckDB mirror of t_test_docs: identical integer moments and the
+    identical Welch float tail."""
+    from ..functions.rounding import round6_sql
+
+    _check_name(col, "column name")
+    _check_name(group_col, "column name")
+    ea, eb = a.replace("'", "''"), b.replace("'", "''")
+    ma = "(CAST(sa AS DOUBLE) * 1.0 / na)"
+    mb = "(CAST(sb AS DOUBLE) * 1.0 / nb)"
+    s2a = f"((CAST(qa AS DOUBLE) - {ma} * CAST(sa AS DOUBLE)) * 1.0 / (na - 1))"
+    s2b = f"((CAST(qb AS DOUBLE) - {mb} * CAST(sb AS DOUBLE)) * 1.0 / (nb - 1))"
+    va = f"({s2a} * 1.0 / na)"
+    vb = f"({s2b} * 1.0 / nb)"
+    se2 = f"({va} + {vb})"
+    t = f"(({ma} - {mb}) / sqrt({se2}))"
+    df = f"(({se2} * {se2}) / ({va} * {va} / (na - 1) + {vb} * {vb} / (nb - 1)))"
+    return (
+        "WITH one AS (SELECT "
+        f"CAST(count(*) FILTER (WHERE {group_col} = '{ea}') AS BIGINT) AS na, "
+        f"CAST(count(*) FILTER (WHERE {group_col} = '{eb}') AS BIGINT) AS nb, "
+        f"CAST(coalesce(sum(CAST({col} AS BIGINT)) FILTER (WHERE {group_col} = '{ea}'), 0) AS BIGINT) AS sa, "
+        f"CAST(coalesce(sum(CAST({col} AS BIGINT)) FILTER (WHERE {group_col} = '{eb}'), 0) AS BIGINT) AS sb, "
+        f"CAST(coalesce(sum(CAST({col} AS BIGINT) * CAST({col} AS BIGINT)) FILTER (WHERE {group_col} = '{ea}'), 0) AS BIGINT) AS qa, "
+        f"CAST(coalesce(sum(CAST({col} AS BIGINT) * CAST({col} AS BIGINT)) FILTER (WHERE {group_col} = '{eb}'), 0) AS BIGINT) AS qb "
+        f"FROM documents WHERE {group_col} IN ('{ea}', '{eb}')) "
+        "SELECT na AS n_a, nb AS n_b, "
+        f"{round6_sql(ma)} AS mean_a, {round6_sql(mb)} AS mean_b, "
+        f"{round6_sql(t)} AS t_stat, {round6_sql(df)} AS df FROM one"
+    )

@@ -531,3 +531,177 @@ def events_bucket_script_sql(
         f"{round6_sql('tv * 1.0 / n_events')} AS value_per_event "
         "FROM base ORDER BY bucket"
     )
+
+
+# --------------------------------------------------------------------------
+# date_range aggregation
+# --------------------------------------------------------------------------
+
+
+def events_date_range(
+    events: DataFrame,
+    event_type: str,
+    ranges,  # [(key, from_epoch_s | None, to_epoch_s | None)]
+) -> DataFrame:
+    """(range_key, n_events) — the ES ``date_range`` agg: named
+    half-open [from, to) epoch-second buckets over one event type's
+    timestamps. Every requested range is ALWAYS present (count 0 when
+    empty — ES date_range, unlike the histogram's min_doc_count=1),
+    open ends unbounded. Rows in range_key order (deterministic
+    cross-engine order; ES returns definition order, a presentation
+    detail).
+
+    Scale shape: ranges may overlap (ES allows it), so the reduction
+    is ONE conditional-agg pass over the event_type-pruned scan — one
+    count(when(...)) column per range, the filters-agg shape — with
+    the per-range fan-out a driver-side stack over the single agg row.
+    Nothing corpus-sized moves.
+    """
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    keys = [str(k) for k, _f, _t in ranges]
+    if len(set(keys)) != len(keys):
+        raise ValueError(f"duplicate range keys: {keys}")
+    ep = F.unix_timestamp("ts")
+    aggs = []
+    for key, lo, hi in ranges:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (ep >= int(lo))
+        if hi is not None:
+            cond = cond & (ep < int(hi))
+        aggs.append(
+            F.count(F.when(cond, 1)).cast("long").alias(f"_r_{key}")
+        )
+    one = events.where(F.col("event_type") == event_type).agg(*aggs)
+    spark = events.sparkSession
+    stack = ", ".join(f"'{k}', _r_{k}" for k in keys)
+    return (
+        one.selectExpr(
+            f"stack({len(keys)}, {stack}) AS (range_key, n_events)"
+        )
+        .orderBy("range_key")
+    )
+
+
+def events_date_range_sql(event_type: str, ranges) -> str:
+    """DuckDB mirror of events_date_range: identical conditional-agg
+    pass + UNION ALL fan-out, range_key order."""
+    et = event_type.replace("'", "''")
+    cols = []
+    parts = []
+    for key, lo, hi in ranges:
+        conds = []
+        if lo is not None:
+            conds.append(f"CAST(epoch(ts) AS BIGINT) >= {int(lo)}")
+        if hi is not None:
+            conds.append(f"CAST(epoch(ts) AS BIGINT) < {int(hi)}")
+        w = " AND ".join(conds) if conds else "true"
+        cols.append(
+            f"CAST(count(*) FILTER (WHERE {w}) AS BIGINT) AS \"_r_{key}\""
+        )
+        parts.append(f"SELECT '{key}' AS range_key, \"_r_{key}\" AS n_events FROM one")
+    return (
+        f"WITH one AS (SELECT {', '.join(cols)} FROM events "
+        f"WHERE event_type = '{et}') "
+        f"SELECT * FROM ({' UNION ALL '.join(parts)}) ORDER BY range_key"
+    )
+
+
+# --------------------------------------------------------------------------
+# rate aggregation
+# --------------------------------------------------------------------------
+
+_RATE_UNITS_S = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+
+
+def events_rate(
+    events: DataFrame, event_type: str, unit: str = "minute"
+) -> DataFrame:
+    """(bucket, n_events, rate) — the ES ``rate`` agg inside an hourly
+    date-histogram: each bucket's event count rescaled to events per
+    ``unit`` (rate = count * unit_seconds / 3600). Observed buckets
+    only (the histogram family's min_doc_count=1 contract). The rate
+    is ONE float multiply-divide over an exact integer count, spelled
+    ``CAST(n AS DOUBLE) * unit_s / 3600.0`` on both engines."""
+    if unit not in _RATE_UNITS_S:
+        raise ValueError(f"unit must be one of {sorted(_RATE_UNITS_S)}: {unit!r}")
+    us = float(_RATE_UNITS_S[unit])
+    base = (
+        events.where(F.col("event_type") == event_type)
+        .groupBy(F.unix_timestamp(F.date_trunc("hour", "ts")).alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    return base.select(
+        "bucket",
+        "n_events",
+        round6(
+            F.col("n_events").cast("double") * F.lit(us) / F.lit(3600.0)
+        ).alias("rate"),
+    ).orderBy("bucket")
+
+
+def events_rate_sql(event_type: str, unit: str = "minute") -> str:
+    if unit not in _RATE_UNITS_S:
+        raise ValueError(f"unit must be one of {sorted(_RATE_UNITS_S)}: {unit!r}")
+    us = float(_RATE_UNITS_S[unit])
+    et = event_type.replace("'", "''")
+    return (
+        "WITH base AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, "
+        "CAST(count(*) AS BIGINT) AS n_events FROM events "
+        f"WHERE event_type = '{et}' GROUP BY 1) "
+        "SELECT bucket, n_events, "
+        f"{round6_sql(f'CAST(n_events AS DOUBLE) * {us} / 3600.0')} AS rate "
+        "FROM base ORDER BY bucket"
+    )
+
+
+# --------------------------------------------------------------------------
+# top_metrics aggregation
+# --------------------------------------------------------------------------
+
+
+def events_top_metrics(events: DataFrame, event_type: str) -> DataFrame:
+    """(bucket, event_id, value, user_id) — the ES ``top_metrics`` agg
+    inside an hourly date-histogram: per bucket, the metrics row of the
+    (value desc, event_id asc) top event — 'the metrics of the row that
+    sorts first', which a plain max(value) cannot express (the OTHER
+    columns ride along).
+
+    Scale shape: ONE groupBy with a map-side-combinable struct-max
+    (value, -event_id) — the events_latest anti-skew shape: each
+    partition reduces to one candidate per bucket before the shuffle,
+    so recrawl-heavy buckets never move their history. The naive
+    row_number() window would shuffle and sort every event."""
+    top = (
+        events.where(F.col("event_type") == event_type)
+        .groupBy(F.unix_timestamp(F.date_trunc("hour", "ts")).alias("bucket"))
+        .agg(
+            F.max(
+                F.struct(
+                    "value", (-F.col("event_id")).alias("_neg_id"),
+                    "event_id", "user_id",
+                )
+            ).alias("m")
+        )
+    )
+    return top.select(
+        "bucket",
+        F.col("m.event_id").alias("event_id"),
+        round6(F.col("m.value")).alias("value"),
+        F.col("m.user_id").alias("user_id"),
+    ).orderBy("bucket")
+
+
+def events_top_metrics_sql(event_type: str) -> str:
+    et = event_type.replace("'", "''")
+    return (
+        "WITH r AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, "
+        "event_id, value, user_id, "
+        "row_number() OVER (PARTITION BY date_trunc('hour', ts) "
+        "ORDER BY value DESC, event_id ASC) AS rn FROM events "
+        f"WHERE event_type = '{et}') "
+        "SELECT bucket, event_id, "
+        f"{round6_sql('value')} AS value, user_id "
+        "FROM r WHERE rn = 1 ORDER BY bucket"
+    )

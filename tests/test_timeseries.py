@@ -80,3 +80,123 @@ def test_pipeline_aggs_single_bucket(spark):
     assert len(out) == 1
     r = out[0]
     assert (r.n_events, r.cum_n, r.delta_n, r.mavg3) == (1, 1, 0, 1.0)
+
+
+# --- date_range / rate / top_metrics / t_test --------------------------------
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_date_range_always_present_and_overlap(spark):
+    import datetime as dt
+
+    from distributedcodesearchengine_spark.operators.timeseries import (
+        events_date_range,
+    )
+
+    t = lambda d: dt.datetime(2024, 1, d, 12, 0, 0)
+    ep = lambda d: int(t(d).replace(tzinfo=dt.timezone.utc).timestamp())
+    ev = _mk_events(spark, [
+        (1, t(1), 1, "click", 1.0, "{}"),
+        (2, t(5), 1, "click", 1.0, "{}"),
+        (3, t(9), 1, "click", 1.0, "{}"),
+        (4, t(9), 1, "view", 1.0, "{}"),  # other type: never counted
+    ])
+    out = {r["range_key"]: r["n_events"] for r in events_date_range(
+        ev, "click",
+        [("all", None, None),            # open both ends
+         ("w1", ep(1), ep(6)),           # [1st, 6th) -> 2 events
+         ("w2", ep(5), ep(10)),          # overlaps w1 (ES allows)
+         ("empty", ep(20), ep(25))],     # always present at 0
+    ).collect()}
+    assert out == {"all": 3, "w1": 2, "w2": 2, "empty": 0}
+    # boundary: from is inclusive, to exclusive
+    from distributedcodesearchengine_spark.operators.timeseries import (
+        events_date_range as edr,
+    )
+    b = {r["range_key"]: r["n_events"] for r in edr(
+        ev, "click", [("at", ep(5), ep(5) + 1), ("before", None, ep(5))]
+    ).collect()}
+    assert b == {"at": 1, "before": 1}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        edr(ev, "click", [])
+    with _pt.raises(ValueError):
+        edr(ev, "click", [("x", None, None), ("x", 1, 2)])
+
+
+def test_rate_rescales_hourly_counts(spark):
+    import datetime as dt
+
+    from distributedcodesearchengine_spark.operators.timeseries import (
+        events_rate,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    ev = _mk_events(spark, [
+        (i, base + dt.timedelta(minutes=i), 1, "click", 1.0, "{}")
+        for i in range(6)
+    ] + [(99, base + dt.timedelta(hours=2), 1, "click", 1.0, "{}")])
+    out = events_rate(ev, "click", "minute").collect()
+    assert [r["n_events"] for r in out] == [6, 1]
+    assert [r["rate"] for r in out] == [0.1, round(1 * 60 / 3600.0, 6)]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        events_rate(ev, "click", "fortnight")
+
+
+def test_top_metrics_carries_sort_winner_row(spark):
+    import datetime as dt
+
+    from distributedcodesearchengine_spark.operators.timeseries import (
+        events_top_metrics,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    ev = _mk_events(spark, [
+        (1, base, 7, "click", 5.0, "{}"),
+        (2, base + dt.timedelta(minutes=1), 8, "click", 9.0, "{}"),  # winner
+        (3, base + dt.timedelta(minutes=2), 9, "click", 9.0, "{}"),  # tie: higher id loses
+        (4, base + dt.timedelta(hours=1), 11, "click", 1.0, "{}"),
+    ])
+    out = events_top_metrics(ev, "click").collect()
+    assert len(out) == 2
+    assert (out[0]["event_id"], out[0]["user_id"], out[0]["value"]) == (2, 8, 9.0)
+    assert out[1]["event_id"] == 4
+
+
+def test_t_test_welch_matches_scipy_formula(spark):
+    """Hand-computed Welch t/df on a tiny two-group frame."""
+    import math
+
+    from distributedcodesearchengine_spark.operators.aggs import t_test_docs
+
+    rows = [(i, "x", "en", v) for i, v in enumerate([10, 12, 14, 16])] + [
+        (100 + i, "x", "de", v) for i, v in enumerate([20, 22, 30])
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    )
+    out = t_test_docs(docs).collect()[0]
+    xa, xb = [10, 12, 14, 16], [20, 22, 30]
+    ma, mb = sum(xa) / 4, sum(xb) / 3
+    s2a = sum((v - ma) ** 2 for v in xa) / 3
+    s2b = sum((v - mb) ** 2 for v in xb) / 2
+    se2 = s2a / 4 + s2b / 3
+    t = (ma - mb) / math.sqrt(se2)
+    df = se2 * se2 / ((s2a / 4) ** 2 / 3 + (s2b / 3) ** 2 / 2)
+    assert out["n_a"] == 4 and out["n_b"] == 3
+    assert abs(out["t_stat"] - t) < 1e-6 and abs(out["df"] - df) < 1e-6
+    import pytest as _pt
+    small = spark.createDataFrame(
+        [(1, "x", "en", 5), (2, "x", "de", 6), (3, "x", "de", 7)],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    with _pt.raises(ValueError):
+        t_test_docs(small)
