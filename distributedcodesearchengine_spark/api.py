@@ -45,6 +45,12 @@ class SearchEngine:
         self.dim = dim
         self.embeddings = embeddings
         self._langs: Optional[set] = None
+        # point-in-time handles: pit_id -> the Index handle that was
+        # being served at open time. Index handles are immutable
+        # (persisted segments are never rewritten in place; reload_index
+        # swaps the handle), so pinning one IS a consistent snapshot.
+        self._pits: Dict[str, Index] = {}
+        self._pit_seq = 0
 
     def warm(self) -> "SearchEngine":
         """Pin the serving relations in executor storage and materialize
@@ -757,6 +763,110 @@ class SearchEngine:
         return cosine_topk_filtered(
             emb, qvec, int(limit), id_filter=id_filter, id_col="doc_id"
         )
+
+    def open_pit(self) -> str:
+        """The ES point-in-time API: pin the CURRENTLY served index
+        handle under an id. Searches through the pit see exactly this
+        snapshot — a concurrent reload_index swap never changes a
+        pit-pinned ranking mid-pagination (the consistency guarantee
+        search_after alone cannot give across index swaps)."""
+        import hashlib
+
+        self._pit_seq += 1
+        pid = hashlib.sha256(
+            f"pit:{id(self.index)}:{self._pit_seq}".encode()
+        ).hexdigest()[:16]
+        self._pits[pid] = self.index
+        return pid
+
+    def close_pit(self, pit_id: str) -> bool:
+        """Release a pit handle -> True if it existed. The pinned
+        relations become collectable once no pit references them."""
+        return self._pits.pop(pit_id, None) is not None
+
+    def search_pit(
+        self, pit_id: str, query: str, limit: int = 10,
+        lang=None, site=None, source=None,
+    ) -> DataFrame:
+        """BM25 search against a pinned point-in-time snapshot (the
+        full _bm25 dispatcher — quoted/NEAR/boolean/wildcard/fuzzy/
+        boosted — over the pit's index handle). Unknown pit ids raise
+        (the ES search_context_missing analog -> 400 at the API)."""
+        if pit_id not in self._pits:
+            raise ValueError(f"unknown or expired pit id: {pit_id!r}")
+        filters = {
+            k: v
+            for k, v in (("lang", lang), ("site", site), ("source", source))
+            if v
+        }
+        return self._bm25(
+            query, int(limit), filters or None, "exact",
+            index=self._pits[pit_id],
+        )
+
+    def validate(self, query: str) -> dict:
+        """The ES _validate/query API: is the query parseable, which
+        query type would the dispatcher route it to, and what does it
+        analyze to? Never executes the query — parse/classify only.
+        Uses the SAME detector predicates in the SAME order as the
+        _bm25 dispatcher, so the classification cannot drift from the
+        routing."""
+        from .operators.boolquery import is_boolean_query
+        from .operators.boostquery import is_boosted_query
+        from .operators.fuzzy import is_fuzzy_query
+        from .operators.proximity import (
+            parse_near_query,
+            parse_ordered_near_query,
+        )
+        from .operators.wildcard import is_wildcard_query
+        from .oracle.tokenizer import tokenize
+
+        q = (query or "").strip()
+        try:
+            if len(q) >= 2 and q[0] == '"' and q[-1] == '"':
+                kind, toks = "phrase", tokenize(q[1:-1])
+            elif parse_ordered_near_query(q) is not None:
+                kind, toks = "ordered_near", parse_ordered_near_query(q)[0]
+            elif parse_near_query(q) is not None:
+                kind, toks = "near", parse_near_query(q)[0]
+            elif is_boolean_query(q):
+                kind, toks = "boolean", tokenize(q.replace("+", " ").replace("-", " "))
+            elif is_wildcard_query(q):
+                kind, toks = "wildcard", tokenize(q.replace("*", " "))
+            elif is_fuzzy_query(q):
+                kind, toks = "fuzzy", tokenize(q.replace("~", " "))
+            elif is_boosted_query(q):
+                kind, toks = "boosted", tokenize(q.replace("^", " "))
+            else:
+                kind, toks = "match", tokenize(q)
+            return {"valid": True, "query_type": kind,
+                    "tokens": list(toks), "matches_nothing": not toks}
+        except ValueError as e:
+            return {"valid": False, "error": str(e)}
+
+    def field_caps(self) -> list:
+        """The ES _field_caps API: the searchable/aggregatable fields
+        of the served index with their types — docs-relation columns
+        plus the derived surfaces (embedding kNN when present)."""
+        out = []
+        for f in self.index.docs.schema.fields:
+            name, dt = f.name, f.dataType.simpleString()
+            out.append({
+                "field": name,
+                "type": dt,
+                # full-text search runs over the tokenized text; the
+                # metadata strings are filter/agg fields
+                "searchable": name in ("text", "tokens", "url"),
+                "aggregatable": dt in ("string", "bigint", "int", "long",
+                                       "double") and name not in ("text",),
+            })
+        out.append({
+            "field": "_embedding",
+            "type": f"array<float>[{self.dim}]",
+            "searchable": True,   # via /knn
+            "aggregatable": False,
+        })
+        return sorted(out, key=lambda r: r["field"])
 
     def similar(self, doc_id: int, m: int = 5, limit: int = 10) -> DataFrame:
         """More-like-this over the served index

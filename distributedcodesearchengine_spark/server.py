@@ -433,6 +433,15 @@ def make_handler(engine, stats_fn, index_manager=None):
                             "GET /boosting": "ES boosting query: "
                             "positive= ranking, negative= matches "
                             "demoted by negative_boost=",
+                            "GET /pit_open": "pin the served index "
+                            "snapshot under a point-in-time id",
+                            "GET /pit_search": "search a pinned "
+                            "snapshot (pit=, q=) — immune to reloads",
+                            "GET /pit_close": "release a pit id",
+                            "GET /validate": "parse/classify q= "
+                            "without executing (ES _validate/query)",
+                            "GET /field_caps": "searchable/aggregatable "
+                            "fields + types (ES _field_caps)",
                             "GET /knn": "exact cosine kNN of q='s "
                             "embedding (lang= filters during search)",
                             "GET /regexp_search": "whole-term regexp query "
@@ -730,6 +739,33 @@ def make_handler(engine, stats_fn, index_manager=None):
                         {"doc_id": int(q["doc_id"]), "found": bool(rows),
                          "terms": [r.asDict() for r in rows]},
                     )
+                if url.path == "/pit_open":
+                    return self._send(200, {"pit_id": engine.open_pit()})
+                if url.path == "/pit_close":
+                    if "id" not in q:
+                        return self._send(400, {"error": "missing id"})
+                    return self._send(
+                        200, {"closed": engine.close_pit(q["id"])}
+                    )
+                if url.path == "/pit_search":
+                    if "pit" not in q or "q" not in q:
+                        return self._send(400, {"error": "need pit= and q="})
+                    rows = engine.search_pit(
+                        q["pit"], q["q"], limit=int(q.get("limit", 10)),
+                        lang=q.get("lang"), site=q.get("site"),
+                        source=q.get("source"),
+                    ).collect()
+                    return self._send(
+                        200,
+                        {"pit_id": q["pit"], "query": q["q"],
+                         "results": [r.asDict() for r in rows]},
+                    )
+                if url.path == "/validate":
+                    if "q" not in q:
+                        return self._send(400, {"error": "missing q"})
+                    return self._send(200, engine.validate(q["q"]))
+                if url.path == "/field_caps":
+                    return self._send(200, {"fields": engine.field_caps()})
                 if url.path == "/boosting":
                     if "positive" not in q or "negative" not in q:
                         return self._send(
