@@ -772,6 +772,13 @@ class SearchEngine:
         search_after alone cannot give across index swaps)."""
         import hashlib
 
+        # a leaked-handle backstop, not a quota: clients that never
+        # close would otherwise pin every historical index handle (and
+        # its cached relations) forever
+        if len(self._pits) >= 256:
+            raise ValueError(
+                "too many open point-in-time handles (256); close some"
+            )
         self._pit_seq += 1
         pid = hashlib.sha256(
             f"pit:{id(self.index)}:{self._pit_seq}".encode()

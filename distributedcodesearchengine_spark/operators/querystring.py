@@ -141,7 +141,12 @@ def parse_query_string(query: str) -> QueryStringPlan:
                 plan.phrases.append(body)
             for t in toks:
                 plan.weighted[t] = plan.weighted.get(t, 0.0) + boost
-            if sign == "+":
+            # '+' on a single-token quote is the boolean flag on that
+            # term; on a multi-token phrase it adds nothing (the phrase
+            # predicate is already a requirement) and MUST NOT add a
+            # pre-threshold constraint, or +"a b" would rank differently
+            # from "a b" (the documented equivalence)
+            if sign == "+" and len(toks) == 1:
                 plan.required.extend(toks)
             continue
         clause = m.group("bare")

@@ -538,6 +538,25 @@ def events_bucket_script_sql(
 # --------------------------------------------------------------------------
 
 
+_RANGE_KEY_RE = __import__("re").compile(r"^[A-Za-z0-9_]{1,40}$")
+
+
+def _check_range_keys(ranges) -> None:
+    """Range keys become column names and SQL literals on both engines
+    — restrict to identifier-safe shapes (F8 validation, never an
+    injection or an unparseable plan)."""
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    keys = [str(k) for k, _f, _t in ranges]
+    bad = [k for k in keys if not _RANGE_KEY_RE.match(k)]
+    if bad:
+        raise ValueError(
+            f"range keys must match [A-Za-z0-9_]{{1,40}}: {bad}"
+        )
+    if len(set(keys)) != len(keys):
+        raise ValueError(f"duplicate range keys: {keys}")
+
+
 def events_date_range(
     events: DataFrame,
     event_type: str,
@@ -557,11 +576,8 @@ def events_date_range(
     the per-range fan-out a driver-side stack over the single agg row.
     Nothing corpus-sized moves.
     """
-    if not ranges:
-        raise ValueError("ranges must be non-empty")
+    _check_range_keys(ranges)
     keys = [str(k) for k, _f, _t in ranges]
-    if len(set(keys)) != len(keys):
-        raise ValueError(f"duplicate range keys: {keys}")
     ep = F.unix_timestamp("ts")
     aggs = []
     for key, lo, hi in ranges:
@@ -587,6 +603,7 @@ def events_date_range(
 def events_date_range_sql(event_type: str, ranges) -> str:
     """DuckDB mirror of events_date_range: identical conditional-agg
     pass + UNION ALL fan-out, range_key order."""
+    _check_range_keys(ranges)
     et = event_type.replace("'", "''")
     cols = []
     parts = []

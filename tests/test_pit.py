@@ -49,10 +49,16 @@ def test_pit_pins_snapshot_across_reload(spark):
         engine.search_pit(pid, "dup", 10)
 
 
-def test_pit_ids_are_unique(spark):
+def test_pit_ids_are_unique_and_capped(spark):
     engine = SearchEngine(_index(spark, ["aa bb", "cc dd"]))
     ids = {engine.open_pit() for _ in range(5)}
     assert len(ids) == 5
+    # leaked-handle backstop: the 257th open raises
+    for _ in range(256 - len(engine._pits)):
+        engine.open_pit()
+    with pytest.raises(ValueError):
+        engine.open_pit()
+    engine._pits.clear()
 
 
 def test_validate_classifies_like_dispatcher(spark):

@@ -168,6 +168,17 @@ def test_fuzzy_equals_fuzzy_topk(idx):
     assert a == b and a
 
 
+def test_plus_quoted_phrase_equals_bare_phrase(idx):
+    """+"a b" must rank EXACTLY like "a b": the phrase predicate is
+    already a requirement, and + must not smuggle in a pre-threshold
+    constraint that would move the 1%-of-max base."""
+    a = _ranked(bm25_query_string_topk(idx, '+"dup table"', k=10))
+    b = _ranked(bm25_query_string_topk(idx, '"dup table"', k=10))
+    assert a == b and a
+    p = parse_query_string('+"dup table"')
+    assert p.required == [] and p.phrases == ["dup table"]
+
+
 def test_quoted_equals_phrase_topk(idx):
     from distributedcodesearchengine_spark.operators.phrase import (
         bm25_phrase_topk,

@@ -129,6 +129,15 @@ def test_date_range_always_present_and_overlap(spark):
         edr(ev, "click", [])
     with _pt.raises(ValueError):
         edr(ev, "click", [("x", None, None), ("x", 1, 2)])
+    # keys become column names + SQL literals: identifier-safe only
+    from distributedcodesearchengine_spark.operators.timeseries import (
+        events_date_range_sql,
+    )
+    for bad in ("a b", "x'y", "k-1", ""):
+        with _pt.raises(ValueError):
+            edr(ev, "click", [(bad, None, None)])
+        with _pt.raises(ValueError):
+            events_date_range_sql("click", [(bad, None, None)])
 
 
 def test_rate_rescales_hourly_counts(spark):
