@@ -60,6 +60,11 @@ def _build_parser() -> argparse.ArgumentParser:
     s.add_argument("--hybrid", action="store_true")
     s.add_argument("--scorer", default="exact")
     s.add_argument("--json", action="store_true", dest="as_json")
+    s.add_argument(
+        "--query-string", action="store_true", dest="query_string",
+        help='parse the query as the Lucene mini-language '
+             '(+must -not "phrase" pre* word~1 term^2.5 lang:en)',
+    )
 
     t = sub.add_parser("stats", help="corpus + build-lineage rollup")
     t.add_argument("--index", required=True)
@@ -292,16 +297,25 @@ def main(argv=None, spark=None) -> int:
         idx = load_index(spark, args.index)
         engine = SearchEngine(idx)
         try:
-            res = engine.search(
-                args.query,
-                limit=args.limit,
-                lang=args.lang,
-                site=args.site,
-                source=args.source,
-                use_hybrid=args.hybrid,
-                scorer=args.scorer,
-                on_invalid="error",
-            )
+            if args.query_string:
+                res = engine.query_string(
+                    args.query,
+                    limit=args.limit,
+                    lang=args.lang,
+                    site=args.site,
+                    source=args.source,
+                )
+            else:
+                res = engine.search(
+                    args.query,
+                    limit=args.limit,
+                    lang=args.lang,
+                    site=args.site,
+                    source=args.source,
+                    use_hybrid=args.hybrid,
+                    scorer=args.scorer,
+                    on_invalid="error",
+                )
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
             return 2

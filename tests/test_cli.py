@@ -287,3 +287,23 @@ def test_cli_eval_metrics(built, spark, capsys):
     # malformed queries -> exit 2 with an error line
     rc = main(["eval", "--index", built, "--queries", "not json"], spark=spark)
     assert rc == 2
+
+
+def test_cli_query_string(built, spark, capsys):
+    rc = main(
+        ["search", '+parse "parse json" js* -zzqx json^2', "--index", built,
+         "--limit", "5", "--json", "--query-string"],
+        spark=spark,
+    )
+    assert rc == 0
+    lines = [json.loads(line) for line in capsys.readouterr().out.strip().splitlines()]
+    assert lines and [r["rank"] for r in lines] == list(range(1, len(lines) + 1))
+
+
+def test_cli_query_string_invalid_is_error(built, spark, capsys):
+    rc = main(
+        ["search", '-"parse json"', "--index", built, "--query-string"],
+        spark=spark,
+    )
+    assert rc == 2
+    assert "unsupported" in capsys.readouterr().err
