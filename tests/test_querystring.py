@@ -273,3 +273,35 @@ def test_query_string_endpoint(spark):
         assert ei.value.code == 400
     finally:
         server.shutdown()
+
+
+# --- parser fuzz --------------------------------------------------------------
+
+
+def test_parser_never_crashes_on_arbitrary_text():
+    """Property: on ANY printable string the parser either returns a
+    plan or raises the documented ValueError — never any other
+    exception, and never a plan with un-analyzed tokens."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import re as _re
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                   max_size=60))
+    def _prop(q):
+        try:
+            p = parse_query_string(q)
+        except ValueError:
+            return
+        for t in p.weighted:
+            assert _re.fullmatch(r"[a-z0-9]{2,}", t), (q, t)
+        for t in p.required + p.excluded:
+            assert _re.fullmatch(r"[a-z0-9]{2,}", t), (q, t)
+        for pre in p.prefixes:
+            assert _re.fullmatch(r"[a-z0-9]+", pre), (q, pre)
+        for w, d in p.fuzzies:
+            assert d in (1, 2) and _re.fullmatch(r"[a-z0-9]{2,}", w)
+
+    _prop()
