@@ -1034,6 +1034,22 @@ def make_handler(engine, stats_fn, index_manager=None):
                 if url.path == "/search":
                     if "q" not in q:
                         return self._send(400, {"error": "missing q"})
+                    # the specialized branches (collapse / msm / range)
+                    # don't implement offset paging, alternate scorers,
+                    # or hybrid fusion — reject the combination instead
+                    # of silently ignoring the parameter (ADVICE r4)
+                    special = [k for k in ("collapse", "msm", "len_min",
+                                           "len_max") if k in q]
+                    if special:
+                        unsupported = [
+                            p for p in ("offset", "scorer", "hybrid")
+                            if p in q
+                        ]
+                        if unsupported:
+                            return self._send(400, {
+                                "error": f"{'/'.join(unsupported)} not "
+                                f"supported with {'/'.join(special)}"
+                            })
                     if "collapse" in q:
                         res = engine.collapse(
                             q["q"], field=q["collapse"],

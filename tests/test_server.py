@@ -883,3 +883,19 @@ def test_mget_endpoint(srv):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(srv, "/mget")
     assert ei.value.code == 400
+
+
+def test_search_special_branches_reject_unsupported_params(srv):
+    """collapse/msm/range don't implement offset/scorer/hybrid — the
+    combination is a 400, never a silently-ignored parameter."""
+    for combo in (
+        {"q": "parse", "collapse": "source", "offset": 5},
+        {"q": "parse", "msm": 2, "scorer": "wand"},
+        {"q": "parse", "len_min": 10, "hybrid": 1},
+    ):
+        qs = urllib.parse.urlencode(combo)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"{srv}/search?{qs}")
+        assert ei.value.code == 400
+        body = json.loads(ei.value.read())
+        assert "not supported" in body["error"]
