@@ -1125,6 +1125,19 @@ def _registry():
         t_test_docs_sql(col="n_chars", group_col="lang", a="en", b="de"),
     )
 
+    # Lucene SpanNotQuery: include-term spans surviving a pre/post
+    # window around every exclude-term span (negative context —
+    # 'dup not adjacent to table'), post-threshold like span_first
+    from distributedcodesearchengine_spark.operators.queryext import (
+        bm25_span_not_sql,
+    )
+
+    reg["bm25_span_not"] = (
+        partial(eq.bm25_span_not_q, include="dup", exclude="table",
+                pre=1, post=1, k=10),
+        bm25_span_not_sql("dup", "table", pre=1, post=1, k=10),
+    )
+
     return _rotate(reg)
 
 

@@ -662,6 +662,21 @@ class SearchEngine:
         return bm25_span_first_topk(self.index, term, end=int(end),
                                     k=int(limit))
 
+    def span_not(
+        self, include: str, exclude: str, pre: int = 0, post: int = 0,
+        limit: int = 10,
+    ) -> DataFrame:
+        """BM25 ranking of ``include`` restricted to docs with at least
+        one occurrence outside the pre/post window of every ``exclude``
+        occurrence (operators/queryext.bm25_span_not_topk — Lucene
+        SpanNotQuery)."""
+        from .operators.queryext import bm25_span_not_topk
+
+        return bm25_span_not_topk(
+            self.index, include, exclude, pre=int(pre), post=int(post),
+            k=int(limit),
+        )
+
     def analyze(self, text: Optional[str] = None,
                 doc_id: Optional[int] = None) -> DataFrame:
         """The ES _analyze API: the analyzer's ordered (pos, token)

@@ -1050,6 +1050,21 @@ def bm25_span_first_q(
     ).orderBy("rank")
 
 
+def bm25_span_not_q(
+    spark: SparkSession, sf_dir: str, include: str, exclude: str,
+    pre: int = 0, post: int = 0, k: int = 10,
+) -> DataFrame:
+    """span_not gate entry (operators/queryext — Lucene SpanNotQuery
+    with pre/post windows, composed post-threshold like span_first)."""
+    from .operators.queryext import bm25_span_not_topk
+
+    idx = get_documents_index(spark, sf_dir)
+    res = bm25_span_not_topk(idx, include, exclude, pre=pre, post=post, k=k)
+    return res.select(
+        "rank", _orig_doc_id(), round6("score").alias("score")
+    ).orderBy("rank")
+
+
 def analyze_doc_q(
     spark: SparkSession, sf_dir: str, doc_id: int = 3
 ) -> DataFrame:

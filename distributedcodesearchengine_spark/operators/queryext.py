@@ -581,3 +581,118 @@ def match_phrase_prefix_sql(
             f"AND d.toks[i+{b}] = p.term)) > 0)"
         )
     return expanded_bm25_sql(parts, k, doc_filter_cte=dfil)
+
+
+# --------------------------------------------------------------------------
+# span_not query
+# --------------------------------------------------------------------------
+
+
+def span_not_docs(
+    index: Index, include: str, exclude: str, pre: int = 0, post: int = 0
+) -> DataFrame:
+    """doc_ids with at least one occurrence of ``include`` that is NOT
+    within ``pre`` positions after / ``post`` positions before any
+    occurrence of ``exclude`` — Lucene ``SpanNotQuery`` (with its
+    pre/post window parameters): "rows not near corrupted", the
+    negative-context match the NEAR operator cannot express.
+
+    A surviving include position p satisfies, for EVERY exclude
+    position e: NOT (e - pre <= p <= e + post). A doc without the
+    exclude term trivially matches (all include spans survive); a doc
+    without the include term never matches.
+
+    Scale shape: the scan is restricted to the INCLUDE term's postings
+    first (term-pruned semi-join — the candidate set is the posting
+    list, never the corpus), then both position lists derive from the
+    tokens column with JVM higher-order functions (transform + filter
+    + exists): zero Python, zero posexplode shuffle, cost bounded by
+    candidate doc length exactly like any tokens-column predicate."""
+    ti, te = tokenize(include), tokenize(exclude)
+    if len(ti) != 1 or len(te) != 1:
+        raise ValueError(
+            f"span_not takes exactly one indexable term per side: "
+            f"include={include!r} exclude={exclude!r}"
+        )
+    if int(pre) < 0 or int(post) < 0:
+        raise ValueError(f"pre/post must be >= 0: {pre!r}/{post!r}")
+    inc, exc = ti[0], te[0]
+    cand = index.docs.join(
+        index.tf.where(F.col("term") == inc).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+
+    def _positions(term: str):
+        return F.filter(
+            F.transform(
+                F.col("tokens"),
+                lambda t, i: F.when(t == F.lit(term), i + 1),
+            ),
+            lambda x: x.isNotNull(),
+        )
+
+    pinc, pexc = _positions(inc), _positions(exc)
+    survives = F.exists(
+        pinc,
+        lambda p: ~F.exists(
+            pexc,
+            lambda e: (p >= e - F.lit(int(pre))) & (p <= e + F.lit(int(post))),
+        ),
+    )
+    return cand.where(survives).select("doc_id")
+
+
+def bm25_span_not_topk(
+    index: Index,
+    include: str,
+    exclude: str,
+    pre: int = 0,
+    post: int = 0,
+    k: int = 10,
+    filters=None,
+) -> DataFrame:
+    """(rank, doc_id, url, score): BM25 ranking of the include term
+    restricted to span_not-surviving docs — the doc_filter composition
+    contract (post-threshold, exactly like span_first / the quoted
+    phrase)."""
+    occ = span_not_docs(index, include, exclude, pre=pre, post=post)
+    qweights = query_term_weights(index, include)
+    scored = score_matched(index, qweights) if qweights else None
+    return finalize_topk(index, scored, k, filters, doc_filter=occ)
+
+
+def bm25_span_not_sql(
+    include: str, exclude: str, pre: int = 0, post: int = 0, k: int = 10
+) -> str:
+    """Mirror: shared kept chain + the identical survive predicate over
+    1-based list positions (both engines compare positions only as
+    DIFFERENCES, so the index base cancels)."""
+    from ..functions.sql_oracle import kept_cte_sql
+
+    ti, te = tokenize(include), tokenize(exclude)
+    if len(ti) != 1 or len(te) != 1:
+        raise ValueError(
+            f"span_not takes exactly one indexable term per side: "
+            f"include={include!r} exclude={exclude!r}"
+        )
+    if int(pre) < 0 or int(post) < 0:
+        raise ValueError(f"pre/post must be >= 0: {pre!r}/{post!r}")
+    inc, exc = ti[0], te[0]
+    chain = kept_cte_sql(inc)
+    if chain is None:  # unreachable given the one-term guard; typed for safety
+        return "SELECT 1 AS rank, 1::BIGINT AS doc_id, 0.0 AS score WHERE false"
+    pinc = f"list_filter(generate_series(1, len(toks)), i -> toks[i] = '{inc}')"
+    pexc = f"list_filter(generate_series(1, len(toks)), i -> toks[i] = '{exc}')"
+    survive = (
+        f"len(list_filter({pinc}, p -> len(list_filter({pexc}, "
+        f"e -> p >= e - {int(pre)} AND p <= e + {int(post)})) = 0)) > 0"
+    )
+    return (
+        f"{chain}, "
+        f"sn AS (SELECT doc_id FROM docs WHERE {survive}) "
+        "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank, "
+        f"doc_id, {round6_sql('score')} AS score "
+        "FROM kept JOIN sn USING (doc_id) "
+        f"ORDER BY score DESC, doc_id ASC LIMIT {int(k)}"
+    )

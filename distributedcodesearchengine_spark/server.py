@@ -433,6 +433,9 @@ def make_handler(engine, stats_fn, index_manager=None):
                             "GET /boosting": "ES boosting query: "
                             "positive= ranking, negative= matches "
                             "demoted by negative_boost=",
+                            "GET /span_not": "include= spans outside "
+                            "the pre=/post= window of every exclude= "
+                            "span (Lucene SpanNotQuery)",
                             "GET /pit_open": "pin the served index "
                             "snapshot under a point-in-time id",
                             "GET /pit_search": "search a pinned "
@@ -738,6 +741,21 @@ def make_handler(engine, stats_fn, index_manager=None):
                         200,
                         {"doc_id": int(q["doc_id"]), "found": bool(rows),
                          "terms": [r.asDict() for r in rows]},
+                    )
+                if url.path == "/span_not":
+                    if "include" not in q or "exclude" not in q:
+                        return self._send(
+                            400, {"error": "need include= and exclude="}
+                        )
+                    rows = engine.span_not(
+                        q["include"], q["exclude"],
+                        pre=int(q.get("pre", 0)), post=int(q.get("post", 0)),
+                        limit=int(q.get("limit", 10)),
+                    ).collect()
+                    return self._send(
+                        200,
+                        {"include": q["include"], "exclude": q["exclude"],
+                         "results": [r.asDict() for r in rows]},
                     )
                 if url.path == "/pit_open":
                     return self._send(200, {"pit_id": engine.open_pit()})

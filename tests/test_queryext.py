@@ -397,3 +397,67 @@ def test_events_bucket_script_and_selector(spark):
     assert out[0].n_events == 2
     assert out[0].total_value == pytest.approx(30.0, abs=1e-6)
     assert out[0].value_per_event == pytest.approx(15.0, abs=1e-6)
+
+
+# --- span_not ---------------------------------------------------------------
+
+
+def test_span_not_excludes_windowed_occurrences(spark):
+    """Docs where EVERY include span sits inside an exclude window are
+    out; one surviving span keeps the doc."""
+    from distributedcodesearchengine_spark.operators.queryext import (
+        span_not_docs,
+    )
+
+    idx = _index(spark, [
+        "scan bad aa bb",        # 0: 'scan' 2 before... actually scan@1, bad@2
+        "aa scan bad bb",        # 1: scan adjacent before bad
+        "aa bad scan bb",        # 2: scan adjacent after bad
+        "scan aa bb bad",        # 3: scan far from bad -> survives
+        "scan bad aa scan",      # 4: second scan far -> survives
+        "aa bb cc dd",           # 5: no scan -> never matches
+        "scan aa bb cc",         # 6: no bad -> trivially survives
+    ])
+    got = {r["doc_id"] for r in
+           span_not_docs(idx, "scan", "bad", pre=1, post=1).collect()}
+    assert got == {3, 4, 6}
+    # asymmetric windows: post only (exclude BEFORE include is allowed)
+    got_post = {r["doc_id"] for r in
+                span_not_docs(idx, "scan", "bad", pre=0, post=1).collect()}
+    # post=1 kills include positions <= e+1 and >= e-0: doc1 scan@2,bad@3:
+    # window [3,4] -> scan@2 survives; doc2 bad@2,scan@3: [2,3] kills it
+    assert 1 in got_post and 2 not in got_post
+
+
+def test_span_not_zero_window_is_plain_topk(spark):
+    """pre=0/post=0 demands p == e, impossible for distinct terms —
+    identical to the unrestricted ranking."""
+    from distributedcodesearchengine_spark.operators.queryext import (
+        bm25_span_not_topk,
+    )
+
+    # 2-of-6 docs keeps 'scan' positive-idf (healthy regime: the
+    # identity is over the thresholded kept set; in the degenerate
+    # regime the doc_filter correctly trims the zero backfill to
+    # include-docs, like every doc_filter operator)
+    idx = _index(spark, ["scan aa", "bb scan scan", "cc dd", "ee ff gg",
+                         "hh ii", "jj kk"])
+    a = [(r.doc_id, r.score) for r in
+         bm25_span_not_topk(idx, "scan", "aa", 0, 0).collect()]
+    b = [(r.doc_id, r.score) for r in bm25_topk(idx, "scan").collect()]
+    assert a == b and a
+
+
+def test_span_not_guards(spark):
+    from distributedcodesearchengine_spark.operators.queryext import (
+        bm25_span_not_sql,
+        span_not_docs,
+    )
+
+    idx = _index(spark, ["aa bb"])
+    with pytest.raises(ValueError):
+        span_not_docs(idx, "two words", "aa")
+    with pytest.raises(ValueError):
+        span_not_docs(idx, "aa", "bb", pre=-1)
+    with pytest.raises(ValueError):
+        bm25_span_not_sql("aa", "b c")
