@@ -21,7 +21,13 @@ def idx(spark, sf_dir):
 
 @pytest.fixture(scope="module")
 def events(spark, sf_dir):
-    return load_table(spark, sf_dir, "events").persist()
+    # unpersist at teardown: the CacheManager keys cache entries by
+    # logical plan, so a leaked persist of the RAW events scan would
+    # silently substitute into every later test's events plans and,
+    # e.g., hide PushedFilters from the plan-shape asserts
+    ev = load_table(spark, sf_dir, "events").persist()
+    yield ev
+    ev.unpersist()
 
 
 def test_prior_counts(events):

@@ -32,6 +32,8 @@ def _union_find(pairs):
 
 def test_clusters_match_union_find(spark):
     docs = docs_with_tokens(spark, SF_DIR).persist()
+    # (unpersisted at the end of this test — shared-plan cache leaks
+    # shadow later modules' scan plans)
     pairs = [
         (r["doc_a"], r["doc_b"])
         for r in lsh_candidate_pairs(docs).select("doc_a", "doc_b").collect()

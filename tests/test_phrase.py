@@ -30,7 +30,9 @@ def py_count(tokens, phrase_toks):
 
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
-    return docs_with_tokens(spark, sf_dir).persist()
+    d = docs_with_tokens(spark, sf_dir).persist()
+    yield d
+    d.unpersist()  # never leak a cached shared-plan into later modules
 
 
 PHRASES = [

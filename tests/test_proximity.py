@@ -31,7 +31,9 @@ def py_n_win(tokens, terms, w):
 
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
-    return docs_with_tokens(spark, sf_dir).persist()
+    d = docs_with_tokens(spark, sf_dir).persist()
+    yield d
+    d.unpersist()  # never leak a cached shared-plan into later modules
 
 
 def test_parse_near_query():

@@ -12,7 +12,12 @@ from distributedcodesearchengine_spark.sources.tables import load_table
 
 @pytest.fixture(scope="module")
 def emb(spark, sf_dir):
-    return load_table(spark, sf_dir, "embeddings").persist()
+    # yield + unpersist: a leaked persist of the raw embeddings scan
+    # would cache-substitute into later tests' plans (CacheManager keys
+    # by logical plan) and hide their PushedFilters asserts
+    e = load_table(spark, sf_dir, "embeddings").persist()
+    yield e
+    e.unpersist()
 
 
 def test_min_id_representative_survives(emb):
