@@ -143,3 +143,34 @@ def test_query_string_plan_no_cartesian(pidx):
     # the scoring scan is term-pruned (pushdown-eligible), never
     # corpus-wide
     assert "In(term" in plan or "in(term" in plan.lower(), plan[:4000]
+
+
+def test_session_wave_plans_no_cartesian(pidx, spark, sf_dir):
+    """boosting / span_not / filtered-kNN plan shapes: no cartesian,
+    no unbounded BNLJ, TakeOrdered k-cuts."""
+    from distributedcodesearchengine_spark.functions.embed import (
+        cosine_topk_filtered,
+        mock_embed_text,
+    )
+    from distributedcodesearchengine_spark.operators.boosting import (
+        bm25_boosting_topk,
+    )
+    from distributedcodesearchengine_spark.operators.queryext import (
+        bm25_span_not_topk,
+    )
+    from distributedcodesearchengine_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = mock_embed_text("parse json", 64)
+    plans = {
+        "boosting": bm25_boosting_topk(pidx, "parse json", "xml", 0.5),
+        "span_not": bm25_span_not_topk(pidx, "parse", "json", 1, 1),
+        "knn_label": cosine_topk_filtered(emb, qvec, 10, label=3),
+    }
+    for name, df in plans.items():
+        plan = assert_plan(
+            df,
+            must_contain=["TakeOrderedAndProject"],
+            must_not_contain=["CartesianProduct", "BroadcastNestedLoopJoin"],
+        )
+        assert plan, name
