@@ -1138,6 +1138,21 @@ def _registry():
         bm25_span_not_sql("dup", "table", pre=1, post=1, k=10),
     )
 
+    # session transition graph + fixed-iteration PageRank — the
+    # link-graph authority signal a web-corpus curation pipeline ranks
+    # domains with (operators/graph.py; canonical two-level folds on
+    # both engines)
+    from distributedcodesearchengine_spark.operators import graph as gr
+
+    reg["events_session_graph"] = (
+        _tbl_op(gr.session_graph_summary, "events"),
+        gr.session_edges_sql(),
+    )
+    reg["events_pagerank"] = (
+        _tbl_op(gr.pagerank, "events"),
+        gr.pagerank_sql(),
+    )
+
     return _rotate(reg)
 
 
