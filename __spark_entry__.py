@@ -1153,6 +1153,16 @@ def _registry():
         gr.pagerank_sql(),
     )
 
+    # Bloom filter membership sketch — completes the sketch layer
+    # (CMS / KMV / HLL / DDSketch / Bloom); probes mix present and
+    # absent vocabulary so both columns are exercised non-vacuously
+    _bloom_probes = ["table", "dup", "row", "zzzznotaword",
+                     "qqqqzzzz", "spark"]
+    reg["bloom_membership"] = (
+        _docs_op(partial(sk.bloom_membership, probes=_bloom_probes)),
+        sk.bloom_membership_sql(cte, _bloom_probes),
+    )
+
     return _rotate(reg)
 
 

@@ -451,3 +451,142 @@ def hll_distinct_sql(toks_cte: str, p: int = HLL_P) -> str:
         "CAST(n_empty AS BIGINT) AS n_empty, "
         f"{round6_sql(correction)} AS est FROM fin"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970 — public paper; the membership sketch a
+# pipeline consults before touching the index: "might this term /
+# url / fingerprint exist?" with zero false negatives)
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 65536          # 2^16 bits
+_BLOOM_WORD = 32            # bits per word, stored in BIGINT (< 2^32: no
+                            # sign hazard in either engine's << / bit_or)
+BLOOM_WORDS = BLOOM_BITS // _BLOOM_WORD
+BLOOM_K = 7                 # double-hashing probes (Kirsch & Mitzenmacher)
+
+
+def _bloom_h12(term_col):
+    """(h1, h2) — two independent 32-bit lanes from one md5 (the
+    established md5-slice parity lane; double hashing makes the k
+    probe positions h1 + i*h2 mod m, all integer arithmetic)."""
+    hx = F.md5(F.encode(term_col, "utf-8"))
+    h1 = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+    return h1, h2
+
+
+def bloom_build(docs: DataFrame) -> DataFrame:
+    """(word_idx, bits) — sparse Bloom bitset over the corpus's DISTINCT
+    token set. One distinct + one explode(k probes) + ONE
+    map-side-combinable bit_or groupBy into <= BLOOM_WORDS rows;
+    sketches of corpus shards merge by bit_or (tested: merge ==
+    rebuild). Absent word_idx rows are all-zero words."""
+    terms = (
+        docs.select(F.explode("tokens").alias("term")).distinct()
+        if "tokens" in docs.columns
+        else docs.select(F.col("term")).distinct()
+    )
+    h1, h2 = _bloom_h12(F.col("term"))
+    pos = terms.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(BLOOM_K - 1)),
+                lambda i: (h1 + i.cast("long") * h2) % F.lit(BLOOM_BITS),
+            )
+        ).alias("p")
+    )
+    return (
+        pos.select(
+            F.expr(f"CAST(p DIV {_BLOOM_WORD} AS INT)").alias("word_idx"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(p % {_BLOOM_WORD} AS INT))"
+            ).alias("b"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """bit_or union of two sparse Bloom bitsets (same geometry)."""
+    return (
+        a.unionAll(b).groupBy("word_idx").agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+
+
+def bloom_membership(docs: DataFrame, probes: List[str]) -> DataFrame:
+    """(probe, in_bloom, in_vocab) — Bloom probe vs exact membership
+    for each probe term: in_bloom is true iff all BLOOM_K probed bits
+    are set (never false when in_vocab is true — the zero-false-negative
+    contract, asserted by the gate whenever in_vocab holds); in_vocab
+    is the exact dictionary answer. The sketch side of the probe join
+    is <= BLOOM_WORDS rows and broadcasts."""
+    if not probes:
+        raise ValueError("probes must be non-empty")
+    spark = docs.sparkSession
+    bloom = bloom_build(docs)
+    terms = (
+        docs.select(F.explode("tokens").alias("term")).distinct()
+        if "tokens" in docs.columns
+        else docs.select(F.col("term")).distinct()
+    )
+    pr = spark.createDataFrame([(p,) for p in sorted(set(probes))], "probe string")
+    h1, h2 = _bloom_h12(F.col("probe"))
+    ppos = pr.select(
+        "probe",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(BLOOM_K - 1)),
+                lambda i: (h1 + i.cast("long") * h2) % F.lit(BLOOM_BITS),
+            )
+        ).alias("p"),
+    ).select(
+        "probe",
+        F.expr(f"CAST(p DIV {_BLOOM_WORD} AS INT)").alias("word_idx"),
+        (F.col("p") % _BLOOM_WORD).cast("int").alias("bit"),
+    )
+    checked = ppos.join(F.broadcast(bloom), "word_idx", "left").select(
+        "probe",
+        (
+            F.coalesce(
+                F.expr("shiftright(bits, bit)") % 2, F.lit(0).cast("long")
+            )
+            == 1
+        ).alias("hit"),
+    )
+    in_bloom = checked.groupBy("probe").agg(
+        F.min(F.col("hit").cast("int")).cast("boolean").alias("in_bloom")
+    )
+    vocab = pr.join(
+        terms, pr["probe"] == terms["term"], "left"
+    ).select("probe", F.col("term").isNotNull().alias("in_vocab"))
+    return in_bloom.join(vocab, "probe").orderBy("probe")
+
+
+def bloom_membership_sql(toks_cte: str, probes: List[str]) -> str:
+    """DuckDB mirror: identical md5 double-hash lanes, identical
+    integer bit arithmetic (m=65536, k=7, 32-bit words in BIGINT)."""
+    if not probes:
+        raise ValueError("probes must be non-empty")
+    pvals = ", ".join(f"('{p}')" for p in sorted(set(probes)))
+    m, k, wbits = BLOOM_BITS, BLOOM_K, _BLOOM_WORD
+    return (
+        f"WITH {toks_cte}, "
+        "terms AS (SELECT DISTINCT unnest(toks) AS term FROM docs), "
+        "th AS (SELECT ('0x' || substr(md5(term), 1, 8))::BIGINT AS h1, "
+        "('0x' || substr(md5(term), 9, 8))::BIGINT AS h2 FROM terms), "
+        f"ks AS (SELECT unnest(generate_series(0, {k - 1})) AS i), "
+        f"pos AS (SELECT (h1 + i * h2) % {m} AS p FROM th CROSS JOIN ks), "
+        f"bloom AS (SELECT CAST(p // {wbits} AS INT) AS word_idx, "
+        f"bit_or(1::BIGINT << CAST(p % {wbits} AS INT)) AS bits FROM pos GROUP BY 1), "
+        f"probes(probe) AS (VALUES {pvals}), "
+        "ph AS (SELECT probe, ('0x' || substr(md5(probe), 1, 8))::BIGINT AS h1, "
+        "('0x' || substr(md5(probe), 9, 8))::BIGINT AS h2 FROM probes), "
+        f"pp AS (SELECT probe, (h1 + i * h2) % {m} AS p FROM ph CROSS JOIN ks), "
+        f"chk AS (SELECT probe, coalesce((b.bits >> CAST(p % {wbits} AS INT)) % 2, 0) = 1 AS hit "
+        f"FROM pp LEFT JOIN bloom b ON b.word_idx = CAST(p // {wbits} AS INT)) "
+        "SELECT probe, CAST(min(CAST(hit AS INT)) AS BOOLEAN) AS in_bloom, "
+        "probe IN (SELECT term FROM terms) AS in_vocab "
+        "FROM chk GROUP BY probe ORDER BY probe"
+    )
