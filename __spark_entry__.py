@@ -1163,6 +1163,22 @@ def _registry():
         sk.bloom_membership_sql(cte, _bloom_probes),
     )
 
+    # the ES _terms_enum API: dictionary prefix enumeration in term
+    # order with keyset search_after pagination (the autocomplete
+    # primitive); page 1 + a search_after page pin the keyset contract
+    from distributedcodesearchengine_spark.operators.queryext import (
+        terms_enum_sql,
+    )
+
+    reg["terms_enum"] = (
+        partial(eq.terms_enum_q, prefix="s", size=8),
+        terms_enum_sql(cte, "s", size=8),
+    )
+    reg["terms_enum_after"] = (
+        partial(eq.terms_enum_q, prefix="s", size=8, search_after="se"),
+        terms_enum_sql(cte, "s", size=8, search_after="se"),
+    )
+
     return _rotate(reg)
 
 

@@ -724,6 +724,17 @@ class SearchEngine:
 
         return mget(self.index, doc_ids)
 
+    def terms_enum(
+        self, prefix: str, size: int = 10, search_after=None
+    ) -> DataFrame:
+        """Dictionary prefix enumeration with keyset pagination
+        (operators/queryext.terms_enum — the ES _terms_enum API)."""
+        from .operators.queryext import terms_enum
+
+        return terms_enum(
+            self.index, prefix, size=int(size), search_after=search_after
+        )
+
     def rescore(
         self, query: str, phrase: str, window_size: int = 20,
         rescore_weight: float = 2.0, limit: int = 10,

@@ -1132,3 +1132,15 @@ def mget_q(spark: SparkSession, sf_dir: str, doc_ids=(1, 3, 7)) -> DataFrame:
 
     idx = get_documents_index(spark, sf_dir)
     return mget(idx, doc_ids)
+
+
+def terms_enum_q(
+    spark: SparkSession, sf_dir: str, prefix: str, size: int = 10,
+    search_after=None,
+) -> DataFrame:
+    """_terms_enum gate entry (operators/queryext.terms_enum —
+    dictionary prefix enumeration with keyset pagination)."""
+    from .operators.queryext import terms_enum
+
+    idx = get_documents_index(spark, sf_dir)
+    return terms_enum(idx, prefix, size=size, search_after=search_after)

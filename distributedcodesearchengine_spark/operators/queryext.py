@@ -696,3 +696,59 @@ def bm25_span_not_sql(
         "FROM kept JOIN sn USING (doc_id) "
         f"ORDER BY score DESC, doc_id ASC LIMIT {int(k)}"
     )
+
+
+# --------------------------------------------------------------------------
+# terms_enum API (the ES _terms_enum: dictionary prefix enumeration —
+# the autocomplete primitive — with keyset search_after pagination)
+# --------------------------------------------------------------------------
+
+_TERMS_ENUM_PREFIX_RE = re.compile(r"[a-z0-9]+")
+
+
+def _terms_enum_check(prefix: str, size: int, search_after) -> str:
+    p = str(prefix).lower()
+    if not p or not _TERMS_ENUM_PREFIX_RE.fullmatch(p):
+        raise ValueError(
+            f"terms_enum prefix must be non-empty [a-z0-9]+ after "
+            f"lowercasing: {prefix!r}"
+        )
+    if int(size) < 1:
+        raise ValueError(f"size must be >= 1: {size!r}")
+    if search_after is not None and not isinstance(search_after, str):
+        raise ValueError(f"search_after must be a term string: {search_after!r}")
+    return p
+
+
+def terms_enum(
+    index: Index, prefix: str, size: int = 10, search_after=None
+) -> DataFrame:
+    """(term) — the dictionary terms with ``prefix`` in term order,
+    capped at ``size``; ``search_after`` resumes AFTER a term (keyset
+    pagination — page N costs page 1, the search_after/composite
+    precedent). The scan is prefix-pruned on the persisted layout
+    (term_pfx partitioning), the cap is a TakeOrderedAndProject —
+    never a full-vocab sort."""
+    p = _terms_enum_check(prefix, size, search_after)
+    t = index.terms.where(F.col("term").startswith(p))
+    if search_after is not None:
+        t = t.where(F.col("term") > str(search_after))
+    return t.orderBy("term").limit(int(size)).select("term")
+
+
+def terms_enum_sql(
+    toks_cte: str, prefix: str, size: int = 10, search_after=None
+) -> str:
+    """Mirror: the text-derived dictionary, the identical prefix cut
+    (alnum-validated, so the LIKE pattern needs no escaping), keyset
+    predicate, term order, cap."""
+    p = _terms_enum_check(prefix, size, search_after)
+    after = (
+        f"AND term > '{search_after}' " if search_after is not None else ""
+    )
+    return (
+        f"WITH {toks_cte}, "
+        "terms AS (SELECT DISTINCT unnest(toks) AS term FROM docs) "
+        f"SELECT term FROM terms WHERE term LIKE '{p}%' {after}"
+        f"ORDER BY term LIMIT {int(size)}"
+    )

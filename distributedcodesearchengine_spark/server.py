@@ -455,6 +455,8 @@ def make_handler(engine, stats_fn, index_manager=None):
                             "positions (Lucene SpanFirstQuery)",
                             "GET /analyze": "ordered (pos, token) stream "
                             "for text= or doc_id=",
+                            "GET /terms_enum": "dictionary prefix "
+                            "enumeration, after= keyset pagination",
                             "GET /sampler": "terms agg over the best "
                             "shard_size kept docs (dedup_field= diversifies)",
                             "GET /rescore": "top-window re-rank by base + "
@@ -870,6 +872,22 @@ def make_handler(engine, stats_fn, index_manager=None):
                     ).collect()
                     return self._send(
                         200, {"tokens": [r.asDict() for r in rows]}
+                    )
+                if url.path == "/terms_enum":
+                    if "prefix" not in q:
+                        return self._send(400, {"error": "missing prefix"})
+                    rows = engine.terms_enum(
+                        q["prefix"], size=int(q.get("size", 10)),
+                        search_after=q.get("after"),
+                    ).collect()
+                    terms = [r.term for r in rows]
+                    return self._send(
+                        200,
+                        {
+                            "prefix": q["prefix"],
+                            "terms": terms,
+                            "next_after": terms[-1] if terms else None,
+                        },
                     )
                 if url.path == "/sampler":
                     if "q" not in q:

@@ -461,3 +461,53 @@ def test_span_not_guards(spark):
         span_not_docs(idx, "aa", "bb", pre=-1)
     with pytest.raises(ValueError):
         bm25_span_not_sql("aa", "b c")
+
+
+# --- terms_enum -------------------------------------------------------------
+
+
+def test_terms_enum_prefix_order_and_cap(spark):
+    from distributedcodesearchengine_spark.operators.queryext import terms_enum
+
+    idx = _index(spark, ["scan sort slow seek", "scan same sort", "aa bb"])
+    got = [r.term for r in terms_enum(idx, "s", size=10).collect()]
+    assert got == ["same", "scan", "seek", "slow", "sort"]
+    assert [r.term for r in terms_enum(idx, "s", size=2).collect()] == [
+        "same", "scan",
+    ]
+    assert [r.term for r in terms_enum(idx, "so", size=10).collect()] == [
+        "sort",
+    ]
+    assert terms_enum(idx, "zz", size=10).count() == 0
+
+
+def test_terms_enum_keyset_pages_tile_the_full_order(spark):
+    from distributedcodesearchengine_spark.operators.queryext import terms_enum
+
+    idx = _index(spark, ["scan sort slow seek same sip sup sat set"])
+    full = [r.term for r in terms_enum(idx, "s", size=100).collect()]
+    p1 = [r.term for r in terms_enum(idx, "s", size=3).collect()]
+    p2 = [
+        r.term
+        for r in terms_enum(idx, "s", size=3, search_after=p1[-1]).collect()
+    ]
+    p3 = [
+        r.term
+        for r in terms_enum(idx, "s", size=3, search_after=p2[-1]).collect()
+    ]
+    assert p1 + p2 + p3 == full
+
+
+def test_terms_enum_guards(spark):
+    from distributedcodesearchengine_spark.operators.queryext import terms_enum
+
+    idx = _index(spark, ["scan sort"])
+    # uppercase folds to the analyzer's lowercase space
+    assert [r.term for r in terms_enum(idx, "SC").collect()] == ["scan"]
+    for bad_prefix in ("", "a b", "a'b", "ä"):
+        with pytest.raises(ValueError):
+            terms_enum(idx, bad_prefix)
+    with pytest.raises(ValueError):
+        terms_enum(idx, "s", size=0)
+    with pytest.raises(ValueError):
+        terms_enum(idx, "s", search_after=7)

@@ -899,3 +899,27 @@ def test_search_special_branches_reject_unsupported_params(srv):
         assert ei.value.code == 400
         body = json.loads(ei.value.read())
         assert "not supported" in body["error"]
+
+
+def test_terms_enum_endpoint(srv):
+    code, body = _get(srv, "/terms_enum", prefix="s", size=5)
+    assert code == 200
+    terms = body["terms"]
+    assert 0 < len(terms) <= 5
+    assert terms == sorted(terms)
+    assert all(t.startswith("s") for t in terms)
+    assert body["next_after"] == terms[-1]
+    # keyset page 2 resumes strictly after page 1's last term
+    code, body2 = _get(srv, "/terms_enum", prefix="s", size=5,
+                       after=body["next_after"])
+    assert code == 200
+    assert all(t > terms[-1] for t in body2["terms"])
+    # the two pages tile the front of the full enumeration
+    code, full = _get(srv, "/terms_enum", prefix="s", size=10)
+    assert (terms + body2["terms"])[:10] == full["terms"][:10]
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/terms_enum", size=5)  # missing prefix
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/terms_enum", prefix="a b")  # invalid prefix
+    assert ei.value.code == 400
