@@ -1179,6 +1179,19 @@ def _registry():
         terms_enum_sql(cte, "s", size=8, search_after="se"),
     )
 
+    # int8 scalar quantization of the embedding store (FAISS SQ8 /
+    # Lucene Int8ScalarQuantizer): the encode lane pinned by an
+    # integer checksum per vector, then cosine top-k over the
+    # dequantized codes — what an SQ store actually serves at scale
+    reg["sq_codes"] = (
+        _tbl_op(sim.sq_codes_summary, "embeddings"),
+        sim.sq_codes_summary_sql(),
+    )
+    reg["sq_cosine_topk"] = (
+        _tbl_op(partial(sim.sq_topk, qvec=_qv, k=10), "embeddings"),
+        sim.sq_topk_sql(_qv, k=10),
+    )
+
     return _rotate(reg)
 
 

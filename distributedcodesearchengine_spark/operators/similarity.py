@@ -590,3 +590,165 @@ def semdedup_sql(
         "SELECT vec_id, CAST(cell AS INT) AS cell FROM cells "
         "WHERE vec_id NOT IN (SELECT vec_id FROM dropped) ORDER BY vec_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (the SQ vector-store compression every
+# large-scale ANN system ships — FAISS SQ8 / Lucene Int8ScalarQuantizer:
+# 4x memory over float32, which at 10^12 x 768-dim vectors is the
+# difference between fitting the store in executor memory or not)
+# ---------------------------------------------------------------------------
+
+SQ_LEVELS = 255  # codes 0..255 in one byte
+
+
+def sq_params(
+    embeddings: DataFrame, vec_col: str = "embedding"
+) -> List[tuple]:
+    """[(lo, hi)] per dimension — exact per-dim min/max over the corpus
+    (one posexplode + one map-side-combinable groupBy; the collect is
+    DIMENSION-sized — 64..4096 rows — the same bounded-collect class as
+    the vocab dictionary probe). min/max of float32-cast-double are
+    exact, so both engines derive bit-identical parameters."""
+    rows = (
+        embeddings.select(
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x")
+        )
+        .groupBy("i")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .orderBy("i")
+        .collect()
+    )
+    return [(float(r.lo), float(r.hi)) for r in rows]
+
+
+def _sq_codes_col(vec_col, params: List[tuple]):
+    """array<long> of 0..255 codes: clamp(floor((x - lo) * scale + 0.5))
+    with scale = 255/(hi - lo); a constant dimension (hi == lo) encodes
+    0 (0.0 * anything + 0.5 floors to 0 — no special case needed)."""
+    lo_arr = F.array(*[F.lit(lo) for lo, _ in params])
+    sc_arr = F.array(
+        *[
+            F.lit(
+                (float(SQ_LEVELS) / (hi - lo)) if hi > lo else 0.0
+            )
+            for lo, hi in params
+        ]
+    )
+    diff = F.zip_with(
+        vec_col.cast("array<double>"), lo_arr, lambda x, lo: x - lo
+    )
+    return F.zip_with(
+        diff,
+        sc_arr,
+        lambda dx, s: F.greatest(
+            F.lit(0).cast("long"),
+            F.least(F.lit(SQ_LEVELS).cast("long"), F.floor(dx * s + F.lit(0.5))),
+        ),
+    )
+
+
+def _sq_dequant_col(codes_col, params: List[tuple]):
+    """array<double>: lo + code * step, step = (hi - lo)/255."""
+    st_arr = F.array(
+        *[F.lit((hi - lo) / float(SQ_LEVELS)) for lo, hi in params]
+    )
+    lo_arr = F.array(*[F.lit(lo) for lo, _ in params])
+    t = F.zip_with(codes_col, st_arr, lambda q, s: q * s)
+    return F.zip_with(t, lo_arr, lambda v, lo: lo + v)
+
+
+def sq_codes_summary(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, code_sum, code_min, code_max) — integer checksum of the
+    quantizer output per vector: pins the whole encode lane with zero
+    float-hash exposure."""
+    params = sq_params(embeddings, vec_col)
+    codes = _sq_codes_col(F.col(vec_col), params)
+    return embeddings.select(
+        F.col(id_col),
+        F.aggregate(
+            codes, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("code_sum"),
+        F.array_min(codes).cast("long").alias("code_min"),
+        F.array_max(codes).cast("long").alias("code_max"),
+    ).orderBy(id_col)
+
+
+def sq_topk(
+    embeddings: DataFrame,
+    qvec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(rank, vec_id, score) — cosine top-k over the DEQUANTIZED int8
+    codes (what an SQ store actually serves; the exact float store is
+    gone at scale). One plan: encode + dequantize + cosine are chained
+    zip_with expressions (zero Python, zero shuffle beyond the
+    TakeOrdered k-cut); the params collect is dimension-bounded."""
+    from ..functions.embed import cosine_expr
+
+    params = sq_params(embeddings, vec_col)
+    codes = _sq_codes_col(F.col(vec_col), params)
+    dq = _sq_dequant_col(codes, params)
+    from pyspark.sql.window import Window
+
+    scored = embeddings.select(
+        F.col(id_col), cosine_expr(dq, qvec).alias("score")
+    )
+    top = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(int(k))
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", F.col(id_col), round6("score").alias("score")
+    )
+
+
+def _sq_prm_ctes() -> str:
+    """Shared CTE chain deriving the identical per-dim params + codes
+    (1-based list positions; the arithmetic operand order matches the
+    Spark lanes exactly)."""
+    return (
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        "dimn AS (SELECT unnest(generate_series(1, "
+        "(SELECT len(v) FROM e LIMIT 1))) AS i), "
+        "dims AS (SELECT i, min(v[i]) AS lo, max(v[i]) AS hi "
+        "FROM e CROSS JOIN dimn GROUP BY i), "
+        "prm AS (SELECT list(lo ORDER BY i) AS lov, "
+        f"list(CASE WHEN hi > lo THEN {float(SQ_LEVELS)} / (hi - lo) "
+        "ELSE 0.0 END ORDER BY i) AS sv, "
+        f"list((hi - lo) / {float(SQ_LEVELS)} ORDER BY i) AS stv FROM dims), "
+        "enc AS (SELECT vec_id, v, list_transform("
+        "generate_series(1, len(v)), i -> greatest(CAST(0 AS BIGINT), "
+        "least(CAST(255 AS BIGINT), "
+        "CAST(floor((v[i] - lov[i]) * sv[i] + 0.5) AS BIGINT)))) AS codes "
+        "FROM e CROSS JOIN prm)"
+    )
+
+
+def sq_codes_summary_sql() -> str:
+    return (
+        f"WITH {_sq_prm_ctes()} "
+        "SELECT vec_id, CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum, "
+        "CAST(list_aggregate(codes, 'min') AS BIGINT) AS code_min, "
+        "CAST(list_aggregate(codes, 'max') AS BIGINT) AS code_max "
+        "FROM enc ORDER BY vec_id"
+    )
+
+
+def sq_topk_sql(qvec: Sequence[float], k: int = 10) -> str:
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in qvec))
+    qv = "[" + ", ".join(sql_double(float(x)) for x in qvec) + "]"
+    return (
+        f"WITH {_sq_prm_ctes()}, "
+        "dq AS (SELECT vec_id, list_transform(generate_series(1, len(codes)), "
+        "i -> lov[i] + codes[i] * stv[i]) AS w FROM enc CROSS JOIN prm), "
+        f"scored AS (SELECT vec_id, list_dot_product(w, {qv}) / "
+        f"(sqrt(list_dot_product(w, w)) * {sql_double(qnorm)}) AS score FROM dq) "
+        "SELECT CAST(row_number() OVER (ORDER BY score DESC, vec_id ASC) AS INT) AS rank, "
+        f"vec_id, {round6_sql('score')} AS score FROM scored "
+        f"ORDER BY score DESC, vec_id ASC LIMIT {int(k)}"
+    )
