@@ -1192,6 +1192,19 @@ def _registry():
         sim.sq_topk_sql(_qv, k=10),
     )
 
+    # multi_match type=cross_fields (Lucene BlendedTermQuery shape,
+    # tie_breaker=0): term-centric — each term scores its best field,
+    # summed per doc — completing the multi-field family beside BM25F
+    # (frequency blending) and DisMax (document-centric best field)
+    from distributedcodesearchengine_spark.operators.fields import (
+        cross_fields_topk_sql,
+    )
+
+    reg["cross_fields_topk"] = (
+        partial(eq.cross_fields_q, query="dup table", k=10),
+        cross_fields_topk_sql("dup table", _BM25F_FIELDS, k=10),
+    )
+
     return _rotate(reg)
 
 

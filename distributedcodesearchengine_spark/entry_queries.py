@@ -1144,3 +1144,24 @@ def terms_enum_q(
 
     idx = get_documents_index(spark, sf_dir)
     return terms_enum(idx, prefix, size=size, search_after=search_after)
+
+
+def cross_fields_q(
+    spark: SparkSession, sf_dir: str, query: str, k: int = 10,
+    w_title: float = 2.0, w_body: float = 1.0, title_chars: int = 60,
+) -> DataFrame:
+    """cross_fields gate entry over the same synthetic title/body split
+    as bm25f_q / dismax_q — each term scores against its best field,
+    summed per doc (operators/fields.cross_fields_topk)."""
+    from .operators.fields import FieldSpec, cross_fields_topk
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("text", 1, title_chars).alias("title"),
+        F.col("text").alias("body"),
+    )
+    fields = [FieldSpec("title", w_title, 0.75), FieldSpec("body", w_body, 0.75)]
+    res = cross_fields_topk(d, query, fields, k=k)
+    return res.select("rank", "doc_id", round6("score").alias("score")).orderBy(
+        "rank"
+    )

@@ -267,44 +267,25 @@ def bm25f_topk_sql(
     )
 
 
-def dismax_topk(
+def _field_term_contribs(
     docs: DataFrame,
     query: str,
     fields: Sequence[FieldSpec],
-    k: int = 10,
-    tie: float = 0.0,
     k1: float = K1,
-) -> DataFrame:
-    """DisMax ("best_fields") multi-field top-k over ``docs(doc_id,
-    <field text columns...>)`` -> (rank, doc_id, score), raw scores.
-
-    The OTHER classic multi-field combiner (Lucene
-    DisjunctionMaxQuery / Elasticsearch multi_match type=best_fields):
-    where BM25F blends term frequencies across fields BEFORE saturation
-    (a doc matching a little everywhere accumulates), DisMax scores
-    each field as its OWN BM25 index — per-field df, per-field idf
-    (epsilon-floor fold over that field's term space), per-field length
-    normalization — and combines per document as
-
-        score = max_f(w_f * S_f) + tie * (sum_f(w_f * S_f) - max_f(...))
-
-    so the single best-matching field dominates and ``tie`` (0..1)
-    controls how much the other fields contribute (tie=0 is pure
-    dismax; tie=1 degrades to the weighted sum). The right choice when
-    fields are DISJOINT descriptions of the same thing (title vs body:
-    a doc matching the whole query in its title should not be outranked
-    by one matching half the query in both).
-
-    Threshold / degenerate / (score desc, doc_id asc) conventions match
-    the house BM25 contract. Scale shape is bm25f_topk's: one tokenize
+):
+    """Shared per-(doc, term) per-field BM25 contribution relation for
+    the field-combining queries (DisMax best_fields, cross_fields):
+    each field scored as its OWN index — per-field df, per-field
+    epsilon-floor idf, per-field length normalization — one tokenize
     pass per field over a lazily-checkpointed stacked relation, ONE
     (doc_id, term) shuffle with per-field conditional-sum tf columns,
-    term-pruned broadcast query join, candidates-only joins after.
-    """
+    term-pruned broadcast query join. Returns ``(cand, nf)`` with
+    contribution columns ``c_0..c_{nf-1}``, or None for an
+    empty-tokenizing query / empty corpus."""
     spark = docs.sparkSession
     toks = tokenize(query)
     if not toks:
-        return spark.createDataFrame([], _EMPTY)
+        return None
     counts = Counter(toks)
     uniq = sorted(counts)
     nf = len(fields)
@@ -327,7 +308,7 @@ def dismax_topk(
     ).collect()
     by = {int(r["fld"]): r for r in srows}
     if not by:
-        return spark.createDataFrame([], _EMPTY)
+        return None
     n_docs = int(by[0]["n"])
     avgdl = [
         (float(by[i]["s"]) * 1.0 / n_docs) if by[i]["s"] else 1.0 for i in range(nf)
@@ -398,6 +379,48 @@ def dismax_topk(
                 )
             ),
         )
+    return cand, nf
+
+
+def dismax_topk(
+    docs: DataFrame,
+    query: str,
+    fields: Sequence[FieldSpec],
+    k: int = 10,
+    tie: float = 0.0,
+    k1: float = K1,
+) -> DataFrame:
+    """DisMax ("best_fields") multi-field top-k over ``docs(doc_id,
+    <field text columns...>)`` -> (rank, doc_id, score), raw scores.
+
+    The OTHER classic multi-field combiner (Lucene
+    DisjunctionMaxQuery / Elasticsearch multi_match type=best_fields):
+    where BM25F blends term frequencies across fields BEFORE saturation
+    (a doc matching a little everywhere accumulates), DisMax scores
+    each field as its OWN BM25 index — per-field df, per-field idf
+    (epsilon-floor fold over that field's term space), per-field length
+    normalization — and combines per document as
+
+        score = max_f(w_f * S_f) + tie * (sum_f(w_f * S_f) - max_f(...))
+
+    so the single best-matching field dominates and ``tie`` (0..1)
+    controls how much the other fields contribute (tie=0 is pure
+    dismax; tie=1 degrades to the weighted sum). The right choice when
+    fields are DISJOINT descriptions of the same thing (title vs body:
+    a doc matching the whole query in its title should not be outranked
+    by one matching half the query in both).
+
+    Threshold / degenerate / (score desc, doc_id asc) conventions match
+    the house BM25 contract. Scale shape is bm25f_topk's: one tokenize
+    pass per field over a lazily-checkpointed stacked relation, ONE
+    (doc_id, term) shuffle with per-field conditional-sum tf columns,
+    term-pruned broadcast query join, candidates-only joins after.
+    """
+    got = _field_term_contribs(docs, query, fields, k1)
+    if got is None:
+        return docs.sparkSession.createDataFrame([], _EMPTY)
+    cand, nf = got
+
     def _fold(i: int):
         # closure factory, NOT a default-arg lambda: pyspark maps the
         # lambda's parameter count onto the HOF signature, so a bound
@@ -417,6 +440,12 @@ def dismax_topk(
     scored = scored.select(
         "doc_id", (dis + F.lit(float(tie)) * (tot - dis)).alias("score")
     )
+    return _finalize_field_scored(docs, scored, k)
+
+
+def _finalize_field_scored(docs: DataFrame, scored: DataFrame, k: int) -> DataFrame:
+    """Shared threshold / degenerate-backfill / rank tail of the
+    field-combining scorers (the house F4/F7/T1 contract)."""
     mxv = scored.agg(F.max("score").alias("m")).first()["m"]
     if mxv is not None and mxv > 0:
         res = scored.where(F.col("score") >= F.lit(0.01 * mxv))
@@ -438,25 +467,72 @@ def dismax_topk(
     )
 
 
-def dismax_topk_sql(
+def cross_fields_topk(
+    docs: DataFrame,
+    query: str,
+    fields: Sequence[FieldSpec],
+    k: int = 10,
+    k1: float = K1,
+) -> DataFrame:
+    """``multi_match type=cross_fields`` — the TERM-CENTRIC multi-field
+    combiner (Lucene ``BlendedTermQuery`` with tie_breaker = 0): each
+    query TERM scores against its best field, and the document score is
+    the sum over terms of those per-term maxima:
+
+        score = sum_t max_f(w_f * c_f(t, doc))
+
+    The right choice when the query's terms are SCATTERED across fields
+    describing one entity (first name in ``title``, last name in
+    ``body``): best_fields requires one field to carry the whole query
+    to rank well, cross_fields lets each term pick its field — a doc
+    with half the query in each field beats one with half the query in
+    one field, exactly the inversion of DisMax's contract (tested as a
+    rank flip between the two operators on the same corpus).
+
+    Per-field statistics (df, epsilon-floor idf, length normalization)
+    are each field's own, shared with DisMax via
+    ``_field_term_contribs``; per-term maxima fold per doc in canonical
+    term order. Threshold / degenerate / tie-break conventions are the
+    house BM25 contract; scale shape is DisMax's (one stacked tokenize
+    pass, ONE (doc_id, term) shuffle, candidates-only joins).
+    """
+    got = _field_term_contribs(docs, query, fields, k1)
+    if got is None:
+        return docs.sparkSession.createDataFrame([], _EMPTY)
+    cand, nf = got
+    weighted = [F.lit(fields[i].weight) * F.col(f"c_{i}") for i in range(nf)]
+    best = weighted[0] if nf == 1 else F.greatest(*weighted)
+    scored = (
+        cand.withColumn("best", best)
+        .groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "best"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["best"],
+            ).alias("score")
+        )
+    )
+    return _finalize_field_scored(docs, scored, k)
+
+
+def _field_contrib_sql(
     query: str,
     fields_sql: Sequence[Tuple[str, float, float]],
-    k: int = 10,
-    tie: float = 0.0,
     k1: float = K1,
     table: str = "documents",
-) -> str:
-    """DuckDB mirror of ``dismax_topk``: per-field dfreq/idf chains
-    (each with the canonical two-level epsilon fold over that field's
-    term space), per-field ordered contribution sums, then the
-    greatest + tie blend written operand-for-operand like the Spark
-    column expression."""
-    from ..functions.rounding import round6_sql, sql_double
+):
+    """Shared DuckDB CTE prefix of the field-combining mirrors, through
+    the per-(doc, term) ``contrib`` relation with columns
+    ``c_0..c_{nf-1}`` (per-field dfreq/idf chains, each with the
+    canonical two-level epsilon fold over that field's term space).
+    Returns None for an empty-tokenizing query."""
+    from ..functions.rounding import sql_double
     from ..functions.sql_oracle import EPSILON, tokenize_col
 
     toks = tokenize(query)
     if not toks:
-        return "SELECT 1 AS rank, 1::BIGINT AS doc_id, 0.0 AS score WHERE false"
+        return None
     counts = Counter(toks)
     qvals = ", ".join(f"('{t}', {float(q)})" for t, q in sorted(counts.items()))
     nf = len(fields_sql)
@@ -504,13 +580,6 @@ def dismax_topk_sql(
     idf_joins = " ".join(
         f"LEFT JOIN idf{i} ON idf{i}.term = tfp.term" for i in range(nf)
     )
-    s_cols = ", ".join(f"sum(c_{i} ORDER BY term) AS s_{i}" for i in range(nf))
-    fscores = [
-        f"({sql_double(w)} * s_{i})" for i, (_, w, _) in enumerate(fields_sql)
-    ]
-    dis = fscores[0] if nf == 1 else "greatest(" + ", ".join(fscores) + ")"
-    tot = " + ".join(fscores)
-    final = f"({dis}) + {sql_double(tie)} * (({tot}) - ({dis}))"
     return (
         f"WITH f AS (SELECT doc_id, {tok_cols} FROM {table}), "
         f"lens AS (SELECT doc_id, {len_cols} FROM f), "
@@ -522,15 +591,78 @@ def dismax_topk_sql(
         f"contrib AS (SELECT tfp.doc_id, tfp.term, {', '.join(c_cols)} "
         f"  FROM tfp JOIN qt ON qt.term = tfp.term "
         f"  {idf_joins} "
-        "  JOIN lens ON lens.doc_id = tfp.doc_id), "
+        "  JOIN lens ON lens.doc_id = tfp.doc_id)"
+    )
+
+
+_FIELD_TAIL_SQL = (
+    "mx AS (SELECT max(score) AS m FROM scored), "
+    "kept AS (SELECT d.doc_id, coalesce(s.score, 0.0) AS score "
+    "  FROM lens d LEFT JOIN scored s USING (doc_id) "
+    "  WHERE ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
+    "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))) "
+    "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank, "
+    "doc_id, {score_out} AS score "
+    "FROM kept ORDER BY score DESC, doc_id ASC LIMIT {k}"
+)
+
+
+def dismax_topk_sql(
+    query: str,
+    fields_sql: Sequence[Tuple[str, float, float]],
+    k: int = 10,
+    tie: float = 0.0,
+    k1: float = K1,
+    table: str = "documents",
+) -> str:
+    """DuckDB mirror of ``dismax_topk``: the shared per-field contrib
+    prefix, per-field ordered contribution sums, then the greatest +
+    tie blend written operand-for-operand like the Spark column
+    expression."""
+    from ..functions.rounding import round6_sql, sql_double
+
+    prefix = _field_contrib_sql(query, fields_sql, k1, table)
+    if prefix is None:
+        return "SELECT 1 AS rank, 1::BIGINT AS doc_id, 0.0 AS score WHERE false"
+    nf = len(fields_sql)
+    s_cols = ", ".join(f"sum(c_{i} ORDER BY term) AS s_{i}" for i in range(nf))
+    fscores = [
+        f"({sql_double(w)} * s_{i})" for i, (_, w, _) in enumerate(fields_sql)
+    ]
+    dis = fscores[0] if nf == 1 else "greatest(" + ", ".join(fscores) + ")"
+    tot = " + ".join(fscores)
+    final = f"({dis}) + {sql_double(tie)} * (({tot}) - ({dis}))"
+    return (
+        f"{prefix}, "
         f"persum AS (SELECT doc_id, {s_cols} FROM contrib GROUP BY doc_id), "
         f"scored AS (SELECT doc_id, {final} AS score FROM persum), "
-        "mx AS (SELECT max(score) AS m FROM scored), "
-        "kept AS (SELECT d.doc_id, coalesce(s.score, 0.0) AS score "
-        "  FROM lens d LEFT JOIN scored s USING (doc_id) "
-        "  WHERE ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
-        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))) "
-        "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank, "
-        f"doc_id, {round6_sql('score')} AS score "
-        f"FROM kept ORDER BY score DESC, doc_id ASC LIMIT {int(k)}"
+        + _FIELD_TAIL_SQL.format(score_out=round6_sql("score"), k=int(k))
+    )
+
+
+def cross_fields_topk_sql(
+    query: str,
+    fields_sql: Sequence[Tuple[str, float, float]],
+    k: int = 10,
+    k1: float = K1,
+    table: str = "documents",
+) -> str:
+    """DuckDB mirror of ``cross_fields_topk``: the shared per-field
+    contrib prefix, then ONE term-ordered sum of the per-term
+    greatest(w_f * c_f) maxima per document."""
+    from ..functions.rounding import round6_sql, sql_double
+
+    prefix = _field_contrib_sql(query, fields_sql, k1, table)
+    if prefix is None:
+        return "SELECT 1 AS rank, 1::BIGINT AS doc_id, 0.0 AS score WHERE false"
+    nf = len(fields_sql)
+    weighted = [
+        f"({sql_double(w)} * c_{i})" for i, (_, w, _) in enumerate(fields_sql)
+    ]
+    best = weighted[0] if nf == 1 else "greatest(" + ", ".join(weighted) + ")"
+    return (
+        f"{prefix}, "
+        f"scored AS (SELECT doc_id, sum({best} ORDER BY term) AS score "
+        "FROM contrib GROUP BY doc_id), "
+        + _FIELD_TAIL_SQL.format(score_out=round6_sql("score"), k=int(k))
     )
