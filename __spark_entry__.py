@@ -1205,6 +1205,18 @@ def _registry():
         cross_fields_topk_sql("dup table", _BM25F_FIELDS, k=10),
     )
 
+    # the ES pinned query: curated promotions rank first in PROVIDED
+    # order (7 before 3 pins the order contract non-vacuously), organic
+    # BM25 fills the remaining slots excluding the pins
+    from distributedcodesearchengine_spark.operators.queryext import (
+        bm25_pinned_sql,
+    )
+
+    reg["bm25_pinned"] = (
+        partial(eq.bm25_pinned_q, query="dup table", pinned_ids=(7, 3), k=10),
+        bm25_pinned_sql("dup table", (7, 3), k=10),
+    )
+
     return _rotate(reg)
 
 

@@ -735,6 +735,14 @@ class SearchEngine:
             self.index, prefix, size=int(size), search_after=search_after
         )
 
+    def pinned(self, query: str, pinned_ids, limit: int = 10) -> DataFrame:
+        """Curated promotions first in provided order, organic BM25
+        after (operators/queryext.bm25_pinned_topk — the ES pinned
+        query)."""
+        from .operators.queryext import bm25_pinned_topk
+
+        return bm25_pinned_topk(self.index, query, pinned_ids, k=int(limit))
+
     def rescore(
         self, query: str, phrase: str, window_size: int = 20,
         rescore_weight: float = 2.0, limit: int = 10,

@@ -1165,3 +1165,15 @@ def cross_fields_q(
     return res.select("rank", "doc_id", round6("score").alias("score")).orderBy(
         "rank"
     )
+
+
+def bm25_pinned_q(
+    spark: SparkSession, sf_dir: str, query: str, pinned_ids=(7, 3),
+    k: int = 10,
+) -> DataFrame:
+    """pinned-query gate entry (operators/queryext.bm25_pinned_topk —
+    the ES pinned query: promotions first in provided order)."""
+    from .operators.queryext import bm25_pinned_topk
+
+    idx = get_documents_index(spark, sf_dir)
+    return bm25_pinned_topk(idx, query, list(pinned_ids), k=k)

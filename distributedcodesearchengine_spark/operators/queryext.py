@@ -752,3 +752,121 @@ def terms_enum_sql(
         f"SELECT term FROM terms WHERE term LIKE '{p}%' {after}"
         f"ORDER BY term LIMIT {int(size)}"
     )
+
+
+# --------------------------------------------------------------------------
+# pinned query (the ES `pinned` query: curated promotions — the given
+# ids rank first IN THE ORDER PROVIDED, organic matches fill the rest)
+# --------------------------------------------------------------------------
+
+
+def bm25_pinned_topk(
+    index: Index, query: str, pinned_ids, k: int = 10
+) -> DataFrame:
+    """(rank, doc_id, pinned, score) — ``pinned_ids`` that exist in the
+    index occupy ranks 1..p in their PROVIDED order (the ES promotion
+    contract; a pinned id absent from the index is skipped, one absent
+    from the kept set still pins with score 0.0), then the organic BM25
+    ranking fills ranks p+1..k excluding the pinned docs. ``score`` is
+    each doc's kept-set BM25 score — informative for pinned rows, the
+    ranking key for organic ones.
+
+    Scale shape: the pin relation is a request-sized literal; exclusion
+    is one anti-join on the thresholded candidates; both cuts are
+    TakeOrdered. Empty ``pinned_ids`` is exactly ``bm25_topk`` modulo
+    the extra column (identity-tested)."""
+    from .explore import _kept_with_cols
+
+    spark = index.spark
+    ids = [int(i) for i in pinned_ids]
+    if len(set(ids)) != len(ids):
+        raise ValueError(f"pinned_ids must be unique: {pinned_ids!r}")
+    out_schema = "rank int, doc_id long, pinned boolean, score double"
+    if not tokenize(query):
+        return spark.createDataFrame([], out_schema)
+    kept = _kept_with_cols(index, query, [])
+    if ids:
+        pdf = spark.createDataFrame(
+            [(int(d), i) for i, d in enumerate(ids)],
+            "doc_id long, pin_pos int",
+        )
+        pins = (
+            pdf.join(index.docs.select("doc_id"), "doc_id", "left_semi")
+            .join(kept.select("doc_id", "score"), "doc_id", "left")
+            .select(
+                "doc_id", "pin_pos",
+                F.coalesce(F.col("score"), F.lit(0.0)).alias("score"),
+            )
+        )
+        wp = Window.orderBy("pin_pos")
+        pins = (
+            pins.orderBy("pin_pos")
+            .limit(int(k))
+            .withColumn("rank", F.row_number().over(wp))
+            .select("rank", "doc_id", F.lit(True).alias("pinned"), "score")
+        )
+        np_ = pins.count()
+        organic_base = kept.join(pdf.select("doc_id"), "doc_id", "left_anti")
+    else:
+        np_ = 0
+        pins = spark.createDataFrame([], out_schema)
+        organic_base = kept
+    slots = int(k) - np_
+    wo = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    organic = (
+        organic_base.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(max(slots, 0))
+        .withColumn("rank", F.row_number().over(wo) + F.lit(np_))
+        .select("rank", "doc_id", F.lit(False).alias("pinned"), "score")
+    )
+    out = pins.unionByName(organic) if np_ else organic
+    return out.select(
+        "rank", "doc_id", "pinned", round6("score").alias("score")
+    ).orderBy("rank")
+
+
+def bm25_pinned_sql(query: str, pinned_ids, k: int = 10) -> str:
+    """Mirror: shared kept chain; the pin relation is a VALUES list
+    carrying the provided order; organic = kept anti pins, rank offset
+    by the surviving pin count."""
+    from ..functions.sql_oracle import kept_cte_sql
+
+    ids = [int(i) for i in pinned_ids]
+    if len(set(ids)) != len(ids):
+        raise ValueError(f"pinned_ids must be unique: {pinned_ids!r}")
+    chain = kept_cte_sql(query)
+    if chain is None:
+        return (
+            "SELECT 1 AS rank, 1::BIGINT AS doc_id, true AS pinned, "
+            "0.0 AS score WHERE false"
+        )
+    if not ids:
+        return (
+            f"{chain} "
+            "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank, "
+            f"doc_id, false AS pinned, {round6_sql('score')} AS score "
+            f"FROM kept ORDER BY score DESC, doc_id ASC LIMIT {int(k)}"
+        )
+    pvals = ", ".join(
+        f"({int(d)}::BIGINT, {i})" for i, d in enumerate(ids)
+    )
+    return (
+        f"{chain}, "
+        f"preq(doc_id, pin_pos) AS (VALUES {pvals}), "
+        "pins AS (SELECT p.doc_id, p.pin_pos, coalesce(kk.score, 0.0) AS score, "
+        "CAST(row_number() OVER (ORDER BY p.pin_pos) AS INT) AS rank "
+        "FROM preq p JOIN docs d ON d.doc_id = p.doc_id "
+        "LEFT JOIN kept kk ON kk.doc_id = p.doc_id), "
+        "np AS (SELECT count(*) AS n FROM pins), "
+        "organic AS (SELECT doc_id, score, "
+        "CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rn "
+        "FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM preq)) "
+        f"SELECT rank, doc_id, true AS pinned, {round6_sql('score')} AS score "
+        f"FROM pins WHERE rank <= {int(k)} "
+        "UNION ALL "
+        "SELECT CAST(rn + (SELECT n FROM np) AS INT) AS rank, doc_id, "
+        f"false AS pinned, {round6_sql('score')} AS score FROM organic "
+        f"WHERE rn <= {int(k)} - (SELECT n FROM np) "
+        "ORDER BY rank"
+    )

@@ -457,6 +457,8 @@ def make_handler(engine, stats_fn, index_manager=None):
                             "for text= or doc_id=",
                             "GET /terms_enum": "dictionary prefix "
                             "enumeration, after= keyset pagination",
+                            "GET /pinned": "ids= promotions first in "
+                            "provided order, organic fills the rest",
                             "GET /sampler": "terms agg over the best "
                             "shard_size kept docs (dedup_field= diversifies)",
                             "GET /rescore": "top-window re-rank by base + "
@@ -872,6 +874,22 @@ def make_handler(engine, stats_fn, index_manager=None):
                     ).collect()
                     return self._send(
                         200, {"tokens": [r.asDict() for r in rows]}
+                    )
+                if url.path == "/pinned":
+                    if "q" not in q or "ids" not in q:
+                        return self._send(400, {"error": "missing q / ids"})
+                    try:
+                        ids = [int(x) for x in q["ids"].split(",") if x != ""]
+                    except ValueError:
+                        return self._send(
+                            400, {"error": f"bad ids {q['ids']!r}"}
+                        )
+                    rows = engine.pinned(
+                        q["q"], ids, limit=int(q.get("limit", 10))
+                    ).collect()
+                    return self._send(
+                        200,
+                        {"query": q["q"], "results": [r.asDict() for r in rows]},
                     )
                 if url.path == "/terms_enum":
                     if "prefix" not in q:

@@ -511,3 +511,53 @@ def test_terms_enum_guards(spark):
         terms_enum(idx, "s", size=0)
     with pytest.raises(ValueError):
         terms_enum(idx, "s", search_after=7)
+
+
+# --- pinned query -----------------------------------------------------------
+
+
+def test_pinned_provided_order_and_organic_exclusion(spark):
+    from distributedcodesearchengine_spark.operators.queryext import (
+        bm25_pinned_topk,
+    )
+
+    idx = _index(spark, [
+        "scan sort slow", "scan scan deep", "scan third page",
+        "other words here", "scan fourth entry",
+    ])
+    plain = [r.doc_id for r in bm25_topk(idx, "scan", k=10).collect()]
+    got = bm25_pinned_topk(idx, "scan", [3, 0], k=10).collect()
+    # pins first, in PROVIDED order (3 before 0), flagged
+    assert [(r.rank, r.doc_id, r.pinned) for r in got[:2]] == [
+        (1, 3, True), (2, 0, True),
+    ]
+    # doc 3 never matched: pins with score 0.0
+    assert got[0].score == 0.0
+    # organic = the plain ranking minus the pinned docs, ranks offset
+    organic = [r.doc_id for r in got[2:]]
+    assert organic == [d for d in plain if d not in (3, 0)]
+    assert all(not r.pinned for r in got[2:])
+    assert [r.rank for r in got] == list(range(1, len(got) + 1))
+
+
+def test_pinned_skips_unknown_truncates_and_guards(spark):
+    from distributedcodesearchengine_spark.operators.queryext import (
+        bm25_pinned_topk,
+    )
+    import pytest as _pytest
+
+    idx = _index(spark, ["scan sort", "scan deep", "scan third"])
+    # unknown id 99 is skipped, known pins keep provided order
+    got = bm25_pinned_topk(idx, "scan", [99, 2, 1], k=10).collect()
+    assert [(r.rank, r.doc_id) for r in got[:2]] == [(1, 2), (2, 1)]
+    # more pins than k: truncated to k, no organic rows
+    got = bm25_pinned_topk(idx, "scan", [2, 1, 0], k=2).collect()
+    assert [(r.doc_id, r.pinned) for r in got] == [(2, True), (1, True)]
+    # empty pins == plain bm25 modulo the pinned column
+    a = [(r.rank, r.doc_id, round(r.score, 6))
+         for r in bm25_pinned_topk(idx, "scan", [], k=10).collect()]
+    b = [(r.rank, r.doc_id, round(r.score, 6))
+         for r in bm25_topk(idx, "scan", k=10).collect()]
+    assert a == b
+    with _pytest.raises(ValueError):
+        bm25_pinned_topk(idx, "scan", [1, 1], k=10)

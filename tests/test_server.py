@@ -923,3 +923,20 @@ def test_terms_enum_endpoint(srv):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(srv, "/terms_enum", prefix="a b")  # invalid prefix
     assert ei.value.code == 400
+
+
+def test_pinned_endpoint(srv):
+    code, body = _get(srv, "/pinned", q="parse json", ids="5,2", limit=5)
+    assert code == 200
+    rows = body["results"]
+    assert [(r["rank"], r["doc_id"], r["pinned"]) for r in rows[:2]] == [
+        (1, 5, True), (2, 2, True),
+    ]
+    assert all(not r["pinned"] for r in rows[2:])
+    assert len(rows) == 5
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/pinned", q="x")  # missing ids
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/pinned", q="x", ids="1,zz")
+    assert ei.value.code == 400
