@@ -1217,6 +1217,23 @@ def _registry():
         bm25_pinned_sql("dup table", (7, 3), k=10),
     )
 
+    # product quantization (FAISS-IVFPQ / ScaNN compression): the
+    # encode lane pinned by the radix-K positional code_key (all
+    # integer), then ADC top-k — m table lookups + an ordered m-term
+    # sum per doc, never a float-vector scan. Seed codebooks here (the
+    # SQL-derivable default); the trained k-means seam is covered by
+    # tests/test_pq.py with injected-literal parity
+    from distributedcodesearchengine_spark.operators import pq as pqm
+
+    reg["pq_codes"] = (
+        _tbl_op(pqm.pq_codes_summary, "embeddings"),
+        pqm.pq_codes_summary_sql(),
+    )
+    reg["pq_adc_topk"] = (
+        _tbl_op(partial(pqm.pq_adc_topk, qvec=_qv, k=10), "embeddings"),
+        pqm.pq_adc_topk_sql(_qv, k=10),
+    )
+
     return _rotate(reg)
 
 

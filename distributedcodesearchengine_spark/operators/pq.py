@@ -1,0 +1,410 @@
+"""Product quantization (PQ) of the embedding store + ADC top-k serving.
+
+The FAISS-IVFPQ / ScaNN compression step that pairs with the coarse
+quantizer (``ivf_cells``): split each vector into ``m`` contiguous
+subvectors, quantize every subvector to one of ``K`` codebook entries,
+and serve queries by Asymmetric Distance Computation — the query
+precomputes an ``m x K`` table of exact subspace distances and each
+document's distance is ``m`` table lookups summed, never a float-vector
+scan. At 10^12 x 768-dim vectors PQ at m=96/K=256 is 32x memory over
+float32 (96 bytes/vector) — the difference between an in-memory ANN
+serving tier and one that pages.
+
+Reference parity note: the reference serves vectors through Qdrant
+(codesearch/indexer/embedder.py -> Qdrant collections), whose HNSW
+store ships exactly this scalar/product quantization pair as its
+compression options; here both live Spark-side (``similarity.sq_*`` for
+int8 SQ, this module for PQ) so the 4x/32x memory claims apply to the
+executor-resident serving relations.
+
+Two codebook sources, mirroring the IVF/SemDeDup trained-centroid seam:
+
+- **seed codebooks** (the gate default, SQL-derivable): codebook entry
+  ``i`` of subspace ``j`` is the ``j``-th slice of the ``i``-th seed
+  vector, where seeds are the ``K`` lowest-md5(vec_id) rows — the same
+  layout-independent deterministic sample the k-means trainer uses, so
+  BOTH engines derive bit-identical codebooks from the parquet alone.
+- **trained codebooks** (``train_pq_codebooks``): per-subspace Lloyd
+  k-means over the md5 sample, driver-side float64 numpy, lowest-index
+  argmin ties — injectable into every operator and both SQL builders
+  (as literals) exactly like ``train_centroids``; persist with
+  ``save_pq`` / ``load_pq``.
+
+Encode/serve are pure JVM expression chains (slice + zip_with +
+aggregate + array_position): zero Python on the corpus, zero shuffle
+beyond the TakeOrdered k-cut. The per-(vec, subspace) argmin is the
+``array_position(dists, array_min(dists))`` linear form (lowest index
+wins ties) shared with ``ivf_cells``.
+
+Float-parity contract with the DuckDB mirrors: every distance is an
+ordered left fold of ``(a-b)*(a-b)`` in element order (Spark
+``aggregate`` over ``zip_with`` == DuckDB ``list_dot_product`` of the
+difference list with itself), and the ADC sum folds in subspace order
+(chained ``+`` == ``sum(qd ORDER BY j)``) — the house cosine/pagerank
+fold rules, so integer codes and 6-dp distances hash-match.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round6, round6_sql, sql_double
+
+PQ_M = 8  # subspaces (dim 64 -> 8 dims per subspace)
+PQ_K = 16  # codes per subspace (4 bits)
+
+Codebooks = List[List[List[float]]]  # [m][K][dsub]
+
+
+def _check_pq(dim: int, m: int, K: int) -> int:
+    if m < 1 or K < 1:
+        raise ValueError(f"m and K must be >= 1: m={m} K={K}")
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    return dim // m
+
+
+def pq_seed_codebooks(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    K: int = PQ_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Codebooks:
+    """Seed codebooks: entry ``i`` of subspace ``j`` = slice ``j`` of
+    the ``i``-th seed vector; seeds are the ``K`` lowest
+    (md5(vec_id), vec_id) rows — a K-row bounded collect (the vocab-
+    probe class), layout-independent, and re-derivable in SQL so the
+    gate oracle needs no injected literals."""
+    rows = (
+        embeddings.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(int(K))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty embeddings table: no seed codebooks")
+    dim = len(rows[0]["v"])
+    dsub = _check_pq(dim, m, K)
+    seeds = [[float(x) for x in r["v"]] for r in rows]
+    return [
+        [s[j * dsub : (j + 1) * dsub] for s in seeds] for j in range(m)
+    ]
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    K: int = PQ_K,
+    sample_n: int = 2048,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Codebooks:
+    """Per-subspace Lloyd k-means (Euclidean — PQ quantizes residual
+    geometry, not angles) over the deterministic md5 sample: init =
+    first ``K`` distinct subvectors in hash order, assignment = argmin
+    squared distance with lowest index on ties (the exact encode-time
+    criterion), means in float64 on the driver. Same determinism
+    contract as ``train_centroids``: same table -> bit-identical
+    codebooks under any partitioning. Inject the result via the
+    ``codebooks=`` argument of the operators AND the SQL builders (as
+    literals) for trained-parity gates."""
+    import numpy as np
+
+    rows = (
+        embeddings.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(int(sample_n))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty embeddings table: nothing to train on")
+    sample = np.array([r["v"] for r in rows], dtype=np.float64)
+    dim = sample.shape[1]
+    dsub = _check_pq(dim, m, K)
+    books: Codebooks = []
+    for j in range(m):
+        sub = sample[:, j * dsub : (j + 1) * dsub]
+        seen: set = set()
+        init = []
+        for v in sub:
+            key = v.tobytes()
+            if key not in seen:
+                seen.add(key)
+                init.append(v)
+            if len(init) == K:
+                break
+        cents = np.stack(init)
+        for _ in range(int(iters)):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)  # lowest index wins ties
+            nxt = cents.copy()
+            for c in range(cents.shape[0]):
+                members = sub[assign == c]
+                if len(members):
+                    nxt[c] = members.mean(axis=0)
+            cents = nxt
+        books.append([[float(x) for x in c] for c in cents])
+    return books
+
+
+def save_pq(path: str, codebooks: Codebooks) -> None:
+    """Persist a codebook artifact (json m x K x dsub float table —
+    driver-sized, like the centroid/classifier seam artifacts)."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump(codebooks, f)
+
+
+def load_pq(path: str) -> Codebooks:
+    import json
+
+    with open(path) as f:
+        return [
+            [[float(x) for x in c] for c in book] for book in json.load(f)
+        ]
+
+
+def _subdist(sub_col, entry: Sequence[float]):
+    """Ordered left fold of (a-b)^2 in element order — the exact op
+    sequence DuckDB's list_dot_product(diff, diff) performs."""
+    arr = F.array(*[F.lit(float(x)) for x in entry])
+    return F.aggregate(
+        F.zip_with(sub_col, arr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_code_cols(vec_col, codebooks: Codebooks):
+    """One bigint code expression per subspace: argmin over the K
+    entry distances, lowest index on ties (array_position returns the
+    FIRST match of the min element)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    v = vec_col.cast("array<double>")
+    codes = []
+    for j in range(m):
+        sub = F.slice(v, j * dsub + 1, dsub)
+        dists = F.array(*[_subdist(sub, e) for e in codebooks[j]])
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - F.lit(1)).cast(
+                "long"
+            )
+        )
+    return codes
+
+
+def pq_codes_summary(
+    embeddings: DataFrame,
+    codebooks: Optional[Codebooks] = None,
+    m: int = PQ_M,
+    K: int = PQ_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, code_key, code_min, code_max) — all-integer pin of the
+    encode lane (the sq_codes precedent: zero float-hash exposure).
+    ``code_key`` is the radix-K positional packing sum_j code_j * K^j,
+    so it pins every subspace's exact code, not just their sum."""
+    if codebooks is None:
+        codebooks = pq_seed_codebooks(embeddings, m, K, id_col, vec_col)
+    K = max(len(b) for b in codebooks)
+    codes = _pq_code_cols(F.col(vec_col), codebooks)
+    key = reduce(
+        lambda a, b: a + b,
+        [c * F.lit(int(K) ** j).cast("long") for j, c in enumerate(codes)],
+    )
+    return embeddings.select(
+        F.col(id_col),
+        key.cast("long").alias("code_key"),
+        F.least(*codes).cast("long").alias("code_min"),
+        F.greatest(*codes).cast("long").alias("code_max"),
+    ).orderBy(id_col)
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    qvec: Sequence[float],
+    k: int = 10,
+    codebooks: Optional[Codebooks] = None,
+    m: int = PQ_M,
+    K: int = PQ_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(rank, vec_id, dist) — ADC top-k ascending squared distance:
+    the query precomputes the m x K subspace distance table driver-side
+    (exactly ||q_j - c_ji||^2, the same ordered fold the encode lane
+    uses) and each document pays m literal-array lookups plus an
+    ordered m-term sum. The corpus-side plan is encode + lookup + sum
+    as one expression chain cut by TakeOrdered — no float-vector scan,
+    no shuffle. Ties break on vec_id asc."""
+    from pyspark.sql.window import Window
+
+    if codebooks is None:
+        codebooks = pq_seed_codebooks(embeddings, m, K, id_col, vec_col)
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    q = [float(x) for x in qvec]
+    if len(q) != m * dsub:
+        raise ValueError(f"qvec dim {len(q)} != {m}*{dsub}")
+    # dtab[j][i] = ||q_j - c_ji||^2, folded in element order (matches
+    # both the encode fold and the oracle's list_dot_product)
+    dtab = []
+    for j in range(m):
+        row = []
+        for entry in codebooks[j]:
+            acc = 0.0
+            for t in range(dsub):
+                d = q[j * dsub + t] - entry[t]
+                acc = acc + d * d
+            row.append(acc)
+        dtab.append(row)
+    codes = _pq_code_cols(F.col(vec_col), codebooks)
+    # chained + in subspace order == the oracle's sum(qd ORDER BY j)
+    dist = reduce(
+        lambda a, b: a + b,
+        [
+            F.element_at(
+                F.array(*[F.lit(x) for x in dtab[j]]),
+                (codes[j] + F.lit(1)).cast("int"),
+            )
+            for j in range(m)
+        ],
+    )
+    scored = embeddings.select(F.col(id_col), dist.alias("dist"))
+    top = scored.orderBy(F.asc("dist"), F.asc(id_col)).limit(int(k))
+    w = Window.orderBy(F.asc("dist"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", F.col(id_col), round6("dist").alias("dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB mirrors
+# ---------------------------------------------------------------------------
+
+
+def _cb_literal_sql(codebooks: Codebooks) -> str:
+    """cb(si, j, cv) VALUES relation from injected (trained) codebooks
+    — si is 1-based to match the derived row_number layout."""
+    vals = []
+    for j, book in enumerate(codebooks):
+        for i, entry in enumerate(book):
+            lst = "[" + ", ".join(sql_double(float(x)) for x in entry) + "]"
+            vals.append(f"({i + 1}, {j + 1}, {lst}::DOUBLE[])")
+    return (
+        "cb AS (SELECT * FROM (VALUES " + ", ".join(vals) + ") AS t(si, j, cv))"
+    )
+
+
+def _pq_ctes(m: int, K: int, codebooks: Optional[Codebooks]) -> str:
+    """Shared CTE chain: e (double vectors), cb (codebooks — derived
+    from the md5 seed sample unless injected), subs (per-vector
+    subspace slices), codes (per-(vec, subspace) argmin code)."""
+    if codebooks is not None:
+        m = len(codebooks)
+        dsub = len(codebooks[0][0])
+        cb = _cb_literal_sql(codebooks)
+        pre = (
+            "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+            f"js AS (SELECT unnest(generate_series(1, {m})) AS j), "
+            f"{cb}, "
+        )
+    else:
+        cb = (
+            "seeds AS (SELECT v, CAST(row_number() OVER "
+            "(ORDER BY md5(vec_id::VARCHAR), vec_id) AS BIGINT) AS si "
+            "FROM e ORDER BY md5(vec_id::VARCHAR), vec_id "
+            f"LIMIT {int(K)}), "
+            "cb AS (SELECT si, j, "
+            "list_slice(v, (j-1)*(len(v)//" + str(int(m)) + ")+1, "
+            "j*(len(v)//" + str(int(m)) + ")) AS cv "
+            "FROM seeds CROSS JOIN js)"
+        )
+        pre = (
+            "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+            f"js AS (SELECT unnest(generate_series(1, {int(m)})) AS j), "
+            f"{cb}, "
+        )
+    return pre + (
+        "subs AS (SELECT vec_id, j, "
+        "list_slice(v, (j-1)*len(cv0)+1, j*len(cv0)) AS sv "
+        "FROM e CROSS JOIN js CROSS JOIN "
+        "(SELECT cv AS cv0 FROM cb WHERE si = 1 AND j = 1)), "
+        "d AS (SELECT vec_id, j, si, list_dot_product("
+        "list_transform(generate_series(1, len(cv)), t -> sv[t] - cv[t]), "
+        "list_transform(generate_series(1, len(cv)), t -> sv[t] - cv[t])"
+        ") AS dist FROM subs JOIN cb USING (j)), "
+        "codes AS (SELECT vec_id, j, si - 1 AS code FROM ("
+        "SELECT vec_id, j, si, row_number() OVER "
+        "(PARTITION BY vec_id, j ORDER BY dist, si) AS rn FROM d) "
+        "WHERE rn = 1)"
+    )
+
+
+def pq_codes_summary_sql(
+    m: int = PQ_M, K: int = PQ_K, codebooks: Optional[Codebooks] = None
+) -> str:
+    if codebooks is not None:
+        K = max(len(b) for b in codebooks)
+    mult = ", ".join(f"({j + 1}, {int(K) ** j})" for j in range(
+        len(codebooks) if codebooks is not None else int(m)
+    ))
+    return (
+        f"WITH {_pq_ctes(m, K, codebooks)}, "
+        f"mult AS (SELECT * FROM (VALUES {mult}) AS t(j, w)) "
+        "SELECT vec_id, CAST(sum(code * w) AS BIGINT) AS code_key, "
+        "CAST(min(code) AS BIGINT) AS code_min, "
+        "CAST(max(code) AS BIGINT) AS code_max "
+        "FROM codes JOIN mult USING (j) GROUP BY vec_id ORDER BY vec_id"
+    )
+
+
+def pq_adc_topk_sql(
+    qvec: Sequence[float],
+    k: int = 10,
+    m: int = PQ_M,
+    K: int = PQ_K,
+    codebooks: Optional[Codebooks] = None,
+) -> str:
+    q = [float(x) for x in qvec]
+    mm = len(codebooks) if codebooks is not None else int(m)
+    if len(q) % mm != 0:
+        raise ValueError(f"qvec dim {len(q)} not divisible by m {mm}")
+    dsub = len(q) // mm
+    qvals = []
+    for j in range(mm):
+        lst = "[" + ", ".join(
+            sql_double(x) for x in q[j * dsub : (j + 1) * dsub]
+        ) + "]"
+        qvals.append(f"({j + 1}, {lst}::DOUBLE[])")
+    return (
+        f"WITH {_pq_ctes(m, K, codebooks)}, "
+        "qsub AS (SELECT * FROM (VALUES "
+        + ", ".join(qvals)
+        + ") AS t(j, qs)), "
+        "dt AS (SELECT si, j, list_dot_product("
+        "list_transform(generate_series(1, len(cv)), t -> qs[t] - cv[t]), "
+        "list_transform(generate_series(1, len(cv)), t -> qs[t] - cv[t])"
+        ") AS qd FROM cb JOIN qsub USING (j)), "
+        "dist AS (SELECT c.vec_id, sum(dt.qd ORDER BY c.j) AS dist "
+        "FROM codes c JOIN dt ON dt.j = c.j AND dt.si = c.code + 1 "
+        "GROUP BY c.vec_id) "
+        "SELECT CAST(row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS INT) "
+        f"AS rank, vec_id, {round6_sql('dist')} AS dist FROM dist "
+        f"ORDER BY dist ASC, vec_id ASC LIMIT {int(k)}"
+    )

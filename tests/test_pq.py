@@ -1,0 +1,173 @@
+"""Product quantization (operators/pq.py): code range/packing, the
+ADC == exact-reconstruction-distance identity, seed-codebook
+determinism under repartition, trained codebooks beating the seed
+codebooks on quantization error (and pruning via DuckDB injected-
+literal parity), and the argument guards."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from distributedcodesearchengine_spark.functions.embed import mock_embed_text
+from distributedcodesearchengine_spark.operators import pq
+
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def _py_codes(vecs, books):
+    """Pure-python replication of the encode contract: per subspace,
+    argmin ordered-fold squared distance, lowest index on ties."""
+    m = len(books)
+    dsub = len(books[0][0])
+    out = []
+    for v in vecs:
+        codes = []
+        for j in range(m):
+            best, bi = None, None
+            for i, entry in enumerate(books[j]):
+                acc = 0.0
+                for t in range(dsub):
+                    d = float(v[j * dsub + t]) - entry[t]
+                    acc = acc + d * d
+                if best is None or acc < best:
+                    best, bi = acc, i
+            codes.append(bi)
+        out.append(codes)
+    return out
+
+
+def test_pq_codes_match_python_replication(spark):
+    vecs = [mock_embed_text(f"doc {i}", 16) for i in range(30)]
+    emb = _emb(spark, vecs)
+    books = pq.pq_seed_codebooks(emb, m=4, K=5)
+    got = {
+        r.vec_id: (r.code_key, r.code_min, r.code_max)
+        for r in pq.pq_codes_summary(emb, codebooks=books).collect()
+    }
+    exp = _py_codes(vecs, books)
+    K = max(len(b) for b in books)
+    for i, codes in enumerate(exp):
+        key = sum(c * K**j for j, c in enumerate(codes))
+        assert got[i] == (key, min(codes), max(codes))
+        assert all(0 <= c < K for c in codes)
+
+
+def test_pq_adc_equals_reconstruction_distance(spark):
+    vecs = [mock_embed_text(f"doc {i}", 16) for i in range(25)]
+    emb = _emb(spark, vecs)
+    books = pq.pq_seed_codebooks(emb, m=4, K=6)
+    q = mock_embed_text("the query", 16)
+    got = {
+        r.vec_id: r.dist
+        for r in pq.pq_adc_topk(emb, q, k=25, codebooks=books).collect()
+    }
+    m, dsub = 4, 4
+    for i, codes in enumerate(_py_codes(vecs, books)):
+        # exact ||q - decode(encode(v))||^2, folded subspace-major —
+        # the ADC identity: table lookups ARE the reconstruction
+        # distance, not an approximation of it
+        acc = 0.0
+        for j in range(m):
+            sub = 0.0
+            for t in range(dsub):
+                d = q[j * dsub + t] - books[j][codes[j]][t]
+                sub = sub + d * d
+            acc = acc + sub
+        assert got[i] == pytest.approx(acc, abs=1e-6)
+
+
+def test_pq_seed_codebooks_layout_independent(spark):
+    vecs = [mock_embed_text(f"doc {i}", 16) for i in range(40)]
+    emb = _emb(spark, vecs)
+    b1 = pq.pq_seed_codebooks(emb, m=4, K=8)
+    b2 = pq.pq_seed_codebooks(emb.repartition(7), m=4, K=8)
+    assert b1 == b2
+
+
+def test_pq_trained_beats_seed_on_clustered_data(spark, tmp_path):
+    # two tight clusters per subspace half: trained centroids land on
+    # the cluster means; seed codebooks are whole sample vectors
+    base_a = mock_embed_text("cluster a", 8)
+    base_b = mock_embed_text("cluster b", 8)
+    vecs = []
+    for i in range(60):
+        base = base_a if i % 2 == 0 else base_b
+        vecs.append([x + (i % 5) * 1e-3 for x in base])
+    emb = _emb(spark, vecs)
+    seed = pq.pq_seed_codebooks(emb, m=2, K=2)
+    trained = pq.train_pq_codebooks(emb, m=2, K=2, iters=4)
+
+    def mean_err(books):
+        q = [0.0] * 8  # distance to origin == reconstruction norm proxy
+        codes = _py_codes(vecs, books)
+        tot = 0.0
+        for v, cs in zip(vecs, codes):
+            for j in range(2):
+                for t in range(4):
+                    d = v[j * 4 + t] - books[j][cs[j]][t]
+                    tot += d * d
+        return tot
+
+    assert mean_err(trained) <= mean_err(seed)
+    # artifact roundtrip
+    p = str(tmp_path / "pq.json")
+    pq.save_pq(p, trained)
+    assert pq.load_pq(p) == trained
+
+
+def test_pq_trained_duckdb_injected_parity(spark):
+    vecs = [mock_embed_text(f"doc {i}", 16) for i in range(30)]
+    emb = _emb(spark, vecs)
+    trained = pq.train_pq_codebooks(emb, m=4, K=3, iters=2)
+    q = mock_embed_text("the query", 16)
+    sp = (
+        pq.pq_adc_topk(emb, q, k=8, codebooks=trained)
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        emb.toPandas(),
+    )
+    oc = (
+        con.execute(pq.pq_adc_topk_sql(q, k=8, codebooks=trained))
+        .df()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert list(sp["vec_id"]) == list(oc["vec_id"])
+    assert list(sp["dist"]) == list(oc["dist"])
+
+
+def test_pq_guards(spark):
+    emb = _emb(spark, [mock_embed_text("x", 16)])
+    with pytest.raises(ValueError):
+        pq.pq_seed_codebooks(emb, m=5, K=4)  # 16 % 5 != 0
+    with pytest.raises(ValueError):
+        pq.pq_seed_codebooks(emb, m=0, K=4)
+    with pytest.raises(ValueError):
+        pq.pq_adc_topk(
+            emb, [0.0] * 12, codebooks=pq.pq_seed_codebooks(emb, m=4, K=1)
+        )  # qvec dim mismatch
+
+
+def test_pq_topk_plan_is_take_ordered(spark):
+    vecs = [mock_embed_text(f"doc {i}", 16) for i in range(20)]
+    emb = _emb(spark, vecs)
+    books = pq.pq_seed_codebooks(emb, m=4, K=4)
+    q = mock_embed_text("the query", 16)
+    plan = (
+        pq.pq_adc_topk(emb, q, k=5, codebooks=books)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
