@@ -1234,6 +1234,15 @@ def _registry():
         pqm.pq_adc_topk_sql(_qv, k=10),
     )
 
+    # C4 rule-based page cleaning (Raffel et al. 2020): line rules
+    # (terminal punctuation, >=5 words, no javascript) + page rules
+    # (>=3 kept lines, no lorem ipsum, no brace) over a deterministic
+    # multi-line rendering; the md5 reassembly pins every kept byte
+    reg["c4_filters"] = (
+        _tbl_op(pl.c4_clean_augmented),
+        pl.c4_clean_sql(),
+    )
+
     return _rotate(reg)
 
 

@@ -1214,3 +1214,143 @@ def temperature_sample_sql(
         f"{round6_sql('any_value(rate)')} AS rate "
         "FROM k GROUP BY lang ORDER BY lang"
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style rule-based page cleaning (Raffel et al. 2020, the heuristic
+# filter every web-scale training corpus starts from; FineWeb/RefinedWeb
+# run the same shapes with tuned thresholds)
+
+C4_MIN_WORDS = 5  # a kept line needs this many whitespace words
+C4_MIN_KEPT = 3  # a kept page needs this many surviving lines
+
+
+def c4_clean(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = C4_MIN_WORDS,
+    min_kept: int = C4_MIN_KEPT,
+) -> DataFrame:
+    """(doc_id, n_lines, n_kept, page_keep, clean_hash) — the C4
+    line/page heuristics as one pure-expression pass:
+
+    line rules (a line survives only if ALL hold):
+      - ends in a terminal punctuation mark (``. ! ? "``),
+      - has >= ``min_words`` whitespace-separated words,
+      - does not mention ``javascript`` (case-insensitive);
+    page rules (the page is dropped entirely if ANY holds):
+      - fewer than ``min_kept`` surviving lines (C4's "at least three
+        sentences"),
+      - contains ``lorem ipsum`` (case-insensitive),
+      - contains ``{`` (the code-leak guard). C4's bad-words page rule
+        is this same contains() shape over a list.
+
+    ``clean_hash`` pins the surviving lines in original order (md5 of
+    the reassembly — the dedup_lines narrow-row precedent), so the gate
+    pins every kept byte, not just the counts.
+
+    Scale: per-row JVM expressions only (split + filter HOF + md5) —
+    zero shuffle, zero Python; the one-pass shape survives any corpus
+    size because no corpus-wide state exists."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n", -1)
+    kept = F.filter(
+        lines,
+        lambda l: (F.size(F.split(l, " ", -1)) >= int(min_words))
+        & l.rlike('[.!?"]$')
+        & (~F.lower(l).contains("javascript")),
+    )
+    n_kept = F.size(kept)
+    page_keep = (
+        (~F.lower(t).contains("lorem ipsum"))
+        & (~t.contains("{"))
+        & (n_kept >= int(min_kept))
+    )
+    return docs.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept"),
+        page_keep.alias("page_keep"),
+        F.md5(F.encode(F.array_join(kept, "\n"), "utf-8")).alias(
+            "clean_hash"
+        ),
+    ).orderBy("doc_id")
+
+
+# Gate augmentation: the corpus is single-line word-soup, so each doc
+# renders as a page exercising every rule IDENTICALLY in both engines —
+# a short nav line (always dropped: 1 word, no punctuation), 6-token
+# body lines where alternate lines get a terminal '.' (the others drop
+# by the punctuation rule; the tail line usually drops by min-words),
+# and doc_id-conditional hazard lines: a javascript notice (line rule),
+# a lorem-ipsum line and a brace line (page rules).
+_C4_GROUP = 6
+
+
+def _c4_augment_spark() -> F.Column:
+    g = _C4_GROUP
+    return F.expr(
+        "concat('home', chr(10), "
+        f"array_join(transform(sequence(0, (size(w) - 1) DIV {g}), "
+        f"g -> CASE WHEN (doc_id + g) % 2 = 0 "
+        f"THEN concat(array_join(slice(w, g * {g} + 1, {g}), ' '), '.') "
+        f"ELSE array_join(slice(w, g * {g} + 1, {g}), ' ') END), chr(10)), "
+        "CASE WHEN doc_id % 4 = 0 THEN concat(chr(10), "
+        "'please enable javascript to view this site.') ELSE '' END, "
+        "CASE WHEN doc_id % 17 = 0 THEN concat(chr(10), "
+        "'lorem ipsum dolor sit amet.') ELSE '' END, "
+        "CASE WHEN doc_id % 23 = 0 THEN concat(chr(10), "
+        "'var config = { debug: false };') ELSE '' END)"
+    )
+
+
+def _c4_augment_sql(table: str = "documents") -> str:
+    g = _C4_GROUP
+    return (
+        f"w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM {table}), "
+        "a AS (SELECT doc_id, 'home' || chr(10) || "
+        f"array_to_string(list_transform(generate_series(0, (len(w) - 1) // {g}), "
+        f"g -> CASE WHEN (doc_id + g) % 2 = 0 "
+        f"THEN array_to_string(w[g * {g} + 1:g * {g} + {g}], ' ') || '.' "
+        f"ELSE array_to_string(w[g * {g} + 1:g * {g} + {g}], ' ') END), chr(10)) "
+        "|| CASE WHEN doc_id % 4 = 0 THEN chr(10) || "
+        "'please enable javascript to view this site.' ELSE '' END "
+        "|| CASE WHEN doc_id % 17 = 0 THEN chr(10) || "
+        "'lorem ipsum dolor sit amet.' ELSE '' END "
+        "|| CASE WHEN doc_id % 23 = 0 THEN chr(10) || "
+        "'var config = { debug: false };' ELSE '' END AS txt FROM w0)"
+    )
+
+
+def c4_clean_augmented(documents: DataFrame) -> DataFrame:
+    """Gate wrapper: render each corpus row as a multi-line page, then
+    run the C4 cleaner."""
+    return c4_clean(
+        documents.select(
+            "doc_id",
+            F.expr("split(text, ' ')").alias("w"),
+        ).select("doc_id", _c4_augment_spark().alias("text"))
+    )
+
+
+def c4_clean_sql(
+    table: str = "documents",
+    min_words: int = C4_MIN_WORDS,
+    min_kept: int = C4_MIN_KEPT,
+) -> str:
+    return (
+        f"WITH {_c4_augment_sql(table)}, "
+        "l0 AS (SELECT doc_id, txt, string_split(txt, chr(10)) AS ls FROM a), "
+        "k AS (SELECT doc_id, txt, len(ls) AS n_lines, list_filter(ls, "
+        f"l -> len(string_split(l, ' ')) >= {int(min_words)} "
+        "AND regexp_matches(l, '[.!?\"]$') "
+        "AND NOT contains(lower(l), 'javascript')) AS kept FROM l0) "
+        "SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines, "
+        "CAST(len(kept) AS BIGINT) AS n_kept, "
+        "(NOT contains(lower(txt), 'lorem ipsum') AND NOT contains(txt, '{') "
+        f"AND len(kept) >= {int(min_kept)}) AS page_keep, "
+        # array_to_string(NULL-on-empty) vs Spark array_join('' on
+        # empty): coalesce, the dedup_lines precedent
+        "md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_hash "
+        "FROM k ORDER BY doc_id"
+    )
