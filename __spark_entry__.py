@@ -1243,6 +1243,28 @@ def _registry():
         pl.c4_clean_sql(),
     )
 
+    # the ES geo family over deterministic md5-derived positions:
+    # bounding-box filter (sargable range AND), geo_distance top-k
+    # (haversine + TakeOrdered), and the grid aggregation keyed on the
+    # INTEGER milli-degree derivation (exact cross-engine — a Mercator
+    # ln/tan tile key would flip integer cells on 1-ulp libm diffs)
+    from distributedcodesearchengine_spark.operators import geo as geom
+
+    reg["geo_bbox"] = (
+        _tbl_op(partial(geom.geo_bbox, lat_min=-45.0, lat_max=45.0,
+                        lon_min=-90.0, lon_max=90.0)),
+        geom.geo_bbox_sql(-45.0, 45.0, -90.0, 90.0),
+    )
+    reg["geo_distance_topk"] = (
+        _tbl_op(partial(geom.geo_distance_topk, center_lat=48.8566,
+                        center_lon=2.3522, k=10)),
+        geom.geo_distance_topk_sql(48.8566, 2.3522, k=10),
+    )
+    reg["geo_grid"] = (
+        _tbl_op(geom.geo_grid),
+        geom.geo_grid_sql(),
+    )
+
     return _rotate(reg)
 
 

@@ -1,0 +1,226 @@
+"""Geo queries and aggregations (the Elasticsearch geo family:
+``geo_bounding_box`` filter, ``geo_distance`` sort, ``geotile_grid`` /
+``geohash_grid``-class bucketing).
+
+The corpus carries no coordinates, so — like the PII / line-dedup / C4
+gates — every operator runs over DETERMINISTIC derived positions both
+engines compute identically from the parquet alone: integer
+milli-degrees from two md5(doc_id) hex slices (lat_md in [0, 180000),
+lon_md in [0, 360000)), displayed as ``lat = lat_md/1000 - 90`` /
+``lon = lon_md/1000 - 180``. Keeping the DERIVATION integer makes the
+grid aggregation all-integer (exact cross-engine by construction) and
+the bbox comparisons exact (identical divide/subtract on identical
+integers); only the haversine distance touches transcendentals, where
+the engines' libm vs JVM sin/cos/asin may differ in the last ulp — the
+house exp/ln precedent (temperature_sample, unigram_logppl) with the
+6-dp gate rounding absorbing it. The degree->radian factor is a shared
+literal multiply on both engines (never the builtin radians(), whose
+operand order differs between them).
+
+Scale shapes:
+- bbox: a sargable AND of range predicates — on a real corpus with
+  materialized lat/lon columns this is parquet min/max pushdown, the
+  cheapest filter class there is;
+- distance top-k: per-row expression + TakeOrderedAndProject — no
+  sort, no shuffle;
+- grid: map-side-combinable integer groupBy — a billion points in one
+  cell collapse per map task before the shuffle.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round6, round6_sql, sql_double
+
+GEO_EARTH_KM = 6371.0088  # IUGG mean earth radius
+_DEG2RAD = math.pi / 180.0
+
+
+def _md(col_hex_start: int):
+    """Integer milli-degrees from an md5(doc_id) hex slice."""
+    return F.conv(
+        F.substring(
+            F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8")),
+            col_hex_start,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def _lat_md():
+    return _md(1) % 180000
+
+
+def _lon_md():
+    return _md(9) % 360000
+
+
+def _lat_lon_sql() -> str:
+    """Shared CTE: integer milli-degrees + display degrees per doc."""
+    return (
+        "g AS (SELECT doc_id, "
+        "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 180000 AS lat_md, "
+        "('0x' || substr(md5(doc_id::VARCHAR), 9, 8))::BIGINT % 360000 AS lon_md "
+        "FROM documents), "
+        "p AS (SELECT doc_id, lat_md, lon_md, "
+        "lat_md / 1000.0 - 90.0 AS lat, lon_md / 1000.0 - 180.0 AS lon FROM g)"
+    )
+
+
+def geo_points(docs: DataFrame) -> DataFrame:
+    """(doc_id, lat_md, lon_md, lat, lon) — the derived positions."""
+    return docs.select(
+        "doc_id",
+        _lat_md().alias("lat_md"),
+        _lon_md().alias("lon_md"),
+    ).select(
+        "doc_id",
+        "lat_md",
+        "lon_md",
+        (F.col("lat_md") / F.lit(1000.0) - F.lit(90.0)).alias("lat"),
+        (F.col("lon_md") / F.lit(1000.0) - F.lit(180.0)).alias("lon"),
+    )
+
+
+def geo_bbox(
+    docs: DataFrame,
+    lat_min: float,
+    lat_max: float,
+    lon_min: float,
+    lon_max: float,
+) -> DataFrame:
+    """(doc_id, lat, lon) inside the box, inclusive bounds — the ES
+    ``geo_bounding_box`` filter. Comparisons are exact: both engines
+    derive lat/lon by the identical integer-divide-subtract chain."""
+    if lat_min > lat_max or lon_min > lon_max:
+        raise ValueError(
+            f"empty box: [{lat_min},{lat_max}] x [{lon_min},{lon_max}]"
+        )
+    p = geo_points(docs)
+    return (
+        p.where(
+            (F.col("lat") >= float(lat_min))
+            & (F.col("lat") <= float(lat_max))
+            & (F.col("lon") >= float(lon_min))
+            & (F.col("lon") <= float(lon_max))
+        )
+        .select("doc_id", round6("lat").alias("lat"), round6("lon").alias("lon"))
+        .orderBy("doc_id")
+    )
+
+
+def geo_bbox_sql(
+    lat_min: float, lat_max: float, lon_min: float, lon_max: float
+) -> str:
+    return (
+        f"WITH {_lat_lon_sql()} "
+        f"SELECT doc_id, {round6_sql('lat')} AS lat, {round6_sql('lon')} AS lon "
+        f"FROM p WHERE lat >= {sql_double(float(lat_min))} "
+        f"AND lat <= {sql_double(float(lat_max))} "
+        f"AND lon >= {sql_double(float(lon_min))} "
+        f"AND lon <= {sql_double(float(lon_max))} ORDER BY doc_id"
+    )
+
+
+def _haversine_col(lat, lon, clat: float, clon: float):
+    """Great-circle km. Operand sequence mirrored verbatim in the SQL:
+    radians via one shared literal multiply, sin(x)*sin(x) (never
+    pow), a = hlat + cos*cos*hlon, d = 2R * asin(sqrt(a))."""
+    d2r = F.lit(_DEG2RAD)
+    rlat1 = lat * d2r
+    rlat2 = F.lit(float(clat)) * d2r
+    dlat2 = (F.lit(float(clat)) - lat) * d2r / F.lit(2.0)
+    dlon2 = (F.lit(float(clon)) - lon) * d2r / F.lit(2.0)
+    a = (
+        F.sin(dlat2) * F.sin(dlat2)
+        + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon2) * F.sin(dlon2)
+    )
+    return F.lit(2.0 * GEO_EARTH_KM) * F.asin(F.sqrt(a))
+
+
+def geo_distance_topk(
+    docs: DataFrame, center_lat: float, center_lon: float, k: int = 10
+) -> DataFrame:
+    """(rank, doc_id, dist_km) — the k nearest docs to the center by
+    haversine distance (the ES ``geo_distance`` sort / query),
+    ties on doc_id asc. Per-row expression + TakeOrdered."""
+    from pyspark.sql.window import Window
+
+    p = geo_points(docs)
+    scored = p.select(
+        "doc_id",
+        _haversine_col(
+            F.col("lat"), F.col("lon"), center_lat, center_lon
+        ).alias("dist_km"),
+    )
+    top = scored.orderBy(F.asc("dist_km"), F.asc("doc_id")).limit(int(k))
+    w = Window.orderBy(F.asc("dist_km"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", round6("dist_km").alias("dist_km")
+    )
+
+
+def geo_distance_topk_sql(
+    center_lat: float, center_lon: float, k: int = 10
+) -> str:
+    d2r = sql_double(_DEG2RAD)
+    clat = sql_double(float(center_lat))
+    clon = sql_double(float(center_lon))
+    a = (
+        f"sin(({clat} - lat) * {d2r} / 2.0) * sin(({clat} - lat) * {d2r} / 2.0) "
+        f"+ cos(lat * {d2r}) * cos({clat} * {d2r}) "
+        f"* sin(({clon} - lon) * {d2r} / 2.0) * sin(({clon} - lon) * {d2r} / 2.0)"
+    )
+    dist = f"{sql_double(2.0 * GEO_EARTH_KM)} * asin(sqrt({a}))"
+    return (
+        f"WITH {_lat_lon_sql()}, "
+        f"d AS (SELECT doc_id, {dist} AS dist_km FROM p) "
+        "SELECT CAST(row_number() OVER (ORDER BY dist_km ASC, doc_id ASC) AS INT) "
+        f"AS rank, doc_id, {round6_sql('dist_km')} AS dist_km FROM d "
+        f"ORDER BY dist_km ASC, doc_id ASC LIMIT {int(k)}"
+    )
+
+
+def geo_grid(docs: DataFrame, cell_milli: int = 15000) -> DataFrame:
+    """(cell_lat, cell_lon, n, min_doc_id) — the geotile/geohash-grid
+    aggregation as an ALL-INTEGER cell keyed on the milli-degree
+    derivation (cell = md DIV cell_milli): exact cross-engine by
+    construction (a Web-Mercator ln(tan(...)) tile key would flip
+    integer cells on 1-ulp libm differences at tile boundaries — the
+    reason the grid keys off the integers, not the degrees).
+    min_doc_id pins membership, not just occupancy."""
+    if int(cell_milli) < 1:
+        raise ValueError(f"cell_milli must be >= 1: {cell_milli!r}")
+    c = int(cell_milli)
+    p = docs.select(
+        "doc_id", _lat_md().alias("lat_md"), _lon_md().alias("lon_md")
+    ).select(
+        "doc_id",
+        F.expr(f"lat_md DIV {c}").cast("long").alias("cell_lat"),
+        F.expr(f"lon_md DIV {c}").cast("long").alias("cell_lon"),
+    )
+    return (
+        p.groupBy("cell_lat", "cell_lon")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+        )
+        .orderBy("cell_lat", "cell_lon")
+    )
+
+
+def geo_grid_sql(cell_milli: int = 15000) -> str:
+    c = int(cell_milli)
+    return (
+        f"WITH {_lat_lon_sql()} "
+        f"SELECT lat_md // {c} AS cell_lat, lon_md // {c} AS cell_lon, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(min(doc_id) AS BIGINT) AS min_doc_id "
+        "FROM p GROUP BY 1, 2 ORDER BY 1, 2"
+    )

@@ -1,0 +1,97 @@
+"""Geo family (operators/geo.py): derivation ranges and layout
+independence, bbox membership vs a python recheck, haversine sanity on
+known geometry, grid exactness/count conservation, and guards."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributedcodesearchengine_spark.operators import geo
+
+
+def _docs(spark, n=80):
+    return spark.createDataFrame(
+        [(i,) for i in range(n)], "doc_id long"
+    )
+
+
+def test_derivation_ranges_and_layout_independence(spark):
+    d = _docs(spark)
+    p1 = {r.doc_id: (r.lat_md, r.lon_md, r.lat, r.lon)
+          for r in geo.geo_points(d).collect()}
+    p2 = {r.doc_id: (r.lat_md, r.lon_md, r.lat, r.lon)
+          for r in geo.geo_points(d.repartition(7)).collect()}
+    assert p1 == p2
+    for lat_md, lon_md, lat, lon in p1.values():
+        assert 0 <= lat_md < 180000 and 0 <= lon_md < 360000
+        assert -90.0 <= lat < 90.0 and -180.0 <= lon < 180.0
+
+
+def test_bbox_membership(spark):
+    d = _docs(spark)
+    pts = {r.doc_id: (r.lat, r.lon) for r in geo.geo_points(d).collect()}
+    got = {r.doc_id for r in geo.geo_bbox(d, -30.0, 30.0, -60.0, 60.0).collect()}
+    exp = {
+        i for i, (la, lo) in pts.items()
+        if -30.0 <= la <= 30.0 and -60.0 <= lo <= 60.0
+    }
+    assert got == exp
+    with pytest.raises(ValueError):
+        geo.geo_bbox(d, 10.0, -10.0, 0.0, 1.0)
+
+
+def test_haversine_known_geometry(spark):
+    # one degree of longitude along the equator
+    d = spark.createDataFrame([(0,)], "doc_id long")
+    pts = d.select(
+        geo._haversine_col(F.lit(0.0), F.lit(0.0), 0.0, 1.0).alias("km")
+    ).collect()[0]
+    assert pts.km == pytest.approx(
+        geo.GEO_EARTH_KM * math.pi / 180.0, rel=1e-9
+    )
+    # antipodal: half the circumference
+    half = d.select(
+        geo._haversine_col(F.lit(0.0), F.lit(0.0), 0.0, 180.0).alias("km")
+    ).collect()[0]
+    assert half.km == pytest.approx(geo.GEO_EARTH_KM * math.pi, rel=1e-9)
+
+
+def test_distance_topk_matches_python(spark):
+    d = _docs(spark, 60)
+    pts = {r.doc_id: (r.lat, r.lon) for r in geo.geo_points(d).collect()}
+
+    def hav(la, lo, cla, clo):
+        f = math.pi / 180.0
+        a = (
+            math.sin((cla - la) * f / 2.0) ** 2
+            + math.cos(la * f)
+            * math.cos(cla * f)
+            * math.sin((clo - lo) * f / 2.0) ** 2
+        )
+        return 2.0 * geo.GEO_EARTH_KM * math.asin(math.sqrt(a))
+
+    exp = sorted(
+        ((hav(la, lo, 10.0, 20.0), i) for i, (la, lo) in pts.items())
+    )[:5]
+    got = geo.geo_distance_topk(d, 10.0, 20.0, k=5).collect()
+    assert [r.doc_id for r in got] == [i for _, i in exp]
+    for r, (dist, _) in zip(got, exp):
+        assert r.dist_km == pytest.approx(dist, abs=1e-6)
+
+
+def test_grid_exact_and_conserves_count(spark):
+    d = _docs(spark, 100)
+    rows = geo.geo_grid(d, cell_milli=30000).collect()
+    assert sum(r.n for r in rows) == 100
+    pts = {r.doc_id: (r.lat_md, r.lon_md)
+           for r in geo.geo_points(d).collect()}
+    exp = {}
+    for i, (la, lo) in pts.items():
+        key = (la // 30000, lo // 30000)
+        n, mn = exp.get(key, (0, i))
+        exp[key] = (n + 1, min(mn, i))
+    got = {(r.cell_lat, r.cell_lon): (r.n, r.min_doc_id) for r in rows}
+    assert got == exp
+    with pytest.raises(ValueError):
+        geo.geo_grid(d, cell_milli=0)
