@@ -1233,6 +1233,15 @@ def _registry():
         _tbl_op(partial(pqm.pq_adc_topk, qvec=_qv, k=10), "embeddings"),
         pqm.pq_adc_topk_sql(_qv, k=10),
     )
+    # the FAISS IndexRefineFlat / ScaNN-reordering serving pattern:
+    # compressed ADC scan cuts refine*k candidates, exact squared-L2
+    # re-ranks only those — the float store is touched for refine*k
+    # rows, never the corpus
+    reg["pq_refine_topk"] = (
+        _tbl_op(partial(pqm.pq_refine_topk, qvec=_qv, k=10, refine=4),
+                "embeddings"),
+        pqm.pq_refine_topk_sql(_qv, k=10, refine=4),
+    )
 
     # C4 rule-based page cleaning (Raffel et al. 2020): line rules
     # (terminal punctuation, >=5 words, no javascript) + page rules

@@ -293,6 +293,95 @@ def pq_adc_topk(
     )
 
 
+def pq_refine_topk(
+    embeddings: DataFrame,
+    qvec: Sequence[float],
+    k: int = 10,
+    refine: int = 4,
+    codebooks: Optional[Codebooks] = None,
+    m: int = PQ_M,
+    K: int = PQ_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(rank, vec_id, dist) — the FAISS ``IndexRefineFlat`` serving
+    pattern: stage 1 cuts ``refine * k`` candidates by the compressed
+    ADC distance (m table lookups per doc, the pq_adc_topk plan), stage
+    2 re-ranks ONLY those candidates by the exact squared distance
+    against the stored float vectors and returns the exact top-k. At
+    10^12 vectors the full-precision store pages from disk; this plan
+    touches it for ``refine*k`` rows instead of the corpus — the
+    two-stage compressed-scan + exact-refine shape every production ANN
+    tier (FAISS refine, ScaNN reordering, Lucene/ES int8-rescore) runs.
+
+    Candidate-set parity: the stage-1 cut orders by (adc_dist asc,
+    vec_id asc) — the same total order on both engines, so the refine
+    window is identical even when ADC distances tie at the boundary.
+    Exact-distance parity: the ordered element fold of (a-b)^2 (==
+    DuckDB ``list_dot_product`` of the diff with itself), the house
+    rule every distance in this module follows. Final ties break on
+    vec_id asc; dist is the EXACT distance, 6-dp rounded."""
+    from pyspark.sql.window import Window
+
+    if k < 1 or refine < 1:
+        raise ValueError(f"k and refine must be >= 1: k={k} refine={refine}")
+    if codebooks is None:
+        codebooks = pq_seed_codebooks(embeddings, m, K, id_col, vec_col)
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    q = [float(x) for x in qvec]
+    if len(q) != m * dsub:
+        raise ValueError(f"qvec dim {len(q)} != {m}*{dsub}")
+    dtab = []
+    for j in range(m):
+        row = []
+        for entry in codebooks[j]:
+            acc = 0.0
+            for t in range(dsub):
+                d = q[j * dsub + t] - entry[t]
+                acc = acc + d * d
+            row.append(acc)
+        dtab.append(row)
+    codes = _pq_code_cols(F.col(vec_col), codebooks)
+    adc = reduce(
+        lambda a, b: a + b,
+        [
+            F.element_at(
+                F.array(*[F.lit(x) for x in dtab[j]]),
+                (codes[j] + F.lit(1)).cast("int"),
+            )
+            for j in range(m)
+        ],
+    )
+    # stage 1: compressed scan, TakeOrdered refine*k cut — the full
+    # float vector rides along so stage 2 never rejoins the corpus
+    cand = (
+        embeddings.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+            adc.alias("_adc"),
+        )
+        .orderBy(F.asc("_adc"), F.asc(id_col))
+        .limit(int(refine) * int(k))
+    )
+    # stage 2: exact distance on the refine*k survivors only
+    qarr = F.array(*[F.lit(x) for x in q])
+    exact = F.aggregate(
+        F.zip_with(F.col("_v"), qarr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    top = (
+        cand.select(F.col(id_col), exact.alias("dist"))
+        .orderBy(F.asc("dist"), F.asc(id_col))
+        .limit(int(k))
+    )
+    w = Window.orderBy(F.asc("dist"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", F.col(id_col), round6("dist").alias("dist")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB mirrors
 # ---------------------------------------------------------------------------
@@ -371,6 +460,54 @@ def pq_codes_summary_sql(
         "CAST(min(code) AS BIGINT) AS code_min, "
         "CAST(max(code) AS BIGINT) AS code_max "
         "FROM codes JOIN mult USING (j) GROUP BY vec_id ORDER BY vec_id"
+    )
+
+
+def pq_refine_topk_sql(
+    qvec: Sequence[float],
+    k: int = 10,
+    refine: int = 4,
+    m: int = PQ_M,
+    K: int = PQ_K,
+    codebooks: Optional[Codebooks] = None,
+) -> str:
+    """DuckDB mirror of ``pq_refine_topk``: the ADC chain cut to
+    refine*k by (adc asc, vec_id asc), then exact
+    list_dot_product(diff, diff) re-rank of the candidates only."""
+    q = [float(x) for x in qvec]
+    mm = len(codebooks) if codebooks is not None else int(m)
+    if len(q) % mm != 0:
+        raise ValueError(f"qvec dim {len(q)} not divisible by m {mm}")
+    dsub = len(q) // mm
+    qvals = []
+    for j in range(mm):
+        lst = "[" + ", ".join(
+            sql_double(x) for x in q[j * dsub : (j + 1) * dsub]
+        ) + "]"
+        qvals.append(f"({j + 1}, {lst}::DOUBLE[])")
+    qfull = "[" + ", ".join(sql_double(x) for x in q) + "]::DOUBLE[]"
+    return (
+        f"WITH {_pq_ctes(m, K, codebooks)}, "
+        "qsub AS (SELECT * FROM (VALUES "
+        + ", ".join(qvals)
+        + ") AS t(j, qs)), "
+        "dt AS (SELECT si, j, list_dot_product("
+        "list_transform(generate_series(1, len(cv)), t -> qs[t] - cv[t]), "
+        "list_transform(generate_series(1, len(cv)), t -> qs[t] - cv[t])"
+        ") AS qd FROM cb JOIN qsub USING (j)), "
+        "adc AS (SELECT c.vec_id, sum(dt.qd ORDER BY c.j) AS adc "
+        "FROM codes c JOIN dt ON dt.j = c.j AND dt.si = c.code + 1 "
+        "GROUP BY c.vec_id), "
+        "cand AS (SELECT vec_id FROM adc "
+        f"ORDER BY adc ASC, vec_id ASC LIMIT {int(refine) * int(k)}), "
+        f"qv AS (SELECT {qfull} AS q), "
+        "exact AS (SELECT e.vec_id, list_dot_product("
+        "list_transform(generate_series(1, len(v)), t -> v[t] - q[t]), "
+        "list_transform(generate_series(1, len(v)), t -> v[t] - q[t])"
+        ") AS dist FROM e JOIN cand USING (vec_id) CROSS JOIN qv) "
+        "SELECT CAST(row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS INT) "
+        f"AS rank, vec_id, {round6_sql('dist')} AS dist FROM exact "
+        f"ORDER BY dist ASC, vec_id ASC LIMIT {int(k)}"
     )
 
 

@@ -171,3 +171,103 @@ def test_pq_topk_plan_is_take_ordered(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def _py_exact_topk(vecs, q, k):
+    """Brute-force exact squared-L2 top-k, ties on vec_id asc."""
+    ds = []
+    for i, v in enumerate(vecs):
+        acc = 0.0
+        for a, b in zip(v, q):
+            d = float(a) - float(b)
+            acc = acc + d * d
+        ds.append((acc, i))
+    ds.sort()
+    return [i for _, i in ds[:k]]
+
+
+def test_pq_refine_recovers_exact_topk(spark):
+    """With a refine window covering the whole corpus the two-stage
+    plan IS the exact brute-force ranking — the refine contract."""
+    vecs = [mock_embed_text(f"doc {i}", 16) for i in range(30)]
+    emb = _emb(spark, vecs)
+    books = pq.pq_seed_codebooks(emb, m=4, K=5)
+    q = mock_embed_text("the query", 16)
+    got = pq.pq_refine_topk(emb, q, k=6, refine=5, codebooks=books).collect()
+    assert [r.vec_id for r in got] == _py_exact_topk(vecs, q, 6)
+    assert [r.rank for r in got] == list(range(1, 7))
+
+
+def test_pq_refine_improves_on_adc(spark):
+    """Exact re-rank can only improve: the refined top-1's TRUE
+    distance is <= the ADC top-1's true distance, and the refined
+    ranking is ordered by exact distance."""
+    vecs = [mock_embed_text(f"doc {i}", 16) for i in range(40)]
+    emb = _emb(spark, vecs)
+    books = pq.pq_seed_codebooks(emb, m=4, K=3)  # coarse -> ADC errs
+    q = mock_embed_text("refine target", 16)
+
+    def true_d(i):
+        acc = 0.0
+        for a, b in zip(vecs[i], q):
+            d = float(a) - float(b)
+            acc = acc + d * d
+        return acc
+
+    adc1 = pq.pq_adc_topk(emb, q, k=1, codebooks=books).collect()[0].vec_id
+    ref = pq.pq_refine_topk(emb, q, k=5, refine=8, codebooks=books).collect()
+    assert true_d(ref[0].vec_id) <= true_d(adc1) + 1e-12
+    dists = [r.dist for r in ref]
+    assert dists == sorted(dists)
+
+
+def test_pq_refine_duckdb_parity(spark):
+    vecs = [mock_embed_text(f"doc {i}", 16) for i in range(30)]
+    emb = _emb(spark, vecs)
+    q = mock_embed_text("the query", 16)
+    sp = (
+        pq.pq_refine_topk(emb, q, k=8, refine=2, m=4, K=5)
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("embeddings", emb.toPandas())
+    oc = (
+        con.execute(pq.pq_refine_topk_sql(q, k=8, refine=2, m=4, K=5))
+        .df()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert list(sp["vec_id"]) == list(oc["vec_id"])
+    assert list(sp["dist"]) == list(oc["dist"])
+
+
+def test_pq_refine_guards(spark):
+    emb = _emb(spark, [mock_embed_text("x", 16)])
+    books = pq.pq_seed_codebooks(emb, m=4, K=1)
+    with pytest.raises(ValueError):
+        pq.pq_refine_topk(emb, [0.0] * 12, codebooks=books)
+    with pytest.raises(ValueError):
+        pq.pq_refine_topk(emb, [0.0] * 16, k=0, codebooks=books)
+    with pytest.raises(ValueError):
+        pq.pq_refine_topk(emb, [0.0] * 16, refine=0, codebooks=books)
+
+
+def test_pq_refine_plan_shape(spark):
+    """Two TakeOrdered cuts (candidate window + final k), no cartesian,
+    no corpus re-join: the candidate relation carries the float vector
+    so stage 2 never touches the embeddings table again."""
+    vecs = [mock_embed_text(f"doc {i}", 16) for i in range(20)]
+    emb = _emb(spark, vecs)
+    books = pq.pq_seed_codebooks(emb, m=4, K=4)
+    q = mock_embed_text("the query", 16)
+    plan = (
+        pq.pq_refine_topk(emb, q, k=5, refine=3, codebooks=books)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("TakeOrderedAndProject") >= 1
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
