@@ -1274,6 +1274,16 @@ def _registry():
         geom.geo_grid_sql(),
     )
 
+    # the ES terms_set query: per-doc minimum_should_match from a
+    # field (here the deterministic doc_id % 3 + 1 derivation, the
+    # geo/PII augmentation precedent) — the match-set constraint is
+    # pre-threshold like msm/boolean, but the requirement varies per
+    # document so no global-msm query can reproduce it
+    reg["bm25_terms_set"] = (
+        partial(eq.bm25_terms_set_q, query="dup table row", k=10),
+        oq.bm25_terms_set_sql("dup table row", k=10),
+    )
+
     return _rotate(reg)
 
 

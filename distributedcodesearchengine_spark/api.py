@@ -943,6 +943,33 @@ class SearchEngine:
             filters=filters or None,
         )
 
+    def terms_set(
+        self,
+        query: str,
+        limit: int = 20,
+        lang: Optional[str] = None,
+        site: Optional[str] = None,
+        source: Optional[str] = None,
+    ) -> DataFrame:
+        """terms_set search (operators/boolquery.bm25_topk_terms_set):
+        per-doc minimum_should_match — a doc matches only if it
+        contains at least its own required number of the query's
+        distinct terms (the deterministic doc_id % 3 + 1 derivation;
+        a materialized required_matches column swaps in unchanged).
+        Filter semantics match search_msm."""
+        from .operators.boolquery import bm25_topk_terms_set
+
+        filters: Dict[str, str] = {}
+        if lang and lang in self._known_langs():
+            filters["lang"] = lang
+        if site:
+            filters["site"] = site
+        if source:
+            filters["source"] = source
+        return bm25_topk_terms_set(
+            self.index, query, k=int(limit), filters=filters or None
+        )
+
     def search_after(
         self,
         query: str,

@@ -424,6 +424,21 @@ def bm25_msm_q(
     ).orderBy("rank")
 
 
+def bm25_terms_set_q(
+    spark: SparkSession, sf_dir: str, query: str, k: int = 10
+) -> DataFrame:
+    """terms_set gate entry (operators/boolquery): per-doc
+    minimum_should_match from the deterministic doc_id % 3 + 1
+    derivation."""
+    from .operators.boolquery import bm25_topk_terms_set
+
+    idx = get_documents_index(spark, sf_dir)
+    res = bm25_topk_terms_set(idx, query, k=k)
+    return res.select(
+        "rank", _orig_doc_id(), round6("score").alias("score")
+    ).orderBy("rank")
+
+
 def bm25_near_query_q(
     spark: SparkSession, sf_dir: str, query: str, w: int, k: int = 10
 ) -> DataFrame:

@@ -162,6 +162,71 @@ def bm25_topk_msm(
     return finalize_topk(index, scored, k, filters, candidate_semi=semi)
 
 
+def terms_set_required_col(doc_id_col):
+    """Per-doc required-match count for ``bm25_topk_terms_set`` — the
+    ES ``minimum_should_match_field`` value. The corpus carries no such
+    column, so both engines derive it deterministically from doc_id
+    (the geo/PII augmentation precedent): required = doc_id % 3 + 1,
+    all-integer, in {1, 2, 3} so every regime (loose, mid, strict) is
+    populated. On a real corpus with a materialized required_matches
+    column this expression is replaced by the column reference — the
+    plan shape is unchanged."""
+    return F.pmod(doc_id_col, F.lit(3)) + F.lit(1)
+
+
+def terms_set_doc_set(index, terms: List[str]) -> Optional[DataFrame]:
+    """(doc_id) of docs whose distinct-present count of ``terms``
+    reaches the doc's OWN required count — the ES ``terms_set`` match
+    set. Same one-scan groupBy shape as msm_doc_set; the per-doc
+    requirement is an expression over the group key, so no extra join
+    exists. A doc containing none of the terms never appears in the
+    scan and never matches — ES semantics (required >= 1 always)."""
+    uniq = sorted(set(terms))
+    if not uniq:
+        return None
+    return (
+        index.tf.where(F.col("term").isin(uniq))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("_nm"))
+        .where(F.col("_nm") >= terms_set_required_col(F.col("doc_id")))
+        .select("doc_id")
+    )
+
+
+def bm25_topk_terms_set(
+    index,
+    query: str,
+    k: int = 10,
+    filters: Optional[Dict[str, str]] = None,
+) -> DataFrame:
+    """BM25 top-k under the ES ``terms_set`` query: a doc matches only
+    if it contains at least its PER-DOC required number of the query's
+    distinct terms (minimum_should_match_field semantics — here the
+    deterministic doc_id % 3 + 1 derivation, see
+    ``terms_set_required_col``) -> (rank, doc_id, url, score).
+
+    Like msm and the boolean occur flags, the per-doc requirement
+    defines the MATCH SET itself, so it lands pre-threshold: the
+    1%-of-max threshold and the degenerate backfill universe are both
+    taken over the constrained set. With every requirement >= 1, a doc
+    containing no query term is never a match — so unlike msm=1 there
+    is no unconstrained regime. OOV query terms count toward the
+    requirement but never toward a doc's tally (clause counting)."""
+    from ..oracle.tokenizer import tokenize as _tok
+    from .scorer import finalize_topk, query_term_weights, score_matched
+
+    spark = index.spark
+    toks = _tok(query)
+    if not toks:
+        return spark.createDataFrame(
+            [], "rank int, doc_id long, url string, score double"
+        )
+    semi = terms_set_doc_set(index, toks)
+    qweights = query_term_weights(index, query)
+    scored = score_matched(index, qweights) if qweights else None
+    return finalize_topk(index, scored, k, filters, candidate_semi=semi)
+
+
 def bm25_boolean_topk(
     index,
     query: str,

@@ -891,6 +891,18 @@ def make_handler(engine, stats_fn, index_manager=None):
                         200,
                         {"query": q["q"], "results": [r.asDict() for r in rows]},
                     )
+                if url.path == "/terms_set":
+                    if "q" not in q:
+                        return self._send(400, {"error": "missing q"})
+                    rows = engine.terms_set(
+                        q["q"], limit=int(q.get("limit", 10)),
+                        lang=q.get("lang"), site=q.get("site"),
+                        source=q.get("source"),
+                    ).collect()
+                    return self._send(
+                        200,
+                        {"query": q["q"], "results": [r.asDict() for r in rows]},
+                    )
                 if url.path == "/terms_enum":
                     if "prefix" not in q:
                         return self._send(400, {"error": "missing prefix"})

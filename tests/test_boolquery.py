@@ -169,3 +169,93 @@ def test_msm_beyond_terms_matches_nothing(spark):
 
     idx = _index(spark, ["rare signal one", "filler a"])
     assert bm25_topk_msm(idx, "rare signal", k=5, msm=3).count() == 0
+
+
+# --- terms_set (per-doc minimum_should_match) --------------------------------
+
+
+def test_terms_set_matches_python_recheck(spark):
+    """Match set == a pure-Python filter: distinct-present count of the
+    query terms >= doc_id % 3 + 1, over the same tokenizer output."""
+    from distributedcodesearchengine_spark.operators.boolquery import (
+        bm25_topk_terms_set,
+    )
+    from distributedcodesearchengine_spark.oracle.tokenizer import tokenize
+    from tests.test_search_after import _index
+
+    texts = [
+        "rare signal one",        # 0: req 1, has 2 -> match
+        "rare other two words",   # 1: req 2, has 1 -> no
+        "signal rare three",      # 2: req 3, has 2 -> no
+        "rare signal extra xyz",  # 3: req 1, has 2 -> match
+        "signal only here",       # 4: req 2, has 1 -> no
+        "filler a",               # 5: req 3, has 0 -> no
+    ]
+    idx = _index(spark, texts)
+    q = "rare signal"
+    uniq = set(tokenize(q))
+    exp = set()
+    for i, t in enumerate(texts):
+        present = len(uniq & set(tokenize(t)))
+        if present >= i % 3 + 1 and present > 0:
+            exp.add(i)
+    got = bm25_topk_terms_set(idx, q, k=10).collect()
+    assert {r["doc_id"] for r in got} == exp
+    # scores come from the plain scorer over the constrained set
+    scores = [r["score"] for r in got]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_terms_set_requirement_varies_per_doc(spark):
+    """Two docs with the SAME term content but different doc_ids land
+    on different sides of the match boundary — the per-doc requirement
+    no global msm can express."""
+    from distributedcodesearchengine_spark.operators.boolquery import (
+        bm25_topk_terms_set,
+    )
+    from tests.test_search_after import _index
+
+    # doc 0 (req 1) and doc 2 (req 3) carry one query term each
+    idx = _index(spark, [
+        "rare padding words", "filler b", "rare padding words", "filler c",
+    ])
+    got = {r["doc_id"] for r in bm25_topk_terms_set(idx, "rare signal", k=10).collect()}
+    assert 0 in got and 2 not in got
+
+
+def test_terms_set_no_match_is_empty(spark):
+    from distributedcodesearchengine_spark.operators.boolquery import (
+        bm25_topk_terms_set,
+    )
+    from tests.test_search_after import _index
+
+    idx = _index(spark, ["filler a", "filler b"])
+    assert bm25_topk_terms_set(idx, "rare signal", k=5).count() == 0
+    assert bm25_topk_terms_set(idx, "!! ??", k=5).count() == 0
+
+
+def test_terms_set_duckdb_parity(spark, sf_dir):
+    """Hash-level Spark-vs-DuckDB agreement on the gate corpus."""
+    import duckdb
+
+    from distributedcodesearchengine_spark import entry_queries as eq
+    from distributedcodesearchengine_spark.functions import sql_oracle as oq
+
+    sp = (
+        eq.bm25_terms_set_q(spark, sf_dir, "dup table row", k=10)
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    oc = (
+        con.execute(oq.bm25_terms_set_sql("dup table row", k=10))
+        .df()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert list(sp["doc_id"]) == list(oc["doc_id"])
+    assert list(sp["score"]) == list(oc["score"])

