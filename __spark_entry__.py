@@ -1274,6 +1274,16 @@ def _registry():
         geom.geo_grid_sql(),
     )
 
+    # the ES geohash_grid aggregation: canonical base32 geohash cells
+    # from an ALL-INTEGER quantize + bit-interleave + base32 lookup
+    # (lat_int = (lat_md * 2^latbits) DIV 180000 is exactly
+    # floor((lat+90)/180 * 2^latbits)) — parity by construction,
+    # map-side-combinable groupBy
+    reg["geohash_cells"] = (
+        _tbl_op(partial(geom.geohash_cells, precision=3)),
+        geom.geohash_cells_sql(precision=3),
+    )
+
     # the ES terms_set query: per-doc minimum_should_match from a
     # field (here the deterministic doc_id % 3 + 1 derivation, the
     # geo/PII augmentation precedent) — the match-set constraint is

@@ -224,3 +224,129 @@ def geo_grid_sql(cell_milli: int = 15000) -> str:
         "CAST(min(doc_id) AS BIGINT) AS min_doc_id "
         "FROM p GROUP BY 1, 2 ORDER BY 1, 2"
     )
+
+
+# ---------------------------------------------------------------------------
+# geohash_grid — canonical base32 geohash cells, all-integer
+# ---------------------------------------------------------------------------
+
+GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_split(precision: int):
+    """(latbits, lonbits) for a precision-char geohash: 5 bits per
+    char, longitude first in the interleave so it takes the extra bit
+    on odd totals — the canonical layout."""
+    p = int(precision)
+    if not 1 <= p <= 12:
+        raise ValueError(f"precision must be in [1, 12]: {precision!r}")
+    total = 5 * p
+    lonbits = (total + 1) // 2
+    return total - lonbits, lonbits
+
+
+def _geohash_code_expr(
+    lat_i: str, lon_i: str, latbits: int, lonbits: int, idiv: str
+) -> str:
+    """The interleaved 5p-bit integer as one sum of bit terms —
+    output bit j (0 = MSB) takes longitude bits at even j, latitude at
+    odd j. ``idiv`` is the engine's integer-divide spelling ('DIV' for
+    Spark SQL, '//' for DuckDB); everything is nonnegative-integer
+    arithmetic, so the two spellings are value-identical."""
+    total = latbits + lonbits
+    terms = []
+    for j in range(total):
+        w = 2 ** (total - 1 - j)
+        if j % 2 == 0:
+            src, bit = lon_i, lonbits - 1 - j // 2
+        else:
+            src, bit = lat_i, latbits - 1 - (j - 1) // 2
+        terms.append(f"(({src} {idiv} {2 ** bit}) % 2) * {w}")
+    return " + ".join(terms)
+
+
+def _geohash_chars_expr(code: str, precision: int, idiv: str, substr_fn: str) -> str:
+    """concat of precision base32 chars: char i is bits
+    [5i, 5i+5) of the code from the MSB."""
+    parts = []
+    for i in range(int(precision)):
+        shift = 2 ** (5 * (int(precision) - 1 - i))
+        parts.append(
+            f"{substr_fn}('{GEOHASH32}', "
+            f"CAST((({code}) {idiv} {shift}) % 32 AS INT) + 1, 1)"
+        )
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def geo_geohash(docs: DataFrame, precision: int = 5) -> DataFrame:
+    """(doc_id, geohash) — the canonical base32 geohash of each doc's
+    derived position. The quantization is ALL-INTEGER: lat_int =
+    (lat_md * 2^latbits) DIV 180000 is exactly floor((lat+90)/180 *
+    2^latbits) because lat+90 == lat_md/1000 exactly — so the cell
+    assignment never touches a float and is bit-identical cross-engine
+    (the geo_grid design rule, extended to the interleaved key). The
+    bit interleave and base32 lookup are pure integer/string
+    expressions; zero Python, zero shuffle."""
+    latbits, lonbits = _geohash_split(precision)
+    p = docs.select(
+        "doc_id", _lat_md().alias("lat_md"), _lon_md().alias("lon_md")
+    ).select(
+        "doc_id",
+        F.expr(f"(lat_md * {2 ** latbits}) DIV 180000").cast("long").alias("lat_i"),
+        F.expr(f"(lon_md * {2 ** lonbits}) DIV 360000").cast("long").alias("lon_i"),
+    ).select(
+        "doc_id",
+        F.expr(
+            _geohash_code_expr("lat_i", "lon_i", latbits, lonbits, "DIV")
+        ).cast("long").alias("code"),
+    )
+    return p.select(
+        "doc_id",
+        F.expr(_geohash_chars_expr("code", precision, "DIV", "substring")).alias(
+            "geohash"
+        ),
+    )
+
+
+def geohash_cells(docs: DataFrame, precision: int = 3) -> DataFrame:
+    """(geohash, n, min_doc_id) — the ES ``geohash_grid`` aggregation:
+    bucket counts per canonical base32 geohash cell at the given
+    precision, min_doc_id pinning membership. Same scale shape as
+    geo_grid: a map-side-combinable groupBy on a per-row integer-
+    derived key — a billion points in one cell collapse per map task
+    before the shuffle."""
+    return (
+        geo_geohash(docs, precision)
+        .groupBy("geohash")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+        )
+        .orderBy("geohash")
+    )
+
+
+def _geohash_sql_chain(precision: int) -> str:
+    """Shared DuckDB CTE chain ending in gh(doc_id, geohash)."""
+    latbits, lonbits = _geohash_split(precision)
+    code = _geohash_code_expr("lat_i", "lon_i", latbits, lonbits, "//")
+    chars = _geohash_chars_expr("code", precision, "//", "substr")
+    return (
+        "g AS (SELECT doc_id, "
+        "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 180000 AS lat_md, "
+        "('0x' || substr(md5(doc_id::VARCHAR), 9, 8))::BIGINT % 360000 AS lon_md "
+        "FROM documents), "
+        f"q AS (SELECT doc_id, (lat_md * {2 ** latbits}) // 180000 AS lat_i, "
+        f"(lon_md * {2 ** lonbits}) // 360000 AS lon_i FROM g), "
+        f"c AS (SELECT doc_id, {code} AS code FROM q), "
+        f"gh AS (SELECT doc_id, {chars} AS geohash FROM c)"
+    )
+
+
+def geohash_cells_sql(precision: int = 3) -> str:
+    return (
+        f"WITH {_geohash_sql_chain(precision)} "
+        "SELECT geohash, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(min(doc_id) AS BIGINT) AS min_doc_id "
+        "FROM gh GROUP BY 1 ORDER BY 1"
+    )

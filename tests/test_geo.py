@@ -95,3 +95,97 @@ def test_grid_exact_and_conserves_count(spark):
     assert got == exp
     with pytest.raises(ValueError):
         geo.geo_grid(d, cell_milli=0)
+
+
+# --- geohash ------------------------------------------------------------------
+
+
+def _ref_geohash(lat_frac, lon_frac, precision):
+    """Canonical geohash by exact bisection over Fractions — the
+    textbook algorithm, no floats anywhere."""
+    from fractions import Fraction
+
+    lat_lo, lat_hi = Fraction(-90), Fraction(90)
+    lon_lo, lon_hi = Fraction(-180), Fraction(180)
+    bits = []
+    even = True  # longitude first
+    while len(bits) < 5 * precision:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon_frac >= mid:
+                bits.append(1)
+                lon_lo = mid
+            else:
+                bits.append(0)
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat_frac >= mid:
+                bits.append(1)
+                lat_lo = mid
+            else:
+                bits.append(0)
+                lat_hi = mid
+        even = not even
+    out = []
+    for i in range(precision):
+        v = 0
+        for b in bits[i * 5 : i * 5 + 5]:
+            v = v * 2 + b
+        out.append(geo.GEOHASH32[v])
+    return "".join(out)
+
+
+def test_ref_geohash_is_canonical():
+    """The test reference reproduces the classic published example
+    (Wikipedia: 57.64911, 10.40744 -> u4pruydqqvj)."""
+    from fractions import Fraction
+
+    got = _ref_geohash(
+        Fraction(5764911, 100000), Fraction(1040744, 100000), 11
+    )
+    assert got == "u4pruydqqvj"
+
+
+def test_geohash_matches_canonical_reference(spark):
+    """Engine geohash == exact-bisection canonical geohash of the
+    derived position, across precisions (incl. odd-bit splits)."""
+    from fractions import Fraction
+
+    d = _docs(spark, 60)
+    pts = {r.doc_id: (r.lat_md, r.lon_md) for r in geo.geo_points(d).collect()}
+    for prec in (1, 3, 5):
+        got = {r.doc_id: r.geohash for r in geo.geo_geohash(d, prec).collect()}
+        for i, (lat_md, lon_md) in pts.items():
+            lat = Fraction(lat_md, 1000) - 90
+            lon = Fraction(lon_md, 1000) - 180
+            assert got[i] == _ref_geohash(lat, lon, prec), (i, prec)
+
+
+def test_geohash_cells_conserve_count_and_pin_membership(spark):
+    d = _docs(spark, 80)
+    cells = geo.geohash_cells(d, precision=2).collect()
+    assert sum(r.n for r in cells) == 80
+    ghs = [r.geohash for r in cells]
+    assert ghs == sorted(ghs) and len(set(ghs)) == len(ghs)
+    assert all(len(g) == 2 for g in ghs)
+    # min_doc_id is a member of its own cell
+    per_doc = {r.doc_id: r.geohash for r in geo.geo_geohash(d, 2).collect()}
+    for r in cells:
+        assert per_doc[r.min_doc_id] == r.geohash
+
+
+def test_geohash_layout_independent(spark):
+    d = _docs(spark, 50)
+    a = {r.doc_id: r.geohash for r in geo.geo_geohash(d, 4).collect()}
+    b = {r.doc_id: r.geohash
+         for r in geo.geo_geohash(d.repartition(9), 4).collect()}
+    assert a == b
+
+
+def test_geohash_precision_guard(spark):
+    d = _docs(spark, 5)
+    with pytest.raises(ValueError):
+        geo.geo_geohash(d, 0)
+    with pytest.raises(ValueError):
+        geo.geohash_cells(d, 13)
