@@ -1274,6 +1274,31 @@ def _registry():
         geom.geo_grid_sql(),
     )
 
+    # DSIR importance resampling (Xie et al. 2023): hashed unigram +
+    # bigram features, two Laplace-smoothed bucket LMs (target = the
+    # 'en' slice, raw = whole corpus), per-doc importance log-weight
+    # folded in bucket order, Gumbel-top-k deterministic resample
+    from distributedcodesearchengine_spark.operators import dsir as dsm
+
+    def _dsir_op(fn):
+        return lambda spark, sf_dir: fn(eq.docs_with_tokens_lang(spark, sf_dir))
+
+    def _dsir_weights_rounded(d):
+        from distributedcodesearchengine_spark.functions.rounding import round6
+
+        return dsm.dsir_weights(d).select(
+            "doc_id", "n_grams", round6("logw").alias("logw")
+        ).orderBy("doc_id")
+
+    reg["dsir_weights"] = (
+        _dsir_op(_dsir_weights_rounded),
+        dsm.dsir_weights_sql(),
+    )
+    reg["dsir_sample"] = (
+        _dsir_op(partial(dsm.dsir_sample, k=50)),
+        dsm.dsir_sample_sql(k=50),
+    )
+
     # the ES geohash_grid aggregation: canonical base32 geohash cells
     # from an ALL-INTEGER quantize + bit-interleave + base32 lookup
     # (lat_int = (lat_md * 2^latbits) DIV 180000 is exactly

@@ -823,6 +823,16 @@ def docs_with_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "text", tokenize_udf("text").alias("tokens"))
 
 
+def docs_with_tokens_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """docs_with_tokens plus the lang column (DSIR's target slice)."""
+    from .functions.udfs import tokenize_udf
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang", "text", tokenize_udf("text").alias("tokens")
+    )
+
+
 def _cross_split(spark: SparkSession, sf_dir: str):
     """Deterministic new/old corpus split for the cross-dedup gate:
     old = even doc_ids; new = odd doc_ids PLUS re-keyed exact copies of
