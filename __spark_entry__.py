@@ -1274,6 +1274,21 @@ def _registry():
         geom.geo_grid_sql(),
     )
 
+    # BPE tokenizer induction (Sennrich et al. 2016): fixed-iteration
+    # merge learning over the term-frequency dictionary — all integer
+    # counts + string replaces, parity exact by construction; the
+    # merge table pins the training lane, the symbol head the apply
+    from distributedcodesearchengine_spark.operators import bpe as bpm
+
+    reg["bpe_merges"] = (
+        _docs_op(partial(bpm.bpe_merges, n_merges=12, max_terms=4096)),
+        bpm.bpe_merges_sql(oq.toks_cte(), 12, 4096),
+    )
+    reg["bpe_symbols"] = (
+        _docs_op(partial(bpm.bpe_symbols, n_merges=12, max_terms=4096, k=40)),
+        bpm.bpe_symbols_sql(oq.toks_cte(), 12, 4096, 40),
+    )
+
     # DSIR importance resampling (Xie et al. 2023): hashed unigram +
     # bigram features, two Laplace-smoothed bucket LMs (target = the
     # 'en' slice, raw = whole corpus), per-doc importance log-weight
