@@ -1273,6 +1273,17 @@ def _registry():
         _tbl_op(geom.geo_grid),
         geom.geo_grid_sql(),
     )
+    # geo agg family completion: geo_bounds (all-integer min/max box),
+    # geo_centroid (exact integer sums, ONE float division on the
+    # 1-row result), geo_distance rings (always-present [from,to)
+    # haversine rings in ONE conditional-agg pass)
+    reg["geo_bounds"] = (_tbl_op(geom.geo_bounds), geom.geo_bounds_sql())
+    reg["geo_centroid"] = (_tbl_op(geom.geo_centroid), geom.geo_centroid_sql())
+    reg["geo_distance_rings"] = (
+        _tbl_op(partial(geom.geo_distance_rings, center_lat=48.8566,
+                        center_lon=2.3522)),
+        geom.geo_distance_rings_sql(48.8566, 2.3522),
+    )
 
     # BPE tokenizer induction (Sennrich et al. 2016): fixed-iteration
     # merge learning over the term-frequency dictionary — all integer

@@ -30,6 +30,7 @@ Scale shapes:
 from __future__ import annotations
 
 import math
+from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -223,6 +224,189 @@ def geo_grid_sql(cell_milli: int = 15000) -> str:
         "CAST(count(*) AS BIGINT) AS n, "
         "CAST(min(doc_id) AS BIGINT) AS min_doc_id "
         "FROM p GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
+
+def geo_bounds(docs: DataFrame) -> DataFrame:
+    """(n, lat_min, lat_max, lon_min, lon_max) — the ES ``geo_bounds``
+    aggregation: the tightest box around the corpus positions, one
+    row. ALL-INTEGER reduction (min/max over the milli-degree
+    derivation, a map-side-combinable 4-long agg) with the divide/
+    subtract display conversion applied once on the 1-row result —
+    parity exact by construction."""
+    p = docs.select(_lat_md().alias("lat_md"), _lon_md().alias("lon_md"))
+    return p.agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("lat_md").alias("_a"),
+        F.max("lat_md").alias("_b"),
+        F.min("lon_md").alias("_c"),
+        F.max("lon_md").alias("_d"),
+    ).select(
+        "n",
+        round6(F.col("_a") / F.lit(1000.0) - F.lit(90.0)).alias("lat_min"),
+        round6(F.col("_b") / F.lit(1000.0) - F.lit(90.0)).alias("lat_max"),
+        round6(F.col("_c") / F.lit(1000.0) - F.lit(180.0)).alias("lon_min"),
+        round6(F.col("_d") / F.lit(1000.0) - F.lit(180.0)).alias("lon_max"),
+    )
+
+
+def geo_bounds_sql() -> str:
+    return (
+        f"WITH {_lat_lon_sql()} "
+        "SELECT CAST(count(*) AS BIGINT) AS n, "
+        f"{round6_sql('min(lat_md) / 1000.0 - 90.0')} AS lat_min, "
+        f"{round6_sql('max(lat_md) / 1000.0 - 90.0')} AS lat_max, "
+        f"{round6_sql('min(lon_md) / 1000.0 - 180.0')} AS lon_min, "
+        f"{round6_sql('max(lon_md) / 1000.0 - 180.0')} AS lon_max FROM p"
+    )
+
+
+def geo_centroid(docs: DataFrame) -> DataFrame:
+    """(n, lat, lon) — the ES ``geo_centroid`` aggregation: the
+    arithmetic mean position. The reduction is two EXACT integer sums
+    (map-side combinable; at 10^12 rows sum(lat_md) < 1.8e17 fits a
+    long), and the single float division sum * 1.0 / n / 1000 - 90
+    happens once on the 1-row result with the identical operand
+    sequence on both engines."""
+    p = docs.select(_lat_md().alias("lat_md"), _lon_md().alias("lon_md"))
+    return p.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("lat_md").cast("long").alias("_sa"),
+        F.sum("lon_md").cast("long").alias("_so"),
+    ).select(
+        "n",
+        round6(
+            F.col("_sa").cast("double") * F.lit(1.0) / F.col("n") / F.lit(1000.0)
+            - F.lit(90.0)
+        ).alias("lat"),
+        round6(
+            F.col("_so").cast("double") * F.lit(1.0) / F.col("n") / F.lit(1000.0)
+            - F.lit(180.0)
+        ).alias("lon"),
+    )
+
+
+def geo_centroid_sql() -> str:
+    return (
+        f"WITH {_lat_lon_sql()} "
+        "SELECT CAST(count(*) AS BIGINT) AS n, "
+        f"{round6_sql('CAST(sum(lat_md) AS DOUBLE) * 1.0 / count(*) / 1000.0 - 90.0')} AS lat, "
+        f"{round6_sql('CAST(sum(lon_md) AS DOUBLE) * 1.0 / count(*) / 1000.0 - 180.0')} AS lon "
+        "FROM p"
+    )
+
+
+def geo_distance_rings(
+    docs: DataFrame,
+    center_lat: float,
+    center_lon: float,
+    edges_km: Sequence[float] = (2000.0, 5000.0, 10000.0),
+) -> DataFrame:
+    """(ring, from_km, to_km, n, min_doc_id) — the ES ``geo_distance``
+    aggregation: always-present concentric [from, to) distance rings
+    around a center (ring i covers [edges[i-1], edges[i]), ring 0
+    starts at 0, the last ring is unbounded). One haversine per row +
+    ONE conditional-agg pass over len(edges)+1 rings — the
+    filters/range-agg shape; the distance comparison uses the same
+    expression both engines evaluate, and ring keys are integers.
+    Empty rings report n=0 with min_doc_id NULL (always-present
+    buckets, ES semantics)."""
+    edges = [float(x) for x in edges_km]
+    if not edges or any(
+        edges[i] >= edges[i + 1] for i in range(len(edges) - 1)
+    ) or edges[0] <= 0:
+        raise ValueError(f"edges_km must be positive ascending: {edges_km!r}")
+    p = geo_points(docs)
+    d = p.select(
+        "doc_id",
+        _haversine_col(
+            F.col("lat"), F.col("lon"), center_lat, center_lon
+        ).alias("_d"),
+    )
+    bounds = [0.0] + edges + [None]
+    aggs = []
+    for i in range(len(bounds) - 1):
+        lo, hi = bounds[i], bounds[i + 1]
+        cond = F.col("_d") >= F.lit(lo)
+        if hi is not None:
+            cond = cond & (F.col("_d") < F.lit(hi))
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"_n{i}")
+        )
+        aggs.append(F.min(F.when(cond, F.col("doc_id"))).alias(f"_m{i}"))
+    row = d.agg(*aggs)
+    spark = docs.sparkSession
+    ring_meta = spark.createDataFrame(
+        [
+            (
+                i,
+                float(bounds[i]),
+                float(bounds[i + 1]) if bounds[i + 1] is not None else None,
+            )
+            for i in range(len(bounds) - 1)
+        ],
+        "ring int, from_km double, to_km double",
+    )
+    # fan the single agg row out to one row per ring (driver-free:
+    # cross join the 1-row agg against the tiny ring relation — the
+    # filters-agg stack shape)
+    stacked = ring_meta.crossJoin(F.broadcast(row)).select(
+        "ring",
+        "from_km",
+        "to_km",
+        F.expr(
+            "CASE "
+            + " ".join(
+                f"WHEN ring = {i} THEN _n{i}" for i in range(len(bounds) - 1)
+            )
+            + " END"
+        ).cast("long").alias("n"),
+        F.expr(
+            "CASE "
+            + " ".join(
+                f"WHEN ring = {i} THEN _m{i}" for i in range(len(bounds) - 1)
+            )
+            + " END"
+        ).cast("long").alias("min_doc_id"),
+    )
+    return stacked.orderBy("ring")
+
+
+def geo_distance_rings_sql(
+    center_lat: float,
+    center_lon: float,
+    edges_km: Sequence[float] = (2000.0, 5000.0, 10000.0),
+) -> str:
+    edges = [float(x) for x in edges_km]
+    d2r = sql_double(_DEG2RAD)
+    clat = sql_double(float(center_lat))
+    clon = sql_double(float(center_lon))
+    a = (
+        f"sin(({clat} - lat) * {d2r} / 2.0) * sin(({clat} - lat) * {d2r} / 2.0) "
+        f"+ cos(lat * {d2r}) * cos({clat} * {d2r}) "
+        f"* sin(({clon} - lon) * {d2r} / 2.0) * sin(({clon} - lon) * {d2r} / 2.0)"
+    )
+    dist = f"{sql_double(2.0 * GEO_EARTH_KM)} * asin(sqrt({a}))"
+    bounds = [0.0] + edges + [None]
+    rows = []
+    for i in range(len(bounds) - 1):
+        lo, hi = bounds[i], bounds[i + 1]
+        cond = f"d >= {sql_double(lo)}"
+        if hi is not None:
+            cond += f" AND d < {sql_double(hi)}"
+        to_sql = sql_double(hi) if hi is not None else "NULL::DOUBLE"
+        rows.append(
+            f"SELECT {i} AS ring, {sql_double(lo)} AS from_km, {to_sql} AS to_km, "
+            f"CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS n, "
+            f"CAST(min(CASE WHEN {cond} THEN doc_id END) AS BIGINT) AS min_doc_id "
+            "FROM dd"
+        )
+    return (
+        f"WITH {_lat_lon_sql()}, "
+        f"dd AS (SELECT doc_id, {dist} AS d FROM p) "
+        "SELECT CAST(ring AS INT) AS ring, from_km, to_km, n, min_doc_id FROM ("
+        + " UNION ALL ".join(rows)
+        + ") ORDER BY ring"
     )
 
 

@@ -189,3 +189,75 @@ def test_geohash_precision_guard(spark):
         geo.geo_geohash(d, 0)
     with pytest.raises(ValueError):
         geo.geohash_cells(d, 13)
+
+
+# --- bounds / centroid / rings --------------------------------------------
+
+
+def test_bounds_and_centroid_match_python(spark):
+    d = _docs(spark, 70)
+    pts = [(r.lat_md, r.lon_md) for r in geo.geo_points(d).collect()]
+    b = geo.geo_bounds(d).collect()[0]
+    assert b.n == 70
+    assert b.lat_min == round(min(p[0] for p in pts) / 1000.0 - 90.0, 6)
+    assert b.lat_max == round(max(p[0] for p in pts) / 1000.0 - 90.0, 6)
+    assert b.lon_min == round(min(p[1] for p in pts) / 1000.0 - 180.0, 6)
+    assert b.lon_max == round(max(p[1] for p in pts) / 1000.0 - 180.0, 6)
+    c = geo.geo_centroid(d).collect()[0]
+    assert c.n == 70
+    assert c.lat == pytest.approx(
+        sum(p[0] for p in pts) / 70 / 1000.0 - 90.0, abs=1e-6
+    )
+    assert c.lon == pytest.approx(
+        sum(p[1] for p in pts) / 70 / 1000.0 - 180.0, abs=1e-6
+    )
+
+
+def test_distance_rings_conserve_and_recheck(spark):
+    d = _docs(spark, 80)
+    edges = (4000.0, 9000.0)
+    rows = geo.geo_distance_rings(d, 10.0, 20.0, edges).collect()
+    assert [r.ring for r in rows] == [0, 1, 2]
+    assert (rows[0].from_km, rows[0].to_km) == (0.0, 4000.0)
+    assert (rows[1].from_km, rows[1].to_km) == (4000.0, 9000.0)
+    assert (rows[2].from_km, rows[2].to_km) == (9000.0, None)
+    assert sum(r.n for r in rows) == 80
+    # python recheck of ring membership + min_doc_id
+    import math as _m
+
+    def hav(lat, lon):
+        d2r = _m.pi / 180.0
+        a = (
+            _m.sin((10.0 - lat) * d2r / 2.0) ** 2
+            + _m.cos(lat * d2r) * _m.cos(10.0 * d2r)
+            * _m.sin((20.0 - lon) * d2r / 2.0) ** 2
+        )
+        return 2.0 * geo.GEO_EARTH_KM * _m.asin(_m.sqrt(a))
+
+    pts = {r.doc_id: hav(r.lat, r.lon) for r in geo.geo_points(d).collect()}
+    bounds = [0.0, 4000.0, 9000.0, float("inf")]
+    for i, row in enumerate(rows):
+        members = [
+            did for did, dist in pts.items()
+            if bounds[i] <= dist < bounds[i + 1]
+        ]
+        assert row.n == len(members)
+        assert row.min_doc_id == (min(members) if members else None)
+
+
+def test_distance_rings_empty_ring_always_present(spark):
+    d = _docs(spark, 10)
+    # a microscopic first ring is empty but still reported
+    rows = geo.geo_distance_rings(d, 0.0, 0.0, (0.001, 30000.0)).collect()
+    assert rows[0].n == 0 and rows[0].min_doc_id is None
+    assert len(rows) == 3
+
+
+def test_distance_rings_guards(spark):
+    d = _docs(spark, 5)
+    with pytest.raises(ValueError):
+        geo.geo_distance_rings(d, 0, 0, ())
+    with pytest.raises(ValueError):
+        geo.geo_distance_rings(d, 0, 0, (5.0, 5.0))
+    with pytest.raises(ValueError):
+        geo.geo_distance_rings(d, 0, 0, (0.0, 5.0))
