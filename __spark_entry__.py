@@ -1243,6 +1243,24 @@ def _registry():
         pqm.pq_refine_topk_sql(_qv, k=10, refine=4),
     )
 
+    # binary quantization (the ES-BBQ-class 1-bit tier, completing the
+    # compression trio beside int8 SQ and PQ): sign codes packed into
+    # 32-bit words (all-integer — exact parity), Hamming first-stage
+    # scan, and the two-stage exact-cosine refine
+    reg["bq_codes"] = (
+        _tbl_op(sim.bq_codes_summary, "embeddings"),
+        sim.bq_codes_summary_sql(dim=64),
+    )
+    reg["bq_hamming_topk"] = (
+        _tbl_op(partial(sim.bq_hamming_topk, qvec=_qv, k=10), "embeddings"),
+        sim.bq_hamming_topk_sql(_qv, k=10),
+    )
+    reg["bq_refine_topk"] = (
+        _tbl_op(partial(sim.bq_hamming_topk, qvec=_qv, k=10, refine=4),
+                "embeddings"),
+        sim.bq_hamming_topk_sql(_qv, k=10, refine=4),
+    )
+
     # C4 rule-based page cleaning (Raffel et al. 2020): line rules
     # (terminal punctuation, >=5 words, no javascript) + page rules
     # (>=3 kept lines, no lorem ipsum, no brace) over a deterministic

@@ -752,3 +752,209 @@ def sq_topk_sql(qvec: Sequence[float], k: int = 10) -> str:
         f"vec_id, {round6_sql('score')} AS score FROM scored "
         f"ORDER BY score DESC, vec_id ASC LIMIT {int(k)}"
     )
+
+
+# ---------------------------------------------------------------------------
+# binary quantization (1-bit sign codes + Hamming serving + exact refine)
+# ---------------------------------------------------------------------------
+
+BQ_WORD_BITS = 32  # 32 bits per BIGINT word — no sign hazard (the bloom rule)
+
+
+def _bq_dim(embeddings: DataFrame, vec_col: str) -> int:
+    row = embeddings.select(F.size(vec_col).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] < 1:
+        raise ValueError("empty embeddings table: no dimension to encode")
+    return int(row["d"])
+
+
+def _bq_word_col(vec_col, wi: int, dim: int):
+    """Word ``wi``: bit j set iff v[32*wi + j] > 0 — a sum of integer
+    terms, max 2^32 - 1, exact on both engines."""
+    v = vec_col.cast("array<double>")
+    terms = []
+    for j in range(BQ_WORD_BITS):
+        pos = BQ_WORD_BITS * wi + j + 1  # 1-based element_at
+        if pos > dim:
+            break
+        terms.append(
+            F.when(F.element_at(v, pos) > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("long")
+
+
+def bq_codes_summary(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, word_idx, word) — the 1-bit sign quantization of the
+    embedding store (the classic binary-quantization / ES-BBQ-class
+    compression tier: 32x over float32, bit j of word w set iff
+    dimension 32w+j is positive), in long format so the schema is
+    dimension-independent. All-integer — exact cross-engine by
+    construction; per-row expression, zero shuffle."""
+    dim = _bq_dim(embeddings, vec_col)
+    words = (dim + BQ_WORD_BITS - 1) // BQ_WORD_BITS
+    cols = []
+    for wi in range(words):
+        cols.append(
+            F.struct(
+                F.lit(wi).cast("int").alias("word_idx"),
+                _bq_word_col(F.col(vec_col), wi, dim).alias("word"),
+            )
+        )
+    return (
+        embeddings.select(
+            F.col(id_col), F.explode(F.array(*cols)).alias("_w")
+        )
+        .select(F.col(id_col), F.col("_w.word_idx"), F.col("_w.word"))
+        .orderBy(id_col, "word_idx")
+    )
+
+
+def _bq_query_words(qvec: Sequence[float]) -> list:
+    q = [float(x) for x in qvec]
+    words = (len(q) + BQ_WORD_BITS - 1) // BQ_WORD_BITS
+    out = []
+    for wi in range(words):
+        w = 0
+        for j in range(BQ_WORD_BITS):
+            pos = BQ_WORD_BITS * wi + j
+            if pos >= len(q):
+                break
+            if q[pos] > 0:
+                w += 2 ** j
+        out.append(w)
+    return out
+
+
+def bq_hamming_topk(
+    embeddings: DataFrame,
+    qvec: Sequence[float],
+    k: int = 10,
+    refine: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary-quantized serving. ``refine=0``: (rank, vec_id, dist) —
+    top-k ascending Hamming distance between sign codes (an INTEGER,
+    so parity and tie-handling are exact; ties on vec_id asc), the
+    1-bit first stage a BBQ-class store scans. ``refine>0``: the
+    two-stage pattern (the pq_refine shape) — Hamming cuts refine*k
+    candidates carrying their float vectors, exact cosine re-ranks
+    only those -> (rank, vec_id, score). At 10^12 vectors the 1-bit
+    scan reads 32x less than float32 and the float store is read for
+    refine*k rows only."""
+    from pyspark.sql.window import Window
+
+    if int(k) < 1 or int(refine) < 0:
+        raise ValueError(f"k must be >= 1, refine >= 0: k={k} refine={refine}")
+    dim = _bq_dim(embeddings, vec_col)
+    q = [float(x) for x in qvec]
+    if len(q) != dim:
+        raise ValueError(f"qvec dim {len(q)} != {dim}")
+    qwords = _bq_query_words(q)
+    dist = None
+    for wi, qw in enumerate(qwords):
+        term = F.bit_count(
+            _bq_word_col(F.col(vec_col), wi, dim).bitwiseXOR(F.lit(int(qw)))
+        )
+        dist = term if dist is None else dist + term
+    if refine == 0:
+        scored = embeddings.select(
+            F.col(id_col), dist.cast("long").alias("dist")
+        )
+        top = scored.orderBy(F.asc("dist"), F.asc(id_col)).limit(int(k))
+        w = Window.orderBy(F.asc("dist"), F.asc(id_col))
+        return top.withColumn("rank", F.row_number().over(w)).select(
+            "rank", F.col(id_col), "dist"
+        )
+    from ..functions.embed import cosine_expr
+
+    cand = (
+        embeddings.select(
+            F.col(id_col),
+            F.col(vec_col).alias("_v"),
+            dist.cast("long").alias("_d"),
+        )
+        .orderBy(F.asc("_d"), F.asc(id_col))
+        .limit(int(refine) * int(k))
+    )
+    exact = cand.select(
+        F.col(id_col), cosine_expr(F.col("_v"), q).alias("score")
+    )
+    top = exact.orderBy(F.desc("score"), F.asc(id_col)).limit(int(k))
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", F.col(id_col), round6("score").alias("score")
+    )
+
+
+def _bq_words_sql(dim: int) -> str:
+    """wrds(vec_id, word_idx, word) CTE — the identical sum-of-bits
+    encoding, 1-based list positions."""
+    words = (int(dim) + BQ_WORD_BITS - 1) // BQ_WORD_BITS
+    rows = []
+    for wi in range(words):
+        terms = []
+        for j in range(BQ_WORD_BITS):
+            pos = BQ_WORD_BITS * wi + j + 1
+            if pos > int(dim):
+                break
+            terms.append(f"CASE WHEN v[{pos}] > 0 THEN {2 ** j} ELSE 0 END")
+        rows.append(
+            f"SELECT vec_id, {wi} AS word_idx, "
+            f"CAST({' + '.join(terms)} AS BIGINT) AS word FROM e"
+        )
+    return (
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        "wrds AS (" + " UNION ALL ".join(rows) + ")"
+    )
+
+
+def bq_codes_summary_sql(dim: int = 64) -> str:
+    return (
+        f"WITH {_bq_words_sql(dim)} "
+        "SELECT vec_id, CAST(word_idx AS INT) AS word_idx, word "
+        "FROM wrds ORDER BY vec_id, word_idx"
+    )
+
+
+def bq_hamming_topk_sql(
+    qvec: Sequence[float], k: int = 10, refine: int = 0
+) -> str:
+    q = [float(x) for x in qvec]
+    qwords = _bq_query_words(q)
+    qvals = ", ".join(f"({wi}, {w})" for wi, w in enumerate(qwords))
+    base = (
+        f"WITH {_bq_words_sql(len(q))}, "
+        f"qw(word_idx, qword) AS (VALUES {qvals}), "
+        "hd AS (SELECT vec_id, CAST(sum(bit_count(xor(word, qword))) AS BIGINT) "
+        "AS dist FROM wrds JOIN qw USING (word_idx) GROUP BY vec_id)"
+    )
+    if int(refine) == 0:
+        return (
+            f"{base} "
+            "SELECT CAST(row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS INT) "
+            "AS rank, vec_id, dist FROM hd "
+            f"ORDER BY dist ASC, vec_id ASC LIMIT {int(k)}"
+        )
+    import math as _m
+
+    qnorm = _m.sqrt(sum(x * x for x in q))
+    qv = "[" + ", ".join(sql_double(x) for x in q) + "]"
+    return (
+        f"{base}, "
+        f"cand AS (SELECT vec_id FROM hd ORDER BY dist ASC, vec_id ASC "
+        f"LIMIT {int(refine) * int(k)}), "
+        f"exact AS (SELECT e.vec_id, list_dot_product(v, {qv}) / "
+        f"(sqrt(list_dot_product(v, v)) * {sql_double(qnorm)}) AS score "
+        "FROM e JOIN cand USING (vec_id)) "
+        "SELECT CAST(row_number() OVER (ORDER BY score DESC, vec_id ASC) AS INT) "
+        f"AS rank, vec_id, {round6_sql('score')} AS score FROM exact "
+        f"ORDER BY score DESC, vec_id ASC LIMIT {int(k)}"
+    )
