@@ -1261,6 +1261,21 @@ def _registry():
         sim.bq_hamming_topk_sql(_qv, k=10, refine=4),
     )
 
+    # Matryoshka truncated-prefix serving (Kusupati et al. 2022):
+    # cosine over the first-d' prefix (a d'/d fraction of scan bytes),
+    # plus the funnel-retrieval two-stage (prefix cut -> full-dim
+    # exact re-rank of refine*k candidates)
+    reg["mrl_topk"] = (
+        _tbl_op(partial(sim.mrl_topk, qvec=_qv, dim_prefix=16, k=10),
+                "embeddings"),
+        sim.mrl_topk_sql(_qv, 16, k=10),
+    )
+    reg["mrl_refine_topk"] = (
+        _tbl_op(partial(sim.mrl_topk, qvec=_qv, dim_prefix=16, k=10, refine=4),
+                "embeddings"),
+        sim.mrl_topk_sql(_qv, 16, k=10, refine=4),
+    )
+
     # C4 rule-based page cleaning (Raffel et al. 2020): line rules
     # (terminal punctuation, >=5 words, no javascript) + page rules
     # (>=3 kept lines, no lorem ipsum, no brace) over a deterministic

@@ -958,3 +958,101 @@ def bq_hamming_topk_sql(
         f"AS rank, vec_id, {round6_sql('score')} AS score FROM exact "
         f"ORDER BY score DESC, vec_id ASC LIMIT {int(k)}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka (MRL) truncated-prefix serving
+# ---------------------------------------------------------------------------
+
+
+def mrl_topk(
+    embeddings: DataFrame,
+    qvec: Sequence[float],
+    dim_prefix: int,
+    k: int = 10,
+    refine: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-representation serving (Kusupati et al. 2022 — the
+    adaptive-retrieval pattern the 2024 embedding APIs expose as
+    ``dimensions=``): cosine over the FIRST ``dim_prefix`` dimensions
+    of store and query. ``refine=0``: (rank, vec_id, score) on the
+    truncated prefix — a dim_prefix/dim fraction of the scan bytes.
+    ``refine>0``: the two-stage shape — the prefix scan cuts refine*k
+    candidates carrying their full vectors, full-dim exact cosine
+    re-ranks only those (funnel retrieval, the paper's serving mode).
+    Cosine is the house ordered fold == list_dot_product pairing; ties
+    on vec_id asc."""
+    from pyspark.sql.window import Window
+
+    from ..functions.embed import cosine_expr
+
+    q = [float(x) for x in qvec]
+    d = int(dim_prefix)
+    if d < 1 or d > len(q):
+        raise ValueError(f"dim_prefix must be in [1, {len(q)}]: {dim_prefix!r}")
+    if int(k) < 1 or int(refine) < 0:
+        raise ValueError(f"k must be >= 1, refine >= 0: k={k} refine={refine}")
+    v = F.col(vec_col).cast("array<double>")
+    pre = cosine_expr(F.slice(v, 1, d), q[:d])
+    if refine == 0:
+        scored = embeddings.select(F.col(id_col), pre.alias("score"))
+        top = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(int(k))
+        w = Window.orderBy(F.desc("score"), F.asc(id_col))
+        return top.withColumn("rank", F.row_number().over(w)).select(
+            "rank", F.col(id_col), round6("score").alias("score")
+        )
+    cand = (
+        embeddings.select(
+            F.col(id_col), F.col(vec_col).alias("_v"), pre.alias("_p")
+        )
+        .orderBy(F.desc("_p"), F.asc(id_col))
+        .limit(int(refine) * int(k))
+    )
+    exact = cand.select(
+        F.col(id_col), cosine_expr(F.col("_v"), q).alias("score")
+    )
+    top = exact.orderBy(F.desc("score"), F.asc(id_col)).limit(int(k))
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", F.col(id_col), round6("score").alias("score")
+    )
+
+
+def mrl_topk_sql(
+    qvec: Sequence[float], dim_prefix: int, k: int = 10, refine: int = 0
+) -> str:
+    import math as _m
+
+    q = [float(x) for x in qvec]
+    d = int(dim_prefix)
+    qp = q[:d]
+    qnorm_p = _m.sqrt(sum(x * x for x in qp))
+    qvp = "[" + ", ".join(sql_double(x) for x in qp) + "]"
+    base = (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"pre AS (SELECT vec_id, v, list_dot_product(list_slice(v, 1, {d}), {qvp}) / "
+        f"(sqrt(list_dot_product(list_slice(v, 1, {d}), list_slice(v, 1, {d}))) "
+        f"* {sql_double(qnorm_p)}) AS p FROM e)"
+    )
+    if int(refine) == 0:
+        return (
+            f"{base} "
+            "SELECT CAST(row_number() OVER (ORDER BY p DESC, vec_id ASC) AS INT) "
+            f"AS rank, vec_id, {round6_sql('p')} AS score FROM pre "
+            f"ORDER BY p DESC, vec_id ASC LIMIT {int(k)}"
+        )
+    qnorm = _m.sqrt(sum(x * x for x in q))
+    qv = "[" + ", ".join(sql_double(x) for x in q) + "]"
+    return (
+        f"{base}, "
+        f"cand AS (SELECT vec_id, v FROM pre ORDER BY p DESC, vec_id ASC "
+        f"LIMIT {int(refine) * int(k)}), "
+        f"exact AS (SELECT vec_id, list_dot_product(v, {qv}) / "
+        f"(sqrt(list_dot_product(v, v)) * {sql_double(qnorm)}) AS score "
+        "FROM cand) "
+        "SELECT CAST(row_number() OVER (ORDER BY score DESC, vec_id ASC) AS INT) "
+        f"AS rank, vec_id, {round6_sql('score')} AS score FROM exact "
+        f"ORDER BY score DESC, vec_id ASC LIMIT {int(k)}"
+    )

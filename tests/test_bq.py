@@ -134,3 +134,57 @@ def test_topk_plan_is_take_ordered(spark):
         assert "TakeOrderedAndProject" in plan
         assert "CartesianProduct" not in plan
         assert "SortMergeJoin" not in plan
+
+
+# --- Matryoshka (MRL) prefix serving ----------------------------------------
+
+
+def _cos(a, b):
+    dot = sum(float(x) * float(y) for x, y in zip(a, b))
+    na = math.sqrt(sum(float(x) ** 2 for x in a))
+    nb = math.sqrt(sum(float(y) ** 2 for y in b))
+    return dot / (na * nb)
+
+
+def test_mrl_prefix_matches_python(spark):
+    vecs = [mock_embed_text(f"doc {i}", 64) for i in range(30)]
+    emb = _emb(spark, vecs)
+    q = mock_embed_text("the query", 64)
+    got = sim.mrl_topk(emb, q, dim_prefix=16, k=6).collect()
+    exp = sorted(
+        ((_cos(v[:16], q[:16]), -i) for i, v in enumerate(vecs)), reverse=True
+    )
+    assert [r.vec_id for r in got] == [-ni for _, ni in exp[:6]]
+
+
+def test_mrl_full_prefix_is_plain_cosine(spark):
+    """dim_prefix == dim reduces to the brute cosine ranking."""
+    vecs = [mock_embed_text(f"doc {i}", 64) for i in range(25)]
+    emb = _emb(spark, vecs)
+    q = mock_embed_text("the query", 64)
+    got = [r.vec_id for r in sim.mrl_topk(emb, q, dim_prefix=64, k=5).collect()]
+    exp = sorted(((_cos(v, q), -i) for i, v in enumerate(vecs)), reverse=True)
+    assert got == [-ni for _, ni in exp[:5]]
+
+
+def test_mrl_refine_full_window_is_brute_cosine(spark):
+    vecs = [mock_embed_text(f"doc {i}", 64) for i in range(30)]
+    emb = _emb(spark, vecs)
+    q = mock_embed_text("funnel", 64)
+    got = [
+        r.vec_id
+        for r in sim.mrl_topk(emb, q, dim_prefix=8, k=5, refine=6).collect()
+    ]
+    exp = sorted(((_cos(v, q), -i) for i, v in enumerate(vecs)), reverse=True)
+    assert got == [-ni for _, ni in exp[:5]]
+
+
+def test_mrl_guards(spark):
+    emb = _emb(spark, [mock_embed_text("x", 64)])
+    q = [0.5] * 64
+    with pytest.raises(ValueError):
+        sim.mrl_topk(emb, q, dim_prefix=0)
+    with pytest.raises(ValueError):
+        sim.mrl_topk(emb, q, dim_prefix=65)
+    with pytest.raises(ValueError):
+        sim.mrl_topk(emb, q, dim_prefix=8, k=0)
