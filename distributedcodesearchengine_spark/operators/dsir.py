@@ -84,16 +84,19 @@ def dsir_weights(
     grams = docs.select(
         "doc_id", "lang", F.explode(_grams_col()).alias("gram")
     ).select("doc_id", "lang", _bucket_col(F.col("gram"), m).alias("bucket"))
-    # per-(doc, bucket) counts BEFORE any join — the map-side combine
-    db = grams.groupBy("doc_id", "bucket").agg(
+    # per-(doc, bucket) counts BEFORE any join — the map-side combine.
+    # lang rides along (functionally dependent on doc_id) so BOTH LM
+    # lanes derive from this ONE checkpointed pass over the corpus —
+    # the explode/tokenize never runs twice.
+    db = grams.groupBy("doc_id", "lang", "bucket").agg(
         F.count("*").cast("long").alias("cnt")
     )
     db = db.localCheckpoint(eager=False)  # feeds both LMs + the score join
     raw = db.groupBy("bucket").agg(F.sum("cnt").cast("long").alias("cnt_r"))
     tgt = (
-        grams.where(F.col("lang") == target_lang)
+        db.where(F.col("lang") == target_lang)
         .groupBy("bucket")
-        .agg(F.count("*").cast("long").alias("cnt_t"))
+        .agg(F.sum("cnt").cast("long").alias("cnt_t"))
     )
     lm = raw.join(tgt, "bucket", "left").na.fill({"cnt_t": 0})
     tot = lm.agg(
