@@ -774,15 +774,29 @@ class SearchEngine:
             negative_boost=float(negative_boost), k=int(limit),
         )
 
-    def knn(self, text: str, limit: int = 10, lang=None) -> DataFrame:
-        """ES kNN search (with optional filter): exact cosine top-k of
-        the query text's embedding over the doc embeddings, restricted
-        DURING the search to docs matching the filter
-        (functions/embed.cosine_topk_filtered)."""
+    KNN_MODES = ("exact", "bq", "mrl")
+
+    def knn(
+        self, text: str, limit: int = 10, lang=None, mode: str = "exact"
+    ) -> DataFrame:
+        """ES kNN search (with optional filter): cosine top-k of the
+        query text's embedding over the doc embeddings, restricted
+        DURING the search to docs matching the filter. ``mode`` picks
+        the serving tier: ``exact`` (full-precision scan,
+        functions/embed.cosine_topk_filtered), ``bq`` (1-bit Hamming
+        first stage + exact refine — the 32x-smaller scan,
+        similarity.bq_hamming_topk), ``mrl`` (Matryoshka quarter-
+        prefix funnel + full-dim refine, similarity.mrl_topk). The
+        quantized tiers apply the filter by restricting the scanned
+        relation (true restricted top-k, same as exact)."""
         from pyspark.sql import functions as F
 
         from .functions.embed import cosine_topk_filtered, mock_embed_text
 
+        if mode not in self.KNN_MODES:
+            raise ValueError(
+                f"unknown knn mode {mode!r}; valid: {self.KNN_MODES}"
+            )
         emb = self._ensure_embeddings()
         qvec = mock_embed_text(text, self.dim)
         id_filter = None
@@ -794,8 +808,24 @@ class SearchEngine:
             id_filter = self.index.docs.where(
                 F.col("lang") == lang
             ).select("doc_id")
-        return cosine_topk_filtered(
-            emb, qvec, int(limit), id_filter=id_filter, id_col="doc_id"
+        if mode == "exact":
+            return cosine_topk_filtered(
+                emb, qvec, int(limit), id_filter=id_filter, id_col="doc_id"
+            )
+        from .operators import similarity as _sim
+
+        # plain semi join — the filter set can be corpus-scale (a
+        # majority lang), so no broadcast hint (the domain-cap lesson);
+        # AQE picks the strategy from the actual build side
+        if id_filter is not None:
+            emb = emb.join(id_filter, "doc_id", "leftsemi")
+        if mode == "bq":
+            return _sim.bq_hamming_topk(
+                emb, qvec, k=int(limit), refine=4, id_col="doc_id"
+            )
+        return _sim.mrl_topk(
+            emb, qvec, dim_prefix=max(8, self.dim // 4), k=int(limit),
+            refine=4, id_col="doc_id",
         )
 
     def open_pit(self) -> str:

@@ -806,13 +806,19 @@ def make_handler(engine, stats_fn, index_manager=None):
                 if url.path == "/knn":
                     if "q" not in q:
                         return self._send(400, {"error": "missing q"})
+                    mode = q.get("mode", "exact")
+                    if mode not in engine.KNN_MODES:
+                        return self._send(400, {
+                            "error": f"unknown mode {mode!r}; "
+                            f"valid: {'/'.join(engine.KNN_MODES)}"
+                        })
                     rows = engine.knn(
                         q["q"], limit=int(q.get("limit", 10)),
-                        lang=q.get("lang"),
+                        lang=q.get("lang"), mode=mode,
                     ).collect()
                     return self._send(
                         200,
-                        {"query": q["q"],
+                        {"query": q["q"], "mode": mode,
                          "results": [r.asDict() for r in rows]},
                     )
                 if url.path == "/query_string":

@@ -200,3 +200,41 @@ def test_knn_endpoints(spark):
         assert got and got <= {2, 4}  # the de docs
     finally:
         server.shutdown()
+
+
+def test_knn_quantized_modes(spark):
+    """mode=bq / mode=mrl serve through the quantized tiers: rank-
+    consistent results, the lang filter restricts the SCAN, and an
+    unknown mode is a 400 (F8)."""
+    from distributedcodesearchengine_spark.api import SearchEngine
+    from distributedcodesearchengine_spark.server import serve
+
+    idx = _index(spark)
+    engine = SearchEngine(idx)
+    # API level: every mode returns ranked rows; filter restricts
+    for mode in ("exact", "bq", "mrl"):
+        rows = engine.knn("dup table scan", limit=3, mode=mode).collect()
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert rows
+        de = engine.knn("dup table scan", limit=5, lang="de", mode=mode).collect()
+        assert {r.doc_id for r in de} <= {2, 4}
+    with pytest.raises(ValueError):
+        engine.knn("x", mode="bogus")
+
+    server = serve(engine, lambda: {}, port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        with urllib.request.urlopen(
+            f"{base}/knn?" + urllib.parse.urlencode(
+                {"q": "dup table scan", "limit": 3, "mode": "bq"}
+            )
+        ) as r:
+            body = json.loads(r.read())
+        assert r.status == 200 and body["mode"] == "bq" and body["results"]
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"{base}/knn?q=x&mode=bogus")
+        assert ei.value.code == 400
+    finally:
+        server.shutdown()
