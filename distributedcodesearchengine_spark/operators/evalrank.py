@@ -1,4 +1,5 @@
-"""Retrieval-quality evaluation harness: nDCG@k, MRR, recall@k.
+"""Retrieval-quality evaluation harness: nDCG@k, MRR, recall@k,
+precision@k, ERR@k (the ES _rank_eval metric set).
 
 The measurement layer every search engine ships beside its scorer
 (Lucene's benchmarks module, TREC eval — public IR methodology;
@@ -76,12 +77,49 @@ def eval_ranking(
     results: DataFrame, labels: DataFrame, k: int = 10
 ) -> DataFrame:
     """results(query_id, rank, doc_id) + labels -> one row per query:
-    (query_id, ndcg, mrr, recall), 6-dp rounded."""
+    (query_id, ndcg, mrr, recall, precision, err), 6-dp rounded.
+    precision = relevant-retrieved / retrieved (ES _rank_eval
+    precision); err = Expected Reciprocal Rank (Chapelle et al. 2009)
+    with gmax = the query's max observed grade."""
+    gmax = labels.groupBy("query_id").agg(F.max("rel").alias("gmax"))
     r = (
         results.where(F.col("rank") <= k)
         .join(labels, ["query_id", "doc_id"], "left")
         .withColumn("rel", F.coalesce(F.col("rel"), F.lit(0)))
         .withColumn("g", _gain(F.col("rank"), F.col("rel")))
+        .join(F.broadcast(gmax), "query_id", "left")
+        # ERR stopping probability (Chapelle et al. 2009): R =
+        # (2^rel - 1) / 2^gmax with gmax the query's max observed
+        # grade — exact dyadic rationals on both engines; rel 0 -> 0,
+        # and R < 1 strictly so the continue-probability never hits 0
+        .withColumn(
+            "rr",
+            (F.pow(F.lit(2.0), F.col("rel")) - F.lit(1.0))
+            / F.pow(F.lit(2.0), F.col("gmax")),
+        )
+    )
+    # ERR's sequential (err, p) state folds in rank order as a
+    # 2-element double array on BOTH engines (Spark aggregate ==
+    # DuckDB list_reduce with a prepended [0, 1] initial state) — the
+    # identical op sequence, so parity is exact
+    err_fold = F.element_at(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("rank").cast("double").alias("r"),
+                        F.col("rr").alias("v"),
+                    )
+                )
+            ),
+            F.array(F.lit(0.0), F.lit(1.0)),
+            lambda acc, x: F.array(
+                F.element_at(acc, 1)
+                + F.element_at(acc, 2) * x["v"] / x["r"],
+                F.element_at(acc, 2) * (F.lit(1.0) - x["v"]),
+            ),
+        ),
+        1,
     )
     per_q = r.groupBy("query_id").agg(
         F.aggregate(
@@ -91,6 +129,8 @@ def eval_ranking(
         ).alias("dcg"),
         F.min(F.when(F.col("rel") > 0, F.col("rank"))).alias("frank"),
         F.sum(F.when(F.col("rel") > 0, 1).otherwise(0)).cast("long").alias("hits"),
+        F.count("*").cast("long").alias("cnt"),
+        err_fold.alias("err"),
     )
     wi = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("doc_id"))
     ideal = (
@@ -129,6 +169,12 @@ def eval_ranking(
                 F.col("hits") * F.lit(1.0) / F.col("n_rel"),
             ).otherwise(0.0)
         ).alias("recall"),
+        round6(
+            F.when(
+                F.col("cnt") > 0, F.col("hits") * F.lit(1.0) / F.col("cnt")
+            ).otherwise(0.0)
+        ).alias("precision"),
+        round6(F.coalesce(F.col("err"), F.lit(0.0))).alias("err"),
     ).orderBy("query_id")
 
 
@@ -154,12 +200,20 @@ def eval_ranking_sql(
         "dterms AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM docs), "
         "labels AS (SELECT query_id, doc_id, CAST(count(*) AS INT) AS rel "
         "FROM dterms JOIN qt USING (term) GROUP BY query_id, doc_id), "
-        "r AS (SELECT res.query_id, res.rank, res.doc_id, coalesce(l.rel, 0) AS rel "
+        "gm AS (SELECT query_id, max(rel) AS gmax FROM labels GROUP BY query_id), "
+        "r AS (SELECT res.query_id, res.rank, res.doc_id, coalesce(l.rel, 0) AS rel, "
+        "((2.0 ^ coalesce(l.rel, 0)) - 1.0) / (2.0 ^ gm.gmax) AS rr "
         "FROM res LEFT JOIN labels l ON l.query_id = res.query_id AND l.doc_id = res.doc_id "
+        "LEFT JOIN gm ON gm.query_id = res.query_id "
         f"WHERE res.rank <= {int(k)}), "
         f"d AS (SELECT query_id, sum({gain} ORDER BY rank) AS dcg, "
         "min(CASE WHEN rel > 0 THEN rank END) AS frank, "
-        "CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hits "
+        "CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hits, "
+        "CAST(count(*) AS BIGINT) AS cnt, "
+        "list_reduce(list_prepend([0.0e0, 1.0e0], "
+        "list([rr, CAST(rank AS DOUBLE)] ORDER BY rank)), "
+        "(acc, x) -> [acc[1] + acc[2] * x[1] / x[2], "
+        "acc[2] * (1.0e0 - x[1])])[1] AS err "
         "FROM r GROUP BY query_id), "
         "il AS (SELECT query_id, doc_id, rel, row_number() OVER "
         "(PARTITION BY query_id ORDER BY rel DESC, doc_id ASC) AS irank "
@@ -171,7 +225,9 @@ def eval_ranking_sql(
         "SELECT d.query_id, "
         f"{round6_sql('CASE WHEN i.idcg > 0 THEN d.dcg / i.idcg ELSE 0.0 END')} AS ndcg, "
         f"{round6_sql('CASE WHEN d.frank IS NOT NULL THEN 1.0 / d.frank ELSE 0.0 END')} AS mrr, "
-        f"{round6_sql('CASE WHEN nr.n_rel > 0 THEN d.hits * 1.0 / nr.n_rel ELSE 0.0 END')} AS recall "
+        f"{round6_sql('CASE WHEN nr.n_rel > 0 THEN d.hits * 1.0 / nr.n_rel ELSE 0.0 END')} AS recall, "
+        f"{round6_sql('CASE WHEN d.cnt > 0 THEN d.hits * 1.0 / d.cnt ELSE 0.0 END')} AS precision, "
+        f"{round6_sql('coalesce(d.err, 0.0)')} AS err "
         "FROM d LEFT JOIN i USING (query_id) LEFT JOIN nr USING (query_id) "
         "ORDER BY d.query_id"
     )

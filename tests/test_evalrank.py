@@ -71,3 +71,29 @@ def test_no_relevant_retrieved(spark):
     res = _results(spark, [4])
     row = eval_ranking(res, relevance_labels(_docs(spark), QUERIES), k=10).first()
     assert (row["ndcg"], row["mrr"], row["recall"]) == (0.0, 0.0, 0.0)
+
+
+def test_precision_and_err_hand_computed(spark):
+    # ranking [4, 2, 1]: rels [0, 1, 2], gmax = 2
+    res = _results(spark, [4, 2, 1])
+    row = eval_ranking(res, relevance_labels(_docs(spark), QUERIES), k=10).first()
+    assert row["precision"] == round6_py(2.0 / 3.0)
+    # ERR: R = (2^rel - 1) / 2^gmax -> [0, 1/4, 3/4]
+    err, p = 0.0, 1.0
+    for rank, rr in [(1, 0.0), (2, 0.25), (3, 0.75)]:
+        err = err + p * rr / rank
+        p = p * (1.0 - rr)
+    assert row["err"] == round6_py(err)
+    # perfect ranking has strictly higher ERR than the degraded one
+    perfect = eval_ranking(
+        _results(spark, [1, 2, 3]),
+        relevance_labels(_docs(spark), QUERIES), k=10,
+    ).first()
+    assert perfect["err"] > row["err"]
+    assert perfect["precision"] == 1.0
+
+
+def test_err_zero_when_nothing_relevant(spark):
+    res = _results(spark, [4])
+    row = eval_ranking(res, relevance_labels(_docs(spark), QUERIES), k=10).first()
+    assert (row["precision"], row["err"]) == (0.0, 0.0)
