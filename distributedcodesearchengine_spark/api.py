@@ -828,6 +828,24 @@ class SearchEngine:
             refine=4, id_col="doc_id",
         )
 
+    def rank_eval(self, queries: Dict[int, str], k: int = 10) -> DataFrame:
+        """The ES ``_rank_eval`` API over the served index: run the
+        batch BM25 ranking for ``queries`` and score it against the
+        corpus-derived graded labels (rel = distinct query terms
+        present) -> one row per query with nDCG@k / MRR / recall@k /
+        precision@k / ERR@k (operators/evalrank). The quality
+        regression check an index or analyzer change runs before a
+        serving swap."""
+        from .operators.evalrank import eval_ranking, relevance_labels
+        from .operators.scorer import bm25_topk_batch
+
+        if not queries:
+            raise ValueError("rank_eval needs at least one query")
+        qmap = {int(qid): str(q) for qid, q in queries.items()}
+        res = bm25_topk_batch(self.index, qmap, k=int(k))
+        labels = relevance_labels(self.index.docs, qmap)
+        return eval_ranking(res, labels, k=int(k))
+
     def open_pit(self) -> str:
         """The ES point-in-time API: pin the CURRENTLY served index
         handle under an id. Searches through the pit see exactly this

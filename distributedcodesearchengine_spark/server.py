@@ -75,6 +75,10 @@ Endpoints (JSON responses):
                        all queries scored in ONE DataFrame plan
                        (bm25_topk_batch — the throughput path; queries
                        whose max score is non-positive return [])
+    POST /rank_eval    {"queries": {"name": "text", ...}, "k": 10} ->
+                       the ES _rank_eval analog: per-query nDCG / MRR /
+                       recall / precision / ERR of the served ranking
+                       against corpus-derived graded labels
     POST /search/local {"input": DIR, "query": "...", "limit": 10} ->
                        ad-hoc BM25 over a pages directory that is not
                        the served index; first use (or a path change)
@@ -300,6 +304,34 @@ def make_handler(engine, stats_fn, index_manager=None):
                     return self._send(200, {"results": out})
                 except Exception as e:  # noqa: BLE001 - reference: no 500 bodies
                     return self._send(200, {"results": {}, "error": str(e)})
+            if url.path == "/rank_eval":
+                # the ES _rank_eval API: run the batch ranking for the
+                # given queries and score it against the corpus-derived
+                # graded labels. Body: {"queries": {"name": "text"},
+                # "k": 10} -> per-query ndcg/mrr/recall/precision/err
+                if not isinstance(body, dict) or not isinstance(
+                    body.get("queries"), dict
+                ) or not body["queries"]:
+                    return self._send(
+                        400, {"error": "body must carry a non-empty 'queries' map"}
+                    )
+                qmap = {i: str(q) for i, q in enumerate(body["queries"].values())}
+                names = list(body["queries"].keys())
+                rows = engine.rank_eval(qmap, k=int(body.get("k", 10))).collect()
+                by_qid = {r["query_id"]: r for r in rows}
+                out = {}
+                for i, name in enumerate(names):
+                    r = by_qid.get(i)
+                    # a query whose every token is OOV produces no
+                    # batch rows and no labels — all-zero metrics
+                    out[name] = (
+                        {k2: r[k2] for k2 in
+                         ("ndcg", "mrr", "recall", "precision", "err")}
+                        if r is not None
+                        else {"ndcg": 0.0, "mrr": 0.0, "recall": 0.0,
+                              "precision": 0.0, "err": 0.0}
+                    )
+                return self._send(200, {"metrics": out})
             if url.path == "/search/local":
                 # ad-hoc BM25 search over a pages directory that is not
                 # the served index; first use (or a path change) builds
@@ -476,6 +508,7 @@ def make_handler(engine, stats_fn, index_manager=None):
                             "GET /stats": "corpus + build/job status",
                             "GET /health": "liveness",
                             "POST /search/batch": "multi-query, one plan",
+                            "POST /rank_eval": "ranking quality metrics",
                             "POST /search/local": "ad-hoc dir search",
                             "POST /index": "queue a build",
                             "POST /index/sync": "blocking build",

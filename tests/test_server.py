@@ -959,3 +959,22 @@ def test_terms_set_endpoint(srv):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(srv, "/terms_set", limit=5)  # missing q
     assert ei.value.code == 400
+
+
+def test_rank_eval_endpoint(srv):
+    code, body = _post(srv, "/rank_eval", {
+        "queries": {"good": "parse json", "oov": "zzzznotaword"}, "k": 5,
+    })
+    assert code == 200
+    m = body["metrics"]
+    g = m["good"]
+    assert set(g) == {"ndcg", "mrr", "recall", "precision", "err"}
+    assert 0.0 < g["ndcg"] <= 1.0 and 0.0 < g["err"] <= 1.0
+    assert 0.0 < g["precision"] <= 1.0
+    # an all-OOV query has no labels and no rows: all-zero metrics
+    assert m["oov"] == {
+        "ndcg": 0.0, "mrr": 0.0, "recall": 0.0, "precision": 0.0, "err": 0.0,
+    }
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(srv, "/rank_eval", {"queries": {}})
+    assert ei.value.code == 400
