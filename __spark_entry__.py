@@ -1318,6 +1318,14 @@ def _registry():
         geom.geo_distance_rings_sql(48.8566, 2.3522),
     )
 
+    # distinct-n corpus diversity (Li et al. 2016): per-n total /
+    # distinct / ratio — the repetitiveness metric a training pipeline
+    # tracks per source and snapshot; integers + one 1-row division
+    reg["ngram_diversity"] = (
+        _docs_op(partial(ts.ngram_diversity, max_n=3)),
+        ts.ngram_diversity_sql(cte, max_n=3),
+    )
+
     # BPE tokenizer induction (Sennrich et al. 2016): fixed-iteration
     # merge learning over the term-frequency dictionary — all integer
     # counts + string replaces, parity exact by construction; the

@@ -669,3 +669,82 @@ def corpus_ngrams_sql(table_toks_cte: str, n: int = 2, k: int = 50) -> str:
         f"SELECT CAST({int(n)} AS INT) AS n, gram, cnt, df FROM a "
         f"ORDER BY cnt DESC, gram ASC LIMIT {int(k)}"
     )
+
+
+def ngram_diversity(docs: DataFrame, max_n: int = 3) -> DataFrame:
+    """(n, total, distinct, diversity) — distinct-n corpus diversity
+    (Li et al. 2016's distinct-n, the standard repetitiveness /
+    mode-collapse metric a training-data pipeline tracks per source and
+    per snapshot): for each n in 1..max_n, the number of n-gram
+    occurrences, the number of DISTINCT n-grams, and their ratio. A
+    boilerplate-heavy crawl shows low distinct-2/3; a healthy diverse
+    corpus is near its vocabulary ceiling.
+
+    Scale shape: per-n, one JVM gram transform + explode and one
+    map-side-combinable count + approx-free distinct via groupBy —
+    counts are integers, the single ratio division happens on the
+    per-n 1-row result with the identical operand sequence on both
+    engines."""
+    if int(max_n) < 1:
+        raise ValueError(f"max_n must be >= 1: {max_n!r}")
+    outs = []
+    for n in range(1, int(max_n) + 1):
+        gram = " || ' ' || ".join(f"tokens[i + {j}]" for j in range(n))
+        grams = docs.select(
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(tokens) >= {n} THEN "
+                    f"transform(sequence(0, size(tokens) - {n}), i -> {gram}) "
+                    "ELSE array() END"
+                )
+            ).alias("gram")
+        )
+        per = grams.groupBy("gram").agg(
+            F.count("*").cast("long").alias("c")
+        )
+        outs.append(
+            per.agg(
+                F.lit(int(n)).cast("int").alias("n"),
+                F.sum("c").cast("long").alias("total"),
+                F.count("*").cast("long").alias("distinct"),
+            ).select(
+                "n",
+                F.coalesce("total", F.lit(0)).cast("long").alias("total"),
+                "distinct",
+                round6(
+                    F.when(
+                        F.coalesce("total", F.lit(0)) > 0,
+                        F.col("distinct") * F.lit(1.0) / F.col("total"),
+                    ).otherwise(0.0)
+                ).alias("diversity"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("n")
+
+
+def ngram_diversity_sql(table_toks_cte: str, max_n: int = 3) -> str:
+    parts = []
+    for n in range(1, int(max_n) + 1):
+        gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+        parts.append(
+            f"SELECT CAST({n} AS INT) AS n, "
+            "CAST(coalesce(sum(c), 0) AS BIGINT) AS total, "
+            "CAST(count(*) AS BIGINT) AS \"distinct\", "
+            + round6_sql(
+                "CASE WHEN coalesce(sum(c), 0) > 0 "
+                "THEN count(*) * 1.0 / sum(c) ELSE 0.0 END"
+            )
+            + " AS diversity FROM ("
+            f"SELECT gram, CAST(count(*) AS BIGINT) AS c FROM "
+            f"(SELECT {gram} AS gram FROM docs, "
+            f"unnest(generate_series(1, len(toks) - {n - 1})) AS _t(i)) "
+            "GROUP BY gram)"
+        )
+    return (
+        f"WITH {table_toks_cte} SELECT * FROM ("
+        + " UNION ALL ".join(parts)
+        + ") ORDER BY n"
+    )
