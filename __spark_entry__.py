@@ -693,6 +693,22 @@ def _registry():
         bm25_histogram_sql("table row", interval=10),
     )
 
+    # the ES sort option: top-k cut by a document FIELD over the kept
+    # set ((field, doc_id) total order), score riding along; healthy +
+    # degenerate regimes
+    from distributedcodesearchengine_spark.operators.explore import (
+        bm25_sort_sql,
+    )
+
+    reg["bm25_sort_desc"] = (
+        partial(eq.bm25_sort_q, query="dup table", asc=False, k=10),
+        bm25_sort_sql("dup table", asc=False, k=10),
+    )
+    reg["bm25_sort_asc_degenerate"] = (
+        partial(eq.bm25_sort_q, query="table row", asc=True, k=10),
+        bm25_sort_sql("table row", asc=True, k=10),
+    )
+
     # stats aggregation (ES stats agg): one-row min/max/sum/avg of
     # doc_len over the kept set
     from distributedcodesearchengine_spark.operators.explore import (

@@ -828,6 +828,26 @@ class SearchEngine:
             refine=4, id_col="doc_id",
         )
 
+    SORT_FIELDS = ("doc_len",)
+
+    def search_sorted(
+        self, query: str, sort: str = "doc_len", asc: bool = False,
+        limit: int = 10,
+    ) -> DataFrame:
+        """Sort-by-field search (the ES ``sort`` option): the query
+        defines the match set, the top-k is cut by a document field
+        ((field, doc_id) total order) with the BM25 score riding along
+        (operators/explore.bm25_sort_topk). Unknown sort fields raise
+        (F8 — the endpoint 400s)."""
+        if sort not in self.SORT_FIELDS:
+            raise ValueError(
+                f"unknown sort field {sort!r}; valid: {self.SORT_FIELDS}"
+            )
+        from .operators.explore import bm25_sort_topk
+
+        return bm25_sort_topk(self.index, query, sort=sort, asc=asc,
+                              k=int(limit))
+
     def rank_eval(self, queries: Dict[int, str], k: int = 10) -> DataFrame:
         """The ES ``_rank_eval`` API over the served index: run the
         batch BM25 ranking for ``queries`` and score it against the

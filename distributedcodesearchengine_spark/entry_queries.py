@@ -1202,3 +1202,15 @@ def bm25_pinned_q(
 
     idx = get_documents_index(spark, sf_dir)
     return bm25_pinned_topk(idx, query, list(pinned_ids), k=k)
+
+
+def bm25_sort_q(
+    spark: SparkSession, sf_dir: str, query: str, asc: bool = False,
+    k: int = 10,
+) -> DataFrame:
+    """Sort-by-field search over the BM25 kept set (operators/explore).
+    doc_ids here are the table ids (sources/tables.py identity)."""
+    from .operators.explore import bm25_sort_topk
+
+    idx = get_documents_index(spark, sf_dir)
+    return bm25_sort_topk(idx, query, sort="doc_len", asc=asc, k=k)

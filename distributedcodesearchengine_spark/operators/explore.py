@@ -500,3 +500,56 @@ def bm25_stats_agg_sql(query: str, col: str = "doc_len") -> str:
         f"{round6_sql(f'sum({col}) * 1.0 / count(*)')} AS avg_v "
         "FROM kept"
     )
+
+def bm25_sort_topk(
+    index, query: str, sort: str = "doc_len", asc: bool = False, k: int = 10
+) -> DataFrame:
+    """(rank, doc_id, sort_value, score) — the ES ``sort`` option: the
+    query defines the MATCH SET (the standard threshold/degenerate
+    kept-set semantics, unchanged), but the top-k is cut by a document
+    FIELD instead of the score ((sort asc|desc, doc_id asc) total
+    order; the BM25 score still rides along, like ES returning _score
+    with track_scores). Plan: the shared kept-set spine + one
+    TakeOrderedAndProject — no global sort."""
+    from pyspark.sql.window import Window
+
+    spark = index.spark
+    out_schema = f"rank int, doc_id long, {sort} long, score double"
+    kept = _kept_with_cols(index, query, [sort])
+    if kept is None:
+        return spark.createDataFrame([], out_schema)
+    order = [
+        F.asc(sort) if asc else F.desc(sort),
+        F.asc("doc_id"),
+    ]
+    top = kept.orderBy(*order).limit(int(k))
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank",
+        "doc_id",
+        F.col(sort).cast("long").alias(sort),
+        round6("score").alias("score"),
+    )
+
+
+def bm25_sort_sql(
+    query: str, sort: str = "doc_len", asc: bool = False, k: int = 10
+) -> str:
+    """DuckDB mirror of bm25_sort_topk on the shared kept chain."""
+    from ..functions.rounding import round6_sql
+    from ..functions.sql_oracle import kept_cte_sql
+
+    chain = kept_cte_sql(query, [sort])
+    if chain is None:
+        return (
+            f"SELECT 1 AS rank, 1::BIGINT AS doc_id, 1::BIGINT AS {sort}, "
+            "0.0 AS score WHERE false"
+        )
+    d = "ASC" if asc else "DESC"
+    return (
+        f"{chain} "
+        f"SELECT CAST(row_number() OVER (ORDER BY {sort} {d}, doc_id ASC) AS INT) "
+        f"AS rank, doc_id, CAST({sort} AS BIGINT) AS {sort}, "
+        f"{round6_sql('score')} AS score "
+        f"FROM kept ORDER BY {sort} {d}, doc_id ASC LIMIT {int(k)}"
+    )

@@ -1144,7 +1144,7 @@ def make_handler(engine, stats_fn, index_manager=None):
                     # or hybrid fusion — reject the combination instead
                     # of silently ignoring the parameter (ADVICE r4)
                     special = [k for k in ("collapse", "msm", "len_min",
-                                           "len_max") if k in q]
+                                           "len_max", "sort") if k in q]
                     if special:
                         unsupported = [
                             p for p in ("offset", "scorer", "hybrid")
@@ -1163,6 +1163,24 @@ def make_handler(engine, stats_fn, index_manager=None):
                             lang=q.get("lang"), site=q.get("site"),
                             source=q.get("source"),
                         )
+                        rows = [r.asDict() for r in res.collect()]
+                        return self._send(200, {"query": q["q"], "results": rows})
+                    if "sort" in q:
+                        # ES sort option: "field" or "field:asc|desc"
+                        parts = q["sort"].split(":")
+                        fld = parts[0]
+                        direc = parts[1] if len(parts) > 1 else "desc"
+                        if direc not in ("asc", "desc"):
+                            return self._send(400, {
+                                "error": f"bad sort direction {direc!r}"
+                            })
+                        try:
+                            res = engine.search_sorted(
+                                q["q"], sort=fld, asc=(direc == "asc"),
+                                limit=int(q.get("limit", 10)),
+                            )
+                        except ValueError as e:
+                            return self._send(400, {"error": str(e)})
                         rows = [r.asDict() for r in res.collect()]
                         return self._send(200, {"query": q["q"], "results": rows})
                     if "msm" in q:

@@ -978,3 +978,27 @@ def test_rank_eval_endpoint(srv):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(srv, "/rank_eval", {"queries": {}})
     assert ei.value.code == 400
+
+
+def test_search_sort_param(srv):
+    code, body = _get(srv, "/search", q="parse json", sort="doc_len:desc",
+                      limit=5)
+    assert code == 200
+    rows = body["results"]
+    assert rows and [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    lens = [r["doc_len"] for r in rows]
+    assert lens == sorted(lens, reverse=True)
+    code, asc_body = _get(srv, "/search", q="parse json", sort="doc_len:asc",
+                          limit=5)
+    asc_lens = [r["doc_len"] for r in asc_body["results"]]
+    assert asc_lens == sorted(asc_lens)
+    # unknown field and bad direction are 400s (F8)
+    for bad in ({"q": "x", "sort": "nope"}, {"q": "x", "sort": "doc_len:up"}):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(srv, "/search", **bad)
+        assert ei.value.code == 400
+    # sort composed with offset paging is rejected like the other
+    # specialized branches
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv, "/search", q="x", sort="doc_len", offset=10)
+    assert ei.value.code == 400
