@@ -1249,6 +1249,15 @@ def _registry():
         _tbl_op(partial(pqm.pq_adc_topk, qvec=_qv, k=10), "embeddings"),
         pqm.pq_adc_topk_sql(_qv, k=10),
     )
+    # the full FAISS-IVFPQ stack composed: coarse cells prune the scan
+    # to nprobe/k_cells of the corpus (partition pruning on a
+    # cell-partitioned table), ADC pays only the probed candidates
+    reg["ivfpq_topk"] = (
+        _tbl_op(partial(pqm.ivfpq_topk, qvec=_qv, k=10, nprobe=4),
+                "embeddings"),
+        pqm.ivfpq_topk_sql(_qv, k=10, nprobe=4),
+    )
+
     # the FAISS IndexRefineFlat / ScaNN-reordering serving pattern:
     # compressed ADC scan cuts refine*k candidates, exact squared-L2
     # re-ranks only those — the float store is touched for refine*k

@@ -382,6 +382,84 @@ def pq_refine_topk(
     )
 
 
+def ivfpq_topk(
+    embeddings: DataFrame,
+    qvec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    m: int = PQ_M,
+    K: int = PQ_K,
+    k_cells: Optional[int] = None,
+    centroids: Optional[List[List[float]]] = None,
+    codebooks: Optional[Codebooks] = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(rank, vec_id, dist) — the full FAISS-IVFPQ serving stack
+    composed end to end: the coarse quantizer prunes the scan to the
+    query's ``nprobe`` nearest cells (with the vector table partitioned
+    by cell this is partition pruning — nprobe/k_cells of the corpus is
+    read), and ONLY those candidates pay the ADC distance (m table
+    lookups + an ordered m-term sum; the compressed codes are the only
+    per-vector bytes touched). Distances are against the stored vectors
+    directly (FAISS ``by_residual=False``); both quantizers take the
+    trained-artifact seams (``train_centroids`` / ``train_pq_codebooks``)
+    or the SQL-derivable seeds. Ties break on vec_id asc."""
+    from .similarity import N_IVF_CELLS, _cell_col, ivf_centroids
+
+    if int(k) < 1 or int(nprobe) < 1:
+        raise ValueError(f"k and nprobe must be >= 1: k={k} nprobe={nprobe}")
+    q = [float(x) for x in qvec]
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(len(q), k_cells or N_IVF_CELLS)
+    )
+    qdots = [sum(a * b for a, b in zip(q, c)) for c in cents]
+    probe = sorted(range(len(cents)), key=lambda i: (-qdots[i], i))[
+        : int(nprobe)
+    ]
+    if codebooks is None:
+        codebooks = pq_seed_codebooks(embeddings, m, K, id_col, vec_col)
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    if len(q) != m * dsub:
+        raise ValueError(f"qvec dim {len(q)} != {m}*{dsub}")
+    dtab = []
+    for j in range(m):
+        row = []
+        for entry in codebooks[j]:
+            acc = 0.0
+            for t in range(dsub):
+                d = q[j * dsub + t] - entry[t]
+                acc = acc + d * d
+            row.append(acc)
+        dtab.append(row)
+    # prune FIRST: only the probed cells' rows reach the encode chain
+    cand = embeddings.where(
+        _cell_col(cents, vec_col).isin([int(p) for p in probe])
+    )
+    codes = _pq_code_cols(F.col(vec_col), codebooks)
+    dist = reduce(
+        lambda a, b: a + b,
+        [
+            F.element_at(
+                F.array(*[F.lit(x) for x in dtab[j]]),
+                (codes[j] + F.lit(1)).cast("int"),
+            )
+            for j in range(m)
+        ],
+    )
+    from pyspark.sql.window import Window
+
+    scored = cand.select(F.col(id_col), dist.alias("dist"))
+    top = scored.orderBy(F.asc("dist"), F.asc(id_col)).limit(int(k))
+    w = Window.orderBy(F.asc("dist"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", F.col(id_col), round6("dist").alias("dist")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB mirrors
 # ---------------------------------------------------------------------------
@@ -460,6 +538,64 @@ def pq_codes_summary_sql(
         "CAST(min(code) AS BIGINT) AS code_min, "
         "CAST(max(code) AS BIGINT) AS code_max "
         "FROM codes JOIN mult USING (j) GROUP BY vec_id ORDER BY vec_id"
+    )
+
+
+def ivfpq_topk_sql(
+    qvec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    m: int = PQ_M,
+    K: int = PQ_K,
+    k_cells: Optional[int] = None,
+    centroids: Optional[List[List[float]]] = None,
+    codebooks: Optional[Codebooks] = None,
+) -> str:
+    """DuckDB mirror of ``ivfpq_topk``: the IVF cell chain
+    (similarity._cell_sql) + the PQ code chain (_pq_ctes) composed —
+    candidates are the probed cells' vec_ids, the ADC sum runs over
+    those only."""
+    from .similarity import N_IVF_CELLS, _cell_sql, ivf_centroids
+
+    q = [float(x) for x in qvec]
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(len(q), k_cells or N_IVF_CELLS)
+    )
+    qdots = [sum(a * b for a, b in zip(q, c)) for c in cents]
+    probe = sorted(range(len(cents)), key=lambda i: (-qdots[i], i))[
+        : int(nprobe)
+    ]
+    mm = len(codebooks) if codebooks is not None else int(m)
+    if len(q) % mm != 0:
+        raise ValueError(f"qvec dim {len(q)} not divisible by m {mm}")
+    dsub = len(q) // mm
+    qvals = []
+    for j in range(mm):
+        lst = "[" + ", ".join(
+            sql_double(x) for x in q[j * dsub : (j + 1) * dsub]
+        ) + "]"
+        qvals.append(f"({j + 1}, {lst}::DOUBLE[])")
+    plist = ", ".join(str(int(p)) for p in probe)
+    return (
+        f"WITH {_cell_sql(len(cents), len(q), cents)}, "
+        f"{_pq_ctes(m, K, codebooks)}, "
+        f"cand AS (SELECT vec_id FROM cells WHERE cell IN ({plist})), "
+        "qsub AS (SELECT * FROM (VALUES "
+        + ", ".join(qvals)
+        + ") AS t(j, qs)), "
+        "dt AS (SELECT si, j, list_dot_product("
+        "list_transform(generate_series(1, len(cv)), t -> qs[t] - cv[t]), "
+        "list_transform(generate_series(1, len(cv)), t -> qs[t] - cv[t])"
+        ") AS qd FROM cb JOIN qsub USING (j)), "
+        "dist AS (SELECT c.vec_id, sum(dt.qd ORDER BY c.j) AS dist "
+        "FROM codes c JOIN dt ON dt.j = c.j AND dt.si = c.code + 1 "
+        "WHERE c.vec_id IN (SELECT vec_id FROM cand) "
+        "GROUP BY c.vec_id) "
+        "SELECT CAST(row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS INT) "
+        f"AS rank, vec_id, {round6_sql('dist')} AS dist FROM dist "
+        f"ORDER BY dist ASC, vec_id ASC LIMIT {int(k)}"
     )
 
 

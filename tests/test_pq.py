@@ -271,3 +271,50 @@ def test_pq_refine_plan_shape(spark):
     assert plan.count("TakeOrderedAndProject") >= 1
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ivfpq_composition_contract(spark):
+    """IVFPQ == ADC restricted to the probed cells: with nprobe =
+    k_cells it IS pq_adc_topk, and with nprobe=1 every result lives in
+    the query's own best cell."""
+    from distributedcodesearchengine_spark.operators import similarity as sim
+
+    vecs = [mock_embed_text(f"doc {i}", 16) for i in range(40)]
+    emb = _emb(spark, vecs)
+    books = pq.pq_seed_codebooks(emb, m=4, K=5)
+    cents = sim.ivf_centroids(16, 4)
+    q = mock_embed_text("the query", 16)
+    full = pq.ivfpq_topk(
+        emb, q, k=6, nprobe=4, centroids=cents, codebooks=books
+    ).collect()
+    adc = pq.pq_adc_topk(emb, q, k=6, codebooks=books).collect()
+    assert [(r.rank, r.vec_id, r.dist) for r in full] == [
+        (r.rank, r.vec_id, r.dist) for r in adc
+    ]
+    one = pq.ivfpq_topk(
+        emb, q, k=6, nprobe=1, centroids=cents, codebooks=books
+    ).collect()
+    qdots = [sum(a * b for a, b in zip(q, c)) for c in cents]
+    best = max(range(len(cents)), key=lambda i: (qdots[i], -i))
+    cells = {r.vec_id: r.cell for r in sim.ivf_cells(
+        emb, dim=16, k=4, centroids=cents
+    ).collect()}
+    assert one and all(cells[r.vec_id] == best for r in one)
+    # probing fewer cells can only shrink the candidate set
+    assert {r.vec_id for r in one} <= {
+        r.vec_id
+        for r in pq.ivfpq_topk(
+            emb, q, k=40, nprobe=4, centroids=cents, codebooks=books
+        ).collect()
+    }
+
+
+def test_ivfpq_guards(spark):
+    emb = _emb(spark, [mock_embed_text("x", 16)])
+    books = pq.pq_seed_codebooks(emb, m=4, K=1)
+    with pytest.raises(ValueError):
+        pq.ivfpq_topk(emb, [0.0] * 16, k=0, codebooks=books)
+    with pytest.raises(ValueError):
+        pq.ivfpq_topk(emb, [0.0] * 16, nprobe=0, codebooks=books)
+    with pytest.raises(ValueError):
+        pq.ivfpq_topk(emb, [0.0] * 12, codebooks=books)
