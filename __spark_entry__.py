@@ -1343,6 +1343,13 @@ def _registry():
         geom.geo_distance_rings_sql(48.8566, 2.3522),
     )
 
+    # Zipf-law fit: least-squares slope of ln(freq) ~ ln(rank) over
+    # the top-N terms — natural text sits near -1 (corpus diagnostic)
+    reg["zipf_fit"] = (
+        _docs_op(partial(ts.zipf_fit, top_n=40)),
+        ts.zipf_fit_sql(cte, top_n=40),
+    )
+
     # distinct-n corpus diversity (Li et al. 2016): per-n total /
     # distinct / ratio — the repetitiveness metric a training pipeline
     # tracks per source and snapshot; integers + one 1-row division

@@ -748,3 +748,85 @@ def ngram_diversity_sql(table_toks_cte: str, max_n: int = 3) -> str:
         + " UNION ALL ".join(parts)
         + ") ORDER BY n"
     )
+
+
+def zipf_fit(docs: DataFrame, top_n: int = 100) -> DataFrame:
+    """(n_terms, slope, intercept) — least-squares fit of
+    ln(freq) ~ slope * ln(rank) + intercept over the top ``top_n``
+    corpus terms (Zipf 1949: natural text sits near slope -1; word
+    soup and boilerplate-heavy crawls drift off it — a one-row corpus
+    health diagnostic beside ngram_diversity).
+
+    Determinism: ranks are the (freq desc, term asc) total order; the
+    four regression sums each fold in rank order on both engines
+    (sum(... ORDER BY rank) == the array_sort fold) and the
+    slope/intercept arithmetic is one identical operand sequence on
+    the 1-row result. ln is the house exp/ln precedent. The window
+    ranks a ``top_n``-row relation (post-TakeOrdered), never the
+    vocabulary."""
+    from pyspark.sql.window import Window
+
+    if int(top_n) < 2:
+        raise ValueError(f"top_n must be >= 2: {top_n!r}")
+    per = (
+        docs.select(F.explode("tokens").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    top = per.orderBy(F.desc("c"), F.asc("term")).limit(int(top_n))
+    w = Window.orderBy(F.desc("c"), F.asc("term"))
+    xy = top.withColumn("rank", F.row_number().over(w)).select(
+        "rank",
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+
+    def _fold(col):
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct("rank", F.col(col).alias("v")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["v"],
+        )
+
+    agg = xy.select(
+        "rank", "x", "y", (F.col("x") * F.col("y")).alias("xy"),
+        (F.col("x") * F.col("x")).alias("xx"),
+    ).agg(
+        F.count("*").cast("double").alias("n"),
+        _fold("x").alias("sx"),
+        _fold("y").alias("sy"),
+        _fold("xy").alias("sxy"),
+        _fold("xx").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_terms"),
+        round6(slope).alias("slope"),
+        round6((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias(
+            "intercept"
+        ),
+    )
+
+
+def zipf_fit_sql(table_toks_cte: str, top_n: int = 100) -> str:
+    slope = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+    return (
+        f"WITH {table_toks_cte}, "
+        "per AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM "
+        "(SELECT unnest(toks) AS term FROM docs) GROUP BY term), "
+        "top AS (SELECT c, row_number() OVER (ORDER BY c DESC, term ASC) "
+        f"AS rank FROM per ORDER BY c DESC, term ASC LIMIT {int(top_n)}), "
+        "xy AS (SELECT rank, ln(CAST(rank AS DOUBLE)) AS x, "
+        "ln(CAST(c AS DOUBLE)) AS y FROM top), "
+        "s AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
+        "sum(x ORDER BY rank) AS sx, sum(y ORDER BY rank) AS sy, "
+        "sum(x * y ORDER BY rank) AS sxy, "
+        "sum(x * x ORDER BY rank) AS sxx FROM xy) "
+        "SELECT CAST(n AS BIGINT) AS n_terms, "
+        + round6_sql(slope)
+        + " AS slope, "
+        + round6_sql(f"(sy - ({slope}) * sx) / n")
+        + " AS intercept FROM s"
+    )
