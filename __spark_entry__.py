@@ -1343,6 +1343,25 @@ def _registry():
         geom.geo_distance_rings_sql(48.8566, 2.3522),
     )
 
+    # the ES normalize pipeline agg over the events date-histogram:
+    # percent_of_sum + rescale_0_1 lanes (exact integer partials, one
+    # identically-spelled float division per row)
+    from distributedcodesearchengine_spark.operators import timeseries as tsm
+
+    def _ev_op(fn):
+        from distributedcodesearchengine_spark.sources.tables import load_table
+
+        return lambda spark, sf_dir: fn(load_table(spark, sf_dir, "events"))
+
+    reg["events_normalize_pct"] = (
+        _ev_op(partial(tsm.events_normalize, method="percent_of_sum")),
+        tsm.events_normalize_sql(method="percent_of_sum"),
+    )
+    reg["events_normalize_01"] = (
+        _ev_op(partial(tsm.events_normalize, method="rescale_0_1")),
+        tsm.events_normalize_sql(method="rescale_0_1"),
+    )
+
     # Zipf-law fit: least-squares slope of ln(freq) ~ ln(rank) over
     # the top-N terms — natural text sits near -1 (corpus diagnostic)
     reg["zipf_fit"] = (

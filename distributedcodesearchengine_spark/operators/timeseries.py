@@ -722,3 +722,66 @@ def events_top_metrics_sql(event_type: str) -> str:
         f"{round6_sql('value')} AS value, user_id "
         "FROM r WHERE rn = 1 ORDER BY bucket"
     )
+
+
+def events_normalize(
+    events: DataFrame, event_type: str = "click", method: str = "percent_of_sum"
+) -> DataFrame:
+    """(bucket, n_events, norm) — the ES ``normalize`` pipeline
+    aggregation over one event type's hourly date-histogram:
+    ``percent_of_sum`` (n * 1.0 / total) or ``rescale_0_1``
+    ((n - min) * 1.0 / (max - min); a constant series normalizes to
+    0.0, the ES degenerate rule). Bucket counts / totals / extremes
+    are exact integers (map-side combinable + a 1-row broadcast), so
+    the single per-row float division is the only inexact op and both
+    engines spell it identically."""
+    if method not in ("percent_of_sum", "rescale_0_1"):
+        raise ValueError(
+            f"unknown method {method!r}; valid: percent_of_sum, rescale_0_1"
+        )
+    base = (
+        events.where(F.col("event_type") == event_type)
+        .groupBy(F.unix_timestamp(F.date_trunc("hour", "ts")).alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    tot = base.agg(
+        F.sum("n_events").cast("long").alias("_t"),
+        F.min("n_events").cast("long").alias("_mn"),
+        F.max("n_events").cast("long").alias("_mx"),
+    )
+    j = base.crossJoin(F.broadcast(tot))
+    if method == "percent_of_sum":
+        norm = F.col("n_events") * F.lit(1.0) / F.col("_t")
+    else:
+        norm = F.when(
+            F.col("_mx") > F.col("_mn"),
+            (F.col("n_events") - F.col("_mn")) * F.lit(1.0)
+            / (F.col("_mx") - F.col("_mn")),
+        ).otherwise(0.0)
+    return j.select(
+        "bucket", "n_events", round6(norm).alias("norm")
+    ).orderBy("bucket")
+
+
+def events_normalize_sql(
+    event_type: str = "click", method: str = "percent_of_sum"
+) -> str:
+    et = event_type.replace("'", "''")
+    if method == "percent_of_sum":
+        norm = "n_events * 1.0 / (SELECT t FROM tot)"
+    else:
+        norm = (
+            "CASE WHEN (SELECT mx FROM tot) > (SELECT mn FROM tot) "
+            "THEN (n_events - (SELECT mn FROM tot)) * 1.0 / "
+            "((SELECT mx FROM tot) - (SELECT mn FROM tot)) ELSE 0.0 END"
+        )
+    return (
+        "WITH base AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, "
+        "CAST(count(*) AS BIGINT) AS n_events FROM events "
+        f"WHERE event_type = '{et}' GROUP BY 1), "
+        "tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS t, "
+        "CAST(min(n_events) AS BIGINT) AS mn, CAST(max(n_events) AS BIGINT) AS mx "
+        "FROM base) "
+        f"SELECT bucket, n_events, {round6_sql(norm)} AS norm "
+        "FROM base ORDER BY bucket"
+    )

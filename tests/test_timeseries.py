@@ -209,3 +209,42 @@ def test_t_test_welch_matches_scipy_formula(spark):
     )
     with _pt.raises(ValueError):
         t_test_docs(small)
+
+
+def test_normalize_pipeline_agg(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from distributedcodesearchengine_spark.operators.timeseries import (
+        events_normalize,
+    )
+
+    def t(h):
+        return dt.datetime(2024, 1, 1, h, 0, 0)
+
+    rows = []
+    eid = 0
+    for h, n in [(0, 1), (1, 3), (2, 6)]:
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, t(h), 1, "click", 1.0, "{}"))
+    rows.append((99, t(0), 1, "view", 1.0, "{}"))  # other type: excluded
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    pct = [r.norm for r in events_normalize(ev, "click").collect()]
+    assert pct == [round(1 / 10, 6), round(3 / 10, 6), round(6 / 10, 6)]
+    r01 = [r.norm for r in events_normalize(ev, "click", "rescale_0_1").collect()]
+    assert r01 == [0.0, 0.4, 1.0]
+    # constant series rescales to all-zero, not a division crash
+    const = spark.createDataFrame(
+        [(1, t(0), 1, "click", 1.0, "{}"), (2, t(1), 1, "click", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    assert [r.norm for r in events_normalize(const, "click", "rescale_0_1").collect()] == [0.0, 0.0]
+    with _pytest.raises(ValueError):
+        events_normalize(ev, "click", "bogus")
