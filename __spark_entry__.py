@@ -11,6 +11,7 @@ from collections.abc import Callable
 from functools import partial
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from distributedcodesearchengine_spark import entry_queries as eq
 from distributedcodesearchengine_spark.functions import sql_oracle as oq
@@ -1360,6 +1361,38 @@ def _registry():
     reg["events_normalize_01"] = (
         _ev_op(partial(tsm.events_normalize, method="rescale_0_1")),
         tsm.events_normalize_sql(method="rescale_0_1"),
+    )
+
+    # snapshot vocabulary drift (crawl monitoring): top movers by
+    # |delta log-prob| between two snapshots' Laplace unigram LMs +
+    # the 1-row KL(new||old) alarm; old = even doc_ids, new = odd
+    # (the cross-dedup split precedent)
+    from distributedcodesearchengine_spark.functions.sql_oracle import (
+        tokenize_col,
+    )
+
+    def _split_docs_op(fn):
+        def run(spark, sf_dir):
+            d = eq.docs_with_tokens(spark, sf_dir)
+            return fn(d.where(F.col("doc_id") % 2 == 0),
+                      d.where(F.col("doc_id") % 2 == 1))
+        return run
+
+    _old_cte = (
+        f"docs_old AS (SELECT doc_id, {tokenize_col('text')} AS toks "
+        "FROM documents WHERE doc_id % 2 = 0)"
+    )
+    _new_cte = (
+        f"docs_new AS (SELECT doc_id, {tokenize_col('text')} AS toks "
+        "FROM documents WHERE doc_id % 2 = 1)"
+    )
+    reg["term_drift"] = (
+        _split_docs_op(partial(ts.term_drift, k=40)),
+        ts.term_drift_sql(_old_cte, _new_cte, k=40),
+    )
+    reg["snapshot_kl"] = (
+        _split_docs_op(ts.snapshot_kl),
+        ts.snapshot_kl_sql(_old_cte, _new_cte),
     )
 
     # Zipf-law fit: least-squares slope of ln(freq) ~ ln(rank) over

@@ -830,3 +830,133 @@ def zipf_fit_sql(table_toks_cte: str, top_n: int = 100) -> str:
         + round6_sql(f"(sy - ({slope}) * sx) / n")
         + " AS intercept FROM s"
     )
+
+
+def _snapshot_counts(docs: DataFrame, name: str) -> DataFrame:
+    return (
+        docs.select(F.explode("tokens").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias(name))
+    )
+
+
+def term_drift(
+    docs_old: DataFrame, docs_new: DataFrame, k: int = 50
+) -> DataFrame:
+    """(term, c_old, c_new, dlp) — the top-k vocabulary movers between
+    two corpus snapshots: dlp = ln p_new(t) - ln p_old(t) over
+    Laplace-smoothed unigram LMs on the UNION vocabulary (a term absent
+    from one side still ranks — new spam tokens and vanished
+    boilerplate are exactly the signal). The crawl-monitoring view an
+    ingestion pipeline alerts on. Ordered by (|dlp| desc, term asc),
+    TakeOrdered k-cut.
+
+    Scale: two map-side-combinable count aggs, one term-keyed outer
+    join, totals as a 1-row broadcast — no vocabulary collect, no
+    global sort."""
+    co = _snapshot_counts(docs_old, "c_old")
+    cn = _snapshot_counts(docs_new, "c_new")
+    u = co.join(cn, "term", "outer").na.fill({"c_old": 0, "c_new": 0})
+    tot = u.agg(
+        F.sum("c_old").cast("double").alias("_to"),
+        F.sum("c_new").cast("double").alias("_tn"),
+        F.count("*").cast("double").alias("_v"),
+    )
+    j = u.crossJoin(F.broadcast(tot))
+    dlp = F.log(
+        (F.col("c_new") + F.lit(1.0)) / (F.col("_tn") + F.col("_v"))
+    ) - F.log((F.col("c_old") + F.lit(1.0)) / (F.col("_to") + F.col("_v")))
+    return (
+        j.select("term", "c_old", "c_new", dlp.alias("_d"))
+        .orderBy(F.desc(F.abs(F.col("_d"))), F.asc("term"))
+        .limit(int(k))
+        .select("term", "c_old", "c_new", round6("_d").alias("dlp"))
+    )
+
+
+def snapshot_kl(docs_old: DataFrame, docs_new: DataFrame) -> DataFrame:
+    """(v_union, kl) — KL(p_new || p_old) between the two snapshots'
+    Laplace-smoothed unigram LMs: the one-number drift alarm beside
+    term_drift's per-term view. The union-vocabulary sum folds with
+    the house canonical two-level md5-bucket fold (per-bucket
+    term-ordered, then bucket-ordered over <=4096 sums — the idf-fold
+    shape, so a 10^9-term vocabulary never funnels into one task)."""
+    co = _snapshot_counts(docs_old, "c_old")
+    cn = _snapshot_counts(docs_new, "c_new")
+    u = co.join(cn, "term", "outer").na.fill({"c_old": 0, "c_new": 0})
+    tot = u.agg(
+        F.sum("c_old").cast("double").alias("_to"),
+        F.sum("c_new").cast("double").alias("_tn"),
+        F.count("*").cast("double").alias("_v"),
+    )
+    j = u.crossJoin(F.broadcast(tot))
+    pn = (F.col("c_new") + F.lit(1.0)) / (F.col("_tn") + F.col("_v"))
+    po = (F.col("c_old") + F.lit(1.0)) / (F.col("_to") + F.col("_v"))
+    contrib = j.select(
+        "term", (pn * (F.log(pn) - F.log(po))).alias("c")
+    )
+    bsums = contrib.groupBy(
+        F.substring(F.md5("term"), 1, 3).alias("_b")
+    ).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "c"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["c"],
+        ).alias("_s"),
+        F.count("*").cast("long").alias("_n"),
+    )
+    return bsums.agg(
+        F.sum("_n").cast("long").alias("v_union"),
+        round6(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("_b", "_s"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["_s"],
+            )
+        ).alias("kl"),
+    )
+
+
+def _drift_ctes(old_cte: str, new_cte: str) -> str:
+    """Shared CTE chain: old/new docs CTEs (docs_old/docs_new with a
+    toks column) -> u(term, c_old, c_new) + tot."""
+    return (
+        f"{old_cte}, {new_cte}, "
+        "co AS (SELECT term, CAST(count(*) AS BIGINT) AS c_old FROM "
+        "(SELECT unnest(toks) AS term FROM docs_old) GROUP BY term), "
+        "cn AS (SELECT term, CAST(count(*) AS BIGINT) AS c_new FROM "
+        "(SELECT unnest(toks) AS term FROM docs_new) GROUP BY term), "
+        "u AS (SELECT coalesce(co.term, cn.term) AS term, "
+        "coalesce(c_old, 0) AS c_old, coalesce(c_new, 0) AS c_new "
+        "FROM co FULL OUTER JOIN cn ON co.term = cn.term), "
+        "tot AS (SELECT CAST(sum(c_old) AS DOUBLE) AS t_o, "
+        "CAST(sum(c_new) AS DOUBLE) AS t_n, "
+        "CAST(count(*) AS DOUBLE) AS v FROM u)"
+    )
+
+
+def term_drift_sql(old_cte: str, new_cte: str, k: int = 50) -> str:
+    dlp = (
+        "ln((c_new + 1.0) / ((SELECT t_n FROM tot) + (SELECT v FROM tot))) - "
+        "ln((c_old + 1.0) / ((SELECT t_o FROM tot) + (SELECT v FROM tot)))"
+    )
+    return (
+        f"WITH {_drift_ctes(old_cte, new_cte)}, "
+        f"d AS (SELECT term, c_old, c_new, {dlp} AS dlp FROM u) "
+        f"SELECT term, c_old, c_new, {round6_sql('dlp')} AS dlp FROM d "
+        f"ORDER BY abs(dlp) DESC, term ASC LIMIT {int(k)}"
+    )
+
+
+def snapshot_kl_sql(old_cte: str, new_cte: str) -> str:
+    pn = "((c_new + 1.0) / ((SELECT t_n FROM tot) + (SELECT v FROM tot)))"
+    po = "((c_old + 1.0) / ((SELECT t_o FROM tot) + (SELECT v FROM tot)))"
+    return (
+        f"WITH {_drift_ctes(old_cte, new_cte)}, "
+        f"contrib AS (SELECT term, {pn} * (ln({pn}) - ln({po})) AS c FROM u), "
+        "bs AS (SELECT substr(md5(term), 1, 3) AS b, "
+        "sum(c ORDER BY term) AS s, CAST(count(*) AS BIGINT) AS n "
+        "FROM contrib GROUP BY 1) "
+        "SELECT CAST(sum(n) AS BIGINT) AS v_union, "
+        f"{round6_sql('sum(s ORDER BY b)')} AS kl FROM bs"
+    )

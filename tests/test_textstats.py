@@ -73,3 +73,53 @@ def test_zipf_fit_guard(spark):
     )
     with _pytest.raises(ValueError):
         zipf_fit(docs, top_n=1)
+
+
+def test_term_drift_and_kl_hand_computed(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from distributedcodesearchengine_spark.operators.textstats import (
+        snapshot_kl,
+        term_drift,
+    )
+
+    old = spark.createDataFrame(
+        [(0, ["aa", "aa", "bb"])], "doc_id long, tokens array<string>"
+    )
+    new = spark.createDataFrame(
+        [(1, ["bb", "cc", "cc", "cc"])], "doc_id long, tokens array<string>"
+    )
+    # union vocab {aa, bb, cc}, v=3; t_old=3, t_new=4
+    def lp_new(c):
+        return math.log((c + 1.0) / (4 + 3.0))
+
+    def lp_old(c):
+        return math.log((c + 1.0) / (3 + 3.0))
+
+    exp = {
+        "aa": (2, 0, lp_new(0) - lp_old(2)),
+        "bb": (1, 1, lp_new(1) - lp_old(1)),
+        "cc": (0, 3, lp_new(3) - lp_old(0)),
+    }
+    rows = term_drift(old, new, k=10).collect()
+    got = {r.term: (r.c_old, r.c_new, r.dlp) for r in rows}
+    for t, (co, cn, d) in exp.items():
+        assert got[t][:2] == (co, cn)
+        assert got[t][2] == round(d, 6), t
+    # ordered by |dlp| desc
+    ds = [abs(r.dlp) for r in rows]
+    assert ds == sorted(ds, reverse=True)
+
+    kl_row = snapshot_kl(old, new).first()
+    assert kl_row.v_union == 3
+    exp_kl = 0.0
+    for t in exp:
+        pn = (exp[t][1] + 1.0) / 7.0
+        po = (exp[t][0] + 1.0) / 6.0
+        exp_kl += pn * (math.log(pn) - math.log(po))
+    assert abs(kl_row.kl - exp_kl) < 1e-6
+    # identical snapshots: KL == 0 exactly (pn == po bit-for-bit)
+    same = snapshot_kl(old, old.withColumn("doc_id", F.col("doc_id") + 1)).first()
+    assert same.kl == 0.0
