@@ -1287,6 +1287,26 @@ def _registry():
         sim.bq_hamming_topk_sql(_qv, k=10, refine=4),
     )
 
+    # embedding snapshot drift: cosine + L2 between the two
+    # snapshots' mean vectors (canonical two-level per-dimension
+    # folds) — the vector-side sibling of term_drift/snapshot_kl
+    def _emb_split_op(fn):
+        from distributedcodesearchengine_spark.sources.tables import load_table
+
+        def run(spark, sf_dir):
+            e = load_table(spark, sf_dir, "embeddings")
+            return fn(e.where(F.col("vec_id") % 2 == 0),
+                      e.where(F.col("vec_id") % 2 == 1))
+        return run
+
+    reg["embedding_drift"] = (
+        _emb_split_op(sim.embedding_drift),
+        sim.embedding_drift_sql(
+            "(SELECT * FROM embeddings WHERE vec_id % 2 = 0) AS _so",
+            "(SELECT * FROM embeddings WHERE vec_id % 2 = 1) AS _sn",
+        ),
+    )
+
     # Matryoshka truncated-prefix serving (Kusupati et al. 2022):
     # cosine over the first-d' prefix (a d'/d fraction of scan bytes),
     # plus the funnel-retrieval two-stage (prefix cut -> full-dim

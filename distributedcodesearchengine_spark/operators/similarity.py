@@ -1056,3 +1056,121 @@ def mrl_topk_sql(
         f"AS rank, vec_id, {round6_sql('score')} AS score FROM exact "
         f"ORDER BY score DESC, vec_id ASC LIMIT {int(k)}"
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding snapshot drift (vector-side crawl/model monitoring)
+# ---------------------------------------------------------------------------
+
+
+def _mean_vec_rel(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(j, mean) — the per-dimension mean vector, reduced with the
+    house canonical two-level md5-bucket fold per dimension (per-
+    (dim, bucket) vec_id-ordered fold, then a bucket-ordered fold over
+    <=4096 sums) so the float sums are engine-deterministic and no
+    task ever holds more than ~n/4096 rows of one dimension."""
+    x = emb.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("j", "x"),
+    )
+    b = x.groupBy(
+        "j", F.substring(F.md5(F.col("_id").cast("string")), 1, 3).alias("_b")
+    ).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("_id", "x"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["x"],
+        ).alias("_s"),
+        F.count("*").cast("long").alias("_n"),
+    )
+    return b.groupBy("j").agg(
+        (
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("_b", "_s"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["_s"],
+            )
+            / F.sum("_n")
+        ).alias("mean")
+    )
+
+
+def embedding_drift(
+    emb_old: DataFrame,
+    emb_new: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(n_old, n_new, cos_means, l2_shift) — vector-side snapshot
+    drift (the embedding sibling of textstats.term_drift/snapshot_kl):
+    cosine between the two snapshots' mean vectors and the L2 distance
+    between them. A model swap, an encoder-version skew, or a topical
+    crawl shift all move the centroid — the one-row alarm a vector
+    store monitors between ingests. Every reduction is the canonical
+    two-level fold (means) or a dimension-ordered k-row fold
+    (dot/norm/shift over the <=dim joined means)."""
+    mo = _mean_vec_rel(emb_old, id_col, vec_col)
+    mn = _mean_vec_rel(emb_new, id_col, vec_col)
+    no = emb_old.count()
+    nn = emb_new.count()
+    j = mo.withColumnRenamed("mean", "a").join(
+        mn.withColumnRenamed("mean", "b"), "j"
+    )
+
+    def _jfold(expr_col):
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct("j", expr_col.alias("v")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["v"],
+        )
+
+    agg = j.agg(
+        _jfold(F.col("a") * F.col("b")).alias("dot"),
+        _jfold(F.col("a") * F.col("a")).alias("na"),
+        _jfold(F.col("b") * F.col("b")).alias("nb"),
+        _jfold((F.col("a") - F.col("b")) * (F.col("a") - F.col("b"))).alias(
+            "dd"
+        ),
+    )
+    return agg.select(
+        F.lit(int(no)).cast("long").alias("n_old"),
+        F.lit(int(nn)).cast("long").alias("n_new"),
+        round6(
+            F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))
+        ).alias("cos_means"),
+        round6(F.sqrt(F.col("dd"))).alias("l2_shift"),
+    )
+
+
+def _mean_vec_sql(src: str, name: str) -> str:
+    """CTE chain producing ``{name}(j, mean)`` from ``{src}`` —
+    mirrors _mean_vec_rel's two-level fold verbatim."""
+    return (
+        f"{name}_x AS (SELECT vec_id AS _id, j, v[j] AS x FROM "
+        f"(SELECT vec_id, embedding::DOUBLE[] AS v FROM {src}), "
+        "unnest(generate_series(1, len(v))) AS _t(j)), "
+        f"{name}_b AS (SELECT j, substr(md5(_id::VARCHAR), 1, 3) AS b, "
+        "sum(x ORDER BY _id) AS s, CAST(count(*) AS BIGINT) AS n "
+        f"FROM {name}_x GROUP BY 1, 2), "
+        f"{name} AS (SELECT j, sum(s ORDER BY b) / sum(n) AS mean "
+        f"FROM {name}_b GROUP BY j)"
+    )
+
+
+def embedding_drift_sql(old_src: str, new_src: str) -> str:
+    """DuckDB mirror of embedding_drift over two source relations
+    (e.g. parity-split CTE names)."""
+    return (
+        f"WITH {_mean_vec_sql(old_src, 'mo')}, "
+        f"{_mean_vec_sql(new_src, 'mn')}, "
+        "jj AS (SELECT mo.j, mo.mean AS a, mn.mean AS b "
+        "FROM mo JOIN mn ON mo.j = mn.j), "
+        "s AS (SELECT sum(a * b ORDER BY j) AS dot, "
+        "sum(a * a ORDER BY j) AS na, sum(b * b ORDER BY j) AS nb, "
+        "sum((a - b) * (a - b) ORDER BY j) AS dd FROM jj), "
+        f"cnt AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM {old_src}) AS n_old, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM {new_src}) AS n_new) "
+        "SELECT n_old, n_new, "
+        f"{round6_sql('dot / (sqrt(na) * sqrt(nb))')} AS cos_means, "
+        f"{round6_sql('sqrt(dd)')} AS l2_shift FROM s CROSS JOIN cnt"
+    )

@@ -188,3 +188,41 @@ def test_mrl_guards(spark):
         sim.mrl_topk(emb, q, dim_prefix=65)
     with pytest.raises(ValueError):
         sim.mrl_topk(emb, q, dim_prefix=8, k=0)
+
+
+# --- embedding snapshot drift -------------------------------------------------
+
+
+def test_embedding_drift_identical_and_shifted(spark):
+    vecs = [mock_embed_text(f"doc {i}", 16) for i in range(20)]
+    a = _emb(spark, vecs)
+    # identical snapshot (re-keyed): cos 1.0, shift 0.0 — and bit-exact
+    b = a.withColumn("vec_id", F.col("vec_id") + 100)
+    row = sim.embedding_drift(a, b).first()
+    assert row.n_old == 20 and row.n_new == 20
+    assert row.cos_means == 1.0 and row.l2_shift == 0.0
+    # a constant offset on every vector moves the mean by exactly it
+    import math
+
+    off = 0.5
+    c = a.withColumn(
+        "embedding",
+        F.expr(f"transform(embedding, x -> x + CAST({off} AS FLOAT))"),
+    )
+    row2 = sim.embedding_drift(a, c).first()
+    assert abs(row2.l2_shift - math.sqrt(16 * off * off)) < 1e-4
+    assert row2.cos_means < 1.0
+
+
+def test_embedding_drift_matches_numpy_means(spark):
+    import numpy as np
+
+    va = [mock_embed_text(f"a {i}", 16) for i in range(15)]
+    vb = [mock_embed_text(f"b {i}", 16) for i in range(9)]
+    a, b = _emb(spark, va), _emb(spark, vb)
+    row = sim.embedding_drift(a, b).first()
+    ma = np.mean(np.array(va, dtype=np.float64), axis=0)
+    mb = np.mean(np.array(vb, dtype=np.float64), axis=0)
+    cos = float(ma @ mb / (np.linalg.norm(ma) * np.linalg.norm(mb)))
+    assert abs(row.cos_means - cos) < 1e-6
+    assert abs(row.l2_shift - float(np.linalg.norm(ma - mb))) < 1e-6
