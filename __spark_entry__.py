@@ -1383,6 +1383,13 @@ def _registry():
         tsm.events_normalize_sql(method="rescale_0_1"),
     )
 
+    # BM25+ scoring variant (Lv & Zhai 2011): the Okapi lower-bound
+    # delta inside the idf product — same chain, different contribution
+    reg["bm25plus_topk"] = (
+        partial(eq.bm25plus_q, query="dup table", k=10, delta=1.0),
+        oq.bm25plus_sql("dup table", k=10, delta=1.0),
+    )
+
     # snapshot vocabulary drift (crawl monitoring): top movers by
     # |delta log-prob| between two snapshots' Laplace unigram LMs +
     # the 1-row KL(new||old) alarm; old = even doc_ids, new = odd

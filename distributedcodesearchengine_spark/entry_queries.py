@@ -1214,3 +1214,17 @@ def bm25_sort_q(
 
     idx = get_documents_index(spark, sf_dir)
     return bm25_sort_topk(idx, query, sort="doc_len", asc=asc, k=k)
+
+
+def bm25plus_q(
+    spark: SparkSession, sf_dir: str, query: str, k: int = 10,
+    delta: float = 1.0,
+) -> DataFrame:
+    """BM25+ variant gate entry (operators/scorer.bm25plus_topk)."""
+    from .operators.scorer import bm25plus_topk
+
+    idx = get_documents_index(spark, sf_dir)
+    res = bm25plus_topk(idx, query, k=k, delta=delta)
+    return res.select(
+        "rank", _orig_doc_id(), round6("score").alias("score")
+    ).orderBy("rank")

@@ -369,6 +369,40 @@ def bm25_msm_sql(query: str, k: int = 10, msm: int = 1) -> str:
     )
 
 
+def bm25plus_sql(query: str, k: int = 10, delta: float = 1.0) -> str:
+    """BM25+ top-k (mirror of scorer.bm25plus_topk): the house chain
+    with ``+ delta`` inside the idf product — identical operand
+    sequence to contribution_col_plus."""
+    toks = tokenize(query)
+    if not toks:
+        return "SELECT 1 AS rank, 1::BIGINT AS doc_id, 0.0 AS score WHERE false"
+    from collections import Counter
+
+    counts = Counter(toks)
+    qvals = ", ".join(f"('{t}', {float(q)})" for t, q in sorted(counts.items()))
+    return (
+        f"WITH {_docs_cte()}, "
+        f"qt(term, qtf) AS (VALUES {qvals}), "
+        "contrib AS ("
+        "  SELECT tf.doc_id, tf.term, "
+        f"    qt.qtf * (idf.idf * (tf.tf * {K1 + 1.0} / "
+        f"      (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM stats))) "
+        f"      + {float(delta)})) AS c "
+        "  FROM tf JOIN qt USING (term) JOIN idf USING (term) "
+        "  JOIN doclen dl ON dl.doc_id = tf.doc_id), "
+        "scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id), "
+        "mx AS (SELECT max(score) AS m FROM scored), "
+        "kept AS ("
+        "  SELECT d.doc_id, coalesce(s.score, 0.0) AS score "
+        "  FROM doclen d LEFT JOIN scored s USING (doc_id) "
+        "  WHERE ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
+        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))) "
+        "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank, "
+        f"doc_id, {round6_sql('score')} AS score "
+        f"FROM kept ORDER BY score DESC, doc_id ASC LIMIT {k}"
+    )
+
+
 def bm25_terms_set_sql(query: str, k: int = 10) -> str:
     """terms_set BM25 (mirror of boolquery.bm25_topk_terms_set): the
     per-doc requirement doc_id % 3 + 1 (terms_set_required_col's exact

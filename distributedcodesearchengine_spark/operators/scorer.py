@@ -89,8 +89,14 @@ def meta_columns(df: DataFrame) -> List[str]:
     return [c for c in df.columns if c not in skip]
 
 
-def score_matched(index: Index, qweights: List[tuple]) -> DataFrame:
-    """-> (doc_id, *meta, score) for docs matching >= 1 query term."""
+def score_matched(
+    index: Index, qweights: List[tuple], contrib_col: Optional[F.Column] = None
+) -> DataFrame:
+    """-> (doc_id, *meta, score) for docs matching >= 1 query term.
+    ``contrib_col`` swaps the per-(doc, term) contribution expression
+    (default: the house BM25Okapi ``contribution_col()``) — the seam
+    the BM25+ variant scorer rides; the canonical term-sorted fold and
+    every downstream threshold/degenerate stage are shared."""
     spark = index.spark
     qdf = spark.createDataFrame(
         [(t, float(q), i) for t, q, i in qweights], "term string, qtf double, idf double"
@@ -100,7 +106,10 @@ def score_matched(index: Index, qweights: List[tuple]) -> DataFrame:
         index.tf.where(F.col("term").isin(uniq_terms))  # pushed to the scan
         .join(F.broadcast(qdf), "term")
         .withColumn("_avgdl", F.lit(index.avgdl))
-        .withColumn("contrib", contribution_col())
+        .withColumn(
+            "contrib",
+            contrib_col if contrib_col is not None else contribution_col(),
+        )
     )
     # canonical term-sorted summation per doc -> deterministic doubles
     return (
@@ -386,7 +395,10 @@ def bm25_topk_batch(index: Index, queries: Dict[int, str], k: int = 10) -> DataF
         index.tf.where(F.col("term").isin(uniq_terms))
         .join(F.broadcast(qterms), "term")
         .withColumn("_avgdl", F.lit(index.avgdl))
-        .withColumn("contrib", contribution_col())
+        .withColumn(
+            "contrib",
+            contrib_col if contrib_col is not None else contribution_col(),
+        )
     )
     scored = matched.groupBy("query_id", "doc_id").agg(
         F.aggregate(
@@ -530,7 +542,10 @@ def explain_topk(index: Index, query: str, k: int = 10) -> DataFrame:
         index.tf.where(F.col("term").isin(uniq_terms))
         .join(F.broadcast(qdf), "term")
         .withColumn("_avgdl", F.lit(index.avgdl))
-        .withColumn("contrib", contribution_col())
+        .withColumn(
+            "contrib",
+            contrib_col if contrib_col is not None else contribution_col(),
+        )
     )
     from ..functions.rounding import round6
 
@@ -568,4 +583,49 @@ def bm25_topk(
         )
     qweights = query_term_weights(index, query)
     scored = score_matched(index, qweights) if qweights else None
+    return finalize_topk(index, scored, k, filters)
+
+
+def contribution_col_plus(
+    delta: float = 1.0, k1: float = K1, b: float = B
+) -> F.Column:
+    """BM25+ (Lv & Zhai, CIKM 2011) contribution: the Okapi term joins
+    a ``+ delta`` lower bound INSIDE the idf product — a document
+    containing a query term always outscores one that lacks it, however
+    long the document (the long-doc penalty Okapi over-applies).
+    delta=0 is bit-identical to ``contribution_col`` (tested)."""
+    tf = F.col("tf").cast("double")
+    norm = tf + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("doc_len").cast("double") / F.col("_avgdl")
+    )
+    return F.col("qtf") * (
+        F.col("idf") * (tf * F.lit(k1 + 1.0) / norm + F.lit(float(delta)))
+    )
+
+
+def bm25plus_topk(
+    index: Index,
+    query: str,
+    k: int = 10,
+    delta: float = 1.0,
+    filters: Optional[Dict[str, str]] = None,
+) -> DataFrame:
+    """BM25+ top-k -> (rank, doc_id, url, score): the Okapi scorer with
+    the Lv & Zhai lower-bound delta, sharing the entire house chain
+    (term-pruned scan, broadcast query join, canonical term-sorted
+    fold, 1%-of-max threshold, degenerate backfill, doc_id tie-break) —
+    only the contribution expression differs."""
+    if float(delta) < 0:
+        raise ValueError(f"delta must be >= 0: {delta!r}")
+    spark = index.spark
+    if not tokenize(query):
+        return spark.createDataFrame(
+            [], "rank int, doc_id long, url string, score double"
+        )
+    qweights = query_term_weights(index, query)
+    scored = (
+        score_matched(index, qweights, contribution_col_plus(delta))
+        if qweights
+        else None
+    )
     return finalize_topk(index, scored, k, filters)

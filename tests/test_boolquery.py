@@ -259,3 +259,53 @@ def test_terms_set_duckdb_parity(spark, sf_dir):
     )
     assert list(sp["doc_id"]) == list(oc["doc_id"])
     assert list(sp["score"]) == list(oc["score"])
+
+
+# --- BM25+ variant ------------------------------------------------------------
+
+
+def test_bm25plus_delta_zero_is_plain_bm25(spark):
+    from distributedcodesearchengine_spark.operators.scorer import (
+        bm25plus_topk,
+        bm25_topk,
+    )
+    from tests.test_search_after import _index
+
+    idx = _index(spark, [
+        "rare signal one", "rare other two words", "signal three",
+        "filler a", "filler b",
+    ])
+    a = bm25_topk(idx, "rare signal", k=5).collect()
+    b = bm25plus_topk(idx, "rare signal", k=5, delta=0.0).collect()
+    assert [(r["rank"], r["doc_id"], r["score"]) for r in a] == [
+        (r["rank"], r["doc_id"], r["score"]) for r in b
+    ]
+
+
+def test_bm25plus_lower_bound_property(spark):
+    """The BM25+ motivation: a very long doc CONTAINING the term keeps
+    a positive floor contribution (idf * delta * qtf), so it outranks
+    any non-matching doc — and every matched score strictly exceeds
+    its Okapi counterpart at delta > 0."""
+    from distributedcodesearchengine_spark.operators.scorer import (
+        bm25plus_topk,
+        bm25_topk,
+    )
+    from tests.test_search_after import _index
+
+    texts = [
+        "rare " + " ".join(f"pad{i:03d}" for i in range(120)),  # long match
+        "short other text", "more filler words",
+    ]
+    idx = _index(spark, texts)
+    plus = {r["doc_id"]: r["score"]
+            for r in bm25plus_topk(idx, "rare", k=5, delta=1.0).collect()}
+    okapi = {r["doc_id"]: r["score"]
+             for r in bm25_topk(idx, "rare", k=5).collect()}
+    assert plus[0] > okapi[0] > 0
+    # non-matching docs keep zero in both (degenerate/backfill aside,
+    # this query is healthy: doc 0 matches)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bm25plus_topk(idx, "rare", delta=-0.5)
