@@ -361,7 +361,12 @@ def attach_urls_ranked(index: Index, ranked: List[tuple]) -> DataFrame:
     )
 
 
-def bm25_topk_batch(index: Index, queries: Dict[int, str], k: int = 10) -> DataFrame:
+def bm25_topk_batch(
+    index: Index,
+    queries: Dict[int, str],
+    k: int = 10,
+    contrib_col: Optional[F.Column] = None,
+) -> DataFrame:
     """Score a whole query SET in one DataFrame plan ->
     (query_id, rank, doc_id, score).
 
@@ -514,7 +519,12 @@ _EXPLAIN_SCHEMA = (
 )
 
 
-def explain_topk(index: Index, query: str, k: int = 10) -> DataFrame:
+def explain_topk(
+    index: Index,
+    query: str,
+    k: int = 10,
+    contrib_col: Optional[F.Column] = None,
+) -> DataFrame:
     """Per-term score breakdown for the query's top-k docs — the Lucene
     ``Explanation`` / Elasticsearch ``explain=true`` surface: one row
     per (ranked doc, matched query term) with every factor of the BM25
@@ -532,7 +542,9 @@ def explain_topk(index: Index, query: str, k: int = 10) -> DataFrame:
     qweights = query_term_weights(index, query)
     if not qweights:
         return spark.createDataFrame([], _EXPLAIN_SCHEMA)
-    top = bm25_topk(index, query, k=k).select("rank", "doc_id", "score")
+    top = bm25_topk(index, query, k=k, contrib_col=contrib_col).select(
+        "rank", "doc_id", "score"
+    )
     qdf = spark.createDataFrame(
         [(t, float(q), i) for t, q, i in qweights],
         "term string, qtf double, idf double",
@@ -571,10 +583,12 @@ def bm25_topk(
     query: str,
     k: int = 10,
     filters: Optional[Dict[str, str]] = None,
+    contrib_col: Optional[F.Column] = None,
 ) -> DataFrame:
     """Exact top-k search (scorer v1, uncompressed index) ->
     (rank, doc_id, url, score). Rank-identical to the reference contract
-    (oracle.bm25.BM25Oracle.search)."""
+    (oracle.bm25.BM25Oracle.search). ``contrib_col`` swaps the scoring
+    contribution (the score_matched seam) for similarity variants."""
     spark = index.spark
     if not tokenize(query):
         # empty-query guard (bm25_index.py:140-141)
@@ -582,7 +596,11 @@ def bm25_topk(
             [], "rank int, doc_id long, url string, score double"
         )
     qweights = query_term_weights(index, query)
-    scored = score_matched(index, qweights) if qweights else None
+    scored = (
+        score_matched(index, qweights, contrib_col=contrib_col)
+        if qweights
+        else None
+    )
     return finalize_topk(index, scored, k, filters)
 
 
