@@ -1389,6 +1389,20 @@ def _registry():
         partial(eq.bm25plus_q, query="dup table", k=10, delta=1.0),
         oq.bm25plus_sql("dup table", k=10, delta=1.0),
     )
+    # Lucene language-model similarity modules on the same seam. The
+    # lmd key deliberately runs a query that is DEGENERATE under BM25
+    # ('table row' — all-common terms, epsilon-floored idf) but healthy
+    # under the smoothed LM: the two similarity families disagree on
+    # regime, which pins that the variant actually changes the scorer
+    # and not just the constant.
+    reg["lmd_topk"] = (
+        partial(eq.lmd_q, query="table row", k=10, mu=2000.0),
+        oq.lmd_sql("table row", k=10, mu=2000.0),
+    )
+    reg["lmjm_topk"] = (
+        partial(eq.lmjm_q, query="dup table", k=10, lam=0.1),
+        oq.lmjm_sql("dup table", k=10, lam=0.1),
+    )
 
     # snapshot vocabulary drift (crawl monitoring): top movers by
     # |delta log-prob| between two snapshots' Laplace unigram LMs +

@@ -1228,3 +1228,31 @@ def bm25plus_q(
     return res.select(
         "rank", _orig_doc_id(), round6("score").alias("score")
     ).orderBy("rank")
+
+
+def lmd_q(
+    spark: SparkSession, sf_dir: str, query: str, k: int = 10,
+    mu: float = 2000.0,
+) -> DataFrame:
+    """LM Dirichlet similarity gate entry (operators/scorer.lmd_topk)."""
+    from .operators.scorer import lmd_topk
+
+    idx = get_documents_index(spark, sf_dir)
+    res = lmd_topk(idx, query, k=k, mu=mu)
+    return res.select(
+        "rank", _orig_doc_id(), round6("score").alias("score")
+    ).orderBy("rank")
+
+
+def lmjm_q(
+    spark: SparkSession, sf_dir: str, query: str, k: int = 10,
+    lam: float = 0.1,
+) -> DataFrame:
+    """LM Jelinek-Mercer similarity gate entry (operators/scorer.lmjm_topk)."""
+    from .operators.scorer import lmjm_topk
+
+    idx = get_documents_index(spark, sf_dir)
+    res = lmjm_topk(idx, query, k=k, lam=lam)
+    return res.select(
+        "rank", _orig_doc_id(), round6("score").alias("score")
+    ).orderBy("rank")

@@ -730,3 +730,60 @@ def more_like_this_sql(seed_doc_id: int, m: int = 5, k: int = 10) -> str:
         f"doc_id, {round6_sql('score')} AS score "
         f"FROM kept ORDER BY score DESC, doc_id ASC LIMIT {int(k)}"
     )
+
+
+def _lm_sql(query: str, contrib_expr: str, k: int) -> str:
+    """Shared LM-similarity mirror chain (scorer._lm_topk): collection
+    probabilities cp.p = CAST(ctf AS DOUBLE) / CAST(total AS DOUBLE)
+    (two exact integers — the division is bit-identical to the
+    engine's driver-side ctf / total), then the house threshold /
+    degenerate-backfill / tie-break chain of bm25plus_sql with only the
+    contribution expression swapped."""
+    toks = tokenize(query)
+    if not toks:
+        return "SELECT 1 AS rank, 1::BIGINT AS doc_id, 0.0 AS score WHERE false"
+    from collections import Counter
+
+    counts = Counter(toks)
+    qvals = ", ".join(f"('{t}', {float(q)})" for t, q in sorted(counts.items()))
+    return (
+        f"WITH {_docs_cte()}, "
+        f"qt(term, qtf) AS (VALUES {qvals}), "
+        "tot AS (SELECT CAST(sum(doc_len) AS BIGINT) AS t FROM doclen), "
+        "cp AS (SELECT term, CAST(sum(tf) AS DOUBLE) / "
+        "CAST((SELECT t FROM tot) AS DOUBLE) AS p FROM tf GROUP BY term), "
+        "contrib AS ("
+        f"  SELECT tf.doc_id, tf.term, {contrib_expr} AS c "
+        "  FROM tf JOIN qt USING (term) JOIN cp USING (term) "
+        "  JOIN doclen dl ON dl.doc_id = tf.doc_id), "
+        "scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id), "
+        "mx AS (SELECT max(score) AS m FROM scored), "
+        "kept AS ("
+        "  SELECT d.doc_id, coalesce(s.score, 0.0) AS score "
+        "  FROM doclen d LEFT JOIN scored s USING (doc_id) "
+        "  WHERE ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
+        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))) "
+        "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank, "
+        f"doc_id, {round6_sql('score')} AS score "
+        f"FROM kept ORDER BY score DESC, doc_id ASC LIMIT {int(k)}"
+    )
+
+
+def lmd_sql(query: str, k: int = 10, mu: float = 2000.0) -> str:
+    """LM Dirichlet top-k (mirror of scorer.lmd_topk): identical
+    operand sequence to contribution_col_lmd, including the per-term
+    Lucene clamp at 0."""
+    m = repr(float(mu))
+    contrib = (
+        f"qt.qtf * greatest(0.0, ln(1 + tf.tf / ({m} * cp.p)) "
+        f"+ ln({m} / (dl.doc_len + {m})))"
+    )
+    return _lm_sql(query, contrib, k)
+
+
+def lmjm_sql(query: str, k: int = 10, lam: float = 0.1) -> str:
+    """LM Jelinek-Mercer top-k (mirror of scorer.lmjm_topk)."""
+    c1 = repr(1.0 - float(lam))
+    lm = repr(float(lam))
+    contrib = f"qt.qtf * ln(1 + (({c1} * tf.tf) / dl.doc_len) / ({lm} * cp.p))"
+    return _lm_sql(query, contrib, k)

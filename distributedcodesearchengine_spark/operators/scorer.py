@@ -647,3 +647,128 @@ def bm25plus_topk(
         else None
     )
     return finalize_topk(index, scored, k, filters)
+
+
+# --------------------------------------------------------------------------
+# Language-model similarities (Lucene LMDirichletSimilarity /
+# LMJelinekMercerSimilarity — Zhai & Lafferty, SIGIR 2001/2004)
+# --------------------------------------------------------------------------
+
+
+def query_term_cprobs(index: Index, query: str) -> List[tuple]:
+    """[(term, qtf, cprob)] — collection language-model probabilities
+    for the query's in-vocabulary terms: cprob = ctf / total_tokens,
+    where ctf is the collection term frequency (sum of tf over docs)
+    and total_tokens = sum(doc_len) over the corpus.
+
+    Plan: ctf comes from a term-pruned tf scan (|q| groups, the
+    collect_idf lookup class — never a full-vocab aggregation at query
+    time); total_tokens is one exact-integer corpus reduction cached on
+    the index handle for its lifetime (the avgdl class of stat — at
+    scale it is a build artifact, here derived once per handle).
+    Parity: both factors are exact integers <= 2^53, so the single
+    IEEE division is bit-identical to the mirror's
+    CAST(ctf AS DOUBLE) / CAST(total AS DOUBLE).
+    """
+    toks = tokenize(query)
+    if not toks:
+        return []
+    counts = Counter(toks)
+    uniq = sorted(counts)
+    total = index.extras.get("_total_tokens")
+    if total is None:
+        row = index.docs.agg(F.sum("doc_len").alias("t")).first()
+        total = int(row["t"] or 0)
+        index.extras["_total_tokens"] = total
+    if total <= 0:
+        return []
+    ctf_rows = (
+        index.tf.where(F.col("term").isin(uniq))
+        .groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("ctf"))
+        .collect()
+    )
+    ctf = {r["term"]: int(r["ctf"]) for r in ctf_rows}
+    return [(t, counts[t], ctf[t] / total) for t in uniq if t in ctf]
+
+
+def contribution_col_lmd(mu: float = 2000.0) -> F.Column:
+    """LM Dirichlet contribution (Lucene LMDirichletSimilarity.score):
+    qtf * max(0, ln(1 + tf/(mu*p)) + ln(mu/(dl + mu))) where p is the
+    collection probability riding the qdf ``idf`` slot (the
+    score_matched seam carries whatever per-term weight the similarity
+    needs). The per-term clamp at 0 is Lucene's — a long document's
+    negative length norm never subtracts from other terms' evidence."""
+    tf = F.col("tf").cast("double")
+    dl = F.col("doc_len").cast("double")
+    p = F.col("idf")  # collection probability (see query_term_cprobs)
+    mu_ = F.lit(float(mu))
+    return F.col("qtf") * F.greatest(
+        F.lit(0.0),
+        F.log(F.lit(1.0) + tf / (mu_ * p)) + F.log(mu_ / (dl + mu_)),
+    )
+
+
+def contribution_col_lmjm(lam: float = 0.1) -> F.Column:
+    """LM Jelinek-Mercer contribution (Lucene
+    LMJelinekMercerSimilarity.score): qtf * ln(1 + ((1-lam)*tf/dl) /
+    (lam*p)). Always > 0 for a matched term (the log argument exceeds
+    1), so no clamp exists in Lucene either."""
+    tf = F.col("tf").cast("double")
+    dl = F.col("doc_len").cast("double")
+    p = F.col("idf")
+    c1 = F.lit(1.0 - float(lam))
+    return F.col("qtf") * F.log(
+        F.lit(1.0) + ((c1 * tf) / dl) / (F.lit(float(lam)) * p)
+    )
+
+
+def _lm_topk(
+    index: Index,
+    query: str,
+    contrib: F.Column,
+    k: int,
+    filters: Optional[Dict[str, str]],
+) -> DataFrame:
+    spark = index.spark
+    if not tokenize(query):
+        return spark.createDataFrame(
+            [], "rank int, doc_id long, url string, score double"
+        )
+    qweights = query_term_cprobs(index, query)
+    scored = score_matched(index, qweights, contrib) if qweights else None
+    return finalize_topk(index, scored, k, filters)
+
+
+def lmd_topk(
+    index: Index,
+    query: str,
+    k: int = 10,
+    mu: float = 2000.0,
+    filters: Optional[Dict[str, str]] = None,
+) -> DataFrame:
+    """LM Dirichlet top-k -> (rank, doc_id, url, score). The Lucene
+    similarity module on the house chain: term-pruned scan, broadcast
+    query join (collection probabilities in the weight slot), canonical
+    term-sorted fold, 1%-of-max threshold, degenerate backfill, doc_id
+    tie-break. Note LM scoring has no idf: a query whose terms are all
+    corpus-common (degenerate under BM25's epsilon floor) is HEALTHY
+    here — the smoothed LM still separates documents by tf/dl."""
+    if not float(mu) > 0:
+        raise ValueError(f"mu must be > 0: {mu!r}")
+    return _lm_topk(index, query, contribution_col_lmd(mu), k, filters)
+
+
+def lmjm_topk(
+    index: Index,
+    query: str,
+    k: int = 10,
+    lam: float = 0.1,
+    filters: Optional[Dict[str, str]] = None,
+) -> DataFrame:
+    """LM Jelinek-Mercer top-k -> (rank, doc_id, url, score); lam is
+    the collection-LM mixing weight (Lucene's short-query default
+    0.1)."""
+    if not (0.0 < float(lam) < 1.0):
+        raise ValueError(f"lam must be in (0, 1): {lam!r}")
+    return _lm_topk(index, query, contribution_col_lmjm(lam), k, filters)
