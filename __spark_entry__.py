@@ -1438,6 +1438,12 @@ def _registry():
 
     # Zipf-law fit: least-squares slope of ln(freq) ~ ln(rank) over
     # the top-N terms — natural text sits near -1 (corpus diagnostic)
+    # ES string_stats: doc-count / length extremes / avg length /
+    # alphabet char total / Shannon char entropy, one explode-free scan
+    reg["string_stats"] = (
+        _tbl_op(ts.string_stats),
+        ts.string_stats_sql("documents"),
+    )
     reg["zipf_fit"] = (
         _docs_op(partial(ts.zipf_fit, top_n=40)),
         ts.zipf_fit_sql(cte, top_n=40),

@@ -960,3 +960,102 @@ def snapshot_kl_sql(old_cte: str, new_cte: str) -> str:
         "SELECT CAST(sum(n) AS BIGINT) AS v_union, "
         f"{round6_sql('sum(s ORDER BY b)')} AS kl FROM bs"
     )
+
+
+# --------------------------------------------------------------------------
+# string_stats aggregation (ES string_stats: count / min / max / avg
+# length + Shannon character entropy)
+# --------------------------------------------------------------------------
+
+_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+
+def string_stats(docs: DataFrame) -> DataFrame:
+    """(n_docs, min_len, max_len, avg_len, alpha_chars, entropy) — the
+    ES ``string_stats`` aggregation over the text field: document
+    count, min/max/avg raw character length, and the Shannon entropy
+    (bits) of the character distribution, restricted to the analyzer
+    alphabet [a-z0-9] after lowercasing (ES computes entropy over raw
+    bytes; the fixed 36-char alphabet keeps the surface enumerable and
+    the whole plan explode-free).
+
+    Scale: per-char counts are length(lt) - length(replace(lt, c, ''))
+    — 36 integer expressions per row inside whole-stage codegen, ZERO
+    explode (a per-character unnest would be a 10^15-row relation at
+    web scale) and zero shuffle beyond the final 1-row partial-agg
+    reduce. Parity: every aggregate is an exact integer; the entropy
+    folds the 36 (cnt/tot)*log2(cnt/tot) terms in fixed alphabet order
+    as one chained sum spelled identically on both engines, zero-count
+    chars contributing an exact 0.0 via CASE (never 0 * log2(0) =
+    NaN)."""
+    lt = F.lower(F.col("text"))
+    per = docs.select(
+        F.length("text").cast("long").alias("L"),
+        *[
+            (F.length(lt) - F.length(F.replace(lt, F.lit(c))))
+            .cast("long")
+            .alias(f"c_{c}")
+            for c in _ALPHABET
+        ],
+    )
+    agg = per.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("L").alias("min_len"),
+        F.max("L").alias("max_len"),
+        F.sum("L").cast("long").alias("sum_len"),
+        *[F.sum(f"c_{c}").cast("long").alias(f"n_{c}") for c in _ALPHABET],
+    )
+    tot = None
+    for c in _ALPHABET:
+        col = F.col(f"n_{c}")
+        tot = col if tot is None else tot + col
+    agg = agg.withColumn("tot", tot.cast("long"))
+    ent = None
+    t = F.col("tot").cast("double")
+    for c in _ALPHABET:
+        cnt = F.col(f"n_{c}").cast("double")
+        term = F.when(
+            F.col(f"n_{c}") == 0, F.lit(0.0)
+        ).otherwise((cnt / t) * F.log2(cnt / t))
+        ent = term if ent is None else ent + term
+    entropy = F.when(F.col("tot") == 0, F.lit(0.0)).otherwise(-ent)
+    return agg.select(
+        "n_docs",
+        "min_len",
+        "max_len",
+        round6(
+            F.col("sum_len").cast("double") * F.lit(1.0) / F.col("n_docs")
+        ).alias("avg_len"),
+        F.col("tot").alias("alpha_chars"),
+        round6(entropy).alias("entropy"),
+    )
+
+
+def string_stats_sql(table: str = "documents") -> str:
+    """DuckDB mirror of string_stats: identical per-char length-diff
+    counts, identical fixed-order chained entropy sum, identical CASE
+    guards."""
+    per_cols = ", ".join(
+        f"CAST(sum(length(lower(text)) - length(replace(lower(text), '{c}', ''))) AS BIGINT) AS n_{c}"
+        for c in _ALPHABET
+    )
+    tot = " + ".join(f"n_{c}" for c in _ALPHABET)
+    ent_terms = " + ".join(
+        f"CASE WHEN n_{c} = 0 THEN 0.0 ELSE "
+        f"(CAST(n_{c} AS DOUBLE) / CAST(tot AS DOUBLE)) * "
+        f"log2(CAST(n_{c} AS DOUBLE) / CAST(tot AS DOUBLE)) END"
+        for c in _ALPHABET
+    )
+    return (
+        "WITH base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+        "min(length(text)) AS min_len, max(length(text)) AS max_len, "
+        f"CAST(sum(length(text)) AS BIGINT) AS sum_len, {per_cols} "
+        f"FROM {table}), "
+        f"wt AS (SELECT *, CAST({tot} AS BIGINT) AS tot FROM base) "
+        "SELECT n_docs, CAST(min_len AS BIGINT) AS min_len, "
+        "CAST(max_len AS BIGINT) AS max_len, "
+        f"{round6_sql('CAST(sum_len AS DOUBLE) * 1.0 / n_docs')} AS avg_len, "
+        "tot AS alpha_chars, "
+        f"{round6_sql(f'CASE WHEN tot = 0 THEN 0.0 ELSE -({ent_terms}) END')} AS entropy "
+        "FROM wt"
+    )
