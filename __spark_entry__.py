@@ -1444,6 +1444,12 @@ def _registry():
         _tbl_op(ts.string_stats),
         ts.string_stats_sql("documents"),
     )
+    # ES median_absolute_deviation over token counts — exact type-1
+    # medians (the boxplot convention), all-integer surface
+    reg["doclen_mad"] = (
+        _docs_op(ts.doclen_mad),
+        ts.doclen_mad_sql(cte),
+    )
     reg["zipf_fit"] = (
         _docs_op(partial(ts.zipf_fit, top_n=40)),
         ts.zipf_fit_sql(cte, top_n=40),

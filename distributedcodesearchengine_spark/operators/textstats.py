@@ -1059,3 +1059,73 @@ def string_stats_sql(table: str = "documents") -> str:
         f"{round6_sql(f'CASE WHEN tot = 0 THEN 0.0 ELSE -({ent_terms}) END')} AS entropy "
         "FROM wt"
     )
+
+
+# --------------------------------------------------------------------------
+# median_absolute_deviation aggregation (ES MAD agg, exact)
+# --------------------------------------------------------------------------
+
+
+def doclen_mad(docs: DataFrame) -> DataFrame:
+    """(n_docs, median_len, mad) — the ES ``median_absolute_deviation``
+    agg over document token counts: MAD = median(|len - median(len)|),
+    the robust dispersion stat a curation pipeline reads next to the
+    boxplot (outlier-resistant where stddev is not). ES approximates
+    with TDigest; this is EXACT via type-1 (lower) medians — rank
+    ceil(n/2) = (n+1) DIV 2 of the sorted values, the bm25_boxplot
+    convention — so every output is an integer present in the data and
+    the cross-engine surface is float-free.
+
+    Scale: each median runs over the GROUPED value distribution (one
+    map-side-combinable count per distinct length, a cumulative window
+    over the value space — bounded by the column's cardinality, not the
+    corpus) plus a 1-row broadcast; the deviation pass re-reads the
+    lengths relation with the 1-row median broadcast. No corpus-wide
+    sort anywhere."""
+    from pyspark.sql.window import Window
+
+    def _median(vals: DataFrame) -> DataFrame:
+        grouped = vals.groupBy("v").agg(F.count("*").cast("long").alias("cnt"))
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        cum = grouped.withColumn("cum", F.sum("cnt").over(w))
+        n1 = cum.agg(F.sum("cnt").cast("long").alias("n"))
+        return (
+            cum.crossJoin(F.broadcast(n1))
+            .agg(
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.expr("(n + 1) DIV 2"), F.col("v")
+                    )
+                ).cast("long").alias("m"),
+                F.max("n").cast("long").alias("n"),
+            )
+        )
+
+    vals = docs.select(F.size("tokens").cast("long").alias("v"))
+    med = _median(vals)
+    dev = vals.crossJoin(
+        F.broadcast(med.select(F.col("m").alias("_med")))
+    ).select(F.abs(F.col("v") - F.col("_med")).cast("long").alias("v"))
+    mad = _median(dev).select(F.col("m").alias("mad"))
+    return med.select(
+        F.col("n").alias("n_docs"), F.col("m").alias("median_len")
+    ).crossJoin(F.broadcast(mad))
+
+
+def doclen_mad_sql(table_toks_cte: str) -> str:
+    """DuckDB mirror of doclen_mad: identical grouped cumulative
+    distributions and the identical (n + 1) // 2 integer rank."""
+    return (
+        f"WITH {table_toks_cte}, "
+        "vals AS (SELECT CAST(len(toks) AS BIGINT) AS v FROM docs), "
+        "g1 AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM vals GROUP BY v), "
+        "c1 AS (SELECT v, sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM g1), "
+        "n1 AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM g1), "
+        "m1 AS (SELECT CAST(min(CASE WHEN cum >= ((SELECT n FROM n1) + 1) // 2 THEN v END) AS BIGINT) AS m FROM c1), "
+        "dev AS (SELECT CAST(abs(v - (SELECT m FROM m1)) AS BIGINT) AS v FROM vals), "
+        "g2 AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM dev GROUP BY v), "
+        "c2 AS (SELECT v, sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM g2), "
+        "m2 AS (SELECT CAST(min(CASE WHEN cum >= ((SELECT n FROM n1) + 1) // 2 THEN v END) AS BIGINT) AS m FROM c2) "
+        "SELECT (SELECT n FROM n1) AS n_docs, (SELECT m FROM m1) AS median_len, "
+        "(SELECT m FROM m2) AS mad"
+    )
