@@ -1513,6 +1513,21 @@ def _registry():
         geom.geohash_cells_sql(precision=3),
     )
 
+    # the ES ip_range agg + the /bits subnet concentration rollup over
+    # deterministic md5-derived IPv4s (third hex slice — independent of
+    # the geo slices): the crawl-politeness ledger, all-integer so
+    # parity is by construction
+    from distributedcodesearchengine_spark.operators import iptools as ipt
+
+    reg["ip_range_buckets"] = (
+        _tbl_op(ipt.ip_range_buckets),
+        ipt.ip_range_buckets_sql(),
+    )
+    reg["subnet_topk"] = (
+        _tbl_op(partial(ipt.subnet_rollup, prefix_bits=8, k=15)),
+        ipt.subnet_rollup_sql(prefix_bits=8, k=15),
+    )
+
     # the ES terms_set query: per-doc minimum_should_match from a
     # field (here the deterministic doc_id % 3 + 1 derivation, the
     # geo/PII augmentation precedent) — the match-set constraint is
