@@ -893,6 +893,13 @@ def _registry():
         _tbl_op(partial(tsr.events_pipeline_aggs, event_type="click"), "events"),
         tsr.events_pipeline_aggs_sql("click"),
     )
+    # the ES cumulative_cardinality pipeline agg ("total unique
+    # visitors to date") + its derivative, EXACT via the
+    # first-seen-bucket trick — all-integer, parity by construction
+    reg["events_cum_cardinality"] = (
+        _tbl_op(tsr.events_cumulative_cardinality, "events"),
+        tsr.events_cumulative_cardinality_sql(),
+    )
 
     # second ES-aggregation wave (appended at the END per the
     # registry-ordering rule): multi_terms (compound-key buckets,

@@ -785,3 +785,75 @@ def events_normalize_sql(
         f"SELECT bucket, n_events, {round6_sql(norm)} AS norm "
         "FROM base ORDER BY bucket"
     )
+
+
+# --------------------------------------------------------------------------
+# cumulative_cardinality
+# --------------------------------------------------------------------------
+
+
+def events_cumulative_cardinality(events: DataFrame) -> DataFrame:
+    """(bucket, n_events, new_users, cum_users) — the ES
+    ``cumulative_cardinality`` pipeline aggregation ("total unique
+    visitors to date") over the hourly date-histogram, plus its
+    derivative (``new_users``, which ES documents as the incremental
+    view of the same agg), computed EXACTLY instead of ES's HLL
+    approximation.
+
+    The trick that makes the exact answer scale: a user is "new" in
+    exactly the bucket of their FIRST event, so
+
+    - per-user ``min(bucket)`` is one map-side-combinable agg (each
+      partition reduces its events to one candidate long per user
+      before the shuffle — the events_latest struct-max shape);
+    - ``new_users`` per bucket is a second combinable count over that
+      user-cardinality-bounded relation;
+    - ``cum_users`` is a running sum over the CALENDAR-bounded bucket
+      series (hours in the retention window, never the corpus), the
+      events_pipeline_aggs window discipline — at scale the same plan
+      partitions the window by series key.
+
+    Every first-seen bucket contains at least one event, so the
+    left join from the observed-bucket histogram is complete and the
+    coalesce(0) only fills buckets where no user was new. All four
+    columns are exact BIGINTs — cross-engine parity by construction.
+    """
+    bucket = F.unix_timestamp(F.date_trunc("hour", "ts")).alias("bucket")
+    hist = events.groupBy(bucket).agg(F.count("*").cast("long").alias("n_events"))
+    first_seen = events.select(bucket, "user_id").groupBy("user_id").agg(
+        F.min("bucket").alias("fb")
+    )
+    new_per = first_seen.groupBy(F.col("fb").alias("bucket")).agg(
+        F.count("*").cast("long").alias("new_users")
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        hist.join(new_per, "bucket", "left")
+        .select(
+            "bucket",
+            "n_events",
+            F.coalesce("new_users", F.lit(0)).cast("long").alias("new_users"),
+        )
+        .withColumn("cum_users", F.sum("new_users").over(w).cast("long"))
+        .orderBy("bucket")
+    )
+
+
+def events_cumulative_cardinality_sql() -> str:
+    """DuckDB mirror of events_cumulative_cardinality: identical
+    first-seen derivation, identical frame, all-integer output."""
+    return (
+        "WITH hist AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, "
+        "CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1), "
+        "fs AS (SELECT user_id, min(CAST(epoch(date_trunc('hour', ts)) AS BIGINT)) AS fb "
+        "FROM events GROUP BY user_id), "
+        "np AS (SELECT fb AS bucket, CAST(count(*) AS BIGINT) AS new_users "
+        "FROM fs GROUP BY fb) "
+        "SELECT h.bucket, h.n_events, "
+        "CAST(coalesce(np.new_users, 0) AS BIGINT) AS new_users, "
+        "CAST(sum(coalesce(np.new_users, 0)) OVER (ORDER BY h.bucket "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users "
+        "FROM hist h LEFT JOIN np ON np.bucket = h.bucket ORDER BY h.bucket"
+    )

@@ -248,3 +248,68 @@ def test_normalize_pipeline_agg(spark):
     assert [r.norm for r in events_normalize(const, "click", "rescale_0_1").collect()] == [0.0, 0.0]
     with _pytest.raises(ValueError):
         events_normalize(ev, "click", "bogus")
+
+
+# --- cumulative_cardinality --------------------------------------------------
+
+
+def test_cumulative_cardinality_hand_computed(spark):
+    import datetime as dt
+
+    from distributedcodesearchengine_spark.operators.timeseries import (
+        events_cumulative_cardinality,
+    )
+
+    h = lambda hour, minute=0: dt.datetime(2024, 1, 1, hour, minute)
+    # hour 0: users 1, 2 (both new)      -> new 2, cum 2, n 3
+    # hour 1: users 2, 3 (3 new)         -> new 1, cum 3, n 2
+    # hour 2: users 1, 2, 3 (none new)   -> new 0, cum 3, n 3
+    rows = [
+        (1, h(0, 1), 1, "view", 1.0, "{}"),
+        (2, h(0, 2), 2, "view", 1.0, "{}"),
+        (3, h(0, 3), 1, "click", 1.0, "{}"),
+        (4, h(1, 1), 2, "view", 1.0, "{}"),
+        (5, h(1, 2), 3, "view", 1.0, "{}"),
+        (6, h(2, 1), 1, "view", 1.0, "{}"),
+        (7, h(2, 2), 2, "view", 1.0, "{}"),
+        (8, h(2, 3), 3, "view", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = events_cumulative_cardinality(ev).collect()
+    assert [(r.n_events, r.new_users, r.cum_users) for r in out] == [
+        (3, 2, 2),
+        (2, 1, 3),
+        (3, 0, 3),
+    ]
+    assert out[0].bucket < out[1].bucket < out[2].bucket
+    # the final cumulative count equals the exact distinct-user count
+    assert out[-1].cum_users == 3
+
+
+def test_cumulative_cardinality_layout_independent(spark):
+    import datetime as dt
+
+    from distributedcodesearchengine_spark.operators.timeseries import (
+        events_cumulative_cardinality,
+    )
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, i % 5, i % 60), i % 7, "view", 1.0, "{}")
+        for i in range(40)
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    a = events_cumulative_cardinality(
+        spark.createDataFrame(rows, schema).repartition(1)
+    ).collect()
+    b = events_cumulative_cardinality(
+        spark.createDataFrame(rows[::-1], schema).repartition(16)
+    ).collect()
+    assert a == b
+    assert a[-1].cum_users == 7
