@@ -1411,6 +1411,20 @@ def _registry():
         oq.lmjm_sql("dup table", k=10, lam=0.1),
     )
 
+    # DFR InL2 (Terrier's default divergence-from-randomness model)
+    # and IB LL-DF-H2 (Lucene IBSimilarity) on the same contribution
+    # seam — df rides the weight slot as an exact integer, log2 is
+    # spelled ln/LN2 (the evalrank convention), and like the LM family
+    # both stay healthy on all-common-term queries (no epsilon floor)
+    reg["dfr_topk"] = (
+        partial(eq.dfr_q, query="table row", k=10),
+        oq.dfr_sql("table row", k=10),
+    )
+    reg["ib_topk"] = (
+        partial(eq.ib_q, query="dup table", k=10),
+        oq.ib_sql("dup table", k=10),
+    )
+
     # snapshot vocabulary drift (crawl monitoring): top movers by
     # |delta log-prob| between two snapshots' Laplace unigram LMs +
     # the 1-row KL(new||old) alarm; old = even doc_ids, new = odd

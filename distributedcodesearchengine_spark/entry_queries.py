@@ -1256,3 +1256,29 @@ def lmjm_q(
     return res.select(
         "rank", _orig_doc_id(), round6("score").alias("score")
     ).orderBy("rank")
+
+
+def dfr_q(
+    spark: SparkSession, sf_dir: str, query: str, k: int = 10,
+) -> DataFrame:
+    """DFR InL2 similarity gate entry (operators/scorer.dfr_topk)."""
+    from .operators.scorer import dfr_topk
+
+    idx = get_documents_index(spark, sf_dir)
+    res = dfr_topk(idx, query, k=k)
+    return res.select(
+        "rank", _orig_doc_id(), round6("score").alias("score")
+    ).orderBy("rank")
+
+
+def ib_q(
+    spark: SparkSession, sf_dir: str, query: str, k: int = 10,
+) -> DataFrame:
+    """IB LL-DF-H2 similarity gate entry (operators/scorer.ib_topk)."""
+    from .operators.scorer import ib_topk
+
+    idx = get_documents_index(spark, sf_dir)
+    res = ib_topk(idx, query, k=k)
+    return res.select(
+        "rank", _orig_doc_id(), round6("score").alias("score")
+    ).orderBy("rank")

@@ -787,3 +787,68 @@ def lmjm_sql(query: str, k: int = 10, lam: float = 0.1) -> str:
     lm = repr(float(lam))
     contrib = f"qt.qtf * ln(1 + (({c1} * tf.tf) / dl.doc_len) / ({lm} * cp.p))"
     return _lm_sql(query, contrib, k)
+
+
+def _dfw_sql(query: str, contrib_expr: str, k: int) -> str:
+    """Shared DFR/IB mirror chain (scorer._df_topk): document
+    frequencies ride the weight slot (base.dfv — CAST of the exact
+    integer df, bit-identical to the engine's float(df)), tfn is the
+    H2 normalization spelled with the shared LN2 literal (log2 ==
+    ln/LN2, the evalrank convention), then the house threshold /
+    degenerate-backfill / tie-break chain with only the contribution
+    expression swapped. ``contrib_expr`` sees base.qtf / base.dfv /
+    base.tfn."""
+    toks = tokenize(query)
+    if not toks:
+        return "SELECT 1 AS rank, 1::BIGINT AS doc_id, 0.0 AS score WHERE false"
+    from collections import Counter
+
+    counts = Counter(toks)
+    qvals = ", ".join(f"('{t}', {float(q)})" for t, q in sorted(counts.items()))
+    ln2 = "0.6931471805599453e0"
+    return (
+        f"WITH {_docs_cte()}, "
+        f"qt(term, qtf) AS (VALUES {qvals}), "
+        "base AS ("
+        "  SELECT tf.doc_id, tf.term, qt.qtf, "
+        "    CAST(dfreq.df AS DOUBLE) AS dfv, "
+        f"    tf.tf * (ln(1.0 + (SELECT avgdl FROM stats) / dl.doc_len) / {ln2}) AS tfn "
+        "  FROM tf JOIN qt USING (term) JOIN dfreq USING (term) "
+        "  JOIN doclen dl ON dl.doc_id = tf.doc_id), "
+        f"contrib AS (SELECT doc_id, term, {contrib_expr} AS c FROM base), "
+        "scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id), "
+        "mx AS (SELECT max(score) AS m FROM scored), "
+        "kept AS ("
+        "  SELECT d.doc_id, coalesce(s.score, 0.0) AS score "
+        "  FROM doclen d LEFT JOIN scored s USING (doc_id) "
+        "  WHERE ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
+        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))) "
+        "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank, "
+        f"doc_id, {round6_sql('score')} AS score "
+        f"FROM kept ORDER BY score DESC, doc_id ASC LIMIT {int(k)}"
+    )
+
+
+def dfr_sql(query: str, k: int = 10) -> str:
+    """DFR InL2 top-k (mirror of scorer.dfr_topk): identical operand
+    sequence to contribution_col_dfr_inl2 — N+1 is the same exact
+    integer-valued double on both engines ((SELECT n_docs FROM stats)
+    + 1 cast vs the Spark literal), df + 0.5 uses the e0 double
+    literal (the sql_double DECIMAL hazard)."""
+    ln2 = "0.6931471805599453e0"
+    contrib = (
+        "base.qtf * ((base.tfn / (base.tfn + 1.0)) * "
+        "(ln(CAST((SELECT n_docs FROM stats) + 1 AS DOUBLE) / (base.dfv + 0.5e0)) "
+        f"/ {ln2}))"
+    )
+    return _dfw_sql(query, contrib, k)
+
+
+def ib_sql(query: str, k: int = 10) -> str:
+    """IB LL-DF-H2 top-k (mirror of scorer.ib_topk): lambda =
+    (df + 1) / (N + 1) with both operands exact."""
+    contrib = (
+        "base.qtf * ln(1.0 + base.tfn / "
+        "((base.dfv + 1.0) / CAST((SELECT n_docs FROM stats) + 1 AS DOUBLE)))"
+    )
+    return _dfw_sql(query, contrib, k)

@@ -772,3 +772,109 @@ def lmjm_topk(
     if not (0.0 < float(lam) < 1.0):
         raise ValueError(f"lam must be in (0, 1): {lam!r}")
     return _lm_topk(index, query, contribution_col_lmjm(lam), k, filters)
+
+
+# --------------------------------------------------------------------------
+# DFR / information-based similarities (Terrier InL2, Lucene IBSimilarity)
+# --------------------------------------------------------------------------
+
+# ln(2) as a Python literal embedded in BOTH engines: log2(x) is
+# spelled ln(x) / LN2 everywhere (the evalrank DCG convention — the
+# builtin log2 lane is unproven for parity; ln is).
+LN2 = 0.6931471805599453
+
+
+def query_term_dfs(index: Index, query: str) -> List[tuple]:
+    """[(term, qtf, df)] — document frequencies riding the weight slot
+    of the score_matched seam (the query_term_cprobs shape: a
+    term-pruned lookup against the terms table, |q| rows collected,
+    never a vocab scan). df is an exact integer carried as double."""
+    toks = tokenize(query)
+    if not toks:
+        return []
+    counts = Counter(toks)
+    uniq = sorted(counts)
+    rows = (
+        index.terms.where(F.col("term").isin(uniq)).select("term", "df").collect()
+    )
+    dfs = {r["term"]: float(r["df"]) for r in rows}
+    return [(t, counts[t], dfs[t]) for t in uniq if t in dfs]
+
+
+def _tfn_h2() -> F.Column:
+    """DFR Normalization H2 (c=1): tfn = tf * log2(1 + avgdl / dl) —
+    the density-based length normalization shared by InL2 and IB."""
+    tf = F.col("tf").cast("double")
+    dl = F.col("doc_len").cast("double")
+    return tf * (F.log(F.lit(1.0) + F.col("_avgdl") / dl) / F.lit(LN2))
+
+
+def contribution_col_dfr_inl2(n_docs: int) -> F.Column:
+    """DFR InL2 contribution (Amati & van Rijsbergen 2002; Terrier's
+    InL2 weighting model): qtf * (tfn / (tfn + 1)) * log2((N + 1) /
+    (df + 0.5)) — basic model I(n) (inverse document frequency with
+    the 0.5 Laplace shift), after-effect L (the tfn/(tfn+1) risk
+    factor), normalization H2. df rides the weight slot as an exact
+    integer-valued double, N+1 is an exact literal, so every operand
+    is reproduced bit-for-bit by the SQL mirror."""
+    dfv = F.col("idf")  # document frequency (query_term_dfs)
+    tfn = _tfn_h2()
+    info = F.log(F.lit(float(n_docs + 1)) / (dfv + F.lit(0.5))) / F.lit(LN2)
+    return F.col("qtf") * ((tfn / (tfn + F.lit(1.0))) * info)
+
+
+def contribution_col_ib_ll(n_docs: int) -> F.Column:
+    """Information-based LL-DF-H2 contribution (Clinchant & Gaussier
+    SIGIR 2010; Lucene IBSimilarity with DistributionLL, LambdaDF,
+    NormalizationH2): qtf * ln(1 + tfn / lambda) with lambda =
+    (df + 1) / (N + 1) — the log-logistic survival -ln(lambda /
+    (lambda + tfn)) rewritten in its always-positive form."""
+    dfv = F.col("idf")
+    tfn = _tfn_h2()
+    lam = (dfv + F.lit(1.0)) / F.lit(float(n_docs + 1))
+    return F.col("qtf") * F.log(F.lit(1.0) + tfn / lam)
+
+
+def _df_topk(
+    index: Index,
+    query: str,
+    contrib: F.Column,
+    k: int,
+    filters: Optional[Dict[str, str]],
+) -> DataFrame:
+    spark = index.spark
+    if not tokenize(query):
+        return spark.createDataFrame(
+            [], "rank int, doc_id long, url string, score double"
+        )
+    qweights = query_term_dfs(index, query)
+    scored = score_matched(index, qweights, contrib) if qweights else None
+    return finalize_topk(index, scored, k, filters)
+
+
+def dfr_topk(
+    index: Index,
+    query: str,
+    k: int = 10,
+    filters: Optional[Dict[str, str]] = None,
+) -> DataFrame:
+    """DFR InL2 top-k -> (rank, doc_id, url, score): the Terrier
+    default divergence-from-randomness model on the house chain
+    (term-pruned scan, broadcast query join with df in the weight
+    slot, canonical term-sorted fold, 1%-of-max threshold, degenerate
+    backfill, doc_id tie-break). Like the LM family it has no epsilon
+    floor: the I(n) information content log2((N+1)/(df+0.5)) is
+    strictly positive for every indexed term, so an all-common-term
+    query stays healthy."""
+    return _df_topk(index, query, contribution_col_dfr_inl2(index.n_docs), k, filters)
+
+
+def ib_topk(
+    index: Index,
+    query: str,
+    k: int = 10,
+    filters: Optional[Dict[str, str]] = None,
+) -> DataFrame:
+    """Information-based LL-DF-H2 top-k -> (rank, doc_id, url, score);
+    always-positive contributions like dfr_topk."""
+    return _df_topk(index, query, contribution_col_ib_ll(index.n_docs), k, filters)
