@@ -1425,6 +1425,22 @@ def _registry():
         oq.ib_sql("dup table", k=10),
     )
 
+    # the ES distance_feature query: BM25 + reciprocal-saturation
+    # geo-proximity boost over the WHOLE kept set (a pure per-row
+    # expression over the derived positions — zero joins); the
+    # degenerate key pins the all-zero-base regime where the ranking
+    # collapses to pure proximity
+    from distributedcodesearchengine_spark.operators import geo as geom2
+
+    reg["distance_feature_topk"] = (
+        partial(eq.distance_feature_q, query="dup table", k=10),
+        geom2.bm25_distance_feature_sql("dup table", 40.0, -74.0, k=10),
+    )
+    reg["distance_feature_degenerate"] = (
+        partial(eq.distance_feature_q, query="table row", k=10),
+        geom2.bm25_distance_feature_sql("table row", 40.0, -74.0, k=10),
+    )
+
     # snapshot vocabulary drift (crawl monitoring): top movers by
     # |delta log-prob| between two snapshots' Laplace unigram LMs +
     # the 1-row KL(new||old) alarm; old = even doc_ids, new = odd

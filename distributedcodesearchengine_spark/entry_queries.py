@@ -1282,3 +1282,25 @@ def ib_q(
     return res.select(
         "rank", _orig_doc_id(), round6("score").alias("score")
     ).orderBy("rank")
+
+
+def distance_feature_q(
+    spark: SparkSession, sf_dir: str, query: str,
+    center_lat: float = 40.0, center_lon: float = -74.0,
+    pivot_km: float = 1000.0, boost: float = 5.0, k: int = 10,
+) -> DataFrame:
+    """ES distance_feature gate entry (operators/geo
+    .bm25_distance_feature_topk): the md5 position seed is the
+    ORIGINAL doc id (extracted from url) so both engines derive the
+    same coordinates."""
+    from .operators.geo import bm25_distance_feature_topk
+
+    idx = get_documents_index(spark, sf_dir)
+    res = bm25_distance_feature_topk(
+        idx, query, center_lat, center_lon, pivot_km=pivot_km,
+        boost=boost, k=k,
+        id_col=F.regexp_extract("url", r"(\d+)$", 1).cast("long"),
+    )
+    return res.select(
+        "rank", _orig_doc_id(), "base", "dist_km", "score"
+    ).orderBy("rank")

@@ -534,3 +534,135 @@ def geohash_cells_sql(precision: int = 3) -> str:
         "CAST(min(doc_id) AS BIGINT) AS min_doc_id "
         "FROM gh GROUP BY 1 ORDER BY 1"
     )
+
+
+# --------------------------------------------------------------------------
+# distance_feature query (BM25 + geo-proximity boost)
+# --------------------------------------------------------------------------
+
+
+def bm25_distance_feature_topk(
+    index,
+    query: str,
+    center_lat: float,
+    center_lon: float,
+    pivot_km: float = 1000.0,
+    boost: float = 5.0,
+    k: int = 10,
+    id_col: F.Column | None = None,
+):
+    """(rank, doc_id, base, dist_km, score) — the ES
+    ``distance_feature`` query as a bool-should clause over the BM25
+    match: final = base + boost * pivot / (pivot + dist), the ES
+    reciprocal-saturation form, with dist the haversine km to the
+    center over the derived positions (``id_col`` picks the md5 seed
+    column — a real corpus swaps in materialized lat/lon unchanged).
+
+    Unlike ``rescore``'s bounded window this applies to the WHOLE kept
+    set (ES semantics: every matching doc gets the boost), which stays
+    the minimal plan because the positions are a pure per-row
+    expression over doc_id — the kept chain gains a projection and a
+    TakeOrdered, zero joins, zero extra shuffles. In the degenerate
+    all-zero regime (OOV / epsilon-floored query) every base is 0 and
+    the ranking collapses to pure proximity — the distance_feature-
+    only ordering, pinned by its own gate key.
+
+    Scale: kept set as bm25_facets (candidates-only in the healthy
+    regime); feature arithmetic inside whole-stage codegen; top-k is
+    TakeOrderedAndProject. At 10^12 docs nothing new moves.
+    """
+    from pyspark.sql.window import Window
+
+    from .explore import _kept_with_cols
+
+    if not float(pivot_km) > 0:
+        raise ValueError(f"pivot_km must be > 0: {pivot_km!r}")
+    if not float(boost) >= 0:
+        raise ValueError(f"boost must be >= 0: {boost!r}")
+    spark = index.spark
+    out = (
+        "rank int, doc_id long, url string, base double, dist_km double, "
+        "score double"
+    )
+    kept = _kept_with_cols(index, query, ["url"])
+    if kept is None:
+        return spark.createDataFrame([], out)
+    seed = id_col if id_col is not None else F.col("doc_id")
+    lat_md = _md_from(seed, 1) % 180000
+    lon_md = _md_from(seed, 9) % 360000
+    lat = lat_md / F.lit(1000.0) - F.lit(90.0)
+    lon = lon_md / F.lit(1000.0) - F.lit(180.0)
+    dist = _haversine_col(lat, lon, float(center_lat), float(center_lon))
+    p = F.lit(float(pivot_km))
+    final = F.col("score") + F.lit(float(boost)) * (p / (p + F.col("dist_km")))
+    scored = kept.withColumn("dist_km", dist).select(
+        "doc_id", "url", F.col("score").alias("base"), "dist_km",
+        final.alias("final"),
+    )
+    w = Window.orderBy(F.desc("final"), F.asc("doc_id"))
+    return (
+        scored.orderBy(F.desc("final"), F.asc("doc_id"))
+        .limit(int(k))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank", "doc_id", "url", round6("base").alias("base"),
+            round6("dist_km").alias("dist_km"), round6("final").alias("score"),
+        )
+    )
+
+
+def _md_from(seed: F.Column, hex_start: int):
+    """Integer milli-degree source from an arbitrary id column."""
+    return F.conv(
+        F.substring(F.md5(F.encode(seed.cast("string"), "utf-8")), hex_start, 8),
+        16,
+        10,
+    ).cast("long")
+
+
+def bm25_distance_feature_sql(
+    query: str,
+    center_lat: float,
+    center_lon: float,
+    pivot_km: float = 1000.0,
+    boost: float = 5.0,
+    k: int = 10,
+) -> str:
+    """DuckDB mirror of bm25_distance_feature_topk over the kept-set
+    chain: identical haversine operand sequence (the
+    geo_distance_topk_sql spelling), identical saturation
+    boost * (pivot / (pivot + dist))."""
+    from ..functions.sql_oracle import kept_cte_sql
+
+    chain = kept_cte_sql(query)
+    if chain is None:
+        return (
+            "SELECT 1 AS rank, 1::BIGINT AS doc_id, 0.0 AS base, "
+            "0.0 AS dist_km, 0.0 AS score WHERE false"
+        )
+    d2r = sql_double(_DEG2RAD)
+    clat = sql_double(float(center_lat))
+    clon = sql_double(float(center_lon))
+    a = (
+        f"sin(({clat} - lat) * {d2r} / 2.0) * sin(({clat} - lat) * {d2r} / 2.0) "
+        f"+ cos(lat * {d2r}) * cos({clat} * {d2r}) "
+        f"* sin(({clon} - lon) * {d2r} / 2.0) * sin(({clon} - lon) * {d2r} / 2.0)"
+    )
+    dist = f"{sql_double(2.0 * GEO_EARTH_KM)} * asin(sqrt({a}))"
+    p = sql_double(float(pivot_km))
+    b = sql_double(float(boost))
+    return (
+        f"{chain}, "
+        "pos AS (SELECT kept.doc_id, kept.score, "
+        "('0x' || substr(md5(kept.doc_id::VARCHAR), 1, 8))::BIGINT % 180000 "
+        "/ 1000.0 - 90.0 AS lat, "
+        "('0x' || substr(md5(kept.doc_id::VARCHAR), 9, 8))::BIGINT % 360000 "
+        "/ 1000.0 - 180.0 AS lon FROM kept), "
+        f"feat AS (SELECT doc_id, score AS base, {dist} AS dist_km FROM pos), "
+        f"fin AS (SELECT doc_id, base, dist_km, "
+        f"base + {b} * ({p} / ({p} + dist_km)) AS final FROM feat) "
+        "SELECT CAST(row_number() OVER (ORDER BY final DESC, doc_id ASC) AS INT) AS rank, "
+        f"doc_id, {round6_sql('base')} AS base, {round6_sql('dist_km')} AS dist_km, "
+        f"{round6_sql('final')} AS score "
+        f"FROM fin ORDER BY final DESC, doc_id ASC LIMIT {int(k)}"
+    )
