@@ -477,6 +477,16 @@ def _registry():
         pl.chunk_semantic_topk_sql(cte, _qv, k=10),
     )
 
+    # ColBERT MaxSim late interaction (ES rank_vectors
+    # maxSimDotProduct): multi-vector query (one mock embedding per
+    # query word) vs multi-vector docs (chunk embeddings); per-chunk
+    # lane folds + an order-free max + a fixed-order m-term chain
+    _qvs = [mock_embed_text(w, 64) for w in ("distributed", "table", "scan")]
+    reg["maxsim_topk"] = (
+        _docs_op(partial(pl.maxsim_topk, qvecs=_qvs, k=10)),
+        pl.maxsim_topk_sql(cte, _qvs, k=10),
+    )
+
     # positional index / exact-phrase queries (fulltext-tier extension)
     from distributedcodesearchengine_spark.operators import phrase as ph
 

@@ -715,6 +715,112 @@ def chunk_semantic_topk_sql(
 
 
 # ---------------------------------------------------------------------------
+# late-interaction (ColBERT MaxSim) retrieval over chunk vectors
+
+
+def maxsim_topk(
+    docs: DataFrame,
+    qvecs,
+    k: int = 10,
+    size: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """(rank, doc_id, score) — late-interaction retrieval (ColBERT,
+    Khattab & Zaharia SIGIR 2020; the ES 8.16 ``rank_vectors``
+    maxSimDotProduct): score(q, d) = sum over the query's vectors of
+    the MAX dot product against any of the document's vectors. The
+    document's multi-vector representation is its chunk embeddings
+    (the chunk_semantic_topk lane: token windows -> sha2 hash-embed in
+    pure JVM expressions; the real-model path swaps in
+    functions/embed.embed_documents per chunk unchanged).
+
+    Parity shape: each per-(chunk, qvec) dot product folds the 8 lanes
+    in fixed lane order (identical chained sum both engines); MAX over
+    doubles has no ordering hazard at all; the final score chains the
+    m per-qvec maxes in fixed qvec order. So the only float reductions
+    are order-pinned sums of <= 8 and <= m terms plus an order-free
+    max — no corpus-scale fold exists.
+
+    Scale: one scan, m dot products per chunk inside whole-stage
+    codegen, ONE map-side-combinable groupBy(doc_id) carrying m
+    doubles per partial, TakeOrdered k-cut. At 10^12 docs the shuffle
+    moves m doubles per doc — the same weight as the plain cosine
+    path, m times wider, never a pairwise join.
+    """
+    m = len(qvecs)
+    if m < 1:
+        raise ValueError("need >= 1 query vectors")
+    if int(k) < 1:
+        raise ValueError(f"k must be >= 1: {k!r}")
+    lanes = _lane_exprs("spark")
+    ch = chunk_documents(docs, size=size, overlap=overlap)
+    h = ch.select("doc_id", F.expr("sha2(chunk_text, 256)").alias("h"))
+    e = h.select(
+        "doc_id", *[F.expr(x).alias(f"e{i}") for i, x in enumerate(lanes)]
+    )
+    sq = " + ".join(f"e{i} * e{i}" for i in range(_EMBED_LANES))
+    n = e.withColumn("nrm", F.expr(f"sqrt({sq})"))
+    dots = []
+    for j, qv in enumerate(qvecs):
+        qs = _q_literals(qv)
+        dot = " + ".join(f"(e{i} / nrm) * {q}" for i, q in enumerate(qs))
+        dots.append(
+            F.expr(f"CASE WHEN nrm > 0 THEN {dot} ELSE 0.0 END").alias(f"d{j}")
+        )
+    per_chunk = n.select("doc_id", *dots)
+    agg = per_chunk.groupBy("doc_id").agg(
+        *[F.max(f"d{j}").alias(f"m{j}") for j in range(m)]
+    )
+    score = F.col("m0")
+    for j in range(1, m):
+        score = score + F.col(f"m{j}")
+    scored = agg.select("doc_id", score.alias("score"))
+    top = scored.orderBy(F.desc("score"), "doc_id").limit(int(k))
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", round6("score").alias("score")
+    )
+
+
+def maxsim_topk_sql(
+    table_toks_cte: str,
+    qvecs,
+    k: int = 10,
+    size: int = 32,
+    overlap: int = 8,
+) -> str:
+    """DuckDB mirror of maxsim_topk: identical lane folds, identical
+    per-qvec max, identical fixed-order final chain."""
+    m = len(qvecs)
+    stride = size - overlap
+    lanes = _lane_exprs("duckdb")
+    e_defs = ", ".join(f"{x} AS e{i}" for i, x in enumerate(lanes))
+    sq = " + ".join(f"e{i} * e{i}" for i in range(_EMBED_LANES))
+    dot_defs = []
+    for j, qv in enumerate(qvecs):
+        qs = _q_literals(qv)
+        dot = " + ".join(f"(e{i} / nrm) * {q}" for i, q in enumerate(qs))
+        dot_defs.append(f"CASE WHEN nrm > 0 THEN {dot} ELSE 0.0 END AS d{j}")
+    maxes = ", ".join(f"max(d{j}) AS m{j}" for j in range(m))
+    chain = " + ".join(f"m{j}" for j in range(m))
+    return (
+        f"WITH {table_toks_cte}, "
+        f"ch AS (SELECT doc_id, "
+        f"array_to_string(toks[s:s + {size - 1}], ' ') AS chunk_text "
+        f"FROM docs, unnest(generate_series(1, len(toks), {stride})) AS _t(s)), "
+        "h1 AS (SELECT doc_id, sha256(chunk_text) AS h FROM ch), "
+        f"e AS (SELECT doc_id, {e_defs} FROM h1), "
+        f"n AS (SELECT *, sqrt({sq}) AS nrm FROM e), "
+        f"pc AS (SELECT doc_id, {', '.join(dot_defs)} FROM n), "
+        f"ag AS (SELECT doc_id, {maxes} FROM pc GROUP BY doc_id), "
+        f"sc AS (SELECT doc_id, {chain} AS score FROM ag) "
+        "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) "
+        f"AS rank, doc_id, {round6_sql('score')} AS score "
+        f"FROM sc ORDER BY sc.score DESC, doc_id LIMIT {int(k)}"
+    )
+
+
+# ---------------------------------------------------------------------------
 # the composed curation funnel
 
 CURATE_MIN_TOKENS = 25
