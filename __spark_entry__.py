@@ -970,6 +970,26 @@ def _registry():
         partial(eq.bm25_fvf_q, query="dup table", modifier="sqrt"),
         bm25_fvf_sql("dup table", modifier="sqrt"),
     )
+    # the ES rank_feature query — ADDITIVE bool-should boost from a
+    # numeric doc feature (vs fvf's multiplicative boost_mode): the
+    # saturation key runs healthy, the sigmoid key runs the
+    # BM25-degenerate regime where ranking collapses to the feature
+    # order (the distance_feature precedent); sigmoid's x^e spelled
+    # exp(e*ln(x)) on both engines (pow is an unproven lane)
+    from distributedcodesearchengine_spark.operators.decay import (
+        bm25_rank_feature_sql,
+    )
+
+    reg["bm25_rank_feature"] = (
+        partial(eq.bm25_rank_feature_q, query="dup table",
+                function="saturation"),
+        bm25_rank_feature_sql("dup table", function="saturation"),
+    )
+    reg["bm25_rank_feature_sigmoid"] = (
+        partial(eq.bm25_rank_feature_q, query="table row",
+                function="sigmoid"),
+        bm25_rank_feature_sql("table row", function="sigmoid"),
+    )
     reg["bm25_random_score"] = (
         partial(eq.bm25_random_q, query="dup table", seed="s1"),
         bm25_random_sql("dup table", seed="s1"),

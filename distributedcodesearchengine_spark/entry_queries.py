@@ -1304,3 +1304,19 @@ def distance_feature_q(
     return res.select(
         "rank", _orig_doc_id(), "base", "dist_km", "score"
     ).orderBy("rank")
+
+
+def bm25_rank_feature_q(
+    spark: SparkSession, sf_dir: str, query: str,
+    function: str = "saturation", pivot: float = 40.0,
+    boost: float = 2.0, exponent: float = 2.0, k: int = 10,
+) -> DataFrame:
+    """rank_feature additive boost over the BM25 kept set
+    (operators/decay.bm25_rank_feature_topk — ES RankFeatureQuery)."""
+    from .operators.decay import bm25_rank_feature_topk
+
+    idx = get_documents_index(spark, sf_dir)
+    return bm25_rank_feature_topk(
+        idx, query, col="doc_len", function=function, pivot=pivot,
+        boost=boost, exponent=exponent, k=k,
+    )

@@ -329,3 +329,131 @@ def bm25_random_sql(query: str, seed: str = "0", k: int = 10) -> str:
         f"doc_id, {round6_sql('final')} AS score, {round6_sql('mult')} AS mult "
         f"FROM boosted ORDER BY final DESC, doc_id ASC LIMIT {int(k)}"
     )
+
+
+# ---------------------------------------------------------------------------
+# rank_feature query (ES RankFeatureQuery: saturation / log / sigmoid)
+# ---------------------------------------------------------------------------
+
+_RF_FUNCTIONS = ("saturation", "log", "sigmoid")
+
+
+def _rf_check(col: str, function: str, pivot: float, boost: float,
+              exponent: float) -> None:
+    from .aggs import _check_name
+
+    _check_name(col, "column name")
+    if function not in _RF_FUNCTIONS:
+        raise ValueError(f"function must be one of {_RF_FUNCTIONS}: {function!r}")
+    if not (float(pivot) > 0.0):
+        raise ValueError(f"pivot must be positive: {pivot!r}")
+    if not (float(boost) >= 0.0):
+        raise ValueError(f"boost must be >= 0: {boost!r}")
+    if not (float(exponent) > 0.0):
+        raise ValueError(f"exponent must be positive: {exponent!r}")
+
+
+def _rf_feature_col(col: str, function: str, pivot: float, exponent: float):
+    x = F.col(col).cast("double")
+    p = F.lit(float(pivot))
+    if function == "saturation":
+        return x / (x + p)
+    if function == "log":
+        return F.log(F.lit(1.0) + x)
+    # sigmoid: x^e / (x^e + pivot^e), spelled exp(e*ln(.)) on BOTH
+    # engines (pow is an unproven libm lane; exp/ln are the proven
+    # ones) with the x <= 0 guard pinning the feature to 0
+    e = F.lit(float(exponent))
+    xe = F.exp(e * F.log(x))
+    pe = F.exp(e * F.log(p))
+    return F.when(x <= 0, F.lit(0.0)).otherwise(xe / (xe + pe))
+
+
+def _rf_feature_sql(col: str, function: str, pivot: float,
+                    exponent: float) -> str:
+    x = f"CAST({col} AS DOUBLE)"
+    p = sql_double(float(pivot))
+    if function == "saturation":
+        return f"{x} / ({x} + {p})"
+    if function == "log":
+        return f"ln(1.0 + {x})"
+    e = sql_double(float(exponent))
+    xe = f"exp({e} * ln({x}))"
+    pe = f"exp({e} * ln({p}))"
+    return f"CASE WHEN {x} <= 0 THEN 0.0 ELSE {xe} / ({xe} + {pe}) END"
+
+
+def bm25_rank_feature_topk(
+    index: Index,
+    query: str,
+    col: str = "doc_len",
+    function: str = "saturation",
+    pivot: float = 40.0,
+    boost: float = 2.0,
+    exponent: float = 2.0,
+    k: int = 10,
+) -> DataFrame:
+    """(rank, doc_id, base, feat, score) — the ES ``rank_feature``
+    query as a bool-should clause: final = base + boost * S(x) with x
+    a numeric document feature (a rank_feature field — popularity,
+    pagerank, url_length...; here any docs column) and S one of
+
+    - ``saturation``: x / (x + pivot) (the ES default shape),
+    - ``log``: ln(1 + x),
+    - ``sigmoid``: x^e / (x^e + pivot^e), spelled exp(e*ln(.)).
+
+    ADDITIVE like distance_feature (every kept doc gets the boost; in
+    the degenerate all-zero regime ranking collapses to the feature
+    order), unlike field_value_factor's multiplicative boost_mode —
+    the ES distinction between the two surfaces. Same minimal plan:
+    the kept chain gains one projection and a TakeOrdered."""
+    _rf_check(col, function, pivot, boost, exponent)
+    spark = index.spark
+    out = "rank int, doc_id long, base double, feat double, score double"
+    if not tokenize(query):
+        return spark.createDataFrame([], out)
+    kept = _kept_with_cols(index, query, [col])
+    s = _rf_feature_col(col, function, pivot, exponent)
+    boosted = kept.select(
+        "doc_id", F.col("score").alias("base"), s.alias("feat"),
+        (F.col("score") + F.lit(float(boost)) * s).alias("final"),
+    )
+    top = boosted.orderBy(F.desc("final"), F.asc("doc_id")).limit(int(k))
+    w = Window.orderBy(F.desc("final"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", round6("base").alias("base"),
+        round6("feat").alias("feat"), round6("final").alias("score"),
+    )
+
+
+def bm25_rank_feature_sql(
+    query: str,
+    col: str = "doc_len",
+    function: str = "saturation",
+    pivot: float = 40.0,
+    boost: float = 2.0,
+    exponent: float = 2.0,
+    k: int = 10,
+) -> str:
+    """DuckDB mirror of bm25_rank_feature_topk over the kept chain."""
+    from ..functions.sql_oracle import kept_cte_sql
+
+    _rf_check(col, function, pivot, boost, exponent)
+    chain = kept_cte_sql(query, [col])
+    if chain is None:
+        return (
+            "SELECT 1::INT AS rank, 1::BIGINT AS doc_id, 0.0 AS base, "
+            "0.0 AS feat, 0.0 AS score WHERE false"
+        )
+    s = _rf_feature_sql(col, function, pivot, exponent)
+    b = sql_double(float(boost))
+    return (
+        f"{chain}, "
+        "boosted AS ("
+        f"  SELECT doc_id, score AS base, {s} AS feat, "
+        f"  score + {b} * ({s}) AS final FROM kept) "
+        "SELECT CAST(row_number() OVER (ORDER BY final DESC, doc_id ASC) AS INT) AS rank, "
+        f"doc_id, {round6_sql('base')} AS base, {round6_sql('feat')} AS feat, "
+        f"{round6_sql('final')} AS score "
+        f"FROM boosted ORDER BY final DESC, doc_id ASC LIMIT {int(k)}"
+    )

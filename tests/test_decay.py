@@ -195,3 +195,95 @@ def test_random_score_deterministic_and_seed_sensitive(spark):
     with pytest.raises(ValueError):
         bm25_random_topk(idx, "word", seed="s1'; drop")
     assert bm25_random_topk(idx, "; -").count() == 0
+
+
+# --- rank_feature query ------------------------------------------------------
+
+
+def test_rank_feature_saturation_matches_python(spark):
+    import pytest
+
+    from distributedcodesearchengine_spark.operators.decay import (
+        bm25_rank_feature_topk,
+    )
+    from distributedcodesearchengine_spark.operators.scorer import bm25_topk
+    from tests.test_search_after import _index
+
+    texts = [
+        "apple banana apple cherry",
+        "banana cherry durian fig grape",
+        "apple fig",
+        "grape grape grape durian",
+    ]
+    idx = _index(spark, texts)
+    base = {r["doc_id"]: r["score"]
+            for r in bm25_topk(idx, "apple banana", k=10).collect()}
+    dl = {i: len(t.split()) for i, t in enumerate(texts)}
+    got = {r["doc_id"]: r for r in bm25_rank_feature_topk(
+        idx, "apple banana", col="doc_len", function="saturation",
+        pivot=3.0, boost=2.0, k=10).collect()}
+    assert set(got) == set(base)
+    for d, r in got.items():
+        s = dl[d] / (dl[d] + 3.0)
+        assert r["feat"] == pytest.approx(s, abs=1e-6)
+        assert r["score"] == pytest.approx(base[d] + 2.0 * s, abs=1e-6)
+
+
+def test_rank_feature_sigmoid_and_log(spark):
+    import math
+
+    import pytest
+
+    from distributedcodesearchengine_spark.operators.decay import (
+        bm25_rank_feature_topk,
+    )
+    from tests.test_search_after import _index
+
+    texts = ["apple one two", "apple " + " ".join(f"w{i}" for i in range(9))]
+    idx = _index(spark, texts)
+    dl = {0: 3, 1: 10}
+    sig = {r["doc_id"]: r["feat"] for r in bm25_rank_feature_topk(
+        idx, "apple", function="sigmoid", pivot=5.0, exponent=2.0,
+        k=10).collect()}
+    for d, n in dl.items():
+        xe = math.exp(2.0 * math.log(n))
+        pe = math.exp(2.0 * math.log(5.0))
+        assert sig[d] == pytest.approx(xe / (xe + pe), abs=1e-6)
+    lg = {r["doc_id"]: r["feat"] for r in bm25_rank_feature_topk(
+        idx, "apple", function="log", k=10).collect()}
+    for d, n in dl.items():
+        assert lg[d] == pytest.approx(math.log(1.0 + n), abs=1e-6)
+
+
+def test_rank_feature_degenerate_ranks_by_feature(spark):
+    from distributedcodesearchengine_spark.operators.decay import (
+        bm25_rank_feature_topk,
+    )
+    from tests.test_search_after import _index
+
+    texts = ["aa bb cc", "aa bb cc dd ee ff", "aa bb"]
+    idx = _index(spark, texts)
+    rows = bm25_rank_feature_topk(
+        idx, "zzznotaword", function="saturation", pivot=4.0, k=10
+    ).collect()
+    assert all(r["base"] == 0.0 for r in rows)
+    # saturation is increasing in doc_len -> longest doc first
+    assert [r["doc_id"] for r in rows] == [1, 0, 2]
+
+
+def test_rank_feature_guards(spark):
+    import pytest
+
+    from distributedcodesearchengine_spark.operators.decay import (
+        bm25_rank_feature_topk,
+    )
+    from tests.test_search_after import _index
+
+    idx = _index(spark, ["a b"])
+    with pytest.raises(ValueError):
+        bm25_rank_feature_topk(idx, "a", function="nope")
+    with pytest.raises(ValueError):
+        bm25_rank_feature_topk(idx, "a", pivot=0.0)
+    with pytest.raises(ValueError):
+        bm25_rank_feature_topk(idx, "a", boost=-1.0)
+    assert bm25_rank_feature_topk(idx, "!! ??").count() == 0
