@@ -277,6 +277,20 @@ def _registry():
         partial(eq.dismax_q, query="dup table", k=10, tie=0.3),
         dismax_topk_sql("dup table", _BM25F_FIELDS, k=10, tie=0.3),
     )
+
+    # the ES combined_fields query — the THIRD multi-field mode: tf
+    # and length merge into one pseudo-field BEFORE saturation (one
+    # shared b), vs bm25f's per-field B_f and dismax's per-field
+    # scoring; avgdl' from exact per-field integer sums
+    from distributedcodesearchengine_spark.operators.fields import (
+        combined_fields_topk_sql,
+    )
+
+    _CF_FIELDS = [("substr(text, 1, 60)", 2.0), ("text", 1.0)]
+    reg["combined_fields_topk"] = (
+        partial(eq.combined_fields_q, query="dup table", k=10),
+        combined_fields_topk_sql("dup table", _CF_FIELDS, k=10),
+    )
     reg["bm25_boolean_healthy"] = (
         partial(eq.bm25_boolean_query_q, query="dup +table -row", k=10),
         oq.bm25_boolean_sql("dup +table -row", k=10),

@@ -1320,3 +1320,24 @@ def bm25_rank_feature_q(
         idx, query, col="doc_len", function=function, pivot=pivot,
         boost=boost, exponent=exponent, k=k,
     )
+
+
+def combined_fields_q(
+    spark: SparkSession, sf_dir: str, query: str, k: int = 10,
+    w_title: float = 2.0, w_body: float = 1.0, title_chars: int = 60,
+) -> DataFrame:
+    """combined_fields gate entry over the bm25f_q synthetic
+    title/body split (operators/fields.combined_fields_topk)."""
+    from .operators.fields import combined_fields_topk
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("text", 1, title_chars).alias("title"),
+        F.col("text").alias("body"),
+    )
+    res = combined_fields_topk(
+        d, query, [("title", w_title), ("body", w_body)], k=k
+    )
+    return res.select("rank", "doc_id", round6("score").alias("score")).orderBy(
+        "rank"
+    )

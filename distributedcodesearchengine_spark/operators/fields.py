@@ -666,3 +666,240 @@ def cross_fields_topk_sql(
         "FROM contrib GROUP BY doc_id), "
         + _FIELD_TAIL_SQL.format(score_out=round6_sql("score"), k=int(k))
     )
+
+
+# ---------------------------------------------------------------------------
+# combined_fields query (ES): term-centric pseudo-field BM25
+# ---------------------------------------------------------------------------
+
+
+def combined_fields_topk(
+    docs: DataFrame,
+    query: str,
+    fields: Sequence[Tuple[str, float]],
+    k: int = 10,
+    k1: float = K1,
+    b: float = 0.75,
+) -> DataFrame:
+    """(rank, doc_id, score) — the ES ``combined_fields`` query: all
+    fields merge into ONE synthetic field BEFORE scoring —
+
+        tf'(t,d) = sum_f w_f * tf_f(t,d)     (fixed field order)
+        dl'(d)   = sum_f w_f * len_f(d)
+        avgdl'   = (sum_f w_f * S_f) / N     (S_f = exact Σ len_f)
+        score    = sum_t qtf * idf(t) * tf'*(k1+1)/(tf' + k1*(1-b+b*dl'/avgdl'))
+
+    — standard Okapi on the pseudo-field with ONE shared b, which is
+    exactly how it differs from the house BM25F (per-field B_f
+    normalization before combination) and dismax/cross_fields (per-
+    field scoring). ES requires w_f >= 1 (enforced). df is document
+    level (any field), idf the engine's epsilon-floored chain, and the
+    threshold / degenerate-backfill / tie-break contract is the
+    shared house spine.
+
+    Scale shape identical to bm25f_topk: one tokenize pass per field
+    into a localCheckpoint-ed stacked relation, ONE (doc_id, term)
+    shuffle with per-field conditional sums, term-pruned broadcast
+    query join, candidates-only joins after. avgdl' derives from
+    per-field exact integer sums (2 longs per field to the driver),
+    never a float avg fold."""
+    spark = docs.sparkSession
+    toks = tokenize(query)
+    if not toks:
+        return spark.createDataFrame([], _EMPTY)
+    for _, w in fields:
+        if not float(w) >= 1.0:
+            raise ValueError(f"combined_fields weights must be >= 1: {w!r}")
+    counts = Counter(toks)
+    uniq = sorted(counts)
+    nf = len(fields)
+
+    from ..functions.udfs import tokenize_udf
+
+    parts = [
+        docs.select(
+            "doc_id", F.lit(i).alias("fld"), tokenize_udf(F.col(name)).alias("toks")
+        )
+        for i, (name, _) in enumerate(fields)
+    ]
+    stacked = reduce(DataFrame.unionByName, parts)
+    slim = stacked.select(
+        "doc_id", "fld", F.size("toks").alias("flen"), "toks"
+    ).localCheckpoint(eager=False)
+
+    srows = slim.groupBy("fld").agg(
+        F.sum("flen").alias("s"), F.count("*").alias("n")
+    ).collect()
+    by = {int(r["fld"]): r for r in srows}
+    if not by:
+        return spark.createDataFrame([], _EMPTY)
+    n_docs = int(by[0]["n"])
+    # avgdl' from exact integer per-field sums, fixed field order
+    acc = 0.0
+    for i, (_, w) in enumerate(fields):
+        acc = acc + float(w) * float(by[i]["s"] or 0)
+    avgdlc = acc / n_docs if acc else 1.0
+
+    lens = slim.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("fld") == i, F.col("flen")))
+            .cast("long")
+            .alias(f"len_{i}")
+            for i in range(nf)
+        ]
+    )
+    tfp = (
+        slim.where(F.col("flen") > 0)
+        .select("doc_id", "fld", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(
+            *[
+                F.sum(F.when(F.col("fld") == i, 1).otherwise(0))
+                .cast("long")
+                .alias(f"tf_{i}")
+                for i in range(nf)
+            ]
+        )
+    )
+    df_rel = tfp.groupBy("term").agg(F.count("*").alias("df"))
+    idf = idf_detail_from_df(df_rel, n_docs).select("term", "idf")
+
+    qdf = spark.createDataFrame(
+        [(t, float(counts[t])) for t in uniq], "term string, qtf double"
+    )
+    cand = (
+        tfp.where(F.col("term").isin(uniq))
+        .join(F.broadcast(qdf), "term")
+        .join(idf.where(F.col("term").isin(uniq)), "term")
+        .join(lens, "doc_id")
+    )
+    tfc = None
+    dlc = None
+    for i, (_, w) in enumerate(fields):
+        ti = F.lit(float(w)) * F.col(f"tf_{i}").cast("double")
+        li = F.lit(float(w)) * F.col(f"len_{i}").cast("double")
+        tfc = ti if tfc is None else tfc + ti
+        dlc = li if dlc is None else dlc + li
+    norm = tfc + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * dlc / F.lit(avgdlc)
+    )
+    cand = cand.withColumn(
+        "contrib",
+        F.col("qtf") * (F.col("idf") * (tfc * F.lit(k1 + 1.0) / norm)),
+    )
+    scored = cand.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+            F.lit(0.0),
+            lambda acc_, x: acc_ + x["contrib"],
+        ).alias("score")
+    )
+    mxv = scored.agg(F.max("score").alias("m")).first()["m"]
+    if mxv is not None and mxv > 0:
+        res = scored.where(F.col("score") >= F.lit(0.01 * mxv))
+    else:
+        zeros = (
+            docs.select("doc_id")
+            .join(scored.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id", F.lit(0.0).alias("score"))
+            .orderBy("doc_id")
+            .limit(k)
+        )
+        res = scored.select("doc_id", "score").unionByName(zeros)
+    w_ = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        res.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w_))
+        .select("rank", "doc_id", "score")
+    )
+
+
+def combined_fields_topk_sql(
+    query: str,
+    fields_sql: Sequence[Tuple[str, float]],
+    k: int = 10,
+    k1: float = K1,
+    b: float = 0.75,
+    table: str = "documents",
+) -> str:
+    """DuckDB mirror of combined_fields_topk: ``fields_sql`` =
+    [(text_expr, weight), ...] in the SAME order; avgdl' spelled from
+    the identical exact integer sums in the identical order."""
+    from ..functions.rounding import round6_sql, sql_double
+    from ..functions.sql_oracle import EPSILON, tokenize_col
+
+    toks = tokenize(query)
+    if not toks:
+        return "SELECT 1 AS rank, 1::BIGINT AS doc_id, 0.0 AS score WHERE false"
+    for _, w in fields_sql:
+        if not float(w) >= 1.0:
+            raise ValueError(f"combined_fields weights must be >= 1: {w!r}")
+    counts = Counter(toks)
+    qvals = ", ".join(f"('{t}', {float(q)})" for t, q in sorted(counts.items()))
+    nf = len(fields_sql)
+    tok_cols = ", ".join(
+        f"{tokenize_col(expr)} AS t{i}" for i, (expr, _) in enumerate(fields_sql)
+    )
+    len_cols = ", ".join(f"len(t{i}) AS len_{i}" for i in range(nf))
+    sum_cols = ", ".join(
+        f"CAST(sum(len_{i}) AS BIGINT) AS s_{i}" for i in range(nf)
+    )
+    # acc = ((0.0 + w0*S0) + w1*S1) ... — the Python fold order
+    acc = "0.0"
+    for i, (_, w) in enumerate(fields_sql):
+        acc = f"({acc} + {sql_double(float(w))} * CAST(s_{i} AS DOUBLE))"
+    avg_expr = (
+        f"CASE WHEN {acc} = 0.0 THEN 1.0 "
+        f"ELSE {acc} / (SELECT n_docs FROM stats0) END"
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS fld, unnest(t{i}) AS term FROM f" for i in range(nf)
+    )
+    tf_cols = ", ".join(
+        f"CAST(sum(CASE WHEN fld = {i} THEN 1 ELSE 0 END) AS BIGINT) AS tf_{i}"
+        for i in range(nf)
+    )
+    tfc = " + ".join(
+        f"{sql_double(float(w))} * CAST(tfp.tf_{i} AS DOUBLE)"
+        for i, (_, w) in enumerate(fields_sql)
+    )
+    dlc = " + ".join(
+        f"{sql_double(float(w))} * CAST(lens.len_{i} AS DOUBLE)"
+        for i, (_, w) in enumerate(fields_sql)
+    )
+    norm = (
+        f"({tfc}) + {sql_double(k1)} * ({sql_double(1.0 - b)} + "
+        f"{sql_double(b)} * ({dlc}) / (SELECT a FROM stats))"
+    )
+    return (
+        f"WITH f AS (SELECT doc_id, {tok_cols} FROM {table}), "
+        f"lens AS (SELECT doc_id, {len_cols} FROM f), "
+        f"stats0 AS (SELECT count(*) AS n_docs, {sum_cols} FROM lens), "
+        f"stats AS (SELECT n_docs, {avg_expr} AS a FROM stats0), "
+        f"u AS ({unions}), "
+        f"tfp AS (SELECT doc_id, term, {tf_cols} FROM u GROUP BY doc_id, term), "
+        "dfreq AS (SELECT term, count(*) AS df FROM tfp GROUP BY term), "
+        "idf0 AS (SELECT term, df, ln((SELECT n_docs FROM stats) - df + 0.5) "
+        "- ln(df + 0.5) AS idf_raw FROM dfreq), "
+        f"epsv AS (SELECT {EPSILON} * (sum(s ORDER BY b) / sum(n)) AS eps FROM "
+        "(SELECT substr(md5(term), 1, 3) AS b, "
+        "sum(idf_raw ORDER BY term) AS s, count(*) AS n "
+        "FROM idf0 GROUP BY 1)), "
+        "idf AS (SELECT term, CASE WHEN idf_raw < 0 THEN (SELECT eps FROM epsv) "
+        "ELSE idf_raw END AS idf FROM idf0), "
+        f"qt(term, qtf) AS (VALUES {qvals}), "
+        "contrib AS (SELECT tfp.doc_id, tfp.term, "
+        f"  qt.qtf * (idf.idf * (({tfc}) * {sql_double(k1 + 1.0)} / ({norm}))) AS c "
+        "  FROM tfp JOIN qt USING (term) JOIN idf USING (term) "
+        "  JOIN lens ON lens.doc_id = tfp.doc_id), "
+        "scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id), "
+        "mx AS (SELECT max(score) AS m FROM scored), "
+        "kept AS (SELECT d.doc_id, coalesce(s.score, 0.0) AS score "
+        "  FROM lens d LEFT JOIN scored s USING (doc_id) "
+        "  WHERE ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
+        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))) "
+        "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank, "
+        f"doc_id, {round6_sql('score')} AS score "
+        f"FROM kept ORDER BY score DESC, doc_id ASC LIMIT {int(k)}"
+    )

@@ -165,3 +165,114 @@ def test_gate_entry_differs_from_plain_bm25(spark):
         d, "dup table", [FieldSpec("title", 0.0, 0.75), FieldSpec("body", 1.0, 0.75)], k=10
     ).collect()
     assert [r["doc_id"] for r in both] != [r["doc_id"] for r in body_only]
+
+
+# --- combined_fields ---------------------------------------------------------
+
+
+def _py_combined_fields(rows, query_terms, weights, k1=1.5, b=0.75):
+    """rows: [(doc_id, [field_tokens...])]; returns doc -> score using
+    the engine's epsilon-floored idf over doc-level df."""
+    import math
+
+    from distributedcodesearchengine_spark.operators.stats import EPSILON
+
+    n = len(rows)
+    df = {}
+    for _, flds in rows:
+        seen = set()
+        for toks in flds:
+            seen.update(toks)
+        for t in seen:
+            df[t] = df.get(t, 0) + 1
+    idf_raw = {t: math.log(n - d + 0.5) - math.log(d + 0.5) for t, d in df.items()}
+    neg = [t for t, v in idf_raw.items() if v < 0]
+    avg = sum(sorted(idf_raw.values())) / len(idf_raw) if idf_raw else 0.0
+    # (test corpora here are small enough that the fold-order detail
+    # of the two-level bucket fold never changes the sum)
+    eps = EPSILON * avg
+    idf = {t: (eps if v < 0 else v) for t, v in idf_raw.items()}
+    sums = [sum(len(flds[i]) for _, flds in rows) for i in range(len(weights))]
+    acc = 0.0
+    for w, s in zip(weights, sums):
+        acc += w * s
+    avgdl = acc / n if acc else 1.0
+    out = {}
+    for d, flds in rows:
+        dl = sum(w * len(toks) for w, toks in zip(weights, flds))
+        s = 0.0
+        for t in sorted(set(query_terms)):
+            if t not in df:
+                continue
+            tfc = sum(w * toks.count(t) for w, toks in zip(weights, flds))
+            if tfc == 0:
+                continue
+            norm = tfc + k1 * (1 - b + b * dl / avgdl)
+            s += query_terms.count(t) * (idf[t] * (tfc * (k1 + 1.0) / norm))
+        out[d] = s
+    return out
+
+
+def test_combined_fields_matches_python(spark):
+    import pytest
+
+    from distributedcodesearchengine_spark.operators.fields import (
+        combined_fields_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple pear", "apple banana cherry durian"),
+            (1, "grape melon", "banana cherry cherry fig"),
+            (2, "apple apple", "unrelated words here today"),
+        ],
+        "doc_id long, title string, body string",
+    )
+    got = {r["doc_id"]: r["score"] for r in combined_fields_topk(
+        docs, "apple cherry", [("title", 2.0), ("body", 1.0)], k=10
+    ).collect()}
+    rows = [
+        (0, [["apple", "pear"], ["apple", "banana", "cherry", "durian"]]),
+        (1, [["grape", "melon"], ["banana", "cherry", "cherry", "fig"]]),
+        (2, [["apple", "apple"], ["unrelated", "words", "here", "today"]]),
+    ]
+    want = _py_combined_fields(rows, ["apple", "cherry"], [2.0, 1.0])
+    mx = max(want.values())
+    kept = {d: s for d, s in want.items() if s >= 0.01 * mx}
+    assert set(got) == set(kept)
+    for d, s in kept.items():
+        assert got[d] == pytest.approx(s, abs=1e-9)
+
+
+def test_combined_fields_title_weight_moves_rank(spark):
+    """tf merging BEFORE saturation: a title hit at weight 3 counts as
+    3 occurrences of the pseudo-field — doc 1 (title hit) must outrank
+    doc 0 (single body hit) despite identical raw tf."""
+    from distributedcodesearchengine_spark.operators.fields import (
+        combined_fields_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "zz yy", "target filler words here"),
+            (1, "target yy", "zz filler words here"),
+            (2, "other title", "different content entirely today"),
+            (3, "more docs", "keeping target's idf positive overall"),
+        ],
+        "doc_id long, title string, body string",
+    )
+    got = [r["doc_id"] for r in combined_fields_topk(
+        docs, "target", [("title", 3.0), ("body", 1.0)], k=10).collect()]
+    assert got[0] == 1
+
+
+def test_combined_fields_weight_guard(spark):
+    import pytest
+
+    from distributedcodesearchengine_spark.operators.fields import (
+        combined_fields_topk,
+    )
+
+    docs = spark.createDataFrame([(0, "a", "b")], "doc_id long, t string, b string")
+    with pytest.raises(ValueError):
+        combined_fields_topk(docs, "aa", [("t", 0.5), ("b", 1.0)])
