@@ -565,6 +565,18 @@ def _registry():
         ),
         sn.spell_suggest_sql(cte, "tble", 10),
     )
+    # the ES completion suggester as corpus search-as-you-type:
+    # bigram continuation of "context prefix*" ranked by occurrence
+    # count (vs term_suggest's df-ranked single-term prefix probe);
+    # the unigram key pins the ctf-ranked single-token branch
+    reg["completion_suggest"] = (
+        _docs_op(partial(sn.completion_suggest, text="dup ta", k=10)),
+        sn.completion_suggest_sql(cte, "dup ta", 10),
+    )
+    reg["completion_suggest_uni"] = (
+        _docs_op(partial(sn.completion_suggest, text="ta", k=10)),
+        sn.completion_suggest_sql(cte, "ta", 10),
+    )
     _snip_q = "dup table"
     _snip_terms = list(dict.fromkeys(_tok(_snip_q)))
     reg["query_snippets"] = (

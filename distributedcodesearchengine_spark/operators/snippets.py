@@ -349,3 +349,94 @@ def did_you_mean_sql(docs_cte: str, query: str, max_dist: int = 1) -> str:
         "FROM qt LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (pos) "
         "ORDER BY pos"
     )
+
+
+# ---------------------------------------------------------------------------
+# completion suggester (search-as-you-type)
+# ---------------------------------------------------------------------------
+
+
+def completion_suggest(docs: DataFrame, text: str, k: int = 10) -> DataFrame:
+    """(rank, suggestion, cnt) — the ES completion-suggester surface as
+    corpus-derived search-as-you-type: the input's LAST token is a
+    prefix being typed, the token before it (if any) is the context
+    word, and suggestions are the corpus continuations ranked by
+    occurrence count (cnt desc, suggestion asc):
+
+    - two+ tokens -> bigram completion: corpus bigrams starting with
+      ``context + ' ' + prefix`` (the corpus_ngrams gram spelling);
+    - one token -> unigram completion: dictionary terms under the
+      prefix ranked by collection term frequency (ctf — distinct from
+      term_suggest's df ranking: an autocomplete box wants the most
+      TYPED continuation, not the most spread one);
+    - prefixes shorter than the tokenizer's 2-char minimum are not
+      completable (they never become tokens) -> empty.
+
+    Scale: the gram/token explode carries the startswith predicate
+    BEFORE the count agg (pushed to the scan on a persisted n-gram
+    artifact — corpus_ngrams is exactly that table), the count is
+    map-side combinable, and the cut is TakeOrdered. At serving scale
+    the bigram relation is the persisted corpus_ngrams output keyed by
+    first word, so a suggest probe reads one key range."""
+    from ..oracle.tokenizer import tokenize
+
+    spark = docs.sparkSession
+    out = "rank int, suggestion string, cnt long"
+    toks = tokenize(text)
+    if not toks:
+        return spark.createDataFrame([], out)
+    if len(toks) >= 2:
+        q = f"{toks[-2]} {toks[-1]}"
+        gram = "tokens[i] || ' ' || tokens[i + 1]"
+        cand = docs.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(tokens) >= 2 THEN "
+                    f"transform(sequence(0, size(tokens) - 2), i -> {gram}) "
+                    "ELSE array() END"
+                )
+            ).alias("suggestion")
+        ).where(F.col("suggestion").startswith(q))
+    else:
+        q = toks[0]
+        cand = docs.select(F.explode("tokens").alias("suggestion")).where(
+            F.col("suggestion").startswith(q)
+        )
+    from pyspark.sql.window import Window
+
+    agg = cand.groupBy("suggestion").agg(F.count("*").cast("long").alias("cnt"))
+    top = agg.orderBy(F.desc("cnt"), F.asc("suggestion")).limit(int(k))
+    w = Window.orderBy(F.desc("cnt"), F.asc("suggestion"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "suggestion", "cnt"
+    )
+
+
+def completion_suggest_sql(table_toks_cte: str, text: str, k: int = 10) -> str:
+    """DuckDB mirror of completion_suggest (starts_with, never LIKE)."""
+    from ..oracle.tokenizer import tokenize
+
+    toks = tokenize(text)
+    if not toks:
+        return (
+            "SELECT 1 AS rank, '' AS suggestion, 1::BIGINT AS cnt WHERE false"
+        )
+    if len(toks) >= 2:
+        q = f"{toks[-2]} {toks[-1]}".replace("'", "''")
+        cand = (
+            "SELECT toks[i] || ' ' || toks[i + 1] AS suggestion "
+            "FROM docs, unnest(generate_series(1, len(toks) - 1)) AS _t(i)"
+        )
+    else:
+        q = toks[0].replace("'", "''")
+        cand = "SELECT unnest(toks) AS suggestion FROM docs"
+    return (
+        f"WITH {table_toks_cte}, "
+        f"c AS ({cand}), "
+        f"f AS (SELECT suggestion FROM c WHERE starts_with(suggestion, '{q}')), "
+        "a AS (SELECT suggestion, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM f GROUP BY suggestion) "
+        "SELECT CAST(row_number() OVER (ORDER BY cnt DESC, suggestion ASC) AS INT) "
+        f"AS rank, suggestion, cnt FROM a ORDER BY cnt DESC, suggestion ASC "
+        f"LIMIT {int(k)}"
+    )
