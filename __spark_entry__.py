@@ -1612,6 +1612,11 @@ def _registry():
     # parity is by construction
     from distributedcodesearchengine_spark.operators import iptools as ipt
 
+    # Flesch / Flesch-Kincaid readability per language: exact integer
+    # word/sentence/vowel-group counts (text_complexity's regexp lane)
+    # summed map-side-combinably; the formula runs once per lang row
+    reg["readability"] = (_tbl_op(ts.readability), ts.readability_sql())
+
     reg["ip_range_buckets"] = (
         _tbl_op(ipt.ip_range_buckets),
         ipt.ip_range_buckets_sql(),

@@ -148,11 +148,18 @@ def quality_score_sql(table_toks_cte: str) -> str:
 def token_counts(documents: DataFrame) -> DataFrame:
     """(doc_id, ws_tokens, bpe_tokens) — whitespace split count + a
     BPE-ish regex token count (letters / digits / single punctuation)."""
+    # the whitespace class goes through the Column API, NOT F.expr: the
+    # SQL parser turns the unknown escape \x0B into the LITERAL chars
+    # x/0/B (observed: 'approximations' split at its x), while
+    # F.split hands the pattern straight to the Java regex engine
+    # where \x0B is the vertical-tab hex escape — the DuckDB mirror's
+    # RE2 semantics
+    ws_arr = F.filter(
+        F.split(F.col("text"), WS_CLASS + "+"), lambda x: x != F.lit("")
+    )
     return documents.select(
         "doc_id",
-        F.expr(
-            r"CAST(size(filter(split(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x != '')) AS BIGINT)"
-        ).alias("ws_tokens"),
+        F.size(ws_arr).cast("bigint").alias("ws_tokens"),
         # F.lit pattern avoids SQL-parser backslash mangling of \s
         F.size(F.regexp_extract_all("text", F.lit(BPE_REGEX), F.lit(0)))
         .cast("bigint")
@@ -1128,4 +1135,90 @@ def doclen_mad_sql(table_toks_cte: str) -> str:
         "m2 AS (SELECT CAST(min(CASE WHEN cum >= ((SELECT n FROM n1) + 1) // 2 THEN v END) AS BIGINT) AS m FROM c2) "
         "SELECT (SELECT n FROM n1) AS n_docs, (SELECT m FROM m1) AS median_len, "
         "(SELECT m FROM m2) AS mad"
+    )
+
+
+# ---------------------------------------------------------------------------
+# readability (Flesch reading ease / Flesch-Kincaid grade)
+# ---------------------------------------------------------------------------
+
+
+def readability(documents: DataFrame) -> DataFrame:
+    """(lang, n_docs, n_words, n_sentences, n_syllables, flesch,
+    fk_grade) — per-language Flesch reading ease (Flesch 1948) and
+    Flesch-Kincaid grade level (Kincaid et al. 1975), the classic
+    readability gates a curation pipeline reads beside quality_score
+    (e.g. "keep 30 <= flesch <= 70" for training-text filtering).
+
+    Deterministic counting (the text_complexity lane): words =
+    nonempty whitespace splits, sentences = [.!?]+ terminal groups
+    (floored at 1 per doc — headlines count as one sentence),
+    syllables = [aeiouy]+ vowel groups of the lowercased text (the
+    standard cheap approximation; a hyphenation dictionary slots in
+    per-word without changing the rollup). All three are exact
+    per-doc integers summed map-side-combinably per lang; the two
+    formula divisions run ONCE per lang row on the exact integer
+    sums with an identical operand sequence on both engines (an
+    all-empty lang reports 0.0/0.0 instead of dividing by zero).
+
+    Scale: one scan, three regexp counts per row inside codegen, one
+    tiny groupBy(lang) — the same shape at 10^12 docs."""
+    # word split via the Column API — the token_counts \x0B SQL-parser
+    # hazard (F.expr would match literal x/0/B)
+    words = F.size(
+        F.filter(F.split(F.col("text"), WS_CLASS + "+"), lambda x: x != F.lit(""))
+    ).cast("bigint")
+    sents = "greatest(CAST(1 AS BIGINT), CAST(size(regexp_extract_all(text, '[.!?]+', 0)) AS BIGINT))"
+    syll = "CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS BIGINT)"
+    per = documents.select(
+        "lang",
+        words.alias("w"),
+        F.expr(sents).alias("s"),
+        F.expr(syll).alias("y"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("n_words"),
+        F.sum("s").cast("long").alias("n_sentences"),
+        F.sum("y").cast("long").alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast("double")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast("double")
+    flesch = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    fk = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    zero = F.col("n_words") == 0
+    return agg.select(
+        "lang", "n_docs", "n_words", "n_sentences", "n_syllables",
+        round6(F.when(zero, F.lit(0.0)).otherwise(flesch)).alias("flesch"),
+        round6(F.when(zero, F.lit(0.0)).otherwise(fk)).alias("fk_grade"),
+    ).orderBy("lang")
+
+
+def readability_sql() -> str:
+    """DuckDB mirror of readability: identical counting regexes,
+    identical formula operand sequences on the exact integer sums."""
+    words = (
+        r"CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'), "
+        r"x -> x != '')) AS BIGINT)"
+    )
+    sents = (
+        "greatest(CAST(1 AS BIGINT), "
+        "CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))"
+    )
+    syll = "CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)"
+    wps = "CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)"
+    spw = "CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)"
+    flesch = f"206.835e0 - 1.015e0 * ({wps}) - 84.6e0 * ({spw})"
+    fk = f"0.39e0 * ({wps}) + 11.8e0 * ({spw}) - 15.59e0"
+    return (
+        f"WITH per AS (SELECT lang, {words} AS w, {sents} AS s, {syll} AS y "
+        "FROM documents), "
+        "agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(w) AS BIGINT) AS n_words, "
+        "CAST(sum(s) AS BIGINT) AS n_sentences, "
+        "CAST(sum(y) AS BIGINT) AS n_syllables FROM per GROUP BY lang) "
+        "SELECT lang, n_docs, n_words, n_sentences, n_syllables, "
+        f"{round6_sql(f'CASE WHEN n_words = 0 THEN 0.0 ELSE {flesch} END')} AS flesch, "
+        f"{round6_sql(f'CASE WHEN n_words = 0 THEN 0.0 ELSE {fk} END')} AS fk_grade "
+        "FROM agg ORDER BY lang"
     )

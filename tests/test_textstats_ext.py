@@ -1,0 +1,95 @@
+
+
+# --- readability (Flesch / Flesch-Kincaid) -----------------------------------
+
+
+def test_readability_hand_computed(spark):
+    import pytest
+
+    from distributedcodesearchengine_spark.operators.textstats import readability
+
+    # en: "The cat sat. It ran!" -> words 5... write exactly:
+    t0 = "The cat sat on a mat. It ran away!"   # 9 words, 2 sentences
+    t1 = "Readability approximations everywhere."  # 3 words, 1 sentence
+    docs = spark.createDataFrame(
+        [(0, t0, "en"), (1, t1, "en"), (2, "no terminal punctuation here", "de")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["lang"]: r for r in readability(docs).collect()}
+
+    def _syll(s):
+        import re
+
+        return len(re.findall(r"[aeiouy]+", s.lower()))
+
+    en_words = 9 + 3
+    en_sents = 2 + 1
+    en_syll = _syll(t0) + _syll(t1)
+    r = out["en"]
+    assert (r["n_docs"], r["n_words"], r["n_sentences"], r["n_syllables"]) == (
+        2, en_words, en_sents, en_syll)
+    wps = en_words / en_sents
+    spw = en_syll / en_words
+    assert r["flesch"] == pytest.approx(
+        206.835 - 1.015 * wps - 84.6 * spw, abs=1e-6)
+    assert r["fk_grade"] == pytest.approx(
+        0.39 * wps + 11.8 * spw - 15.59, abs=1e-6)
+    # the de doc has no [.!?] -> sentence floor 1
+    assert out["de"]["n_sentences"] == 1
+
+
+def test_readability_simple_beats_complex(spark):
+    from distributedcodesearchengine_spark.operators.textstats import readability
+
+    simple = " ".join(["The cat sat."] * 20)
+    complex_ = " ".join(
+        ["Extraordinarily convoluted municipalities reorganize "
+         "internationalization infrastructures."] * 20
+    )
+    docs = spark.createDataFrame(
+        [(0, simple, "simple"), (1, complex_, "complex")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["lang"]: r for r in readability(docs).collect()}
+    assert out["simple"]["flesch"] > out["complex"]["flesch"]
+    assert out["simple"]["fk_grade"] < out["complex"]["fk_grade"]
+
+
+def test_readability_empty_lang_zero(spark):
+    from distributedcodesearchengine_spark.operators.textstats import readability
+
+    docs = spark.createDataFrame(
+        [(0, "", "empty")], "doc_id long, text string, lang string"
+    )
+    r = readability(docs).collect()[0]
+    assert r["n_words"] == 0 and r["flesch"] == 0.0 and r["fk_grade"] == 0.0
+
+
+def test_ws_split_does_not_eat_x0B_letters(spark):
+    """Regression: the \\x0B class member must reach the Java regex as
+    a hex escape, not the literal chars x/0/B — 'approximations',
+    '0day' and 'B2B' must each stay ONE whitespace word on BOTH
+    engines."""
+    import duckdb
+
+    from distributedcodesearchengine_spark.operators.textstats import (
+        readability,
+        token_counts,
+        token_counts_sql,
+    )
+
+    texts = ["approximations everywhere", "0day B2B exploit", "a\x0bb c"]
+    docs = spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string",
+    )
+    got = {r["doc_id"]: r["ws_tokens"] for r in token_counts(docs).collect()}
+    assert got == {0: 2, 1: 3, 2: 3}  # \x0b itself DOES split
+    con = duckdb.connect()
+    con.register("documents", __import__("pandas").DataFrame(
+        {"doc_id": [0, 1, 2], "text": texts}))
+    ora = {r[0]: int(r[1]) for r in con.execute(token_counts_sql()).fetchall()}
+    assert {k: got[k] for k in ora} == ora
+    # readability words use the same lane
+    r = readability(docs).collect()[0]
+    assert r["n_words"] == 2 + 3 + 3
