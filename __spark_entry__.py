@@ -1321,6 +1321,14 @@ def _registry():
                 "embeddings"),
         pqm.ivfpq_topk_sql(_qv, k=10, nprobe=4),
     )
+    # FAISS by_residual=True (the IndexIVFPQ default): PQ codes
+    # quantize v - own-cell centroid; one distance table PER probed
+    # cell from its residual query — same scan pruning, zero joins
+    reg["ivfpq_residual_topk"] = (
+        _tbl_op(partial(pqm.ivfpq_residual_topk, qvec=_qv, k=10, nprobe=4),
+                "embeddings"),
+        pqm.ivfpq_residual_topk_sql(_qv, k=10, nprobe=4),
+    )
 
     # the FAISS IndexRefineFlat / ScaNN-reordering serving pattern:
     # compressed ADC scan cuts refine*k candidates, exact squared-L2

@@ -681,3 +681,215 @@ def pq_adc_topk_sql(
         f"AS rank, vec_id, {round6_sql('dist')} AS dist FROM dist "
         f"ORDER BY dist ASC, vec_id ASC LIMIT {int(k)}"
     )
+
+
+# ---------------------------------------------------------------------------
+# residual IVF-PQ (FAISS by_residual=True — the IndexIVFPQ default)
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_residual_topk(
+    embeddings: DataFrame,
+    qvec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    m: int = PQ_M,
+    K: int = PQ_K,
+    k_cells: Optional[int] = None,
+    centroids: Optional[List[List[float]]] = None,
+    codebooks: Optional[Codebooks] = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(rank, vec_id, dist) — IVF-PQ with RESIDUAL encoding, the
+    actual FAISS IndexIVFPQ default (``by_residual=True``): each
+    vector's PQ codes quantize r = v - centroid(cell(v)) instead of v,
+    and the query builds a SEPARATE distance table per probed cell
+    from its own residual query q - centroid_p — the classic accuracy
+    win because residuals concentrate near 0, so one codebook covers
+    every cell's local geometry.
+
+    Plan shape vs ivfpq_topk: identical scan pruning (cell isin probe
+    — partition pruning on a cell-partitioned table), the residual is
+    one zip_with against the row's OWN cell centroid (a literal-array
+    element_at on the cell code — still zero joins), codes are the
+    same argmin chain over the residual, and the ADC distance is an
+    nprobe-branch CASE on the cell, each branch the m-lookup ordered
+    sum against that cell's table. Seed codebooks stay the raw-vector
+    md5 sample (quantizer-space-agnostic anchors, SQL-derivable);
+    trained residual codebooks inject via the train_pq_codebooks seam
+    unchanged.
+    """
+    from .similarity import N_IVF_CELLS, _cell_col, ivf_centroids
+
+    if int(k) < 1 or int(nprobe) < 1:
+        raise ValueError(f"k and nprobe must be >= 1: k={k} nprobe={nprobe}")
+    q = [float(x) for x in qvec]
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(len(q), k_cells or N_IVF_CELLS)
+    )
+    qdots = [sum(a * b for a, b in zip(q, c)) for c in cents]
+    probe = sorted(range(len(cents)), key=lambda i: (-qdots[i], i))[
+        : int(nprobe)
+    ]
+    if codebooks is None:
+        codebooks = pq_seed_codebooks(embeddings, m, K, id_col, vec_col)
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    if len(q) != m * dsub:
+        raise ValueError(f"qvec dim {len(q)} != {m}*{dsub}")
+    # per-probed-cell distance tables from the cell's residual query
+    dtabs = {}
+    for p in probe:
+        qr = [q[t] - cents[p][t] for t in range(len(q))]
+        rows = []
+        for j in range(m):
+            row = []
+            for entry in codebooks[j]:
+                acc = 0.0
+                for t in range(dsub):
+                    d = qr[j * dsub + t] - entry[t]
+                    acc = acc + d * d
+                row.append(acc)
+            rows.append(row)
+        dtabs[p] = rows
+
+    cent_arrs = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    )
+    d = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        _cell_col(cents, vec_col).alias("_cell"),
+    ).where(F.col("_cell").isin([int(p) for p in probe]))
+    rv = F.zip_with(
+        F.col("_v"),
+        F.element_at(cent_arrs, (F.col("_cell") + F.lit(1)).cast("int")),
+        lambda a, b: a - b,
+    )
+    d = d.withColumn("_rv", rv)
+    codes = _pq_code_cols(F.col("_rv"), codebooks)
+    dist = None
+    for p in probe:
+        branch = reduce(
+            lambda a, b: a + b,
+            [
+                F.element_at(
+                    F.array(*[F.lit(x) for x in dtabs[p][j]]),
+                    (codes[j] + F.lit(1)).cast("int"),
+                )
+                for j in range(m)
+            ],
+        )
+        cond = F.col("_cell") == int(p)
+        dist = F.when(cond, branch) if dist is None else dist.when(cond, branch)
+
+    from pyspark.sql.window import Window
+
+    scored = d.select(F.col(id_col), dist.alias("dist"))
+    top = scored.orderBy(F.asc("dist"), F.asc(id_col)).limit(int(k))
+    w = Window.orderBy(F.asc("dist"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", F.col(id_col), round6("dist").alias("dist")
+    )
+
+
+def ivfpq_residual_topk_sql(
+    qvec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    m: int = PQ_M,
+    K: int = PQ_K,
+    k_cells: Optional[int] = None,
+    centroids: Optional[List[List[float]]] = None,
+    codebooks: Optional[Codebooks] = None,
+) -> str:
+    """DuckDB mirror of ivfpq_residual_topk: the cell chain + a
+    residual-vector relation (v - own-cell centroid, elementwise in
+    index order) + the argmin code chain over residual slices + the
+    per-probed-cell distance tables keyed by (cell, j, si)."""
+    from .similarity import N_IVF_CELLS, _cell_sql, ivf_centroids
+
+    q = [float(x) for x in qvec]
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(len(q), k_cells or N_IVF_CELLS)
+    )
+    qdots = [sum(a * b for a, b in zip(q, c)) for c in cents]
+    probe = sorted(range(len(cents)), key=lambda i: (-qdots[i], i))[
+        : int(nprobe)
+    ]
+    mm = len(codebooks) if codebooks is not None else int(m)
+    if len(q) % mm != 0:
+        raise ValueError(f"qvec dim {len(q)} not divisible by m {mm}")
+    dsub = len(q) // mm
+    # centroid literal relation for the residual subtraction
+    cent_vals = ", ".join(
+        f"({i}, [" + ", ".join(sql_double(x) for x in c) + "]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    # seed codebooks from RAW vectors (the _pq_ctes seeds block) or
+    # injected literals — matching the Spark choice
+    if codebooks is not None:
+        mm = len(codebooks)
+        cb = _cb_literal_sql(codebooks)
+    else:
+        cb = (
+            "seeds AS (SELECT v, CAST(row_number() OVER "
+            "(ORDER BY md5(vec_id::VARCHAR), vec_id) AS BIGINT) AS si "
+            "FROM e ORDER BY md5(vec_id::VARCHAR), vec_id "
+            f"LIMIT {int(K)}), "
+            "cb AS (SELECT si, j, "
+            "list_slice(v, (j-1)*(len(v)//" + str(int(mm)) + ")+1, "
+            "j*(len(v)//" + str(int(mm)) + ")) AS cv "
+            "FROM seeds CROSS JOIN js)"
+        )
+    qvals = []
+    for p in probe:
+        qr = [q[t] - cents[p][t] for t in range(len(q))]
+        for j in range(mm):
+            lst = "[" + ", ".join(
+                sql_double(x) for x in qr[j * dsub : (j + 1) * dsub]
+            ) + "]"
+            qvals.append(f"({int(p)}, {j + 1}, {lst}::DOUBLE[])")
+    plist = ", ".join(str(int(p)) for p in probe)
+    return (
+        f"WITH {_cell_sql(len(cents), len(q), cents)}, "
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"js AS (SELECT unnest(generate_series(1, {int(mm)})) AS j), "
+        f"{cb}, "
+        f"cent AS (SELECT * FROM (VALUES {cent_vals}) AS t(cell, cv)), "
+        f"cand AS (SELECT vec_id, cell FROM cells WHERE cell IN ({plist})), "
+        "re AS (SELECT e.vec_id, cand.cell, "
+        "list_transform(generate_series(1, len(v)), t -> v[t] - cent.cv[t]) AS rv "
+        "FROM e JOIN cand USING (vec_id) JOIN cent ON cent.cell = cand.cell), "
+        "subs AS (SELECT vec_id, cell, j, "
+        "list_slice(rv, (j-1)*len(cv0)+1, j*len(cv0)) AS sv "
+        "FROM re CROSS JOIN js CROSS JOIN "
+        "(SELECT cv AS cv0 FROM cb WHERE si = 1 AND j = 1)), "
+        "d AS (SELECT vec_id, cell, j, si, list_dot_product("
+        "list_transform(generate_series(1, len(cv)), t -> sv[t] - cv[t]), "
+        "list_transform(generate_series(1, len(cv)), t -> sv[t] - cv[t])"
+        ") AS dist FROM subs JOIN cb USING (j)), "
+        "codes AS (SELECT vec_id, cell, j, si - 1 AS code FROM ("
+        "SELECT vec_id, cell, j, si, row_number() OVER "
+        "(PARTITION BY vec_id, j ORDER BY dist, si) AS rn FROM d) "
+        "WHERE rn = 1), "
+        "qsub AS (SELECT * FROM (VALUES "
+        + ", ".join(qvals)
+        + ") AS t(cell, j, qs)), "
+        "dt AS (SELECT cb.si, qsub.cell, qsub.j, list_dot_product("
+        "list_transform(generate_series(1, len(cv)), t -> qs[t] - cv[t]), "
+        "list_transform(generate_series(1, len(cv)), t -> qs[t] - cv[t])"
+        ") AS qd FROM cb JOIN qsub USING (j)), "
+        "dist AS (SELECT c.vec_id, sum(dt.qd ORDER BY c.j) AS dist "
+        "FROM codes c JOIN dt ON dt.j = c.j AND dt.si = c.code + 1 "
+        "AND dt.cell = c.cell "
+        "GROUP BY c.vec_id) "
+        "SELECT CAST(row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS INT) "
+        f"AS rank, vec_id, {round6_sql('dist')} AS dist FROM dist "
+        f"ORDER BY dist ASC, vec_id ASC LIMIT {int(k)}"
+    )

@@ -318,3 +318,113 @@ def test_ivfpq_guards(spark):
         pq.ivfpq_topk(emb, [0.0] * 16, nprobe=0, codebooks=books)
     with pytest.raises(ValueError):
         pq.ivfpq_topk(emb, [0.0] * 12, codebooks=books)
+
+
+# --- residual IVF-PQ (by_residual=True) --------------------------------------
+
+
+def _remb(spark, n=30, dim=16):
+    vecs = [mock_embed_text(f"doc {i}", dim) for i in range(n)]
+    return _emb(spark, vecs)
+
+
+def test_residual_full_probe_python_replication(spark):
+    """nprobe == k_cells: every vector is a candidate; distances match
+    a pure-Python replication of residual encode + per-cell ADC."""
+    import pytest
+
+    from distributedcodesearchengine_spark.operators.pq import (
+        ivfpq_residual_topk,
+        pq_seed_codebooks,
+    )
+    from distributedcodesearchengine_spark.operators.similarity import (
+        ivf_centroids,
+    )
+
+    emb = _remb(spark)
+    rows = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in emb.collect()}
+    dim = len(next(iter(rows.values())))
+    cents = ivf_centroids(dim, 4)
+    cbs = pq_seed_codebooks(emb, 4, 4)
+    qv = [0.1] * dim
+
+    def cell_of(v):
+        dots = [sum(a * b for a, b in zip(v, c)) for c in cents]
+        return dots.index(max(dots))
+
+    m, dsub = len(cbs), len(cbs[0][0])
+
+    def adc(v):
+        p = cell_of(v)
+        rv = [v[t] - cents[p][t] for t in range(dim)]
+        qr = [qv[t] - cents[p][t] for t in range(dim)]
+        tot = 0.0
+        for j in range(m):
+            sv = rv[j * dsub:(j + 1) * dsub]
+            dists = [sum((a - b) * (a - b) for a, b in zip(sv, e))
+                     for e in cbs[j]]
+            code = dists.index(min(dists))
+            e = cbs[j][code]
+            qs = qr[j * dsub:(j + 1) * dsub]
+            tot += sum((a - b) * (a - b) for a, b in zip(qs, e))
+        return tot
+
+    got = {r["vec_id"]: r["dist"] for r in ivfpq_residual_topk(
+        emb, qv, k=len(rows), nprobe=4, k_cells=4, m=4, K=4,
+        codebooks=cbs, centroids=cents).collect()}
+    want = {i: adc(v) for i, v in rows.items()}
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i] == pytest.approx(want[i], abs=1e-6)
+
+
+def test_residual_differs_from_plain_ivfpq(spark):
+    """The residual encoding must actually change distances vs
+    by_residual=False (same seeds, same probe set)."""
+    from distributedcodesearchengine_spark.operators.pq import (
+        ivfpq_residual_topk,
+        ivfpq_topk,
+    )
+
+    emb = _remb(spark)
+    dim = len(emb.first()["embedding"])
+    qv = [0.1] * dim
+    a = {r["vec_id"]: r["dist"] for r in ivfpq_topk(
+        emb, qv, k=20, nprobe=4, k_cells=4, m=4, K=4).collect()}
+    b = {r["vec_id"]: r["dist"] for r in ivfpq_residual_topk(
+        emb, qv, k=20, nprobe=4, k_cells=4, m=4, K=4).collect()}
+    assert a != b
+
+
+def test_residual_nprobe1_candidates_live_in_one_cell(spark):
+    from distributedcodesearchengine_spark.operators.pq import (
+        ivfpq_residual_topk,
+    )
+    from distributedcodesearchengine_spark.operators.similarity import (
+        ivf_cells,
+    )
+
+    emb = _remb(spark)
+    dim = len(emb.first()["embedding"])
+    qv = [0.1] * dim
+    got = [r["vec_id"] for r in ivfpq_residual_topk(
+        emb, qv, k=5, nprobe=1, k_cells=4, m=4, K=4).collect()]
+    cell_by = {r["vec_id"]: r["cell"]
+               for r in ivf_cells(emb, dim=dim, k=4).collect()}
+    assert len({cell_by[v] for v in got}) <= 1
+
+
+def test_residual_guards(spark):
+    import pytest
+
+    from distributedcodesearchengine_spark.operators.pq import (
+        ivfpq_residual_topk,
+    )
+
+    emb = _remb(spark)
+    dim = len(emb.first()["embedding"])
+    with pytest.raises(ValueError):
+        ivfpq_residual_topk(emb, [0.1] * dim, k=0)
+    with pytest.raises(ValueError):
+        ivfpq_residual_topk(emb, [0.1] * dim, nprobe=0)
