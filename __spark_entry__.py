@@ -936,6 +936,14 @@ def _registry():
         _tbl_op(tsr.events_cumulative_cardinality, "events"),
         tsr.events_cumulative_cardinality_sql(),
     )
+    # z-score anomaly lane over the hourly histogram: two-pass
+    # mean-centered variance as a calendar-bounded bucket-ordered
+    # fold; constant series -> z=0 (the normalize_01 degenerate rule)
+    reg["events_zscore_outliers"] = (
+        _tbl_op(partial(tsr.events_zscore_outliers, event_type="click",
+                        threshold=2.0), "events"),
+        tsr.events_zscore_outliers_sql("click", 2.0),
+    )
 
     # second ES-aggregation wave (appended at the END per the
     # registry-ordering rule): multi_terms (compound-key buckets,

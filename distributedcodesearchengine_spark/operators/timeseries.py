@@ -857,3 +857,115 @@ def events_cumulative_cardinality_sql() -> str:
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users "
         "FROM hist h LEFT JOIN np ON np.bucket = h.bucket ORDER BY h.bucket"
     )
+
+
+# --------------------------------------------------------------------------
+# z-score outlier buckets (date-histogram anomaly lane)
+# --------------------------------------------------------------------------
+
+
+def events_zscore_outliers(
+    events: DataFrame, event_type: str = "click", threshold: float = 2.0
+) -> DataFrame:
+    """(bucket, n_events, z, outlier) — the traffic-anomaly alarm a
+    crawl/ingest monitor runs over the hourly date-histogram (the
+    relational form of ES's bucket_selector-over-stats pattern):
+    z = (n - mean) / std over the bucket series, ``outlier`` = 1 when
+    |z| >= threshold.
+
+    Determinism: mean = exact integer sum / bucket count; variance is
+    the TWO-PASS mean-centered form sum((n-mean)^2 ORDER BY bucket) /
+    nb — an ordered fold over the CALENDAR-bounded series (never the
+    corpus; no n^2 integer overflow at any per-bucket count), spelled
+    as the same ordered sum on both engines. A constant series
+    (std = 0) reports z = 0.0 / no outliers instead of dividing by
+    zero (the normalize_01 degenerate rule).
+
+    Scale: one map-side-combinable histogram agg; both passes over
+    the bucket series are calendar-bounded; the stats ride a 1-row
+    broadcast."""
+    if not float(threshold) > 0:
+        raise ValueError(f"threshold must be > 0: {threshold!r}")
+    base = (
+        events.where(F.col("event_type") == event_type)
+        .groupBy(F.unix_timestamp(F.date_trunc("hour", "ts")).alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    st = base.agg(
+        F.count("*").cast("long").alias("nb"),
+        F.sum("n_events").cast("long").alias("s1"),
+    ).first()
+    nb = int(st["nb"] or 0)
+    if nb == 0:
+        return events.sparkSession.createDataFrame(
+            [], "bucket long, n_events long, z double, outlier int"
+        )
+    mean = float(st["s1"]) / nb
+    var_row = base.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "bucket",
+                        (
+                            (F.col("n_events").cast("double") - F.lit(mean))
+                            * (F.col("n_events").cast("double") - F.lit(mean))
+                        ).alias("sq"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["sq"],
+        ).alias("ssq")
+    ).first()
+    import math
+
+    var = float(var_row["ssq"]) / nb
+    std = math.sqrt(var)  # sqrt, never var**0.5 — pow(x, .5) is not
+    # guaranteed bit-identical to the engines' IEEE sqrt
+    if std > 0:
+        z = (F.col("n_events").cast("double") - F.lit(mean)) / F.lit(std)
+    else:
+        z = F.lit(0.0)
+    return (
+        base.select(
+            "bucket",
+            "n_events",
+            round6(z).alias("z"),
+            F.when(
+                F.abs(z) >= F.lit(float(threshold)), F.lit(1)
+            ).otherwise(F.lit(0)).cast("int").alias("outlier"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def events_zscore_outliers_sql(
+    event_type: str = "click", threshold: float = 2.0
+) -> str:
+    """DuckDB mirror of events_zscore_outliers: the identical two-pass
+    arithmetic — mean from the exact integer sum, variance as the
+    bucket-ordered mean-centered fold, sqrt at the 1-row stage."""
+    from ..functions.rounding import sql_double
+
+    et = event_type.replace("'", "''")
+    th = sql_double(float(threshold))
+    return (
+        "WITH base AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, "
+        "CAST(count(*) AS BIGINT) AS n_events FROM events "
+        f"WHERE event_type = '{et}' GROUP BY 1), "
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS nb, "
+        "CAST(sum(n_events) AS DOUBLE) / count(*) AS mean FROM base), "
+        "v AS (SELECT sum((CAST(n_events AS DOUBLE) - (SELECT mean FROM m)) * "
+        "(CAST(n_events AS DOUBLE) - (SELECT mean FROM m)) ORDER BY bucket) "
+        "/ (SELECT nb FROM m) AS var FROM base), "
+        "s AS (SELECT sqrt(var) AS std FROM v) "
+        "SELECT bucket, n_events, "
+        + "(floor((CASE WHEN (SELECT std FROM s) > 0 "
+        "THEN (CAST(n_events AS DOUBLE) - (SELECT mean FROM m)) / (SELECT std FROM s) "
+        "ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0) AS z, "
+        "CAST(CASE WHEN abs(CASE WHEN (SELECT std FROM s) > 0 "
+        "THEN (CAST(n_events AS DOUBLE) - (SELECT mean FROM m)) / (SELECT std FROM s) "
+        f"ELSE 0.0 END) >= {th} THEN 1 ELSE 0 END AS INT) AS outlier "
+        "FROM base ORDER BY bucket"
+    )

@@ -313,3 +313,74 @@ def test_cumulative_cardinality_layout_independent(spark):
     ).collect()
     assert a == b
     assert a[-1].cum_users == 7
+
+
+# --- z-score outlier buckets -------------------------------------------------
+
+
+def test_zscore_outliers_hand_computed(spark):
+    import datetime as dt
+    import math
+
+    import pytest
+
+    from distributedcodesearchengine_spark.operators.timeseries import (
+        events_zscore_outliers,
+    )
+
+    # counts per hour: [2, 2, 2, 14] -> mean 5, var ((9+9+9+81)/4)=27
+    counts = [2, 2, 2, 14]
+    rows = []
+    eid = 0
+    for h, c in enumerate(counts):
+        for j in range(c):
+            rows.append((eid, dt.datetime(2024, 1, 1, h, j), 1, "click", 1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = events_zscore_outliers(ev, "click", threshold=1.5).collect()
+    mean, var = 5.0, 27.0
+    std = math.sqrt(var)
+    for r, c in zip(out, counts):
+        assert r["z"] == pytest.approx((c - mean) / std, abs=1e-6)
+    assert [r["outlier"] for r in out] == [0, 0, 0, 1]
+
+
+def test_zscore_constant_series_no_outliers(spark):
+    import datetime as dt
+
+    from distributedcodesearchengine_spark.operators.timeseries import (
+        events_zscore_outliers,
+    )
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, i % 3, i // 3), 1, "click", 1.0, "{}")
+        for i in range(9)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = events_zscore_outliers(ev, "click").collect()
+    assert all(r["z"] == 0.0 and r["outlier"] == 0 for r in out)
+
+
+def test_zscore_empty_and_guard(spark):
+    import pytest
+
+    from distributedcodesearchengine_spark.operators.timeseries import (
+        events_zscore_outliers,
+    )
+
+    ev = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    assert events_zscore_outliers(ev, "click").count() == 0
+    with pytest.raises(ValueError):
+        events_zscore_outliers(ev, "click", threshold=0.0)
