@@ -944,6 +944,15 @@ def _registry():
                         threshold=2.0), "events"),
         tsr.events_zscore_outliers_sql("click", 2.0),
     )
+    # the ES variable_width_histogram as deterministic fixed-iteration
+    # weighted 1-D k-means over the (cent, n) VALUE distribution —
+    # ES's own streaming heuristic is shard-order-dependent; the
+    # DuckDB mirror unrolls the same iterations as MATERIALIZED CTEs
+    reg["events_varwidth_histogram"] = (
+        _tbl_op(partial(tsr.events_variable_width_histogram,
+                        event_type="click", k=4, iters=4), "events"),
+        tsr.events_variable_width_histogram_sql("click", k=4, iters=4),
+    )
 
     # second ES-aggregation wave (appended at the END per the
     # registry-ordering rule): multi_terms (compound-key buckets,

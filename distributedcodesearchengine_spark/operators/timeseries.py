@@ -969,3 +969,196 @@ def events_zscore_outliers_sql(
         f"ELSE 0.0 END) >= {th} THEN 1 ELSE 0 END AS INT) AS outlier "
         "FROM base ORDER BY bucket"
     )
+
+
+# --------------------------------------------------------------------------
+# variable_width_histogram (deterministic 1-D k-means buckets)
+# --------------------------------------------------------------------------
+
+
+def events_variable_width_histogram(
+    events: DataFrame, event_type: str = "click", k: int = 4, iters: int = 4
+) -> DataFrame:
+    """(bucket, key, min_val, max_val, n_events) — the ES
+    ``variable_width_histogram``: k buckets whose widths adapt to the
+    value distribution. ES's implementation is a shard-order-dependent
+    streaming heuristic no relational engine can reproduce; ours is
+    the deterministic equivalent — fixed-iteration weighted Lloyd's
+    k-means (the pagerank/BPE fixed-iteration precedent) over the
+    VALUE DISTRIBUTION, not the corpus:
+
+    - values quantize to integer cents (floor(v*100 + 0.5), the round6
+      arithmetic — identical on both engines) and the whole algorithm
+      runs on the (cent, n) weighted relation, so every iteration is
+      one map-side-combinable groupBy bounded by the distinct-value
+      cardinality, never corpus-sized;
+    - init: k centroids evenly spaced over [min, max] (exact integer
+      extremes, one 1-row agg);
+    - assign: first-min argmin |c - cent_j| (ties -> lowest j);
+      update: new cent = exact Σ(c·n) / Σ(n) (two BIGINTs, one
+      division); an empty cluster keeps its previous centroid;
+    - output: per surviving cluster, centroid key, min/max value
+      (display cents/100) and count, ordered by key.
+
+    The k-row centroid state moves driver<->cluster per iteration
+    (the trained-centroid seam's shape at k rows); the DuckDB mirror
+    unrolls the same iterations as MATERIALIZED CTEs."""
+    if int(k) < 2:
+        raise ValueError(f"k must be >= 2: {k!r}")
+    if int(iters) < 1:
+        raise ValueError(f"iters must be >= 1: {iters!r}")
+    spark = events.sparkSession
+    out = (
+        "bucket int, key double, min_val double, max_val double, "
+        "n_events long"
+    )
+    dist = (
+        events.where(F.col("event_type") == event_type)
+        .select(
+            F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("c")
+        )
+        .groupBy("c")
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    st = dist.agg(
+        F.min("c").alias("mn"), F.max("c").alias("mx"), F.count("*").alias("nv")
+    ).first()
+    if not st["nv"]:
+        return spark.createDataFrame([], out)
+    mn, mx = int(st["mn"]), int(st["mx"])
+    span = float(mx - mn)
+    cents = [float(mn) + (j + 0.5) * (span / int(k)) for j in range(int(k))]
+
+    cd = F.col("c").cast("double")
+    for _ in range(int(iters)):
+        darr = F.array(*[F.abs(cd - F.lit(c)) for c in cents])
+        assign = (F.array_position(darr, F.array_min(darr)) - F.lit(1)).cast(
+            "int"
+        )
+        rows = (
+            dist.withColumn("j", assign)
+            .groupBy("j")
+            .agg(
+                F.sum(F.col("c") * F.col("n")).cast("long").alias("s"),
+                F.sum("n").cast("long").alias("w"),
+            )
+            .collect()
+        )
+        by = {int(r["j"]): r for r in rows}
+        cents = [
+            (float(by[j]["s"]) / float(by[j]["w"]))
+            if j in by and by[j]["w"]
+            else cents[j]
+            for j in range(int(k))
+        ]
+
+    darr = F.array(*[F.abs(cd - F.lit(c)) for c in cents])
+    assign = (F.array_position(darr, F.array_min(darr)) - F.lit(1)).cast("int")
+    key_arr = F.array(*[F.lit(c) for c in cents])
+    agg = (
+        dist.withColumn("j", assign)
+        .groupBy("j")
+        .agg(
+            F.min("c").alias("cmin"),
+            F.max("c").alias("cmax"),
+            F.sum("n").cast("long").alias("n_events"),
+        )
+        .withColumn("key", F.element_at(key_arr, F.col("j") + F.lit(1)))
+    )
+    w = Window.orderBy(F.asc("key"), F.asc("j"))
+    return (
+        agg.withColumn("bucket", F.row_number().over(w))
+        .select(
+            "bucket",
+            round6(F.col("key") / F.lit(100.0)).alias("key"),
+            round6(F.col("cmin").cast("double") / F.lit(100.0)).alias("min_val"),
+            round6(F.col("cmax").cast("double") / F.lit(100.0)).alias("max_val"),
+            "n_events",
+        )
+        .orderBy("bucket")
+    )
+
+
+def events_variable_width_histogram_sql(
+    event_type: str = "click", k: int = 4, iters: int = 4
+) -> str:
+    """DuckDB mirror of events_variable_width_histogram: the identical
+    init / first-min assign / exact-integer mean update unrolled as
+    MATERIALIZED CTE pairs (the pagerank CTE-inlining lesson), with a
+    j-spine + coalesce keeping every level k rows so an empty cluster
+    falls back to its previous centroid without expression blowup."""
+    if int(k) < 2:
+        raise ValueError(f"k must be >= 2: {k!r}")
+    if int(iters) < 1:
+        raise ValueError(f"iters must be >= 1: {iters!r}")
+    et = event_type.replace("'", "''")
+    kk = int(k)
+
+    def cent_ref(level: int, j: int) -> str:
+        return f"(SELECT cent FROM c{level} WHERE j = {j})"
+
+    def assign_case(level: int) -> str:
+        ds = [
+            f"abs(CAST(c AS DOUBLE) - {cent_ref(level, j)})" for j in range(kk)
+        ]
+        whens = []
+        for j in range(kk - 1):
+            conds = " AND ".join(
+                f"{ds[j]} <= {ds[i]}" for i in range(j + 1, kk)
+            )
+            whens.append(f"WHEN {conds} THEN {j}")
+        return "CASE " + " ".join(whens) + f" ELSE {kk - 1} END"
+
+    parts = [
+        "base AS MATERIALIZED (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c, "
+        "CAST(count(*) AS BIGINT) AS n FROM events "
+        f"WHERE event_type = '{et}' GROUP BY 1)",
+        "st AS (SELECT min(c) AS mn, max(c) AS mx FROM base)",
+        "jspine AS (SELECT unnest(generate_series(0, "
+        f"{kk - 1})) AS j)",
+        "c0 AS MATERIALIZED (SELECT j, CAST((SELECT mn FROM st) AS DOUBLE) + "
+        "(j + 0.5e0) * (CAST((SELECT mx FROM st) - (SELECT mn FROM st) "
+        f"AS DOUBLE) / {kk}) AS cent FROM jspine)",
+    ]
+    for t in range(1, int(iters) + 1):
+        parts.append(
+            f"a{t} AS MATERIALIZED (SELECT c, n, {assign_case(t - 1)} AS j "
+            "FROM base)"
+        )
+        parts.append(
+            f"c{t} AS MATERIALIZED (SELECT js.j, coalesce("
+            "CAST(ag.s AS DOUBLE) / CAST(ag.w AS DOUBLE), prev.cent) AS cent "
+            "FROM jspine js "
+            f"LEFT JOIN (SELECT j, sum(c * n) AS s, sum(n) AS w FROM a{t} "
+            "GROUP BY j) ag ON ag.j = js.j AND ag.w > 0 "
+            f"LEFT JOIN c{t - 1} prev ON prev.j = js.j)"
+        )
+    fin = int(iters)
+    parts.append(
+        f"af AS MATERIALIZED (SELECT c, n, {assign_case(fin)} AS j FROM base)"
+    )
+    parts.append(
+        "agg AS (SELECT af.j, min(c) AS cmin, max(c) AS cmax, "
+        "CAST(sum(n) AS BIGINT) AS n_events FROM af GROUP BY af.j)"
+    )
+    r6 = "(floor(({x}) * 1000000.0 + 0.5) / 1000000.0)"
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + ", fin AS (SELECT agg.*, c"
+        + str(fin)
+        + ".cent AS key FROM agg JOIN c"
+        + str(fin)
+        + " ON c"
+        + str(fin)
+        + ".j = agg.j) "
+        "SELECT CAST(row_number() OVER (ORDER BY key ASC, j ASC) AS INT) AS bucket, "
+        + r6.format(x="key / 100.0")
+        + " AS key, "
+        + r6.format(x="CAST(cmin AS DOUBLE) / 100.0")
+        + " AS min_val, "
+        + r6.format(x="CAST(cmax AS DOUBLE) / 100.0")
+        + " AS max_val, n_events "
+        "FROM fin ORDER BY bucket"
+    )

@@ -384,3 +384,108 @@ def test_zscore_empty_and_guard(spark):
     assert events_zscore_outliers(ev, "click").count() == 0
     with pytest.raises(ValueError):
         events_zscore_outliers(ev, "click", threshold=0.0)
+
+
+# --- variable_width_histogram ------------------------------------------------
+
+
+def _vw_events(spark, values, et="click"):
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, 0, i % 60), 1, et, float(v), "{}")
+        for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_varwidth_separates_two_clusters(spark):
+    from distributedcodesearchengine_spark.operators.timeseries import (
+        events_variable_width_histogram,
+    )
+
+    # two tight groups far apart -> k=2 lands one bucket on each
+    vals = [1.0, 1.1, 1.2, 0.9, 100.0, 100.2, 99.8]
+    out = events_variable_width_histogram(
+        _vw_events(spark, vals), "click", k=2, iters=4
+    ).collect()
+    assert len(out) == 2
+    a, b = out
+    assert a["n_events"] == 4 and b["n_events"] == 3
+    assert a["max_val"] <= 1.2 and b["min_val"] >= 99.8
+    # centroid keys are the exact weighted means of each group (cents)
+    import pytest
+
+    assert a["key"] == pytest.approx((90 + 110 + 120 + 100) / 4 / 100.0, abs=1e-6)
+    assert b["key"] == pytest.approx((10000 + 10020 + 9980) / 3 / 100.0, abs=1e-6)
+
+
+def test_varwidth_python_replication(spark):
+    import pytest
+
+    from distributedcodesearchengine_spark.operators.timeseries import (
+        events_variable_width_histogram,
+    )
+
+    vals = [float(x) for x in (3, 7, 9, 15, 21, 22, 40, 41, 42, 80)]
+    k, iters = 3, 4
+    out = events_variable_width_histogram(
+        _vw_events(spark, vals), "click", k=k, iters=iters
+    ).collect()
+
+    # pure-Python replication of the documented algorithm (on cents)
+    import math
+
+    cs = [int(math.floor(v * 100.0 + 0.5)) for v in vals]
+    from collections import Counter
+
+    distc = Counter(cs)
+    mn, mx = min(distc), max(distc)
+    span = float(mx - mn)
+    cents = [float(mn) + (j + 0.5) * (span / k) for j in range(k)]
+    for _ in range(iters):
+        s = [0] * k
+        w = [0] * k
+        for c, n in distc.items():
+            ds = [abs(float(c) - ct) for ct in cents]
+            j = ds.index(min(ds))
+            s[j] += c * n
+            w[j] += n
+        cents = [float(s[j]) / float(w[j]) if w[j] else cents[j]
+                 for j in range(k)]
+    groups = {}
+    for c, n in distc.items():
+        ds = [abs(float(c) - ct) for ct in cents]
+        j = ds.index(min(ds))
+        g = groups.setdefault(j, [0, None, None])
+        g[0] += n
+        g[1] = c if g[1] is None else min(g[1], c)
+        g[2] = c if g[2] is None else max(g[2], c)
+    want = sorted(
+        (cents[j] / 100.0, g[1] / 100.0, g[2] / 100.0, g[0])
+        for j, g in groups.items()
+    )
+    got = [(r["key"], r["min_val"], r["max_val"], r["n_events"]) for r in out]
+    assert len(got) == len(want)
+    for g, wnt in zip(got, want):
+        assert g[0] == pytest.approx(wnt[0], abs=1e-6)
+        assert g[1:] == pytest.approx(wnt[1:], abs=1e-6)
+
+
+def test_varwidth_guards_and_empty(spark):
+    import pytest
+
+    from distributedcodesearchengine_spark.operators.timeseries import (
+        events_variable_width_histogram,
+    )
+
+    ev = _vw_events(spark, [1.0], et="view")
+    assert events_variable_width_histogram(ev, "click", k=2).count() == 0
+    with pytest.raises(ValueError):
+        events_variable_width_histogram(ev, "click", k=1)
+    with pytest.raises(ValueError):
+        events_variable_width_histogram(ev, "click", iters=0)
