@@ -596,6 +596,73 @@ class SearchEngine:
         return bm25_random_topk(self.index, query, seed=str(seed),
                                 k=int(limit))
 
+    VALID_SIMILARITIES = ("lmd", "lmjm", "dfr", "ib")
+
+    def similarity_search(
+        self, query: str, model: str = "dfr", limit: int = 10,
+        lang: str | None = None, site: str | None = None,
+        source: str | None = None,
+    ) -> DataFrame:
+        """Top-k under a non-Okapi similarity (the Lucene similarity
+        module as a SERVING surface): lmd / lmjm (language models),
+        dfr (InL2), ib (LL-DF-H2) — all on the score_matched
+        contribution seam, sharing the threshold/degenerate/tie-break
+        chain with the BM25 paths. Unknown model raises (F8)."""
+        if model not in self.VALID_SIMILARITIES:
+            raise ValueError(
+                f"unknown similarity {model!r}; valid: {self.VALID_SIMILARITIES}"
+            )
+        from .operators.scorer import dfr_topk, ib_topk, lmd_topk, lmjm_topk
+
+        fn = {"lmd": lmd_topk, "lmjm": lmjm_topk, "dfr": dfr_topk,
+              "ib": ib_topk}[model]
+        filters = {}
+        if lang:
+            filters["lang"] = lang
+        if site:
+            filters["site"] = site
+        if source:
+            filters["source"] = source
+        return fn(self.index, query, k=int(limit), filters=filters or None)
+
+    def autocomplete(self, text: str, limit: int = 10) -> DataFrame:
+        """Search-as-you-type completion over the served corpus
+        (operators/snippets.completion_suggest): bigram continuation
+        of 'context prefix*' (or ctf-ranked unigram for a single
+        token)."""
+        from .operators.snippets import completion_suggest
+
+        return completion_suggest(self.index.docs, text, k=int(limit))
+
+    def distance_search(
+        self, query: str, lat: float, lon: float,
+        pivot_km: float = 1000.0, boost: float = 5.0, limit: int = 10,
+    ) -> DataFrame:
+        """BM25 + the ES distance_feature reciprocal-saturation
+        geo-proximity boost (operators/geo.bm25_distance_feature_topk)
+        over the derived positions."""
+        from .operators.geo import bm25_distance_feature_topk
+
+        return bm25_distance_feature_topk(
+            self.index, query, float(lat), float(lon),
+            pivot_km=float(pivot_km), boost=float(boost), k=int(limit),
+        )
+
+    def rank_feature_search(
+        self, query: str, col: str = "doc_len",
+        function: str = "saturation", pivot: float = 40.0,
+        boost: float = 2.0, exponent: float = 2.0, limit: int = 10,
+    ) -> DataFrame:
+        """BM25 + the ES rank_feature additive boost
+        (operators/decay.bm25_rank_feature_topk)."""
+        from .operators.decay import bm25_rank_feature_topk
+
+        return bm25_rank_feature_topk(
+            self.index, query, col=col, function=function,
+            pivot=float(pivot), boost=float(boost),
+            exponent=float(exponent), k=int(limit),
+        )
+
     def term_vectors(self, doc_id: int) -> DataFrame:
         """Per-document term vector with corpus df
         (operators/termvectors.term_vectors — the ES _termvectors

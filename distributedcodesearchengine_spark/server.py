@@ -420,6 +420,16 @@ def make_handler(engine, stats_fn, index_manager=None):
                             "GET /rerank": "two-stage cross-encoder rerank",
                             "GET /explain": "per-term score breakdown",
                             "GET /suggest": "term autocomplete",
+                            "GET /autocomplete": "search-as-you-type "
+                            "bigram/ctf completion of the typed text",
+                            "GET /similarity": "top-k under a non-Okapi "
+                            "similarity: model=lmd|lmjm|dfr|ib",
+                            "GET /distance_search": "BM25 + "
+                            "distance_feature geo-proximity boost "
+                            "(lat=, lon=, pivot_km=, boost=)",
+                            "GET /rank_feature": "BM25 + rank_feature "
+                            "additive boost (function=saturation|log|"
+                            "sigmoid, pivot=, boost=)",
                             "GET /facets": "facet counts for a query",
                             "GET /histogram": "numeric-bucket histogram "
                             "over the query's kept set",
@@ -541,6 +551,57 @@ def make_handler(engine, stats_fn, index_manager=None):
                             {"term": r["term"], "df": r["df"]} for r in rows
                         ]},
                     )
+                if url.path == "/similarity":
+                    if "q" not in q:
+                        return self._send(400, {"error": "q parameter required"})
+                    res = engine.similarity_search(
+                        q["q"], model=q.get("model", "dfr"),
+                        limit=int(q.get("limit", 10)),
+                        lang=q.get("lang"), site=q.get("site"),
+                        source=q.get("source"),
+                    )
+                    rows = [r.asDict() for r in res.collect()]
+                    return self._send(200, {
+                        "query": q["q"], "model": q.get("model", "dfr"),
+                        "results": rows,
+                    })
+                if url.path == "/autocomplete":
+                    if "q" not in q:
+                        return self._send(400, {"error": "q parameter required"})
+                    rows = engine.autocomplete(
+                        q["q"], limit=int(q.get("limit", 10))
+                    ).collect()
+                    return self._send(200, {"suggestions": [
+                        {"text": r["suggestion"], "count": r["cnt"]}
+                        for r in rows
+                    ]})
+                if url.path == "/distance_search":
+                    for p in ("q", "lat", "lon"):
+                        if p not in q:
+                            return self._send(
+                                400, {"error": f"{p} parameter required"}
+                            )
+                    res = engine.distance_search(
+                        q["q"], float(q["lat"]), float(q["lon"]),
+                        pivot_km=float(q.get("pivot_km", 1000.0)),
+                        boost=float(q.get("boost", 5.0)),
+                        limit=int(q.get("limit", 10)),
+                    )
+                    rows = [r.asDict() for r in res.collect()]
+                    return self._send(200, {"query": q["q"], "results": rows})
+                if url.path == "/rank_feature":
+                    if "q" not in q:
+                        return self._send(400, {"error": "q parameter required"})
+                    res = engine.rank_feature_search(
+                        q["q"], col=q.get("col", "doc_len"),
+                        function=q.get("function", "saturation"),
+                        pivot=float(q.get("pivot", 40.0)),
+                        boost=float(q.get("boost", 2.0)),
+                        exponent=float(q.get("exponent", 2.0)),
+                        limit=int(q.get("limit", 10)),
+                    )
+                    rows = [r.asDict() for r in res.collect()]
+                    return self._send(200, {"query": q["q"], "results": rows})
                 if url.path == "/facets":
                     if "q" not in q:
                         return self._send(400, {"error": "missing q"})

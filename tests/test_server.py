@@ -1002,3 +1002,86 @@ def test_search_sort_param(srv):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(srv, "/search", q="x", sort="doc_len", offset=10)
     assert ei.value.code == 400
+
+
+# --- similarity / autocomplete / distance_feature / rank_feature surfaces ----
+
+
+def test_similarity_endpoint_models_and_400(srv):
+    import urllib.error
+
+    for model in ("lmd", "lmjm", "dfr", "ib"):
+        code, body = _get(srv, "/similarity", q="parse json", model=model)
+        assert code == 200 and body["model"] == model
+        assert len(body["results"]) > 0
+        r1 = body["results"][0]
+        assert {"rank", "doc_id", "url", "score"} <= set(r1)
+        assert r1["score"] > 0
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(srv, "/similarity", q="parse", model="bm42")
+    assert e.value.code == 400
+    assert "bm42" in json.loads(e.value.read())["error"]
+    with pytest.raises(urllib.error.HTTPError) as e2:
+        _get(srv, "/similarity")
+    assert e2.value.code == 400
+
+
+def test_similarity_models_disagree(srv):
+    """The four similarities must not all produce the same ranking on
+    a multi-term query — pins that model= actually switches scorers."""
+    ranks = {}
+    for model in ("lmd", "lmjm", "dfr", "ib"):
+        _, body = _get(srv, "/similarity", q="parse json data", model=model,
+                       limit=10)
+        ranks[model] = tuple(r["doc_id"] for r in body["results"])
+    assert len(set(ranks.values())) >= 2
+
+
+def test_autocomplete_endpoint(srv):
+    code, body = _get(srv, "/autocomplete", q="parse js")
+    assert code == 200
+    sugg = body["suggestions"]
+    assert all(s["text"].startswith("parse js") for s in sugg)
+    counts = [s["count"] for s in sugg]
+    assert counts == sorted(counts, reverse=True) or len(counts) <= 1
+    # unigram branch
+    code, body = _get(srv, "/autocomplete", q="pars")
+    assert code == 200
+    assert all(s["text"].startswith("pars") for s in body["suggestions"])
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError):
+        _get(srv, "/autocomplete")
+
+
+def test_distance_search_endpoint(srv):
+    code, body = _get(srv, "/distance_search", q="parse json",
+                      lat=40.0, lon=-74.0)
+    assert code == 200
+    rows = body["results"]
+    assert rows and {"rank", "doc_id", "base", "dist_km", "score"} <= set(rows[0])
+    for r in rows:
+        assert r["score"] >= r["base"]
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(srv, "/distance_search", q="parse")  # missing lat/lon
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e2:
+        _get(srv, "/distance_search", q="parse", lat=0.0, lon=0.0, pivot_km=0)
+    assert e2.value.code == 400
+
+
+def test_rank_feature_endpoint(srv):
+    code, body = _get(srv, "/rank_feature", q="parse json",
+                      function="saturation", pivot=40.0, boost=2.0)
+    assert code == 200
+    rows = body["results"]
+    assert rows and all(r["score"] >= r["base"] for r in rows)
+    for r in rows:
+        assert 0.0 <= r["feat"] <= 1.0
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(srv, "/rank_feature", q="parse", function="nope")
+    assert e.value.code == 400
