@@ -1346,6 +1346,15 @@ def _registry():
                 "embeddings"),
         pqm.ivfpq_residual_topk_sql(_qv, k=10, nprobe=4),
     )
+    # ANN recall@k harness — the retrieval_eval analog for the vector
+    # family: IVF tier vs exact brute cosine, integer hit counts
+    _ANN_QVS = [mock_embed_text(w, 64)
+                for w in ("distributed table scan", "dup row", "web page")]
+    reg["ann_recall"] = (
+        _tbl_op(partial(sim.ann_recall, qvecs=_ANN_QVS, k=10, nprobe=2),
+                "embeddings"),
+        sim.ann_recall_sql(_ANN_QVS, k=10, nprobe=2),
+    )
 
     # the FAISS IndexRefineFlat / ScaNN-reordering serving pattern:
     # compressed ADC scan cuts refine*k candidates, exact squared-L2

@@ -1174,3 +1174,117 @@ def embedding_drift_sql(old_src: str, new_src: str) -> str:
         f"{round6_sql('dot / (sqrt(na) * sqrt(nb))')} AS cos_means, "
         f"{round6_sql('sqrt(dd)')} AS l2_shift FROM s CROSS JOIN cnt"
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall harness (offline quality gate for the approximate tiers)
+# ---------------------------------------------------------------------------
+
+
+def ann_recall(
+    embeddings: DataFrame,
+    qvecs,
+    k: int = 10,
+    nprobe: int = 2,
+    k_cells: int = N_IVF_CELLS,
+    centroids: List[List[float]] | None = None,
+) -> DataFrame:
+    """(q_idx, k, hits, recall) — recall@k of the IVF-probed tier
+    against the exact brute-force cosine ranking, per query: the
+    offline quality gate an ANN deployment runs before changing
+    nprobe / k_cells / centroids (the retrieval_eval analog for the
+    vector family — FAISS benchmarks report exactly this number).
+
+    Both rankings cut with the same (score desc, vec_id asc) total
+    order and the identical cosine spelling, so the two id sets — and
+    therefore the integer hit count — are deterministic cross-engine;
+    recall = hits / k is the single division.
+
+    Scale: per query, one full scan (the exact baseline is the point
+    — run it on a sampled slice in production) + one nprobe-pruned
+    scan, both TakeOrdered; the m-row result assembles driver-side."""
+    if int(k) < 1 or int(nprobe) < 1:
+        raise ValueError(f"k and nprobe must be >= 1: k={k} nprobe={nprobe}")
+    if not qvecs:
+        raise ValueError("need >= 1 query vectors")
+    from ..functions.embed import cosine_topk
+
+    spark = embeddings.sparkSession
+    rows = []
+    for qi, qv in enumerate(qvecs):
+        exact = {
+            r["vec_id"]
+            for r in cosine_topk(embeddings, qv, int(k)).collect()
+        }
+        approx = {
+            r["vec_id"]
+            for r in ivf_topk(
+                embeddings, qv, topk=int(k), nprobe=int(nprobe),
+                dim=len(qv), k_cells=k_cells, centroids=centroids,
+            ).collect()
+        }
+        hits = len(exact & approx)
+        rows.append((qi, int(k), hits, float(hits) / int(k)))
+    return spark.createDataFrame(
+        rows, "q_idx int, k int, hits long, recall double"
+    )
+
+
+def ann_recall_sql(
+    qvecs,
+    k: int = 10,
+    nprobe: int = 2,
+    k_cells: int = N_IVF_CELLS,
+    centroids: List[List[float]] | None = None,
+) -> str:
+    """DuckDB mirror of ann_recall: per query, the exact top-k CTE and
+    the probed-cells top-k CTE (identical cosine spelling and (score
+    desc, vec_id asc) cuts), then the integer intersection count."""
+    import math
+
+    if int(k) < 1 or int(nprobe) < 1:
+        raise ValueError(f"k and nprobe must be >= 1: k={k} nprobe={nprobe}")
+    if not qvecs:
+        raise ValueError("need >= 1 query vectors")
+    dim = len(qvecs[0])
+    cents = centroids if centroids is not None else ivf_centroids(dim, k_cells)
+    parts = [_cell_sql(len(cents), dim, cents)]
+    selects = []
+    for qi, qv in enumerate(qvecs):
+        q = [float(x) for x in qv]
+        qdots = [sum(a * b for a, b in zip(q, c)) for c in cents]
+        probe = sorted(range(len(cents)), key=lambda i: (-qdots[i], i))[
+            : int(nprobe)
+        ]
+        qnorm = math.sqrt(sum(x * x for x in q))
+        v = "[" + ", ".join(sql_double(x) for x in q) + "]::DOUBLE[]"
+        cos = (
+            f"list_dot_product(embedding::DOUBLE[], {v}) / "
+            "(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) "
+            f"* {sql_double(qnorm)})"
+        )
+        plist = ", ".join(str(int(p)) for p in probe)
+        parts.append(
+            f"ex{qi} AS (SELECT vec_id FROM (SELECT vec_id, {cos} AS score "
+            "FROM embeddings) s "
+            f"ORDER BY score DESC, vec_id ASC LIMIT {int(k)})"
+        )
+        parts.append(
+            f"iv{qi} AS (SELECT vec_id FROM (SELECT vec_id, {cos} AS score "
+            f"FROM embeddings WHERE vec_id IN "
+            f"(SELECT vec_id FROM cells WHERE cell IN ({plist}))) s "
+            f"ORDER BY score DESC, vec_id ASC LIMIT {int(k)})"
+        )
+        parts.append(
+            f"h{qi} AS (SELECT CAST(count(*) AS BIGINT) AS hits FROM iv{qi} "
+            f"WHERE vec_id IN (SELECT vec_id FROM ex{qi}))"
+        )
+        selects.append(
+            f"SELECT {qi} AS q_idx, {int(k)} AS k, (SELECT hits FROM h{qi}) AS hits, "
+            f"CAST((SELECT hits FROM h{qi}) AS DOUBLE) / {int(k)} AS recall"
+        )
+    return (
+        "WITH " + ", ".join(parts) + " "
+        + " UNION ALL ".join(selects)
+        + " ORDER BY q_idx"
+    )
