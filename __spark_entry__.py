@@ -1650,6 +1650,12 @@ def _registry():
     # word/sentence/vowel-group counts (text_complexity's regexp lane)
     # summed map-side-combinably; the formula runs once per lang row
     reg["readability"] = (_tbl_op(ts.readability), ts.readability_sql())
+    # tokenizer fertility per language (chars/token, bytes/token over
+    # the BPE-regex lane) — the tokenizer-efficiency metric an LLM
+    # pipeline tracks; exact integer sums, two per-lang divisions
+    reg["tokenizer_fertility"] = (
+        _tbl_op(ts.tokenizer_fertility), ts.tokenizer_fertility_sql(),
+    )
 
     reg["ip_range_buckets"] = (
         _tbl_op(ipt.ip_range_buckets),

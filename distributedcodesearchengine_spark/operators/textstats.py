@@ -1222,3 +1222,67 @@ def readability_sql() -> str:
         f"{round6_sql(f'CASE WHEN n_words = 0 THEN 0.0 ELSE {fk} END')} AS fk_grade "
         "FROM agg ORDER BY lang"
     )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer fertility (chars/token, bytes/token per language)
+# ---------------------------------------------------------------------------
+
+
+def tokenizer_fertility(documents: DataFrame) -> DataFrame:
+    """(lang, n_docs, n_chars, n_bytes, n_tokens, chars_per_token,
+    bytes_per_token) — tokenizer-efficiency stats per language, the
+    metric an LLM pipeline tracks when choosing/retraining a tokenizer
+    (fertility: how many tokens a language pays per unit of text;
+    high-fertility languages are underserved by the vocab). Tokens are
+    the BPE-ish regex lane (token_counts' bpe_tokens); chars/bytes are
+    exact integer sums (length vs octet_length — they diverge on
+    multi-byte text, which is the point of reporting both). The two
+    divisions run once per lang row; an all-empty lang reports 0.0.
+
+    Scale: one scan, per-row integer expressions in codegen, one tiny
+    groupBy(lang)."""
+    per = documents.select(
+        "lang",
+        F.length("text").cast("long").alias("ch"),
+        F.octet_length("text").cast("long").alias("by"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_REGEX), F.lit(0)))
+        .cast("long")
+        .alias("tk"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("ch").cast("long").alias("n_chars"),
+        F.sum("by").cast("long").alias("n_bytes"),
+        F.sum("tk").cast("long").alias("n_tokens"),
+    )
+    zero = F.col("n_tokens") == 0
+    cpt = F.col("n_chars").cast("double") / F.col("n_tokens").cast("double")
+    bpt = F.col("n_bytes").cast("double") / F.col("n_tokens").cast("double")
+    return agg.select(
+        "lang", "n_docs", "n_chars", "n_bytes", "n_tokens",
+        round6(F.when(zero, F.lit(0.0)).otherwise(cpt)).alias("chars_per_token"),
+        round6(F.when(zero, F.lit(0.0)).otherwise(bpt)).alias("bytes_per_token"),
+    ).orderBy("lang")
+
+
+def tokenizer_fertility_sql() -> str:
+    """DuckDB mirror of tokenizer_fertility (octet_length == strlen on
+    DuckDB's UTF-8 storage; length() is character count on both)."""
+    return (
+        "WITH per AS (SELECT lang, CAST(length(text) AS BIGINT) AS ch, "
+        "CAST(octet_length(text::BLOB) AS BIGINT) AS by, "
+        f"CAST(len(regexp_extract_all(text, '{BPE_REGEX}')) AS BIGINT) AS tk "
+        "FROM documents), "
+        "agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(ch) AS BIGINT) AS n_chars, CAST(sum(by) AS BIGINT) AS n_bytes, "
+        "CAST(sum(tk) AS BIGINT) AS n_tokens FROM per GROUP BY lang) "
+        "SELECT lang, n_docs, n_chars, n_bytes, n_tokens, "
+        + "(floor((CASE WHEN n_tokens = 0 THEN 0.0 ELSE "
+        "CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) END) * 1000000.0 + 0.5) "
+        "/ 1000000.0) AS chars_per_token, "
+        "(floor((CASE WHEN n_tokens = 0 THEN 0.0 ELSE "
+        "CAST(n_bytes AS DOUBLE) / CAST(n_tokens AS DOUBLE) END) * 1000000.0 + 0.5) "
+        "/ 1000000.0) AS bytes_per_token "
+        "FROM agg ORDER BY lang"
+    )

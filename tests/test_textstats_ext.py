@@ -93,3 +93,40 @@ def test_ws_split_does_not_eat_x0B_letters(spark):
     # readability words use the same lane
     r = readability(docs).collect()[0]
     assert r["n_words"] == 2 + 3 + 3
+
+
+# --- tokenizer fertility -----------------------------------------------------
+
+
+def test_tokenizer_fertility_hand_computed(spark):
+    import pytest
+
+    from distributedcodesearchengine_spark.operators.textstats import (
+        tokenizer_fertility,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hello world", "en"),       # 2 tokens, 11 chars, 11 bytes
+            (1, "naïve café", "fr"),        # 2 tokens, 10 chars, 12 bytes
+            (2, "", "empty"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["lang"]: r for r in tokenizer_fertility(docs).collect()}
+    en = out["en"]
+    assert (en["n_chars"], en["n_bytes"], en["n_tokens"]) == (11, 11, 2)
+    assert en["chars_per_token"] == pytest.approx(5.5, abs=1e-6)
+    fr = out["fr"]
+    # ï and é are 2 UTF-8 bytes each -> bytes > chars; the ASCII BPE
+    # regex splits them out as their own tokens ("na|ï|ve", "caf|é")
+    # -> 5 tokens: exactly the fertility penalty the metric surfaces
+    assert fr["n_chars"] == 10 and fr["n_bytes"] == 12
+    assert fr["n_tokens"] == 5
+    assert fr["bytes_per_token"] == pytest.approx(12 / 5, abs=1e-6)
+    assert fr["bytes_per_token"] > fr["chars_per_token"]
+    # fr pays more tokens per char than en under the ASCII-centric
+    # tokenizer — the underserved-language signal
+    assert fr["chars_per_token"] < en["chars_per_token"]
+    emp = out["empty"]
+    assert emp["n_tokens"] == 0 and emp["chars_per_token"] == 0.0
