@@ -953,6 +953,14 @@ def _registry():
                         event_type="click", k=4, iters=4), "events"),
         tsr.events_variable_width_histogram_sql("click", k=4, iters=4),
     )
+    # simple exponential smoothing (ES moving_fn holt, level-only):
+    # the sequential recurrence as the house [state, seen] array fold
+    # (the ERR precedent) over the calendar-bounded bucket series
+    reg["events_ses_forecast"] = (
+        _tbl_op(partial(tsr.events_ses_forecast, event_type="click",
+                        alpha=0.3), "events"),
+        tsr.events_ses_forecast_sql("click", 0.3),
+    )
 
     # second ES-aggregation wave (appended at the END per the
     # registry-ordering rule): multi_terms (compound-key buckets,

@@ -1162,3 +1162,88 @@ def events_variable_width_histogram_sql(
         + " AS max_val, n_events "
         "FROM fin ORDER BY bucket"
     )
+
+
+# --------------------------------------------------------------------------
+# simple exponential smoothing (the ES moving_fn holt family, level-only)
+# --------------------------------------------------------------------------
+
+
+def events_ses_forecast(
+    events: DataFrame, event_type: str = "click", alpha: float = 0.3
+) -> DataFrame:
+    """(n_buckets, last_bucket, level) — simple exponential smoothing
+    over the hourly date-histogram: s_1 = x_1, s_t = alpha*x_t +
+    (1-alpha)*s_{t-1}; ``level`` is the final state == the one-step-
+    ahead forecast (the level-only member of the ES ``moving_fn``
+    holt family, reduced to its serving output).
+
+    The recurrence is inherently sequential, so it runs as the house
+    sequential-state fold (the ERR precedent): a 2-slot [level, seen]
+    array accumulator folded in bucket order — Spark ``aggregate``
+    over the sorted bucket list == DuckDB ``list_reduce`` over the
+    bucket-ordered list with a prepended [0,0] initial state, the
+    identical op sequence. alpha and (1-alpha) embed as the same
+    Python-computed literals on both engines.
+
+    Scale: the fold runs over the CALENDAR-bounded series (the
+    events_pipeline_aggs window discipline), after one map-side-
+    combinable histogram agg."""
+    if not (0.0 < float(alpha) <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1]: {alpha!r}")
+    a = float(alpha)
+    base = (
+        events.where(F.col("event_type") == event_type)
+        .groupBy(F.unix_timestamp(F.date_trunc("hour", "ts")).alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    arr = F.array_sort(
+        F.collect_list(F.struct("bucket", F.col("n_events").alias("n")))
+    )
+    fold = F.aggregate(
+        arr,
+        F.array(F.lit(0.0), F.lit(0.0)),
+        lambda acc, x: F.array(
+            F.when(
+                F.element_at(acc, 2) == F.lit(0.0), x["n"].cast("double")
+            ).otherwise(
+                F.lit(a) * x["n"].cast("double")
+                + F.lit(1.0 - a) * F.element_at(acc, 1)
+            ),
+            F.lit(1.0),
+        ),
+    )
+    return base.agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.max("bucket").alias("last_bucket"),
+        round6(F.element_at(fold, 1)).alias("level"),
+    )
+
+
+def events_ses_forecast_sql(
+    event_type: str = "click", alpha: float = 0.3
+) -> str:
+    """DuckDB mirror of events_ses_forecast: list_reduce over the
+    bucket-ordered [x, 1] pairs with the prepended [0, 0] init (the
+    e0-suffixed DOUBLE literals — the ERR DECIMAL-fold hazard)."""
+    from ..functions.rounding import sql_double
+
+    if not (0.0 < float(alpha) <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1]: {alpha!r}")
+    et = event_type.replace("'", "''")
+    a = sql_double(float(alpha))
+    c1 = sql_double(1.0 - float(alpha))
+    return (
+        "WITH base AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, "
+        "CAST(count(*) AS BIGINT) AS n_events FROM events "
+        f"WHERE event_type = '{et}' GROUP BY 1), "
+        "seq AS (SELECT list_prepend([0.0e0, 0.0e0], "
+        "list(ARRAY[CAST(n_events AS DOUBLE), 1.0e0] ORDER BY bucket)) AS xs, "
+        "CAST(count(*) AS BIGINT) AS n_buckets, max(bucket) AS last_bucket "
+        "FROM base), "
+        "f AS (SELECT n_buckets, last_bucket, "
+        "list_reduce(xs, (acc, x) -> [CASE WHEN acc[2] = 0.0e0 THEN x[1] "
+        f"ELSE {a} * x[1] + {c1} * acc[1] END, 1.0e0]) AS st FROM seq) "
+        "SELECT n_buckets, last_bucket, "
+        f"{round6_sql('st[1]')} AS level FROM f"
+    )

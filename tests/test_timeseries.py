@@ -489,3 +489,73 @@ def test_varwidth_guards_and_empty(spark):
         events_variable_width_histogram(ev, "click", k=1)
     with pytest.raises(ValueError):
         events_variable_width_histogram(ev, "click", iters=0)
+
+
+# --- simple exponential smoothing --------------------------------------------
+
+
+def test_ses_matches_python_recurrence(spark):
+    import pytest
+
+    from distributedcodesearchengine_spark.operators.timeseries import (
+        events_ses_forecast,
+    )
+
+    counts = [4, 8, 2, 6, 10]
+    ev = _vw_events(spark, [])  # schema helper; rebuild with hour spread
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    for h, c in enumerate(counts):
+        for j in range(c):
+            rows.append((eid, dt.datetime(2024, 1, 1, h, j), 1, "click",
+                         1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    a = 0.3
+    s = float(counts[0])
+    for x in counts[1:]:
+        s = a * x + (1 - a) * s
+    out = events_ses_forecast(ev, "click", alpha=a).collect()[0]
+    assert out["n_buckets"] == 5
+    assert out["level"] == pytest.approx(s, abs=1e-6)
+
+
+def test_ses_alpha_one_is_last_value(spark):
+    import datetime as dt
+
+    from distributedcodesearchengine_spark.operators.timeseries import (
+        events_ses_forecast,
+    )
+
+    rows = []
+    eid = 0
+    for h, c in enumerate([3, 9, 5]):
+        for j in range(c):
+            rows.append((eid, dt.datetime(2024, 1, 1, h, j), 1, "click",
+                         1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = events_ses_forecast(ev, "click", alpha=1.0).collect()[0]
+    assert out["level"] == 5.0
+
+
+def test_ses_guard(spark):
+    import pytest
+
+    from distributedcodesearchengine_spark.operators.timeseries import (
+        events_ses_forecast,
+    )
+
+    ev = _vw_events(spark, [1.0])
+    with pytest.raises(ValueError):
+        events_ses_forecast(ev, "click", alpha=0.0)
