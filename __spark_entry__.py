@@ -842,6 +842,17 @@ def _registry():
         partial(eq.did_you_mean_q, query="dup tble zzzzqqq", max_dist=1),
         did_you_mean_sql(cte, "dup tble zzzzqqq", max_dist=1),
     )
+    # the ES phrase suggester: whole-phrase correction ranked IN
+    # CONTEXT by a Laplace bigram LM over SymSpell candidate sets —
+    # what did_you_mean's per-token best-df pick cannot express
+    from distributedcodesearchengine_spark.operators.snippets import (
+        phrase_suggest_sql,
+    )
+
+    reg["phrase_suggest"] = (
+        partial(eq.phrase_suggest_q, query="dup tble row", k=5),
+        phrase_suggest_sql(cte, "dup tble row", k=5),
+    )
 
     # decay function scoring (ES function_score gauss/linear): score *
     # distance-decay of doc_len from an origin, applied post-threshold

@@ -625,6 +625,20 @@ class SearchEngine:
             filters["source"] = source
         return fn(self.index, query, k=int(limit), filters=filters or None)
 
+    def phrase_suggest(
+        self, query: str, limit: int = 5, max_cands: int = 2,
+        max_dist: int = 1,
+    ) -> DataFrame:
+        """Context-aware whole-phrase correction (operators/snippets
+        .phrase_suggest): SymSpell candidate sets ranked by a Laplace
+        bigram LM."""
+        from .operators.snippets import phrase_suggest
+
+        return phrase_suggest(
+            self.index, query, k=int(limit), max_cands=int(max_cands),
+            max_dist=int(max_dist),
+        )
+
     def autocomplete(self, text: str, limit: int = 10) -> DataFrame:
         """Search-as-you-type completion over the served corpus
         (operators/snippets.completion_suggest): bigram continuation

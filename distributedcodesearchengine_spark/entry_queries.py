@@ -1341,3 +1341,17 @@ def combined_fields_q(
     return res.select("rank", "doc_id", round6("score").alias("score")).orderBy(
         "rank"
     )
+
+
+def phrase_suggest_q(
+    spark: SparkSession, sf_dir: str, query: str, k: int = 5,
+    max_cands: int = 2, max_dist: int = 1,
+) -> DataFrame:
+    """Context-aware phrase correction (operators/snippets
+    .phrase_suggest): SymSpell candidates x Laplace bigram-LM
+    ranking."""
+    from .operators.snippets import phrase_suggest
+
+    idx = get_documents_index(spark, sf_dir)
+    return phrase_suggest(idx, query, k=k, max_cands=max_cands,
+                          max_dist=max_dist)

@@ -24,6 +24,9 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.rounding import round6, round6_sql
 
 
 def term_suggest(terms: DataFrame, prefix: str, k: int = 10) -> DataFrame:
@@ -439,4 +442,239 @@ def completion_suggest_sql(table_toks_cte: str, text: str, k: int = 10) -> str:
         "SELECT CAST(row_number() OVER (ORDER BY cnt DESC, suggestion ASC) AS INT) "
         f"AS rank, suggestion, cnt FROM a ORDER BY cnt DESC, suggestion ASC "
         f"LIMIT {int(k)}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# phrase suggester (noisy-channel: candidates x bigram-LM context ranking)
+# ---------------------------------------------------------------------------
+
+PHRASE_SUGGEST_MAX_TOKENS = 5
+
+
+def phrase_suggest(
+    index, query: str, k: int = 5, max_cands: int = 2, max_dist: int = 1
+) -> DataFrame:
+    """(rank, suggestion, score, n_changed) — the ES phrase suggester:
+    whole-phrase correction ranked IN CONTEXT, which is exactly what
+    did_you_mean's per-token best-df pick cannot do (a high-df wrong
+    word loses to a lower-df word that fits its neighbours). Noisy-
+    channel shape:
+
+    - per token, candidates = the token itself + its top
+      ``max_cands`` dictionary terms within ``max_dist`` (dist asc,
+      df desc, term asc — the spell_suggest order), probed via the
+      persisted SymSpell deletion-key relation (the did_you_mean
+      serving path; the oracle's brute levenshtein scan equals it by
+      key-depth completeness);
+    - every combination (bounded: <= (max_cands+1)^len, len capped at
+      PHRASE_SUGGEST_MAX_TOKENS) scores under a Laplace-smoothed
+      bigram LM: ln((c(w0)+1)/(T+V)) + sum_i ln((c(w_{i-1} w_i)+1) /
+      (c(w_{i-1})+V)) — all counts exact integers from term-pruned
+      lookups (candidate unigrams; candidate-pair bigrams), T = total
+      tokens, V = vocabulary size;
+    - scoring runs ENGINE-side over the tiny combo relation (F.log,
+      the proven evalrank ln lane; fixed position-order sum), top-k
+      by (score desc, suggestion asc).
+
+    Scale: the corpus-touching work is one deletion-key point probe
+    per distinct token plus two isin-pruned count lookups (<= tens of
+    terms/grams); the combo relation never exceeds a few hundred rows.
+    """
+    from ..oracle.tokenizer import tokenize
+    from .fuzzy import _deletions_py, get_fuzzy_keys
+
+    spark = index.spark
+    out = "rank int, suggestion string, score double, n_changed int"
+    if int(k) < 1 or int(max_cands) < 0 or int(max_dist) < 1:
+        raise ValueError(
+            f"bad params: k={k} max_cands={max_cands} max_dist={max_dist}"
+        )
+    toks = tokenize(query)
+    if not toks:
+        return spark.createDataFrame([], out)
+    if len(toks) > PHRASE_SUGGEST_MAX_TOKENS:
+        raise ValueError(
+            f"query has {len(toks)} tokens; phrase_suggest caps at "
+            f"{PHRASE_SUGGEST_MAX_TOKENS}"
+        )
+    keyed = get_fuzzy_keys(index)
+    memo = {}
+    for tok in toks:
+        if tok in memo:
+            continue
+        qkeys = _deletions_py(tok, int(max_dist))
+        pfxs = sorted({kk[:1] if kk else "~" for kk in qkeys})
+        cand = (
+            keyed.where(F.col("key_pfx").isin(pfxs) & F.col("key").isin(qkeys))
+            .select("term", "df")
+            .distinct()
+            .withColumn("dist", F.levenshtein(F.col("term"), F.lit(tok)))
+            .where(
+                (F.col("dist") <= int(max_dist)) & (F.col("term") != tok)
+            )
+            .orderBy("dist", F.desc("df"), F.asc("term"))
+            .limit(int(max_cands))
+            .collect()
+        )
+        memo[tok] = [tok] + [r["term"] for r in cand]
+    cands = [memo[t] for t in toks]
+
+    # exact integer corpus stats, term/gram-pruned
+    total = index.extras.get("_total_tokens")
+    if total is None:
+        total = int(index.docs.agg(F.sum("doc_len").alias("t")).first()["t"] or 0)
+        index.extras["_total_tokens"] = total
+    vocab = index.extras.get("_vocab_size")
+    if vocab is None:
+        vocab = int(index.terms.count())
+        index.extras["_vocab_size"] = vocab
+    uniq_terms = sorted({w for cs in cands for w in cs})
+    uni = {
+        r["term"]: int(r["c"])
+        for r in index.tf.where(F.col("term").isin(uniq_terms))
+        .groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("c"))
+        .collect()
+    }
+    pair_strs = sorted(
+        {
+            f"{a} {b}"
+            for i in range(1, len(toks))
+            for a in cands[i - 1]
+            for b in cands[i]
+        }
+    )
+    gram = "tokens[i] || ' ' || tokens[i + 1]"
+    big = {}
+    if pair_strs:
+        big = {
+            r["gram"]: int(r["c"])
+            for r in index.docs.select(
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(tokens) >= 2 THEN "
+                        f"transform(sequence(0, size(tokens) - 2), i -> {gram}) "
+                        "ELSE array() END"
+                    )
+                ).alias("gram")
+            )
+            .where(F.col("gram").isin(pair_strs))
+            .groupBy("gram")
+            .agg(F.count("*").cast("long").alias("c"))
+            .collect()
+        }
+
+    # bounded combo relation, scored engine-side with the proven ln lane
+    from itertools import product
+
+    combos = []
+    for ws in product(*cands):
+        n_changed = sum(1 for w, t in zip(ws, toks) if w != t)
+        row = list(ws) + [
+            int(uni.get(ws[0], 0)),
+        ]
+        for i in range(1, len(ws)):
+            row.append(int(big.get(f"{ws[i - 1]} {ws[i]}", 0)))
+            row.append(int(uni.get(ws[i - 1], 0)))
+        combos.append(tuple(row + [n_changed]))
+    n = len(toks)
+    fields = [f"w{i} string" for i in range(n)] + ["u0 long"]
+    for i in range(1, n):
+        fields += [f"b{i} long", f"up{i} long"]
+    fields += ["n_changed int"]
+    cdf = spark.createDataFrame(combos, ", ".join(fields))
+    tv = float(total + vocab)
+    score = F.log((F.col("u0").cast("double") + F.lit(1.0)) / F.lit(tv))
+    for i in range(1, n):
+        score = score + F.log(
+            (F.col(f"b{i}").cast("double") + F.lit(1.0))
+            / (F.col(f"up{i}").cast("double") + F.lit(float(vocab)))
+        )
+    sugg = F.concat_ws(" ", *[F.col(f"w{i}") for i in range(n)])
+    scored = cdf.select(
+        sugg.alias("suggestion"), score.alias("s"), "n_changed"
+    )
+    top = scored.orderBy(F.desc("s"), F.asc("suggestion")).limit(int(k))
+    w = Window.orderBy(F.desc("s"), F.asc("suggestion"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "suggestion", round6("s").alias("score"), "n_changed"
+    )
+
+
+def phrase_suggest_sql(
+    docs_cte: str, query: str, k: int = 5, max_cands: int = 2,
+    max_dist: int = 1,
+) -> str:
+    """DuckDB mirror of phrase_suggest: per-position candidate CTEs
+    (brute levenshtein == the SymSpell probe by completeness), a cross
+    join of the bounded candidate sets, and the identical fixed-order
+    Laplace bigram-LM score."""
+    from ..oracle.tokenizer import tokenize
+
+    toks = tokenize(query)
+    if not toks:
+        return (
+            "SELECT 1::INT AS rank, '' AS suggestion, 0.0 AS score, "
+            "1::INT AS n_changed WHERE false"
+        )
+    if len(toks) > PHRASE_SUGGEST_MAX_TOKENS:
+        raise ValueError("query too long for phrase_suggest")
+    n = len(toks)
+    parts = [
+        docs_cte,
+        "tf2 AS (SELECT doc_id, unnest(toks) AS term FROM docs)",
+        "dfreq AS (SELECT term, count(DISTINCT doc_id) AS df, "
+        "CAST(count(*) AS BIGINT) AS ctf FROM tf2 GROUP BY term)",
+        "vt AS (SELECT CAST(count(*) AS BIGINT) AS v, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM tf2) AS t FROM dfreq)",
+        "big AS (SELECT toks[i] || ' ' || toks[i + 1] AS gram, "
+        "CAST(count(*) AS BIGINT) AS c FROM docs, "
+        "unnest(generate_series(1, len(toks) - 1)) AS _t(i) GROUP BY 1)",
+    ]
+    for i, t in enumerate(toks):
+        esc = t.replace("'", "''")
+        parts.append(
+            f"cand{i} AS (SELECT term FROM ("
+            "SELECT term, row_number() OVER (ORDER BY "
+            f"levenshtein(term, '{esc}') ASC, df DESC, term ASC) AS rn "
+            f"FROM dfreq WHERE levenshtein(term, '{esc}') <= {int(max_dist)} "
+            f"AND term <> '{esc}') WHERE rn <= {int(max_cands)} "
+            f"UNION ALL SELECT '{esc}')"
+        )
+    cross = " CROSS JOIN ".join(
+        f"(SELECT term AS w{i} FROM cand{i}) c{i}" for i in range(n)
+    )
+    joins = [f"LEFT JOIN dfreq u0 ON u0.term = w0"]
+    for i in range(1, n):
+        joins.append(
+            f"LEFT JOIN big b{i} ON b{i}.gram = w{i - 1} || ' ' || w{i}"
+        )
+        joins.append(f"LEFT JOIN dfreq up{i} ON up{i}.term = w{i - 1}")
+    score = (
+        "ln((CAST(coalesce(u0.ctf, 0) AS DOUBLE) + 1.0) / "
+        "CAST((SELECT t FROM vt) + (SELECT v FROM vt) AS DOUBLE))"
+    )
+    for i in range(1, n):
+        score += (
+            f" + ln((CAST(coalesce(b{i}.c, 0) AS DOUBLE) + 1.0) / "
+            f"(CAST(coalesce(up{i}.ctf, 0) AS DOUBLE) + "
+            "CAST((SELECT v FROM vt) AS DOUBLE)))"
+        )
+    sugg = " || ' ' || ".join(f"w{i}" for i in range(n))
+    changed = " + ".join(
+        f"CASE WHEN w{i} <> '{toks[i]}' THEN 1 ELSE 0 END" for i in range(n)
+    )
+    return (
+        "WITH " + ", ".join(parts) + ", "
+        f"combos AS (SELECT * FROM {cross}), "
+        f"scored AS (SELECT {sugg} AS suggestion, {score} AS s, "
+        f"CAST({changed} AS INT) AS n_changed, "
+        + ", ".join(f"w{i}" for i in range(n))
+        + " FROM combos "
+        + " ".join(joins)
+        + ") "
+        "SELECT CAST(row_number() OVER (ORDER BY s DESC, suggestion ASC) AS INT) "
+        f"AS rank, suggestion, {round6_sql('s')} AS score, n_changed "
+        f"FROM scored ORDER BY s DESC, suggestion ASC LIMIT {int(k)}"
     )

@@ -422,6 +422,8 @@ def make_handler(engine, stats_fn, index_manager=None):
                             "GET /suggest": "term autocomplete",
                             "GET /autocomplete": "search-as-you-type "
                             "bigram/ctf completion of the typed text",
+                            "GET /phrase_suggest": "context-aware "
+                            "whole-phrase spell correction (bigram LM)",
                             "GET /similarity": "top-k under a non-Okapi "
                             "similarity: model=lmd|lmjm|dfr|ib",
                             "GET /distance_search": "BM25 + "
@@ -565,6 +567,17 @@ def make_handler(engine, stats_fn, index_manager=None):
                         "query": q["q"], "model": q.get("model", "dfr"),
                         "results": rows,
                     })
+                if url.path == "/phrase_suggest":
+                    if "q" not in q:
+                        return self._send(400, {"error": "q parameter required"})
+                    rows = engine.phrase_suggest(
+                        q["q"], limit=int(q.get("limit", 5)),
+                        max_cands=int(q.get("max_cands", 2)),
+                    ).collect()
+                    return self._send(200, {"query": q["q"], "suggestions": [
+                        {"text": r["suggestion"], "score": r["score"],
+                         "n_changed": r["n_changed"]} for r in rows
+                    ]})
                 if url.path == "/autocomplete":
                     if "q" not in q:
                         return self._send(400, {"error": "q parameter required"})

@@ -1085,3 +1085,17 @@ def test_rank_feature_endpoint(srv):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(srv, "/rank_feature", q="parse", function="nope")
     assert e.value.code == 400
+
+
+def test_phrase_suggest_endpoint(srv):
+    code, body = _get(srv, "/phrase_suggest", q="parse jsno")
+    assert code == 200
+    sugg = body["suggestions"]
+    assert sugg and all({"text", "score", "n_changed"} <= set(s) for s in sugg)
+    scores = [s["score"] for s in sugg]
+    assert scores == sorted(scores, reverse=True)
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(srv, "/phrase_suggest")
+    assert e.value.code == 400

@@ -69,3 +69,94 @@ def test_completion_empty_inputs(spark):
     assert completion_suggest(docs, "!! ??", k=5).count() == 0
     # 1-char prefix never tokenizes -> not completable
     assert completion_suggest(docs, "a", k=5).count() == 0
+
+
+# --- phrase suggester --------------------------------------------------------
+
+
+def _ps_index(spark, texts):
+    from tests.test_search_after import _index
+
+    return _index(spark, texts)
+
+
+def test_phrase_suggest_context_beats_df(spark):
+    """'grape tble' must correct tble -> table (the bigram 'grape
+    table' exists) even though 'cable' has HIGHER df — the context
+    ranking did_you_mean cannot express."""
+    from distributedcodesearchengine_spark.operators.snippets import (
+        phrase_suggest,
+    )
+
+    texts = (
+        ["grape table here"] * 3
+        + ["tale cord spool"] * 8           # tale: df 8 > table: df 3
+        + ["grape vine yard"] * 2
+    )
+    idx = _ps_index(spark, texts)
+    rows = phrase_suggest(idx, "grape tble", k=3, max_cands=2).collect()
+    assert rows[0]["suggestion"] == "grape table"
+    assert rows[0]["n_changed"] == 1
+    # and the per-token df-ranked pick would have chosen cable
+    from distributedcodesearchengine_spark.operators.snippets import (
+        did_you_mean,
+    )
+
+    dym = {r["original"]: r["suggestion"]
+           for r in did_you_mean(idx, "grape tble").collect()}
+    assert dym["tble"] == "tale"
+
+
+def test_phrase_suggest_scores_match_python(spark):
+    import math
+
+    import pytest
+
+    from distributedcodesearchengine_spark.operators.snippets import (
+        phrase_suggest,
+    )
+
+    texts = ["alpha beta gamma", "alpha beta", "beta gamma delta"]
+    idx = _ps_index(spark, texts)
+    rows = phrase_suggest(idx, "alpha beta", k=5, max_cands=1).collect()
+    toks = [t.split() for t in texts]
+    total = sum(len(t) for t in toks)
+    vocab = len({w for t in toks for w in t})
+    uni = {}
+    big = {}
+    for t in toks:
+        for w_ in t:
+            uni[w_] = uni.get(w_, 0) + 1
+        for a, b in zip(t, t[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+
+    def score(ws):
+        s = math.log((uni.get(ws[0], 0) + 1.0) / float(total + vocab))
+        for i in range(1, len(ws)):
+            s += math.log(
+                (big.get((ws[i - 1], ws[i]), 0) + 1.0)
+                / (uni.get(ws[i - 1], 0) + float(vocab))
+            )
+        return s
+
+    got = {r["suggestion"]: r["score"] for r in rows}
+    for sugg, sc in got.items():
+        assert sc == pytest.approx(score(tuple(sugg.split())), abs=1e-6)
+    # the identity correction ranks first (it IS a corpus bigram)
+    assert rows[0]["suggestion"] == "alpha beta"
+    assert rows[0]["n_changed"] == 0
+
+
+def test_phrase_suggest_guards(spark):
+    import pytest
+
+    from distributedcodesearchengine_spark.operators.snippets import (
+        phrase_suggest,
+    )
+
+    idx = _ps_index(spark, ["aa bb"])
+    assert phrase_suggest(idx, "!! ??").count() == 0
+    with pytest.raises(ValueError):
+        phrase_suggest(idx, "aa bb aa bb aa bb")  # > 5 tokens
+    with pytest.raises(ValueError):
+        phrase_suggest(idx, "aa", k=0)
