@@ -1658,6 +1658,13 @@ def _registry():
         _tbl_op(partial(geom.geohash_cells, precision=3)),
         geom.geohash_cells_sql(precision=3),
     )
+    # the ES geo_line agg: per-group WKT LineString in doc_id order,
+    # size-capped, coordinates rendered from INTEGER milli-degrees by
+    # pure string arithmetic (no float is ever formatted)
+    reg["geo_line"] = (
+        _tbl_op(partial(geom.geo_line, size=20)),
+        geom.geo_line_sql(size=20),
+    )
 
     # the ES ip_range agg + the /bits subnet concentration rollup over
     # deterministic md5-derived IPv4s (third hex slice — independent of

@@ -666,3 +666,100 @@ def bm25_distance_feature_sql(
         f"{round6_sql('final')} AS score "
         f"FROM fin ORDER BY final DESC, doc_id ASC LIMIT {int(k)}"
     )
+
+
+# --------------------------------------------------------------------------
+# geo_line aggregation
+# --------------------------------------------------------------------------
+
+
+def _md_render(md_col, offset_milli: int):
+    """Render an integer milli-degree (minus display offset) as its
+    exact 3-decimal string WITHOUT ever formatting a float: sign /
+    integer part / zero-padded fraction are all string ops on
+    integers (the iptools dotted-quad precedent) — float->string
+    formatting differs between engines (trailing zeros, negative
+    zero), integer rendering cannot."""
+    v = md_col - F.lit(int(offset_milli))
+    a = F.abs(v)
+    sign = F.when(v < 0, F.lit("-")).otherwise(F.lit(""))
+    return F.concat(
+        sign,
+        (a / F.lit(1000)).cast("long").cast("string"),
+        F.lit("."),
+        F.lpad((a % F.lit(1000)).cast("string"), 3, "0"),
+    )
+
+
+def _md_render_sql(md_expr: str, offset_milli: int) -> str:
+    v = f"({md_expr} - {int(offset_milli)})"
+    a = f"abs({v})"
+    return (
+        f"(CASE WHEN {v} < 0 THEN '-' ELSE '' END || "
+        f"CAST({a} // 1000 AS VARCHAR) || '.' || "
+        f"lpad(CAST({a} % 1000 AS VARCHAR), 3, '0'))"
+    )
+
+
+def geo_line(docs: DataFrame, size: int = 20) -> DataFrame:
+    """(lang, n_points, line) — the ES ``geo_line`` aggregation: per
+    group (lang here; a real corpus groups by track/session id), the
+    WKT LineString of the group's points in sort order (doc_id — the
+    ES sort field), truncated at ``size`` points (ES's cap, default
+    10k). Coordinates are 'lon lat' pairs (WKT axis order) rendered
+    from the INTEGER milli-degrees via pure string arithmetic — no
+    float is ever formatted, so the strings are identical across
+    engines by construction.
+
+    Scale: per-group TakeOrdered-shaped cut (min-``size`` doc_ids via
+    the sorted-array slice — group state is bounded by ``size``, the
+    ES semantics), one groupBy, string assembly per group row."""
+    if int(size) < 1:
+        raise ValueError(f"size must be >= 1: {size!r}")
+    pts = docs.select(
+        "lang",
+        "doc_id",
+        F.concat(
+            _md_render(_lon_md(), 180000), F.lit(" "),
+            _md_render(_lat_md(), 90000),
+        ).alias("pt"),
+    )
+    g = pts.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("doc_id", "pt"))),
+            1,
+            int(size),
+        ).alias("head"),
+    )
+    return g.select(
+        "lang",
+        F.least(F.col("n_total"), F.lit(int(size))).cast("long").alias(
+            "n_points"
+        ),
+        F.concat(
+            F.lit("LINESTRING ("),
+            F.array_join(F.transform(F.col("head"), lambda s: s["pt"]), ", "),
+            F.lit(")"),
+        ).alias("line"),
+    ).orderBy("lang")
+
+
+def geo_line_sql(size: int = 20) -> str:
+    """DuckDB mirror of geo_line: rank-window cut + ordered
+    string_agg, identical integer rendering."""
+    if int(size) < 1:
+        raise ValueError(f"size must be >= 1: {size!r}")
+    lon = _md_render_sql("lon_md", 180000)
+    lat = _md_render_sql("lat_md", 90000)
+    return (
+        "WITH g AS (SELECT doc_id, lang, "
+        "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 180000 AS lat_md, "
+        "('0x' || substr(md5(doc_id::VARCHAR), 9, 8))::BIGINT % 360000 AS lon_md "
+        "FROM documents), "
+        f"p AS (SELECT lang, doc_id, {lon} || ' ' || {lat} AS pt, "
+        "row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn FROM g) "
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_points, "
+        "'LINESTRING (' || string_agg(pt, ', ' ORDER BY doc_id) || ')' AS line "
+        f"FROM p WHERE rn <= {int(size)} GROUP BY lang ORDER BY lang"
+    )

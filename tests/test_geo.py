@@ -261,3 +261,45 @@ def test_distance_rings_guards(spark):
         geo.geo_distance_rings(d, 0, 0, (5.0, 5.0))
     with pytest.raises(ValueError):
         geo.geo_distance_rings(d, 0, 0, (0.0, 5.0))
+
+
+# --- geo_line ----------------------------------------------------------------
+
+
+def test_geo_line_hand_rendered(spark):
+    import hashlib
+
+    from distributedcodesearchengine_spark.operators.geo import geo_line
+
+    docs = spark.createDataFrame(
+        [(5, "en"), (2, "en"), (9, "de"), (7, "en")],
+        "doc_id long, lang string",
+    )
+    out = {r["lang"]: r for r in geo_line(docs, size=2).collect()}
+
+    def pt(doc_id):
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        lat = int(h[0:8], 16) % 180000 - 90000
+        lon = int(h[8:16], 16) % 360000 - 180000
+
+        def rend(v):
+            s = "-" if v < 0 else ""
+            return f"{s}{abs(v) // 1000}.{abs(v) % 1000:03d}"
+
+        return f"{rend(lon)} {rend(lat)}"
+
+    # en: doc_ids sorted 2,5,7 -> capped at 2 -> (2, 5)
+    assert out["en"]["n_points"] == 2
+    assert out["en"]["line"] == f"LINESTRING ({pt(2)}, {pt(5)})"
+    assert out["de"]["n_points"] == 1
+    assert out["de"]["line"] == f"LINESTRING ({pt(9)})"
+
+
+def test_geo_line_guard(spark):
+    import pytest
+
+    from distributedcodesearchengine_spark.operators.geo import geo_line
+
+    docs = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    with pytest.raises(ValueError):
+        geo_line(docs, size=0)
