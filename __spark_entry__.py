@@ -1534,6 +1534,20 @@ def _registry():
         oq.ib_sql("dup table", k=10),
     )
 
+    # the ES sparse_vector query (learned-sparse / ELSER retrieval):
+    # explicit token->weight map dotted against ln(1+tf) doc weights —
+    # no idf, no length norm (the sparse-dot contract); a real
+    # expansion table drops into the same join seam
+    from distributedcodesearchengine_spark.operators.scorer import (
+        sparse_vector_sql,
+    )
+
+    _SV_QV = {"dup": 2.5, "table": 1.0, "row": 0.5}
+    reg["sparse_vector_topk"] = (
+        partial(eq.sparse_vector_q, query_vector=_SV_QV, k=10),
+        sparse_vector_sql(_SV_QV, k=10),
+    )
+
     # the ES distance_feature query: BM25 + reciprocal-saturation
     # geo-proximity boost over the WHOLE kept set (a pure per-row
     # expression over the derived positions — zero joins); the

@@ -1355,3 +1355,18 @@ def phrase_suggest_q(
     idx = get_documents_index(spark, sf_dir)
     return phrase_suggest(idx, query, k=k, max_cands=max_cands,
                           max_dist=max_dist)
+
+
+def sparse_vector_q(
+    spark: SparkSession, sf_dir: str, query_vector: dict, k: int = 10,
+) -> DataFrame:
+    """ES sparse_vector gate entry (operators/scorer
+    .sparse_vector_topk): explicit token->weight map (the learned-
+    sparse API shape) with literal stand-in weights."""
+    from .operators.scorer import sparse_vector_topk
+
+    idx = get_documents_index(spark, sf_dir)
+    res = sparse_vector_topk(idx, query_vector, k=k)
+    return res.select(
+        "rank", _orig_doc_id(), round6("score").alias("score")
+    ).orderBy("rank")

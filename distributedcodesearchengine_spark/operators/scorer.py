@@ -878,3 +878,95 @@ def ib_topk(
     """Information-based LL-DF-H2 top-k -> (rank, doc_id, url, score);
     always-positive contributions like dfr_topk."""
     return _df_topk(index, query, contribution_col_ib_ll(index.n_docs), k, filters)
+
+
+# --------------------------------------------------------------------------
+# sparse_vector query (ES 8.15 — learned-sparse / ELSER-style retrieval)
+# --------------------------------------------------------------------------
+
+
+def contribution_col_sparse() -> F.Column:
+    """Sparse-dot contribution: query_weight * ln(1 + tf) — the query's
+    token weight (riding the weight slot) times the sublinear doc-side
+    saturation. Deliberately NO length normalization and NO idf: the
+    sparse_vector contract is a dot product between a model-weighted
+    query vector and a model-weighted document vector; ln(1+tf) is the
+    deterministic stand-in for the doc-side model weights (a real
+    ELSER/SPLADE expansion table of (doc_id, term, weight) rows drops
+    into the same join seam)."""
+    tf = F.col("tf").cast("double")
+    return F.col("qtf") * (F.col("idf") * F.log(F.lit(1.0) + tf))
+
+
+def sparse_vector_topk(
+    index: Index,
+    query_vector: Dict[str, float],
+    k: int = 10,
+    filters: Optional[Dict[str, str]] = None,
+) -> DataFrame:
+    """(rank, doc_id, url, score) — the ES ``sparse_vector`` query with
+    an explicit token->weight map (the API shape a learned sparse
+    encoder produces): score(d) = sum_t w_q(t) * ln(1 + tf(t, d)),
+    folded in canonical term order on the score_matched seam with the
+    query weight in the weight slot and qtf pinned at 1. Tokens are
+    analyzer-normalized before the probe; non-positive weights are
+    rejected (ES requires positive token weights). The house
+    threshold / degenerate-backfill / doc_id tie-break chain is
+    shared, so sparse retrieval composes with the same serving
+    conventions as BM25.
+
+    Scale: identical to bm25_topk — term-pruned scan, broadcast
+    |q|-row weight relation, one combinable fold per doc."""
+    if not query_vector:
+        return index.spark.createDataFrame(
+            [], "rank int, doc_id long, url string, score double"
+        )
+    norm: Dict[str, float] = {}
+    for raw, w in query_vector.items():
+        if not float(w) > 0:
+            raise ValueError(f"token weights must be > 0: {raw!r}={w!r}")
+        for t in tokenize(str(raw)):
+            norm[t] = norm.get(t, 0.0) + float(w)
+    if not norm:
+        return index.spark.createDataFrame(
+            [], "rank int, doc_id long, url string, score double"
+        )
+    qweights = [(t, 1.0, norm[t]) for t in sorted(norm)]
+    scored = score_matched(index, qweights, contribution_col_sparse())
+    return finalize_topk(index, scored, k, filters)
+
+
+def sparse_vector_sql(query_vector: Dict[str, float], k: int = 10) -> str:
+    """DuckDB mirror of sparse_vector_topk: identical token
+    normalization, identical ln(1+tf) contribution, the shared
+    threshold chain."""
+    from ..functions.rounding import round6_sql, sql_double
+    from ..functions.sql_oracle import _docs_cte
+
+    norm: Dict[str, float] = {}
+    for raw, w in (query_vector or {}).items():
+        if not float(w) > 0:
+            raise ValueError(f"token weights must be > 0: {raw!r}={w!r}")
+        for t in tokenize(str(raw)):
+            norm[t] = norm.get(t, 0.0) + float(w)
+    if not norm:
+        return "SELECT 1 AS rank, 1::BIGINT AS doc_id, 0.0 AS score WHERE false"
+    qvals = ", ".join(
+        f"('{t}', {sql_double(norm[t])})" for t in sorted(norm)
+    )
+    return (
+        f"WITH {_docs_cte()}, "
+        f"qt(term, w) AS (VALUES {qvals}), "
+        "contrib AS (SELECT tf.doc_id, tf.term, "
+        "  1.0 * (qt.w * ln(1.0 + tf.tf)) AS c "
+        "  FROM tf JOIN qt USING (term)), "
+        "scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id), "
+        "mx AS (SELECT max(score) AS m FROM scored), "
+        "kept AS (SELECT d.doc_id, coalesce(s.score, 0.0) AS score "
+        "  FROM doclen d LEFT JOIN scored s USING (doc_id) "
+        "  WHERE ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
+        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))) "
+        "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank, "
+        f"doc_id, {round6_sql('score')} AS score "
+        f"FROM kept ORDER BY score DESC, doc_id ASC LIMIT {int(k)}"
+    )

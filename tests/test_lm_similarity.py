@@ -176,3 +176,60 @@ def test_guards_and_degenerate(spark):
     rows = lmjm_topk(idx, "zzznotaword", k=2).collect()
     assert [r["doc_id"] for r in rows] == [0, 1]
     assert all(r["score"] == 0.0 for r in rows)
+
+
+# --- sparse_vector (learned-sparse seam) -------------------------------------
+
+
+def test_sparse_vector_matches_python(spark):
+    from distributedcodesearchengine_spark.operators.scorer import (
+        sparse_vector_topk,
+    )
+
+    idx = _index(spark, TEXTS)
+    qv = {"apple": 2.0, "grape": 0.5}
+    got = {r["doc_id"]: r["score"]
+           for r in sparse_vector_topk(idx, qv, k=10).collect()}
+    want = {}
+    for i, t in enumerate(TEXTS):
+        ts = t.split()
+        s = 0.0
+        for term in sorted(qv):
+            tf = ts.count(term)
+            if tf:
+                s += 1.0 * (qv[term] * math.log(1.0 + tf))
+        want[i] = s
+    mx = max(want.values())
+    kept = {d: s for d, s in want.items() if s >= 0.01 * mx}
+    assert set(got) == set(kept)
+    for d, s in kept.items():
+        assert got[d] == pytest.approx(s, abs=1e-9)
+    # no length normalization: doc 0 (tf(apple)=2) must outrank
+    # doc 2 (tf=1) regardless of their lengths
+    assert got[0] > got[2]
+
+
+def test_sparse_vector_weight_moves_rank(spark):
+    from distributedcodesearchengine_spark.operators.scorer import (
+        sparse_vector_topk,
+    )
+
+    idx = _index(spark, TEXTS)
+    # heavy grape weight -> doc 3 (grape x3) wins; heavy apple -> doc 0
+    g = [r["doc_id"] for r in sparse_vector_topk(
+        idx, {"apple": 0.2, "grape": 5.0}, k=1).collect()]
+    a = [r["doc_id"] for r in sparse_vector_topk(
+        idx, {"apple": 5.0, "grape": 0.2}, k=1).collect()]
+    assert g == [3] and a == [0]
+
+
+def test_sparse_vector_guards(spark):
+    from distributedcodesearchengine_spark.operators.scorer import (
+        sparse_vector_topk,
+    )
+
+    idx = _index(spark, TEXTS)
+    with pytest.raises(ValueError):
+        sparse_vector_topk(idx, {"apple": 0.0})
+    assert sparse_vector_topk(idx, {}).count() == 0
+    assert sparse_vector_topk(idx, {"!!": 1.0}).count() == 0
