@@ -1548,6 +1548,17 @@ def _registry():
         sparse_vector_sql(_SV_QV, k=10),
     )
 
+    # the ES linear retriever: minmax-normalized SCORE-based weighted
+    # fusion — the capability rank-based RRF deliberately discards
+    reg["linear_hybrid"] = (
+        partial(eq.linear_hybrid_q, query="table row scan", k=10,
+                w_sem=0.6, w_lex=0.4),
+        oq.linear_hybrid_sql(
+            "table row scan", mock_embed_text("table row scan", 64),
+            k=10, w_sem=0.6, w_lex=0.4,
+        ),
+    )
+
     # the ES distance_feature query: BM25 + reciprocal-saturation
     # geo-proximity boost over the WHOLE kept set (a pure per-row
     # expression over the derived positions — zero joins); the

@@ -1370,3 +1370,25 @@ def sparse_vector_q(
     return res.select(
         "rank", _orig_doc_id(), round6("score").alias("score")
     ).orderBy("rank")
+
+
+def linear_hybrid_q(
+    spark: SparkSession, sf_dir: str, query: str, k: int = 10,
+    w_sem: float = 0.5, w_lex: float = 0.5,
+) -> DataFrame:
+    """ES linear retriever gate entry: minmax-normalized weighted
+    fusion of the cosine and BM25 overfetch lists (operators/rrf
+    .linear_hybrid_topk)."""
+    from .functions.embed import cosine_topk, mock_embed_text
+    from .operators.rrf import linear_hybrid_topk
+
+    idx = get_documents_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = mock_embed_text(query, 64)
+    sem = cosine_topk(emb, qvec, 2 * k, id_col="vec_id").withColumnRenamed(
+        "vec_id", "doc_id"
+    ).select("doc_id", "score")
+    bm = bm25_topk(idx, query, k=2 * k).select(_orig_doc_id(), "score")
+    return linear_hybrid_topk(sem, bm, k=k, w_sem=w_sem, w_lex=w_lex).orderBy(
+        "rank"
+    )

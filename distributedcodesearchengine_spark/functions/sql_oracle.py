@@ -852,3 +852,67 @@ def ib_sql(query: str, k: int = 10) -> str:
         "((base.dfv + 1.0) / CAST((SELECT n_docs FROM stats) + 1 AS DOUBLE)))"
     )
     return _dfw_sql(query, contrib, k)
+
+
+def linear_hybrid_sql(
+    query: str,
+    qvec: Sequence[float],
+    k: int = 10,
+    w_sem: float = 0.5,
+    w_lex: float = 0.5,
+) -> str:
+    """The ES linear retriever (mirror of operators/rrf
+    .linear_hybrid_topk over the rrf_hybrid_sql list constructions):
+    both overfetch lists minmax-normalize their RAW scores, constant
+    lists normalize to 1.0, fused = w_sem*sem + w_lex*lex over the
+    full-outer union with missing sides at 0."""
+    import math
+    from collections import Counter
+
+    toks = tokenize(query)
+    counts = Counter(toks)
+    qvals = ", ".join(f"('{t}', {float(q)})" for t, q in sorted(counts.items()))
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in qvec))
+    v = _fmt_vec(qvec)
+    overfetch = 2 * k
+    ws = sql_double(float(w_sem))
+    wl = sql_double(float(w_lex))
+    return (
+        f"WITH {_docs_cte()}, "
+        f"qt(term, qtf) AS (VALUES {qvals}), "
+        "contrib AS (SELECT tf.doc_id, tf.term, "
+        f"  qt.qtf * (idf.idf * (tf.tf * {K1 + 1.0} / "
+        f"    (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM stats))))) AS c "
+        "  FROM tf JOIN qt USING (term) JOIN idf USING (term) "
+        "  JOIN doclen dl ON dl.doc_id = tf.doc_id), "
+        "bscored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id), "
+        "bmx AS (SELECT max(score) AS m FROM bscored), "
+        "bkept AS (SELECT d.doc_id, coalesce(s.score, 0.0) AS score "
+        "  FROM doclen d LEFT JOIN bscored s USING (doc_id) "
+        "  WHERE ((SELECT m FROM bmx) IS NULL OR (SELECT m FROM bmx) <= 0 "
+        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM bmx))), "
+        "bmtop AS (SELECT doc_id, score FROM bkept "
+        f"  ORDER BY score DESC, doc_id ASC LIMIT {overfetch}), "
+        "sscored AS (SELECT vec_id AS doc_id, "
+        f"  list_dot_product(embedding::DOUBLE[], {v}) / "
+        f"  (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * {sql_double(qnorm)}) AS score "
+        "  FROM embeddings), "
+        "semtop AS (SELECT doc_id, score FROM sscored "
+        f"  ORDER BY score DESC, doc_id ASC LIMIT {overfetch}), "
+        "bmm AS (SELECT min(score) AS mn, max(score) AS mx FROM bmtop), "
+        "smm AS (SELECT min(score) AS mn, max(score) AS mx FROM semtop), "
+        "bn AS (SELECT doc_id, CASE WHEN (SELECT mx FROM bmm) > (SELECT mn FROM bmm) "
+        "  THEN (score - (SELECT mn FROM bmm)) / ((SELECT mx FROM bmm) - (SELECT mn FROM bmm)) "
+        "  ELSE 1.0 END AS lex_norm FROM bmtop), "
+        "sn AS (SELECT doc_id, CASE WHEN (SELECT mx FROM smm) > (SELECT mn FROM smm) "
+        "  THEN (score - (SELECT mn FROM smm)) / ((SELECT mx FROM smm) - (SELECT mn FROM smm)) "
+        "  ELSE 1.0 END AS sem_norm FROM semtop), "
+        "j AS (SELECT coalesce(sn.doc_id, bn.doc_id) AS doc_id, "
+        "  coalesce(sn.sem_norm, 0.0) AS ns, coalesce(bn.lex_norm, 0.0) AS nl "
+        "  FROM sn FULL OUTER JOIN bn ON sn.doc_id = bn.doc_id), "
+        f"f AS (SELECT doc_id, {ws} * ns + {wl} * nl AS fused, ns, nl FROM j) "
+        "SELECT CAST(row_number() OVER (ORDER BY fused DESC, doc_id ASC) AS INT) AS rank, "
+        f"doc_id, {round6_sql('fused')} AS score, {round6_sql('ns')} AS sem_norm, "
+        f"{round6_sql('nl')} AS lex_norm "
+        f"FROM f ORDER BY fused DESC, doc_id ASC LIMIT {int(k)}"
+    )

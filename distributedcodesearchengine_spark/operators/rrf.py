@@ -221,3 +221,79 @@ def rrf_merge(
     return merged.withColumn("rank", F.row_number().over(w)).select(
         "rank", id_col, "score", "semantic_score", "bm25_score"
     )
+
+
+# ---------------------------------------------------------------------------
+# linear retriever (ES 8.16): minmax-normalized weighted fusion
+# ---------------------------------------------------------------------------
+
+
+def linear_hybrid_topk(
+    semantic: Optional[DataFrame],
+    bm25: Optional[DataFrame],
+    k: int = 10,
+    w_sem: float = 0.5,
+    w_lex: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(rank, doc_id, score, sem_norm, lex_norm) — the ES ``linear``
+    retriever: each input list minmax-normalizes its RAW scores to
+    [0, 1] and the fused score is the weighted sum w_sem*sem_norm +
+    w_lex*lex_norm over the full-outer union (a doc missing from one
+    list contributes 0 from that side). SCORE-based fusion — the
+    capability RRF's rank-based fusion deliberately discards: two
+    docs 0.001 apart in cosine fuse almost identically here, where
+    RRF forces a full rank-step between them. A constant list
+    (max == min, e.g. the degenerate all-zero BM25 backfill)
+    normalizes to 1.0 everywhere (documented; ES leaves this regime
+    unspecified).
+
+    Scale: both inputs are k-row overfetch lists; stats are 2 doubles
+    per list to the driver; the join is k-row x k-row."""
+    if semantic is None and bm25 is None:
+        raise ValueError("linear_hybrid_topk: at least one list required")
+    if float(w_sem) < 0 or float(w_lex) < 0:
+        raise ValueError(f"weights must be >= 0: {w_sem!r}, {w_lex!r}")
+
+    def _norm_side(df: Optional[DataFrame], out: str):
+        if df is None:
+            return None
+        df = df.persist()
+        st = df.agg(F.min("score").alias("mn"), F.max("score").alias("mx")).first()
+        if st["mn"] is None:
+            return None
+        mn, mx = float(st["mn"]), float(st["mx"])
+        if mx > mn:
+            norm = (F.col("score") - F.lit(mn)) / (F.lit(mx) - F.lit(mn))
+        else:
+            norm = F.lit(1.0)
+        return df.select(F.col(id_col), norm.alias(out))
+
+    sem = _norm_side(semantic, "sem_norm")
+    lex = _norm_side(bm25, "lex_norm")
+    if sem is not None and lex is not None:
+        joined = sem.join(lex, id_col, "full_outer")
+    elif sem is not None:
+        joined = sem.withColumn("lex_norm", F.lit(None).cast("double"))
+    elif lex is not None:
+        joined = lex.withColumn("sem_norm", F.lit(None).cast("double"))
+    else:
+        spark = (semantic or bm25).sparkSession
+        return spark.createDataFrame(
+            [], f"rank int, {id_col} long, score double, sem_norm double, "
+            "lex_norm double"
+        )
+    ns = F.coalesce(F.col("sem_norm"), F.lit(0.0))
+    nl = F.coalesce(F.col("lex_norm"), F.lit(0.0))
+    fused = F.lit(float(w_sem)) * ns + F.lit(float(w_lex)) * nl
+    scored = joined.select(
+        F.col(id_col), fused.alias("fused"), ns.alias("ns"), nl.alias("nl")
+    )
+    top = scored.orderBy(F.desc("fused"), F.asc(id_col)).limit(int(k))
+    w = Window.orderBy(F.desc("fused"), F.asc(id_col))
+    from ..functions.rounding import round6
+
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", F.col(id_col), round6("fused").alias("score"),
+        round6("ns").alias("sem_norm"), round6("nl").alias("lex_norm"),
+    )

@@ -184,3 +184,67 @@ def test_hybrid_search_filtered(spark):
     assert [g[0] for g in got] == [w[0] for w in want]
     for g, w in zip(got, want):
         assert abs(g[1] - w[1]) < 1e-6
+
+
+# --- linear retriever (minmax weighted fusion) -------------------------------
+
+
+def test_linear_hybrid_hand_computed(spark):
+    import pytest
+
+    from distributedcodesearchengine_spark.operators.rrf import (
+        linear_hybrid_topk,
+    )
+
+    sem = spark.createDataFrame(
+        [(1, 0.9), (2, 0.5), (3, 0.1)], "doc_id long, score double"
+    )
+    lex = spark.createDataFrame(
+        [(2, 10.0), (3, 6.0), (4, 2.0)], "doc_id long, score double"
+    )
+    out = {r["doc_id"]: r for r in linear_hybrid_topk(
+        sem, lex, k=10, w_sem=0.5, w_lex=0.5).collect()}
+    # sem norms: 1 -> 1.0, 2 -> 0.5, 3 -> 0.0; lex: 2 -> 1.0, 3 -> 0.5, 4 -> 0.0
+    want = {1: 0.5 * 1.0, 2: 0.5 * 0.5 + 0.5 * 1.0, 3: 0.5 * 0.5, 4: 0.0}
+    assert set(out) == set(want)
+    for d, s in want.items():
+        assert out[d]["score"] == pytest.approx(s, abs=1e-6)
+    assert out[2]["sem_norm"] == pytest.approx(0.5, abs=1e-6)
+    assert out[2]["lex_norm"] == pytest.approx(1.0, abs=1e-6)
+    # winner is doc 2 (strong on both) — score fusion, not rank fusion
+    assert min(out, key=lambda d: out[d]["rank"]) == 2
+
+
+def test_linear_hybrid_score_vs_rank_fusion(spark):
+    """Two docs 0.001 apart in cosine fuse almost identically under
+    linear (score) fusion — the distinction from RRF's forced full
+    rank step."""
+    from distributedcodesearchengine_spark.operators.rrf import (
+        linear_hybrid_topk,
+    )
+
+    sem = spark.createDataFrame(
+        [(1, 0.900), (2, 0.899), (3, 0.1)], "doc_id long, score double"
+    )
+    out = {r["doc_id"]: r["score"] for r in linear_hybrid_topk(
+        sem, None, k=10, w_sem=1.0, w_lex=0.0).collect()}
+    assert abs(out[1] - out[2]) < 0.01
+
+
+def test_linear_hybrid_constant_list_and_guards(spark):
+    import pytest
+
+    from distributedcodesearchengine_spark.operators.rrf import (
+        linear_hybrid_topk,
+    )
+
+    const = spark.createDataFrame(
+        [(1, 0.0), (2, 0.0)], "doc_id long, score double"
+    )
+    out = {r["doc_id"]: r["lex_norm"] for r in linear_hybrid_topk(
+        None, const, k=10).collect()}
+    assert out == {1: 1.0, 2: 1.0}
+    with pytest.raises(ValueError):
+        linear_hybrid_topk(None, None)
+    with pytest.raises(ValueError):
+        linear_hybrid_topk(const, None, w_sem=-1.0)
