@@ -1131,6 +1131,20 @@ def _registry():
                 max_expansions=4),
         match_phrase_prefix_sql("small du", k=10, max_expansions=4),
     )
+
+    # the ES match_bool_prefix query: the RELAXED search-as-you-type
+    # variant — independent bool-should term clauses + capped prefix
+    # expansion of the last token, no adjacency constraint (vs
+    # match_phrase_prefix's phrase doc_filter)
+    from distributedcodesearchengine_spark.operators.queryext import (
+        match_bool_prefix_sql,
+    )
+
+    reg["match_bool_prefix"] = (
+        partial(eq.match_bool_prefix_q, query="small du", k=10,
+                max_expansions=8),
+        match_bool_prefix_sql("small du", k=10, max_expansions=8),
+    )
     reg["mget"] = (
         partial(eq.mget_q, doc_ids=(1, 3, 7, 99999999)),
         mget_sql((1, 3, 7, 99999999)),

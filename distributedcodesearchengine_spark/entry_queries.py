@@ -1392,3 +1392,19 @@ def linear_hybrid_q(
     return linear_hybrid_topk(sem, bm, k=k, w_sem=w_sem, w_lex=w_lex).orderBy(
         "rank"
     )
+
+
+def match_bool_prefix_q(
+    spark: SparkSession, sf_dir: str, query: str, k: int = 10,
+    max_expansions: int = 8,
+) -> DataFrame:
+    """ES match_bool_prefix gate entry (operators/queryext
+    .match_bool_prefix_topk)."""
+    from .operators.queryext import match_bool_prefix_topk
+
+    idx = get_documents_index(spark, sf_dir)
+    res = match_bool_prefix_topk(idx, query, k=k,
+                                 max_expansions=max_expansions)
+    return res.select(
+        "rank", _orig_doc_id(), round6("score").alias("score")
+    ).orderBy("rank")

@@ -870,3 +870,65 @@ def bm25_pinned_sql(query: str, pinned_ids, k: int = 10) -> str:
         f"WHERE rn <= {int(k)} - (SELECT n FROM np) "
         "ORDER BY rank"
     )
+
+
+# --------------------------------------------------------------------------
+# match_bool_prefix query
+# --------------------------------------------------------------------------
+
+
+def match_bool_prefix_topk(
+    index: Index,
+    query: str,
+    k: int = 10,
+    max_expansions: int = 8,
+    filters=None,
+) -> DataFrame:
+    """(rank, doc_id, url, score) — the ES ``match_bool_prefix``
+    query: every token is an independent bool-should term clause and
+    the LAST token is a prefix (its capped (df desc, term asc)
+    dictionary expansions join as qtf-1 should clauses). Unlike
+    ``match_phrase_prefix`` there is NO adjacency/position constraint
+    — a doc matching the base tokens anywhere, or only an expansion,
+    still scores (the search-as-you-type relaxed variant; the test
+    suite pins the distinction). Composition: expand_prefix +
+    expanded_or_topk — the shared wildcard/fuzzy scoring tail, so the
+    plan is the standard term-pruned chain with a <= max_expansions
+    dictionary probe."""
+    from .wildcard import expand_prefix, expanded_or_topk
+
+    spark = index.spark
+    toks = tokenize(query)
+    if not toks:
+        return spark.createDataFrame(
+            [], "rank int, doc_id long, url string, score double"
+        )
+    plain, last = toks[:-1], toks[-1]
+    exp = expand_prefix(index, last, max_expansions)
+    if not plain and not exp:
+        return spark.createDataFrame(
+            [], "rank int, doc_id long, url string, score double"
+        )
+    return expanded_or_topk(index, plain, [exp] if exp else [], k=k,
+                            filters=filters)
+
+
+def match_bool_prefix_sql(
+    query: str, k: int = 10, max_expansions: int = 8
+) -> str:
+    """Mirror of match_bool_prefix_topk over the shared
+    expanded_bm25_sql chain (starts_with, never LIKE)."""
+    from .wildcard import expanded_bm25_sql, plain_qtf_parts
+
+    toks = tokenize(query)
+    if not toks:
+        return "SELECT 1 AS rank, 1::BIGINT AS doc_id, 0.0 AS score WHERE false"
+    plain, last = toks[:-1], toks[-1]
+    parts = plain_qtf_parts(plain)
+    esc = last.replace("'", "''")
+    parts.append(
+        "SELECT term, 1.0 AS qtf FROM (SELECT term FROM idf "
+        f"WHERE starts_with(term, '{esc}') "
+        f"ORDER BY df DESC, term ASC LIMIT {int(max_expansions)})"
+    )
+    return expanded_bm25_sql(parts, k)

@@ -561,3 +561,46 @@ def test_pinned_skips_unknown_truncates_and_guards(spark):
     assert a == b
     with _pytest.raises(ValueError):
         bm25_pinned_topk(idx, "scan", [1, 1], k=10)
+
+
+# --- match_bool_prefix -------------------------------------------------------
+
+
+def test_match_bool_prefix_relaxed_vs_phrase(spark):
+    """The bool variant scores docs where the base token and the
+    prefix match NON-adjacently (or only one of them matches) — docs
+    match_phrase_prefix excludes."""
+    from distributedcodesearchengine_spark.operators.queryext import (
+        match_bool_prefix_topk,
+        match_phrase_prefix_topk,
+    )
+    from tests.test_search_after import _index
+
+    texts = [
+        "quick duck pond",            # adjacent 'quick du*'
+        "quick red duck",             # NON-adjacent
+        "dusty shelf here",           # prefix only
+        "quick fox jumps",            # base only
+        "nothing relevant at all",
+    ]
+    idx = _index(spark, texts)
+    bool_ids = {r["doc_id"] for r in match_bool_prefix_topk(
+        idx, "quick du", k=10).collect()
+        if r["score"] > 0}
+    phrase_ids = {r["doc_id"] for r in match_phrase_prefix_topk(
+        idx, "quick du", k=10).collect() if r["score"] > 0}
+    assert 0 in phrase_ids and 1 not in phrase_ids
+    assert {0, 1, 2, 3} <= bool_ids
+    assert 4 not in bool_ids
+
+
+def test_match_bool_prefix_empty_contracts(spark):
+    from distributedcodesearchengine_spark.operators.queryext import (
+        match_bool_prefix_topk,
+    )
+    from tests.test_search_after import _index
+
+    idx = _index(spark, ["alpha beta"])
+    assert match_bool_prefix_topk(idx, "!! ??", k=5).count() == 0
+    # no expansion and no base -> matches nothing
+    assert match_bool_prefix_topk(idx, "zz", k=5).count() == 0
