@@ -972,6 +972,19 @@ def _registry():
                         alpha=0.3), "events"),
         tsr.events_ses_forecast_sql("click", 0.3),
     )
+    # the remaining ES pipeline aggs: bucket_sort (top-N busiest
+    # hours with from/size truncation) and percentiles_bucket (exact
+    # type-1 quantiles of the bucket counts — the boxplot convention)
+    reg["events_bucket_sort"] = (
+        _tbl_op(partial(tsr.events_bucket_sort, event_type="click",
+                        frm=1, size=5), "events"),
+        tsr.events_bucket_sort_sql("click", frm=1, size=5),
+    )
+    reg["events_percentiles_bucket"] = (
+        _tbl_op(partial(tsr.events_percentiles_bucket,
+                        event_type="click"), "events"),
+        tsr.events_percentiles_bucket_sql("click"),
+    )
 
     # second ES-aggregation wave (appended at the END per the
     # registry-ordering rule): multi_terms (compound-key buckets,

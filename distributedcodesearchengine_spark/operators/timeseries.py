@@ -1247,3 +1247,126 @@ def events_ses_forecast_sql(
         "SELECT n_buckets, last_bucket, "
         f"{round6_sql('st[1]')} AS level FROM f"
     )
+
+
+# --------------------------------------------------------------------------
+# bucket_sort + percentiles_bucket (remaining ES pipeline aggs)
+# --------------------------------------------------------------------------
+
+
+def events_bucket_sort(
+    events: DataFrame, event_type: str = "click", frm: int = 0, size: int = 5
+) -> DataFrame:
+    """(bucket, n_events) — the ES ``bucket_sort`` pipeline agg over
+    the hourly date-histogram: the parent's buckets re-ordered by
+    their metric (n_events desc, bucket asc — deterministic ties) with
+    ``from``/``size`` truncation, the "top N busiest hours" view.
+    Calendar-bounded window rank + one filter; at scale the window
+    partitions by series key."""
+    if int(frm) < 0 or int(size) < 1:
+        raise ValueError(f"need frm >= 0 and size >= 1: {frm!r}, {size!r}")
+    base = (
+        events.where(F.col("event_type") == event_type)
+        .groupBy(F.unix_timestamp(F.date_trunc("hour", "ts")).alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy(
+        F.desc("n_events"), F.asc("bucket")
+    )
+    return (
+        base.withColumn("rn", F.row_number().over(w))
+        .where(
+            (F.col("rn") > int(frm)) & (F.col("rn") <= int(frm) + int(size))
+        )
+        .select("bucket", "n_events")
+        .orderBy(F.desc("n_events"), F.asc("bucket"))
+    )
+
+
+def events_bucket_sort_sql(
+    event_type: str = "click", frm: int = 0, size: int = 5
+) -> str:
+    if int(frm) < 0 or int(size) < 1:
+        raise ValueError(f"need frm >= 0 and size >= 1: {frm!r}, {size!r}")
+    et = event_type.replace("'", "''")
+    return (
+        "WITH base AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, "
+        "CAST(count(*) AS BIGINT) AS n_events FROM events "
+        f"WHERE event_type = '{et}' GROUP BY 1), "
+        "r AS (SELECT bucket, n_events, row_number() OVER "
+        "(ORDER BY n_events DESC, bucket ASC) AS rn FROM base) "
+        "SELECT bucket, n_events FROM r "
+        f"WHERE rn > {int(frm)} AND rn <= {int(frm) + int(size)} "
+        "ORDER BY n_events DESC, bucket ASC"
+    )
+
+
+def events_percentiles_bucket(
+    events: DataFrame, event_type: str = "click"
+) -> DataFrame:
+    """(stat, value) — the ES ``percentiles_bucket`` pipeline agg:
+    exact type-1 (lower) quantiles of the per-bucket counts (min / p25
+    / p50 / p75 / max at rank ceil(q*n), the bm25_boxplot integer-rank
+    convention — every output is a count that actually occurred,
+    float-free). The rank lookup runs over the GROUPED count
+    distribution (cardinality-bounded cumulative window)."""
+    base = (
+        events.where(F.col("event_type") == event_type)
+        .groupBy(F.unix_timestamp(F.date_trunc("hour", "ts")).alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    grouped = base.groupBy(F.col("n").alias("v")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grouped.withColumn("cum", F.sum("cnt").over(w))
+    n1 = cum.agg(F.sum("cnt").cast("long").alias("nb"))
+    j = cum.crossJoin(F.broadcast(n1))
+    ranks = {
+        "min": "1",
+        "p25": "(nb + 3) DIV 4",
+        "p50": "(nb + 1) DIV 2",
+        "p75": "(3 * nb + 3) DIV 4",
+        "max": "nb",
+    }
+    aggs = [
+        F.min(F.when(F.col("cum") >= F.expr(expr), F.col("v")))
+        .cast("long")
+        .alias(f"v_{name}")
+        for name, expr in ranks.items()
+    ]
+    row = j.agg(*aggs)
+    items = ", ".join(f"'{name}', v_{name}" for name in ranks)
+    return row.selectExpr(
+        f"stack({len(ranks)}, {items}) AS (stat, value)"
+    ).orderBy("stat")
+
+
+def events_percentiles_bucket_sql(event_type: str = "click") -> str:
+    et = event_type.replace("'", "''")
+    ranks = {
+        "min": "1",
+        "p25": "(nb + 3) // 4",
+        "p50": "(nb + 1) // 2",
+        "p75": "(3 * nb + 3) // 4",
+        "max": "nb",
+    }
+    sel = ", ".join(
+        f"CAST(min(CASE WHEN cum >= {expr} THEN v END) AS BIGINT) AS v_{name}"
+        for name, expr in ranks.items()
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT '{name}' AS stat, v_{name} AS value FROM one"
+        for name in ranks
+    )
+    return (
+        "WITH base AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, "
+        "CAST(count(*) AS BIGINT) AS n FROM events "
+        f"WHERE event_type = '{et}' GROUP BY 1), "
+        "g AS (SELECT n AS v, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY n), "
+        "c AS (SELECT v, cnt, sum(cnt) OVER (ORDER BY v "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM g), "
+        "t AS (SELECT c.*, (SELECT sum(cnt) FROM g) AS nb FROM c), "
+        f"one AS (SELECT {sel} FROM t) "
+        f"{unions} ORDER BY stat"
+    )

@@ -559,3 +559,52 @@ def test_ses_guard(spark):
     ev = _vw_events(spark, [1.0])
     with pytest.raises(ValueError):
         events_ses_forecast(ev, "click", alpha=0.0)
+
+
+# --- bucket_sort + percentiles_bucket ----------------------------------------
+
+
+def _hist_events(spark, counts, et="click"):
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    for h, c in enumerate(counts):
+        for j in range(c):
+            rows.append((eid, dt.datetime(2024, 1, 1, h, j % 60), 1, et,
+                         1.0, "{}"))
+            eid += 1
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_bucket_sort_from_size(spark):
+    from distributedcodesearchengine_spark.operators.timeseries import (
+        events_bucket_sort,
+    )
+
+    ev = _hist_events(spark, [3, 9, 5, 9, 1])
+    out = events_bucket_sort(ev, "click", frm=1, size=2).collect()
+    # order: h1(9), h3(9 tie->later bucket), h2(5), h0(3), h4(1);
+    # skip 1, take 2 -> h3(9), h2(5)
+    assert [r["n_events"] for r in out] == [9, 5]
+    import pytest
+
+    with pytest.raises(ValueError):
+        events_bucket_sort(ev, "click", size=0)
+
+
+def test_percentiles_bucket_type1(spark):
+    from distributedcodesearchengine_spark.operators.timeseries import (
+        events_percentiles_bucket,
+    )
+
+    # counts sorted: [1, 3, 5, 9, 9]; n=5 -> p25 rank 2 -> 3,
+    # p50 rank 3 -> 5, p75 rank (18)//4=4 -> 9
+    ev = _hist_events(spark, [3, 9, 5, 9, 1])
+    out = {r["stat"]: r["value"]
+           for r in events_percentiles_bucket(ev, "click").collect()}
+    assert out == {"min": 1, "p25": 3, "p50": 5, "p75": 9, "max": 9}
