@@ -1586,6 +1586,19 @@ def _registry():
         ),
     )
 
+    # the ES 8.12 learning-to-rank rescorer: a linear model over
+    # per-(query,doc) features re-ranks the bounded rescore window;
+    # weights are a loader-injectable artifact (the trained-seam
+    # discipline) with a deterministic default
+    from distributedcodesearchengine_spark.operators.ltr import (
+        ltr_rescore_sql,
+    )
+
+    reg["ltr_rescore"] = (
+        partial(eq.ltr_rescore_q, query="dup table", k=10, window_size=20),
+        ltr_rescore_sql("dup table", k=10, window_size=20),
+    )
+
     # the ES distance_feature query: BM25 + reciprocal-saturation
     # geo-proximity boost over the WHOLE kept set (a pure per-row
     # expression over the derived positions — zero joins); the

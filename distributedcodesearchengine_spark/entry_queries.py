@@ -1408,3 +1408,15 @@ def match_bool_prefix_q(
     return res.select(
         "rank", _orig_doc_id(), round6("score").alias("score")
     ).orderBy("rank")
+
+
+def ltr_rescore_q(
+    spark: SparkSession, sf_dir: str, query: str, k: int = 10,
+    window_size: int = 20,
+) -> DataFrame:
+    """LTR rescorer gate entry (operators/ltr.ltr_rescore_topk) with
+    the deterministic default linear weights."""
+    from .operators.ltr import ltr_rescore_topk
+
+    idx = get_documents_index(spark, sf_dir)
+    return ltr_rescore_topk(idx, query, k=k, window_size=window_size)
