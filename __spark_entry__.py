@@ -316,6 +316,13 @@ def _registry():
         return lambda spark, sf_dir: fn(load_table(spark, sf_dir, table))
 
     reg["dedup_exact"] = (_tbl_op(dd.exact_dedup_summary), dd.exact_dedup_summary_sql())
+    # quality survivorship: per content-fingerprint group keep the
+    # highest-quality member (ties -> smallest doc_id) via ONE
+    # map-side-combinable struct-max — the curation-grade alternative
+    # to min-doc_id survivorship
+    reg["dedup_keep_best"] = (
+        _docs_op(dd.dedup_keep_best), dd.dedup_keep_best_sql(cte),
+    )
     reg["minhash_signatures"] = (
         _docs_op(dd.minhash_signatures), dd.minhash_signatures_sql(cte),
     )

@@ -618,3 +618,77 @@ def dup_spans_sql(
         "AS first_dup_tok "
         "FROM j GROUP BY doc_id ORDER BY doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# survivorship policy: keep-best-quality dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_keep_best(docs: DataFrame) -> DataFrame:
+    """(doc_id, group_n, quality) — exact dedup with a QUALITY
+    survivorship policy: group by the whitespace-normalized lowercase
+    content fingerprint (doc_fingerprint's key) and keep, per group,
+    the member with the highest quality score (ties -> smallest
+    doc_id) — the curation-grade alternative to min-doc_id
+    survivorship (two mirrors of one page rarely have equal boiler-
+    plate; you want the clean one, not the first-crawled one).
+    ``quality`` is the round6 output of the gate-proven quality_score
+    lane, so the comparison key is bit-identical cross-engine.
+
+    Scale: the quality pass is per-row; the group reduce is ONE
+    map-side-combinable struct-max (the events_latest shape — each
+    partition reduces its members to one candidate before the
+    shuffle; the naive per-group row_number sort would move every
+    duplicate of every mirror farm)."""
+    from .textstats import quality_score
+
+    q = quality_score(docs, keep=("text",))
+    keyed = q.select(
+        "doc_id",
+        "quality",
+        F.md5(
+            F.encode(
+                F.trim(
+                    F.regexp_replace(
+                        F.lower(F.col("text")), r"[ \t\n\x0B\f\r]+", " "
+                    )
+                ),
+                "utf-8",
+            )
+        ).alias("fp"),
+    )
+    g = keyed.groupBy("fp").agg(
+        F.count("*").cast("long").alias("group_n"),
+        F.max(
+            F.struct(
+                F.col("quality"),
+                (-F.col("doc_id")).alias("nd"),
+                F.col("doc_id").alias("d"),
+            )
+        ).alias("m"),
+    )
+    return g.select(
+        F.col("m.d").alias("doc_id"),
+        "group_n",
+        F.col("m.quality").alias("quality"),
+    ).orderBy("doc_id")
+
+
+def dedup_keep_best_sql(table_toks_cte: str) -> str:
+    """DuckDB mirror of dedup_keep_best: the quality chain + the
+    per-fingerprint (quality desc, doc_id asc) rank-1 cut."""
+    from .textstats import quality_score_sql
+
+    q = quality_score_sql(table_toks_cte)
+    return (
+        f"WITH qq AS ({q}), "
+        "keyed AS (SELECT qq.doc_id, qq.quality, "
+        r"md5(trim(regexp_replace(lower(t.text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fp "
+        "FROM qq JOIN documents t ON t.doc_id = qq.doc_id), "
+        "r AS (SELECT doc_id, quality, fp, "
+        "CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS group_n, "
+        "row_number() OVER (PARTITION BY fp "
+        "ORDER BY quality DESC, doc_id ASC) AS rn FROM keyed) "
+        "SELECT doc_id, group_n, quality FROM r WHERE rn = 1 ORDER BY doc_id"
+    )

@@ -114,3 +114,58 @@ def test_min_label_propagation_raises_on_nonconvergence(spark):
         for r in min_label_propagation(pairs, max_iter=15).collect()
     }
     assert set(labs.values()) == {0}
+
+
+# --- keep-best survivorship --------------------------------------------------
+
+
+def _kb_docs(spark, texts):
+    from distributedcodesearchengine_spark.functions.udfs import tokenize_udf
+    import pyspark.sql.functions as F
+
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return d.select("doc_id", "text", tokenize_udf("text").alias("tokens"))
+
+
+def test_keep_best_picks_higher_quality_duplicate(spark):
+    from distributedcodesearchengine_spark.operators.dedup import (
+        dedup_keep_best,
+    )
+    from distributedcodesearchengine_spark.operators.textstats import (
+        quality_score,
+    )
+
+    # docs 0 and 1 normalize to the SAME fingerprint (case/whitespace);
+    # doc 2 is distinct garbage with low quality
+    texts = [
+        "The  Quick Brown Fox jumps over the lazy dog today",
+        "the quick brown fox jumps over the lazy dog today",
+        "!!! ??? ### $$$",
+    ]
+    docs = _kb_docs(spark, texts)
+    out = {r["doc_id"]: r for r in dedup_keep_best(docs).collect()}
+    q = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    # exactly one survivor from {0,1} with group_n 2, plus doc 2
+    survivors = set(out)
+    assert 2 in survivors and len(survivors) == 2
+    dup_surv = (survivors - {2}).pop()
+    assert out[dup_surv]["group_n"] == 2
+    # the survivor carries the max quality of its group
+    assert out[dup_surv]["quality"] == max(q[0], q[1])
+    # and if qualities tie, the smaller doc_id wins
+    if q[0] == q[1]:
+        assert dup_surv == 0
+
+
+def test_keep_best_layout_independent(spark):
+    from distributedcodesearchengine_spark.operators.dedup import (
+        dedup_keep_best,
+    )
+
+    texts = ["alpha beta gamma"] * 3 + ["delta epsilon zeta"] * 2
+    a = dedup_keep_best(_kb_docs(spark, texts).repartition(1)).collect()
+    b = dedup_keep_best(_kb_docs(spark, texts).repartition(8)).collect()
+    assert a == b
+    assert sorted(r["group_n"] for r in a) == [2, 3]
