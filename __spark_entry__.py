@@ -429,6 +429,15 @@ def _registry():
     from distributedcodesearchengine_spark.operators import pipeline as pl
 
     reg["decontaminate"] = (_docs_op(pl.decontaminate), pl.decontaminate_sql(cte))
+    # fuzzy decontamination: minhash-LSH near-dup pass vs the eval
+    # slice (catches paraphrased/reformatted leakage the exact 8-gram
+    # filter misses); corpus bands x BROADCAST bench bands, verify on
+    # candidates only
+    reg["decontaminate_fuzzy"] = (
+        _docs_op(partial(pl.decontaminate_fuzzy, bench_mod=7,
+                         jaccard_min=0.2)),
+        pl.decontaminate_fuzzy_sql(cte, bench_mod=7, jaccard_min=0.2),
+    )
     reg["mixture_sample"] = (_tbl_op(pl.mixture_sample), pl.mixture_sample_sql())
     reg["temperature_sample"] = (
         _tbl_op(partial(pl.temperature_sample, alpha=0.5, target_frac=0.5)),

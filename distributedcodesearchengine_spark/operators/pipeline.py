@@ -1460,3 +1460,106 @@ def c4_clean_sql(
         "md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_hash "
         "FROM k ORDER BY doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy decontamination (minhash-LSH vs the eval suite)
+
+
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    bench_mod: int = 7,
+    jaccard_min: float = 0.5,
+) -> DataFrame:
+    """(doc_id, bench_id, jaccard) — FUZZY decontamination: training
+    docs that are near-duplicates of an eval-suite document by shingle
+    Jaccard, found via minhash-LSH band buckets (the GPT-3-style
+    fuzzy-overlap pass that catches paraphrased/reformatted leakage
+    the exact 8-gram filter misses — the two compose: exact
+    ``decontaminate`` for verbatim grams, this for near-dup pages).
+
+    The eval side is the deterministic ``doc_id % bench_mod == 0``
+    slice (the ``decontaminate`` stand-in convention; a real eval
+    suite swaps in unchanged). Scale shape: signatures are the shared
+    minhash lane; the band join is corpus-bands x BROADCAST
+    bench-bands (eval suites are tiny — no self-join exists, so no
+    mega-bucket cap is needed: a boilerplate band bucket pairs with
+    at most |bench| rows); the exact-Jaccard verify touches candidate
+    pairs only (the crossdedup discipline)."""
+    from .dedup import N_BANDS, _band_cols, _jaccard_verify, minhash_signatures
+
+    if int(bench_mod) < 2:
+        raise ValueError(f"bench_mod must be >= 2: {bench_mod!r}")
+    sigs = minhash_signatures(docs, ordered=False).select(
+        "doc_id", *_band_cols()
+    )
+    bands = None
+    for b in range(N_BANDS):
+        part = sigs.select(
+            F.lit(b).alias("band_id"), F.col(f"band{b}").alias("sig"), "doc_id"
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    is_bench = F.col("doc_id") % int(bench_mod) == 0
+    corpus_b = bands.where(~is_bench)
+    bench_b = bands.where(is_bench)
+    cand = (
+        corpus_b.alias("c")
+        .join(
+            F.broadcast(bench_b.alias("e")),
+            (F.col("c.band_id") == F.col("e.band_id"))
+            & (F.col("c.sig") == F.col("e.sig")),
+        )
+        .select(
+            F.col("c.doc_id").alias("doc_a"), F.col("e.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    out = _jaccard_verify(docs, cand, float(jaccard_min))
+    return out.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("bench_id"),
+        "jaccard",
+    ).orderBy("doc_id", "bench_id")
+
+
+def decontaminate_fuzzy_sql(
+    table_toks_cte: str, bench_mod: int = 7, jaccard_min: float = 0.5
+) -> str:
+    """DuckDB mirror of decontaminate_fuzzy: shared minhash/band
+    spellings, the corpus x bench band join, exact-Jaccard verify."""
+    from .dedup import N_BANDS, N_HASHES, SHINGLES_SQL
+
+    rows = N_HASHES // N_BANDS
+    mins = ", ".join(f"min(md5('{i}|' || sh)) AS mh{i}" for i in range(N_HASHES))
+    band_select = ", ".join(
+        "(" + " || ".join(f"mh{b * rows + r}" for r in range(rows)) + f") AS band{b}"
+        for b in range(N_BANDS)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT {b} AS band_id, band{b} AS sig, doc_id FROM sigs"
+        for b in range(N_BANDS)
+    )
+    jm = sql_double(float(jaccard_min))
+    return (
+        f"WITH {table_toks_cte}, "
+        f"shd AS (SELECT doc_id, {SHINGLES_SQL} AS shingles FROM docs), "
+        "sh AS (SELECT doc_id, unnest(shingles) AS sh FROM shd WHERE len(shingles) > 0), "
+        f"sig0 AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id), "
+        f"sigs AS (SELECT doc_id, {band_select} FROM sig0), "
+        f"bands AS ({band_union}), "
+        f"cand AS (SELECT DISTINCT c.doc_id AS doc_a, e.doc_id AS doc_b "
+        "FROM (SELECT * FROM bands WHERE doc_id % " + str(int(bench_mod)) + " <> 0) c "
+        "JOIN (SELECT * FROM bands WHERE doc_id % " + str(int(bench_mod)) + " = 0) e "
+        "ON c.band_id = e.band_id AND c.sig = e.sig), "
+        "dsh AS (SELECT doc_id, unnest(list_distinct(shingles)) AS sh FROM shd), "
+        "sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id), "
+        "inter AS (SELECT cand.doc_a, cand.doc_b, count(*) AS i FROM cand "
+        "JOIN dsh sa ON sa.doc_id = cand.doc_a "
+        "JOIN dsh sb ON sb.doc_id = cand.doc_b AND sb.sh = sa.sh "
+        "GROUP BY cand.doc_a, cand.doc_b), "
+        "j AS (SELECT doc_a, doc_b, "
+        "CAST(i AS DOUBLE) / (na.n_sh + nb.n_sh - i) AS jaccard FROM inter "
+        "JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b) "
+        f"SELECT doc_a AS doc_id, doc_b AS bench_id, {round6_sql('jaccard')} AS jaccard "
+        f"FROM j WHERE jaccard >= {jm} ORDER BY doc_id, bench_id"
+    )

@@ -575,3 +575,59 @@ def test_apply_domain_cap_null_keys_are_a_group(spark):
     nulls = sorted(r.doc_id for r in kept if r.source is None)
     assert nulls == list(range(7))  # capped, lowest doc_ids win
     assert sorted(r.doc_id for r in kept if r.source == "ok") == [100, 101, 102]
+
+
+# --- fuzzy decontamination ---------------------------------------------------
+
+
+def _fz_docs(spark, texts):
+    from distributedcodesearchengine_spark.functions.udfs import tokenize_udf
+
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return d.select("doc_id", "text", tokenize_udf("text").alias("tokens"))
+
+
+def test_decontaminate_fuzzy_catches_near_dup_of_bench(spark):
+    import pytest
+
+    from distributedcodesearchengine_spark.operators.pipeline import (
+        decontaminate_fuzzy,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu nu xi omicron pi rho sigma tau upsilon")
+    texts = [
+        base,                                   # doc 0: bench (0 % 2 == 0)
+        base + " extra",                        # doc 1: near-dup of bench
+        "totally different content here today " * 3,  # doc 3? index 2: bench
+        "unrelated words entirely about other things nothing shared",  # 3
+    ]
+    out = decontaminate_fuzzy(
+        _fz_docs(spark, texts), bench_mod=2, jaccard_min=0.5
+    ).collect()
+    pairs = {(r["doc_id"], r["bench_id"]): r["jaccard"] for r in out}
+    assert (1, 0) in pairs
+    assert pairs[(1, 0)] > 0.9
+    # the unrelated corpus doc is NOT flagged
+    assert all(d != 3 for d, _ in pairs)
+    # jaccard matches the exact shingle computation
+    def sh(t):
+        ts = t.split()
+        return {" ".join(ts[i:i + 3]) for i in range(len(ts) - 2)}
+
+    a, b = sh(texts[1]), sh(texts[0])
+    want = len(a & b) / len(a | b)
+    assert pairs[(1, 0)] == pytest.approx(want, abs=1e-6)
+
+
+def test_decontaminate_fuzzy_guard(spark):
+    import pytest
+
+    from distributedcodesearchengine_spark.operators.pipeline import (
+        decontaminate_fuzzy,
+    )
+
+    with pytest.raises(ValueError):
+        decontaminate_fuzzy(_fz_docs(spark, ["aa bb cc"]), bench_mod=1)
