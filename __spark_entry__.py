@@ -323,6 +323,14 @@ def _registry():
     reg["dedup_keep_best"] = (
         _docs_op(dd.dedup_keep_best), dd.dedup_keep_best_sql(cte),
     )
+    # within-document repeated-line removal (the Gopher in-doc rule,
+    # complementing corpus-level dedup_lines): first-occurrence keep
+    # via indexed lambdas (Spark 0-based vs DuckDB 1-based), zero
+    # corpus-wide state; gate pages render with REAL duplicate lines
+    reg["dedup_lines_within"] = (
+        _tbl_op(dd.dedup_lines_within_augmented),
+        dd.dedup_lines_within_sql(),
+    )
     reg["minhash_signatures"] = (
         _docs_op(dd.minhash_signatures), dd.minhash_signatures_sql(cte),
     )

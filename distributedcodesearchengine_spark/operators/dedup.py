@@ -692,3 +692,84 @@ def dedup_keep_best_sql(table_toks_cte: str) -> str:
         "ORDER BY quality DESC, doc_id ASC) AS rn FROM keyed) "
         "SELECT doc_id, group_n, quality FROM r WHERE rn = 1 ORDER BY doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# within-document repeated-line removal (the Gopher in-doc dedup rule)
+# ---------------------------------------------------------------------------
+
+
+def dedup_lines_within(pages: DataFrame) -> DataFrame:
+    """(doc_id, n_lines, n_removed, clean_hash) — WITHIN-document
+    repeated-line removal (the Gopher/RefinedWeb in-document rule,
+    complementing corpus-level ``dedup_lines``): every line keeps only
+    its FIRST occurrence inside its own page (repeated nav headers,
+    duplicated footers, copy-paste stutter), survivors reassembled in
+    original order and pinned by md5 (the dedup_lines narrow-row
+    contract).
+
+    First-occurrence is an indexed lambda — keep line i iff
+    array_position(lines, line) == i (Spark's 0-based filter index vs
+    DuckDB's 1-based spelled accordingly) — a per-row O(lines^2)
+    expression with NO corpus-wide state at all: zero shuffle, zero
+    Python, size-independent by construction."""
+    lines = F.split(F.col("text"), "\n")
+    d = pages.select("doc_id", lines.alias("ls"))
+    kept = F.filter(
+        F.col("ls"),
+        lambda x, i: F.array_position(F.col("ls"), x) == i + F.lit(1),
+    )
+    return d.select(
+        "doc_id",
+        F.size("ls").cast("long").alias("n_lines"),
+        (F.size("ls") - F.size(kept)).cast("long").alias("n_removed"),
+        F.md5(F.encode(F.array_join(kept, "\n"), "utf-8")).alias("clean_hash"),
+    ).orderBy("doc_id")
+
+
+def _lines_within_augment_spark() -> F.Column:
+    """Gate augmentation: render each corpus row as a page with REAL
+    within-doc duplicates — the 'home' nav line opens AND closes every
+    page, and every third doc carries a doubled footer."""
+    g = 6
+    return F.expr(
+        "concat('home', chr(10), "
+        f"array_join(transform(sequence(0, (size(w) - 1) DIV {g}), "
+        f"g -> array_join(slice(w, g * {g} + 1, {g}), ' ')), chr(10)), "
+        "chr(10), 'home', "
+        "CASE WHEN doc_id % 3 = 0 THEN concat(chr(10), 'contact us.', "
+        "chr(10), 'contact us.') ELSE '' END)"
+    )
+
+
+def dedup_lines_within_augmented(documents: DataFrame) -> DataFrame:
+    """Gate wrapper: multi-line page rendering with deterministic
+    duplicate lines, then the within-doc dedup."""
+    return dedup_lines_within(
+        documents.select(
+            "doc_id", F.expr("split(text, ' ')").alias("w")
+        ).select("doc_id", _lines_within_augment_spark().alias("text"))
+    )
+
+
+def dedup_lines_within_sql(table: str = "documents") -> str:
+    """DuckDB mirror: identical rendering, list_filter with the
+    1-based (l, i) lambda, coalesce for the NULL-on-empty
+    array_to_string (the dedup_lines precedent)."""
+    g = 6
+    return (
+        f"WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM {table}), "
+        "a AS (SELECT doc_id, 'home' || chr(10) || "
+        f"array_to_string(list_transform(generate_series(0, (len(w) - 1) // {g}), "
+        f"g -> array_to_string(w[g * {g} + 1:g * {g} + {g}], ' ')), chr(10)) "
+        "|| chr(10) || 'home' "
+        "|| CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'contact us.' || "
+        "chr(10) || 'contact us.' ELSE '' END AS txt FROM w0), "
+        "l0 AS (SELECT doc_id, string_split(txt, chr(10)) AS ls FROM a), "
+        "k AS (SELECT doc_id, len(ls) AS n_lines, "
+        "list_filter(ls, (l, i) -> list_position(ls, l) = i) AS kept FROM l0) "
+        "SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines, "
+        "CAST(n_lines - len(kept) AS BIGINT) AS n_removed, "
+        "md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_hash "
+        "FROM k ORDER BY doc_id"
+    )
