@@ -1771,6 +1771,14 @@ def _registry():
     reg["tokenizer_fertility"] = (
         _tbl_op(ts.tokenizer_fertility), ts.tokenizer_fertility_sql(),
     )
+    # the ES terms-agg partitioning (include.partition/num_partitions):
+    # walking a 10^8-term dictionary partition by partition — md5-slice
+    # hash predicate BEFORE the top-k cut
+    reg["terms_partition"] = (
+        _docs_op(partial(ts.terms_partition, partition=2,
+                         num_partitions=8, k=20)),
+        ts.terms_partition_sql(cte, partition=2, num_partitions=8, k=20),
+    )
 
     reg["ip_range_buckets"] = (
         _tbl_op(ipt.ip_range_buckets),

@@ -1286,3 +1286,62 @@ def tokenizer_fertility_sql() -> str:
         "/ 1000000.0) AS bytes_per_token "
         "FROM agg ORDER BY lang"
     )
+
+
+# ---------------------------------------------------------------------------
+# terms-agg partitioning (ES include.partition / num_partitions)
+# ---------------------------------------------------------------------------
+
+
+def terms_partition(
+    docs: DataFrame, partition: int = 0, num_partitions: int = 8,
+    k: int = 20,
+) -> DataFrame:
+    """(term, df) — the ES high-cardinality terms-agg paging feature
+    (``include.partition`` / ``num_partitions``): the top-k terms by
+    document frequency RESTRICTED to the terms whose hash lands in
+    partition ``partition`` of ``num_partitions`` — the way a client
+    walks a 10^8-term dictionary without any single response (or any
+    single agg) holding it. The partition hash is the house md5-slice
+    integer (first 8 hex chars -> uniform [0, 2^32) -> % P), identical
+    on both engines by construction; ordering is (df desc, term asc).
+
+    Scale: the partition predicate applies BEFORE the top-k cut (on a
+    persisted term dictionary it prunes the scan); the agg itself is
+    the map-side-combinable df count + TakeOrdered."""
+    if not (0 <= int(partition) < int(num_partitions)):
+        raise ValueError(
+            f"need 0 <= partition < num_partitions: {partition}/{num_partitions}"
+        )
+    tf2 = docs.select("doc_id", F.explode("tokens").alias("term"))
+    dfreq = tf2.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.encode(F.col("term"), "utf-8")), 1, 8), 16, 10
+    ).cast("long") % int(num_partitions)
+    return (
+        dfreq.where(h == int(partition))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(int(k))
+    )
+
+
+def terms_partition_sql(
+    table_toks_cte: str, partition: int = 0, num_partitions: int = 8,
+    k: int = 20,
+) -> str:
+    if not (0 <= int(partition) < int(num_partitions)):
+        raise ValueError(
+            f"need 0 <= partition < num_partitions: {partition}/{num_partitions}"
+        )
+    return (
+        f"WITH {table_toks_cte}, "
+        "tf2 AS (SELECT doc_id, unnest(toks) AS term FROM docs), "
+        "dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df "
+        "FROM tf2 GROUP BY term) "
+        "SELECT term, df FROM dfreq "
+        f"WHERE ('0x' || substr(md5(term), 1, 8))::BIGINT % {int(num_partitions)} "
+        f"= {int(partition)} "
+        f"ORDER BY df DESC, term ASC LIMIT {int(k)}"
+    )

@@ -130,3 +130,46 @@ def test_tokenizer_fertility_hand_computed(spark):
     assert fr["chars_per_token"] < en["chars_per_token"]
     emp = out["empty"]
     assert emp["n_tokens"] == 0 and emp["chars_per_token"] == 0.0
+
+
+# --- terms-agg partitioning --------------------------------------------------
+
+
+def test_terms_partition_covers_and_disjoint(spark):
+    import hashlib
+
+    from distributedcodesearchengine_spark.functions.udfs import tokenize_udf
+    from distributedcodesearchengine_spark.operators.textstats import (
+        terms_partition,
+    )
+
+    texts = [" ".join(f"term{i:02d}" for i in range(30))] * 2
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).select("doc_id", tokenize_udf("text").alias("tokens"))
+    P = 4
+    parts = [
+        {r["term"] for r in terms_partition(
+            docs, partition=p, num_partitions=P, k=100).collect()}
+        for p in range(P)
+    ]
+    # disjoint and covering the whole vocabulary
+    allt = set().union(*parts)
+    assert allt == {f"term{i:02d}" for i in range(30)}
+    assert sum(len(s) for s in parts) == len(allt)
+    # partition assignment matches the python md5 replication
+    for p, s in enumerate(parts):
+        for t in s:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % P
+            assert h == p
+
+
+def test_terms_partition_guard(spark):
+    import pytest
+
+    from distributedcodesearchengine_spark.operators.textstats import (
+        terms_partition,
+    )
+
+    with pytest.raises(ValueError):
+        terms_partition(None, partition=8, num_partitions=8)
