@@ -1425,6 +1425,19 @@ def _registry():
                 "embeddings"),
         sim.ann_recall_sql(_ANN_QVS, k=10, nprobe=2),
     )
+    # the same harness over the other quantization tiers: 1-bit
+    # Hamming (bq) and quarter-prefix Matryoshka (mrl) — a deployment
+    # gates EVERY tier's recall, not just IVF's
+    reg["ann_recall_bq"] = (
+        _tbl_op(partial(sim.ann_recall, qvecs=_ANN_QVS, k=10, mode="bq"),
+                "embeddings"),
+        sim.ann_recall_sql(_ANN_QVS, k=10, mode="bq"),
+    )
+    reg["ann_recall_mrl"] = (
+        _tbl_op(partial(sim.ann_recall, qvecs=_ANN_QVS, k=10, mode="mrl"),
+                "embeddings"),
+        sim.ann_recall_sql(_ANN_QVS, k=10, mode="mrl"),
+    )
 
     # the FAISS IndexRefineFlat / ScaNN-reordering serving pattern:
     # compressed ADC scan cuts refine*k candidates, exact squared-L2

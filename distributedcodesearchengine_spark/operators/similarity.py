@@ -1188,9 +1188,14 @@ def ann_recall(
     nprobe: int = 2,
     k_cells: int = N_IVF_CELLS,
     centroids: List[List[float]] | None = None,
+    mode: str = "ivf",
+    dim_prefix: int | None = None,
 ) -> DataFrame:
-    """(q_idx, k, hits, recall) — recall@k of the IVF-probed tier
-    against the exact brute-force cosine ranking, per query: the
+    """(q_idx, k, hits, recall) — recall@k of an approximate tier
+    (``mode``: ivf = the nprobe-pruned scan, bq = 1-bit Hamming,
+    mrl = truncated-prefix cosine at ``dim_prefix``, default dim/4)
+    against the exact brute-force cosine ranking, per query — the
+    offline number a deployment gates EVERY quantization tier on: the
     offline quality gate an ANN deployment runs before changing
     nprobe / k_cells / centroids (the retrieval_eval analog for the
     vector family — FAISS benchmarks report exactly this number).
@@ -1207,6 +1212,8 @@ def ann_recall(
         raise ValueError(f"k and nprobe must be >= 1: k={k} nprobe={nprobe}")
     if not qvecs:
         raise ValueError("need >= 1 query vectors")
+    if mode not in ("ivf", "bq", "mrl"):
+        raise ValueError(f"mode must be ivf|bq|mrl: {mode!r}")
     from ..functions.embed import cosine_topk
 
     spark = embeddings.sparkSession
@@ -1216,13 +1223,17 @@ def ann_recall(
             r["vec_id"]
             for r in cosine_topk(embeddings, qv, int(k)).collect()
         }
-        approx = {
-            r["vec_id"]
-            for r in ivf_topk(
+        if mode == "ivf":
+            adf = ivf_topk(
                 embeddings, qv, topk=int(k), nprobe=int(nprobe),
                 dim=len(qv), k_cells=k_cells, centroids=centroids,
-            ).collect()
-        }
+            )
+        elif mode == "bq":
+            adf = bq_hamming_topk(embeddings, qv, k=int(k))
+        else:
+            dp = int(dim_prefix or max(1, len(qv) // 4))
+            adf = mrl_topk(embeddings, qv, dim_prefix=dp, k=int(k))
+        approx = {r["vec_id"] for r in adf.collect()}
         hits = len(exact & approx)
         rows.append((qi, int(k), hits, float(hits) / int(k)))
     return spark.createDataFrame(
@@ -1236,6 +1247,8 @@ def ann_recall_sql(
     nprobe: int = 2,
     k_cells: int = N_IVF_CELLS,
     centroids: List[List[float]] | None = None,
+    mode: str = "ivf",
+    dim_prefix: int | None = None,
 ) -> str:
     """DuckDB mirror of ann_recall: per query, the exact top-k CTE and
     the probed-cells top-k CTE (identical cosine spelling and (score
@@ -1246,16 +1259,20 @@ def ann_recall_sql(
         raise ValueError(f"k and nprobe must be >= 1: k={k} nprobe={nprobe}")
     if not qvecs:
         raise ValueError("need >= 1 query vectors")
+    if mode not in ("ivf", "bq", "mrl"):
+        raise ValueError(f"mode must be ivf|bq|mrl: {mode!r}")
     dim = len(qvecs[0])
     cents = centroids if centroids is not None else ivf_centroids(dim, k_cells)
-    parts = [_cell_sql(len(cents), dim, cents)]
+    if mode == "ivf":
+        parts = [_cell_sql(len(cents), dim, cents)]
+    elif mode == "bq":
+        parts = [_bq_words_sql(dim)]
+    else:
+        parts = ["e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+    dp = int(dim_prefix or max(1, dim // 4))
     selects = []
     for qi, qv in enumerate(qvecs):
         q = [float(x) for x in qv]
-        qdots = [sum(a * b for a, b in zip(q, c)) for c in cents]
-        probe = sorted(range(len(cents)), key=lambda i: (-qdots[i], i))[
-            : int(nprobe)
-        ]
         qnorm = math.sqrt(sum(x * x for x in q))
         v = "[" + ", ".join(sql_double(x) for x in q) + "]::DOUBLE[]"
         cos = (
@@ -1263,18 +1280,46 @@ def ann_recall_sql(
             "(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) "
             f"* {sql_double(qnorm)})"
         )
-        plist = ", ".join(str(int(p)) for p in probe)
         parts.append(
             f"ex{qi} AS (SELECT vec_id FROM (SELECT vec_id, {cos} AS score "
             "FROM embeddings) s "
             f"ORDER BY score DESC, vec_id ASC LIMIT {int(k)})"
         )
-        parts.append(
-            f"iv{qi} AS (SELECT vec_id FROM (SELECT vec_id, {cos} AS score "
-            f"FROM embeddings WHERE vec_id IN "
-            f"(SELECT vec_id FROM cells WHERE cell IN ({plist}))) s "
-            f"ORDER BY score DESC, vec_id ASC LIMIT {int(k)})"
-        )
+        if mode == "ivf":
+            qdots = [sum(a * b for a, b in zip(q, c)) for c in cents]
+            probe = sorted(range(len(cents)), key=lambda i: (-qdots[i], i))[
+                : int(nprobe)
+            ]
+            plist = ", ".join(str(int(p)) for p in probe)
+            parts.append(
+                f"iv{qi} AS (SELECT vec_id FROM (SELECT vec_id, {cos} AS score "
+                f"FROM embeddings WHERE vec_id IN "
+                f"(SELECT vec_id FROM cells WHERE cell IN ({plist}))) s "
+                f"ORDER BY score DESC, vec_id ASC LIMIT {int(k)})"
+            )
+        elif mode == "bq":
+            qwords = _bq_query_words(q)
+            qvals = ", ".join(f"({wi}, {w})" for wi, w in enumerate(qwords))
+            parts.append(
+                f"qw{qi}(word_idx, qword) AS (VALUES {qvals})"
+            )
+            parts.append(
+                f"iv{qi} AS (SELECT vec_id FROM ("
+                "SELECT vec_id, CAST(sum(bit_count(xor(word, qword))) AS BIGINT) "
+                f"AS dist FROM wrds JOIN qw{qi} USING (word_idx) GROUP BY vec_id) s "
+                f"ORDER BY dist ASC, vec_id ASC LIMIT {int(k)})"
+            )
+        else:
+            qp = q[:dp]
+            qnorm_p = math.sqrt(sum(x * x for x in qp))
+            qvp = "[" + ", ".join(sql_double(x) for x in qp) + "]"
+            parts.append(
+                f"iv{qi} AS (SELECT vec_id FROM ("
+                f"SELECT vec_id, list_dot_product(list_slice(v, 1, {dp}), {qvp}) / "
+                f"(sqrt(list_dot_product(list_slice(v, 1, {dp}), "
+                f"list_slice(v, 1, {dp}))) * {sql_double(qnorm_p)}) AS p FROM e) s "
+                f"ORDER BY p DESC, vec_id ASC LIMIT {int(k)})"
+            )
         parts.append(
             f"h{qi} AS (SELECT CAST(count(*) AS BIGINT) AS hits FROM iv{qi} "
             f"WHERE vec_id IN (SELECT vec_id FROM ex{qi}))"

@@ -83,3 +83,35 @@ def test_ann_recall_guards(spark):
         ann_recall(emb, [], k=5)
     with pytest.raises(ValueError):
         ann_recall(emb, [[0.1] * 16], k=0)
+
+
+def test_ann_recall_modes(spark):
+    """bq and mrl modes equal a manual tier-vs-exact intersection; the
+    full-dim mrl prefix is recall 1.0."""
+    import pytest
+
+    from distributedcodesearchengine_spark.functions.embed import (
+        cosine_topk,
+        mock_embed_text,
+    )
+    from distributedcodesearchengine_spark.operators.similarity import (
+        ann_recall,
+        bq_hamming_topk,
+        mrl_topk,
+    )
+
+    emb = _ar_emb(spark)
+    qv = mock_embed_text("epsilon", 16)
+    exact = {r["vec_id"] for r in cosine_topk(emb, qv, 5).collect()}
+    bq_ids = {r["vec_id"] for r in bq_hamming_topk(emb, qv, k=5).collect()}
+    got_bq = ann_recall(emb, [qv], k=5, mode="bq").collect()[0]
+    assert got_bq["hits"] == len(exact & bq_ids)
+    mrl_ids = {r["vec_id"]
+               for r in mrl_topk(emb, qv, dim_prefix=4, k=5).collect()}
+    got_mrl = ann_recall(emb, [qv], k=5, mode="mrl", dim_prefix=4).collect()[0]
+    assert got_mrl["hits"] == len(exact & mrl_ids)
+    # full-prefix mrl IS the exact ranking
+    full = ann_recall(emb, [qv], k=5, mode="mrl", dim_prefix=16).collect()[0]
+    assert full["recall"] == 1.0
+    with pytest.raises(ValueError):
+        ann_recall(emb, [qv], mode="hnsw")
