@@ -1104,6 +1104,16 @@ def _registry():
         partial(eq.term_vectors_q, doc_id=3),
         term_vectors_sql(doc_id=3),
     )
+    # the ES _mtermvectors batch API: ONE IN-pruned tf scan for many
+    # docs (never |ids| separate scans); the absent id is found:false
+    from distributedcodesearchengine_spark.operators.termvectors import (
+        mterm_vectors_sql,
+    )
+
+    reg["mterm_vectors"] = (
+        partial(eq.mterm_vectors_q, doc_ids=(3, 7, 11, 999999)),
+        mterm_vectors_sql((3, 7, 11, 999999)),
+    )
 
     # second query-surface wave (operators/queryext): regexp query,
     # constant_score, span_first, _analyze, sampler/diversified_sampler,

@@ -1420,3 +1420,15 @@ def ltr_rescore_q(
 
     idx = get_documents_index(spark, sf_dir)
     return ltr_rescore_topk(idx, query, k=k, window_size=window_size)
+
+
+def mterm_vectors_q(
+    spark: SparkSession, sf_dir: str, doc_ids=(3, 7, 11, 999999)
+) -> DataFrame:
+    """Multi-document term vectors (operators/termvectors
+    .mterm_vectors — the ES _mtermvectors API; the absent id yields
+    no rows)."""
+    from .operators.termvectors import mterm_vectors
+
+    idx = get_documents_index(spark, sf_dir)
+    return mterm_vectors(idx, doc_ids=doc_ids)

@@ -106,3 +106,45 @@ def mget_sql(doc_ids) -> str:
         "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)', 1) AS site, "
         "lang, doc_len FROM m ORDER BY doc_id"
     )
+
+
+def mterm_vectors(index: Index, doc_ids) -> DataFrame:
+    """(doc_id, term, tf, df) — the ES ``_mtermvectors`` API: term
+    vectors for MANY documents in one call (doc_id asc, term asc).
+    Absent ids yield no rows (the per-entry found:false shape). Plan:
+    ONE IN-pruned tf scan + the term-keyed df join — |ids|-bounded,
+    never |ids| separate scans (the reason the batch API exists)."""
+    ids = sorted({int(d) for d in doc_ids})
+    if not ids:
+        return index.spark.createDataFrame(
+            [], "doc_id long, term string, tf long, df long"
+        )
+    return (
+        index.tf.where(F.col("doc_id").isin(ids))
+        .select("doc_id", "term", F.col("tf").cast("long").alias("tf"))
+        .join(
+            index.terms.select("term", F.col("df").cast("long").alias("df")),
+            "term",
+        )
+        .orderBy("doc_id", "term")
+    )
+
+
+def mterm_vectors_sql(doc_ids) -> str:
+    """DuckDB mirror of mterm_vectors over the shared docs CTE."""
+    from ..functions.sql_oracle import _docs_cte
+
+    ids = sorted({int(d) for d in doc_ids})
+    if not ids:
+        return (
+            "SELECT 1::BIGINT AS doc_id, '' AS term, 1::BIGINT AS tf, "
+            "1::BIGINT AS df WHERE false"
+        )
+    lst = ", ".join(str(i) for i in ids)
+    return (
+        f"WITH {_docs_cte()} "
+        "SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf, "
+        "CAST(d.df AS BIGINT) AS df "
+        f"FROM tf JOIN dfreq d USING (term) WHERE tf.doc_id IN ({lst}) "
+        "ORDER BY tf.doc_id, tf.term"
+    )

@@ -604,3 +604,24 @@ def test_match_bool_prefix_empty_contracts(spark):
     assert match_bool_prefix_topk(idx, "!! ??", k=5).count() == 0
     # no expansion and no base -> matches nothing
     assert match_bool_prefix_topk(idx, "zz", k=5).count() == 0
+
+
+def test_mterm_vectors_batch(spark):
+    from distributedcodesearchengine_spark.operators.termvectors import (
+        mterm_vectors,
+        term_vectors,
+    )
+    from tests.test_search_after import _index
+
+    idx = _index(spark, ["apple banana apple", "cherry durian", "apple"])
+    out = mterm_vectors(idx, [0, 2, 99]).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["term"], r["tf"], r["df"]))
+    assert set(by_doc) == {0, 2}  # 99 absent -> found:false
+    # batch rows equal the per-doc API
+    for d in (0, 2):
+        single = [(r["term"], r["tf"], r["df"])
+                  for r in term_vectors(idx, d).collect()]
+        assert by_doc[d] == single
+    assert mterm_vectors(idx, []).count() == 0
