@@ -1803,6 +1803,19 @@ def _registry():
         ts.terms_partition_sql(cte, partition=2, num_partitions=8, k=20),
     )
 
+    # the ES random_sampler agg (8.2): deterministic hash-threshold
+    # probability sample + 1/p scale-back — constant-cost child aggs
+    # at any corpus size; the mixture_sample integer-comparison lane
+    from distributedcodesearchengine_spark.operators.aggs import (
+        random_sampler_agg,
+        random_sampler_agg_sql,
+    )
+
+    reg["random_sampler"] = (
+        _tbl_op(partial(random_sampler_agg, probability=0.2, seed="rs1")),
+        random_sampler_agg_sql(probability=0.2, seed="rs1"),
+    )
+
     reg["ip_range_buckets"] = (
         _tbl_op(ipt.ip_range_buckets),
         ipt.ip_range_buckets_sql(),

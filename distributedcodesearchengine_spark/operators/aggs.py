@@ -1243,3 +1243,84 @@ def t_test_docs_sql(
         f"{round6_sql(ma)} AS mean_a, {round6_sql(mb)} AS mean_b, "
         f"{round6_sql(t)} AS t_stat, {round6_sql(df)} AS df FROM one"
     )
+
+
+# ---------------------------------------------------------------------------
+# random_sampler aggregation (ES 8.2 probability sampling)
+# ---------------------------------------------------------------------------
+
+
+def random_sampler_agg(
+    docs: DataFrame, probability: float = 0.1, seed: str = "rs1"
+) -> DataFrame:
+    """(n_sampled, est_total, sum_len_sampled, est_sum_len) — the ES
+    ``random_sampler`` aggregation: run the (expensive) child
+    aggregation on a probability sample and SCALE the results back by
+    1/p — the constant-cost way to aggregate a 10^12-doc corpus.
+    Deterministic sampling: doc included iff the md5(seed|doc_id)
+    first-8-hex integer < p * 2^32 (the mixture_sample hash-threshold
+    lane — an integer comparison, layout-independent, identical on
+    both engines). Child agg here: doc count + total token count;
+    estimates are the two sampled integers scaled by the exact 1/p
+    division once on the 1-row result."""
+    p = float(probability)
+    if not (0.0 < p <= 1.0):
+        raise ValueError(f"probability must be in (0, 1]: {probability!r}")
+    thr = int(p * 4294967296.0)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.encode(
+                    F.concat(F.lit(f"{seed}|"), F.col("doc_id").cast("string")),
+                    "utf-8",
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    toks = F.expr(
+        "CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT)"
+    )
+    s = docs.where(h < F.lit(thr)).agg(
+        F.count("*").cast("long").alias("n_sampled"),
+        F.sum(toks).cast("long").alias("sum_len_sampled"),
+    )
+    inv = F.lit(1.0) / F.lit(p)
+    return s.select(
+        "n_sampled",
+        round6(F.col("n_sampled").cast("double") * inv).alias("est_total"),
+        F.coalesce("sum_len_sampled", F.lit(0)).cast("long").alias(
+            "sum_len_sampled"
+        ),
+        round6(
+            F.coalesce("sum_len_sampled", F.lit(0)).cast("double") * inv
+        ).alias("est_sum_len"),
+    )
+
+
+def random_sampler_agg_sql(
+    probability: float = 0.1, seed: str = "rs1"
+) -> str:
+    from ..functions.rounding import round6_sql, sql_double
+
+    p = float(probability)
+    if not (0.0 < p <= 1.0):
+        raise ValueError(f"probability must be in (0, 1]: {probability!r}")
+    thr = int(p * 4294967296.0)
+    es = seed.replace("'", "''")
+    inv = f"(1.0 / {sql_double(p)})"
+    return (
+        "WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n_sampled, "
+        "CAST(coalesce(sum(len(list_filter(string_split(text, ' '), "
+        "x -> x != ''))), 0) AS BIGINT) AS sum_len_sampled "
+        "FROM documents WHERE "
+        f"('0x' || substr(md5('{es}|' || doc_id::VARCHAR), 1, 8))::BIGINT < {thr}) "
+        "SELECT n_sampled, "
+        f"{round6_sql(f'CAST(n_sampled AS DOUBLE) * {inv}')} AS est_total, "
+        "sum_len_sampled, "
+        f"{round6_sql(f'CAST(sum_len_sampled AS DOUBLE) * {inv}')} AS est_sum_len "
+        "FROM s"
+    )

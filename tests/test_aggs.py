@@ -523,3 +523,37 @@ def test_boxplot_single_doc_collapses(spark):
     rows = {r.stat: r.value for r in bm25_boxplot(idx, "word").collect()}
     assert set(rows.values()) == {4}
     assert bm25_boxplot(idx, "; -").count() == 0
+
+
+# --- random_sampler ----------------------------------------------------------
+
+
+def test_random_sampler_deterministic_and_scaled(spark):
+    import hashlib
+
+    import pytest
+
+    from distributedcodesearchengine_spark.operators.aggs import (
+        random_sampler_agg,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "one two three four five") for i in range(200)],
+        "doc_id long, text string",
+    )
+    p = 0.25
+    r = random_sampler_agg(docs, probability=p, seed="s9").collect()[0]
+    thr = int(p * 4294967296.0)
+    want = sum(
+        1 for i in range(200)
+        if int(hashlib.md5(f"s9|{i}".encode()).hexdigest()[:8], 16) < thr
+    )
+    assert r["n_sampled"] == want
+    assert r["est_total"] == pytest.approx(want / p, abs=1e-6)
+    assert r["sum_len_sampled"] == want * 5
+    assert r["est_sum_len"] == pytest.approx(want * 5 / p, abs=1e-6)
+    # p = 1 is the exact aggregation
+    full = random_sampler_agg(docs, probability=1.0).collect()[0]
+    assert full["n_sampled"] == 200 and full["est_total"] == 200.0
+    with pytest.raises(ValueError):
+        random_sampler_agg(docs, probability=0.0)
