@@ -1009,6 +1009,14 @@ def _registry():
                         event_type="click"), "events"),
         tsr.events_percentiles_bucket_sql("click"),
     )
+    # the ES change_point agg (mean-shift core): argmax over splits of
+    # |mean_after - mean_before| from exact integer prefix sums;
+    # calendar-bounded, TakeOrdered(1)
+    reg["events_change_point"] = (
+        _tbl_op(partial(tsr.events_change_point, event_type="click"),
+                "events"),
+        tsr.events_change_point_sql("click"),
+    )
 
     # second ES-aggregation wave (appended at the END per the
     # registry-ordering rule): multi_terms (compound-key buckets,

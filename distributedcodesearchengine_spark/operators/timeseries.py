@@ -1370,3 +1370,101 @@ def events_percentiles_bucket_sql(event_type: str = "click") -> str:
         f"one AS (SELECT {sel} FROM t) "
         f"{unions} ORDER BY stat"
     )
+
+
+# --------------------------------------------------------------------------
+# change_point detection (the ES change_point agg, mean-shift variant)
+# --------------------------------------------------------------------------
+
+
+def events_change_point(
+    events: DataFrame, event_type: str = "click"
+) -> DataFrame:
+    """1 row (split_bucket, n_before, n_after, mean_before, mean_after,
+    shift) — the ES ``change_point`` aggregation reduced to its
+    deterministic mean-shift core: the split of the bucket series that
+    maximizes |mean_after - mean_before| (ES's ML implementation
+    layers p-values on several change types; the argmax mean-shift is
+    the reproducible spine every variant ranks by). ``split_bucket``
+    is the FIRST bucket of the after-segment; ties break to the
+    earliest split.
+
+    Exactness: per-side means divide exact integer prefix sums by
+    exact counts — the only floats are the two divisions and the
+    |diff| per split, evaluated identically on both engines over the
+    CALENDAR-bounded series (cumulative window + 1-row broadcast
+    totals); the argmax is TakeOrdered(1). Fewer than 2 buckets
+    yields zero rows."""
+    base = (
+        events.where(F.col("event_type") == event_type)
+        .groupBy(F.unix_timestamp(F.date_trunc("hour", "ts")).alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    rn = Window.partitionBy(F.lit(1)).orderBy("bucket")
+    cum = base.select(
+        "bucket",
+        "n",
+        F.sum("n").over(w).cast("long").alias("cum"),
+        F.row_number().over(rn).cast("long").alias("i"),
+    )
+    tot = cum.agg(
+        F.max("cum").cast("long").alias("s"), F.count("*").cast("long").alias("nb")
+    )
+    j = cum.crossJoin(F.broadcast(tot)).where(F.col("i") < F.col("nb"))
+    mb = F.col("cum").cast("double") / F.col("i").cast("double")
+    ma = (F.col("s") - F.col("cum")).cast("double") / (
+        F.col("nb") - F.col("i")
+    ).cast("double")
+    shift = F.abs(ma - mb)
+    scored = j.select(
+        "bucket", "i", "cum", "s", "nb",
+        mb.alias("mb"), ma.alias("ma"), shift.alias("shift"),
+    )
+    best = scored.orderBy(F.desc("shift"), F.asc("bucket")).limit(1)
+    # split_bucket = the NEXT bucket after the before-segment's last:
+    # join back for the (i+1)-th bucket
+    nxt = cum.select(F.col("i").alias("i2"), F.col("bucket").alias("nb2"))
+    return (
+        best.join(F.broadcast(nxt), F.col("i2") == F.col("i") + 1)
+        .select(
+            F.col("nb2").alias("split_bucket"),
+            F.col("i").alias("n_before"),
+            (F.col("nb") - F.col("i")).cast("long").alias("n_after"),
+            round6("mb").alias("mean_before"),
+            round6("ma").alias("mean_after"),
+            round6("shift").alias("shift"),
+        )
+    )
+
+
+def events_change_point_sql(event_type: str = "click") -> str:
+    et = event_type.replace("'", "''")
+    return (
+        "WITH base AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, "
+        "CAST(count(*) AS BIGINT) AS n FROM events "
+        f"WHERE event_type = '{et}' GROUP BY 1), "
+        "cum AS (SELECT bucket, n, "
+        "CAST(sum(n) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING "
+        "AND CURRENT ROW) AS BIGINT) AS cum, "
+        "CAST(row_number() OVER (ORDER BY bucket) AS BIGINT) AS i FROM base), "
+        "tot AS (SELECT max(cum) AS s, CAST(count(*) AS BIGINT) AS nb FROM cum), "
+        "sc AS (SELECT bucket, i, "
+        "CAST(cum AS DOUBLE) / CAST(i AS DOUBLE) AS mb, "
+        "CAST((SELECT s FROM tot) - cum AS DOUBLE) / "
+        "CAST((SELECT nb FROM tot) - i AS DOUBLE) AS ma, "
+        "abs(CAST((SELECT s FROM tot) - cum AS DOUBLE) / "
+        "CAST((SELECT nb FROM tot) - i AS DOUBLE) - "
+        "CAST(cum AS DOUBLE) / CAST(i AS DOUBLE)) AS shift "
+        "FROM cum WHERE i < (SELECT nb FROM tot)), "
+        "best AS (SELECT * FROM sc ORDER BY shift DESC, bucket ASC LIMIT 1) "
+        "SELECT (SELECT bucket FROM cum WHERE i = best.i + 1) AS split_bucket, "
+        "best.i AS n_before, "
+        "CAST((SELECT nb FROM tot) - best.i AS BIGINT) AS n_after, "
+        + "(floor((best.mb) * 1000000.0 + 0.5) / 1000000.0) AS mean_before, "
+        "(floor((best.ma) * 1000000.0 + 0.5) / 1000000.0) AS mean_after, "
+        "(floor((best.shift) * 1000000.0 + 0.5) / 1000000.0) AS shift "
+        "FROM best"
+    )

@@ -608,3 +608,38 @@ def test_percentiles_bucket_type1(spark):
     out = {r["stat"]: r["value"]
            for r in events_percentiles_bucket(ev, "click").collect()}
     assert out == {"min": 1, "p25": 3, "p50": 5, "p75": 9, "max": 9}
+
+
+# --- change_point ------------------------------------------------------------
+
+
+def test_change_point_finds_level_shift(spark):
+    import pytest
+
+    from distributedcodesearchengine_spark.operators.timeseries import (
+        events_change_point,
+    )
+
+    # level shift after hour 3: [2,2,2,2] -> [10,10,10]
+    counts = [2, 2, 2, 2, 10, 10, 10]
+    ev = _hist_events(spark, counts)
+    r = events_change_point(ev, "click").collect()[0]
+    assert r["n_before"] == 4 and r["n_after"] == 3
+    assert r["mean_before"] == pytest.approx(2.0)
+    assert r["mean_after"] == pytest.approx(10.0)
+    assert r["shift"] == pytest.approx(8.0)
+    # the split bucket is hour 4's bucket
+    import datetime as dt
+
+    assert r["split_bucket"] == int(
+        dt.datetime(2024, 1, 1, 4).replace(tzinfo=dt.timezone.utc).timestamp()
+    )
+
+
+def test_change_point_single_bucket_empty(spark):
+    from distributedcodesearchengine_spark.operators.timeseries import (
+        events_change_point,
+    )
+
+    ev = _hist_events(spark, [5])
+    assert events_change_point(ev, "click").count() == 0
