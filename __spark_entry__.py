@@ -1811,6 +1811,14 @@ def _registry():
         ts.terms_partition_sql(cte, partition=2, num_partitions=8, k=20),
     )
 
+    # the ES categorize_text agg: log-pattern grouping by the
+    # digit-collapsed template's token prefix (the deterministic
+    # skeleton of ES's ML categorizer); one combinable string groupBy
+    reg["categorize_text"] = (
+        _tbl_op(partial(ts.categorize_text, head_tokens=4, k=20)),
+        ts.categorize_text_sql(head_tokens=4, k=20),
+    )
+
     # the ES random_sampler agg (8.2): deterministic hash-threshold
     # probability sample + 1/p scale-back — constant-cost child aggs
     # at any corpus size; the mixture_sample integer-comparison lane

@@ -1345,3 +1345,65 @@ def terms_partition_sql(
         f"= {int(partition)} "
         f"ORDER BY df DESC, term ASC LIMIT {int(k)}"
     )
+
+
+# ---------------------------------------------------------------------------
+# categorize_text aggregation (ES log-pattern categorization)
+# ---------------------------------------------------------------------------
+
+
+def categorize_text(
+    docs: DataFrame, head_tokens: int = 4, k: int = 20
+) -> DataFrame:
+    """(category, n_docs, min_doc_id) — the ES ``categorize_text``
+    aggregation reduced to its deterministic skeleton: messages group
+    by their TEMPLATE — lowercase, every digit run collapsed to '#'
+    (the variable part of log lines: ids, sizes, timestamps), then
+    the first ``head_tokens`` whitespace tokens as the category key
+    (ES's own tokenizer-prefix heuristic; its ML layer then merges
+    similar categories — a shard-order-dependent step no relational
+    engine reproduces, so the skeleton is the pinned contract).
+    Top-k by (n_docs desc, category asc); min_doc_id pins membership.
+
+    Scale: per-row string expression + ONE map-side-combinable
+    groupBy + TakeOrdered — the geo_grid shape over a string key."""
+    if int(head_tokens) < 1 or int(k) < 1:
+        raise ValueError(
+            f"need head_tokens >= 1 and k >= 1: {head_tokens!r}, {k!r}"
+        )
+    tmpl = F.regexp_replace(F.lower(F.col("text")), "[0-9]+", "#")
+    key = F.array_join(
+        F.slice(
+            F.filter(F.split(tmpl, " "), lambda x: x != F.lit("")),
+            1,
+            int(head_tokens),
+        ),
+        " ",
+    )
+    return (
+        docs.select(key.alias("category"), "doc_id")
+        .groupBy("category")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+        )
+        .orderBy(F.desc("n_docs"), F.asc("category"))
+        .limit(int(k))
+    )
+
+
+def categorize_text_sql(head_tokens: int = 4, k: int = 20) -> str:
+    if int(head_tokens) < 1 or int(k) < 1:
+        raise ValueError(
+            f"need head_tokens >= 1 and k >= 1: {head_tokens!r}, {k!r}"
+        )
+    return (
+        "WITH c AS (SELECT doc_id, array_to_string(list_filter("
+        "string_split(regexp_replace(lower(text), '[0-9]+', '#', 'g'), ' '), "
+        f"x -> x != '')[1:{int(head_tokens)}], ' ') AS category "
+        "FROM documents) "
+        "SELECT category, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(min(doc_id) AS BIGINT) AS min_doc_id "
+        "FROM c GROUP BY category "
+        f"ORDER BY n_docs DESC, category ASC LIMIT {int(k)}"
+    )

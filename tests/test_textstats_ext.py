@@ -173,3 +173,41 @@ def test_terms_partition_guard(spark):
 
     with pytest.raises(ValueError):
         terms_partition(None, partition=8, num_partitions=8)
+
+
+# --- categorize_text ---------------------------------------------------------
+
+
+def test_categorize_text_groups_by_template(spark):
+    from distributedcodesearchengine_spark.operators.textstats import (
+        categorize_text,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "Request 123 failed with code 500 after retry"),
+            (5, "request 999 failed with code 404 something"),
+            (2, "request 7 failed with code 301"),
+            (3, "user login ok session 42"),
+            (4, "user login ok session 77 extended"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["category"]: r for r in categorize_text(docs, head_tokens=4).collect()}
+    assert out["request # failed with"]["n_docs"] == 3
+    assert out["request # failed with"]["min_doc_id"] == 0
+    assert out["user login ok session"]["n_docs"] == 2
+    # top-1 is the bigger category
+    top = categorize_text(docs, head_tokens=4, k=1).collect()[0]
+    assert top["category"] == "request # failed with"
+
+
+def test_categorize_text_guard(spark):
+    import pytest
+
+    from distributedcodesearchengine_spark.operators.textstats import (
+        categorize_text,
+    )
+
+    with pytest.raises(ValueError):
+        categorize_text(None, head_tokens=0)
