@@ -1818,6 +1818,14 @@ def _registry():
         _tbl_op(partial(ts.categorize_text, head_tokens=4, k=20)),
         ts.categorize_text_sql(head_tokens=4, k=20),
     )
+    # the ES frequent_item_sets agg (pair itemsets): doc-co-occurrence
+    # support with the Apriori property made physical — the pair
+    # explode runs over each doc's FREQUENT tokens only
+    reg["frequent_pairs"] = (
+        _docs_op(partial(ts.frequent_pairs, min_support=5,
+                         max_items=100, k=20)),
+        ts.frequent_pairs_sql(cte, min_support=5, max_items=100, k=20),
+    )
 
     # the ES random_sampler agg (8.2): deterministic hash-threshold
     # probability sample + 1/p scale-back — constant-cost child aggs

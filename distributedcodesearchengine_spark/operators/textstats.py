@@ -1407,3 +1407,85 @@ def categorize_text_sql(head_tokens: int = 4, k: int = 20) -> str:
         "FROM c GROUP BY category "
         f"ORDER BY n_docs DESC, category ASC LIMIT {int(k)}"
     )
+
+
+# ---------------------------------------------------------------------------
+# frequent_item_sets aggregation (ES 8.4 market-basket, pair itemsets)
+# ---------------------------------------------------------------------------
+
+
+def frequent_pairs(
+    docs: DataFrame, min_support: int = 3, max_items: int = 200,
+    k: int = 20,
+) -> DataFrame:
+    """(t1, t2, support) — the ES ``frequent_item_sets`` aggregation
+    at itemset size 2: term pairs CO-OCCURRING in documents (the
+    basket = a doc's distinct tokens), support = number of docs
+    containing both, top-k by (support desc, t1 asc, t2 asc). Distinct
+    from collocations_pmi, which counts ADJACENT bigrams.
+
+    The scale story is the Apriori property made physical: a pair can
+    only reach ``min_support`` if BOTH items do, so the pair explode
+    runs over each doc's FREQUENT tokens only — the top ``max_items``
+    terms by df (df desc, term asc; a broadcast set) — bounding the
+    per-doc blowup at C(max_items, 2) instead of C(doc_len, 2), and
+    in practice far below it. One combinable pair count after."""
+    if int(min_support) < 1 or int(max_items) < 2 or int(k) < 1:
+        raise ValueError(
+            f"bad params: min_support={min_support} max_items={max_items} k={k}"
+        )
+    tf2 = docs.select("doc_id", F.explode(F.array_distinct("tokens")).alias("term"))
+    dfreq = tf2.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    freq = (
+        dfreq.where(F.col("df") >= int(min_support))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(int(max_items))
+        .select("term")
+    )
+    items = tf2.join(F.broadcast(freq), "term")
+    baskets = items.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("term")).alias("its")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(its, (x, i) -> "
+                "transform(slice(its, i + 2, size(its)), y -> struct(x AS t1, y AS t2))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+    agg = pairs.groupBy("t1", "t2").agg(
+        F.count("*").cast("long").alias("support")
+    )
+    return (
+        agg.where(F.col("support") >= int(min_support))
+        .orderBy(F.desc("support"), F.asc("t1"), F.asc("t2"))
+        .limit(int(k))
+    )
+
+
+def frequent_pairs_sql(
+    table_toks_cte: str, min_support: int = 3, max_items: int = 200,
+    k: int = 20,
+) -> str:
+    if int(min_support) < 1 or int(max_items) < 2 or int(k) < 1:
+        raise ValueError(
+            f"bad params: min_support={min_support} max_items={max_items} k={k}"
+        )
+    return (
+        f"WITH {table_toks_cte}, "
+        "tf2 AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM docs), "
+        "dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf2 GROUP BY term), "
+        f"freq AS (SELECT term FROM dfreq WHERE df >= {int(min_support)} "
+        f"ORDER BY df DESC, term ASC LIMIT {int(max_items)}), "
+        "items AS (SELECT doc_id, term FROM tf2 JOIN freq USING (term)), "
+        "baskets AS (SELECT doc_id, list_sort(list(DISTINCT term)) AS its "
+        "FROM items GROUP BY doc_id), "
+        "pairs AS (SELECT p.t1, p.t2 FROM baskets, "
+        "unnest(flatten(list_transform(its, (x, i) -> "
+        "list_transform(its[i + 1:], y -> {'t1': x, 't2': y})))) AS _u(p)), "
+        "agg AS (SELECT t1, t2, CAST(count(*) AS BIGINT) AS support "
+        "FROM pairs GROUP BY t1, t2) "
+        f"SELECT t1, t2, support FROM agg WHERE support >= {int(min_support)} "
+        f"ORDER BY support DESC, t1 ASC, t2 ASC LIMIT {int(k)}"
+    )

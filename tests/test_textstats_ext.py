@@ -211,3 +211,53 @@ def test_categorize_text_guard(spark):
 
     with pytest.raises(ValueError):
         categorize_text(None, head_tokens=0)
+
+
+# --- frequent_item_sets (pairs) ----------------------------------------------
+
+
+def test_frequent_pairs_hand_computed(spark):
+    from distributedcodesearchengine_spark.functions.udfs import tokenize_udf
+    from distributedcodesearchengine_spark.operators.textstats import (
+        frequent_pairs,
+    )
+
+    texts = [
+        "coffee milk sugar",
+        "coffee milk",
+        "coffee milk bread",
+        "tea bread",
+        "tea sugar coffee",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).select("doc_id", tokenize_udf("text").alias("tokens"))
+    out = {(r["t1"], r["t2"]): r["support"]
+           for r in frequent_pairs(docs, min_support=2, max_items=50,
+                                   k=50).collect()}
+    # (coffee, milk) in docs 0,1,2 -> 3; (coffee, sugar) in 0,4 -> 2
+    assert out[("coffee", "milk")] == 3
+    assert out[("coffee", "sugar")] == 2
+    # pairs below support are absent ((bread, tea) has 1... actually
+    # docs 3 has tea+bread -> support 1 -> absent)
+    assert ("bread", "tea") not in out
+    # ordering keys are sorted within the pair
+    assert all(a < b for a, b in out)
+
+
+def test_frequent_pairs_apriori_cap(spark):
+    """max_items excludes infrequent items from pair generation even
+    if a pair of them would have reached support — the documented
+    Apriori cut."""
+    from distributedcodesearchengine_spark.functions.udfs import tokenize_udf
+    from distributedcodesearchengine_spark.operators.textstats import (
+        frequent_pairs,
+    )
+
+    texts = ["aa bb rare1 rare2"] * 3 + ["aa bb"] * 5
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).select("doc_id", tokenize_udf("text").alias("tokens"))
+    out = {(r["t1"], r["t2"]) for r in frequent_pairs(
+        docs, min_support=3, max_items=2, k=50).collect()}
+    assert out == {("aa", "bb")}
