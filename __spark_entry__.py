@@ -1826,6 +1826,14 @@ def _registry():
                          max_items=100, k=20)),
         ts.frequent_pairs_sql(cte, min_support=5, max_items=100, k=20),
     )
+    # lang-ID confusion matrix vs the labeled lang column — the eval
+    # discipline (retrieval_eval / ann_recall) applied to the
+    # classifier family
+
+    def _conf_op(spark, sf_dir):
+        return ts.lang_id_confusion(eq.docs_with_tokens_lang(spark, sf_dir))
+
+    reg["lang_id_confusion"] = (_conf_op, ts.lang_id_confusion_sql(cte))
 
     # the ES random_sampler agg (8.2): deterministic hash-threshold
     # probability sample + 1/p scale-back — constant-cost child aggs

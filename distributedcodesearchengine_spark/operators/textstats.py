@@ -1489,3 +1489,47 @@ def frequent_pairs_sql(
         f"SELECT t1, t2, support FROM agg WHERE support >= {int(min_support)} "
         f"ORDER BY support DESC, t1 ASC, t2 ASC LIMIT {int(k)}"
     )
+
+
+# ---------------------------------------------------------------------------
+# language-ID confusion rollup (classifier quality eval)
+# ---------------------------------------------------------------------------
+
+
+def lang_id_confusion(docs: DataFrame) -> DataFrame:
+    """(lang, pred, n) — the confusion matrix of the stopword-ratio
+    language identifier against the corpus's labeled ``lang`` column,
+    the offline quality check a pipeline runs before trusting lang_id
+    to route documents (the retrieval_eval/ann_recall eval discipline
+    applied to the classifier family). The prediction is lang_id's
+    exact argmax chain (raw ratios, en > de > fr tie order); one
+    map-side-combinable groupBy over the per-row prediction; cells
+    ordered (lang, pred). ``docs`` carries (lang, tokens)."""
+    d = docs
+    for lang in ("en", "de", "fr"):
+        d = d.withColumn(f"{lang}_ratio", F.expr(_stop_ratio_expr(lang)))
+    pred = F.expr(
+        "CASE WHEN en_ratio >= de_ratio AND en_ratio >= fr_ratio THEN 'en' "
+        "WHEN de_ratio >= fr_ratio THEN 'de' ELSE 'fr' END"
+    )
+    return (
+        d.select("lang", pred.alias("pred"))
+        .groupBy("lang", "pred")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("lang", "pred")
+    )
+
+
+def lang_id_confusion_sql(table_toks_cte: str) -> str:
+    return (
+        f"WITH {table_toks_cte}, r AS (SELECT doc_id, "
+        f"{_stop_ratio_sql('en')} AS en_ratio, "
+        f"{_stop_ratio_sql('de')} AS de_ratio, "
+        f"{_stop_ratio_sql('fr')} AS fr_ratio FROM docs), "
+        "p AS (SELECT doc_id, "
+        "CASE WHEN en_ratio >= de_ratio AND en_ratio >= fr_ratio THEN 'en' "
+        "WHEN de_ratio >= fr_ratio THEN 'de' ELSE 'fr' END AS pred FROM r) "
+        "SELECT d.lang, p.pred, CAST(count(*) AS BIGINT) AS n "
+        "FROM p JOIN documents d ON d.doc_id = p.doc_id "
+        "GROUP BY d.lang, p.pred ORDER BY d.lang, p.pred"
+    )

@@ -261,3 +261,32 @@ def test_frequent_pairs_apriori_cap(spark):
     out = {(r["t1"], r["t2"]) for r in frequent_pairs(
         docs, min_support=3, max_items=2, k=50).collect()}
     assert out == {("aa", "bb")}
+
+
+# --- lang-ID confusion matrix ------------------------------------------------
+
+
+def test_lang_id_confusion_cells(spark):
+    from distributedcodesearchengine_spark.functions.udfs import tokenize_udf
+    from distributedcodesearchengine_spark.operators.textstats import (
+        lang_id_confusion,
+    )
+
+    # en stopword-heavy docs labeled en, one de-ish doc labeled de,
+    # one en-looking doc MISLABELED de -> the off-diagonal cell
+    texts = [
+        ("the and of with here", "en"),
+        ("the and of other words", "en"),
+        ("der die und das ist", "de"),
+        ("the and of confusing", "de"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, l) for i, (t, l) in enumerate(texts)],
+        "doc_id long, text string, lang string",
+    ).select("doc_id", "lang", "text", tokenize_udf("text").alias("tokens"))
+    out = {(r["lang"], r["pred"]): r["n"]
+           for r in lang_id_confusion(docs).collect()}
+    assert out[("en", "en")] == 2
+    assert out[("de", "de")] == 1
+    assert out[("de", "en")] == 1
+    assert sum(out.values()) == 4
