@@ -344,3 +344,74 @@ def test_new_agg_family_plan_shapes(spark, pidx):
     assert m and m.group(1) == "4", cplan[:4000]
     rplan = explain_str(plans["rare"])
     assert "TakeOrderedAndProject" in rplan
+
+
+# --- continuation-wave plan shapes -------------------------------------------
+
+
+def test_maxsim_plan_no_joins_one_agg(spark):
+    """MaxSim: the multi-vector score must be scan -> codegen dots ->
+    ONE hash aggregate -> TakeOrdered. No join of any kind exists."""
+    from distributedcodesearchengine_spark.functions.embed import (
+        mock_embed_text,
+    )
+    from distributedcodesearchengine_spark.functions.udfs import tokenize_udf
+    from distributedcodesearchengine_spark.operators.pipeline import maxsim_topk
+
+    docs = spark.createDataFrame(
+        [(i, f"some text number {i} here") for i in range(50)],
+        "doc_id long, text string",
+    ).select("doc_id", "text", tokenize_udf("text").alias("tokens"))
+    qvs = [mock_embed_text(w, 64) for w in ("some", "text")]
+    assert_plan(
+        maxsim_topk(docs, qvs, k=5),
+        must_contain=["TakeOrderedAndProject"],
+        must_not_contain=["CartesianProduct", "SortMergeJoin",
+                          "BroadcastNestedLoopJoin"],
+    )
+
+
+def test_distance_feature_plan_no_extra_join(pidx):
+    """distance_feature adds a per-row expression to the kept chain —
+    the plan must contain NO join beyond the kept chain's own
+    broadcast joins and no cartesian/BNLJ anywhere."""
+    from distributedcodesearchengine_spark.operators.geo import (
+        bm25_distance_feature_topk,
+    )
+
+    df = bm25_distance_feature_topk(pidx, "parse json", 40.0, -74.0, k=5)
+    assert_plan(
+        df,
+        must_contain=["TakeOrderedAndProject"],
+        must_not_contain=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
+
+
+def test_frequent_pairs_plan_no_cartesian(spark):
+    from distributedcodesearchengine_spark.functions.udfs import tokenize_udf
+    from distributedcodesearchengine_spark.operators.textstats import (
+        frequent_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "aa bb cc dd") for i in range(20)], "doc_id long, text string"
+    ).select("doc_id", tokenize_udf("text").alias("tokens"))
+    assert_plan(
+        frequent_pairs(docs, min_support=2, max_items=10, k=5),
+        must_contain=["TakeOrderedAndProject", "BroadcastHashJoin"],
+        must_not_contain=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
+
+
+def test_sparse_vector_plan_pushdown(pidx):
+    from distributedcodesearchengine_spark.operators.scorer import (
+        contribution_col_sparse,
+        score_matched,
+    )
+
+    scored = score_matched(
+        pidx, [("parse", 1.0, 2.0), ("json", 1.0, 1.0)],
+        contribution_col_sparse(),
+    )
+    plan = assert_plan(scored, must_contain=["BroadcastHashJoin"])
+    assert "In(term" in plan or "in(term" in plan.lower()
