@@ -1611,6 +1611,23 @@ def _registry():
         partial(eq.dfr_q, query="table row", k=10),
         oq.dfr_sql("table row", k=10),
     )
+
+    # Lucene ClassicSimilarity (pre-BM25 TF-IDF: idf^2 * sqrt(tf) /
+    # sqrt(dl)) and BooleanSimilarity (matched query mass) complete
+    # the similarity set on the same seam
+    from distributedcodesearchengine_spark.operators.scorer import (
+        boolean_sim_sql,
+        classic_sql,
+    )
+
+    reg["classic_topk"] = (
+        partial(eq.classic_q, query="dup table", k=10),
+        classic_sql("dup table", k=10),
+    )
+    reg["boolean_sim_topk"] = (
+        partial(eq.boolean_sim_q, query="dup table row", k=10),
+        boolean_sim_sql("dup table row", k=10),
+    )
     reg["ib_topk"] = (
         partial(eq.ib_q, query="dup table", k=10),
         oq.ib_sql("dup table", k=10),

@@ -1432,3 +1432,31 @@ def mterm_vectors_q(
 
     idx = get_documents_index(spark, sf_dir)
     return mterm_vectors(idx, doc_ids=doc_ids)
+
+
+def classic_q(
+    spark: SparkSession, sf_dir: str, query: str, k: int = 10,
+) -> DataFrame:
+    """Lucene ClassicSimilarity gate entry (operators/scorer
+    .classic_topk)."""
+    from .operators.scorer import classic_topk
+
+    idx = get_documents_index(spark, sf_dir)
+    res = classic_topk(idx, query, k=k)
+    return res.select(
+        "rank", _orig_doc_id(), round6("score").alias("score")
+    ).orderBy("rank")
+
+
+def boolean_sim_q(
+    spark: SparkSession, sf_dir: str, query: str, k: int = 10,
+) -> DataFrame:
+    """Lucene BooleanSimilarity gate entry (operators/scorer
+    .boolean_sim_topk)."""
+    from .operators.scorer import boolean_sim_topk
+
+    idx = get_documents_index(spark, sf_dir)
+    res = boolean_sim_topk(idx, query, k=k)
+    return res.select(
+        "rank", _orig_doc_id(), round6("score").alias("score")
+    ).orderBy("rank")

@@ -916,3 +916,36 @@ def linear_hybrid_sql(
         f"{round6_sql('nl')} AS lex_norm "
         f"FROM f ORDER BY fused DESC, doc_id ASC LIMIT {int(k)}"
     )
+
+
+def bm25_contrib_chain_sql(query: str, contrib_expr: str, k: int = 10) -> str:
+    """Shared mirror chain for similarities over the standard idf
+    weights (``contrib_expr`` sees qt.qtf / idf.idf / tf.tf /
+    dl.doc_len): the _docs_cte relations + the house threshold /
+    degenerate-backfill / tie-break tail with only the contribution
+    expression swapped — the SQL twin of scorer._lm_topk_with_weights."""
+    toks = tokenize(query)
+    if not toks:
+        return "SELECT 1 AS rank, 1::BIGINT AS doc_id, 0.0 AS score WHERE false"
+    from collections import Counter
+
+    counts = Counter(toks)
+    qvals = ", ".join(f"('{t}', {float(q)})" for t, q in sorted(counts.items()))
+    return (
+        f"WITH {_docs_cte()}, "
+        f"qt(term, qtf) AS (VALUES {qvals}), "
+        "contrib AS ("
+        f"  SELECT tf.doc_id, tf.term, {contrib_expr} AS c "
+        "  FROM tf JOIN qt USING (term) JOIN idf USING (term) "
+        "  JOIN doclen dl ON dl.doc_id = tf.doc_id), "
+        "scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id), "
+        "mx AS (SELECT max(score) AS m FROM scored), "
+        "kept AS ("
+        "  SELECT d.doc_id, coalesce(s.score, 0.0) AS score "
+        "  FROM doclen d LEFT JOIN scored s USING (doc_id) "
+        "  WHERE ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
+        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))) "
+        "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank, "
+        f"doc_id, {round6_sql('score')} AS score "
+        f"FROM kept ORDER BY score DESC, doc_id ASC LIMIT {int(k)}"
+    )

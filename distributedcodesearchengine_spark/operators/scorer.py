@@ -970,3 +970,91 @@ def sparse_vector_sql(query_vector: Dict[str, float], k: int = 10) -> str:
         f"doc_id, {round6_sql('score')} AS score "
         f"FROM kept ORDER BY score DESC, doc_id ASC LIMIT {int(k)}"
     )
+
+
+# --------------------------------------------------------------------------
+# classic TF-IDF + boolean similarities (completing the Lucene set)
+# --------------------------------------------------------------------------
+
+
+def contribution_col_classic() -> F.Column:
+    """Lucene ClassicSimilarity (the pre-BM25 practical scoring
+    function, TFIDFSimilarity): qtf * idf^2 * sqrt(tf) / sqrt(dl) —
+    sublinear tf, squared idf (query norm x doc idf in Lucene's
+    factoring), and the 1/sqrt(dl) length norm. The engine's
+    epsilon-floored idf rides the weight slot, so Classic and Okapi
+    agree on every term's idf; sqrt is the proven lane."""
+    tf = F.col("tf").cast("double")
+    dl = F.col("doc_len").cast("double")
+    idf = F.col("idf")
+    return F.col("qtf") * ((idf * idf) * F.sqrt(tf) / F.sqrt(dl))
+
+
+def contribution_col_boolean() -> F.Column:
+    """Lucene BooleanSimilarity: every matched term contributes its
+    query boost (qtf here) and nothing else — ranking by matched
+    query mass, the filter-context scoring model."""
+    return F.col("qtf") * F.lit(1.0)
+
+
+def classic_topk(
+    index: Index,
+    query: str,
+    k: int = 10,
+    filters: Optional[Dict[str, str]] = None,
+) -> DataFrame:
+    """Classic TF-IDF top-k -> (rank, doc_id, url, score) on the
+    house chain (term-pruned scan, broadcast weights, canonical fold,
+    threshold/degenerate/tie-break)."""
+    return _lm_topk_with_weights(index, query, contribution_col_classic(), k, filters)
+
+
+def boolean_sim_topk(
+    index: Index,
+    query: str,
+    k: int = 10,
+    filters: Optional[Dict[str, str]] = None,
+) -> DataFrame:
+    """BooleanSimilarity top-k -> (rank, doc_id, url, score): docs
+    rank by total matched query mass (qtf sum), ties on doc_id — the
+    constant-score model surfaced as a similarity."""
+    return _lm_topk_with_weights(
+        index, query, contribution_col_boolean(), k, filters
+    )
+
+
+def _lm_topk_with_weights(
+    index: Index,
+    query: str,
+    contrib: F.Column,
+    k: int,
+    filters: Optional[Dict[str, str]],
+) -> DataFrame:
+    """Shared tail for similarities that use the standard idf weights
+    (query_term_weights) rather than cprobs/dfs."""
+    spark = index.spark
+    if not tokenize(query):
+        return spark.createDataFrame(
+            [], "rank int, doc_id long, url string, score double"
+        )
+    qweights = query_term_weights(index, query)
+    scored = score_matched(index, qweights, contrib) if qweights else None
+    return finalize_topk(index, scored, k, filters)
+
+
+def classic_sql(query: str, k: int = 10) -> str:
+    """DuckDB mirror of classic_topk: the shared idf chain with the
+    identical qtf * ((idf*idf) * sqrt(tf) / sqrt(dl)) contribution."""
+    from ..functions.sql_oracle import bm25_contrib_chain_sql
+
+    contrib = (
+        "qt.qtf * ((idf.idf * idf.idf) * sqrt(CAST(tf.tf AS DOUBLE)) "
+        "/ sqrt(CAST(dl.doc_len AS DOUBLE)))"
+    )
+    return bm25_contrib_chain_sql(query, contrib, k)
+
+
+def boolean_sim_sql(query: str, k: int = 10) -> str:
+    from ..functions.sql_oracle import bm25_contrib_chain_sql
+
+    return bm25_contrib_chain_sql(query, "qt.qtf * 1.0", k)

@@ -140,3 +140,46 @@ def test_empty_and_oov_queries(spark):
         # OOV-only query: no matched docs -> all-zero backfill regime
         rows = fn(idx, "zzznotaword", k=5).collect()
         assert all(r["score"] == 0.0 for r in rows)
+
+
+# --- classic + boolean similarities ------------------------------------------
+
+
+def test_classic_matches_python(spark):
+    from distributedcodesearchengine_spark.operators.scorer import (
+        classic_topk,
+        query_term_weights,
+    )
+
+    idx = _index(spark, TEXTS)
+    idf = {t: i for t, _, i in query_term_weights(idx, "apple banana")}
+    got = {r["doc_id"]: r["score"]
+           for r in classic_topk(idx, "apple banana", k=10).collect()}
+    toks = [t.split() for t in TEXTS]
+    want = {}
+    for i, ts in enumerate(toks):
+        s = 0.0
+        for t in sorted(("apple", "banana")):
+            tf = ts.count(t)
+            if tf and t in idf:
+                s += 1.0 * ((idf[t] * idf[t]) * math.sqrt(tf) / math.sqrt(len(ts)))
+        want[i] = s
+    mx = max(want.values())
+    kept = {d: s for d, s in want.items() if s >= 0.01 * mx}
+    assert set(got) == set(kept)
+    for d, s in kept.items():
+        assert got[d] == pytest.approx(s, abs=1e-9)
+
+
+def test_boolean_sim_ranks_by_matched_mass(spark):
+    from distributedcodesearchengine_spark.operators.scorer import (
+        boolean_sim_topk,
+    )
+
+    idx = _index(spark, TEXTS)
+    got = {r["doc_id"]: r["score"]
+           for r in boolean_sim_topk(idx, "apple apple banana", k=10).collect()}
+    # doc 0 matches both terms: qtf 2 (apple) + 1 (banana) = 3;
+    # doc 1 banana only = 1; doc 2 apple only = 2; tf is IRRELEVANT
+    assert got[0] == 3.0 and got[2] == 2.0
+    assert got[1] == 1.0  # clears the 1%-of-max threshold (1 >= 0.03)
