@@ -596,7 +596,7 @@ class SearchEngine:
         return bm25_random_topk(self.index, query, seed=str(seed),
                                 k=int(limit))
 
-    VALID_SIMILARITIES = ("lmd", "lmjm", "dfr", "ib")
+    VALID_SIMILARITIES = ("lmd", "lmjm", "dfr", "ib", "classic", "bool")
 
     def similarity_search(
         self, query: str, model: str = "dfr", limit: int = 10,
@@ -612,10 +612,18 @@ class SearchEngine:
             raise ValueError(
                 f"unknown similarity {model!r}; valid: {self.VALID_SIMILARITIES}"
             )
-        from .operators.scorer import dfr_topk, ib_topk, lmd_topk, lmjm_topk
+        from .operators.scorer import (
+            boolean_sim_topk,
+            classic_topk,
+            dfr_topk,
+            ib_topk,
+            lmd_topk,
+            lmjm_topk,
+        )
 
         fn = {"lmd": lmd_topk, "lmjm": lmjm_topk, "dfr": dfr_topk,
-              "ib": ib_topk}[model]
+              "ib": ib_topk, "classic": classic_topk,
+              "bool": boolean_sim_topk}[model]
         filters = {}
         if lang:
             filters["lang"] = lang

@@ -1010,7 +1010,7 @@ def test_search_sort_param(srv):
 def test_similarity_endpoint_models_and_400(srv):
     import urllib.error
 
-    for model in ("lmd", "lmjm", "dfr", "ib"):
+    for model in ("lmd", "lmjm", "dfr", "ib", "classic", "bool"):
         code, body = _get(srv, "/similarity", q="parse json", model=model)
         assert code == 200 and body["model"] == model
         assert len(body["results"]) > 0
