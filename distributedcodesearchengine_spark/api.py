@@ -866,7 +866,8 @@ class SearchEngine:
     KNN_MODES = ("exact", "bq", "mrl")
 
     def knn(
-        self, text: str, limit: int = 10, lang=None, mode: str = "exact"
+        self, text: str, limit: int = 10, lang=None, mode: str = "exact",
+        min_sim: float | None = None,
     ) -> DataFrame:
         """ES kNN search (with optional filter): cosine top-k of the
         query text's embedding over the doc embeddings, restricted
@@ -877,7 +878,11 @@ class SearchEngine:
         similarity.bq_hamming_topk), ``mrl`` (Matryoshka quarter-
         prefix funnel + full-dim refine, similarity.mrl_topk). The
         quantized tiers apply the filter by restricting the scanned
-        relation (true restricted top-k, same as exact)."""
+        relation (true restricted top-k, same as exact). ``min_sim``
+        is the ES kNN ``similarity`` parameter: hits whose final
+        cosine falls below it are dropped from the returned window
+        (every mode's final score is a cosine — the quantized tiers
+        serve with refine, so the cutoff composes identically)."""
         from pyspark.sql import functions as F
 
         from .functions.embed import cosine_topk_filtered, mock_embed_text
@@ -897,10 +902,15 @@ class SearchEngine:
             id_filter = self.index.docs.where(
                 F.col("lang") == lang
             ).select("doc_id")
+        def _cut(df):
+            if min_sim is None:
+                return df
+            return df.where(F.col("score") >= float(min_sim))
+
         if mode == "exact":
-            return cosine_topk_filtered(
+            return _cut(cosine_topk_filtered(
                 emb, qvec, int(limit), id_filter=id_filter, id_col="doc_id"
-            )
+            ))
         from .operators import similarity as _sim
 
         # plain semi join — the filter set can be corpus-scale (a
@@ -909,13 +919,13 @@ class SearchEngine:
         if id_filter is not None:
             emb = emb.join(id_filter, "doc_id", "leftsemi")
         if mode == "bq":
-            return _sim.bq_hamming_topk(
+            return _cut(_sim.bq_hamming_topk(
                 emb, qvec, k=int(limit), refine=4, id_col="doc_id"
-            )
-        return _sim.mrl_topk(
+            ))
+        return _cut(_sim.mrl_topk(
             emb, qvec, dim_prefix=max(8, self.dim // 4), k=int(limit),
             refine=4, id_col="doc_id",
-        )
+        ))
 
     SORT_FIELDS = ("doc_len",)
 

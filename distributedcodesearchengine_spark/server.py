@@ -919,9 +919,11 @@ def make_handler(engine, stats_fn, index_manager=None):
                             "error": f"unknown mode {mode!r}; "
                             f"valid: {'/'.join(engine.KNN_MODES)}"
                         })
+                    ms = q.get("similarity")
                     rows = engine.knn(
                         q["q"], limit=int(q.get("limit", 10)),
                         lang=q.get("lang"), mode=mode,
+                        min_sim=float(ms) if ms is not None else None,
                     ).collect()
                     return self._send(
                         200,

@@ -1099,3 +1099,18 @@ def test_phrase_suggest_endpoint(srv):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(srv, "/phrase_suggest")
     assert e.value.code == 400
+
+
+def test_knn_similarity_cutoff(srv):
+    _, full = _get(srv, "/knn", q="parse json", limit=10)
+    scores = [r["score"] for r in full["results"]]
+    assert scores and scores == sorted(scores, reverse=True)
+    cut = (scores[0] + scores[-1]) / 2
+    _, trimmed = _get(srv, "/knn", q="parse json", limit=10, similarity=cut)
+    got = [r["score"] for r in trimmed["results"]]
+    assert got == [s for s in scores if s >= cut]
+    # every mode accepts the cutoff
+    for mode in ("bq", "mrl"):
+        _, body = _get(srv, "/knn", q="parse json", limit=10, mode=mode,
+                       similarity=0.99999)
+        assert all(r["score"] >= 0.99999 for r in body["results"])
