@@ -738,6 +738,18 @@ def _registry():
         partial(eq.more_like_this_q, seed_doc_id=42, m=5, k=10),
         oq.more_like_this_sql(42, m=5, k=10),
     )
+    # the ES MLT 'unlike' parameter: seed keywords minus every term
+    # the negative-example doc contains — steering away from the
+    # shared-boilerplate axis; both ids excluded from the result
+    from distributedcodesearchengine_spark.operators.explore import (
+        more_like_this_unlike_sql,
+    )
+
+    reg["more_like_this_unlike"] = (
+        partial(eq.more_like_this_unlike_q, seed_doc_id=42,
+                unlike_doc_id=43, m=5, k=10),
+        more_like_this_unlike_sql(42, 43, m=5, k=10),
+    )
 
     # histogram aggregation (ES histogram agg): doc_len bucketed over
     # the kept set, healthy + degenerate branch coverage

@@ -1460,3 +1460,18 @@ def boolean_sim_q(
     return res.select(
         "rank", _orig_doc_id(), round6("score").alias("score")
     ).orderBy("rank")
+
+
+def more_like_this_unlike_q(
+    spark: SparkSession, sf_dir: str, seed_doc_id: int,
+    unlike_doc_id: int, m: int = 5, k: int = 10,
+) -> DataFrame:
+    """MLT with a negative example (operators/explore
+    .more_like_this_unlike)."""
+    from .operators.explore import more_like_this_unlike
+
+    idx = get_documents_index(spark, sf_dir)
+    res = more_like_this_unlike(idx, seed_doc_id, unlike_doc_id, m=m, k=k)
+    return res.select(
+        "rank", _orig_doc_id(), round6("score").alias("score")
+    ).orderBy("rank")

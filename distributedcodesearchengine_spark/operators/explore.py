@@ -553,3 +553,91 @@ def bm25_sort_sql(
         f"{round6_sql('score')} AS score "
         f"FROM kept ORDER BY {sort} {d}, doc_id ASC LIMIT {int(k)}"
     )
+
+
+def more_like_this_unlike(
+    index: Index, seed_doc_id: int, unlike_doc_id: int, m: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """(rank, doc_id, url, score) — the ES more_like_this ``unlike``
+    parameter: the seed's top-m tf-idf terms MINUS every term the
+    negative-example document contains ("like this, but not like
+    that" — steering MLT away from the shared boilerplate axis). The
+    unlike doc's term set is a second pushed point filter (|doc|
+    terms collected, no corpus pass); both seed and unlike doc are
+    excluded from the result in both branches. With a disjoint unlike
+    doc the ranking reduces to plain more_like_this (tested)."""
+    seed, neg = int(seed_doc_id), int(unlike_doc_id)
+    if seed == neg:
+        raise ValueError("seed and unlike must differ")
+    kw = seed_keywords(index, seed, m)
+    if not kw:
+        return index.spark.createDataFrame(
+            [], "rank int, doc_id long, url string, score double"
+        )
+    neg_terms = {
+        r["term"]
+        for r in index.tf.where(F.col("doc_id") == neg)
+        .select("term")
+        .collect()
+    }
+    kw = [(t, i) for t, i in kw if t not in neg_terms]
+    if not kw:
+        # every seed keyword is shared with the negative example —
+        # nothing distinctive remains (ES: no query terms -> no hits)
+        return index.spark.createDataFrame(
+            [], "rank int, doc_id long, url string, score double"
+        )
+    qweights = [(t, 1.0, idf) for t, idf in sorted(kw)]
+    scored = score_matched(index, qweights).where(
+        ~F.col("doc_id").isin([seed, neg])
+    )
+    idx2 = replace(
+        index, docs=index.docs.where(~F.col("doc_id").isin([seed, neg]))
+    )
+    return finalize_topk(idx2, scored, k)
+
+
+def more_like_this_unlike_sql(
+    seed_doc_id: int, unlike_doc_id: int, m: int = 5, k: int = 10
+) -> str:
+    """DuckDB mirror of more_like_this_unlike: the more_like_this
+    chain with the unlike doc's term set anti-joined out of the
+    keyword cut (keyword ranking FIRST, subtraction after — matching
+    the engine's collect-then-filter order), both ids excluded."""
+    from ..functions.rounding import round6_sql
+    from ..functions.sql_oracle import B, K1 as K1_, _docs_cte
+
+    seed, neg = int(seed_doc_id), int(unlike_doc_id)
+    if seed == neg:
+        raise ValueError("seed and unlike must differ")
+
+    return (
+        f"WITH {_docs_cte()}, "
+        "kw0 AS (SELECT tf.term, "
+        "  CAST(tf.tf AS DOUBLE) * ln(CAST((SELECT n_docs FROM stats) AS DOUBLE) / dfreq.df) AS tfidf "
+        f"  FROM tf JOIN dfreq USING (term) WHERE tf.doc_id = {seed} "
+        f"  ORDER BY tfidf DESC, term ASC LIMIT {int(m)}), "
+        f"negt AS (SELECT term FROM tf WHERE doc_id = {neg}), "
+        "kw AS (SELECT term FROM kw0 WHERE term NOT IN (SELECT term FROM negt)), "
+        "qt AS (SELECT term, 1.0 AS qtf FROM kw), "
+        "contrib AS ("
+        "  SELECT tf.doc_id, tf.term, "
+        f"    qt.qtf * (idf.idf * (tf.tf * {K1_ + 1.0} / "
+        f"      (tf.tf + {K1_} * (1.0 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM stats))))) AS c "
+        "  FROM tf JOIN qt USING (term) JOIN idf USING (term) "
+        f"  JOIN doclen dl ON dl.doc_id = tf.doc_id "
+        f"  WHERE tf.doc_id NOT IN ({seed}, {neg})), "
+        "scored AS (SELECT doc_id, sum(c ORDER BY term) AS score FROM contrib GROUP BY doc_id), "
+        "mx AS (SELECT max(score) AS m FROM scored), "
+        "kept AS ("
+        "  SELECT d.doc_id, coalesce(s.score, 0.0) AS score "
+        "  FROM doclen d LEFT JOIN scored s USING (doc_id) "
+        f"  WHERE d.doc_id NOT IN ({seed}, {neg}) "
+        "    AND (SELECT count(*) FROM kw) > 0 "
+        "    AND ((SELECT m FROM mx) IS NULL OR (SELECT m FROM mx) <= 0 "
+        "         OR coalesce(s.score, 0.0) >= 0.01 * (SELECT m FROM mx))) "
+        "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank, "
+        f"doc_id, {round6_sql('score')} AS score "
+        f"FROM kept ORDER BY score DESC, doc_id ASC LIMIT {int(k)}"
+    )

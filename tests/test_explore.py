@@ -280,3 +280,72 @@ def test_stats_agg_healthy_and_degenerate(spark):
     assert row["n_docs"] == 3
     # empty query guard
     assert bm25_stats_agg(idx, "!! ??").count() == 0
+
+
+# --- more_like_this unlike ---------------------------------------------------
+
+
+def test_mlt_unlike_subtracts_negative_terms(spark):
+    from distributedcodesearchengine_spark.operators.explore import (
+        more_like_this,
+        more_like_this_unlike,
+        seed_keywords,
+    )
+    from tests.test_search_after import _index
+
+    texts = [
+        "special signal words boiler plate footer",   # 0: seed
+        "boiler plate footer unrelated filler",       # 1: unlike (shares boilerplate)
+        "special signal words elsewhere today",       # 2: matches the distinctive part
+        "boiler plate footer again here",             # 3: matches only boilerplate
+        "nothing in common at all",                   # 4
+    ]
+    idx = _index(spark, texts)
+    kw = {t for t, _ in seed_keywords(idx, 0, m=6)}
+    assert "boiler" in kw  # the boilerplate IS a seed keyword pre-subtraction
+    plain = {r["doc_id"] for r in more_like_this(idx, 0, m=6, k=10).collect()
+             if r["score"] > 0}
+    unlike = {r["doc_id"]
+              for r in more_like_this_unlike(idx, 0, 1, m=6, k=10).collect()
+              if r["score"] > 0}
+    # plain MLT surfaces the boilerplate-only doc 3; unlike removes it
+    assert 3 in plain
+    assert 3 not in unlike
+    assert 2 in unlike  # the distinctive doc survives
+    assert 1 not in unlike  # the negative example itself is excluded
+
+
+def test_mlt_unlike_disjoint_reduces_to_plain(spark):
+    from distributedcodesearchengine_spark.operators.explore import (
+        more_like_this,
+        more_like_this_unlike,
+    )
+    from tests.test_search_after import _index
+
+    texts = [
+        "alpha beta gamma delta",
+        "totally disjoint negative words",
+        "alpha beta elsewhere",
+        "gamma delta elsewhere",
+    ]
+    idx = _index(spark, texts)
+    a = [(r["doc_id"], r["score"])
+         for r in more_like_this(idx, 0, m=4, k=10).collect() if r["doc_id"] != 1]
+    b = [(r["doc_id"], r["score"])
+         for r in more_like_this_unlike(idx, 0, 1, m=4, k=10).collect()]
+    assert [x[0] for x in a] == [x[0] for x in b]
+
+
+def test_mlt_unlike_guard_and_exhausted(spark):
+    import pytest
+
+    from distributedcodesearchengine_spark.operators.explore import (
+        more_like_this_unlike,
+    )
+    from tests.test_search_after import _index
+
+    idx = _index(spark, ["same words here", "same words here too"])
+    with pytest.raises(ValueError):
+        more_like_this_unlike(idx, 1, 1)
+    # every seed keyword shared with the negative -> empty
+    assert more_like_this_unlike(idx, 0, 1, m=3).count() == 0
