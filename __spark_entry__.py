@@ -1160,6 +1160,18 @@ def _registry():
         partial(eq.bm25_span_first_q, term="table", end=3, k=10),
         bm25_span_first_sql("table", end=3, k=10),
     )
+
+    # Lucene SpanWithinQuery (little inside a span_near big envelope)
+    # completes the span family beside span_first and span_not
+    from distributedcodesearchengine_spark.operators.queryext import (
+        bm25_span_within_sql,
+    )
+
+    reg["bm25_span_within"] = (
+        partial(eq.bm25_span_within_q, little="row", big_first="table",
+                big_last="scan", width=10, k=10),
+        bm25_span_within_sql("row", "table", "scan", width=10, k=10),
+    )
     reg["analyze_doc"] = (
         partial(eq.analyze_doc_q, doc_id=3),
         analyze_doc_sql(doc_id=3),

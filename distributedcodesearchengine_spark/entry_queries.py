@@ -1475,3 +1475,20 @@ def more_like_this_unlike_q(
     return res.select(
         "rank", _orig_doc_id(), round6("score").alias("score")
     ).orderBy("rank")
+
+
+def bm25_span_within_q(
+    spark: SparkSession, sf_dir: str, little: str, big_first: str,
+    big_last: str, width: int = 6, k: int = 10,
+) -> DataFrame:
+    """span_within gate entry (operators/queryext — Lucene
+    SpanWithinQuery with a span_near big envelope)."""
+    from .operators.queryext import bm25_span_within_topk
+
+    idx = get_documents_index(spark, sf_dir)
+    res = bm25_span_within_topk(
+        idx, little, big_first, big_last, width=width, k=k
+    )
+    return res.select(
+        "rank", _orig_doc_id(), round6("score").alias("score")
+    ).orderBy("rank")

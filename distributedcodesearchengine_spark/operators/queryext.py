@@ -932,3 +932,124 @@ def match_bool_prefix_sql(
         f"ORDER BY df DESC, term ASC LIMIT {int(max_expansions)})"
     )
     return expanded_bm25_sql(parts, k)
+
+
+# --------------------------------------------------------------------------
+# span_within query
+# --------------------------------------------------------------------------
+
+
+def span_within_docs(
+    index: Index, little: str, big_first: str, big_last: str,
+    width: int = 6,
+) -> DataFrame:
+    """doc_ids where an occurrence of ``little`` lies INSIDE an
+    ordered (``big_first`` ... ``big_last``) envelope of span width <=
+    ``width`` — Lucene ``SpanWithinQuery`` with a span_near big
+    ("table inside a dup...row window"): ∃ positions x of big_first,
+    y of big_last, p of little with x < y <= x + width and
+    x <= p <= y. Completes the span family beside span_first (position
+    prefix) and span_not (negative context).
+
+    Scale shape: candidates are the semi-join of the three terms'
+    postings (term-pruned — the narrowest list drives), then the
+    triple-exists predicate runs over the tokens column with JVM
+    higher-order functions; positions compare only as differences so
+    the 1-based convention cancels cross-engine."""
+    tl, tb1, tb2 = tokenize(little), tokenize(big_first), tokenize(big_last)
+    if len(tl) != 1 or len(tb1) != 1 or len(tb2) != 1:
+        raise ValueError(
+            "span_within takes exactly one indexable term per slot: "
+            f"little={little!r} big={big_first!r}..{big_last!r}"
+        )
+    if int(width) < 1:
+        raise ValueError(f"width must be >= 1: {width!r}")
+    lt, b1, b2 = tl[0], tb1[0], tb2[0]
+    cand = index.docs
+    for t in (lt, b1, b2):
+        cand = cand.join(
+            index.tf.where(F.col("term") == t).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+
+    def _positions(term: str):
+        return F.filter(
+            F.transform(
+                F.col("tokens"),
+                lambda tok, i: F.when(tok == F.lit(term), i + 1),
+            ),
+            lambda x: x.isNotNull(),
+        )
+
+    pl, p1, p2 = _positions(lt), _positions(b1), _positions(b2)
+    w = F.lit(int(width))
+    matches = F.exists(
+        p1,
+        lambda x: F.exists(
+            p2,
+            lambda y: (y > x)
+            & (y <= x + w)
+            & F.exists(pl, lambda p: (p >= x) & (p <= y)),
+        ),
+    )
+    return cand.where(matches).select("doc_id")
+
+
+def bm25_span_within_topk(
+    index: Index, little: str, big_first: str, big_last: str,
+    width: int = 6, k: int = 10, filters=None,
+) -> DataFrame:
+    """(rank, doc_id, url, score): BM25 of the three-term bag
+    restricted to span_within-surviving docs (the doc_filter
+    composition contract, post-threshold like span_first/span_not)."""
+    occ = span_within_docs(index, little, big_first, big_last, width)
+    qweights = query_term_weights(
+        index, f"{little} {big_first} {big_last}"
+    )
+    scored = score_matched(index, qweights) if qweights else None
+    return finalize_topk(index, scored, k, filters, doc_filter=occ)
+
+
+def bm25_span_within_sql(
+    little: str, big_first: str, big_last: str, width: int = 6,
+    k: int = 10,
+) -> str:
+    """Mirror: shared kept chain + the identical triple-exists over
+    1-based list positions, doc_filter semi-join post-threshold."""
+    from ..functions.sql_oracle import kept_cte_sql
+
+    tl, tb1, tb2 = tokenize(little), tokenize(big_first), tokenize(big_last)
+    if len(tl) != 1 or len(tb1) != 1 or len(tb2) != 1:
+        raise ValueError(
+            "span_within takes exactly one indexable term per slot: "
+            f"little={little!r} big={big_first!r}..{big_last!r}"
+        )
+    if int(width) < 1:
+        raise ValueError(f"width must be >= 1: {width!r}")
+    lt, b1, b2 = tl[0], tb1[0], tb2[0]
+    chain = kept_cte_sql(f"{lt} {b1} {b2}")
+    if chain is None:
+        return "SELECT 1 AS rank, 1::BIGINT AS doc_id, 0.0 AS score WHERE false"
+
+    def pos(term: str) -> str:
+        esc = term.replace("'", "''")
+        return (
+            "list_filter(list_transform(toks, (t, i) -> "
+            f"CASE WHEN t = '{esc}' THEN i END), x -> x IS NOT NULL)"
+        )
+
+    pred = (
+        f"len(list_filter({pos(b1)}, x -> "
+        f"len(list_filter({pos(b2)}, y -> y > x AND y <= x + {int(width)} "
+        f"AND len(list_filter({pos(lt)}, p -> p >= x AND p <= y)) > 0"
+        ")) > 0)) > 0"
+    )
+    return (
+        f"{chain}, "
+        f"dfil AS (SELECT doc_id FROM docs WHERE {pred}) "
+        "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank, "
+        "doc_id, (floor((score) * 1000000.0 + 0.5) / 1000000.0) AS score "
+        f"FROM kept JOIN dfil USING (doc_id) "
+        f"ORDER BY score DESC, doc_id ASC LIMIT {int(k)}"
+    )

@@ -625,3 +625,55 @@ def test_mterm_vectors_batch(spark):
                   for r in term_vectors(idx, d).collect()]
         assert by_doc[d] == single
     assert mterm_vectors(idx, []).count() == 0
+
+
+# --- span_within -------------------------------------------------------------
+
+
+def test_span_within_envelope_semantics(spark):
+    import pytest
+
+    from distributedcodesearchengine_spark.operators.queryext import (
+        span_within_docs,
+    )
+    from tests.test_search_after import _index
+
+    texts = [
+        "open little close filler words",     # 0: little inside (open..close) width 2
+        "open filler close little words",     # 1: little OUTSIDE the envelope
+        "close little open filler words",     # 2: wrong order (close before open)
+        "open aa bb cc dd ee ff close little here little",  # 3: envelope too wide at w=4
+        "little alone no envelope here",      # 4: no big span
+        "open xx little close extra",         # 5: inside, width 3
+    ]
+    idx = _index(spark, texts)
+    got = {r["doc_id"] for r in span_within_docs(
+        idx, "little", "open", "close", width=4).collect()}
+    assert got == {0, 5}
+    # widening the envelope admits doc 3 (width 8 window, little at
+    # position 9 is OUTSIDE [1..8]... the little inside must be within
+    # the envelope positions, doc 3's littles are after close)
+    got8 = {r["doc_id"] for r in span_within_docs(
+        idx, "little", "open", "close", width=8).collect()}
+    assert got8 == {0, 5}
+    with pytest.raises(ValueError):
+        span_within_docs(idx, "two words", "open", "close")
+    with pytest.raises(ValueError):
+        span_within_docs(idx, "little", "open", "close", width=0)
+
+
+def test_span_within_topk_filters_ranking(spark):
+    from distributedcodesearchengine_spark.operators.queryext import (
+        bm25_span_within_topk,
+    )
+    from tests.test_search_after import _index
+
+    texts = [
+        "open little close filler words",
+        "open filler close little words",
+        "unrelated text entirely here",
+    ]
+    idx = _index(spark, texts)
+    rows = bm25_span_within_topk(
+        idx, "little", "open", "close", width=4, k=10).collect()
+    assert [r["doc_id"] for r in rows] == [0]
