@@ -751,6 +751,19 @@ def _registry():
         more_like_this_unlike_sql(42, 43, m=5, k=10),
     )
 
+    # the ES 8.16 rule-retriever 'exclude' action — the curated
+    # inverse of pinned: listed ids removed POST-threshold (a view of
+    # the unfiltered ranking; the excluded docs still anchor the cut)
+    from distributedcodesearchengine_spark.operators.boostquery import (
+        bm25_topk_exclude_sql,
+    )
+
+    reg["bm25_excluded_ids"] = (
+        partial(eq.bm25_excluded_ids_q, query="dup table",
+                exclude_ids=(82, 33), k=10),
+        bm25_topk_exclude_sql("dup table", (82, 33), k=10),
+    )
+
     # histogram aggregation (ES histogram agg): doc_len bucketed over
     # the kept set, healthy + degenerate branch coverage
     from distributedcodesearchengine_spark.operators.explore import (

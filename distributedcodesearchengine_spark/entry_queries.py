@@ -1492,3 +1492,15 @@ def bm25_span_within_q(
     return res.select(
         "rank", _orig_doc_id(), round6("score").alias("score")
     ).orderBy("rank")
+
+
+def bm25_excluded_ids_q(
+    spark: SparkSession, sf_dir: str, query: str, exclude_ids,
+    k: int = 10,
+) -> DataFrame:
+    """Rule-retriever exclude gate entry (operators/boostquery
+    .bm25_topk_exclude)."""
+    from .operators.boostquery import bm25_topk_exclude
+
+    idx = get_documents_index(spark, sf_dir)
+    return bm25_topk_exclude(idx, query, exclude_ids, k=k)

@@ -98,3 +98,57 @@ def bm25_boosted_sql(query: str, k: int = 10) -> str:
     qvals = ", ".join(f"('{t}', {float(w)})" for t, w in sorted(qtf.items()))
     part = f"SELECT term, qtf FROM (VALUES {qvals}) AS q(term, qtf)"
     return expanded_bm25_sql([part], k=k)
+
+
+# ---------------------------------------------------------------------------
+# excluded ids (the ES 8.16 rule-retriever 'exclude' action)
+# ---------------------------------------------------------------------------
+
+
+def bm25_topk_exclude(
+    index, query: str, exclude_ids, k: int = 10
+) -> DataFrame:
+    """(rank, doc_id, score) — the rule retriever's ``exclude``
+    action, the curated inverse of ``pinned``: the standard BM25
+    ranking with the listed ids REMOVED post-threshold (a view of the
+    unfiltered ranking — the excluded docs still anchor the 1%-of-max
+    cut, exactly like a metadata filter; ES's pinned+excluded rule
+    pair shares this contract). The id list is a query-side literal
+    predicate — no join exists; ranks renumber over the survivors."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ..functions.rounding import round6
+    from ..oracle.tokenizer import tokenize
+    from .explore import _kept_with_cols
+
+    spark = index.spark
+    ids = sorted({int(d) for d in exclude_ids})
+    if not tokenize(query):
+        return spark.createDataFrame([], "rank int, doc_id long, score double")
+    kept = _kept_with_cols(index, query, [])
+    surv = kept.where(~F.col("doc_id").isin(ids)) if ids else kept
+    top = surv.orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", round6("score").alias("score")
+    )
+
+
+def bm25_topk_exclude_sql(query: str, exclude_ids, k: int = 10) -> str:
+    """Mirror: shared kept chain + NOT IN + the standard cut."""
+    from ..functions.rounding import round6_sql
+    from ..functions.sql_oracle import kept_cte_sql
+    from ..oracle.tokenizer import tokenize
+
+    if not tokenize(query):
+        return "SELECT 1 AS rank, 1::BIGINT AS doc_id, 0.0 AS score WHERE false"
+    ids = sorted({int(d) for d in exclude_ids})
+    chain = kept_cte_sql(query)
+    pred = f"WHERE doc_id NOT IN ({', '.join(map(str, ids))}) " if ids else ""
+    return (
+        f"{chain} "
+        "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank, "
+        f"doc_id, {round6_sql('score')} AS score "
+        f"FROM kept {pred}ORDER BY score DESC, doc_id ASC LIMIT {int(k)}"
+    )

@@ -238,3 +238,38 @@ def test_knn_quantized_modes(spark):
         assert ei.value.code == 400
     finally:
         server.shutdown()
+
+
+# --- rule-retriever exclude --------------------------------------------------
+
+
+def test_exclude_removes_ids_ranking_view(spark):
+    from distributedcodesearchengine_spark.operators.boostquery import (
+        bm25_topk_exclude,
+    )
+    from distributedcodesearchengine_spark.operators.scorer import bm25_topk
+    from tests.test_search_after import _index
+
+    texts = [
+        "apple banana apple cherry",
+        "banana cherry durian fig",
+        "apple fig grape",
+        "apple apple apple banana",
+    ]
+    idx = _index(spark, texts)
+    plain = [(r["doc_id"], r["score"])
+             for r in bm25_topk(idx, "apple banana", k=10).collect()]
+    top_id = plain[0][0]
+    ex = {r["doc_id"]: (r["rank"], r["score"]) for r in bm25_topk_exclude(
+        idx, "apple banana", [top_id], k=10).collect()}
+    assert top_id not in ex
+    # survivors keep their ORIGINAL scores (the cut was anchored by the
+    # unfiltered max — a view, not a re-query) and renumber from 1
+    want = [(d, s) for d, s in plain if d != top_id]
+    assert [(d, ex[d][1]) for d, _ in want if d in ex] == [
+        (d, s) for d, s in want if d in ex]
+    assert sorted(r for r, _ in ex.values()) == list(range(1, len(ex) + 1))
+    # empty exclusion == plain ranking
+    none = [(r["doc_id"], r["score"]) for r in bm25_topk_exclude(
+        idx, "apple banana", [], k=10).collect()]
+    assert none == plain
