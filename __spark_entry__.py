@@ -1042,6 +1042,14 @@ def _registry():
                 "events"),
         tsr.events_change_point_sql("click"),
     )
+    # the ES moving_percentiles pipeline agg at p50, EXACT (type-1
+    # lower median of the last-w bucket counts — the boxplot
+    # convention; frame state = w longs)
+    reg["events_moving_median"] = (
+        _tbl_op(partial(tsr.events_moving_median, event_type="click",
+                        window=5), "events"),
+        tsr.events_moving_median_sql("click", 5),
+    )
 
     # second ES-aggregation wave (appended at the END per the
     # registry-ordering rule): multi_terms (compound-key buckets,

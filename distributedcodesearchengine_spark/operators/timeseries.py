@@ -1468,3 +1468,75 @@ def events_change_point_sql(event_type: str = "click") -> str:
         "(floor((best.shift) * 1000000.0 + 0.5) / 1000000.0) AS shift "
         "FROM best"
     )
+
+
+# --------------------------------------------------------------------------
+# moving_percentiles (exact windowed median)
+# --------------------------------------------------------------------------
+
+
+def events_moving_median(
+    events: DataFrame, event_type: str = "click", window: int = 5
+) -> DataFrame:
+    """(bucket, n_events, moving_median) — the ES
+    ``moving_percentiles`` pipeline agg at p50, EXACT: the type-1
+    lower median (rank (n+1) DIV 2 — the boxplot convention) of the
+    LAST ``window`` observed buckets' counts, per bucket. The window
+    frame collects <= ``window`` longs, sorts them in-row and indexes
+    the rank — bounded by the window parameter, never the series, and
+    the output is always a count that actually occurred (float-free;
+    ES's TDigest approximation is replaced by the exact integer).
+
+    Scale: the calendar-bounded window discipline of
+    events_pipeline_aggs; the frame state is ``window`` longs."""
+    if int(window) < 1:
+        raise ValueError(f"window must be >= 1: {window!r}")
+    base = (
+        events.where(F.col("event_type") == event_type)
+        .groupBy(F.unix_timestamp(F.date_trunc("hour", "ts")).alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("bucket")
+        .rowsBetween(-(int(window) - 1), 0)
+    )
+    arr = F.sort_array(F.collect_list("n_events").over(w))
+    # rank via integer DIV on both engines — a double->int CAST
+    # truncates on Spark but rounds on DuckDB (2.5 -> 2 vs 3)
+    med = F.element_at(
+        arr, F.expr("CAST((size(_a) + 1) DIV 2 AS INT)")
+    )
+    return (
+        base.withColumn("_a", arr)
+        .select(
+            "bucket",
+            "n_events",
+            F.element_at(
+                F.col("_a"), F.expr("CAST((size(_a) + 1) DIV 2 AS INT)")
+            ).cast("long").alias("moving_median"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def events_moving_median_sql(
+    event_type: str = "click", window: int = 5
+) -> str:
+    if int(window) < 1:
+        raise ValueError(f"window must be >= 1: {window!r}")
+    et = event_type.replace("'", "''")
+    frame = (
+        f"OVER (ORDER BY bucket ROWS BETWEEN {int(window) - 1} PRECEDING "
+        "AND CURRENT ROW)"
+    )
+    return (
+        "WITH base AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, "
+        "CAST(count(*) AS BIGINT) AS n_events FROM events "
+        f"WHERE event_type = '{et}' GROUP BY 1), "
+        f"wl AS (SELECT bucket, n_events, list_sort(list(n_events) {frame}) AS a "
+        "FROM base) "
+        "SELECT bucket, n_events, "
+        "CAST(a[CAST((len(a) + 1) // 2 AS INT)] AS BIGINT) AS moving_median "
+        "FROM wl ORDER BY bucket"
+    )

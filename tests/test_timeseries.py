@@ -643,3 +643,37 @@ def test_change_point_single_bucket_empty(spark):
 
     ev = _hist_events(spark, [5])
     assert events_change_point(ev, "click").count() == 0
+
+
+# --- moving median -----------------------------------------------------------
+
+
+def test_moving_median_hand_computed(spark):
+    from distributedcodesearchengine_spark.operators.timeseries import (
+        events_moving_median,
+    )
+
+    counts = [5, 1, 9, 3, 7]
+    ev = _hist_events(spark, counts)
+    out = [r["moving_median"]
+           for r in events_moving_median(ev, "click", window=3).collect()]
+    # windows: [5] -> 5; [5,1] -> lower median 1; [5,1,9] -> 5;
+    # [1,9,3] -> 3; [9,3,7] -> 7
+    assert out == [5, 1, 5, 3, 7]
+
+
+def test_moving_median_even_window_lower(spark):
+    from distributedcodesearchengine_spark.operators.timeseries import (
+        events_moving_median,
+    )
+
+    counts = [2, 4, 6, 8]
+    ev = _hist_events(spark, counts)
+    out = [r["moving_median"]
+           for r in events_moving_median(ev, "click", window=4).collect()]
+    # window [2,4]: lower median 2; [2,4,6]: 4; [2,4,6,8]: lower 4
+    assert out == [2, 2, 4, 4]
+    import pytest
+
+    with pytest.raises(ValueError):
+        events_moving_median(ev, "click", window=0)
