@@ -494,6 +494,17 @@ def _registry():
         ),
         pc.percolate_sql(oq.toks_cte(), _PERC_QUERIES),
     )
+    # phrase percolation: stored queries with quoted phrases — the
+    # all-terms conjunction stays the only corpus-scale stage; phrase
+    # adjacency verifies candidates only
+    _PERC_PHRASE_QUERIES = {1: '"dup table" row', 2: "small table",
+                            3: '"table dup"'}
+    reg["percolate_phrase"] = (
+        lambda spark, sf_dir: pc.percolate_phrase(
+            eq.docs_with_tokens(spark, sf_dir), _PERC_PHRASE_QUERIES
+        ),
+        pc.percolate_phrase_sql(oq.toks_cte(), _PERC_PHRASE_QUERIES),
+    )
     reg["pii_scrub"] = (_tbl_op(pl.pii_scrub_augmented), pl.pii_scrub_sql())
 
     def _curate_op(spark, sf_dir):
