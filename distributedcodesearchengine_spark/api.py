@@ -647,6 +647,37 @@ class SearchEngine:
             max_dist=int(max_dist),
         )
 
+    def ltr_search(
+        self, query: str, limit: int = 10, window_size: int = 20,
+        weights=None,
+    ) -> DataFrame:
+        """LTR-rescored search (operators/ltr.ltr_rescore_topk): the
+        linear model over (bm25, n_matched, ln dl, max tf) re-ranks
+        the rescore window; a trained weight artifact (load_ltr)
+        injects via ``weights``."""
+        from .operators.ltr import ltr_rescore_topk
+
+        return ltr_rescore_topk(
+            self.index, query, weights=weights, window_size=int(window_size),
+            k=int(limit),
+        )
+
+    def maxsim(self, text: str, limit: int = 10) -> DataFrame:
+        """ColBERT MaxSim late-interaction search (operators/pipeline
+        .maxsim_topk): one query vector per tokenized word vs the
+        served corpus's chunk embeddings."""
+        from .functions.embed import mock_embed_text
+        from .operators.pipeline import maxsim_topk
+        from .oracle.tokenizer import tokenize
+
+        toks = tokenize(text)
+        if not toks:
+            return self.index.spark.createDataFrame(
+                [], "rank int, doc_id long, score double"
+            )
+        qvecs = [mock_embed_text(w, self.dim) for w in toks]
+        return maxsim_topk(self.index.docs, qvecs, k=int(limit))
+
     def autocomplete(self, text: str, limit: int = 10) -> DataFrame:
         """Search-as-you-type completion over the served corpus
         (operators/snippets.completion_suggest): bigram continuation

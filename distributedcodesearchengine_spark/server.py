@@ -424,6 +424,11 @@ def make_handler(engine, stats_fn, index_manager=None):
                             "bigram/ctf completion of the typed text",
                             "GET /phrase_suggest": "context-aware "
                             "whole-phrase spell correction (bigram LM)",
+                            "GET /ltr_search": "learning-to-rank "
+                            "rescored search (linear feature model)",
+                            "GET /maxsim": "ColBERT MaxSim "
+                            "late-interaction search over chunk "
+                            "embeddings",
                             "GET /similarity": "top-k under a non-Okapi "
                             "similarity: model=lmd|lmjm|dfr|ib",
                             "GET /distance_search": "BM25 + "
@@ -578,6 +583,21 @@ def make_handler(engine, stats_fn, index_manager=None):
                         {"text": r["suggestion"], "score": r["score"],
                          "n_changed": r["n_changed"]} for r in rows
                     ]})
+                if url.path == "/ltr_search":
+                    if "q" not in q:
+                        return self._send(400, {"error": "q parameter required"})
+                    res = engine.ltr_search(
+                        q["q"], limit=int(q.get("limit", 10)),
+                        window_size=int(q.get("window", 20)),
+                    )
+                    rows = [r.asDict() for r in res.collect()]
+                    return self._send(200, {"query": q["q"], "results": rows})
+                if url.path == "/maxsim":
+                    if "q" not in q:
+                        return self._send(400, {"error": "q parameter required"})
+                    rows = [r.asDict() for r in engine.maxsim(
+                        q["q"], limit=int(q.get("limit", 10))).collect()]
+                    return self._send(200, {"query": q["q"], "results": rows})
                 if url.path == "/autocomplete":
                     if "q" not in q:
                         return self._send(400, {"error": "q parameter required"})

@@ -1114,3 +1114,29 @@ def test_knn_similarity_cutoff(srv):
         _, body = _get(srv, "/knn", q="parse json", limit=10, mode=mode,
                        similarity=0.99999)
         assert all(r["score"] >= 0.99999 for r in body["results"])
+
+
+def test_ltr_search_endpoint(srv):
+    code, body = _get(srv, "/ltr_search", q="parse json", window=15)
+    assert code == 200
+    rows = body["results"]
+    assert rows and {"rank", "doc_id", "base", "n_matched", "score"} <= set(rows[0])
+    assert all(r["n_matched"] >= 1 for r in rows[:3])
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(srv, "/ltr_search", q="parse", limit=30, window=10)  # k > window
+    assert e.value.code == 400
+
+
+def test_maxsim_endpoint(srv):
+    code, body = _get(srv, "/maxsim", q="parse json")
+    assert code == 200
+    rows = body["results"]
+    assert rows and rows[0]["rank"] == 1
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError):
+        _get(srv, "/maxsim")
