@@ -612,6 +612,15 @@ def _registry():
         _docs_op(partial(sn.completion_suggest, text="ta", k=10)),
         sn.completion_suggest_sql(cte, "ta", 10),
     )
+    # the ES completion-suggester 'contexts' feature: continuation
+    # statistics from the category (lang) slice only
+    reg["completion_suggest_ctx"] = (
+        lambda spark, sf_dir: sn.completion_suggest(
+            eq.docs_with_tokens_lang(spark, sf_dir), "table ro", k=10,
+            lang="de",
+        ),
+        sn.completion_suggest_sql(cte, "table ro", 10, lang="de"),
+    )
     _snip_q = "dup table"
     _snip_terms = list(dict.fromkeys(_tok(_snip_q)))
     reg["query_snippets"] = (

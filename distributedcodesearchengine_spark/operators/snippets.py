@@ -359,7 +359,9 @@ def did_you_mean_sql(docs_cte: str, query: str, max_dist: int = 1) -> str:
 # ---------------------------------------------------------------------------
 
 
-def completion_suggest(docs: DataFrame, text: str, k: int = 10) -> DataFrame:
+def completion_suggest(
+    docs: DataFrame, text: str, k: int = 10, lang: str | None = None
+) -> DataFrame:
     """(rank, suggestion, cnt) — the ES completion-suggester surface as
     corpus-derived search-as-you-type: the input's LAST token is a
     prefix being typed, the token before it (if any) is the context
@@ -388,6 +390,11 @@ def completion_suggest(docs: DataFrame, text: str, k: int = 10) -> DataFrame:
     toks = tokenize(text)
     if not toks:
         return spark.createDataFrame([], out)
+    if lang is not None:
+        # the ES completion-suggester ``contexts`` feature: the
+        # continuation statistics come from the category slice only
+        # (a category-keyed partition prune on a persisted layout)
+        docs = docs.where(F.col("lang") == lang)
     if len(toks) >= 2:
         q = f"{toks[-2]} {toks[-1]}"
         gram = "tokens[i] || ' ' || tokens[i + 1]"
@@ -415,8 +422,11 @@ def completion_suggest(docs: DataFrame, text: str, k: int = 10) -> DataFrame:
     )
 
 
-def completion_suggest_sql(table_toks_cte: str, text: str, k: int = 10) -> str:
-    """DuckDB mirror of completion_suggest (starts_with, never LIKE)."""
+def completion_suggest_sql(
+    table_toks_cte: str, text: str, k: int = 10, lang: str | None = None
+) -> str:
+    """DuckDB mirror of completion_suggest (starts_with, never LIKE);
+    ``lang`` joins the documents table for the context slice."""
     from ..oracle.tokenizer import tokenize
 
     toks = tokenize(text)
@@ -424,15 +434,22 @@ def completion_suggest_sql(table_toks_cte: str, text: str, k: int = 10) -> str:
         return (
             "SELECT 1 AS rank, '' AS suggestion, 1::BIGINT AS cnt WHERE false"
         )
+    src = "docs"
+    if lang is not None:
+        el = lang.replace("'", "''")
+        src = (
+            "(SELECT docs.* FROM docs JOIN documents d ON d.doc_id = docs.doc_id "
+            f"WHERE d.lang = '{el}')"
+        )
     if len(toks) >= 2:
         q = f"{toks[-2]} {toks[-1]}".replace("'", "''")
         cand = (
             "SELECT toks[i] || ' ' || toks[i + 1] AS suggestion "
-            "FROM docs, unnest(generate_series(1, len(toks) - 1)) AS _t(i)"
+            f"FROM {src} AS dd, unnest(generate_series(1, len(toks) - 1)) AS _t(i)"
         )
     else:
         q = toks[0].replace("'", "''")
-        cand = "SELECT unnest(toks) AS suggestion FROM docs"
+        cand = f"SELECT unnest(toks) AS suggestion FROM {src} AS dd"
     return (
         f"WITH {table_toks_cte}, "
         f"c AS ({cand}), "

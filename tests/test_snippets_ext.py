@@ -160,3 +160,31 @@ def test_phrase_suggest_guards(spark):
         phrase_suggest(idx, "aa bb aa bb aa bb")  # > 5 tokens
     with pytest.raises(ValueError):
         phrase_suggest(idx, "aa", k=0)
+
+
+def test_completion_context_slice(spark):
+    """The lang context restricts the continuation statistics to the
+    category slice — the same prefix completes differently per lang."""
+    from distributedcodesearchengine_spark.functions.udfs import tokenize_udf
+    from distributedcodesearchengine_spark.operators.snippets import (
+        completion_suggest,
+    )
+
+    rows = [
+        (0, "open table now", "en"),
+        (1, "open table now", "en"),
+        (2, "open tango club", "de"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).select("doc_id", "lang", tokenize_udf("text").alias("tokens"))
+    en = [r["suggestion"]
+          for r in completion_suggest(docs, "open ta", lang="en").collect()]
+    de = [r["suggestion"]
+          for r in completion_suggest(docs, "open ta", lang="de").collect()]
+    assert en == ["open table"]
+    assert de == ["open tango"]
+    # no context = union statistics
+    both = {r["suggestion"]
+            for r in completion_suggest(docs, "open ta").collect()}
+    assert both == {"open table", "open tango"}
