@@ -1916,6 +1916,12 @@ def _registry():
         return ts.lang_id_confusion(eq.docs_with_tokens_lang(spark, sf_dir))
 
     reg["lang_id_confusion"] = (_conf_op, ts.lang_id_confusion_sql(cte))
+    # power-of-two sequence-length histogram — the packing planner's
+    # input; INTEGER log2 via binary-string length (the float log2's
+    # 1-ulp boundary could flip a doc at n = 2^k across engines)
+    reg["seq_len_histogram"] = (
+        _docs_op(ts.seq_len_histogram), ts.seq_len_histogram_sql(cte),
+    )
 
     # the ES random_sampler agg (8.2): deterministic hash-threshold
     # probability sample + 1/p scale-back — constant-cost child aggs

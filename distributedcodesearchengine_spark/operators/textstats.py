@@ -1533,3 +1533,57 @@ def lang_id_confusion_sql(table_toks_cte: str) -> str:
         "FROM p JOIN documents d ON d.doc_id = p.doc_id "
         "GROUP BY d.lang, p.pred ORDER BY d.lang, p.pred"
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence-length histogram (power-of-two buckets — packing planning)
+# ---------------------------------------------------------------------------
+
+
+def seq_len_histogram(docs: DataFrame) -> DataFrame:
+    """(bucket_lo, bucket_hi, n_docs, total_tokens) — the document
+    token-length distribution in power-of-two buckets [2^b, 2^{b+1}),
+    the input a sequence-packing planner reads to pick max_seq_len and
+    predict padding waste (pack_sequences' sibling diagnostic).
+    Zero-token docs land in a dedicated [0, 1) bucket.
+
+    The bucket exponent is INTEGER log2 via binary-string length
+    (length(conv(n, 10, 2)) - 1 == floor(log2 n) exactly) — never the
+    float log2, whose 1-ulp boundary behavior could flip a doc at
+    n = 2^k across engines. One map-side-combinable groupBy."""
+    n = F.size("tokens").cast("long")
+    expo = F.when(
+        n <= 0, F.lit(-1)
+    ).otherwise(F.length(F.conv(n.cast("string"), 10, 2)) - F.lit(1))
+    d = docs.select(n.alias("n"), expo.cast("int").alias("b"))
+    agg = d.groupBy("b").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("total_tokens"),
+    )
+    lo = F.when(F.col("b") < 0, F.lit(0)).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), b)")
+    )
+    hi = F.when(F.col("b") < 0, F.lit(1)).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), b + 1)")
+    )
+    return agg.select(
+        lo.cast("long").alias("bucket_lo"),
+        hi.cast("long").alias("bucket_hi"),
+        "n_docs",
+        "total_tokens",
+    ).orderBy("bucket_lo")
+
+
+def seq_len_histogram_sql(table_toks_cte: str) -> str:
+    return (
+        f"WITH {table_toks_cte}, "
+        "d AS (SELECT CAST(len(toks) AS BIGINT) AS n, "
+        "CASE WHEN len(toks) <= 0 THEN -1 "
+        "ELSE CAST(length(bin(CAST(len(toks) AS BIGINT))) - 1 AS INT) END AS b "
+        "FROM docs), "
+        "agg AS (SELECT b, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n) AS BIGINT) AS total_tokens FROM d GROUP BY b) "
+        "SELECT CAST(CASE WHEN b < 0 THEN 0 ELSE (1 << b) END AS BIGINT) AS bucket_lo, "
+        "CAST(CASE WHEN b < 0 THEN 1 ELSE (1 << (b + 1)) END AS BIGINT) AS bucket_hi, "
+        "n_docs, total_tokens FROM agg ORDER BY bucket_lo"
+    )

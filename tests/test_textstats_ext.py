@@ -290,3 +290,37 @@ def test_lang_id_confusion_cells(spark):
     assert out[("de", "de")] == 1
     assert out[("de", "en")] == 1
     assert sum(out.values()) == 4
+
+
+# --- sequence-length histogram -----------------------------------------------
+
+
+def test_seq_len_histogram_buckets(spark):
+    from distributedcodesearchengine_spark.functions.udfs import tokenize_udf
+    from distributedcodesearchengine_spark.operators.textstats import (
+        seq_len_histogram,
+    )
+
+    texts = {
+        0: "",                                   # 0 tokens -> [0, 1)
+        1: "aa",                                 # 1 -> [1, 2)
+        2: "aa bb",                              # 2 -> [2, 4)
+        3: "aa bb cc",                           # 3 -> [2, 4)
+        4: " ".join(f"w{i:02d}" for i in range(4)),   # 4 -> [4, 8)
+        5: " ".join(f"w{i:02d}" for i in range(8)),   # 8 -> [8, 16)
+        6: " ".join(f"w{i:02d}" for i in range(15)),  # 15 -> [8, 16)
+        7: " ".join(f"w{i:02d}" for i in range(16)),  # 16 -> [16, 32)
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    ).select("doc_id", tokenize_udf("text").alias("tokens"))
+    out = {(r["bucket_lo"], r["bucket_hi"]): (r["n_docs"], r["total_tokens"])
+           for r in seq_len_histogram(docs).collect()}
+    assert out == {
+        (0, 1): (1, 0),
+        (1, 2): (1, 1),
+        (2, 4): (2, 5),
+        (4, 8): (1, 4),
+        (8, 16): (2, 23),
+        (16, 32): (1, 16),
+    }
