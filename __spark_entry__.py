@@ -1071,6 +1071,14 @@ def _registry():
         tsr.events_moving_median_sql("click", 5),
     )
 
+    # hour-of-day seasonality profile: the PERIODIC fold (bucket key =
+    # hour(ts), not a timestamp) a crawl scheduler reads; <= 24 x
+    # |types| cells, exact distinct users
+    reg["events_hour_profile"] = (
+        _tbl_op(tsr.events_hour_profile, "events"),
+        tsr.events_hour_profile_sql(),
+    )
+
     # second ES-aggregation wave (appended at the END per the
     # registry-ordering rule): multi_terms (compound-key buckets,
     # count-ordered), adjacency_matrix (named filters + pairwise

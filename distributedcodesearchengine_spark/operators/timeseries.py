@@ -1540,3 +1540,38 @@ def events_moving_median_sql(
         "CAST(a[CAST((len(a) + 1) // 2 AS INT)] AS BIGINT) AS moving_median "
         "FROM wl ORDER BY bucket"
     )
+
+
+# --------------------------------------------------------------------------
+# hour-of-day profile (seasonality heatmap row)
+# --------------------------------------------------------------------------
+
+
+def events_hour_profile(events: DataFrame) -> DataFrame:
+    """(hour_of_day, event_type, n_events, n_users) — the seasonality
+    profile a crawl/capacity scheduler reads (which hours are hot, per
+    event type): counts folded ACROSS days into the 24 hour-of-day
+    slots. Distinct from the date-histogram family: the bucket key is
+    hour(ts), not a timestamp — the periodic fold. Exact integers
+    (count + exact distinct users via countDistinct — at web scale the
+    distinct lane swaps for the KMV/HLL sketch unchanged); one
+    map-side-combinable groupBy over <= 24 x |types| cells."""
+    return (
+        events.groupBy(
+            F.hour("ts").cast("int").alias("hour_of_day"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("hour_of_day", "event_type")
+    )
+
+
+def events_hour_profile_sql() -> str:
+    return (
+        "SELECT CAST(hour(ts) AS INT) AS hour_of_day, event_type, "
+        "CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+        "FROM events GROUP BY 1, 2 ORDER BY hour_of_day, event_type"
+    )

@@ -677,3 +677,34 @@ def test_moving_median_even_window_lower(spark):
 
     with pytest.raises(ValueError):
         events_moving_median(ev, "click", window=0)
+
+
+# --- hour-of-day profile -----------------------------------------------------
+
+
+def test_hour_profile_periodic_fold(spark):
+    import datetime as dt
+
+    from distributedcodesearchengine_spark.operators.timeseries import (
+        events_hour_profile,
+    )
+
+    # same hour across two DAYS folds into one cell
+    rows = [
+        (0, dt.datetime(2024, 1, 1, 9, 0), 1, "click", 1.0, "{}"),
+        (1, dt.datetime(2024, 1, 2, 9, 30), 2, "click", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 9, 5), 1, "view", 1.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 14, 0), 1, "click", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {(r["hour_of_day"], r["event_type"]): (r["n_events"], r["n_users"])
+           for r in events_hour_profile(ev).collect()}
+    assert out == {
+        (9, "click"): (2, 2),
+        (9, "view"): (1, 1),
+        (14, "click"): (1, 1),
+    }
