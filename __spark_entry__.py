@@ -1930,6 +1930,12 @@ def _registry():
     reg["seq_len_histogram"] = (
         _docs_op(ts.seq_len_histogram), ts.seq_len_histogram_sql(cte),
     )
+    # Shannon source-diversity index + effective source count exp(H):
+    # the snapshot-composition alarm; source-ordered entropy fold
+    # (string_stats discipline over dynamic categories)
+    reg["source_diversity"] = (
+        _tbl_op(ts.source_diversity), ts.source_diversity_sql(),
+    )
 
     # the ES random_sampler agg (8.2): deterministic hash-threshold
     # probability sample + 1/p scale-back — constant-cost child aggs

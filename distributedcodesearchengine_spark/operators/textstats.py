@@ -1587,3 +1587,77 @@ def seq_len_histogram_sql(table_toks_cte: str) -> str:
         "CAST(CASE WHEN b < 0 THEN 1 ELSE (1 << (b + 1)) END AS BIGINT) AS bucket_hi, "
         "n_docs, total_tokens FROM agg ORDER BY bucket_lo"
     )
+
+
+# ---------------------------------------------------------------------------
+# source diversity (Shannon index over source shares)
+# ---------------------------------------------------------------------------
+
+
+def source_diversity(documents: DataFrame) -> DataFrame:
+    """1 row (n_sources, n_docs, entropy_nats, effective_sources) —
+    the corpus-composition diversity index a training-data pipeline
+    tracks per snapshot (a crawl collapsing onto few domains/sources
+    is the failure this alarms on): Shannon H = -sum p_s ln p_s over
+    source shares, and exp(H) — the "effective source count" (equals
+    n_sources iff perfectly balanced; the mixture-planning number).
+
+    Parity: counts are exact integers; the entropy folds its
+    (cnt/tot)*ln(cnt/tot) terms in SOURCE order (the string_stats
+    fixed-order discipline extended to dynamic categories — Spark
+    folds the source-sorted collected array, DuckDB sums ORDER BY
+    source), a category-cardinality-bounded fold, never corpus-sized;
+    exp/ln are the proven lanes."""
+    g = documents.groupBy("source").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    tot = g.agg(
+        F.count("*").cast("long").alias("ns"),
+        F.sum("cnt").cast("long").alias("t"),
+    ).first()
+    ns, t = int(tot["ns"] or 0), int(tot["t"] or 0)
+    spark = documents.sparkSession
+    if t == 0:
+        return spark.createDataFrame(
+            [(0, 0, 0.0, 0.0)],
+            "n_sources long, n_docs long, entropy_nats double, "
+            "effective_sources double",
+        )
+    term = (F.col("cnt").cast("double") / F.lit(float(t))) * F.log(
+        F.col("cnt").cast("double") / F.lit(float(t))
+    )
+    row = g.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", term.alias("e")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["e"],
+        ).alias("s")
+    ).first()
+    h = -float(row["s"])
+    import math
+
+    return spark.createDataFrame(
+        [(ns, t, h, math.exp(h))],
+        "n_sources long, n_docs long, entropy_nats double, "
+        "effective_sources double",
+    ).select(
+        "n_sources", "n_docs",
+        round6("entropy_nats").alias("entropy_nats"),
+        round6("effective_sources").alias("effective_sources"),
+    )
+
+
+def source_diversity_sql() -> str:
+    return (
+        "WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM documents GROUP BY source), "
+        "t AS (SELECT CAST(count(*) AS BIGINT) AS ns, "
+        "CAST(sum(cnt) AS BIGINT) AS tot FROM g), "
+        "e AS (SELECT -sum((CAST(cnt AS DOUBLE) / CAST((SELECT tot FROM t) AS DOUBLE)) "
+        "* ln(CAST(cnt AS DOUBLE) / CAST((SELECT tot FROM t) AS DOUBLE)) "
+        "ORDER BY source) AS h FROM g) "
+        "SELECT (SELECT ns FROM t) AS n_sources, (SELECT tot FROM t) AS n_docs, "
+        + "(floor((h) * 1000000.0 + 0.5) / 1000000.0) AS entropy_nats, "
+        "(floor((exp(h)) * 1000000.0 + 0.5) / 1000000.0) AS effective_sources "
+        "FROM e"
+    )

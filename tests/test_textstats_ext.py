@@ -324,3 +324,39 @@ def test_seq_len_histogram_buckets(spark):
         (8, 16): (2, 23),
         (16, 32): (1, 16),
     }
+
+
+# --- source diversity --------------------------------------------------------
+
+
+def test_source_diversity_balanced_and_skewed(spark):
+    import math
+
+    import pytest
+
+    from distributedcodesearchengine_spark.operators.textstats import (
+        source_diversity,
+    )
+
+    bal = spark.createDataFrame(
+        [(i, ["a", "b", "c", "d"][i % 4]) for i in range(40)],
+        "doc_id long, source string",
+    )
+    r = source_diversity(bal).collect()[0]
+    assert r["n_sources"] == 4 and r["n_docs"] == 40
+    assert r["entropy_nats"] == pytest.approx(math.log(4), abs=1e-6)
+    assert r["effective_sources"] == pytest.approx(4.0, abs=1e-5)
+    # 90/10 skew -> effective sources well below 2
+    skew = spark.createDataFrame(
+        [(i, "a" if i < 36 else "b") for i in range(40)],
+        "doc_id long, source string",
+    )
+    r2 = source_diversity(skew).collect()[0]
+    p = [0.9, 0.1]
+    h = -sum(x * math.log(x) for x in p)
+    assert r2["entropy_nats"] == pytest.approx(h, abs=1e-6)
+    assert r2["effective_sources"] < 2.0
+    # single source -> zero entropy, effective 1
+    one = spark.createDataFrame([(0, "a")], "doc_id long, source string")
+    r3 = source_diversity(one).collect()[0]
+    assert r3["entropy_nats"] == 0.0 and r3["effective_sources"] == 1.0
