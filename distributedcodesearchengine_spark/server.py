@@ -277,6 +277,34 @@ def make_handler(engine, stats_fn, index_manager=None):
                 body = json.loads(self.rfile.read(n) or b"{}")
             except (ValueError, TypeError) as e:
                 return self._send(400, {"error": f"bad JSON body: {e}"})
+            if url.path == "/percolate":
+                # the ES percolate API: match a DOCUMENT against a
+                # registered query set (quoted phrases verified for
+                # adjacency). Body: {"text": "...", "queries":
+                # {"name": "query", ...}}
+                from pyspark.sql import functions as F
+
+                from .functions.udfs import tokenize_udf
+                from .operators.percolate import percolate_phrase
+
+                if not isinstance(body, dict) or not isinstance(
+                    body.get("queries"), dict
+                ) or not body["queries"] or "text" not in body:
+                    return self._send(400, {
+                        "error": "body must carry 'text' and a "
+                        "non-empty 'queries' map"
+                    })
+                try:
+                    names = list(body["queries"].keys())
+                    qmap = {i: str(q) for i, q in enumerate(body["queries"].values())}
+                    doc = engine.index.spark.createDataFrame(
+                        [(0, str(body["text"]))], "doc_id long, text string"
+                    ).select("doc_id", tokenize_udf("text").alias("tokens"))
+                    hits = percolate_phrase(doc, qmap).collect()
+                    matched = sorted(names[r["query_id"]] for r in hits)
+                    return self._send(200, {"matched_queries": matched})
+                except Exception as e:  # noqa: BLE001 - reference: no 500 bodies
+                    return self._send(200, {"matched_queries": [], "error": str(e)})
             if url.path == "/search/batch":
                 # multi-query scoring in ONE DataFrame plan — the
                 # engine's highest-throughput path (bm25_topk_batch:
@@ -429,6 +457,9 @@ def make_handler(engine, stats_fn, index_manager=None):
                             "GET /maxsim": "ColBERT MaxSim "
                             "late-interaction search over chunk "
                             "embeddings",
+                            "POST /percolate": "reverse search: match "
+                            "a document against a stored-query map "
+                            "(phrases adjacency-verified)",
                             "GET /similarity": "top-k under a non-Okapi "
                             "similarity: model=lmd|lmjm|dfr|ib",
                             "GET /distance_search": "BM25 + "

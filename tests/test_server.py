@@ -1140,3 +1140,29 @@ def test_maxsim_endpoint(srv):
 
     with pytest.raises(urllib.error.HTTPError):
         _get(srv, "/maxsim")
+
+
+def test_percolate_endpoint(srv):
+    code, body = _post(srv, "/percolate", {
+        "text": "how to parse JSON data quickly",
+        "queries": {
+            "json-monitor": "parse json",
+            "phrase-monitor": '"parse json"',
+            "dead": "zzznothing here",
+        },
+    })
+    assert code == 200
+    assert "json-monitor" in body["matched_queries"]
+    assert "dead" not in body["matched_queries"]
+    # phrase adjacency: 'parse JSON' IS adjacent in the text
+    assert "phrase-monitor" in body["matched_queries"]
+    code2, body2 = _post(srv, "/percolate", {
+        "text": "parse the json later",  # terms present, NOT adjacent
+        "queries": {"phrase-monitor": '"parse json"', "loose": "parse json"},
+    })
+    assert body2["matched_queries"] == ["loose"]
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(srv, "/percolate", {"queries": {}})
+    assert e.value.code == 400
