@@ -331,6 +331,12 @@ def _registry():
         _tbl_op(dd.dedup_lines_within_augmented),
         dd.dedup_lines_within_sql(),
     )
+    # the exact-dup ledger PER SOURCE: which feeds are mirror-heavy —
+    # the deprioritize/cap signal an ingestion pipeline reads before
+    # paying tokenization for a source's copies
+    reg["dedup_by_source"] = (
+        _tbl_op(dd.dedup_by_source), dd.dedup_by_source_sql(),
+    )
     reg["minhash_signatures"] = (
         _docs_op(dd.minhash_signatures), dd.minhash_signatures_sql(cte),
     )

@@ -773,3 +773,45 @@ def dedup_lines_within_sql(table: str = "documents") -> str:
         "md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_hash "
         "FROM k ORDER BY doc_id"
     )
+
+
+def dedup_by_source(documents: DataFrame) -> DataFrame:
+    """(source, n_docs, n_distinct, n_dup_docs, dup_ratio) — the
+    exact-dup ledger PER SOURCE (exact_dedup_summary's grouped form):
+    which feeds are mirror-heavy, the number an ingestion pipeline
+    uses to deprioritize or cap a source before paying tokenization
+    for its copies. Counts are exact integers from one
+    (source, content-hash) groupBy + one per-source rollup (both
+    map-side combinable); dup_ratio = dup docs / docs is the single
+    division per source row."""
+    h = documents.select(
+        "source", F.md5(F.encode(F.col("text"), "utf-8")).alias("h")
+    )
+    g = h.groupBy("source", "h").agg(F.count("*").cast("long").alias("n"))
+    agg = g.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.sum(
+            F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0)
+        ).cast("long").alias("n_dup_docs"),
+    )
+    ratio = F.col("n_dup_docs").cast("double") / F.col("n_docs").cast("double")
+    return agg.select(
+        "source", "n_docs", "n_distinct", "n_dup_docs",
+        round6(ratio).alias("dup_ratio"),
+    ).orderBy("source")
+
+
+def dedup_by_source_sql() -> str:
+    return (
+        "WITH g AS (SELECT source, md5(text) AS h, CAST(count(*) AS BIGINT) AS n "
+        "FROM documents GROUP BY source, md5(text)), "
+        "a AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs, "
+        "CAST(count(*) AS BIGINT) AS n_distinct, "
+        "CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS n_dup_docs "
+        "FROM g GROUP BY source) "
+        "SELECT source, n_docs, n_distinct, n_dup_docs, "
+        + "(floor((CAST(n_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)) * 1000000.0 + 0.5) "
+        "/ 1000000.0) AS dup_ratio "
+        "FROM a ORDER BY source"
+    )

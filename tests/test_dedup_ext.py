@@ -40,3 +40,29 @@ def test_lines_within_order_preserved(spark):
     )
     r = dedup_lines_within(pages).collect()[0]
     assert r["clean_hash"] == hashlib.md5(b"b\na\nc").hexdigest()
+
+
+def test_dedup_by_source_ledger(spark):
+    import pytest
+
+    from distributedcodesearchengine_spark.operators.dedup import (
+        dedup_by_source,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "same page", "mirrorfarm"),
+            (1, "same page", "mirrorfarm"),
+            (2, "same page", "mirrorfarm"),
+            (3, "other page", "mirrorfarm"),
+            (4, "unique one", "clean"),
+            (5, "unique two", "clean"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in dedup_by_source(docs).collect()}
+    mf = out["mirrorfarm"]
+    assert (mf["n_docs"], mf["n_distinct"], mf["n_dup_docs"]) == (4, 2, 2)
+    assert mf["dup_ratio"] == pytest.approx(0.5, abs=1e-6)
+    cl = out["clean"]
+    assert (cl["n_dup_docs"], cl["dup_ratio"]) == (0, 0.0)
