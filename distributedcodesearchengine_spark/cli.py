@@ -93,6 +93,26 @@ def _build_parser() -> argparse.ArgumentParser:
     rs.add_argument("--snapshot", required=True)
     rs.add_argument("--index", required=True)
 
+    sim = sub.add_parser(
+        "similarity",
+        help="top-k under a non-Okapi similarity "
+        "(lmd/lmjm/dfr/ib/classic/bool)",
+    )
+    sim.add_argument("query")
+    sim.add_argument("--index", required=True)
+    sim.add_argument("--model", default="dfr",
+                     choices=["lmd", "lmjm", "dfr", "ib", "classic", "bool"])
+    sim.add_argument("--limit", type=int, default=10)
+
+    ac = sub.add_parser(
+        "autocomplete",
+        help="search-as-you-type completion of the typed text "
+        "(bigram context / ctf unigram)",
+    )
+    ac.add_argument("text")
+    ac.add_argument("--index", required=True)
+    ac.add_argument("--limit", type=int, default=10)
+
     g = sub.add_parser("suggest", help="term autocomplete under a prefix")
     g.add_argument("prefix")
     g.add_argument("--index", required=True)
@@ -458,6 +478,29 @@ def main(argv=None, spark=None) -> int:
             "budget": manifest["budget"],
             "output": args.output,
         }))
+        return 0
+
+    if args.cmd == "similarity":
+        from .api import SearchEngine
+        from .build.checkpoint import load_index
+
+        idx = load_index(spark, args.index)
+        engine = SearchEngine(idx)
+        rows = engine.similarity_search(
+            args.query, model=args.model, limit=args.limit
+        ).collect()
+        for r in rows:
+            print(f"{r['rank']:>3}  {r['score']:.6f}  {r['doc_id']:>10}  {r['url']}")
+        return 0
+
+    if args.cmd == "autocomplete":
+        from .build.checkpoint import load_index
+        from .operators.snippets import completion_suggest
+
+        idx = load_index(spark, args.index)
+        rows = completion_suggest(idx.docs, args.text, k=args.limit).collect()
+        for r in rows:
+            print(f"{r['cnt']:>8}  {r['suggestion']}")
         return 0
 
     if args.cmd == "suggest":

@@ -307,3 +307,25 @@ def test_cli_query_string_invalid_is_error(built, spark, capsys):
     )
     assert rc == 2
     assert "unsupported" in capsys.readouterr().err
+
+
+def test_cli_similarity_models(built, spark, capsys):
+    for model in ("dfr", "classic"):
+        rc = main(
+            ["similarity", "parse json", "--index", built, "--model", model,
+             "--limit", "3"],
+            spark=spark,
+        )
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        assert len(out) == 3 and out[0].lstrip().startswith("1")
+
+
+def test_cli_autocomplete(built, spark, capsys):
+    rc = main(
+        ["autocomplete", "parse js", "--index", built, "--limit", "5"],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "parse js" in out
