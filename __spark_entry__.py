@@ -114,6 +114,30 @@ def _registry():
         _syn_op,
         bm25_synonyms_sql("dup dup table", {"dup": ["row", "scan"]}, k=10),
     )
+    # synonym_graph: multi-word SOURCE keys fire only on adjacent
+    # query runs — 'dup table' (adjacent) injects its contraction,
+    # while the same tokens non-adjacent would not (tested)
+    from distributedcodesearchengine_spark.operators.synonyms import (
+        bm25_synonyms_graph_sql,
+    )
+
+    _SYNG = {"dup table": ["copy"], "row": ["record"]}
+
+    def _syng_op(spark, sf_dir):
+        from distributedcodesearchengine_spark.operators.synonyms import (
+            bm25_synonyms_graph_topk,
+        )
+
+        idx = eq.get_documents_index(spark, sf_dir)
+        res = bm25_synonyms_graph_topk(idx, "dup table row", _SYNG, k=10)
+        return res.select(
+            "rank", eq._orig_doc_id(), eq.round6("score").alias("score")
+        ).orderBy("rank")
+
+    reg["bm25_synonyms_graph"] = (
+        _syng_op,
+        bm25_synonyms_graph_sql("dup table row", _SYNG, k=10),
+    )
     # field-collapse diversification (ES collapse: at most n results
     # per source)
     def _collapse_op(spark, sf_dir):

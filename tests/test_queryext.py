@@ -677,3 +677,51 @@ def test_span_within_topk_filters_ranking(spark):
     rows = bm25_span_within_topk(
         idx, "little", "open", "close", width=4, k=10).collect()
     assert [r["doc_id"] for r in rows] == [0]
+
+
+# --- synonym_graph (multi-word sources) ---------------------------------------
+
+
+def test_synonym_graph_adjacency_fires(spark):
+    from distributedcodesearchengine_spark.operators.synonyms import (
+        expand_query_graph,
+    )
+
+    syn = {"world wide": ["www"], "dup": ["copy"]}
+    adj = expand_query_graph("world wide web", syn)
+    assert adj["www"] == 1 and adj["world"] == 1
+    # NON-adjacent tokens never fire the phrase key
+    non = expand_query_graph("world other wide", syn)
+    assert "www" not in non
+    # two non-overlapping occurrences inject twice
+    twice = expand_query_graph("world wide and world wide", syn)
+    assert twice["www"] == 2
+    # longest key wins at equal start
+    syn2 = {"aa bb cc": ["x3"], "aa bb": ["x2"]}
+    got = expand_query_graph("aa bb cc", syn2)
+    assert got["x3"] == 1 and "x2" not in got
+
+
+def test_synonym_graph_ranking_differs_from_plain(spark):
+    from distributedcodesearchengine_spark.operators.synonyms import (
+        bm25_synonyms_graph_topk,
+        bm25_synonyms_topk,
+    )
+    from tests.test_search_after import _index
+
+    texts = [
+        "copy machine here",       # matches the injected contraction
+        "dup table data",          # matches the phrase itself
+        "table dup reversed",      # tokens present, NOT adjacent
+        "unrelated words",
+    ]
+    idx = _index(spark, texts)
+    syn = {"dup table": ["copy"]}
+    g = {r["doc_id"]: r["score"] for r in bm25_synonyms_graph_topk(
+        idx, "dup table", syn, k=10).collect() if r["score"] > 0}
+    assert 0 in g  # the contraction matched
+    # the single-word expander cannot express a phrase key: it leaves
+    # the table untouched -> doc 0 scores 0 there
+    p = {r["doc_id"]: r["score"] for r in bm25_synonyms_topk(
+        idx, "dup table", syn, k=10).collect() if r["score"] > 0}
+    assert 0 not in p
