@@ -1731,6 +1731,25 @@ def _registry():
         partial(eq.boolean_sim_q, query="dup table row", k=10),
         boolean_sim_sql("dup table row", k=10),
     )
+
+    # similarity-agreement harness: pairwise top-k overlap between
+    # bm25/classic/dfr — the model-swap risk diagnostic
+    from distributedcodesearchengine_spark.operators.evalrank import (
+        similarity_agreement_sql,
+    )
+
+    def _simagree_op(spark, sf_dir):
+        from distributedcodesearchengine_spark.operators.evalrank import (
+            similarity_agreement,
+        )
+
+        idx = eq.get_documents_index(spark, sf_dir)
+        return similarity_agreement(idx, "dup table", k=10)
+
+    reg["similarity_agreement"] = (
+        _simagree_op,
+        similarity_agreement_sql("dup table", k=10),
+    )
     reg["ib_topk"] = (
         partial(eq.ib_q, query="dup table", k=10),
         oq.ib_sql("dup table", k=10),

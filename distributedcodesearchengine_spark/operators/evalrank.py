@@ -231,3 +231,65 @@ def eval_ranking_sql(
         "FROM d LEFT JOIN i USING (query_id) LEFT JOIN nr USING (query_id) "
         "ORDER BY d.query_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# similarity-agreement harness (pairwise top-k overlap between models)
+# ---------------------------------------------------------------------------
+
+
+def similarity_agreement(index, query: str, k: int = 10):
+    """(model_a, model_b, overlap, k) — pairwise top-k set overlap
+    between scoring models (bm25 / classic / dfr) for one query: the
+    model-selection diagnostic (retrieval_eval's sibling — high
+    overlap means a swap is low-risk for this query class; low
+    overlap means run the labeled eval before switching). Each
+    model's top-k is its own deterministic total order, so the
+    integer overlaps are exact cross-engine; the m-row result
+    assembles driver-side like ann_recall."""
+    from .scorer import bm25_topk, classic_topk, dfr_topk
+
+    models = [
+        ("bm25", bm25_topk),
+        ("classic", classic_topk),
+        ("dfr", dfr_topk),
+    ]
+    tops = {
+        name: {r["doc_id"] for r in fn(index, query, k=int(k)).collect()}
+        for name, fn in models
+    }
+    rows = []
+    for i in range(len(models)):
+        for j in range(i + 1, len(models)):
+            a, b = models[i][0], models[j][0]
+            rows.append((a, b, len(tops[a] & tops[b]), int(k)))
+    return index.spark.createDataFrame(
+        rows, "model_a string, model_b string, overlap long, k int"
+    )
+
+
+def similarity_agreement_sql(query: str, k: int = 10) -> str:
+    """DuckDB mirror: each model's full mirror statement wrapped as a
+    subquery (nested WITH inside a parenthesized source — the
+    percolate_phrase precedent), pairwise intersection counts."""
+    from ..functions.sql_oracle import bm25_topk_sql, dfr_sql
+    from .scorer import classic_sql
+
+    stmts = {
+        "bm25": bm25_topk_sql(query, k=int(k)),
+        "classic": classic_sql(query, k=int(k)),
+        "dfr": dfr_sql(query, k=int(k)),
+    }
+    names = list(stmts)
+    selects = []
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            a, b = names[i], names[j]
+            selects.append(
+                f"SELECT '{a}' AS model_a, '{b}' AS model_b, "
+                "CAST((SELECT count(*) FROM "
+                f"(SELECT doc_id FROM ({stmts[a]})) xa "
+                f"WHERE doc_id IN (SELECT doc_id FROM ({stmts[b]}))) AS BIGINT) "
+                f"AS overlap, {int(k)} AS k"
+            )
+    return " UNION ALL ".join(selects)

@@ -97,3 +97,40 @@ def test_err_zero_when_nothing_relevant(spark):
     res = _results(spark, [4])
     row = eval_ranking(res, relevance_labels(_docs(spark), QUERIES), k=10).first()
     assert (row["precision"], row["err"]) == (0.0, 0.0)
+
+
+# --- similarity agreement ----------------------------------------------------
+
+
+def test_similarity_agreement_overlaps(spark):
+    from distributedcodesearchengine_spark.operators.evalrank import (
+        similarity_agreement,
+    )
+    from distributedcodesearchengine_spark.operators.scorer import (
+        bm25_topk,
+        classic_topk,
+        dfr_topk,
+    )
+    from tests.test_search_after import _index
+
+    texts = [
+        "apple banana apple cherry",
+        "banana cherry durian fig grape",
+        "apple fig",
+        "grape grape grape durian",
+        "apple apple banana banana cherry",
+    ]
+    idx = _index(spark, texts)
+    q = "apple banana"
+    rows = {(r["model_a"], r["model_b"]): r["overlap"]
+            for r in similarity_agreement(idx, q, k=3).collect()}
+    want = {}
+    tops = {
+        "bm25": {r["doc_id"] for r in bm25_topk(idx, q, k=3).collect()},
+        "classic": {r["doc_id"] for r in classic_topk(idx, q, k=3).collect()},
+        "dfr": {r["doc_id"] for r in dfr_topk(idx, q, k=3).collect()},
+    }
+    for a, b in (("bm25", "classic"), ("bm25", "dfr"), ("classic", "dfr")):
+        want[(a, b)] = len(tops[a] & tops[b])
+    assert rows == want
+    assert all(0 <= v <= 3 for v in rows.values())
