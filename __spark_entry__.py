@@ -2030,11 +2030,17 @@ def _registry():
 # the engine's heart in the artifact. Everything else stays
 # pytest-oracle-covered (tests/test_entry_oracle.py runs ALL keys).
 #
-# ROUND-5 ROTATION (do this at round-5 start): recompute the
-# never-driver-verified set as
-#   set(_registry()) - union(CORRECTNESS_r0{1..4}.json keys)
-# and build an _R5_FRONT = 6 warmers + 39 of those keys + 5 core BM25
-# entries, preferring the OLDEST additions first (the round-4 waves:
+# ROUND-5 ROTATION (do this at round-5 start): run
+#   python tools/make_r5_front.py
+# — it recomputes the never-driver-verified set from every
+# CORRECTNESS_r0*.json present (r04 included once the driver writes
+# it) and prints a paste-ready _R5_FRONT = 6 warmers + never-verified
+# keys (oldest additions first) + 5 core BM25 entries, capped at the
+# driver's 50-row budget. Replace _R4_FRONT below with its output and
+# rename the _rotate reference. Background (the manual procedure the
+# script encodes): never-verified = set(_registry()) -
+# union(CORRECTNESS_r0{1..4}.json keys), preferring the OLDEST
+# additions first (the round-4 waves:
 # wildcard/fuzzy/boolean/facets/aggs blocks) so the final artifact
 # trail covers the maximum registry surface. Keys added in round 4+
 # are all swept green at sf0.01/sf0.1 by tools/gate_check.py runs
