@@ -361,6 +361,13 @@ def _registry():
     reg["dedup_by_source"] = (
         _tbl_op(dd.dedup_by_source), dd.dedup_by_source_sql(),
     )
+    # the ES fingerprint ANALYZER as a dedup key: sorted+deduped token
+    # bag hashed — word-order/repetition-insensitive, the complement
+    # of the order-preserving doc_fingerprint
+    reg["dedup_fingerprint_sorted"] = (
+        _docs_op(dd.dedup_fingerprint_sorted),
+        dd.dedup_fingerprint_sorted_sql(cte),
+    )
     reg["minhash_signatures"] = (
         _docs_op(dd.minhash_signatures), dd.minhash_signatures_sql(cte),
     )

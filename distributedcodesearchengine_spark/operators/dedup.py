@@ -815,3 +815,46 @@ def dedup_by_source_sql() -> str:
         "/ 1000000.0) AS dup_ratio "
         "FROM a ORDER BY source"
     )
+
+
+def dedup_fingerprint_sorted(docs: DataFrame) -> DataFrame:
+    """(fp, n_docs, min_doc_id) for groups with n_docs >= 2 — the ES
+    ``fingerprint`` ANALYZER (and OpenRefine's fingerprint clustering
+    method) as a dedup key: tokens sorted, deduplicated and rejoined
+    before hashing, so the key is WORD-ORDER- and REPETITION-
+    insensitive — it clusters shuffled boilerplate and reordered
+    listings that the order-preserving doc_fingerprint treats as
+    distinct (the complementary pair: content-identity vs
+    bag-identity). Only multi-member groups emit (the dedup ledger's
+    interesting rows); min_doc_id pins membership.
+
+    One per-row expression (sort + distinct + join + md5, all JVM) +
+    one map-side-combinable groupBy."""
+    fp = F.md5(
+        F.encode(
+            F.array_join(F.array_sort(F.array_distinct(F.col("tokens"))), " "),
+            "utf-8",
+        )
+    )
+    return (
+        docs.select(fp.alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy("fp")
+    )
+
+
+def dedup_fingerprint_sorted_sql(table_toks_cte: str) -> str:
+    return (
+        f"WITH {table_toks_cte}, "
+        "f AS (SELECT doc_id, "
+        "md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp "
+        "FROM docs) "
+        "SELECT fp, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(min(doc_id) AS BIGINT) AS min_doc_id "
+        "FROM f GROUP BY fp HAVING count(*) >= 2 ORDER BY fp"
+    )

@@ -66,3 +66,35 @@ def test_dedup_by_source_ledger(spark):
     assert mf["dup_ratio"] == pytest.approx(0.5, abs=1e-6)
     cl = out["clean"]
     assert (cl["n_dup_docs"], cl["dup_ratio"]) == (0, 0.0)
+
+
+def test_fingerprint_sorted_clusters_shuffled_boilerplate(spark):
+    import hashlib
+
+    from distributedcodesearchengine_spark.functions.udfs import tokenize_udf
+    from distributedcodesearchengine_spark.operators.dedup import (
+        dedup_fingerprint_sorted,
+    )
+    from distributedcodesearchengine_spark.operators.textstats import (
+        doc_fingerprint,
+    )
+
+    texts = [
+        (0, "terms privacy contact about"),
+        (1, "about contact privacy terms"),          # shuffled
+        (2, "about about contact privacy terms"),    # + repetition
+        (3, "totally different content here"),
+    ]
+    raw = spark.createDataFrame(texts, "doc_id long, text string")
+    docs = raw.select("doc_id", tokenize_udf("text").alias("tokens"))
+    out = dedup_fingerprint_sorted(docs).collect()
+    assert len(out) == 1
+    g = out[0]
+    assert (g["n_docs"], g["min_doc_id"]) == (3, 0)
+    want = hashlib.md5(
+        " ".join(sorted({"terms", "privacy", "contact", "about"})).encode()
+    ).hexdigest()
+    assert g["fp"] == want
+    # the order-preserving fingerprint treats all three as DISTINCT
+    fps = {r["fingerprint"] for r in doc_fingerprint(raw).collect()}
+    assert len(fps) == 4
