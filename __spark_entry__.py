@@ -1115,6 +1115,13 @@ def _registry():
         _tbl_op(tsr.events_hour_profile, "events"),
         tsr.events_hour_profile_sql(),
     )
+    # exact heavy hitters: top-k event producers with traffic share —
+    # the abuse/rate-limit candidate list the CMS sketch approximates
+    reg["events_heavy_hitters"] = (
+        _tbl_op(partial(tsr.events_heavy_hitters, k=10, min_share=0.01),
+                "events"),
+        tsr.events_heavy_hitters_sql(k=10, min_share=0.01),
+    )
 
     # second ES-aggregation wave (appended at the END per the
     # registry-ordering rule): multi_terms (compound-key buckets,

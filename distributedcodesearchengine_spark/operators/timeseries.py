@@ -1575,3 +1575,58 @@ def events_hour_profile_sql() -> str:
         "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
         "FROM events GROUP BY 1, 2 ORDER BY hour_of_day, event_type"
     )
+
+
+# --------------------------------------------------------------------------
+# heavy hitters (abuse/bot-detection ledger)
+# --------------------------------------------------------------------------
+
+
+def events_heavy_hitters(
+    events: DataFrame, k: int = 10, min_share: float = 0.0
+) -> DataFrame:
+    """(user_id, n_events, share) — the exact top-k event producers
+    with their traffic share, the abuse/bot-detection ledger a serving
+    stack reads before rate-limiting (the CMS sketch estimates the
+    same number approximately; this is the exact candidates-for-
+    action list). ``min_share`` drops tail rows below the alerting
+    threshold. Counts exact (map-side combinable), total a 1-row
+    broadcast, share = one division per emitted row, TakeOrdered cut
+    (n desc, user_id asc)."""
+    if int(k) < 1 or not (0.0 <= float(min_share) <= 1.0):
+        raise ValueError(f"bad params: k={k} min_share={min_share}")
+    g = events.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    tot = g.agg(F.sum("n_events").cast("long").alias("t")).first()
+    t = int(tot["t"] or 0)
+    if t == 0:
+        return events.sparkSession.createDataFrame(
+            [], "user_id long, n_events long, share double"
+        )
+    share = F.col("n_events").cast("double") / F.lit(float(t))
+    return (
+        g.select("user_id", "n_events", round6(share).alias("share"))
+        .where(share >= F.lit(float(min_share)))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(int(k))
+    )
+
+
+def events_heavy_hitters_sql(k: int = 10, min_share: float = 0.0) -> str:
+    from ..functions.rounding import sql_double
+
+    if int(k) < 1 or not (0.0 <= float(min_share) <= 1.0):
+        raise ValueError(f"bad params: k={k} min_share={min_share}")
+    ms = sql_double(float(min_share))
+    return (
+        "WITH g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events "
+        "FROM events GROUP BY user_id), "
+        "t AS (SELECT CAST(sum(n_events) AS BIGINT) AS tot FROM g) "
+        "SELECT user_id, n_events, "
+        + "(floor((CAST(n_events AS DOUBLE) / CAST((SELECT tot FROM t) AS DOUBLE)) "
+        "* 1000000.0 + 0.5) / 1000000.0) AS share "
+        "FROM g WHERE CAST(n_events AS DOUBLE) / CAST((SELECT tot FROM t) AS DOUBLE) "
+        f">= {ms} "
+        f"ORDER BY n_events DESC, user_id ASC LIMIT {int(k)}"
+    )

@@ -708,3 +708,37 @@ def test_hour_profile_periodic_fold(spark):
         (9, "view"): (1, 1),
         (14, "click"): (1, 1),
     }
+
+
+# --- heavy hitters -----------------------------------------------------------
+
+
+def test_heavy_hitters_exact_shares(spark):
+    import datetime as dt
+
+    import pytest
+
+    from distributedcodesearchengine_spark.operators.timeseries import (
+        events_heavy_hitters,
+    )
+
+    rows = []
+    eid = 0
+    for user, c in [(7, 6), (3, 3), (9, 1)]:
+        for j in range(c):
+            rows.append((eid, dt.datetime(2024, 1, 1, 0, j), user, "click",
+                         1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = events_heavy_hitters(ev, k=10).collect()
+    assert [(r["user_id"], r["n_events"]) for r in out] == [(7, 6), (3, 3), (9, 1)]
+    assert out[0]["share"] == pytest.approx(0.6, abs=1e-6)
+    # min_share trims the tail
+    trimmed = events_heavy_hitters(ev, k=10, min_share=0.25).collect()
+    assert [r["user_id"] for r in trimmed] == [7, 3]
+    with pytest.raises(ValueError):
+        events_heavy_hitters(ev, k=0)
