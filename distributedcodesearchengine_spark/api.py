@@ -678,14 +678,19 @@ class SearchEngine:
         qvecs = [mock_embed_text(w, self.dim) for w in toks]
         return maxsim_topk(self.index.docs, qvecs, k=int(limit))
 
-    def autocomplete(self, text: str, limit: int = 10) -> DataFrame:
+    def autocomplete(
+        self, text: str, limit: int = 10, lang: str | None = None
+    ) -> DataFrame:
         """Search-as-you-type completion over the served corpus
         (operators/snippets.completion_suggest): bigram continuation
         of 'context prefix*' (or ctf-ranked unigram for a single
-        token)."""
+        token); ``lang`` applies the ES completion ``contexts``
+        category slice."""
         from .operators.snippets import completion_suggest
 
-        return completion_suggest(self.index.docs, text, k=int(limit))
+        return completion_suggest(
+            self.index.docs, text, k=int(limit), lang=lang
+        )
 
     def distance_search(
         self, query: str, lat: float, lon: float,

@@ -633,7 +633,8 @@ def make_handler(engine, stats_fn, index_manager=None):
                     if "q" not in q:
                         return self._send(400, {"error": "q parameter required"})
                     rows = engine.autocomplete(
-                        q["q"], limit=int(q.get("limit", 10))
+                        q["q"], limit=int(q.get("limit", 10)),
+                        lang=q.get("lang"),
                     ).collect()
                     return self._send(200, {"suggestions": [
                         {"text": r["suggestion"], "count": r["cnt"]}

@@ -1166,3 +1166,15 @@ def test_percolate_endpoint(srv):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(srv, "/percolate", {"queries": {}})
     assert e.value.code == 400
+
+
+def test_autocomplete_lang_context(srv):
+    _, full = _get(srv, "/autocomplete", q="parse js")
+    _, ctx = _get(srv, "/autocomplete", q="parse js", lang="en")
+    def cnt(body):
+        return {s["text"]: s["count"] for s in body["suggestions"]}
+    f, c = cnt(full), cnt(ctx)
+    # the context slice never counts MORE than the whole corpus, and
+    # strictly less in total (the corpus spans several langs)
+    assert all(c[t] <= f.get(t, 0) for t in c)
+    assert sum(c.values()) < sum(f.values())
