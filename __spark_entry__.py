@@ -368,6 +368,13 @@ def _registry():
         _docs_op(dd.dedup_fingerprint_sorted),
         dd.dedup_fingerprint_sorted_sql(cte),
     )
+    # dedup threshold-calibration curve: verified pairs per Jaccard
+    # threshold from ONE LSH pass — the knee-picking table
+    reg["dedup_threshold_curve"] = (
+        _docs_op(partial(dd.dedup_threshold_curve,
+                         thresholds=(0.2, 0.4, 0.6, 0.8))),
+        dd.dedup_threshold_curve_sql(cte, thresholds=(0.2, 0.4, 0.6, 0.8)),
+    )
     reg["minhash_signatures"] = (
         _docs_op(dd.minhash_signatures), dd.minhash_signatures_sql(cte),
     )

@@ -858,3 +858,58 @@ def dedup_fingerprint_sorted_sql(table_toks_cte: str) -> str:
         "CAST(min(doc_id) AS BIGINT) AS min_doc_id "
         "FROM f GROUP BY fp HAVING count(*) >= 2 ORDER BY fp"
     )
+
+
+def dedup_threshold_curve(
+    docs: DataFrame, thresholds=(0.2, 0.4, 0.6, 0.8), max_bucket: int = 2000
+) -> DataFrame:
+    """(threshold, n_pairs) — the dedup-calibration table: how many
+    verified near-dup pairs survive at each Jaccard threshold, from
+    ONE LSH candidate generation + verification pass (candidates are
+    computed once at the lowest threshold; each row is a conditional
+    count over the same verified-pairs relation). A deployment reads
+    this curve to pick its threshold — the knee between mirror
+    collapse and false merges — without re-running the expensive
+    banded join per candidate setting."""
+    ts = sorted(float(t) for t in thresholds)
+    if not ts or ts[0] <= 0 or ts[-1] > 1:
+        raise ValueError(f"thresholds must be in (0, 1]: {thresholds!r}")
+    pairs = lsh_candidate_pairs(docs, jaccard_min=ts[0], max_bucket=max_bucket)
+    aggs = [
+        F.sum(F.when(F.col("jaccard") >= F.lit(t), 1).otherwise(0))
+        .cast("long")
+        .alias(f"n{i}")
+        for i, t in enumerate(ts)
+    ]
+    row = pairs.agg(*aggs).first()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        [(float(t), int(row[f"n{i}"] or 0)) for i, t in enumerate(ts)],
+        "threshold double, n_pairs long",
+    )
+
+
+def dedup_threshold_curve_sql(
+    table_toks_cte: str, thresholds=(0.2, 0.4, 0.6, 0.8),
+    max_bucket: int = 2000,
+) -> str:
+    """Mirror: the lsh_candidate_pairs statement at the lowest
+    threshold wrapped as a subquery (the nested-WITH precedent), one
+    conditional count per threshold row."""
+    from ..functions.rounding import sql_double
+
+    ts = sorted(float(t) for t in thresholds)
+    if not ts or ts[0] <= 0 or ts[-1] > 1:
+        raise ValueError(f"thresholds must be in (0, 1]: {thresholds!r}")
+    base = lsh_candidate_pairs_sql(
+        table_toks_cte, jaccard_min=ts[0], max_bucket=max_bucket
+    )
+    selects = []
+    for t in ts:
+        td = sql_double(t)
+        selects.append(
+            f"SELECT {td} AS threshold, "
+            f"CAST((SELECT count(*) FROM (SELECT * FROM ({base})) p "
+            f"WHERE p.jaccard >= {td}) AS BIGINT) AS n_pairs"
+        )
+    return " UNION ALL ".join(selects) + " ORDER BY threshold"

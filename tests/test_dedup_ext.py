@@ -98,3 +98,32 @@ def test_fingerprint_sorted_clusters_shuffled_boilerplate(spark):
     # the order-preserving fingerprint treats all three as DISTINCT
     fps = {r["fingerprint"] for r in doc_fingerprint(raw).collect()}
     assert len(fps) == 4
+
+
+def test_threshold_curve_monotone_and_exact(spark):
+    from distributedcodesearchengine_spark.functions.udfs import tokenize_udf
+    from distributedcodesearchengine_spark.operators.dedup import (
+        dedup_threshold_curve,
+        lsh_candidate_pairs,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu nu xi")
+    texts = [base, base + " extra", base + " other words entirely",
+             "different content here today " * 3]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).select("doc_id", tokenize_udf("text").alias("tokens"))
+    out = {r["threshold"]: r["n_pairs"]
+           for r in dedup_threshold_curve(docs, (0.2, 0.5, 0.9)).collect()}
+    # monotone non-increasing in the threshold
+    vals = [out[t] for t in sorted(out)]
+    assert vals == sorted(vals, reverse=True)
+    # each row equals the direct pair count at that threshold
+    for t in (0.2, 0.5, 0.9):
+        want = lsh_candidate_pairs(docs, jaccard_min=t).count()
+        assert out[t] == want
+    import pytest
+
+    with pytest.raises(ValueError):
+        dedup_threshold_curve(docs, (0.0, 0.5))
