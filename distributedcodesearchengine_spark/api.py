@@ -124,6 +124,31 @@ class SearchEngine:
             }
         return self._langs
 
+    def _require_cols(self, *cols) -> None:
+        """F8 for column-valued parameters: an agg key / col / filter
+        column that the served docs relation doesn't carry raises
+        ValueError (-> HTTP 400 / CLI exit 2) instead of leaking
+        Spark's UNRESOLVED_COLUMN analysis error through the
+        catch-all (the round-4 ADVICE defect class, pinned by
+        tests/test_server_sweep.py)."""
+        have = set(self.index.docs.columns)
+        missing = [c for c in cols if c is not None and c not in have]
+        if missing:
+            raise ValueError(
+                f"unknown column(s) {missing}; this index has "
+                f"{sorted(c for c in have if c != 'tokens')}"
+            )
+
+    def _meta_default(self, *prefer: str) -> str:
+        """First of ``prefer`` present on the served docs relation —
+        schema-aware agg-key defaults (the facets precedent: optional
+        metadata columns like `source` exist only on indexes whose
+        corpus carried them)."""
+        for c in prefer:
+            if c in self.index.docs.columns:
+                return c
+        return "lang"
+
     def _ensure_embeddings(self, index: Optional[Index] = None):
         idx = index if index is not None else self.index
         emb = self.embeddings
@@ -423,6 +448,7 @@ class SearchEngine:
         (operators/explore.bm25_histogram)."""
         from .operators.explore import bm25_histogram
 
+        self._require_cols(col)
         return bm25_histogram(self.index, query, col=col, interval=int(interval))
 
     def stats_agg(self, query: str, col: str = "doc_len") -> DataFrame:
@@ -431,6 +457,7 @@ class SearchEngine:
         (operators/explore.bm25_stats_agg)."""
         from .operators.explore import bm25_stats_agg
 
+        self._require_cols(col)
         return bm25_stats_agg(self.index, query, col=col)
 
     def filters_agg(self, query: str, buckets) -> DataFrame:
@@ -439,6 +466,7 @@ class SearchEngine:
         ``buckets`` maps name -> (docs column, value)."""
         from .operators.aggs import bm25_filters_agg
 
+        self._require_cols(*[c for c, _ in buckets.values()])
         return bm25_filters_agg(self.index, query, buckets)
 
     def range_agg(
@@ -448,6 +476,7 @@ class SearchEngine:
         (operators/aggs.bm25_range_agg — the ES range agg)."""
         from .operators.aggs import bm25_range_agg
 
+        self._require_cols(col)
         return bm25_range_agg(self.index, query, col=col, cuts=cuts)
 
     def top_hits(
@@ -457,6 +486,7 @@ class SearchEngine:
         kept set (operators/aggs.bm25_top_hits — ES terms + top_hits)."""
         from .operators.aggs import bm25_top_hits
 
+        self._require_cols(key)
         return bm25_top_hits(self.index, query, key=key,
                              per_bucket=int(per_bucket))
 
@@ -475,6 +505,7 @@ class SearchEngine:
         query's BM25 kept set (operators/aggs.bm25_extended_stats)."""
         from .operators.aggs import bm25_extended_stats
 
+        self._require_cols(col)
         return bm25_extended_stats(self.index, query, col=col)
 
     def percentile_ranks(
@@ -484,13 +515,18 @@ class SearchEngine:
         kept set (operators/aggs.bm25_percentile_ranks)."""
         from .operators.aggs import bm25_percentile_ranks
 
+        self._require_cols(col)
         return bm25_percentile_ranks(self.index, query, col=col, values=values)
 
-    def cardinality(self, query: str, col: str = "source") -> DataFrame:
+    def cardinality(self, query: str, col: Optional[str] = None) -> DataFrame:
         """Exact value_count + distinct count of a docs column over the
-        query's BM25 kept set (operators/aggs.bm25_cardinality)."""
+        query's BM25 kept set (operators/aggs.bm25_cardinality).
+        Default col: `source` where the index has it, else `site`."""
         from .operators.aggs import bm25_cardinality
 
+        if col is None:
+            col = self._meta_default("source", "site")
+        self._require_cols(col)
         return bm25_cardinality(self.index, query, col=col)
 
     def decay_search(
@@ -518,26 +554,43 @@ class SearchEngine:
 
         return did_you_mean(self.index, query, max_dist=int(max_dist))
 
+    def _default_keys(self, keys):
+        """Schema-aware default for compound-key aggs: whichever of
+        lang/source the served docs relation carries (explicit keys
+        are validated instead)."""
+        if keys is None:
+            return tuple(
+                c for c in ("lang", "source")
+                if c in self.index.docs.columns
+            ) or ("lang",)
+        keys = tuple(keys)
+        self._require_cols(*keys)
+        return keys
+
     def composite_agg(
-        self, query: str, keys=("lang", "source"), size: int = 10, after=None
+        self, query: str, keys=None, size: int = 10, after=None
     ) -> DataFrame:
         """Keyset-paginated facet buckets over the query's BM25 kept
         set (operators/aggs.bm25_composite_agg — the ES composite
-        agg)."""
+        agg). Default keys: lang + source where present."""
         from .operators.aggs import bm25_composite_agg
 
         return bm25_composite_agg(
-            self.index, query, keys=keys, size=int(size), after=after
+            self.index, query, keys=self._default_keys(keys),
+            size=int(size), after=after
         )
 
     def multi_terms(
-        self, query: str, keys=("lang", "source"), limit: int = 10
+        self, query: str, keys=None, limit: int = 10
     ) -> DataFrame:
         """Compound-key buckets ordered by count over the query's BM25
-        kept set (operators/aggs.bm25_multi_terms — ES multi_terms)."""
+        kept set (operators/aggs.bm25_multi_terms — ES multi_terms).
+        Default keys: lang + source where present."""
         from .operators.aggs import bm25_multi_terms
 
-        return bm25_multi_terms(self.index, query, keys=keys, k=int(limit))
+        return bm25_multi_terms(
+            self.index, query, keys=self._default_keys(keys), k=int(limit)
+        )
 
     def adjacency_matrix(self, query: str, filters) -> DataFrame:
         """Named-filter + pairwise-intersection counts over the query's
@@ -545,6 +598,7 @@ class SearchEngine:
         ``filters`` maps name -> (docs column, value)."""
         from .operators.aggs import bm25_adjacency_matrix
 
+        self._require_cols(*[c for c, _ in filters.values()])
         return bm25_adjacency_matrix(self.index, query, filters)
 
     def weighted_avg(self, query: str) -> DataFrame:
@@ -567,6 +621,7 @@ class SearchEngine:
         query's BM25 kept set (operators/aggs.bm25_boxplot)."""
         from .operators.aggs import bm25_boxplot
 
+        self._require_cols(col)
         return bm25_boxplot(self.index, query, col=col)
 
     def fvf_search(
@@ -581,6 +636,7 @@ class SearchEngine:
         (operators/decay.bm25_fvf_topk)."""
         from .operators.decay import bm25_fvf_topk
 
+        self._require_cols(col)
         return bm25_fvf_topk(
             self.index, query, col=col, factor=float(factor),
             modifier=modifier, k=int(limit),
@@ -815,14 +871,18 @@ class SearchEngine:
         return analyze_text(self.index.spark, text)
 
     def sampler(
-        self, query: str, key: str = "source", shard_size: int = 50,
+        self, query: str, key: Optional[str] = None, shard_size: int = 50,
         limit: int = 10, dedup_field: Optional[str] = None,
         max_docs_per_value: int = 1,
     ) -> DataFrame:
         """sampler / diversified_sampler terms agg over the best
-        shard_size kept docs (operators/queryext.sampler_terms)."""
+        shard_size kept docs (operators/queryext.sampler_terms).
+        Default key: `source` where the index has it, else `site`."""
         from .operators.queryext import sampler_terms
 
+        if key is None:
+            key = self._meta_default("source", "site")
+        self._require_cols(key, dedup_field)
         return sampler_terms(
             self.index, query, key=key, shard_size=int(shard_size),
             k=int(limit), dedup_field=dedup_field,

@@ -124,7 +124,43 @@ def score_matched(
     )
 
 
+def _check_filter_cols(
+    index: Index,
+    filters: Optional[Dict[str, str]],
+    scored: Optional[DataFrame] = None,
+) -> None:
+    """Fail fast (ValueError) on filter columns the index doesn't have:
+    the docvalues joins in finalize_topk / bm25_count / bm25_topk_after
+    would otherwise throw Spark's UNRESOLVED_COLUMN AnalysisException
+    deep inside plan building — see _apply_filters for the contract."""
+    unknown = [
+        c
+        for c in (filters or {})
+        if c not in index.docs.columns
+        and (scored is None or c not in scored.columns)
+    ]
+    if unknown:
+        raise ValueError(
+            f"unknown filter column(s) {unknown}; this index has "
+            f"{sorted(c for c in index.docs.columns if c != 'tokens')}"
+        )
+
+
 def _apply_filters(df: DataFrame, filters: Optional[Dict[str, str]]) -> DataFrame:
+    # Unknown filter COLUMN -> ValueError at plan-build time (the
+    # serving layer's F8 contract turns it into HTTP 400 / CLI exit 2).
+    # Distinct from an unknown filter VALUE, which keeps the silent
+    # no-match drop semantics — the column set is an index-schema fact
+    # the caller got wrong, not a data miss. Without this, an index
+    # built without an optional metadata column (e.g. `source`) leaked
+    # Spark's UNRESOLVED_COLUMN analysis error through every filtered
+    # route (found by the tests/test_server_sweep.py degenerate sweep).
+    unknown = [k for k in (filters or {}) if k not in df.columns]
+    if unknown:
+        raise ValueError(
+            f"unknown filter column(s) {unknown}; this index has "
+            f"{sorted(c for c in df.columns if c not in ('tokens', 'score'))}"
+        )
     for key, want in (filters or {}).items():
         df = df.where(F.col(key) == want)
     return df
@@ -183,6 +219,7 @@ def finalize_topk(
     view of the unfiltered ranking (the reference's F4-before-F5
     ordering)."""
     needed = list(filters or {})
+    _check_filter_cols(index, filters, scored)
 
     def _constrain(df: DataFrame) -> DataFrame:
         if candidate_semi is not None:
@@ -280,6 +317,7 @@ def bm25_topk_after(
         )
     qweights = query_term_weights(index, query)
     scored = score_matched(index, qweights) if qweights else None
+    _check_filter_cols(index, filters, scored)
 
     def _after(df: DataFrame) -> DataFrame:
         if after is None:
@@ -476,6 +514,7 @@ def bm25_count(
         return spark.createDataFrame([(0, 0.0)], out_schema)
     qweights = query_term_weights(index, query)
     needed = list(filters or {})
+    _check_filter_cols(index, filters)
     if not qweights:
         n = _apply_filters(index.docs, filters).count()
         return spark.createDataFrame([(int(n), 0.0)], out_schema)

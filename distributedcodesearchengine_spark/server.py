@@ -783,7 +783,7 @@ def make_handler(engine, stats_fn, index_manager=None):
                     if "q" not in q:
                         return self._send(400, {"error": "missing q"})
                     row = engine.cardinality(
-                        q["q"], col=q.get("col", "source")
+                        q["q"], col=q.get("col")
                     ).first()
                     return self._send(
                         200,
@@ -810,8 +810,8 @@ def make_handler(engine, stats_fn, index_manager=None):
                     if "q" not in q:
                         return self._send(400, {"error": "missing q"})
                     keys = tuple(
-                        k for k in q.get("keys", "lang,source").split(",") if k
-                    )
+                        k for k in q["keys"].split(",") if k
+                    ) if "keys" in q else None
                     rows = engine.multi_terms(
                         q["q"], keys=keys, limit=int(q.get("limit", 10))
                     ).collect()
@@ -1090,7 +1090,7 @@ def make_handler(engine, stats_fn, index_manager=None):
                     if "q" not in q:
                         return self._send(400, {"error": "missing q"})
                     rows = engine.sampler(
-                        q["q"], key=q.get("key", "source"),
+                        q["q"], key=q.get("key"),
                         shard_size=int(q.get("shard_size", 50)),
                         limit=int(q.get("limit", 10)),
                         dedup_field=q.get("dedup_field"),
@@ -1153,8 +1153,8 @@ def make_handler(engine, stats_fn, index_manager=None):
                     if "q" not in q:
                         return self._send(400, {"error": "missing q"})
                     keys = tuple(
-                        k for k in q.get("keys", "lang,source").split(",") if k
-                    )
+                        k for k in q["keys"].split(",") if k
+                    ) if "keys" in q else None
                     after = None
                     if "after" in q:
                         # JSON-array cursor (round-trips any value the
@@ -1165,6 +1165,9 @@ def make_handler(engine, stats_fn, index_manager=None):
                             after = tuple(json.loads(a))
                         else:
                             after = tuple(a.split(","))
+                    # the engine resolves schema-aware default keys; the
+                    # cursor extraction below needs the SAME resolution
+                    keys = engine._default_keys(keys)
                     rows = engine.composite_agg(
                         q["q"], keys=keys, size=int(q.get("size", 10)),
                         after=after,
