@@ -23,7 +23,19 @@ from .operators.scorer import Index, bm25_topk
 from .operators.wand import wand_topk
 from .oracle.hybrid import enhance_query
 
-VALID_SCORERS = ("exact", "wand", "sharded")
+# Serving split (round-5): single interactive queries default to
+# "auto" — the persisted doc-range-sharded layout when the index has
+# one (the sub-second low-latency path; it degrades to "exact" for
+# filtered requests or layout-less indexes inside _bm25, a physical
+# choice that is never a semantic one — all scorers are
+# rank-identical). "wand" (block-max pruning over the compressed
+# postings) is the BATCH-side scorer: its pruned path chains 3-4
+# bounded jobs (tau0, kth/cut, targeted re-score), whose fixed
+# job-launch overhead dominates single-query latency at local[*] even
+# though every stage is data-bounded — the right trade for the
+# many-query batch scorer (batch_topk_postings amortizes it), the
+# wrong default for one interactive query.
+VALID_SCORERS = ("auto", "exact", "wand", "sharded")
 
 
 def build_doc_embeddings(docs, dim: int = 64) -> DataFrame:
@@ -269,6 +281,10 @@ class SearchEngine:
         query is the same ranking, just a later window)."""
         if scorer not in VALID_SCORERS:
             raise ValueError(f"unknown scorer {scorer!r}; valid: {VALID_SCORERS}")
+        if scorer == "auto":
+            # rank-identical either way; "sharded" itself degrades to
+            # exact inside _bm25 when filters apply or no layout exists
+            scorer = "sharded" if "sharded" in self.index.extras else "exact"
         filters: Dict[str, str] = {}
         if lang:
             if lang not in self._known_langs():

@@ -58,7 +58,11 @@ def _build_parser() -> argparse.ArgumentParser:
     s.add_argument("--site")
     s.add_argument("--source")
     s.add_argument("--hybrid", action="store_true")
-    s.add_argument("--scorer", default="exact")
+    s.add_argument(
+        "--scorer", default="auto",
+        help="auto (default: sharded layout when present, else exact), "
+        "exact, wand (batch-side compressed-postings scorer), sharded",
+    )
     s.add_argument("--json", action="store_true", dest="as_json")
     s.add_argument(
         "--query-string", action="store_true", dest="query_string",

@@ -8,7 +8,9 @@ is one engine call).
 
 Endpoints (JSON responses):
 
-    GET  /search?q=...&limit=10&offset=0&lang=en&site=...&source=...&hybrid=1&scorer=exact
+    GET  /search?q=...&limit=10&offset=0&lang=en&site=...&source=...&hybrid=1&scorer=auto
+                       (auto = sharded layout when present, else exact;
+                       wand is the batch-side compressed-postings scorer)
     GET  /count?q=...                     total hits over the kept set
     GET  /explain?q=...&limit=10          per-term score breakdown
     GET  /suggest?prefix=al&limit=10
@@ -1341,7 +1343,7 @@ def make_handler(engine, stats_fn, index_manager=None):
                         site=q.get("site"),
                         source=q.get("source"),
                         use_hybrid=q.get("hybrid", "0") in ("1", "true"),
-                        scorer=q.get("scorer", "exact"),
+                        scorer=q.get("scorer", "auto"),
                         on_invalid="drop",  # reference API semantics
                         offset=int(q.get("offset", 0)),
                     )

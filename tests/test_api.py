@@ -97,3 +97,19 @@ def test_count_and_range_drop_unknown_lang(engine):
         "parse json", limit=5, ranges={"doc_len": (1, 10**9)}, lang="zz"
     ).collect()
     assert len(with_range) > 0
+
+
+def test_auto_scorer_routes_by_layout(engine, spark):
+    """The serving split: scorer='auto' (the server/CLI default) takes
+    the persisted sharded layout when the index carries one and the
+    exact path otherwise — rank-identical either way, so the only
+    observable contract is identical results plus no error."""
+    base = [(r["rank"], r["doc_id"], round(r["score"], 9)) for r in
+            engine.search("JSON parsing", limit=10, scorer="exact").collect()]
+    # this fixture index has no sharded layout -> auto == exact
+    assert "sharded" not in engine.index.extras
+    auto = [(r["rank"], r["doc_id"], round(r["score"], 9)) for r in
+            engine.search("JSON parsing", limit=10, scorer="auto").collect()]
+    assert auto == base
+    with pytest.raises(ValueError):
+        engine.search("x", scorer="bogus")
