@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from ..schemas import POSTINGS
 from .stats import B, K1
-from .varint import varint_pack
+from .varint import varint_pack_with_lengths
 
 DEFAULT_BLOCK = 128
 DEFAULT_TARGET_ROW_POSTINGS = 65536
@@ -106,24 +106,45 @@ def build_postings(
         tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
         dls = pdf["doc_len"].to_numpy()[order].astype(np.int64)
         w = bm25_weight(tfs, dls, idf, avgdl_f)
+        n = len(doc_ids)
+
+        # ONE vectorized pack per group, byte-sliced per block (what
+        # varint_pack_with_lengths exists for): the former per-block
+        # form made 3 numpy pack calls + a diff + a max per 128-row
+        # block — ~1M small-array numpy invocations per 10^8 postings,
+        # the dominant Python-side cost of this stage (ST7's weakest
+        # N->4N number). Varint encoding is per-value context-free and
+        # block-start deltas are zeroed BEFORE packing, so the sliced
+        # bytes are bit-identical to per-block packing (pinned by
+        # tests/test_batch_postings.py round-trips + the wand gate).
+        starts = np.arange(0, n, block_size, dtype=np.int64)
+        ends = np.minimum(starts + block_size, n)
+        deltas = np.diff(doc_ids, prepend=doc_ids[0])
+        deltas[starts] = 0  # per-block first delta is 0
+        dbuf, dlens = varint_pack_with_lengths(deltas.astype(np.uint64))
+        tbuf, tlens = varint_pack_with_lengths(tfs.astype(np.uint64))
+        lbuf, llens = varint_pack_with_lengths(dls.astype(np.uint64))
+        doff = np.zeros(n + 1, np.int64)
+        doff[1:] = np.cumsum(dlens)
+        toff = np.zeros(n + 1, np.int64)
+        toff[1:] = np.cumsum(tlens)
+        loff = np.zeros(n + 1, np.int64)
+        loff[1:] = np.cumsum(llens)
+        maxw = np.maximum.reduceat(w, starts)
+        gmax = float(w.max()) if n else -math.inf
 
         blocks = []
-        gmax = -math.inf
-        for s in range(0, len(doc_ids), block_size):
-            e = min(s + block_size, len(doc_ids))
-            d = doc_ids[s:e]
-            deltas = np.diff(d, prepend=d[0])  # first delta 0
-            mw = float(w[s:e].max())
-            gmax = max(gmax, mw)
+        for i in range(len(starts)):
+            s, e = int(starts[i]), int(ends[i])
             blocks.append(
                 {
-                    "first_doc": int(d[0]),
-                    "last_doc": int(d[-1]),
-                    "n": int(e - s),
-                    "doc_deltas": varint_pack(deltas.astype(np.uint64)),
-                    "tfs": varint_pack(tfs[s:e].astype(np.uint64)),
-                    "doc_lens": varint_pack(dls[s:e].astype(np.uint64)),
-                    "max_w": mw,
+                    "first_doc": int(doc_ids[s]),
+                    "last_doc": int(doc_ids[e - 1]),
+                    "n": e - s,
+                    "doc_deltas": dbuf[doff[s]:doff[e]],
+                    "tfs": tbuf[toff[s]:toff[e]],
+                    "doc_lens": lbuf[loff[s]:loff[e]],
+                    "max_w": float(maxw[i]),
                 }
             )
         return pd.DataFrame(
@@ -134,12 +155,16 @@ def build_postings(
                 "df": [dfv],
                 "idf": [idf],
                 "global_max": [gmax],
-                "n_postings": [len(doc_ids)],
+                "n_postings": [n],
                 "blocks": [blocks],
             }
         )
 
-    return tf2.groupBy("term", "range_id").applyInPandas(build_group, schema=POSTINGS)
+    # width served only to derive range_id — drop it before the
+    # repartition-by-(term, range_id) shuffle feeding applyInPandas
+    return tf2.drop("width").groupBy("term", "range_id").applyInPandas(
+        build_group, schema=POSTINGS
+    )
 
 
 def merge_postings(
