@@ -161,9 +161,21 @@ def build_postings(
         )
 
     # width served only to derive range_id — drop it before the
-    # repartition-by-(term, range_id) shuffle feeding applyInPandas
-    return tf2.drop("width").groupBy("term", "range_id").applyInPandas(
-        build_group, schema=POSTINGS
+    # repartition-by-(term, range_id) shuffle feeding applyInPandas.
+    # The explicit repartition widens the stage to 4x cores (vs the
+    # session's shuffle.partitions = cores): group sizes are capped by
+    # target_row_postings but still uneven, and at one-task-per-core a
+    # straggler group idles its whole wave — measured as ~14/32 cores
+    # busy on this stage in the N-vs-4N runs. Hash partitioning on
+    # exactly the grouping keys satisfies applyInPandas' required
+    # distribution, so this REPLACES the implicit exchange rather than
+    # adding one; AQE's 64KB floor won't re-coalesce it at bench scale.
+    parallelism = tf.sparkSession.sparkContext.defaultParallelism * 4
+    return (
+        tf2.drop("width")
+        .repartition(parallelism, "term", "range_id")
+        .groupBy("term", "range_id")
+        .applyInPandas(build_group, schema=POSTINGS)
     )
 
 
