@@ -391,8 +391,77 @@ def main() -> None:
         "n_result_rows": n_result_rows,
         "cpus": cpus,
     }
-    print(json.dumps(out))
     spark.stop()
+
+    # --- stage 4 (once per bench, after spark.stop frees the 48g
+    # heap): the spark-submit --py-files packaging path — the north
+    # rule's run mode and the one deploy surface the bench never timed.
+    # Zip the package deterministically, then `spark-submit build` over
+    # the SAME sf pages and `spark-submit search` from a cwd OUTSIDE
+    # the repo with PYTHONPATH scrubbed, so the shipped zip is the only
+    # package source (the tests/test_submit.py discipline, at bench
+    # scale). Wall times land in queries{} as submit_build /
+    # submit_search; skipped silently when spark-submit is absent or
+    # SPARK_GRAFT_BENCH_SUBMIT=0.
+    spark_submit = "/opt/spark/bin/spark-submit"
+    if (
+        os.environ.get("SPARK_GRAFT_BENCH_SUBMIT", "1") != "0"
+        and os.path.exists(spark_submit)
+    ):
+        import shutil
+        import subprocess
+        import tempfile
+
+        repo = os.path.dirname(os.path.abspath(__file__))
+        try:
+            sys.path.insert(0, os.path.join(repo, "tools"))
+            import make_pyfiles
+
+            zip_path = str(make_pyfiles.build(
+                os.path.join(scratch, "dcse_submit_pkg.zip")
+            ))
+            sub_index = os.path.join(
+                os.path.dirname(pages_dir), f"dcse_submit_index_{cpus}"
+            )
+            shutil.rmtree(sub_index, ignore_errors=True)
+            env = dict(os.environ)
+            env["PYSPARK_PYTHON"] = sys.executable
+            env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+            env.pop("PYTHONPATH", None)
+            base = [
+                spark_submit, "--master", f"local[{cpus}]",
+                "--driver-memory", "24g",
+                "--conf", f"spark.sql.shuffle.partitions={cpus}",
+                "--conf", "spark.sql.adaptive.enabled=true",
+                "--py-files", zip_path,
+                os.path.join(repo, "tools", "submit_job.py"),
+            ]
+            t_sb = time.monotonic()
+            r1 = subprocess.run(
+                base + ["build", "--input", pages_dir, "--index", sub_index],
+                cwd=tempfile.gettempdir(), env=env,
+                capture_output=True, text=True, timeout=1800,
+            )
+            if r1.returncode == 0:
+                timings["submit_build"] = round(time.monotonic() - t_sb, 3)
+                t_sq = time.monotonic()
+                r2 = subprocess.run(
+                    base + [
+                        "search", WAND_LATENCY_QUERIES[0],
+                        "--index", sub_index, "--limit", "10",
+                    ],
+                    cwd=tempfile.gettempdir(), env=env,
+                    capture_output=True, text=True, timeout=900,
+                )
+                if r2.returncode == 0 and r2.stdout.strip():
+                    timings["submit_search"] = round(
+                        time.monotonic() - t_sq, 3
+                    )
+            shutil.rmtree(sub_index, ignore_errors=True)
+        except Exception:  # noqa: BLE001 - deploy-surface probe must never
+            pass           # fail the bench artifact
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
