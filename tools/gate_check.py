@@ -7,6 +7,9 @@ compares rows / schema / canonical value hash the way the driver does
 
 Usage:
     python tools/gate_check.py [sf_dir] [key ...]
+
+Set GATE_CHECK_OUT=/path/to.json to also dump the per-key result map
+as one JSON artifact (the committed GATE_r{N}_full.json evidence).
 """
 
 from __future__ import annotations
@@ -129,6 +132,22 @@ def main() -> None:
     print(f"\nwall total: {time.monotonic() - t_start:.1f}s; slowest: "
           + ", ".join(f"{k}={v.get('total_sec')}s" for k, v in slow))
     print(f"{len(out) - len(bad)}/{len(out)} green; failing: {bad}")
+
+    import os
+
+    artifact = os.environ.get("GATE_CHECK_OUT")
+    if artifact:
+        payload = {
+            "sf_dir": sf_dir,
+            "n_keys": len(out),
+            "n_green": len(out) - len(bad),
+            "failing": bad,
+            "wall_sec": round(time.monotonic() - t_start, 1),
+            "results": out,
+        }
+        with open(artifact, "w") as f:
+            json.dump(payload, f, indent=1, default=str)
+        print(f"wrote {artifact}")
 
     # release the per-(sf_dir, session) persisted gate indexes — a no-op
     # for this short-lived process, but keeps the harness a correct
