@@ -70,6 +70,7 @@ def build_postings(
     block_size: int = DEFAULT_BLOCK,
     target_row_postings: int = DEFAULT_TARGET_ROW_POSTINGS,
     n_buckets: int = N_BUCKETS,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """tf + terms -> compressed postings segments DataFrame."""
     # hot terms get a range width so each (term, range_id) has ~target rows
@@ -170,7 +171,8 @@ def build_postings(
     # exactly the grouping keys satisfies applyInPandas' required
     # distribution, so this REPLACES the implicit exchange rather than
     # adding one; AQE's 64KB floor won't re-coalesce it at bench scale.
-    parallelism = tf.sparkSession.sparkContext.defaultParallelism * 4
+    if parallelism is None:
+        parallelism = tf.sparkSession.sparkContext.defaultParallelism * 4
     return (
         tf2.drop("width")
         .repartition(parallelism, "term", "range_id")
