@@ -440,7 +440,7 @@ def main() -> None:
             r1 = subprocess.run(
                 base + ["build", "--input", pages_dir, "--index", sub_index],
                 cwd=tempfile.gettempdir(), env=env,
-                capture_output=True, text=True, timeout=1800,
+                capture_output=True, text=True, timeout=900,
             )
             if r1.returncode == 0:
                 timings["submit_build"] = round(time.monotonic() - t_sb, 3)
@@ -451,7 +451,7 @@ def main() -> None:
                         "--index", sub_index, "--limit", "10",
                     ],
                     cwd=tempfile.gettempdir(), env=env,
-                    capture_output=True, text=True, timeout=900,
+                    capture_output=True, text=True, timeout=300,
                 )
                 if r2.returncode == 0 and r2.stdout.strip():
                     timings["submit_search"] = round(
