@@ -414,37 +414,41 @@ def build_index_persisted(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         failed: List[int] = []
         last_err = ""
-        try:
-            for gi, group in enumerate(groups):
-                if fail_after_groups is not None and gi >= fail_after_groups:
-                    raise RuntimeError(
-                        f"simulated interrupt before bucket group {gi} ({group})"
+        import threading
+
+        mark_lock = threading.Lock()
+
+        def run_group(gi: int, group: List[int]) -> None:
+            nonlocal last_err
+            t0 = time.monotonic()
+            err: Optional[Exception] = None
+            for _attempt in range(max(1, group_retries)):
+                try:
+                    if poison_buckets and set(group) & set(poison_buckets):
+                        raise ValueError(
+                            f"poisoned work unit: buckets {sorted(set(group) & set(poison_buckets))}"
+                        )
+                    tf_g = tf.where(
+                        jvm_term_bucket(F.col("term"), n_buckets).isin(group)
                     )
-                t0 = time.monotonic()
-                err: Optional[Exception] = None
-                for _attempt in range(max(1, group_retries)):
-                    try:
-                        if poison_buckets and set(group) & set(poison_buckets):
-                            raise ValueError(
-                                f"poisoned work unit: buckets {sorted(set(group) & set(poison_buckets))}"
-                            )
-                        tf_g = tf.where(
-                            jvm_term_bucket(F.col("term"), n_buckets).isin(group)
-                        )
-                        p = build_postings(
-                            tf_g, terms, n_docs, avgdl,
-                            block_size=block_size,
-                            target_row_postings=target_row_postings,
-                            n_buckets=n_buckets,
-                        )
-                        p.write.mode("overwrite").partitionBy("term_bucket").parquet(
-                            post_dir
-                        )
-                        err = None
-                        break
-                    except Exception as e:  # noqa: BLE001
-                        err = e
-                wall = (time.monotonic() - t0) * 1000
+                    p = build_postings(
+                        tf_g, terms, n_docs, avgdl,
+                        block_size=block_size,
+                        target_row_postings=target_row_postings,
+                        n_buckets=n_buckets,
+                    )
+                    p.write.mode("overwrite").partitionBy("term_bucket").parquet(
+                        post_dir
+                    )
+                    err = None
+                    break
+                except Exception as e:  # noqa: BLE001
+                    err = e
+            wall = (time.monotonic() - t0) * 1000
+            # the lineage table is append-mode parquet whose commit
+            # protocol stages under a SHARED _temporary dir — serialized
+            # so concurrent groups cannot clobber each other's commit
+            with mark_lock:
                 if err is None:
                     state.mark(
                         "postings", fp, -1, _dir_bytes(post_dir), wall,
@@ -458,6 +462,33 @@ def build_index_persisted(
                     )
                     failed.extend(group)
                     last_err = f"{type(err).__name__}: {err}"
+
+        # group concurrency (guide §2.6: overlap independent jobs so one
+        # group's straggler tail back-fills with the next group's tasks).
+        # Concurrent dynamic-overwrite writes are safe: each write job
+        # stages under its own .spark-staging-<jobId> and the groups'
+        # term_bucket partition sets are disjoint. The test hooks
+        # (simulated interrupt / poison units) and single-group builds
+        # keep the sequential path — their committed-prefix semantics
+        # are ordering-dependent.
+        pool_n = int(os.environ.get("SPARK_GRAFT_BUILD_GROUP_CONCURRENCY", "2"))
+        concurrent_ok = (
+            pool_n > 1 and len(groups) > 1 and fail_after_groups is None
+            and not poison_buckets
+        )
+        try:
+            if concurrent_ok:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=pool_n) as pool:
+                    list(pool.map(lambda t: run_group(*t), enumerate(groups)))
+            else:
+                for gi, group in enumerate(groups):
+                    if fail_after_groups is not None and gi >= fail_after_groups:
+                        raise RuntimeError(
+                            f"simulated interrupt before bucket group {gi} ({group})"
+                        )
+                    run_group(gi, group)
         finally:
             if prev_mode is not None:
                 spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)

@@ -41,10 +41,43 @@ def mock_embed_text(text: str, dim: int = 64) -> List[float]:
     return emb
 
 
+def _mock_embed_batch(texts, dim: int):
+    """Vectorized mock embedder: one numpy pass per batch, bit-identical
+    to ``mock_embed_text`` per row (same big-endian chunking, the same
+    left-fold norm over the nonzero prefix — appending the zero pads to
+    the fold cannot change an IEEE sum of nonnegative squares — and the
+    same operation order per element). Returns a pandas Series backed by
+    an Arrow list<float32> array — no per-row Python float lists."""
+    import hashlib as _hl
+
+    import numpy as np
+    import pyarrow as pa
+
+    n = len(texts)
+    k = len(range(0, min(32, dim), 4))  # sha256 yields 32 bytes
+    dig = b"".join(
+        _hl.sha256((t or "").encode()).digest()[: 4 * k] for t in texts
+    )
+    d = np.frombuffer(dig, ">u4").reshape(n, k).astype(np.float64)
+    e = (d / 4294967296.0) * 2.0 - 1.0
+    acc = np.zeros(n, np.float64)
+    for j in range(k):  # left fold == math.sqrt(sum(x*x)) order
+        acc = acc + e[:, j] * e[:, j]
+    norm = np.sqrt(acc)
+    nz = norm > 0
+    e[nz] = e[nz] / norm[nz, None]
+    out = np.zeros((n, dim), np.float64)
+    out[:, : min(k, dim)] = e[:, : min(k, dim)]
+    values = pa.array(out.astype(np.float32).ravel(), type=pa.float32())
+    offs = pa.array((np.arange(n + 1) * dim).astype(np.int32), type=pa.int32())
+    la = pa.ListArray.from_arrays(offs, values)
+    return pd.Series(pd.arrays.ArrowExtensionArray(pa.chunked_array([la])))
+
+
 def mock_embed_udf(dim: int = 64):
     @pandas_udf(ArrayType(FloatType()))
     def _embed(s: pd.Series) -> pd.Series:
-        return s.map(lambda t: mock_embed_text(t or "", dim))
+        return _mock_embed_batch(s.tolist(), dim)
 
     return _embed
 

@@ -20,10 +20,10 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.udfs import extract_tokenize_udf
 from .doc_ids import assign_doc_ids
 
 K1, B, EPSILON = 1.5, 0.75, 0.25  # BM25Okapi defaults (requirements.txt:26)
@@ -64,13 +64,51 @@ def build_docs(
     ids = assign_doc_ids(
         slim, "url", num_partitions, dedup=True, dedup_tie=F.md5(F.col("html"))
     )
-    docs = (
-        # fused extract+tokenize: html crosses to Python once, only the
-        # token arrays come back (the extracted text itself never does)
-        ids.withColumn("tokens", extract_tokenize_udf(F.col("html")))
-        .withColumn("doc_len", F.size("tokens").cast("int"))
+    # fused extract+tokenize as ONE mapInArrow pass: html crosses to
+    # Python once and the token lists come back as raw Arrow buffers
+    # (udfs._tokens_list_array) — the pandas-UDF serializer would run a
+    # per-row ArrayType converter on the way out (materializing every
+    # token as a Python string); mapInArrow's serializer is
+    # pass-through, so the byte-level tokenizer's zero-object output
+    # survives to the JVM (guide §4.2). doc_len is computed in the same
+    # pass (list_value_length). Semantics identical to
+    # tokenize_udf(extract_text_udf(html)) — asserted in tests.
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
     )
-    return docs.select(
+
+    from ..functions.udfs import _extract_series, _tokens_list_array
+
+    sel = ids.select("doc_id", "url", "site", "lang", *meta_cols, "html")
+    out_fields = [f for f in sel.schema.fields if f.name != "html"]
+    out_schema = StructType(
+        out_fields
+        + [
+            StructField("tokens", ArrayType(StringType())),
+            StructField("doc_len", IntegerType()),
+        ]
+    )
+
+    def gen(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for rb in batches:
+            names = rb.schema.names
+            hidx = names.index("html")
+            texts = _extract_series(rb.column(hidx).to_pandas())
+            toks = _tokens_list_array(texts.tolist())
+            arrs = [rb.column(i) for i in range(rb.num_columns) if i != hidx]
+            arrs += [toks, pc.list_value_length(toks)]
+            yield pa.RecordBatch.from_arrays(
+                arrs, names=[n for n in names if n != "html"] + ["tokens", "doc_len"]
+            )
+
+    return sel.mapInArrow(gen, schema=out_schema).select(
         "doc_id", "url", "site", "lang", *meta_cols, "tokens", "doc_len"
     )
 
@@ -84,20 +122,76 @@ def corpus_stats(docs: DataFrame) -> Tuple[int, float]:
 
 
 def term_freqs(docs: DataFrame) -> DataFrame:
-    """tf(term, doc_id, tf, doc_len, lang, site, ...) — the uncompressed
-    index, computed with ZERO shuffle and ZERO Python: per-doc term
-    counts are a JVM run-length expression over the sorted token array
-    (sort, find run starts via filtered index sequence, zip starts with
-    ends). The sorted array and run starts are materialized as real
-    columns first — Catalyst does not CSE inside lambda bodies, so
-    inlining sort_array into every element access would re-sort per
-    access. The tf relation is SLIM — (term, doc_id, tf, doc_len) only:
-    metadata (lang/site/...) stays in the docs table and is joined onto
-    the scored CANDIDATES when a filtered query needs it (finalize_topk);
-    denormalizing strings into every posting row costs far more in
-    cache/shuffle bytes at web scale than a post-scoring docvalues join
-    on the few surviving docs. An explode+groupBy(term, doc_id) would
-    shuffle ~|tokens| near-unique keys for no combine benefit.
+    """tf(term, doc_id, doc_len, tf) — the uncompressed index, computed
+    with ZERO shuffle: one Arrow pass per partition (``mapInArrow``)
+    counts each doc's terms with C++/numpy primitives — dictionary-encode
+    the flattened token column, sort the (row, code) int64 keys, run-
+    length the sorted keys, gather term strings back via ``pc.take`` on
+    the batch dictionary. No per-token Python objects are created in
+    either direction (guide §4.2: hand whole batches to vectorized
+    native code). Output rows per doc are ordered by first-token
+    appearance rather than alphabetically — tf is a relation, every
+    consumer sorts or aggregates explicitly (postings sort by
+    (term, doc), the scorer's fold array_sorts), so row order is not
+    semantic. The tf relation is SLIM — (term, doc_id, tf, doc_len)
+    only: metadata (lang/site/...) stays in the docs table and is joined
+    onto the scored CANDIDATES when a filtered query needs it
+    (finalize_topk). An explode+groupBy(term, doc_id) would shuffle
+    ~|tokens| near-unique keys for no combine benefit. The previous
+    JVM formulation is kept as ``term_freqs_hof`` (equivalence-tested);
+    the Arrow pass measured ~2.5x less CPU on the sf0.1 build's
+    ``sub_tf_write`` stage (OPTIMIZATION_r06.md).
+    """
+    import pyarrow as pa
+
+    def gen(batches):
+        import pyarrow.compute as pc
+
+        for rb in batches:
+            tok = rb.column(2)
+            flat = pc.list_flatten(tok)
+            if len(flat) == 0:
+                continue
+            rowidx = pc.list_parent_indices(tok).to_numpy()
+            dic = pc.dictionary_encode(flat)
+            codes = dic.indices.to_numpy().astype(np.int64)
+            nd = len(dic.dictionary)
+            key = rowidx.astype(np.int64) * nd + codes
+            sk = np.sort(key)
+            run = np.ones(len(sk), bool)
+            run[1:] = sk[1:] != sk[:-1]
+            sidx = np.flatnonzero(run)
+            tf_cnt = np.diff(np.append(sidx, len(sk))).astype(np.int32)
+            uk = sk[sidx]
+            row_of = uk // nd
+            code_of = uk % nd
+            row_idx = pa.array(row_of)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.take(dic.dictionary, pa.array(code_of)),
+                    pc.take(rb.column(0), row_idx),
+                    pc.take(rb.column(1), row_idx),
+                    pa.array(tf_cnt, type=pa.int32()),
+                ],
+                names=["term", "doc_id", "doc_len", "tf"],
+            )
+
+    return (
+        docs.select("doc_id", F.col("doc_len").cast("int"), "tokens")
+        .mapInArrow(gen, schema="term string, doc_id long, doc_len int, tf int")
+        .select("term", "doc_id", "doc_len", "tf")
+    )
+
+
+def term_freqs_hof(docs: DataFrame) -> DataFrame:
+    """JVM run-length formulation of ``term_freqs`` (sort the token
+    array, find run starts via a filtered index sequence, zip starts
+    with ends — no Python). Kept as the equivalence baseline and for
+    plan experiments; ``term_freqs`` (Arrow pass) replaced it on the
+    build hot path in r06. The sorted array and run starts are
+    materialized as real columns first — Catalyst does not CSE inside
+    lambda bodies, so inlining sort_array into every element access
+    would re-sort per access.
     """
     keys = ["doc_id", "doc_len"]
     s = F.col("_s")

@@ -222,9 +222,16 @@ def wand_topk(
         return spark.createDataFrame(
             [], "rank int, doc_id long, url string, score double"
         )
-    # one fused stats lookup: idf AND global_max for the query's terms
-    # come from the (blocks-pruned) postings scan in a single job — no
-    # separate terms-table collect (query_term_weights) + gmax collect
+    # ONE fused job replaces the former stats lookup + tau0 rounds
+    # (r06, guide §2.4/driver-round-trip removal): a single mapInPandas
+    # pass over the pruned postings rows returns BOTH the per-term
+    # (idf, global max) stats AND each partition's top-k per-doc best
+    # single-block contributions (each partition decodes its rows' own
+    # best blocks — a superset of the former "term-global best block"
+    # set, so the merged tau0 can only be TIGHTER). Soundness is
+    # unchanged: every emitted value lower-bounds its doc's true score,
+    # so the kth largest over ANY subset of docs lower-bounds the true
+    # kth-best score; rank identity is pinned by tests/test_wand.py.
     from collections import Counter
 
     counts = Counter(tokenize(query))
@@ -233,17 +240,96 @@ def wand_topk(
     decoded_p = None  # released in the finally — a failed collect must
     # not leak the persisted pruned-decode relation in a serving session
     try:
-        stat_rows = (
-            prows.groupBy("term")
-            .agg(F.first("idf").alias("idf"), F.max("global_max").alias("g"))
-            .collect()
-        )
-        if not stat_rows:
+        qtf_b = {t: float(counts[t]) for t in terms}
+        kk = int(k)
+        avgdl_f = float(index.avgdl)
+        want_tau = bool(prune) and not filters and kk > 0
+
+        def fused(batches):
+            stats: dict = {}
+            d_parts: list = []
+            c_parts: list = []
+            for pdf in batches:
+                for term, idf, g, blocks in zip(
+                    pdf["term"], pdf["idf"], pdf["global_max"], pdf["blocks"]
+                ):
+                    idf = float(idf)
+                    g = float(g)
+                    st = stats.get(term)
+                    if st is None:
+                        stats[term] = [idf, g]
+                    elif g > st[1]:
+                        st[1] = g
+                    if not want_tau or idf < 0:
+                        continue
+                    qtf = qtf_b[term]
+                    for blk in blocks:
+                        if not (blk["max_w"] >= g):
+                            continue  # this row's best block(s) only
+                        n = blk["n"]
+                        deltas = varint_unpack(
+                            bytes(blk["doc_deltas"]), n
+                        ).astype(np.int64)
+                        d_parts.append(np.cumsum(deltas) + blk["first_doc"])
+                        tfs = varint_unpack(bytes(blk["tfs"]), n).astype(np.int64)
+                        dls = varint_unpack(bytes(blk["doc_lens"]), n).astype(
+                            np.int64
+                        )
+                        c_parts.append(qtf * bm25_weight(tfs, dls, idf, avgdl_f))
+            out_k, out_t, out_i, out_g, out_d, out_c = [], [], [], [], [], []
+            for t, (i_, g_) in stats.items():
+                out_k.append(0); out_t.append(t); out_i.append(i_)
+                out_g.append(g_); out_d.append(0); out_c.append(0.0)
+            if d_parts:
+                d = np.concatenate(d_parts)
+                c = np.concatenate(c_parts)
+                order = np.lexsort((-c, d))
+                sd, sc = d[order], c[order]
+                first = np.ones(len(sd), bool)
+                first[1:] = sd[1:] != sd[:-1]
+                dd, cc = sd[first], sc[first]  # per-doc max (this task)
+                if len(cc) > kk:
+                    sel = np.argpartition(-cc, kk - 1)[:kk]
+                    dd, cc = dd[sel], cc[sel]
+                for di, ci in zip(dd, cc):
+                    out_k.append(1); out_t.append(""); out_i.append(0.0)
+                    out_g.append(0.0); out_d.append(int(di)); out_c.append(float(ci))
+            if out_k:
+                yield pd.DataFrame(
+                    {
+                        "kind": np.array(out_k, np.int32),
+                        "term": out_t,
+                        "idf": out_i,
+                        "g": out_g,
+                        "doc_id": np.array(out_d, np.int64),
+                        "c": out_c,
+                    }
+                )
+
+        fused_rows = prows.mapInPandas(
+            fused,
+            schema="kind int, term string, idf double, g double, "
+            "doc_id long, c double",
+        ).collect()
+        stat_agg: dict = {}
+        best_doc: dict = {}
+        for r in fused_rows:
+            if r["kind"] == 0:
+                cur = stat_agg.get(r["term"])
+                if cur is None:
+                    stat_agg[r["term"]] = [float(r["idf"]), float(r["g"])]
+                elif float(r["g"]) > cur[1]:
+                    cur[1] = float(r["g"])
+            else:
+                d_ = int(r["doc_id"])
+                c_ = float(r["c"])
+                if c_ > best_doc.get(d_, -math.inf):
+                    best_doc[d_] = c_
+        if not stat_agg:
             # tokens exist but none are in the vocabulary
             return finalize_topk(index, None, k, filters)
         qmap = {
-            r["term"]: (float(counts[r["term"]]), float(r["idf"]), float(r["g"]))
-            for r in stat_rows
+            t: (qtf_b[t], v[0], v[1]) for t, v in stat_agg.items()
         }
         S = sum(v[0] * v[2] for v in qmap.values())
 
@@ -265,17 +351,9 @@ def wand_topk(
             scored = _canonical_scores(decoded)
             return finalize_topk(index, scored, k, filters)
 
-        # --- tau0 from each term's globally-best blocks
-        top_thresh = {t: v[0] * v[2] for t, v in qmap.items()}
-        top_blocks = _decode_contribs(prows, qmap, index.avgdl, keep_thresh=top_thresh)
-        tau_rows = (
-            top_blocks.groupBy("doc_id")
-            .agg(F.max("contrib").alias("c"))
-            .orderBy(F.desc("c"))
-            .limit(k)
-            .collect()
-        )
-        tau0 = float(tau_rows[-1]["c"]) if len(tau_rows) == k else -math.inf
+        # --- tau0: kth largest merged per-doc best-block contribution
+        vals = sorted(best_doc.values(), reverse=True)
+        tau0 = float(vals[k - 1]) if len(vals) >= k else -math.inf
 
         # --- pruned decode
         # -_PAD guards the a >= c-b vs a+b >= c float rearrangement at

@@ -57,25 +57,31 @@ def test_wand_prunes_term_buckets(pidx):
 
 
 def test_build_docs_single_shuffle_single_udf(spark):
-    """Regression guard for the round-2 doc-id rewrite: the docs build
-    plan must contain exactly ONE exchange (hash on _pid) and exactly
-    ONE Arrow python UDF eval — repartitionByRange would re-execute the
-    extract+tokenize UDF in its sampling pass and the pid window would
-    add a second exchange."""
+    """Regression guard for the round-2 doc-id rewrite (updated r06 for
+    the mapInArrow extract+tokenize pass): the docs build plan must
+    contain exactly ONE exchange (hash on _pid) and exactly ONE Python
+    eval node — repartitionByRange would re-execute the extract+tokenize
+    pass in its sampling pass and the pid window would add a second
+    exchange."""
     from distributedcodesearchengine_spark.operators.stats import build_docs
 
     pages = generate_pages(spark, 50, seed=1, parts=2)
     plan = explain_str(build_docs(pages), mode="simple")
     assert "rangepartitioning" not in plan, plan[:4000]
     # above the cached (already hash-clustered) relation: the rank
-    # window and the UDF run with NO further exchange, one UDF eval
+    # window and the Arrow pass run with NO further exchange, one eval
     live = plan.split("InMemoryRelation")[0]
     assert "Exchange" not in live, plan[:4000]
-    assert live.count("ArrowEvalPython") + live.count("BatchEvalPython") == 1, plan[:4000]
+    n_eval = (
+        live.count("ArrowEvalPython")
+        + live.count("BatchEvalPython")
+        + live.count("MapInArrow")
+    )
+    assert n_eval == 1, plan[:4000]
     # the cached subtree holds the single pid hash shuffle and no UDF
     cached = plan.split("InMemoryRelation", 1)[1].split("== Initial Plan ==")[0]
     assert cached.count("Exchange hashpartitioning") == 1, plan[:4000]
-    assert "EvalPython" not in cached, plan[:4000]
+    assert "EvalPython" not in cached and "MapInArrow" not in cached, plan[:4000]
 
 
 def test_term_suggest_prunes_prefix_partition(pidx):

@@ -20,7 +20,19 @@ from pyspark.sql import SparkSession
 
 
 def main() -> int:
-    spark = SparkSession.builder.getOrCreate()
+    # engine-standard session settings that the submit command line does
+    # not own (master / memory / shuffle partitions stay with
+    # spark-submit): Arrow exchanges for the pandas/mapInArrow stages,
+    # and the AQE coalescing floor that keeps a single query's tiny
+    # term-pruned shuffle from being squeezed onto 1-2 tasks
+    # (session.get_spark uses the same values)
+    b = (
+        SparkSession.builder
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64KB")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    spark = b.getOrCreate()
     from distributedcodesearchengine_spark.cli import main as cli_main
 
     return cli_main(sys.argv[1:], spark=spark)
