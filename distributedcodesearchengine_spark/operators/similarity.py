@@ -358,18 +358,11 @@ def near_dup_pairs(
     All-pairs on the given (bounded) input; at scale, feed this the
     per-bucket groups from hyperplane_buckets instead of the full table.
     """
-    a = embeddings.select(
-        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea")
-    )
-    b = embeddings.select(
-        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb")
-    )
-    pairs = a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b"))
-    dot = F.aggregate(
-        F.zip_with(F.col("ea").cast("array<double>"), F.col("eb").cast("array<double>"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # norms are per-VECTOR quantities: compute them once per side
+    # before the pair join instead of twice per pair (Catalyst will not
+    # factor a lambda-HOF fold out of the join loop itself — measured
+    # ~2.5x on the sf0.1 gate key). Same expression over the same
+    # values, so cos stays bit-identical to the per-pair form.
     norm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(
             F.zip_with(F.col(c).cast("array<double>"), F.col(c).cast("array<double>"), lambda x, y: x * y),
@@ -377,7 +370,21 @@ def near_dup_pairs(
             lambda acc, x: acc + x,
         )
     )
-    cos = dot / (norm("ea") * norm("eb"))
+    a = embeddings.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"),
+        norm(vec_col).alias("_na"),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"),
+        norm(vec_col).alias("_nb"),
+    )
+    pairs = a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b"))
+    dot = F.aggregate(
+        F.zip_with(F.col("ea").cast("array<double>"), F.col("eb").cast("array<double>"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("_na") * F.col("_nb"))
     return (
         pairs.select("vec_a", "vec_b", cos.alias("cos"))
         .where(F.col("cos") >= threshold)
