@@ -97,87 +97,92 @@ def build_postings(
 
     avgdl_f = float(avgdl)
 
-    def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        term = pdf["term"].iloc[0]
-        rid = int(pdf["range_id"].iloc[0])
-        dfv = int(pdf["df"].iloc[0])
-        idf = float(pdf["idf"].iloc[0])
-        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-        doc_ids = pdf["doc_id"].to_numpy()[order].astype(np.int64)
-        tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
-        dls = pdf["doc_len"].to_numpy()[order].astype(np.int64)
-        w = bm25_weight(tfs, dls, idf, avgdl_f)
-        n = len(doc_ids)
+    def pack_partition(batches):
+        """ONE vectorized pack per PARTITION (r06): the former
+        per-(term, range_id) applyInPandas made ~|vocab| grouped-map
+        calls, each paying pandas slicing + a one-row object-column
+        result conversion (per-block Python dicts). Here the partition's
+        rows are packed in one numpy/Arrow pass — runs keyed by
+        (term-code, range_id), varints packed once and byte-sliced per
+        block, and the POSTINGS rows emitted as raw Arrow buffers with
+        zero per-term/per-block Python objects (sharded._pack_shard_arrow,
+        guide §4.2). The repartition on exactly (term, range_id) above
+        guarantees every run is complete within the partition. Row
+        contents are bit-identical to the grouped-map form (pinned by
+        tests/test_batch_postings.py round-trips + the wand gate).
 
-        # ONE vectorized pack per group, byte-sliced per block (what
-        # varint_pack_with_lengths exists for): the former per-block
-        # form made 3 numpy pack calls + a diff + a max per 128-row
-        # block — ~1M small-array numpy invocations per 10^8 postings,
-        # the dominant Python-side cost of this stage (ST7's weakest
-        # N->4N number). Varint encoding is per-value context-free and
-        # block-start deltas are zeroed BEFORE packing, so the sliced
-        # bytes are bit-identical to per-block packing (pinned by
-        # tests/test_batch_postings.py round-trips + the wand gate).
-        starts = np.arange(0, n, block_size, dtype=np.int64)
-        ends = np.minimum(starts + block_size, n)
-        deltas = np.diff(doc_ids, prepend=doc_ids[0])
-        deltas[starts] = 0  # per-block first delta is 0
-        dbuf, dlens = varint_pack_with_lengths(deltas.astype(np.uint64))
-        tbuf, tlens = varint_pack_with_lengths(tfs.astype(np.uint64))
-        lbuf, llens = varint_pack_with_lengths(dls.astype(np.uint64))
-        doff = np.zeros(n + 1, np.int64)
-        doff[1:] = np.cumsum(dlens)
-        toff = np.zeros(n + 1, np.int64)
-        toff[1:] = np.cumsum(tlens)
-        loff = np.zeros(n + 1, np.int64)
-        loff[1:] = np.cumsum(llens)
-        maxw = np.maximum.reduceat(w, starts)
-        gmax = float(w.max()) if n else -math.inf
+        Per-task memory holds one shuffle partition's rows (bounded by
+        total/parallelism; `parallelism` scales with cluster cores), the
+        same order of magnitude a sort-merge task buffers."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-        blocks = []
-        for i in range(len(starts)):
-            s, e = int(starts[i]), int(ends[i])
-            blocks.append(
-                {
-                    "first_doc": int(doc_ids[s]),
-                    "last_doc": int(doc_ids[e - 1]),
-                    "n": e - s,
-                    "doc_deltas": dbuf[doff[s]:doff[e]],
-                    "tfs": tbuf[toff[s]:toff[e]],
-                    "doc_lens": lbuf[loff[s]:loff[e]],
-                    "max_w": float(maxw[i]),
-                }
-            )
-        return pd.DataFrame(
-            {
-                "term_bucket": [term_bucket(term, n_buckets)],
-                "term": [term],
-                "range_id": [rid],
-                "df": [dfv],
-                "idf": [idf],
-                "global_max": [gmax],
-                "n_postings": [n],
-                "blocks": [blocks],
-            }
+        from .sharded import _pack_shard_arrow
+
+        blist = list(batches)
+        if not blist:
+            return
+        tbl = pa.Table.from_batches(blist)
+        if tbl.num_rows == 0:
+            return
+        tbl = tbl.combine_chunks()
+        dic = tbl.column("term").dictionary_encode().combine_chunks()
+        if isinstance(dic, pa.ChunkedArray):
+            dic = dic.chunk(0)
+        codes = dic.indices.to_numpy()
+        uniq = dic.dictionary
+        rid_a = tbl.column("range_id").to_numpy()
+        doc_a = tbl.column("doc_id").to_numpy()
+        order = np.lexsort((doc_a, rid_a, codes))
+        codes_s = codes[order].astype(np.int64)
+        rid_s = rid_a[order].astype(np.int64)
+        ids = doc_a[order].astype(np.int64)
+        tfs = tbl.column("tf").to_numpy()[order].astype(np.int64)
+        dls = tbl.column("doc_len").to_numpy()[order].astype(np.int64)
+        dfs = tbl.column("df").to_numpy()[order].astype(np.int64)
+        idfs = tbl.column("idf").to_numpy()[order].astype(np.float64)
+        # per-code df/idf/bucket (df and idf are per-TERM constants)
+        ncodes = len(uniq)
+        df_by_code = np.empty(ncodes, np.int64)
+        idf_by_code = np.empty(ncodes, np.float64)
+        df_by_code[codes_s] = dfs
+        idf_by_code[codes_s] = idfs
+        bucket_by_code = np.fromiter(
+            (term_bucket(t, n_buckets) for t in uniq.to_pylist()),
+            dtype=np.int32,
+            count=ncodes,
         )
 
+        def term_cols(tcodes):
+            return (
+                pc.take(uniq, pa.array(tcodes)),
+                bucket_by_code[tcodes],
+                df_by_code[tcodes],
+                idf_by_code[tcodes],
+            )
+
+        out = _pack_shard_arrow(
+            rid_s, codes_s, ids, tfs, dls, idfs, term_cols, avgdl_f, block_size
+        )
+        yield from out.to_batches()
+
     # width served only to derive range_id — drop it before the
-    # repartition-by-(term, range_id) shuffle feeding applyInPandas.
+    # repartition-by-(term, range_id) shuffle feeding the pack pass.
     # The explicit repartition widens the stage to 4x cores (vs the
     # session's shuffle.partitions = cores): group sizes are capped by
     # target_row_postings but still uneven, and at one-task-per-core a
-    # straggler group idles its whole wave — measured as ~14/32 cores
+    # straggler group idled its whole wave — measured as ~14/32 cores
     # busy on this stage in the N-vs-4N runs. Hash partitioning on
-    # exactly the grouping keys satisfies applyInPandas' required
-    # distribution, so this REPLACES the implicit exchange rather than
-    # adding one; AQE's 64KB floor won't re-coalesce it at bench scale.
+    # exactly (term, range_id) keeps every run complete within its
+    # partition for the mapInArrow pass; AQE's 64KB floor won't
+    # re-coalesce it at bench scale.
     if parallelism is None:
         parallelism = tf.sparkSession.sparkContext.defaultParallelism * 4
     return (
         tf2.drop("width")
+        .select("term", "doc_id", "tf", "doc_len", "df", "idf", "range_id")
         .repartition(parallelism, "term", "range_id")
-        .groupBy("term", "range_id")
-        .applyInPandas(build_group, schema=POSTINGS)
+        .mapInArrow(pack_partition, schema=POSTINGS)
     )
 
 

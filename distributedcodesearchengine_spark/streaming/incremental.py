@@ -81,10 +81,16 @@ def _docs_delta(batch: DataFrame, offset: int, meta_cols: tuple) -> DataFrame:
     # sampled bounds can shift between the count job and the write job.
     # The count job runs over d0 (pre-UDF), so the Arrow extract/
     # tokenize pass still evaluates exactly once, in the docs write.
-    bcol = F.pmod(
-        F.conv(F.substring(F.md5("url"), 1, 4), 16, 10).cast("long"),
-        F.lit(_ID_BUCKETS),
-    ).cast("int")
+    # coalesce: a NULL url would otherwise yield a NULL bucket that the
+    # inner base_df join silently drops (and sorted(counts) would raise
+    # on a None key) — NULL urls deterministically land in bucket 0
+    bcol = F.coalesce(
+        F.pmod(
+            F.conv(F.substring(F.md5("url"), 1, 4), 16, 10).cast("long"),
+            F.lit(_ID_BUCKETS),
+        ).cast("int"),
+        F.lit(0),
+    )
     d = d.withColumn("_b", bcol)
     counts = {
         r["_b"]: r["c"]

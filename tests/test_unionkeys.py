@@ -9,12 +9,14 @@ fast without re-running every member family.
 
 import glob
 import json
+import os
 import sys
 
 import duckdb
 import pytest
 
-sys.path.insert(0, "/root/repo")
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
 
 import __spark_entry__ as entry_mod  # noqa: E402
 from distributedcodesearchengine_spark.operators.union_spec import (  # noqa: E402
@@ -41,7 +43,7 @@ def test_groups_partition_the_never_verified_set():
     reg = set(entry_mod.queries())
     assert set(members) <= reg
     verified = set()
-    for p in sorted(glob.glob("/root/repo/CORRECTNESS_r0[1-4].json")):
+    for p in sorted(glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r0[1-4].json"))):
         with open(p) as f:
             verified.update(json.load(f).keys())
     never = {k for k in reg if k not in verified and not k.startswith("u_")}
