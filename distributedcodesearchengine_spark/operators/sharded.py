@@ -39,33 +39,6 @@ from .varint import varint_pack_with_lengths, varint_unpack
 
 DEFAULT_SHARD_WIDTH = 65536
 
-# per-worker-process cache of vocab-derived arrays (Arrow string array,
-# md5 term buckets) keyed by the identity of the loaded broadcast value:
-# PySpark's worker-side broadcast registry keeps the value object alive
-# across tasks of a reused worker, so the derivation (one pa.array build
-# + one md5 per vocab term) runs once per process, not once per shard
-# (guide §4.5: heavyweight init once per task/worker, amortized)
-_VOCAB_DERIVED: dict = {}
-
-
-def _vocab_derived(vocab_value, n_buckets: int):
-    key = (id(vocab_value), n_buckets)
-    hit = _VOCAB_DERIVED.get(key)
-    if hit is None:
-        import pyarrow as pa
-
-        term_list, df_arr, idf_arr = vocab_value
-        term_pa = pa.array(term_list, pa.string())
-        bucket_arr = np.fromiter(
-            (term_bucket(t, n_buckets) for t in term_list),
-            dtype=np.int32,
-            count=len(term_list),
-        )
-        _VOCAB_DERIVED.clear()  # at most one vocab per build per worker
-        hit = _VOCAB_DERIVED[key] = (term_pa, df_arr, idf_arr, bucket_arr)
-    return hit
-
-
 def _pack_shard_arrow(
     rid: int,
     codes_s: np.ndarray,
@@ -222,52 +195,96 @@ def build_sharded_postings(
     )
     avgdl_f = float(avgdl)
 
-    def build_shard(tbl):
-        """One Arrow call per SHARD (not per term): all packing is one
-        vectorized varint pass over the shard, byte-sliced per block;
-        the output table is built from raw Arrow buffers with zero
-        per-term/per-block Python objects (_pack_shard_arrow)."""
-        import pyarrow as pa
-
-        tbl = tbl.combine_chunks()
-        rid = int(tbl.column("range_id")[0].as_py())
+    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        """One pandas call per SHARD (not per term): all packing is one
+        vectorized varint pass over the shard, byte-sliced per block."""
+        rid = int(pdf["range_id"].iloc[0])
         # factorize terms to int codes BEFORE sorting: an object-array
         # lexsort drags every string through the comparator (pure
         # memory traffic — this stage showed 3.3x CPU stall inflation
         # at 32 threads); int codes sort in a fraction of the bandwidth
-        codes, uniq_terms = pd.factorize(tbl.column("term").to_pandas(), sort=True)
-        order = np.lexsort((tbl.column("doc_id").to_numpy(), codes))
-        codes_s = codes[order].astype(np.int64)
-        ids = tbl.column("doc_id").to_numpy()[order].astype(np.int64)
-        tfs = tbl.column("tf").to_numpy()[order].astype(np.int64)
-        dls = tbl.column("doc_len").to_numpy()[order].astype(np.int64)
-        dfs = tbl.column("df").to_numpy()[order].astype(np.int64)
-        idfs = tbl.column("idf").to_numpy()[order].astype(np.float64)
-        uniq_arr = np.asarray(uniq_terms, dtype=object)
-        # per-code df/idf (constant within a term run) for per-term take
-        df_by_code = np.empty(len(uniq_arr), np.int64)
-        idf_by_code = np.empty(len(uniq_arr), np.float64)
-        df_by_code[codes_s] = dfs
-        idf_by_code[codes_s] = idfs
-
-        def term_cols(tcodes):
-            t_strings = uniq_arr[tcodes]
-            return (
-                pa.array(t_strings, pa.string()),
-                np.fromiter(
-                    (term_bucket(t, n_buckets) for t in t_strings),
-                    dtype=np.int32,
-                    count=len(t_strings),
-                ),
-                df_by_code[tcodes],
-                idf_by_code[tcodes],
-            )
-
-        return _pack_shard_arrow(
-            rid, codes_s, ids, tfs, dls, idfs, term_cols, avgdl_f, block_size
+        codes, uniq_terms = pd.factorize(pdf["term"], sort=True)
+        order = np.lexsort((pdf["doc_id"].to_numpy(), codes))
+        codes_s = codes[order]
+        ids = pdf["doc_id"].to_numpy()[order].astype(np.int64)
+        tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
+        dls = pdf["doc_len"].to_numpy()[order].astype(np.int64)
+        dfs = pdf["df"].to_numpy()[order].astype(np.int64)
+        idfs = pdf["idf"].to_numpy()[order].astype(np.float64)
+        return _pack_shard(
+            rid, codes_s, ids, tfs, dls, dfs, idfs,
+            lambda c: uniq_terms[c], avgdl_f, block_size, n_buckets,
         )
 
-    return tf2.groupBy("range_id").applyInArrow(build_shard, schema=POSTINGS)
+    return tf2.groupBy("range_id").applyInPandas(build_shard, schema=POSTINGS)
+
+
+def _pack_shard(
+    rid, codes_s, ids, tfs, dls, dfs, idfs, term_of, avgdl_f,
+    block_size, n_buckets,
+) -> pd.DataFrame:
+    """Shared per-shard packer: sorted (term-code, doc) arrays ->
+    POSTINGS rows with per-block-reset varint deltas + block maxima.
+    One vectorized varint pass over the shard, byte-sliced per block."""
+    w = bm25_weight(tfs, dls, idfs, avgdl_f)
+    n = len(ids)
+    term_start = np.ones(n, dtype=bool)
+    term_start[1:] = codes_s[1:] != codes_s[:-1]
+    t_starts = np.flatnonzero(term_start)
+    t_ends = np.append(t_starts[1:], n)
+
+    # block starts: every block_size within each term run
+    blk_starts = np.concatenate(
+        [np.arange(s, e, block_size) for s, e in zip(t_starts, t_ends)]
+    )
+    blk_ends = np.append(blk_starts[1:], n)
+    # per-block-reset doc-id deltas (first element of each block = 0)
+    deltas = np.empty(n, np.int64)
+    deltas[1:] = ids[1:] - ids[:-1]
+    deltas[blk_starts] = 0
+
+    dbuf, dnb = varint_pack_with_lengths(deltas.astype(np.uint64))
+    tbuf, tnb = varint_pack_with_lengths(tfs.astype(np.uint64))
+    lbuf, lnb = varint_pack_with_lengths(dls.astype(np.uint64))
+    doff = np.zeros(n + 1, np.int64); doff[1:] = np.cumsum(dnb)
+    toff = np.zeros(n + 1, np.int64); toff[1:] = np.cumsum(tnb)
+    loff = np.zeros(n + 1, np.int64); loff[1:] = np.cumsum(lnb)
+    blk_max = np.maximum.reduceat(w, blk_starts)
+
+    out = {k: [] for k in (
+        "term_bucket", "term", "range_id", "df", "idf",
+        "global_max", "n_postings", "blocks",
+    )}
+    bi = 0
+    for s, e in zip(t_starts, t_ends):
+        blocks = []
+        gmax = -math.inf
+        while bi < len(blk_starts) and blk_starts[bi] < e:
+            bs, be = int(blk_starts[bi]), int(blk_ends[bi])
+            mw = float(blk_max[bi])
+            gmax = max(gmax, mw)
+            blocks.append(
+                {
+                    "first_doc": int(ids[bs]),
+                    "last_doc": int(ids[be - 1]),
+                    "n": be - bs,
+                    "doc_deltas": dbuf[doff[bs]:doff[be]],
+                    "tfs": tbuf[toff[bs]:toff[be]],
+                    "doc_lens": lbuf[loff[bs]:loff[be]],
+                    "max_w": mw,
+                }
+            )
+            bi += 1
+        term = term_of(codes_s[s])
+        out["term_bucket"].append(term_bucket(term, n_buckets))
+        out["term"].append(term)
+        out["range_id"].append(rid)
+        out["df"].append(int(dfs[s]))
+        out["idf"].append(float(idfs[s]))
+        out["global_max"].append(gmax)
+        out["n_postings"].append(e - s)
+        out["blocks"].append(blocks)
+    return pd.DataFrame(out)
 
 
 def _build_sharded_dict(
@@ -311,50 +328,22 @@ def _build_sharded_dict(
     )
     avgdl_f = float(avgdl)
 
-    def build_shard(tbl):
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        term_pa, df_b, idf_b, bucket_b = _vocab_derived(bc.value, n_buckets)
-        tbl = tbl.combine_chunks()
-        rid = int(tbl.column("range_id")[0].as_py())
+    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        term_list_b, df_b, idf_b = bc.value
+        rid = int(pdf["range_id"].iloc[0])
         base = rid * shard_width
-        tids = tbl.column("term_id").to_numpy()
-        off = tbl.column("off").to_numpy()
-        order = np.lexsort((off, tids))
+        tids = pdf["term_id"].to_numpy()
+        order = np.lexsort((pdf["off"].to_numpy(), tids))
         codes_s = tids[order].astype(np.int64)
-        ids = off[order].astype(np.int64) + base
-        tfs = tbl.column("tf").to_numpy()[order].astype(np.int64)
-        dls = tbl.column("doc_len").to_numpy()[order].astype(np.int64)
-
-        def term_cols(tcodes):
-            return (
-                pc.take(term_pa, pa.array(tcodes)),
-                bucket_b[tcodes],
-                df_b[tcodes],
-                idf_b[tcodes],
-            )
-
-        return _pack_shard_arrow(
-            rid, codes_s, ids, tfs, dls, idf_b[codes_s], term_cols,
-            avgdl_f, block_size,
+        ids = pdf["off"].to_numpy()[order].astype(np.int64) + base
+        tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
+        dls = pdf["doc_len"].to_numpy()[order].astype(np.int64)
+        return _pack_shard(
+            rid, codes_s, ids, tfs, dls, df_b[codes_s], idf_b[codes_s],
+            lambda c: term_list_b[c], avgdl_f, block_size, n_buckets,
         )
 
-    # explicit repartition on exactly the grouping key REPLACES
-    # applyInArrow's implicit exchange (plan: single Exchange
-    # hashpartitioning(range_id, 4x cores)). At the session default of
-    # one shuffle partition per core, hashing ~n_docs/shard_width group
-    # keys into `cores` bins leaves the max bin ~2x the mean
-    # (balls-in-bins) and the stage tail idles most cores; 4x bins cut
-    # the max-load imbalance to ~queueing granularity with zero extra
-    # shuffle bytes. Scale-adaptive: derived from the cluster's
-    # defaultParallelism, not a constant.
-    par = tf.sparkSession.sparkContext.defaultParallelism * 4
-    return (
-        tf2.repartition(par, "range_id")
-        .groupBy("range_id")
-        .applyInArrow(build_shard, schema=POSTINGS)
-    )
+    return tf2.groupBy("range_id").applyInPandas(build_shard, schema=POSTINGS)
 
 
 def sharded_single_topk(
